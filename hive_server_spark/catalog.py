@@ -1,0 +1,46 @@
+"""Table catalog: load the driver parquet tables and register temp views.
+
+Replaces the reference's source layer — Redis KV + Ethereum JSON-RPC scans
+(reference src/utils/ethers.ts, src/models/order-book.ts:31-53) — with
+columnar Parquet scans. Filters/projections declared on these DataFrames reach
+the scan (PushedFilters / ReadSchema), which is the 100 TB analogue of the
+reference pushing (address, topic, block-range) predicates into eth_getLogs
+(reference src/services/hive-listener.ts:152-175).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_server_spark.schemas import DRIVER_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver table. Parquet supplies the schema (footer-exact).
+
+    `events.ts` is TIMESTAMP(NANOS) in the driver parquet; Spark reads it as
+    long (see session config) and we convert to a microsecond timestamp here
+    (truncation — matching DuckDB, whose timestamps are microsecond too).
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in DRIVER_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Register every driver table as a temp view so `spark.sql` serves the
+    full relational surface (SURVEY.md §7 step 4)."""
+    tables = load_all(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

@@ -1,0 +1,282 @@
+"""Correctness-gate registry: named queries (Spark, library-backed) and their
+DuckDB-oracle SQL equivalents.
+
+Conventions that make cross-engine value-hashing reliable:
+- every money column is exact DECIMAL up to the final projection, which casts
+  to DOUBLE (exact decimal → double conversion is deterministic and identical
+  in both engines);
+- counts cast to BIGINT (DuckDB sum(int) is HUGEINT otherwise);
+- timestamps surface as DATE;
+- every computed column is aliased identically on both sides;
+- rank/row_number columns cast to BIGINT.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_server_spark.operators.amount_out import AMOUNT_OUT_SQL, amount_out
+from hive_server_spark.operators.fold import (
+    ORDER_UPDATES_CTE,
+    ORDERS_STATE_CTE,
+    fold_order_events,
+)
+from hive_server_spark.operators.orderbook import price_levels, top_levels
+from hive_server_spark.operators.trades import (
+    latest_price,
+    market_orders,
+    pools_summary,
+    trader_order_counts,
+    user_orders,
+)
+from hive_server_spark.sources.synthetic import ORDER_EVENTS_CTE, order_events
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_SPARK_QUERIES: dict[str, QueryFn] = {}
+_ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def spark_queries() -> dict[str, QueryFn]:
+    return dict(_SPARK_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLE_SQL)
+
+
+_FOLD_CTES = f"WITH {ORDER_EVENTS_CTE}, {ORDER_UPDATES_CTE}, {ORDERS_STATE_CTE}"
+
+_DBL = lambda c: F.col(c).cast("double").alias(c)  # noqa: E731
+
+
+def _orders_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fold_order_events(order_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# A1 — the keyed upsert fold (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+@register(
+    "orders_state",
+    _FOLD_CTES
+    + """
+SELECT pool_address, order_id, trader,
+       CAST(price AS DOUBLE)            AS price,
+       CAST(amount AS DOUBLE)           AS amount,
+       CAST(filled AS DOUBLE)           AS filled,
+       CAST(remaining_amount AS DOUBLE) AS remaining_amount,
+       order_type, active,
+       CAST(created_ts AS DATE)         AS created_date,
+       created_seq
+FROM orders_state
+""",
+)
+def q_orders_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _orders_state(spark, sf_dir).select(
+        "pool_address",
+        "order_id",
+        "trader",
+        _DBL("price"),
+        _DBL("amount"),
+        _DBL("filled"),
+        _DBL("remaining_amount"),
+        "order_type",
+        "active",
+        F.col("created_ts").cast("date").alias("created_date"),
+        "created_seq",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2/T1/T2 — price levels + per-side top-k (SURVEY §2.4, §2.6)
+# ---------------------------------------------------------------------------
+@register(
+    "order_book_levels",
+    _FOLD_CTES
+    + """
+, levels AS (
+  SELECT pool_address, order_type, price,
+         SUM(amount - filled) AS total_volume,
+         COUNT(*) AS order_count
+  FROM orders_state
+  WHERE active AND price IS NOT NULL
+  GROUP BY pool_address, order_type, price
+), ranked AS (
+  SELECT *,
+    CASE WHEN order_type = 'BUY'
+         THEN row_number() OVER (PARTITION BY pool_address, order_type ORDER BY price DESC)
+         ELSE row_number() OVER (PARTITION BY pool_address, order_type ORDER BY price ASC)
+    END AS level_rank
+  FROM levels
+)
+SELECT pool_address, order_type,
+       CAST(price AS DOUBLE)        AS price,
+       CAST(total_volume AS DOUBLE) AS total_volume,
+       CAST(order_count AS BIGINT)  AS order_count,
+       CAST(level_rank AS BIGINT)   AS level_rank
+FROM ranked WHERE level_rank <= 20
+""",
+)
+def q_order_book_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lv = top_levels(price_levels(_orders_state(spark, sf_dir)), depth=20)
+    return lv.select(
+        "pool_address",
+        "order_type",
+        _DBL("price"),
+        _DBL("total_volume"),
+        F.col("order_count").cast("bigint").alias("order_count"),
+        F.col("level_rank").cast("bigint").alias("level_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7/W2 — amount-out walk, both directions (SURVEY §2.4, §3.3)
+# ---------------------------------------------------------------------------
+def _amount_out_gate(order_type: str) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        r = amount_out(_orders_state(spark, sf_dir), order_type, 500)
+        return r.select(
+            "pool_address", _DBL("output_amount"), _DBL("consumed"), "is_error"
+        )
+
+    return fn
+
+
+for _side, _opp, _dir in (("BUY", "SELL", "ASC"), ("SELL", "BUY", "DESC")):
+    register(
+        f"amount_out_{_side.lower()}",
+        _FOLD_CTES
+        + AMOUNT_OUT_SQL.format(direction=_dir, opposite=_opp, amount="CAST(500 AS DECIMAL(18,3))"),
+    )(_amount_out_gate(_side))
+
+
+# ---------------------------------------------------------------------------
+# A4 — latest trade price per pool (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+@register(
+    "latest_price",
+    f"WITH {ORDER_EVENTS_CTE}\n"
+    + """
+SELECT pool_address, CAST(max_by(price, seq) AS DOUBLE) AS latest_price
+FROM order_events WHERE event_type = 'LatestPrice'
+GROUP BY pool_address
+""",
+)
+def q_latest_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return latest_price(order_events(spark, sf_dir)).select(
+        "pool_address", _DBL("latest_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — market-order history for one trader (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+@register(
+    "market_orders_t2",
+    f"WITH {ORDER_EVENTS_CTE}\n"
+    + """
+SELECT pool_address, seq, trader, order_type,
+       CAST(price AS DOUBLE)         AS price,
+       CAST(filled_amount AS DOUBLE) AS filled_amount,
+       CAST(event_time AS DATE)      AS event_date
+FROM order_events
+WHERE event_type = 'MarketOrderExecuted' AND trader = 'T2'
+""",
+)
+def q_market_orders_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return market_orders(order_events(spark, sf_dir), trader="T2").select(
+        "pool_address",
+        "seq",
+        "trader",
+        "order_type",
+        _DBL("price"),
+        _DBL("filled_amount"),
+        F.col("event_time").cast("date").alias("event_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — per-trader orders incl. tombstones (SURVEY §2.3, Q7)
+# ---------------------------------------------------------------------------
+@register(
+    "user_orders_t1",
+    _FOLD_CTES
+    + """
+SELECT pool_address, order_id, trader,
+       CAST(price AS DOUBLE)  AS price,
+       CAST(amount AS DOUBLE) AS amount,
+       order_type, active
+FROM orders_state WHERE trader = 'T1'
+""",
+)
+def q_user_orders_t1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_orders(_orders_state(spark, sf_dir), "T1").select(
+        "pool_address", "order_id", "trader", _DBL("price"), _DBL("amount"),
+        "order_type", "active",
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-trader aggregate stats (generalized getUserOrders)
+# ---------------------------------------------------------------------------
+@register(
+    "trader_order_counts",
+    _FOLD_CTES
+    + """
+SELECT trader,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+       CAST(SUM(amount) AS DOUBLE) AS total_amount,
+       CAST(SUM(filled) AS DOUBLE) AS total_filled
+FROM orders_state GROUP BY trader
+""",
+)
+def q_trader_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return trader_order_counts(_orders_state(spark, sf_dir)).select(
+        "trader",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("n_active").cast("bigint").alias("n_active"),
+        _DBL("total_amount"),
+        _DBL("total_filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S8/P6 — pool inventory summary (SURVEY §2.1, §2.2)
+# ---------------------------------------------------------------------------
+@register(
+    "pools_summary",
+    f"WITH {ORDER_EVENTS_CTE}\n"
+    + """
+SELECT pool_address,
+       CAST(COUNT(*) AS BIGINT)                 AS n_events,
+       CAST(COUNT(DISTINCT order_id) AS BIGINT) AS n_orders_touched,
+       CAST(COUNT(DISTINCT trader) AS BIGINT)   AS n_traders,
+       CAST(max_by(price, CASE WHEN event_type = 'LatestPrice' THEN seq END) AS DOUBLE)
+         AS latest_price
+FROM order_events GROUP BY pool_address
+""",
+)
+def q_pools_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = pools_summary(order_events(spark, sf_dir))
+    return ps.select(
+        "pool_address",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("n_orders_touched").cast("bigint").alias("n_orders_touched"),
+        F.col("n_traders").cast("bigint").alias("n_traders"),
+        _DBL("latest_price"),
+    )

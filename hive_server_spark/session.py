@@ -1,0 +1,58 @@
+"""Tuned SparkSession factory.
+
+The reference is a single-threaded Node service (async I/O interleaving only,
+reference src/index.ts); our engine runs on Spark executors. These configs are
+the 100 TB posture defaults: AQE on (runtime re-plan, skew-join splitting),
+explicit broadcast threshold for the small dimension tables, Arrow for any
+pandas-UDF exchange, shuffle partitions sized by env.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "hive-server-spark", *, shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    Local test mode uses ``local[$SPARK_GRAFT_CPUS]``; on a real cluster the
+    master/executor topology comes from spark-submit and everything here still
+    applies (AQE, broadcast threshold, partitioning hints are cluster-safe).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        # --- determinism / correctness ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # exact decimal ops; fail loudly on overflow instead of returning null
+        .config("spark.sql.ansi.enabled", "false")
+        # --- adaptive execution: runtime shuffle-partition coalescing,
+        # skew-join splitting, broadcast-join conversion. Core of the
+        # 100 TB posture: plans self-correct from runtime stats.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle sizing ---
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- scan efficiency: pushdown + pruning are on by default, keep
+        # them pinned so a misconfigured site profile can't disable them.
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # driver testdata stores events.ts as TIMESTAMP(NANOS), which the
+        # vectorized reader rejects; read as long and convert in the catalog
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # --- pandas-UDF exchange ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # dims (pools/tokens/nation/region) are tiny; broadcast eagerly
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,111 @@
+"""Driver-contract emulator: exercises __spark_entry__.py exactly as the
+round driver does.
+
+1. smoke  — entry(spark) at sf0.001 must run and return >=0 rows.
+2. parity — for every queries() entry with an oracle_sql() string, run the
+   Spark DataFrame AND DuckDB over the same parquet at sf0.01; compare
+   row count, column names, and an order-insensitive value hash
+   (columns sorted by name, rows sorted, values stringified).
+
+Exit 0 iff everything matches. Prints one line per query.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+SMOKE_DIR = "/root/testdata/sf0.001"
+PARITY_DIR = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    import __spark_entry__ as mod
+    from hive_server_spark.session import get_spark
+
+    spark = get_spark("verify-gate")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # --- smoke ---
+    t0 = time.perf_counter()
+    n = mod.entry(spark).count()
+    print(f"smoke: entry() -> {n} rows in {time.perf_counter()-t0:.1f}s")
+    assert n >= 0
+
+    # --- parity ---
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(PARITY_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    queries = mod.queries()
+    oracles = mod.oracle_sql()
+    failures = []
+    for name in sorted(queries):
+        t0 = time.perf_counter()
+        df = queries[name](spark, PARITY_DIR)
+        scols = df.columns
+        srows = [tuple(r) for r in df.collect()]
+        if name not in oracles:
+            print(f"{name}: rows-only check, {len(srows)} rows "
+                  f"({time.perf_counter()-t0:.1f}s)")
+            continue
+        cur = con.execute(oracles[name])
+        ocols = [d[0] for d in cur.description]
+        orows = cur.fetchall()
+        problems = []
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if not problems:
+            sh, oh = value_hash(scols, srows), value_hash(ocols, orows)
+            if sh != oh:
+                problems.append(f"hash spark={sh} oracle={oh}")
+        status = "OK" if not problems else "MISMATCH: " + "; ".join(problems)
+        print(f"{name}: {len(srows)} rows, {status} ({time.perf_counter()-t0:.1f}s)")
+        if problems:
+            failures.append(name)
+
+    if failures:
+        print(f"FAILED: {failures}")
+        return 1
+    print("ALL MATCH")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

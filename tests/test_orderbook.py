@@ -1,0 +1,63 @@
+"""Order-book golden tests — SURVEY §5.2: bid desc / ask asc, FIFO within
+level, total_volume = Σ(amount − filled) over active orders, tombstones
+excluded (mirrors reference src/models/order-book.ts:202-349).
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal as D
+
+from hive_server_spark.operators.fold import fold_order_events
+from hive_server_spark.operators.orderbook import order_book, price_levels, top_levels
+from tests.conftest import ev
+
+
+def _fixture(make_events):
+    rows = [
+        # two BUY orders at 100 (FIFO: order 1 then 3), one at 99
+        ev(seq=1, event_type="OrderCreated", order_id=1, trader="T1", price=100,
+           amount=50, order_type="BUY"),
+        ev(seq=2, event_type="OrderCreated", order_id=2, trader="T2", price=99,
+           amount=10, order_type="BUY"),
+        ev(seq=3, event_type="OrderCreated", order_id=3, trader="T3", price=100,
+           amount=30, order_type="BUY"),
+        # SELL side: 101, 102
+        ev(seq=4, event_type="OrderCreated", order_id=4, trader="T4", price=101,
+           amount=20, order_type="SELL"),
+        ev(seq=5, event_type="OrderCreated", order_id=5, trader="T5", price=102,
+           amount=40, order_type="SELL"),
+        # partial fill on order 1: volume at 100 becomes (50-20) + 30 = 60
+        ev(seq=6, event_type="OrderFilled", order_id=1, filled=20, remaining=30),
+        # cancel order 2: level 99 disappears
+        ev(seq=7, event_type="OrderCancelled", order_id=2),
+    ]
+    return fold_order_events(make_events(rows))
+
+
+def test_price_levels_golden(make_events):
+    lv = {(r.order_type, str(r.price)): r for r in price_levels(_fixture(make_events)).collect()}
+    assert set(lv) == {("BUY", "100.000000000000000000"),
+                       ("SELL", "101.000000000000000000"),
+                       ("SELL", "102.000000000000000000")}
+    buy100 = lv[("BUY", "100.000000000000000000")]
+    assert buy100.total_volume == D(60)
+    assert buy100.order_count == 2
+    assert buy100.order_ids == [1, 3]  # FIFO by creation seq
+
+
+def test_top_levels_depth(make_events):
+    lv = price_levels(_fixture(make_events))
+    top1 = top_levels(lv, depth=1).collect()
+    sides = {r.order_type: r for r in top1}
+    assert sides["BUY"].price == D(100)   # best bid = max price
+    assert sides["SELL"].price == D(101)  # best ask = min price
+
+
+def test_order_book_assembly(make_events):
+    book = order_book(_fixture(make_events), "pool_0", depth=20).collect()
+    assert len(book) == 1
+    b = book[0]
+    assert [str(x.price) for x in b.bids] == ["100.000000000000000000"]
+    assert [str(x.price) for x in b.asks] == ["101.000000000000000000",
+                                              "102.000000000000000000"]
+    assert b.asks[0].total_volume == D(20)
