@@ -13,11 +13,15 @@ Conventions that make cross-engine value-hashing reliable:
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hive_server_spark.registry import (  # noqa: F401  (re-exported API)
+    QueryFn,
+    oracle_sql,
+    register,
+    spark_queries,
+)
 from hive_server_spark.operators.amount_out import AMOUNT_OUT_SQL, amount_out
 from hive_server_spark.operators.fold import (
     ORDER_UPDATES_CTE,
@@ -33,30 +37,6 @@ from hive_server_spark.operators.trades import (
     user_orders,
 )
 from hive_server_spark.sources.synthetic import ORDER_EVENTS_CTE, order_events
-
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-_SPARK_QUERIES: dict[str, QueryFn] = {}
-_ORACLE_SQL: dict[str, str] = {}
-
-
-def register(name: str, oracle: str | None = None):
-    def deco(fn: QueryFn) -> QueryFn:
-        _SPARK_QUERIES[name] = fn
-        if oracle is not None:
-            _ORACLE_SQL[name] = oracle
-        return fn
-
-    return deco
-
-
-def spark_queries() -> dict[str, QueryFn]:
-    return dict(_SPARK_QUERIES)
-
-
-def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLE_SQL)
-
 
 _FOLD_CTES = f"WITH {ORDER_EVENTS_CTE}, {ORDER_UPDATES_CTE}, {ORDERS_STATE_CTE}"
 
@@ -280,3 +260,9 @@ def q_pools_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_traders").cast("bigint").alias("n_traders"),
         _DBL("latest_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Query packs (self-register into hive_server_spark.registry on import)
+# ---------------------------------------------------------------------------
+from hive_server_spark.plans import relational  # noqa: E402,F401

@@ -30,7 +30,8 @@ def _norm(v):
 
 def _rowset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    # key=repr: total order even with None/mixed cells; equality still exact
+    return sorted((tuple(_norm(r[i]) for i in order) for r in rows), key=repr)
 
 
 @pytest.mark.parametrize("name", sorted(gate.oracle_sql()))
