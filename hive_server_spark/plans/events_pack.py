@@ -1,0 +1,246 @@
+"""Event-stream analytics pack over the driver `events` table.
+
+The reference's stream is an ordered blockchain event log folded into state
+(SURVEY §2.9); this pack covers the *general* event-analytics surface a user
+of the engine needs on top of that: time-bucketed aggregation, gap-based
+sessionization, JSON property extraction, funnel conversion, and top-k users.
+Batch forms here (gate-checkable vs DuckDB); the streaming module
+(hive_server_spark/streaming/) maintains the same results incrementally.
+
+Cross-engine determinism notes:
+- durations use integer microseconds (`unix_micros` ≡ DuckDB `epoch_us`);
+- event `value` (2-decimal double) is cast to DECIMAL(18,2) before any sum;
+- every window order includes `event_id` as a total tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_server_spark.catalog import load_table
+from hive_server_spark.registry import register
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# ---------------------------------------------------------------------------
+# Tumbling time windows
+# ---------------------------------------------------------------------------
+@register(
+    "evt_hourly_rollup",
+    """
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+)
+def evt_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window per event type — the batch twin of the
+    streaming `groupBy(window(ts, '1 hour'), event_type)` aggregation. One
+    hash aggregate; bucket+type cardinality is bounded, so partial agg
+    collapses nearly everything map-side at any scale."""
+    e = _events(spark, sf_dir)
+    return e.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization (lag → new-session flag → prefix sum → group)
+# ---------------------------------------------------------------------------
+@register(
+    "evt_sessions",
+    """
+WITH seq AS (
+  SELECT user_id, event_id, ts, value,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM seq
+), numbered AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS duration_us,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM numbered
+GROUP BY user_id, session_no
+""",
+)
+def evt_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap: lag → new-session flag
+    → running sum (the classic island-numbering idiom). All three windows
+    share one (user_id) partitioning, so Spark plans a single sort+exchange
+    reused across them; the final group-by is co-partitioned — no extra
+    shuffle. Streaming twin: `session_window(ts, '30 minutes')`."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    sessions = (
+        e.select("user_id", "event_id", "ts", "value")
+        .withColumn("gap_us", us - F.lag(us).over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("gap_us").isNull() | (F.col("gap_us") > _SESSION_GAP_US), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_no",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return sessions.groupBy(
+        "user_id", F.col("session_no").cast("bigint").alias("session_no")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        (F.max(us) - F.min(us)).cast("bigint").alias("duration_us"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured props: JSON extraction
+# ---------------------------------------------------------------------------
+@register(
+    "evt_props_stats",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(k) AS BIGINT)   AS sum_k,
+       CAST(MIN(k) AS BIGINT)   AS min_k,
+       CAST(MAX(k) AS BIGINT)   AS max_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+""",
+)
+def evt_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction at the edge (`get_json_object`), integer
+    aggregation after — mirrors the reference's JSON-blob values parsed only
+    when read (reference src/models/order-book.ts:61,71,77)."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel: signup → later purchase, by signup-day cohort
+# ---------------------------------------------------------------------------
+@register(
+    "evt_funnel_cohorts",
+    """
+WITH first_signup AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), converted AS (
+  SELECT DISTINCT f.user_id
+  FROM first_signup f JOIN events e
+    ON e.user_id = f.user_id AND e.event_type = 'purchase' AND e.ts > f.signup_ts
+)
+SELECT CAST(date_trunc('day', f.signup_ts) AS DATE) AS cohort_day,
+       CAST(COUNT(*) AS BIGINT) AS n_signups,
+       CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_converted
+FROM first_signup f LEFT JOIN converted c ON f.user_id = c.user_id
+GROUP BY date_trunc('day', f.signup_ts)
+""",
+)
+def evt_funnel_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel: first signup per user, then a semi-join-shaped probe
+    for a later purchase, aggregated into daily cohorts. Both joins key on
+    user_id — with the fact pre-filtered by event_type at the scan, the heavy
+    table is touched twice but each pass is column-pruned to 3 columns."""
+    e = _events(spark, sf_dir)
+    first_signup = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    converted = (
+        first_signup.join(
+            purchases,
+            (first_signup.user_id == purchases.user_id)
+            & (purchases.ts > first_signup.signup_ts),
+            "left_semi",
+        )
+        .select("user_id")
+        .withColumn("_conv", F.lit(1))
+    )
+    return (
+        first_signup.join(converted, "user_id", "left_outer")
+        .groupBy(F.date_trunc("day", "signup_ts").cast("date").alias("cohort_day"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_signups"),
+            F.sum(F.coalesce(F.col("_conv"), F.lit(0))).cast("bigint").alias("n_converted"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k users by total value
+# ---------------------------------------------------------------------------
+@register(
+    "evt_top_users",
+    """
+WITH per_user AS (
+  SELECT user_id,
+         SUM(CAST(value AS DECIMAL(18,2))) AS total_value,
+         COUNT(*) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(total_value AS DOUBLE) AS total_value,
+       CAST(n_events AS BIGINT) AS n_events, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, row_number() OVER (ORDER BY total_value DESC, user_id ASC) AS rk
+      FROM per_user)
+WHERE rk <= 20
+""",
+)
+def evt_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-then-rank top-k: the global row_number runs over the already
+    reduced per-user rows (|users| ≪ |events|), with a total tiebreak order.
+    Exact-decimal totals make rank boundaries deterministic cross-engine."""
+    e = _events(spark, sf_dir)
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        F.count("*").alias("n_events"),
+    )
+    w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
+    return (
+        per_user.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 20)
+        .select(
+            "user_id",
+            F.col("total_value").cast("double").alias("total_value"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
