@@ -1,0 +1,219 @@
+"""Gate queries for the text-analysis / dedup surface (functions/text.py).
+
+Each oracle SQL is assembled from the same dialect-dispatched fragments as
+the Spark implementation, so both engines execute structurally identical
+expressions (seeded md5 hashing, in-order folds, single-division ratios)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_server_spark.catalog import load_table
+from hive_server_spark.functions import text as T
+from hive_server_spark.registry import register
+
+_TOKS_CTE_D = f"toks AS (SELECT *, {T.tokens_expr('text', 'd')} AS toks FROM documents)"
+_SHINGLES_CTE_D = (
+    f"shingled AS (SELECT doc_id, {T.shingles_expr('toks', 'd')} AS shingles FROM toks)"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# per-document profile: token stats, lang-id, quality, fingerprints
+# ---------------------------------------------------------------------------
+_PROFILE_SQL = f"""
+WITH {_TOKS_CTE_D},
+profile AS (
+  SELECT doc_id, lang, source,
+         CAST(len(toks) AS BIGINT)                AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+         CAST({T.subtoken_count_expr('toks', 'd')} AS BIGINT) AS n_subtokens,
+         CAST({T.stop_count_expr('toks', 'en', 'd')} AS BIGINT) AS s_en,
+         CAST({T.stop_count_expr('toks', 'es', 'd')} AS BIGINT) AS s_es,
+         CAST({T.stop_count_expr('toks', 'de', 'd')} AS BIGINT) AS s_de,
+         CAST({T.stop_count_expr('toks', 'fr', 'd')} AS BIGINT) AS s_fr,
+         CAST(CASE WHEN regexp_matches(text, '{T.CJK_RE}') THEN 1 ELSE 0 END AS BIGINT) AS s_zh,
+         md5(text) AS fingerprint_md5,
+         CAST({T.rolling_fp_expr('toks', 'd')} AS BIGINT) AS fingerprint_roll
+  FROM toks
+)
+SELECT doc_id, lang, source, n_tokens, n_distinct_tokens, n_subtokens,
+       CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS ttr,
+       CAST(s_en + s_es + s_de + s_fr AS DOUBLE) / n_tokens AS stop_ratio,
+       CASE WHEN s_zh = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'zh'
+            WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+            WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+            WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+            ELSE 'fr' END AS predicted_lang,
+       (CASE WHEN s_zh = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'zh'
+             WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+             WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+             WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+             ELSE 'fr' END) = lang AS lang_match,
+       0.5 * (CAST(n_distinct_tokens AS DOUBLE) / n_tokens)
+         + 0.3 * (1.0 - CAST(s_en + s_es + s_de + s_fr AS DOUBLE) / n_tokens)
+         + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS quality_score,
+       fingerprint_md5, fingerprint_roll
+FROM profile
+"""
+
+
+@register("text_profile", _PROFILE_SQL)
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.doc_profile(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup by content hash
+# ---------------------------------------------------------------------------
+@register(
+    "text_exact_dedup",
+    """
+SELECT md5(text) AS fingerprint_md5,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+       CAST(COUNT(*) AS BIGINT)    AS group_size
+FROM documents GROUP BY md5(text)
+""",
+)
+def text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.exact_dedup(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard near-dup pairs (threshold 0.5, df-cut applied)
+# ---------------------------------------------------------------------------
+_JACCARD_SQL = f"""
+WITH {_TOKS_CTE_D},
+{_SHINGLES_CTE_D},
+sh0 AS (SELECT doc_id, s AS shingle FROM shingled, unnest(shingles) AS u(s)),
+df_ok AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= {T.DF_CUT}),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN df_ok USING (shingle)),
+counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(common AS BIGINT) AS common,
+       CAST(na.n_sh AS BIGINT) AS n_a,
+       CAST(nb.n_sh AS BIGINT) AS n_b,
+       CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) AS jaccard
+FROM common
+JOIN counts na ON common.doc_a = na.doc_id
+JOIN counts nb ON common.doc_b = nb.doc_id
+WHERE CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard", _JACCARD_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH band keys
+# ---------------------------------------------------------------------------
+_mh_cols_d = ",\n       ".join(
+    f"CAST({T.minhash_expr('shingles', j, 'd')} AS BIGINT) AS mh_{j}"
+    for j in range(T.N_MINHASH)
+)
+_band_cols_d = ",\n       ".join(
+    f"concat(mh_{2*b}, '_', mh_{2*b+1}) AS band_{b}" for b in range(T.N_BANDS)
+)
+_SIGS_SQL = f"""
+WITH {_TOKS_CTE_D},
+{_SHINGLES_CTE_D},
+sigs AS (
+  SELECT doc_id,
+       {_mh_cols_d}
+  FROM shingled
+)
+SELECT doc_id, {', '.join(f'mh_{j}' for j in range(T.N_MINHASH))},
+       {_band_cols_d}
+FROM sigs
+"""
+
+
+@register("dedup_minhash_sigs", _SIGS_SQL)
+def dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.minhash_signatures(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH candidate pairs
+# ---------------------------------------------------------------------------
+_band_union_d = "\nUNION ALL\n".join(
+    f"SELECT doc_id, concat('{b}', '#', band_{b}) AS band_key FROM sigs_b"
+    for b in range(T.N_BANDS)
+)
+_CAND_SQL = f"""
+WITH {_TOKS_CTE_D},
+{_SHINGLES_CTE_D},
+sigs AS (
+  SELECT doc_id,
+       {_mh_cols_d}
+  FROM shingled
+),
+sigs_b AS (
+  SELECT doc_id, {_band_cols_d}
+  FROM sigs
+),
+bands AS ({_band_union_d})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+@register("dedup_minhash_candidates", _CAND_SQL)
+def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.minhash_candidates(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints + hamming-LSH halves
+# ---------------------------------------------------------------------------
+_SIMHASH_SQL = f"""
+WITH {_TOKS_CTE_D},
+hashed AS (SELECT doc_id, {T.token_hashes_expr('toks', 'd')} AS th FROM toks),
+fp AS (SELECT doc_id, CAST({T.simhash_expr('th', 'd')} AS BIGINT) AS simhash FROM hashed)
+SELECT doc_id, simhash,
+       CAST(simhash % 65536 AS BIGINT)  AS band_lo,
+       CAST(simhash // 65536 AS BIGINT) AS band_hi
+FROM fp
+"""
+
+
+@register("dedup_simhash", _SIMHASH_SQL)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.simhash_fingerprints(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# corpus roll-up: per (lang, source) token statistics
+# ---------------------------------------------------------------------------
+@register(
+    "text_corpus_stats",
+    f"""
+WITH {_TOKS_CTE_D}
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT)        AS n_docs,
+       CAST(SUM(len(toks)) AS BIGINT)  AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT)    AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / SUM(len(toks)) AS chars_per_token
+FROM toks GROUP BY lang, source
+""",
+)
+def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T.with_tokens(_docs(spark, sf_dir))
+    return d.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size("toks")).cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.sum(F.size("toks"))).alias("chars_per_token"),
+    )
