@@ -1,0 +1,216 @@
+"""Similarity search over the `embeddings` table (SURVEY §7 step 6).
+
+Operators:
+- brute-force cosine top-k (the exactness baseline; O(n) per query),
+- random-hyperplane LSH bucketing (the scale path: candidate generation is
+  one narrow projection + an equi-shuffle on bucket id; pair volume is
+  O(n²/2^planes), tunable),
+- IVF-style partition-restricted top-k (the `label` column plays the coarse
+  centroid-assignment role).
+
+Determinism: embeddings are float32 → cast to float64 (exact); every dot
+product is an in-array-order left fold; cosine = dot / (sqrt(na)*sqrt(nb))
+with a fixed op sequence — bit-identical in Spark and DuckDB (verified in
+the parity gate). Hyperplanes are ±1-weight vectors derived from md5 in
+Python and inlined as literals in BOTH dialects — no per-row hashing.
+
+Scale posture: all per-row work is JVM-side expression evaluation (no Python
+UDFs); the only shuffles are the bucket-key exchange and the final top-k,
+which reduces to row_number over a bounded candidate set. For a 100 TB
+corpus raise N_PLANES so the expected bucket size stays O(100) and add more
+hash tables (band repetitions) for recall, same as the MinHash banding."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 10  # 2^10 = 1024 buckets
+
+
+def _plane_weight(plane: int, dim: int) -> int:
+    """Deterministic ±1 weight from md5 — same derivation documented in the
+    oracle (inlined literals, so both engines share exact values)."""
+    h = hashlib.md5(f"lsh{plane}:{dim}".encode()).hexdigest()[:8]
+    return 1 if int(h, 16) % 2 == 0 else -1
+
+
+def plane_literals(n_dims: int) -> list[list[int]]:
+    return [[_plane_weight(p, d) for d in range(n_dims)] for p in range(N_PLANES)]
+
+
+# ---------------------------------------------------------------------------
+# dialect-dispatched fragments
+# ---------------------------------------------------------------------------
+def vec_expr(col: str, dialect: str) -> str:
+    if dialect == "s":
+        return f"CAST({col} AS ARRAY<DOUBLE>)"
+    return f"{col}::DOUBLE[]"
+
+
+def dot_expr(a: str, b: str, dialect: str) -> str:
+    """In-order left fold of elementwise products — bit-identical IEEE sum."""
+    if dialect == "s":
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({a})+1), i -> {a}[i] * {b}[i])), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def cosine_expr(a: str, b: str, dialect: str) -> str:
+    return (
+        f"({dot_expr(a, b, dialect)}) / "
+        f"(sqrt({dot_expr(a, a, dialect)}) * sqrt({dot_expr(b, b, dialect)}))"
+    )
+
+
+def bucket_expr(a: str, n_dims: int, dialect: str) -> str:
+    """LSH bucket id: bit p = sign of the ±1-weighted in-order projection."""
+    terms = []
+    for p, weights in enumerate(plane_literals(n_dims)):
+        if dialect == "s":
+            lit = "array(" + ",".join(f"{w}D" for w in weights) + ")"
+            proj = (
+                f"aggregate(zip_with({a}, {lit}, (x, y) -> x * y), "
+                f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+        else:
+            lit = "[" + ",".join(f"{w}.0" for w in weights) + "]"
+            proj = (
+                f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"list_transform(range(1, len({a})+1), i -> {a}[i] * ({lit})[i])), "
+                f"(acc, v) -> acc + v)"
+            )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN CAST({2**p} AS BIGINT) ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+# ---------------------------------------------------------------------------
+# DataFrame operators
+# ---------------------------------------------------------------------------
+def _vecs(df: DataFrame) -> DataFrame:
+    return df.withColumn("v", F.expr(vec_expr("embedding", "s")))
+
+
+def cosine_topk(
+    emb: DataFrame, query_vec_id: int = 0, k: int = 10, within_label: bool = False
+) -> DataFrame:
+    """Brute-force cosine top-k against one stored query vector.
+
+    The single query row is broadcast (crossJoin of a 1-row side); every
+    partition scans its vectors once — embarrassingly parallel, no shuffle
+    until the final k-row reduction. `within_label=True` restricts the scan
+    to the query's label partition (IVF-style coarse quantization: at scale,
+    partition/cluster by label and the scan prunes to one partition)."""
+    v = _vecs(emb)
+    q = (
+        v.where(F.col("vec_id") == query_vec_id)
+        .select(
+            F.col("v").alias("qv"),
+            F.col("label").alias("q_label"),
+            F.col("vec_id").alias("q_vec_id"),
+        )
+    )
+    cand = v.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("q_vec_id"))
+    if within_label:
+        cand = cand.where(F.col("label") == F.col("q_label"))
+    cand = cand.withColumn("cosine", F.expr(cosine_expr("v", "qv", "s")))
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "vec_id",
+            "label",
+            "cosine",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+def lsh_buckets(emb: DataFrame, n_dims: int = 64) -> DataFrame:
+    """Assign every vector its hyperplane-sign bucket — one projection."""
+    return _vecs(emb).select(
+        "vec_id",
+        "label",
+        F.expr(bucket_expr("v", n_dims, "s")).cast("bigint").alias("bucket"),
+    )
+
+
+def lsh_neardup_topk(emb: DataFrame, k: int = 20, n_dims: int = 64) -> DataFrame:
+    """Top-k most-similar pairs among same-bucket candidates.
+
+    Candidate volume is E[n²/2^N_PLANES] — the knob that keeps this linear-ish
+    at scale. Exact cosine is computed only on candidates."""
+    b = lsh_buckets(emb, n_dims).join(_vecs(emb).select("vec_id", "v"), "vec_id")
+    a, c = b.alias("a"), b.alias("b")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.bucket").alias("bucket"),
+            F.expr(cosine_expr("a.v", "b.v", "s")).alias("cosine"),
+        )
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("vec_a", "vec_b", "bucket", "cosine", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL builders (DuckDB dialect) — used by plans/embedding_pack.py
+# ---------------------------------------------------------------------------
+def topk_oracle(query_vec_id: int, k: int, within_label: bool) -> str:
+    label_pred = "AND e.label = q.label" if within_label else ""
+    return f"""
+WITH v AS (SELECT vec_id, label, {vec_expr('embedding', 'd')} AS v FROM embeddings),
+q AS (SELECT v AS qv, label, vec_id AS q_vec_id FROM v WHERE vec_id = {query_vec_id}),
+scored AS (
+  SELECT e.vec_id, e.label,
+         {cosine_expr('e.v', 'q.qv', 'd')} AS cosine
+  FROM v e, q
+  WHERE e.vec_id <> q.q_vec_id {label_pred}
+)
+SELECT vec_id, label, cosine, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rk FROM scored)
+WHERE rk <= {k}
+"""
+
+
+def buckets_oracle(n_dims: int = 64) -> str:
+    return f"""
+WITH v AS (SELECT vec_id, label, {vec_expr('embedding', 'd')} AS v FROM embeddings)
+SELECT vec_id, label, CAST({bucket_expr('v', n_dims, 'd')} AS BIGINT) AS bucket
+FROM v
+"""
+
+
+def neardup_oracle(k: int, n_dims: int = 64) -> str:
+    return f"""
+WITH v AS (SELECT vec_id, label, {vec_expr('embedding', 'd')} AS v FROM embeddings),
+b AS (SELECT vec_id, v, CAST({bucket_expr('v', n_dims, 'd')} AS BIGINT) AS bucket FROM v),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b, a.bucket,
+         {cosine_expr('a.v', 'b2.v', 'd')} AS cosine
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+)
+SELECT vec_a, vec_b, bucket, cosine, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, row_number() OVER (ORDER BY cosine DESC, vec_a ASC, vec_b ASC) AS rk
+      FROM pairs)
+WHERE rk <= {k}
+"""

@@ -265,4 +265,9 @@ def q_pools_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Query packs (self-register into hive_server_spark.registry on import)
 # ---------------------------------------------------------------------------
-from hive_server_spark.plans import events_pack, relational, text_pack  # noqa: E402,F401
+from hive_server_spark.plans import (  # noqa: E402,F401
+    embedding_pack,
+    events_pack,
+    relational,
+    text_pack,
+)

@@ -1,0 +1,62 @@
+"""Similarity-search operator semantics: brute-force is the ground truth;
+LSH bucketing must place identical vectors together and candidates must
+rank by true cosine. Cross-engine parity is in test_gate_parity.py."""
+
+from __future__ import annotations
+
+import math
+
+from hive_server_spark.catalog import load_table
+from hive_server_spark.functions import embeddings as E
+from tests.conftest import SF_SMALL
+
+
+def _emb(spark):
+    return load_table(spark, SF_SMALL, "embeddings")
+
+
+def test_topk_matches_numpy_bruteforce(spark):
+    import numpy as np
+
+    rows = _emb(spark).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    q = vecs[0]
+
+    def cos(a, b):
+        return float(a @ b / (math.sqrt(a @ a) * math.sqrt(b @ b)))
+
+    expected = sorted(
+        ((cos(v, q), vid) for vid, v in vecs.items() if vid != 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    got = E.cosine_topk(_emb(spark), 0, k=10).orderBy("rk").collect()
+    assert [r.vec_id for r in got] == [vid for _, vid in expected]
+    for r, (c, _) in zip(got, expected):
+        assert abs(r.cosine - c) < 1e-9
+
+
+def test_ivf_subset_of_label(spark):
+    got = E.cosine_topk(_emb(spark), 0, k=10, within_label=True).collect()
+    q_label = _emb(spark).where("vec_id = 0").collect()[0].label
+    assert got and all(r.label == q_label for r in got)
+
+
+def test_lsh_bucket_determinism_and_range(spark):
+    b = E.lsh_buckets(_emb(spark)).collect()
+    assert all(0 <= r.bucket < 2**E.N_PLANES for r in b)
+    again = E.lsh_buckets(_emb(spark)).collect()
+    assert {r.vec_id: r.bucket for r in b} == {r.vec_id: r.bucket for r in again}
+
+
+def test_neardup_pairs_are_true_cosines(spark):
+    import numpy as np
+
+    rows = _emb(spark).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    top = E.lsh_neardup_topk(_emb(spark), k=5).collect()
+    assert len(top) == 5
+    for r in top:
+        a, b = vecs[r.vec_a], vecs[r.vec_b]
+        true_cos = float(a @ b / (math.sqrt(a @ a) * math.sqrt(b @ b)))
+        assert abs(r.cosine - true_cos) < 1e-9
+        assert r.vec_a < r.vec_b
