@@ -269,5 +269,6 @@ from hive_server_spark.plans import (  # noqa: E402,F401
     embedding_pack,
     events_pack,
     relational,
+    streaming_pack,
     text_pack,
 )

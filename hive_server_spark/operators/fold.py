@@ -37,14 +37,10 @@ def _last_update(value: Column, seq: Column) -> Column:
     return F.max(F.when(value.isNotNull(), F.struct(seq, value.alias("v")))).getField("v")
 
 
-def fold_order_events(events: DataFrame) -> DataFrame:
-    """Fold an order_events log (ORDER_EVENTS_SCHEMA-shaped) into the current
-    `orders` state table (ORDERS_SCHEMA-shaped).
-
-    Pure batch recompute: deterministic given the log, independent of
-    micro-batch boundaries (the streaming layer maintains the same result
-    incrementally — see hive_server_spark.streaming).
-    """
+def project_updates(events: DataFrame) -> DataFrame:
+    """Project each event row to per-field *update columns* (null where the
+    event doesn't touch the field) — the shared front half of the batch fold
+    and the streaming incremental fold."""
     et = F.col("event_type")
     is_created = et == "OrderCreated"
     is_filled = et == "OrderFilled"
@@ -75,7 +71,18 @@ def fold_order_events(events: DataFrame) -> DataFrame:
         F.when(is_created, F.col("event_time")).alias("u_created_ts"),
         is_created.cast("int").alias("is_created"),
     )
+    return upd
 
+
+def fold_order_events(events: DataFrame) -> DataFrame:
+    """Fold an order_events log (ORDER_EVENTS_SCHEMA-shaped) into the current
+    `orders` state table (ORDERS_SCHEMA-shaped).
+
+    Pure batch recompute: deterministic given the log, independent of
+    micro-batch boundaries (the streaming layer maintains the same result
+    incrementally — see hive_server_spark.streaming).
+    """
+    upd = project_updates(events)
     seq = F.col("seq")
     folded = (
         upd.groupBy("pool_address", "order_id")

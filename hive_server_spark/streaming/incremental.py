@@ -1,0 +1,165 @@
+"""Streaming incremental view maintenance of the `orders` state (SURVEY §2.9).
+
+The reference maintains order state by mutating Redis per event inside a
+block-triggered micro-batch loop with an in-memory cursor (reference
+src/services/block-event-manager.ts:39-92, src/services/hive-listener.ts:
+144-221); a crash loses the cursor (SURVEY ST6). Spark-first replacement:
+
+    readStream(order_events) → project_updates → per-batch PARTIAL FOLD
+    → foreachBatch MERGE into a versioned parquet state table
+
+The state value per (pool_address, order_id) keeps, for every order field,
+the pair (seq-of-last-set, value) — `max(struct(seq, value))` over non-null
+updates. That makes the per-batch partial fold a *commutative, associative
+monoid*: merging batch states in ANY batch partitioning yields the same
+final state as the batch recompute (operators/fold.py). This is the formal
+version of the reference's "skipped blocks are caught up as a range"
+semantics (ST1) — and the property the equivalence tests pin down.
+
+Checkpointing replaces the reference's in-memory `lastProcessedBlock`
+cursor, strictly improving ST6 (no event loss on crash).
+
+Scale posture: each micro-batch does one hash-aggregate of the batch (small)
+plus an outer-join merge against current state partitioned on the state key;
+with state bucketed by (pool_address) the merge is a co-partitioned join.
+State never leaves executors; the driver only tracks the version pointer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_server_spark.operators.fold import project_updates
+
+_FIELDS = (
+    "trader",
+    "price",
+    "amount",
+    "filled",
+    "remaining_amount",
+    "order_type",
+    "active",
+)
+_UPD_OF = {
+    "trader": "u_trader",
+    "price": "u_price",
+    "amount": "u_amount",
+    "filled": "u_filled",
+    "remaining_amount": "u_remaining",
+    "order_type": "u_order_type",
+    "active": "u_active",
+}
+
+
+def partial_fold(events: DataFrame) -> DataFrame:
+    """Fold a (micro-)batch of events into a mergeable partial state: per
+    field a struct(seq, v) carrying the latest non-null update in this batch.
+    One hash aggregate with map-side combine."""
+    upd = project_updates(events)
+    seq = F.col("seq")
+
+    def last_pair(field: str):
+        u = F.col(_UPD_OF[field])
+        return F.max(F.when(u.isNotNull(), F.struct(seq.alias("seq"), u.alias("v")))).alias(
+            f"p_{field}"
+        )
+
+    return upd.groupBy("pool_address", "order_id").agg(
+        *[last_pair(f) for f in _FIELDS],
+        F.min("u_created_ts").alias("created_ts"),
+        F.max(F.when(F.col("is_created") == 1, seq)).alias("created_seq"),
+        F.max("is_created").alias("has_created"),
+    )
+
+
+def merge_partials(state: DataFrame, batch: DataFrame) -> DataFrame:
+    """Monoid merge of two partial states: full-outer join on the state key;
+    per field keep the (seq, v) pair with the larger seq (greatest() skips
+    nulls). Commutative and associative — batch boundaries cannot change the
+    result."""
+    s, b = state.alias("s"), batch.alias("b")
+    joined = s.join(b, ["pool_address", "order_id"], "full_outer")
+    cols = [F.col("pool_address"), F.col("order_id")]
+    for f in _FIELDS:
+        cols.append(F.greatest(F.col(f"s.p_{f}"), F.col(f"b.p_{f}")).alias(f"p_{f}"))
+    cols += [
+        F.least(F.col("s.created_ts"), F.col("b.created_ts")).alias("created_ts"),
+        F.greatest(F.col("s.created_seq"), F.col("b.created_seq")).alias("created_seq"),
+        F.greatest(F.col("s.has_created"), F.col("b.has_created")).alias("has_created"),
+    ]
+    return joined.select(*cols)
+
+
+def materialize_orders(partial: DataFrame) -> DataFrame:
+    """Partial state → the user-facing `orders` table (same shape as the
+    batch fold): unwrap the (seq, v) pairs, keep only created orders."""
+    cols = [F.col("pool_address"), F.col("order_id")]
+    rename = dict(zip(_FIELDS, ("trader", "price", "amount", "filled",
+                                "remaining_amount", "order_type", "active")))
+    for f, out in rename.items():
+        cols.append(F.col(f"p_{f}.v").alias(out))
+    cols += [F.col("created_ts"), F.col("created_seq")]
+    return partial.where(F.col("has_created") == 1).select(*cols)
+
+
+class ParquetStateStore:
+    """Versioned parquet state table: each batch writes `v{n}`, the pointer
+    file flips last — never read and overwrite the same files in one job.
+    (The production analogue is a Delta/Iceberg MERGE target; plain parquet
+    keeps this repo dependency-free.)"""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def _ptr(self) -> str:
+        return os.path.join(self.root, "LATEST")
+
+    def latest(self, spark: SparkSession) -> DataFrame | None:
+        if not os.path.exists(self._ptr):
+            return None
+        with open(self._ptr) as fh:
+            version = fh.read().strip()
+        return spark.read.parquet(os.path.join(self.root, version))
+
+    def commit(self, df: DataFrame, batch_id: int) -> None:
+        version = f"v{batch_id}"
+        df.write.mode("overwrite").parquet(os.path.join(self.root, version))
+        tmp = self._ptr + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(version)
+        os.replace(tmp, self._ptr)
+
+
+def run_incremental_fold(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> ParquetStateStore:
+    """Drive the stream to completion (availableNow) maintaining the state
+    store; returns the store (materialize with `materialize_orders`).
+
+    `events_stream` must be a *streaming* DataFrame with order_events shape.
+    """
+    store = ParquetStateStore(state_dir)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_state = partial_fold(batch_df)
+        current = store.latest(batch_df.sparkSession)
+        merged = batch_state if current is None else merge_partials(current, batch_state)
+        store.commit(merged, batch_id)
+
+    writer = (
+        events_stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+    q = writer.start()
+    q.awaitTermination()
+    return store

@@ -1,0 +1,76 @@
+"""Batch ≡ streaming equivalence (SURVEY §5.5, ST1): the incremental fold
+must converge to the batch fold under ANY micro-batch partitioning of the
+event log — the partial-fold merge is a commutative monoid, so chunk count
+and arrival order cannot matter."""
+
+from __future__ import annotations
+
+import pytest
+
+from hive_server_spark.operators.fold import fold_order_events
+from hive_server_spark.sources.synthetic import order_events
+from hive_server_spark.streaming.incremental import (
+    materialize_orders,
+    merge_partials,
+    partial_fold,
+)
+from hive_server_spark.plans.streaming_pack import streamed_orders_state
+from tests.conftest import SF_SMALL
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("chunks", [1, 3])
+def test_streaming_equals_batch(spark, chunks):
+    batch = fold_order_events(order_events(spark, SF_SMALL))
+    streamed = streamed_orders_state(spark, SF_SMALL, chunks=chunks)
+    assert _rows(streamed) == _rows(batch)
+
+
+def test_merge_is_order_insensitive(spark, make_events):
+    from tests.conftest import ev
+
+    events = [
+        ev(seq=1, event_type="OrderCreated", order_id=1, trader="T1", price=100,
+           amount=50, order_type="BUY"),
+        ev(seq=2, event_type="OrderFilled", order_id=1, filled=20, remaining=30),
+        ev(seq=3, event_type="OrderUpdated", order_id=1, new_amount=80),
+        ev(seq=4, event_type="OrderCancelled", order_id=1),
+        ev(seq=5, event_type="OrderCreated", order_id=2, trader="T2", price=99,
+           amount=10, order_type="SELL"),
+    ]
+    df = make_events(events)
+    whole = materialize_orders(partial_fold(df))
+
+    # split 2+3 and 4+1, merged in both orders
+    for split in (2, 4):
+        left = partial_fold(make_events(events[:split]))
+        right = partial_fold(make_events(events[split:]))
+        assert _rows(materialize_orders(merge_partials(left, right))) == _rows(whole)
+        assert _rows(materialize_orders(merge_partials(right, left))) == _rows(whole)
+
+
+def test_fill_before_create_across_batches(spark, make_events):
+    """A fill that lands in an earlier micro-batch than its create (possible
+    under file-order nondeterminism) must still fold correctly once the
+    create arrives."""
+    from tests.conftest import ev
+
+    create = [ev(seq=1, event_type="OrderCreated", order_id=7, trader="T1",
+                 price=101, amount=40, order_type="BUY")]
+    fill = [ev(seq=2, event_type="OrderFilled", order_id=7, filled=40, remaining=0)]
+
+    fill_first = merge_partials(
+        partial_fold(make_events(fill)), partial_fold(make_events(create))
+    )
+    rows = materialize_orders(fill_first).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert float(r.filled) == 40.0 and float(r.remaining_amount) == 0.0
+    assert r.active is False  # remaining 0 → inactive
+
+    # fill-only state materializes to nothing (order never created)
+    assert materialize_orders(partial_fold(make_events(fill))).count() == 0
