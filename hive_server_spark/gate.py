@@ -268,6 +268,7 @@ def q_pools_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 from hive_server_spark.plans import (  # noqa: E402,F401
     embedding_pack,
     events_pack,
+    multimodal_pack,
     relational,
     streaming_pack,
     text_pack,

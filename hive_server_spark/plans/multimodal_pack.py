@@ -1,0 +1,35 @@
+"""Gate entries for the multimodal surface. No SQL oracle — byte-level
+codec/histogram work is not SQL-expressible, so the driver records the
+weaker rows-only check for these (documented divergence; the operator
+semantics are pinned by tests/test_multimodal.py instead)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_server_spark.catalog import load_table
+from hive_server_spark.functions import multimodal as M
+from hive_server_spark.registry import register
+
+
+@register("multimodal_decode_profile")  # rows-only: codec stub, not SQL-expressible
+def multimodal_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize media from documents, decode via mapInPandas (deterministic
+    stub codec), join with the 16-bin byte-histogram features, and aggregate
+    per decoder/kind — exercises the full binary-column pipeline."""
+    media = M.synthesize_media(load_table(spark, sf_dir, "documents"))
+    decoded = M.decode_media(media)
+    feats = M.extract_features(media).select(
+        "media_id", F.element_at("features", 1).alias("f0")
+    )
+    return (
+        decoded.join(feats, "media_id")
+        .groupBy("kind", "decoder")
+        .agg(
+            F.count("*").cast("bigint").alias("n_media"),
+            F.min("width").cast("bigint").alias("min_width"),
+            F.max("height").cast("bigint").alias("max_height"),
+            F.sum(F.col("f0").cast("decimal(18,9)")).cast("double").alias("sum_f0"),
+        )
+    )
