@@ -18,8 +18,8 @@ def media(spark):
 def test_media_schema(media):
     # names+types must match the declared contract (nullability flags may
     # differ: parquet-derived columns arrive nullable)
-    got = [(f.name, f.dataType) for f in media.schema.fields]
-    want = [(f.name, f.dataType) for f in M.MEDIA_SCHEMA.fields]
+    got = [(f.name, f.dataType.simpleString()) for f in media.schema.fields]
+    want = [(f.name, f.dataType.simpleString()) for f in M.MEDIA_SCHEMA.fields]
     assert got == want
     r = media.first()
     assert bytes(r.payload) and r.meta.n_bytes == len(bytes(r.payload))
