@@ -25,8 +25,14 @@ def main() -> None:
     spark = get_spark("hive-server-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warm-up on the smallest table
+    # JVM/codegen/Python-worker warm-up: run one representative query at the
+    # smallest scale factor so measured numbers reflect steady-state
+    # execution, not first-query compilation.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    warm = gate.spark_queries()
+    for wq in ("orders_state", "text_profile"):
+        if wq in warm:
+            warm[wq](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     for name, fn in sorted(gate.spark_queries().items()):

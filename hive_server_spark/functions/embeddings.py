@@ -96,7 +96,9 @@ def bucket_expr(a: str, n_dims: int, dialect: str) -> str:
 # DataFrame operators
 # ---------------------------------------------------------------------------
 def _vecs(df: DataFrame) -> DataFrame:
-    return df.withColumn("v", F.expr(vec_expr("embedding", "s")))
+    from hive_server_spark.functions.text import spread
+
+    return spread(df).withColumn("v", F.expr(vec_expr("embedding", "s")))
 
 
 def cosine_topk(

@@ -77,6 +77,9 @@ FRAME_SCHEMA = StructType(
 def synthesize_media(docs: DataFrame, kind: str = "image") -> DataFrame:
     """Deterministic media fixtures: payload = utf8 bytes of the document
     text (stands in for compressed media bytes). Pure column expressions."""
+    from hive_server_spark.functions.text import spread
+
+    docs = spread(docs)
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit(kind).alias("kind"),

@@ -162,13 +162,28 @@ def subtoken_count_expr(toks: str, dialect: str) -> str:
 # ---------------------------------------------------------------------------
 # DataFrame-level operators (Spark side)
 # ---------------------------------------------------------------------------
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to cluster parallelism when the input arrives
+    in fewer splits (e.g., one small parquet file). The per-row work here
+    (md5 hashing, array folds) is CPU-bound, so a single input split would
+    serialize it on one core; at 100 TB the source has plenty of natural
+    splits and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def with_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    return docs.withColumn("toks", F.expr(tokens_expr(text_col, "s")))
+    return spread(docs).withColumn("toks", F.expr(tokens_expr(text_col, "s")))
 
 
 def with_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    toks = tokens_expr(text_col, "s")
-    return docs.withColumn("shingles", F.expr(shingles_expr(toks, "s")))
+    # tokens materialize as a column FIRST: inlining split() into the shingle
+    # lambda would re-split the text on every element_at access (O(tokens²))
+    return with_tokens(docs, text_col).withColumn(
+        "shingles", F.expr(shingles_expr("toks", "s"))
+    )
 
 
 def doc_profile(docs: DataFrame) -> DataFrame:

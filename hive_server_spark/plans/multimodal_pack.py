@@ -18,7 +18,8 @@ def multimodal_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize media from documents, decode via mapInPandas (deterministic
     stub codec), join with the 16-bin byte-histogram features, and aggregate
     per decoder/kind — exercises the full binary-column pipeline."""
-    media = M.synthesize_media(load_table(spark, sf_dir, "documents"))
+    # one synthesis pass, cached: both the decode and feature branches read it
+    media = M.synthesize_media(load_table(spark, sf_dir, "documents")).cache()
     decoded = M.decode_media(media)
     feats = M.extract_features(media).select(
         "media_id", F.element_at("features", 1).alias("f0")
