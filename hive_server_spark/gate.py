@@ -13,7 +13,7 @@ Conventions that make cross-engine value-hashing reliable:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_server_spark.registry import (  # noqa: F401  (re-exported API)
@@ -259,6 +259,154 @@ def q_pools_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders_touched").cast("bigint").alias("n_orders_touched"),
         F.col("n_traders").cast("bigint").alias("n_traders"),
         _DBL("latest_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3/T3 — FIFO queues per level and the assembled book snapshot (SURVEY §3.2)
+# ---------------------------------------------------------------------------
+@register(
+    "order_book_fifo_queues",
+    _FOLD_CTES
+    + """
+, levels AS (
+  SELECT pool_address, order_type, price,
+         SUM(amount - filled) AS total_volume,
+         COUNT(*) AS order_count,
+         list(order_id ORDER BY created_seq) AS order_ids
+  FROM orders_state
+  WHERE active AND price IS NOT NULL
+  GROUP BY pool_address, order_type, price
+), ranked AS (
+  SELECT *,
+    CASE WHEN order_type = 'BUY'
+         THEN row_number() OVER (PARTITION BY pool_address, order_type ORDER BY price DESC)
+         ELSE row_number() OVER (PARTITION BY pool_address, order_type ORDER BY price ASC)
+    END AS level_rank
+  FROM levels
+)
+SELECT pool_address, order_type,
+       CAST(price AS DOUBLE)        AS price,
+       CAST(total_volume AS DOUBLE) AS total_volume,
+       order_ids,
+       CAST(level_rank AS BIGINT)   AS level_rank
+FROM ranked WHERE level_rank <= 20
+""",
+)
+def q_order_book_fifo_queues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-time priority made visible: each top level carries its FIFO
+    order queue (sorted by creation seq, never arrival order — A3)."""
+    lv = top_levels(price_levels(_orders_state(spark, sf_dir)), depth=20)
+    return lv.select(
+        "pool_address",
+        "order_type",
+        _DBL("price"),
+        _DBL("total_volume"),
+        "order_ids",
+        F.col("level_rank").cast("bigint").alias("level_rank"),
+    )
+
+
+@register(
+    "order_book_snapshot",
+    _FOLD_CTES
+    + """
+, levels AS (
+  SELECT pool_address, order_type, price,
+         SUM(amount - filled) AS total_volume
+  FROM orders_state
+  WHERE active AND price IS NOT NULL
+  GROUP BY pool_address, order_type, price
+), ranked AS (
+  SELECT *,
+    CASE WHEN order_type = 'BUY'
+         THEN row_number() OVER (PARTITION BY pool_address, order_type ORDER BY price DESC)
+         ELSE row_number() OVER (PARTITION BY pool_address, order_type ORDER BY price ASC)
+    END AS level_rank
+  FROM levels
+), topk AS (SELECT * FROM ranked WHERE level_rank <= 20),
+lp AS (
+  SELECT pool_address, CAST(max_by(price, seq) AS DOUBLE) AS latest_price
+  FROM order_events WHERE event_type = 'LatestPrice' GROUP BY pool_address
+)
+SELECT t.pool_address,
+       list(CAST(price AS DOUBLE) ORDER BY level_rank)
+         FILTER (WHERE order_type='BUY')  AS bid_prices,
+       list(CAST(total_volume AS DOUBLE) ORDER BY level_rank)
+         FILTER (WHERE order_type='BUY')  AS bid_volumes,
+       list(CAST(price AS DOUBLE) ORDER BY level_rank)
+         FILTER (WHERE order_type='SELL') AS ask_prices,
+       list(CAST(total_volume AS DOUBLE) ORDER BY level_rank)
+         FILTER (WHERE order_type='SELL') AS ask_volumes,
+       any_value(lp.latest_price) AS latest_price
+FROM topk t LEFT JOIN lp ON t.pool_address = lp.pool_address
+GROUP BY t.pool_address
+""",
+)
+def q_order_book_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembled per-pool book (T3): depth-20 bid/ask price & volume
+    arrays in book order plus the latest trade price (A4, J3-style join).
+    One aggregation pass; arrays ordered by level rank, not arrival."""
+    lv = top_levels(price_levels(_orders_state(spark, sf_dir)), depth=20)
+    lp = latest_price(order_events(spark, sf_dir))
+
+    def side_arr(side: str, value: Column) -> Column:
+        pair = F.when(
+            F.col("order_type") == side,
+            F.struct(F.col("level_rank"), value.alias("v")),
+        )
+        return F.transform(F.sort_array(F.collect_list(pair)), lambda s: s["v"])
+
+    book = lv.groupBy("pool_address").agg(
+        side_arr("BUY", F.col("price").cast("double")).alias("bid_prices"),
+        side_arr("BUY", F.col("total_volume").cast("double")).alias("bid_volumes"),
+        side_arr("SELL", F.col("price").cast("double")).alias("ask_prices"),
+        side_arr("SELL", F.col("total_volume").cast("double")).alias("ask_volumes"),
+    )
+    return book.join(F.broadcast(lp), "pool_address", "left").select(
+        "pool_address",
+        "bid_prices",
+        "bid_volumes",
+        "ask_prices",
+        "ask_volumes",
+        _DBL("latest_price"),
+    )
+
+
+@register(
+    "amount_out_prices",
+    _FOLD_CTES
+    + """
+, levels AS (
+  SELECT pool_address, order_type, price,
+         SUM(amount - filled) AS total_volume
+  FROM orders_state
+  WHERE active AND price IS NOT NULL
+  GROUP BY pool_address, order_type, price
+), walked AS (
+  SELECT pool_address, price, total_volume,
+         COALESCE(SUM(total_volume) OVER (
+           PARTITION BY pool_address ORDER BY price ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM levels
+  WHERE order_type = 'SELL'
+)
+SELECT pool_address,
+       list(CAST(price AS DOUBLE) ORDER BY cum_before) AS hit_prices,
+       CAST(COUNT(*) AS BIGINT) AS n_levels
+FROM walked
+WHERE cum_before < CAST(500 AS DECIMAL(18,3))
+GROUP BY pool_address
+""",
+)
+def q_amount_out_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The touched-price list of the amount-out walk (AmountOutResult.prices,
+    reference src/models/types.ts:53) in walk order."""
+    r = amount_out(_orders_state(spark, sf_dir), "BUY", 500)
+    return r.select(
+        "pool_address",
+        F.col("hit_prices").cast("array<double>").alias("hit_prices"),
+        F.size("hit_prices").cast("bigint").alias("n_levels"),
     )
 
 
