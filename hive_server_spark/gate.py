@@ -392,7 +392,7 @@ def q_order_book_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
   WHERE order_type = 'SELL'
 )
 SELECT pool_address,
-       list(CAST(price AS DOUBLE) ORDER BY cum_before) AS hit_prices,
+       list(CAST(price AS DOUBLE) ORDER BY cum_before, price) AS hit_prices,
        CAST(COUNT(*) AS BIGINT) AS n_levels
 FROM walked
 WHERE cum_before < CAST(500 AS DECIMAL(18,3))

@@ -597,3 +597,129 @@ def rel_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("S")
         .alias("size_class"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytic window functions: percent_rank / cume_dist / ntile / first-last
+# ---------------------------------------------------------------------------
+@register(
+    "rel_window_analytics",
+    """
+SELECT n_name, c_custkey, c_acctbal,
+       percent_rank() OVER w AS pr,
+       cume_dist()    OVER w AS cd,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       CAST(first_value(c_custkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS BIGINT) AS poorest,
+       CAST(last_value(c_custkey)  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND UNBOUNDED FOLLOWING) AS BIGINT) AS richest
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c_custkey % 7 = 0
+WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal ASC, c_custkey ASC)
+""",
+)
+def rel_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-family analytics over one shared window definition — one sort
+    per partition serves all five functions; percent_rank/cume_dist are exact
+    rationals evaluated with a single double division."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 7 == 0)
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    w = Window.partitionBy("n_name").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            "c_custkey",
+            "c_acctbal",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            F.first("c_custkey")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("bigint")
+            .alias("poorest"),
+            F.last("c_custkey")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            .cast("bigint")
+            .alias("richest"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Datetime scalar functions
+# ---------------------------------------------------------------------------
+@register(
+    "rel_datetime_functions",
+    """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE)                         AS order_date,
+       CAST(extract(year    FROM o_orderdate) AS BIGINT) AS y,
+       CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS q,
+       CAST(extract(month   FROM o_orderdate) AS BIGINT) AS m,
+       CAST(extract(doy     FROM o_orderdate) AS BIGINT) AS doy,
+       CAST(extract(dow     FROM o_orderdate) + 1 AS BIGINT) AS dow_sun1,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+       CAST(date_trunc('month', o_orderdate) AS DATE)    AS month_start
+FROM orders WHERE o_custkey % 31 = 0
+""",
+)
+def rel_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar surface. Day-of-week is normalized to Sunday=1 in both
+    dialects (Spark dayofweek vs DuckDB dow+1) — integer-exact cross-engine."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") % 31 == 0)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.year(d).cast("bigint").alias("y"),
+        F.quarter(d).cast("bigint").alias("q"),
+        F.month(d).cast("bigint").alias("m"),
+        F.dayofyear(d).cast("bigint").alias("doy"),
+        F.dayofweek(d).cast("bigint").alias("dow_sun1"),
+        F.last_day(d).alias("month_end"),
+        F.date_add(d, 30).alias("due_date"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array construction + higher-order functions
+# ---------------------------------------------------------------------------
+@register(
+    "rel_array_functions",
+    """
+WITH arr AS (
+  SELECT p_partkey, range(1, p_size % 5 + 2) AS xs FROM part
+  WHERE p_partkey % 11 = 0
+)
+SELECT p_partkey,
+       xs,
+       CAST(len(xs) AS BIGINT)                      AS n,
+       list_reverse(list_sort(xs))                  AS xs_desc,
+       xs[1:2]                                      AS first_two,
+       list_contains(xs, 3)                         AS has_three,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(xs, x -> CAST(x*x AS BIGINT))), (a,b) -> a+b) AS BIGINT)
+         AS sum_squares
+FROM arr
+""",
+)
+def rel_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction (sequence), slicing, membership, sort/reverse and
+    an in-order fold — the higher-order-function surface, all JVM-side."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") % 11 == 0)
+    xs = F.sequence(F.lit(1), F.col("p_size") % 5 + 1)
+    return p.select(
+        "p_partkey",
+        xs.alias("xs"),
+        F.size(xs).cast("bigint").alias("n"),
+        F.reverse(F.sort_array(xs)).alias("xs_desc"),
+        F.slice(xs, 1, 2).alias("first_two"),
+        F.array_contains(xs, 3).alias("has_three"),
+        F.expr(
+            "CAST(aggregate(sequence(1, p_size % 5 + 1), CAST(0 AS BIGINT),"
+            " (a, x) -> a + CAST(x*x AS BIGINT)) AS BIGINT)"
+        ).alias("sum_squares"),
+    )
