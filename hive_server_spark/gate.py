@@ -411,6 +411,108 @@ def q_amount_out_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S5/J3/J4/P2 — pools dimension + decimal-rescale join (SURVEY §2.1-§2.3)
+# ---------------------------------------------------------------------------
+# The reference enriches every response with token metadata fetched once per
+# pool over RPC (reference src/services/hive-listener.ts:54-111) and rescales
+# uint256 amounts by 10^decimals (P2, :239-241). Our pools dim is derived
+# deterministically from the pool address (md5-seeded decimals / symbols) and
+# broadcast-joined; the rescale is a single double division.
+@register(
+    "pool_info_enriched",
+    f"WITH {ORDER_EVENTS_CTE}\n"
+    + """
+, pools AS (
+  SELECT pool_address,
+         CAST(14 + ('0x'||substr(md5(pool_address),1,2))::BIGINT % 5 AS BIGINT)
+           AS base_decimals,
+         concat('TK', upper(substr(pool_address, 6, 1)))  AS base_symbol,
+         'USDQ'                                           AS quote_symbol
+  FROM (SELECT DISTINCT pool_address FROM order_events)
+), lp AS (
+  SELECT pool_address, max_by(price, seq) AS latest_price
+  FROM order_events WHERE event_type = 'LatestPrice' GROUP BY pool_address
+)
+SELECT p.pool_address, p.base_decimals, p.base_symbol, p.quote_symbol,
+       CAST(lp.latest_price AS DOUBLE) AS latest_price,
+       CAST(lp.latest_price AS DOUBLE) / power(10.0, CAST(p.base_decimals AS DOUBLE))
+         AS latest_price_scaled
+FROM pools p LEFT JOIN lp ON p.pool_address = lp.pool_address
+""",
+)
+def q_pool_info_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = order_events(spark, sf_dir)
+    pools = ev.select("pool_address").distinct().select(
+        "pool_address",
+        (
+            F.lit(14)
+            + F.expr("CAST(conv(substring(md5(pool_address),1,2),16,10) AS BIGINT)") % 5
+        )
+        .cast("bigint")
+        .alias("base_decimals"),
+        F.concat(F.lit("TK"), F.upper(F.substring("pool_address", 6, 1))).alias(
+            "base_symbol"
+        ),
+        F.lit("USDQ").alias("quote_symbol"),
+    )
+    lp = latest_price(ev)
+    return F.broadcast(pools).join(lp, "pool_address", "left").select(
+        "pool_address",
+        "base_decimals",
+        "base_symbol",
+        "quote_symbol",
+        _DBL("latest_price"),
+        (
+            F.col("latest_price").cast("double")
+            / F.pow(F.lit(10.0), F.col("base_decimals").cast("double"))
+        ).alias("latest_price_scaled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — level-capped amount-out (bug-compatible depth cap, SURVEY §2.11)
+# ---------------------------------------------------------------------------
+_CAPPED_SQL = """
+, levels AS (
+  SELECT pool_address, order_type, price,
+         SUM(amount - filled) AS total_volume
+  FROM orders_state
+  WHERE active AND price IS NOT NULL
+  GROUP BY pool_address, order_type, price
+), capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY pool_address
+                                 ORDER BY price ASC) AS level_rank
+    FROM levels WHERE order_type = 'SELL')
+  WHERE level_rank <= 2
+), walked AS (
+  SELECT pool_address, price, total_volume,
+         COALESCE(SUM(total_volume) OVER (
+           PARTITION BY pool_address ORDER BY price ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM capped
+)
+SELECT pool_address,
+       CAST(SUM(least(total_volume, CAST(500 AS DECIMAL(18,3)) - cum_before)) AS DOUBLE)
+         AS consumed,
+       CAST(SUM(least(total_volume, CAST(500 AS DECIMAL(18,3)) - cum_before))
+            < CAST(500 AS DECIMAL(18,3)) AS BOOLEAN) AS is_error
+FROM walked WHERE cum_before < CAST(500 AS DECIMAL(18,3))
+GROUP BY pool_address
+"""
+
+
+@register("amount_out_capped", _FOLD_CTES + _CAPPED_SQL)
+def q_amount_out_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-compatible depth cap (Q6): the walk sees only the top-k
+    levels, so 'insufficient liquidity' can be reported while deeper
+    liquidity exists — bug-compatible mode, cap=2 to make the divergence
+    visible at test scale (reference default is 100)."""
+    r = amount_out(_orders_state(spark, sf_dir), "BUY", 500, level_cap=2)
+    return r.select("pool_address", _DBL("consumed"), "is_error")
+
+
+# ---------------------------------------------------------------------------
 # Query packs (self-register into hive_server_spark.registry on import)
 # ---------------------------------------------------------------------------
 from hive_server_spark.plans import (  # noqa: E402,F401
