@@ -723,3 +723,66 @@ def rel_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (a, x) -> a + CAST(x*x AS BIGINT)) AS BIGINT)"
         ).alias("sum_squares"),
     )
+
+
+# ---------------------------------------------------------------------------
+# String scalar functions, part 2
+# ---------------------------------------------------------------------------
+@register(
+    "rel_string_functions",
+    """
+SELECT c_custkey,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0')        AS padded_key,
+       trim(replace(c_name, 'Customer', ' '))           AS name_rest,
+       split_part(c_name, '#', 2)                       AS name_num,
+       regexp_extract(c_name, '([0-9]+)', 1)            AS digits,
+       regexp_replace(c_name, '[0-9]', '#', 'g')        AS masked,
+       translate(c_mktsegment, 'AEIOU', 'aeiou')        AS segment_lc_vowels,
+       CAST(instr(c_name, '#') AS BIGINT)               AS hash_pos,
+       reverse(c_mktsegment)                            AS segment_rev
+FROM customer WHERE c_custkey % 13 = 0
+""",
+)
+def rel_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface (pad/trim/replace/split_part/regexp/translate/
+    instr/reverse) — pure projection, one codegen span. DuckDB's
+    regexp_replace needs the 'g' flag to match Spark's replace-all."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 13 == 0)
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.trim(F.replace(F.col("c_name"), F.lit("Customer"), F.lit(" "))).alias(
+            "name_rest"
+        ),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.regexp_replace("c_name", "[0-9]", "#").alias("masked"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("segment_lc_vowels"),
+        F.instr("c_name", "#").cast("bigint").alias("hash_pos"),
+        F.reverse("c_mktsegment").alias("segment_rev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate aggregates (rows-only: sketch implementations differ per
+# engine, so no value oracle — accuracy is pinned by tests vs exact)
+# ---------------------------------------------------------------------------
+@register("rel_approx_sketches")  # rows-only by design
+def rel_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts and approximate percentiles per nation:
+    the constant-memory sketch path for 100 TB cardinality/quantile work
+    (exact distinct shuffles every key; the sketch ships fixed-size state).
+    Accuracy vs exact is asserted in tests/test_relational_ops.py."""
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(
+            F.approx_count_distinct("l_suppkey", rsd=0.02)
+            .cast("bigint")
+            .alias("approx_suppliers"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+    )
