@@ -786,3 +786,106 @@ def rel_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_rows"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS (beyond ROLLUP/CUBE)
+# ---------------------------------------------------------------------------
+@register(
+    "rel_grouping_sets",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT)   AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-picked grouping sets — status-only, priority-only, grand total —
+    one Expand+aggregate pass (not the full cube lattice)."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS BIGINT)   AS g_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-handling scalars + conditional aggregation
+# ---------------------------------------------------------------------------
+@register(
+    "rel_null_handling",
+    """
+WITH gapped AS (
+  SELECT s_suppkey, s_name,
+         CASE WHEN s_acctbal < 0 THEN NULL ELSE CAST(s_acctbal AS DECIMAL(18,2)) END
+           AS bal
+  FROM supplier
+)
+SELECT CAST(COUNT(*) AS BIGINT)              AS n_suppliers,
+       CAST(COUNT(bal) AS BIGINT)            AS n_with_balance,
+       CAST(SUM(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(SUM(COALESCE(bal, 0)) AS DOUBLE) AS sum_coalesced,
+       CAST(MIN(NULLIF(bal, 0)) AS DOUBLE)   AS min_nonzero
+FROM gapped
+""",
+)
+def rel_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics end-to-end: nulling via CASE, count(col) vs count(*),
+    COALESCE in aggregation, NULLIF — the reference has no null handling at
+    all (JSON blobs always fully populated, SURVEY §1.2); the engine's SQL
+    surface needs the full discipline."""
+    s = _t(spark, sf_dir, "supplier")
+    bal = F.when(F.col("s_acctbal") < 0, F.lit(None)).otherwise(_dec("s_acctbal"))
+    g = s.select(bal.alias("bal"))
+    return g.agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.count("bal").cast("bigint").alias("n_with_balance"),
+        F.sum(F.when(F.col("bal").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null"),
+        F.sum(F.coalesce(F.col("bal"), F.lit(0))).cast("double").alias("sum_coalesced"),
+        F.min(F.nullif(F.col("bal"), F.lit(0))).cast("double").alias("min_nonzero"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNION ALL with provenance tag
+# ---------------------------------------------------------------------------
+@register(
+    "rel_union_all_parties",
+    """
+SELECT 'customer' AS party, c_nationkey AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM customer GROUP BY c_nationkey
+UNION ALL
+SELECT 'supplier' AS party, s_nationkey AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM supplier GROUP BY s_nationkey
+""",
+)
+def rel_union_all_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union of two aggregated branches with a provenance column —
+    UNION ALL is concatenation, no dedup shuffle."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(F.lit("customer").alias("party"), "nationkey", "n")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(F.lit("supplier").alias("party"), "nationkey", "n")
+    )
+    return c.unionAll(s)
