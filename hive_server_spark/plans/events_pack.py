@@ -244,3 +244,85 @@ def evt_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Range-frame moving aggregate (event-time trailing window)
+# ---------------------------------------------------------------------------
+@register(
+    "evt_trailing_hour_value",
+    """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS trailing_hour_value,
+       CAST(COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS trailing_hour_events
+FROM events WHERE user_id % 3 = 0
+""",
+)
+def evt_trailing_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time (trailing 1 hour in integer microseconds —
+    the value-based frame spec, distinct from every ROWS frame elsewhere).
+    Exact decimal sums; frame bounds are integers so both engines agree on
+    inclusion at the boundary."""
+    e = _events(spark, sf_dir).where(F.col("user_id") % 3 == 0)
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_hour_value"),
+        F.count("*").over(w).cast("bigint").alias("trailing_hour_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot-style conditional aggregation (portable pivot)
+# ---------------------------------------------------------------------------
+@register(
+    "evt_type_pivot",
+    """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase'
+                     THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
+FROM events GROUP BY user_id
+""",
+)
+def evt_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user activity matrix via groupBy().pivot() — Spark plans the
+    pivot as exactly the conditional aggregation the oracle spells out; one
+    shuffle on user_id."""
+    e = _events(spark, sf_dir)
+    piv = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("v"),
+        )
+    )
+    return piv.select(
+        "user_id",
+        F.coalesce("click_n", F.lit(0)).cast("bigint").alias("n_click"),
+        F.coalesce("view_n", F.lit(0)).cast("bigint").alias("n_view"),
+        F.coalesce("purchase_n", F.lit(0)).cast("bigint").alias("n_purchase"),
+        F.coalesce("signup_n", F.lit(0)).cast("bigint").alias("n_signup"),
+        F.coalesce("error_n", F.lit(0)).cast("bigint").alias("n_error"),
+        F.col("purchase_v").cast("double").alias("purchase_value"),
+    )

@@ -217,3 +217,43 @@ def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         (F.sum("n_chars").cast("double") / F.sum(F.size("toks"))).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus n-gram frequencies (top-k shingles)
+# ---------------------------------------------------------------------------
+@register(
+    "text_top_ngrams",
+    f"""
+WITH {{toks}},
+{{shingled}},
+freq AS (
+  SELECT s AS shingle, COUNT(*) AS df
+  FROM shingled, unnest(shingles) AS u(s)
+  GROUP BY s
+)
+SELECT shingle, CAST(df AS BIGINT) AS df, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, row_number() OVER (ORDER BY df DESC, shingle ASC) AS rk FROM freq)
+WHERE rk <= 50
+""".format(toks=_TOKS_CTE_D, shingled=_SHINGLES_CTE_D),
+)
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 word 3-grams by document frequency — the
+    aggregate-then-rank shape again: the heavy explode reduces to one count
+    per distinct shingle before the single-partition top-k."""
+    sh = T.with_shingles(_docs(spark, sf_dir)).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("df"), F.asc("shingle"))
+    return (
+        freq.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 50)
+        .select(
+            "shingle",
+            F.col("df").cast("bigint").alias("df"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
