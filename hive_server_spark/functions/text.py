@@ -57,14 +57,21 @@ def tokens_expr(text: str, dialect: str) -> str:
 
 
 def shingles_expr(toks: str, dialect: str) -> str:
-    """Distinct 3-token shingles (word 3-grams), 1-based indexing in both
-    dialects; degenerate docs (<3 tokens) fall back to the whole token list
-    joined — still one deterministic shingle."""
+    """Distinct 3-token shingles (word 3-grams); degenerate docs (<3 tokens)
+    fall back to the whole token list joined — still one deterministic
+    shingle.
+
+    Spark form deliberately avoids element_at-in-a-lambda: Catalyst's
+    CollapseProject inlines the tokenizer into every column reference, and an
+    element_at(toks, i) inside transform() would then re-split the text per
+    element (O(tokens²) per doc). zip_with over three slices evaluates each
+    argument once per ROW, so inlining costs a constant number of splits."""
     if dialect == "s":
-        seq = f"sequence(1, size({toks})-2)"
+        n = f"size({toks})-2"
+        s1, s2, s3 = (f"slice({toks}, {i}, {n})" for i in (1, 2, 3))
         one = (
-            f"transform({seq}, i -> concat(element_at({toks},i),' ',"
-            f"element_at({toks},i+1),' ',element_at({toks},i+2)))"
+            f"zip_with(zip_with({s1}, {s2}, (a, b) -> concat(a, ' ', b)), {s3}, "
+            f"(ab, c) -> concat(ab, ' ', c))"
         )
         return (
             f"CASE WHEN size({toks}) >= 3 THEN array_distinct({one}) "
