@@ -1,0 +1,47 @@
+"""Serving-edge JSON shapes (S10): parseable, correctly ordered, tombstones
+visible in trader views but absent from the book."""
+
+from __future__ import annotations
+
+import json
+
+from hive_server_spark.operators.fold import fold_order_events
+from hive_server_spark.operators import serving
+from hive_server_spark.sources.synthetic import order_events
+from tests.conftest import SF_SMALL
+
+
+def _orders(spark):
+    return fold_order_events(order_events(spark, SF_SMALL))
+
+
+def test_order_book_json_shape(spark):
+    orders = _orders(spark)
+    pool = orders.first().pool_address
+    rows = serving.order_book_json(orders, pool, depth=5).collect()
+    assert len(rows) == 1
+    doc = json.loads(rows[0].json)
+    assert doc["pool"] == pool
+    bid_prices = [float(b["price"]) for b in doc["bids"]]
+    ask_prices = [float(a["price"]) for a in doc["asks"]]
+    assert bid_prices == sorted(bid_prices, reverse=True)
+    assert ask_prices == sorted(ask_prices)
+    assert all(b["orders"] for b in doc["bids"])  # FIFO queues present
+
+
+def test_order_json_includes_tombstones(spark):
+    orders = _orders(spark)
+    dead = orders.where("NOT active").first()
+    doc = json.loads(
+        serving.order_json(orders, dead.pool_address, dead.order_id).first().json
+    )
+    assert doc["active"] is False and doc["id"] == dead.order_id
+    # money renders as strings (reference string-typed amounts, no float drift)
+    assert isinstance(doc["price"], str)
+
+
+def test_user_orders_json_q7(spark):
+    orders = _orders(spark)
+    trader = orders.where("NOT active").first().trader
+    docs = [json.loads(r.json) for r in serving.user_orders_json(orders, trader).collect()]
+    assert docs and any(not d["active"] for d in docs)
