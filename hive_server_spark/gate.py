@@ -513,6 +513,80 @@ def q_amount_out_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# As-of + range joins (operators/asof.py) — trade→quote enrichment
+# ---------------------------------------------------------------------------
+@register(
+    "asof_trade_price",
+    f"WITH {ORDER_EVENTS_CTE}\n"
+    + """
+, mo AS (SELECT pool_address, seq, trader, filled_amount FROM order_events
+         WHERE event_type = 'MarketOrderExecuted'),
+lp AS (SELECT pool_address, seq, price FROM order_events
+       WHERE event_type = 'LatestPrice')
+SELECT mo.pool_address, mo.seq, mo.trader,
+       CAST(mo.filled_amount AS DOUBLE) AS filled_amount,
+       CAST(lp.price AS DOUBLE)         AS asof_price,
+       CAST(mo.seq - lp.seq AS BIGINT)  AS staleness
+FROM mo ASOF LEFT JOIN lp
+  ON mo.pool_address = lp.pool_address AND mo.seq >= lp.seq
+""",
+)
+def q_asof_trade_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each executed market order enriched with the latest price known at
+    its sequence point — the canonical trade→quote as-of join. Spark side is
+    the scalable union-and-carry window (operators/asof.py); the oracle uses
+    DuckDB's native ASOF JOIN, so two independent formulations must agree."""
+    from hive_server_spark.operators.asof import asof_join_last
+
+    ev = order_events(spark, sf_dir)
+    mo = ev.where(et_eq("MarketOrderExecuted")).select(
+        "pool_address", "seq", "trader", "filled_amount"
+    )
+    lp = ev.where(et_eq("LatestPrice")).select("pool_address", "seq", "price")
+    j = asof_join_last(mo, lp, key="pool_address", order="seq", value_cols=["price"])
+    return j.select(
+        "pool_address",
+        "seq",
+        "trader",
+        _DBL("filled_amount"),
+        F.col("asof_price").cast("double").alias("asof_price"),
+        (F.col("seq") - F.col("asof_order")).cast("bigint").alias("staleness"),
+    )
+
+
+@register(
+    "range_price_activity",
+    f"WITH {ORDER_EVENTS_CTE}\n"
+    + """
+, mo AS (SELECT pool_address, seq FROM order_events
+         WHERE event_type = 'MarketOrderExecuted'),
+lp AS (SELECT pool_address, seq AS lseq FROM order_events
+       WHERE event_type = 'LatestPrice')
+SELECT mo.pool_address, mo.seq,
+       CAST(COUNT(lp.lseq) AS BIGINT) AS n_in_band
+FROM mo LEFT JOIN lp
+  ON mo.pool_address = lp.pool_address AND abs(mo.seq - lp.lseq) <= 50
+GROUP BY mo.pool_address, mo.seq
+""",
+)
+def q_range_price_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-update activity within ±50 sequence units of each market order.
+    Spark side is the bucket-explode band join (equi-shuffle + residual
+    filter — O(matches)); the oracle is the naive theta join, so the
+    optimization is verified against the unoptimized semantics."""
+    from hive_server_spark.operators.asof import seq_band_join_count
+
+    ev = order_events(spark, sf_dir)
+    mo = ev.where(et_eq("MarketOrderExecuted")).select("pool_address", "seq")
+    lp = ev.where(et_eq("LatestPrice")).select("pool_address", "seq")
+    return seq_band_join_count(mo, lp, key="pool_address", order="seq", band=50)
+
+
+def et_eq(name: str) -> Column:
+    return F.col("event_type") == name
+
+
+# ---------------------------------------------------------------------------
 # Query packs (self-register into hive_server_spark.registry on import)
 # ---------------------------------------------------------------------------
 from hive_server_spark.plans import (  # noqa: E402,F401
