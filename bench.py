@@ -30,7 +30,7 @@ def main() -> None:
     # execution, not first-query compilation.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     warm = gate.spark_queries()
-    for wq in ("orders_state", "text_profile"):
+    for wq in ("orders_state", "text_profile", "amount_out_buy", "multimodal_decode_profile"):
         if wq in warm:
             warm[wq](spark, "/root/testdata/sf0.001").count()
 

@@ -151,6 +151,44 @@ def extract_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
     return media.mapInPandas(featurize, schema=FEATURE_SCHEMA)
 
 
+DECODED_FEATURES_SCHEMA = StructType(
+    DECODED_SCHEMA.fields + [StructField("features", ArrayType(FloatType()), False)]
+)
+
+
+def decode_and_featurize(media: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Fused decode + feature pass: one mapInPandas, one trip through the
+    Python workers — for pipelines that need both outputs, this halves the
+    Arrow transfer and worker overhead versus running decode_media and
+    extract_features separately."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            decoded, feats = [], []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                decoded.append(_fake_decode(b))
+                arr = np.frombuffer(b, dtype=np.uint8)
+                hist = np.bincount(arr // (256 // n_bins), minlength=n_bins)[:n_bins]
+                total = max(int(hist.sum()), 1)
+                feats.append((hist / total).astype("float32").tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "mean_luma": [d[2] for d in decoded],
+                    "decoder": "fake-deterministic",
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(run, schema=DECODED_FEATURES_SCHEMA)
+
+
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """Uniform frame sampling for 'video' payloads: slice the byte stream
     into n_frames equal chunks (stand-in for keyframe extraction), exploded

@@ -18,15 +18,14 @@ def multimodal_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize media from documents, decode via mapInPandas (deterministic
     stub codec), join with the 16-bin byte-histogram features, and aggregate
     per decoder/kind — exercises the full binary-column pipeline."""
-    # one synthesis pass, cached: both the decode and feature branches read it
-    media = M.synthesize_media(load_table(spark, sf_dir, "documents")).cache()
-    decoded = M.decode_media(media)
-    feats = M.extract_features(media).select(
-        "media_id", F.element_at("features", 1).alias("f0")
+    media = M.synthesize_media(load_table(spark, sf_dir, "documents"))
+    # fused decode+feature pass: one mapInPandas, no join, no second
+    # Python-worker round trip
+    both = M.decode_and_featurize(media).withColumn(
+        "f0", F.element_at("features", 1)
     )
     return (
-        decoded.join(feats, "media_id")
-        .groupBy("kind", "decoder")
+        both.groupBy("kind", "decoder")
         .agg(
             F.count("*").cast("bigint").alias("n_media"),
             F.min("width").cast("bigint").alias("min_width"),
