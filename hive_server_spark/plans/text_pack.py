@@ -257,3 +257,55 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters: connected components over MinHash-LSH candidates
+# ---------------------------------------------------------------------------
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_TOKS_CTE_D},
+{_SHINGLES_CTE_D},
+sigs AS (
+  SELECT doc_id,
+       {_mh_cols_d}
+  FROM shingled
+),
+sigs_b AS (
+  SELECT doc_id, {_band_cols_d}
+  FROM sigs
+),
+bands AS ({_band_union_d}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS x, doc_b AS y FROM cand
+  UNION SELECT doc_b, doc_a FROM cand
+),
+reach(x, y) AS (
+  SELECT x, y FROM edges
+  UNION
+  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+),
+comp AS (
+  SELECT x AS doc_id, least(min(y), x) AS cluster_id FROM reach GROUP BY x
+)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+
+
+@register("dedup_clusters", _CLUSTERS_ORACLE)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate groups: connected components (iterative DataFrame
+    label propagation, functions/clusters.py) over the LSH candidate pairs —
+    the oracle computes the same components via a recursive-CTE transitive
+    closure, so the iterative algorithm gets full value parity."""
+    from hive_server_spark.functions.clusters import dup_clusters
+    from hive_server_spark.functions.text import minhash_candidates
+
+    docs = _docs(spark, sf_dir)
+    return dup_clusters(docs, minhash_candidates(docs))

@@ -74,3 +74,45 @@ def test_fill_before_create_across_batches(spark, make_events):
 
     # fill-only state materializes to nothing (order never created)
     assert materialize_orders(partial_fold(make_events(fill))).count() == 0
+
+
+def test_checkpoint_restart_exactly_once(spark):
+    """ST6: stop the stream, add more data, restart with the SAME checkpoint
+    and state dir — every event folds exactly once (no loss on restart, no
+    double-apply of already-processed files). The reference loses its
+    in-memory cursor on crash; Spark's checkpoint is the fix."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hive_server_spark.streaming.incremental import run_incremental_fold
+
+    ev = order_events(spark, SF_SMALL).cache()
+    half_a = ev.where(F.col("seq") % 2 == 0)
+    half_b = ev.where(F.col("seq") % 2 == 1)
+
+    work = tempfile.mkdtemp(prefix="hss_restart_")
+    ev_dir = os.path.join(work, "events")
+    state_dir = os.path.join(work, "state")
+    ckpt = os.path.join(work, "ckpt")
+
+    def run():
+        schema = spark.read.parquet(ev_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ev_dir)
+        )
+        return run_incremental_fold(spark, stream, state_dir, ckpt)
+
+    # session 1: only the first half exists
+    half_a.coalesce(1).write.mode("overwrite").parquet(ev_dir)
+    run()
+    # "restart": second half lands, same checkpoint + state dirs
+    half_b.coalesce(1).write.mode("append").parquet(ev_dir)
+    store = run()
+
+    got = materialize_orders(store.latest(spark))
+    want = fold_order_events(ev)
+    assert _rows(got) == _rows(want)
