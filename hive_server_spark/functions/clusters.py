@@ -29,35 +29,47 @@ def connected_components(
     """pairs(a, b) → (doc_id, cluster_id) where cluster_id = min doc id in
     the component. Docs absent from `pairs` are their own singleton cluster
     (join the result back to the corpus with a coalesce for those)."""
+    # materialize the (tiny) edge set once and truncate its lineage: every
+    # round would otherwise re-derive the candidate-pair pipeline, and each
+    # round's plan would grow by the whole previous round. Edge/label sets
+    # are O(dups) rows, so a handful of partitions beats the session default.
     edges = (
         pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
         .union(pairs.select(F.col(b).alias("x"), F.col(a).alias("y")))
         .distinct()
-        .cache()
+        .coalesce(4)
+        .localCheckpoint()  # (use checkpoint(dir) on a real cluster)
     )
     labels = (
         edges.select(F.col("x").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
     )
-    for _ in range(max_iter):
+    def one_round(lbls):
         neighbor_min = (
-            edges.join(labels, edges.y == labels.doc_id)
+            edges.join(lbls, edges.y == lbls.doc_id)
             .groupBy(F.col("x").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
-                    "new_label"
-                ),
-                "label",
-            )
-        ).cache()
-        changed = new_labels.where(F.col("new_label") != F.col("label")).count()
-        labels = new_labels.select("doc_id", F.col("new_label").alias("label"))
+        return lbls.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                "new_label"
+            ),
+            "label",
+        )
+
+    # near-dup components are shallow (pairs/triples → diameter ≤ 2-3), so
+    # propagate TWO rounds per materialization+convergence probe: halves the
+    # number of Spark actions, still exact on any graph (the loop continues
+    # until a probe sees zero changes)
+    for _ in range(0, max_iter, 2):
+        stepped = one_round(one_round(labels).select(
+            "doc_id", F.col("new_label").alias("label")
+        )).localCheckpoint()
+        changed = stepped.where(F.col("new_label") != F.col("label")).count()
+        labels = stepped.select("doc_id", F.col("new_label").alias("label"))
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
