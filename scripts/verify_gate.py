@@ -23,7 +23,7 @@ sys.path.insert(0, "/root/repo")
 import duckdb  # noqa: E402
 
 SMOKE_DIR = "/root/testdata/sf0.001"
-PARITY_DIR = "/root/testdata/sf0.01"
+PARITY_DIR = os.environ.get("SPARK_GRAFT_PARITY_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
