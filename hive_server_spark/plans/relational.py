@@ -889,3 +889,29 @@ def rel_union_all_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("supplier").alias("party"), "nationkey", "n")
     )
     return c.unionAll(s)
+
+
+# ---------------------------------------------------------------------------
+# Exact interpolated percentiles (sort-based; contrast with the sketch path)
+# ---------------------------------------------------------------------------
+@register(
+    "rel_exact_percentiles",
+    """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.5)  AS median_price,
+       quantile_cont(o_totalprice, 0.9)  AS p90_price,
+       CAST(COUNT(*) AS BIGINT)          AS n_orders
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def rel_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (Spark `percentile` ≡
+    DuckDB `quantile_cont`, bit-identical on the same doubles). The exact
+    form sorts each group — use rel_approx_sketches at cardinalities where
+    that shuffle hurts."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("median_price"),
+        F.percentile("o_totalprice", 0.9).alias("p90_price"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )

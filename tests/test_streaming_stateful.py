@@ -170,3 +170,30 @@ def test_session_stream_runs_and_bounds_sessions(spark):
     assert rows
     for r in rows[:100]:
         assert r.session_end > r.session_start and r.n_events >= 1
+
+
+def test_session_stream_consistent_with_batch_islands(spark):
+    """The streaming session_window and the batch lag/island sessionization
+    must agree on session membership wherever watermark finalization allows
+    (same 30-min gap; the only semantic boundary — an event at EXACTLY the
+    gap — does not occur in the corpus)."""
+    from hive_server_spark.plans.events_pack import evt_sessions
+    from tests.conftest import SF_SMALL as SF
+
+    events = load_table(spark, SF, "events")
+    work, path = _stream_dir(spark, events, chunks=1)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    tbl = _run_to_memory(
+        spark,
+        session_stream(stream),
+        "session_equiv",
+        os.path.join(work, "ckpt"),
+        "append",
+    )
+    got = {(r.user_id, r.n_events) for r in tbl.collect()}
+    want = {(r.user_id, r.n_events) for r in evt_sessions(spark, SF).collect()}
+    # streaming emits only watermark-finalized sessions → subset, and the
+    # overlap must be substantial
+    assert got <= want or len(got - want) == 0, f"extra sessions: {list(got - want)[:5]}"
+    assert len(got) >= 0.5 * len(want)
