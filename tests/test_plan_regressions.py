@@ -1,0 +1,75 @@
+"""Physical-plan regression guards: the scale posture (pushdown, pruning,
+broadcast joins) is asserted, not just documented — a future change that
+silently drops a pushed filter, widens a scan, or flips a dimension join to
+sort-merge fails here before it ships."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from hive_server_spark import gate
+from tests.conftest import SF_SMALL
+
+
+def _plan(spark, name: str) -> str:
+    df = gate.spark_queries()[name](spark, SF_SMALL)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = _plan(spark, "rel_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reached the scan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and max(s.count(":") for s in schemas) <= 7  # 7 of 11 cols
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    plan = _plan(spark, "rel_revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region at minimum
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fold_reads_only_needed_event_columns(spark):
+    plan = _plan(spark, "orders_state")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    # the derivation needs event_id, ts, user_id — never value/props
+    assert schemas and all(s.count(":") <= 3 for s in schemas)
+    assert "value" not in "".join(schemas)
+
+
+def test_no_sort_merge_join_anywhere_in_gate(spark):
+    """Every *dimension* join must resolve to broadcast/hash — a sort-merge
+    join appearing means a dimension grew past the broadcast threshold or a
+    hint was lost. Exempt: queries whose joins are intentionally big-big
+    (shuffle joins are the correct 100 TB strategy there):
+    - emb_lsh_neardup_topk: bucket self-join, both sides are the corpus;
+    - dedup_clusters: iterative graph joins, co-partitioned by design
+      (broadcasting labels would break on billion-edge graphs);
+    - rel_full_outer_nation_activity: FULL OUTER has no broadcast form."""
+    exempt = {
+        "orders_state_streaming",
+        "emb_lsh_neardup_topk",
+        "dedup_clusters",
+        "rel_full_outer_nation_activity",
+    }
+    offenders = []
+    for name in sorted(gate.spark_queries()):
+        if name in exempt:
+            continue
+        try:
+            if "SortMergeJoin" in _plan(spark, name):
+                offenders.append(name)
+        except Exception as e:  # pragma: no cover
+            pytest.fail(f"{name}: explain failed: {e}")
+    assert not offenders, f"sort-merge joins crept into: {offenders}"
+
+
+def test_topk_uses_bounded_sort(spark):
+    """orderBy+limit style top-k must not global-sort unbounded data: the
+    rank filter appears over a window, or TakeOrderedAndProject is used."""
+    plan = _plan(spark, "evt_top_users")
+    assert "TakeOrderedAndProject" in plan or "row_number" in plan
