@@ -216,3 +216,31 @@ FROM (SELECT *, row_number() OVER (ORDER BY cosine DESC, vec_a ASC, vec_b ASC) A
       FROM pairs)
 WHERE rk <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# grouped-map applyInPandas: per-label centering (feature post-processing)
+# ---------------------------------------------------------------------------
+def center_embeddings_per_label(emb: DataFrame) -> DataFrame:
+    """Subtract the per-label centroid from every vector (grouped-map
+    `applyInPandas` — the UDF shape for whole-group Python transforms, e.g.
+    recentering an IVF cell before residual quantization).
+
+    Each label group streams through one Python worker as Arrow batches;
+    groups are independent, so the shuffle is the only coordination. Not
+    oracle-checkable (per-group float sums are reduction-order dependent);
+    semantics pinned by tests instead."""
+    import pandas as pd  # noqa: F401  (worker-side import)
+
+    def center(pdf):
+        import numpy as np
+
+        mat = np.vstack(pdf["embedding"].map(lambda v: np.asarray(v, dtype="float32")))
+        mat = mat - mat.mean(axis=0, keepdims=True)
+        out = pdf[["vec_id", "label"]].copy()
+        out["embedding"] = [row.tolist() for row in mat]
+        return out
+
+    return emb.groupBy("label").applyInPandas(
+        center, schema="vec_id long, label int, embedding array<float>"
+    )

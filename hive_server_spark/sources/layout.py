@@ -54,3 +54,13 @@ def scanned_files(df: DataFrame) -> int:
 
 def partition_dirs(path: str) -> list[str]:
     return sorted(d for d in os.listdir(path) if d.startswith("pool_bucket="))
+
+
+def compact(spark: SparkSession, path: str, out_path: str, target_files: int) -> int:
+    """Bin-pack a small-file table into `target_files` parquet files —
+    the maintenance job every long-running ingest needs (per-batch appends
+    leave file counts growing; scans then pay per-file open cost). Returns
+    the compacted file count."""
+    df = spark.read.parquet(path)
+    df.repartition(target_files).write.mode("overwrite").parquet(out_path)
+    return scanned_files(spark.read.parquet(out_path))

@@ -57,3 +57,28 @@ def test_partitioned_layout_prunes_to_one_bucket(spark):
         total_files = layout.scanned_files(spark.read.parquet(path))
         pruned_files = layout.scanned_files(pruned)
         assert pruned_files < total_files or len(dirs) == 1
+
+
+def test_center_embeddings_per_label(spark):
+    from hive_server_spark.functions.embeddings import center_embeddings_per_label
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    centered = center_embeddings_per_label(emb)
+    assert centered.count() == emb.count()
+    import numpy as np
+
+    rows = centered.where(F.col("label") == 0).collect()
+    mat = np.vstack([np.asarray(r.embedding) for r in rows])
+    assert np.abs(mat.mean(axis=0)).max() < 1e-4  # centroid removed
+
+
+def test_compaction_reduces_file_count(spark, tmp_path):
+    from hive_server_spark.sources.layout import compact, scanned_files
+
+    src = f"{tmp_path}/fragmented"
+    ev = order_events(spark, SF_SMALL)
+    ev.repartition(13).write.parquet(src)
+    assert scanned_files(spark.read.parquet(src)) == 13
+    n = compact(spark, src, f"{tmp_path}/compacted", target_files=2)
+    assert n == 2
+    assert spark.read.parquet(f"{tmp_path}/compacted").count() == ev.count()
