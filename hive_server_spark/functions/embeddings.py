@@ -124,17 +124,13 @@ def cosine_topk(
     if within_label:
         cand = cand.where(F.col("label") == F.col("q_label"))
     cand = cand.withColumn("cosine", F.expr(cosine_expr("v", "qv", "s")))
-    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        cand.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select(
-            "vec_id",
-            "label",
-            "cosine",
-            F.col("rk").cast("bigint").alias("rk"),
-        )
-    )
+    from hive_server_spark.operators.topk import global_topk
+
+    # TakeOrderedAndProject (per-partition k-row heaps), not a global window
+    # sort — the difference between O(k) and O(n) through one partition
+    return global_topk(
+        cand, [F.desc("cosine"), F.asc("vec_id")], k
+    ).select("vec_id", "label", "cosine", "rk")
 
 
 def lsh_buckets(emb: DataFrame, n_dims: int = 64) -> DataFrame:
@@ -166,12 +162,11 @@ def lsh_neardup_topk(emb: DataFrame, k: int = 20, n_dims: int = 64) -> DataFrame
             F.expr(cosine_expr("a.v", "b.v", "s")).alias("cosine"),
         )
     )
-    w = Window.orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
-    return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select("vec_a", "vec_b", "bucket", "cosine", F.col("rk").cast("bigint").alias("rk"))
-    )
+    from hive_server_spark.operators.topk import global_topk
+
+    return global_topk(
+        pairs, [F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b")], k
+    ).select("vec_a", "vec_b", "bucket", "cosine", "rk")
 
 
 # ---------------------------------------------------------------------------

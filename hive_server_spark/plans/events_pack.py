@@ -233,16 +233,15 @@ def evt_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
         F.count("*").alias("n_events"),
     )
-    w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
-    return (
-        per_user.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 20)
-        .select(
-            "user_id",
-            F.col("total_value").cast("double").alias("total_value"),
-            F.col("n_events").cast("bigint").alias("n_events"),
-            F.col("rk").cast("bigint").alias("rk"),
-        )
+    from hive_server_spark.operators.topk import global_topk
+
+    return global_topk(
+        per_user, [F.desc("total_value"), F.asc("user_id")], 20
+    ).select(
+        "user_id",
+        F.col("total_value").cast("double").alias("total_value"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "rk",
     )
 
 

@@ -148,17 +148,14 @@ def rel_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).alias("revenue"))
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("orderkey"))
-    return (
-        rev.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 10)
-        .select(
-            "orderkey",
-            "order_date",
-            "priority",
-            F.col("revenue").cast("double").alias("revenue"),
-            F.col("rk").cast("bigint").alias("rk"),
-        )
+    from hive_server_spark.operators.topk import global_topk
+
+    return global_topk(rev, [F.desc("revenue"), F.asc("orderkey")], 10).select(
+        "orderkey",
+        "order_date",
+        "priority",
+        F.col("revenue").cast("double").alias("revenue"),
+        "rk",
     )
 
 

@@ -245,17 +245,10 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode("shingles").alias("shingle")
     )
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    from pyspark.sql import Window
+    from hive_server_spark.operators.topk import global_topk
 
-    w = Window.orderBy(F.desc("df"), F.asc("shingle"))
-    return (
-        freq.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 50)
-        .select(
-            "shingle",
-            F.col("df").cast("bigint").alias("df"),
-            F.col("rk").cast("bigint").alias("rk"),
-        )
+    return global_topk(freq, [F.desc("df"), F.asc("shingle")], 50).select(
+        "shingle", F.col("df").cast("bigint").alias("df"), "rk"
     )
 
 
