@@ -24,20 +24,27 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 20
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iter: int = 20,
+    graph_partitions: int | None = None,
 ) -> DataFrame:
     """pairs(a, b) → (doc_id, cluster_id) where cluster_id = min doc id in
     the component. Docs absent from `pairs` are their own singleton cluster
     (join the result back to the corpus with a coalesce for those)."""
-    # materialize the (tiny) edge set once and truncate its lineage: every
-    # round would otherwise re-derive the candidate-pair pipeline, and each
-    # round's plan would grow by the whole previous round. Edge/label sets
-    # are O(dups) rows, so a handful of partitions beats the session default.
+    # materialize the edge set once and truncate its lineage: every round
+    # would otherwise re-derive the candidate-pair pipeline, and each round's
+    # plan would grow by the whole previous round. Near-dup edge sets are
+    # O(dups) rows, so a handful of partitions beats the session default —
+    # size graph_partitions to ~edges/10M for a genuinely large graph.
+    if graph_partitions is None:
+        graph_partitions = 4
     edges = (
         pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
         .union(pairs.select(F.col(b).alias("x"), F.col(a).alias("y")))
         .distinct()
-        .coalesce(4)
+        .coalesce(graph_partitions)
         .localCheckpoint()  # (use checkpoint(dir) on a real cluster)
     )
     labels = (

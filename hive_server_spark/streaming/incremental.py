@@ -108,8 +108,14 @@ def materialize_orders(partial: DataFrame) -> DataFrame:
 class ParquetStateStore:
     """Versioned parquet state table: each batch writes `v{n}`, the pointer
     file flips last — never read and overwrite the same files in one job.
-    (The production analogue is a Delta/Iceberg MERGE target; plain parquet
-    keeps this repo dependency-free.)"""
+
+    Scale note: this rewrites the full state per batch — correct and atomic,
+    but O(state). The production-scale variants, in order of preference:
+    (a) a Delta/Iceberg MERGE target (transactional, row-level);
+    (b) state partitioned by pool bucket (sources/layout.py) with dynamic
+        partition overwrite, rewriting only buckets touched by the batch —
+        O(touched state), at the cost of non-atomic multi-bucket commits.
+    Plain versioned parquet keeps this repo dependency-free."""
 
     def __init__(self, root: str):
         self.root = root
