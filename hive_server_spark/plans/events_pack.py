@@ -325,3 +325,42 @@ def evt_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("error_n", F.lit(0)).cast("bigint").alias("n_error"),
         F.col("purchase_v").cast("double").alias("purchase_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix
+# ---------------------------------------------------------------------------
+@register(
+    "evt_retention_matrix",
+    """
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort_day
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, CAST(date_trunc('day', e.ts) AS DATE))
+            AS BIGINT) AS day_offset,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+FROM events e JOIN first_seen f ON e.user_id = f.user_id
+GROUP BY f.cohort_day,
+         date_diff('day', f.cohort_day, CAST(date_trunc('day', e.ts) AS DATE))
+""",
+)
+def evt_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention: users bucketed by first-seen day, activity counted
+    per day offset. Two passes over events, both pruned to (user_id, ts);
+    the first-seen side reduces to one row per user before the join."""
+    e = _events(spark, sf_dir)
+    first_seen = (
+        e.groupBy("user_id")
+        .agg(F.date_trunc("day", F.min("ts")).cast("date").alias("cohort_day"))
+    )
+    return (
+        e.select("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .join(first_seen, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("bigint").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("active_users"))
+    )

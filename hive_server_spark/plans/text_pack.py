@@ -302,3 +302,41 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return dup_clusters(docs, minhash_candidates(docs))
+
+
+# ---------------------------------------------------------------------------
+# quality-score histogram (width_bucket over the per-doc profile)
+# ---------------------------------------------------------------------------
+@register(
+    "text_quality_histogram",
+    f"""
+WITH {{toks}},
+scored AS (
+  SELECT doc_id, lang,
+         0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+           + 0.3 * (1.0 - CAST({{s_en}} + {{s_es}} + {{s_de}} + {{s_fr}} AS DOUBLE) / len(toks))
+           + 0.2 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS q
+  FROM toks
+)
+SELECT lang, CAST(least(CAST(floor(q * 10) AS BIGINT) + 1, 10) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM scored GROUP BY lang, least(CAST(floor(q * 10) AS BIGINT) + 1, 10)
+""".format(
+        toks=_TOKS_CTE_D,
+        s_en=T.stop_count_expr("toks", "en", "d"),
+        s_es=T.stop_count_expr("toks", "es", "d"),
+        s_de=T.stop_count_expr("toks", "de", "d"),
+        s_fr=T.stop_count_expr("toks", "fr", "d"),
+    ),
+)
+def text_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality distribution per language: width_bucket over the
+    (bit-deterministic) quality score — the filter-threshold-picking view a
+    data-curation pipeline reads before choosing a cutoff."""
+    prof = T.doc_profile(_docs(spark, sf_dir))
+    bucket = F.least(
+        F.floor(F.col("quality_score") * 10).cast("bigint") + 1, F.lit(10)
+    ).cast("bigint")
+    return prof.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
