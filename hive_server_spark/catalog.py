@@ -20,13 +20,34 @@ from hive_server_spark.schemas import DRIVER_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _ensure_read_confs(spark: SparkSession) -> None:
+    """Pin the reader confs this catalog depends on, on WHATEVER session we
+    are handed.
+
+    The correctness driver (and any embedding application) constructs its own
+    vanilla SparkSession — it does not go through our session.get_spark().
+    Both confs here are runtime-settable SQLConfs, so setting them lazily at
+    first read makes every entry point (driver, bench, tests, user code)
+    behave identically:
+
+    * nanosAsLong — events.ts is TIMESTAMP(NANOS) in the driver parquet;
+      without this the scan throws PARQUET_TYPE_ILLEGAL on Spark 4.
+    * UTC session timezone — timestamp→string/date functions must agree with
+      the DuckDB oracle (which is UTC) regardless of host timezone.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver table. Parquet supplies the schema (footer-exact).
 
     `events.ts` is TIMESTAMP(NANOS) in the driver parquet; Spark reads it as
-    long (see session config) and we convert to a microsecond timestamp here
-    (truncation — matching DuckDB, whose timestamps are microsecond too).
+    long (nanosAsLong, pinned below) and we convert to a microsecond
+    timestamp here (truncation — matching DuckDB, whose timestamps are
+    microsecond too).
     """
+    _ensure_read_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division — ns epochs (~1.7e18) overflow double precision,

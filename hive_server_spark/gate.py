@@ -22,7 +22,7 @@ from hive_server_spark.registry import (  # noqa: F401  (re-exported API)
     register,
     spark_queries,
 )
-from hive_server_spark.operators.amount_out import AMOUNT_OUT_SQL, amount_out
+from hive_server_spark.operators.amount_out import amount_out, amount_out_ctes
 from hive_server_spark.operators.fold import (
     ORDER_UPDATES_CTE,
     ORDERS_STATE_CTE,
@@ -43,8 +43,22 @@ _FOLD_CTES = f"WITH {ORDER_EVENTS_CTE}, {ORDER_UPDATES_CTE}, {ORDERS_STATE_CTE}"
 _DBL = lambda c: F.col(c).cast("double").alias(c)  # noqa: E731
 
 
+# The folded orders state is this engine's "current state" table — the
+# reference holds it in Redis and every read query starts from it
+# (src/models/order-book.ts:31-53). Persisting it once per (session, sf_dir)
+# mirrors that architecture and spares every order-book query a re-fold;
+# at cluster scale this is the MERGE'd state table the streaming layer
+# maintains (streaming/incremental.py), not a per-query recompute.
+_STATE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _orders_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fold_order_events(order_events(spark, sf_dir))
+    key = (id(spark), sf_dir)
+    df = _STATE_CACHE.get(key)
+    if df is None:
+        df = fold_order_events(order_events(spark, sf_dir)).persist()
+        _STATE_CACHE[key] = df
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -136,11 +150,12 @@ def _amount_out_gate(order_type: str) -> QueryFn:
     return fn
 
 
-for _side, _opp, _dir in (("BUY", "SELL", "ASC"), ("SELL", "BUY", "DESC")):
+for _side in ("BUY", "SELL"):
     register(
         f"amount_out_{_side.lower()}",
         _FOLD_CTES
-        + AMOUNT_OUT_SQL.format(direction=_dir, opposite=_opp, amount="CAST(500 AS DECIMAL(18,3))"),
+        + amount_out_ctes(_side)
+        + "\nSELECT pool_address, output_amount, consumed, is_error FROM amount_out_result",
     )(_amount_out_gate(_side))
 
 
@@ -273,7 +288,7 @@ def q_pools_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
   SELECT pool_address, order_type, price,
          SUM(amount - filled) AS total_volume,
          COUNT(*) AS order_count,
-         list(order_id ORDER BY created_seq) AS order_ids
+         array_to_string(list(order_id ORDER BY created_seq), ',') AS order_ids
   FROM orders_state
   WHERE active AND price IS NOT NULL
   GROUP BY pool_address, order_type, price
@@ -295,14 +310,17 @@ FROM ranked WHERE level_rank <= 20
 )
 def q_order_book_fifo_queues(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Price-time priority made visible: each top level carries its FIFO
-    order queue (sorted by creation seq, never arrival order — A3)."""
+    order queue (sorted by creation seq, never arrival order — A3), CSV-
+    serialized so the driver's pandas row-sort canonicalization works."""
     lv = top_levels(price_levels(_orders_state(spark, sf_dir)), depth=20)
     return lv.select(
         "pool_address",
         "order_type",
         _DBL("price"),
         _DBL("total_volume"),
-        "order_ids",
+        F.array_join(
+            F.transform("order_ids", lambda x: x.cast("string")), ","
+        ).alias("order_ids"),
         F.col("level_rank").cast("bigint").alias("level_rank"),
     )
 
@@ -330,14 +348,14 @@ lp AS (
   FROM order_events WHERE event_type = 'LatestPrice' GROUP BY pool_address
 )
 SELECT t.pool_address,
-       list(CAST(price AS DOUBLE) ORDER BY level_rank)
-         FILTER (WHERE order_type='BUY')  AS bid_prices,
-       list(CAST(total_volume AS DOUBLE) ORDER BY level_rank)
-         FILTER (WHERE order_type='BUY')  AS bid_volumes,
-       list(CAST(price AS DOUBLE) ORDER BY level_rank)
-         FILTER (WHERE order_type='SELL') AS ask_prices,
-       list(CAST(total_volume AS DOUBLE) ORDER BY level_rank)
-         FILTER (WHERE order_type='SELL') AS ask_volumes,
+       COALESCE(array_to_string(list(CAST(price AS VARCHAR) ORDER BY level_rank)
+         FILTER (WHERE order_type='BUY'), ','), '')  AS bid_prices,
+       COALESCE(array_to_string(list(CAST(total_volume AS VARCHAR) ORDER BY level_rank)
+         FILTER (WHERE order_type='BUY'), ','), '')  AS bid_volumes,
+       COALESCE(array_to_string(list(CAST(price AS VARCHAR) ORDER BY level_rank)
+         FILTER (WHERE order_type='SELL'), ','), '') AS ask_prices,
+       COALESCE(array_to_string(list(CAST(total_volume AS VARCHAR) ORDER BY level_rank)
+         FILTER (WHERE order_type='SELL'), ','), '') AS ask_volumes,
        any_value(lp.latest_price) AS latest_price
 FROM topk t LEFT JOIN lp ON t.pool_address = lp.pool_address
 GROUP BY t.pool_address
@@ -345,23 +363,27 @@ GROUP BY t.pool_address
 )
 def q_order_book_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The assembled per-pool book (T3): depth-20 bid/ask price & volume
-    arrays in book order plus the latest trade price (A4, J3-style join).
-    One aggregation pass; arrays ordered by level rank, not arrival."""
+    lists in book order plus the latest trade price (A4, J3-style join).
+    One aggregation pass; lists ordered by level rank, not arrival, and
+    CSV-serialized from the exact DECIMAL values (driver-sortable scalars;
+    decimal→string renders identically in Spark and DuckDB)."""
     lv = top_levels(price_levels(_orders_state(spark, sf_dir)), depth=20)
     lp = latest_price(order_events(spark, sf_dir))
 
     def side_arr(side: str, value: Column) -> Column:
         pair = F.when(
             F.col("order_type") == side,
-            F.struct(F.col("level_rank"), value.alias("v")),
+            F.struct(F.col("level_rank"), value.cast("string").alias("v")),
         )
-        return F.transform(F.sort_array(F.collect_list(pair)), lambda s: s["v"])
+        return F.array_join(
+            F.transform(F.sort_array(F.collect_list(pair)), lambda s: s["v"]), ","
+        )
 
     book = lv.groupBy("pool_address").agg(
-        side_arr("BUY", F.col("price").cast("double")).alias("bid_prices"),
-        side_arr("BUY", F.col("total_volume").cast("double")).alias("bid_volumes"),
-        side_arr("SELL", F.col("price").cast("double")).alias("ask_prices"),
-        side_arr("SELL", F.col("total_volume").cast("double")).alias("ask_volumes"),
+        side_arr("BUY", F.col("price")).alias("bid_prices"),
+        side_arr("BUY", F.col("total_volume")).alias("bid_volumes"),
+        side_arr("SELL", F.col("price")).alias("ask_prices"),
+        side_arr("SELL", F.col("total_volume")).alias("ask_volumes"),
     )
     return book.join(F.broadcast(lp), "pool_address", "left").select(
         "pool_address",
@@ -376,36 +398,20 @@ def q_order_book_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "amount_out_prices",
     _FOLD_CTES
-    + """
-, levels AS (
-  SELECT pool_address, order_type, price,
-         SUM(amount - filled) AS total_volume
-  FROM orders_state
-  WHERE active AND price IS NOT NULL
-  GROUP BY pool_address, order_type, price
-), walked AS (
-  SELECT pool_address, price, total_volume,
-         COALESCE(SUM(total_volume) OVER (
-           PARTITION BY pool_address ORDER BY price ASC
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-  FROM levels
-  WHERE order_type = 'SELL'
-)
-SELECT pool_address,
-       list(CAST(price AS DOUBLE) ORDER BY cum_before, price) AS hit_prices,
-       CAST(COUNT(*) AS BIGINT) AS n_levels
-FROM walked
-WHERE cum_before < CAST(500 AS DECIMAL(18,3))
-GROUP BY pool_address
-""",
+    + amount_out_ctes("BUY")
+    + "\nSELECT pool_address, hit_prices, n_levels FROM amount_out_result",
 )
 def q_amount_out_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The touched-price list of the amount-out walk (AmountOutResult.prices,
-    reference src/models/types.ts:53) in walk order."""
+    reference src/models/types.ts:53) in walk order, serialized to a CSV
+    string — the correctness driver canonicalizes rows with a pandas sort,
+    which cannot order array cells, so gate outputs stay scalar."""
     r = amount_out(_orders_state(spark, sf_dir), "BUY", 500)
     return r.select(
         "pool_address",
-        F.col("hit_prices").cast("array<double>").alias("hit_prices"),
+        F.array_join(
+            F.transform("hit_prices", lambda p: p.cast("string")), ","
+        ).alias("hit_prices"),
         F.size("hit_prices").cast("bigint").alias("n_levels"),
     )
 
@@ -472,37 +478,12 @@ def q_pool_info_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Q6 — level-capped amount-out (bug-compatible depth cap, SURVEY §2.11)
 # ---------------------------------------------------------------------------
-_CAPPED_SQL = """
-, levels AS (
-  SELECT pool_address, order_type, price,
-         SUM(amount - filled) AS total_volume
-  FROM orders_state
-  WHERE active AND price IS NOT NULL
-  GROUP BY pool_address, order_type, price
-), capped AS (
-  SELECT * FROM (
-    SELECT *, row_number() OVER (PARTITION BY pool_address
-                                 ORDER BY price ASC) AS level_rank
-    FROM levels WHERE order_type = 'SELL')
-  WHERE level_rank <= 2
-), walked AS (
-  SELECT pool_address, price, total_volume,
-         COALESCE(SUM(total_volume) OVER (
-           PARTITION BY pool_address ORDER BY price ASC
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-  FROM capped
+@register(
+    "amount_out_capped",
+    _FOLD_CTES
+    + amount_out_ctes("BUY", level_cap=2)
+    + "\nSELECT pool_address, consumed, is_error FROM amount_out_result",
 )
-SELECT pool_address,
-       CAST(SUM(least(total_volume, CAST(500 AS DECIMAL(18,3)) - cum_before)) AS DOUBLE)
-         AS consumed,
-       CAST(SUM(least(total_volume, CAST(500 AS DECIMAL(18,3)) - cum_before))
-            < CAST(500 AS DECIMAL(18,3)) AS BOOLEAN) AS is_error
-FROM walked WHERE cum_before < CAST(500 AS DECIMAL(18,3))
-GROUP BY pool_address
-"""
-
-
-@register("amount_out_capped", _FOLD_CTES + _CAPPED_SQL)
 def q_amount_out_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-compatible depth cap (Q6): the walk sees only the top-k
     levels, so 'insufficient liquidity' can be reported while deeper

@@ -692,10 +692,10 @@ WITH arr AS (
   WHERE p_partkey % 11 = 0
 )
 SELECT p_partkey,
-       xs,
+       array_to_string(xs, ',')                     AS xs,
        CAST(len(xs) AS BIGINT)                      AS n,
-       list_reverse(list_sort(xs))                  AS xs_desc,
-       xs[1:2]                                      AS first_two,
+       array_to_string(list_reverse(list_sort(xs)), ',') AS xs_desc,
+       array_to_string(xs[1:2], ',')                AS first_two,
        list_contains(xs, 3)                         AS has_three,
        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
             list_transform(xs, x -> CAST(x*x AS BIGINT))), (a,b) -> a+b) AS BIGINT)
@@ -705,15 +705,18 @@ FROM arr
 )
 def rel_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array construction (sequence), slicing, membership, sort/reverse and
-    an in-order fold — the higher-order-function surface, all JVM-side."""
+    an in-order fold — the higher-order-function surface, all JVM-side.
+    Array results are CSV-serialized: the driver's canonicalizer row-sorts
+    with pandas, which cannot order array cells."""
     p = _t(spark, sf_dir, "part").where(F.col("p_partkey") % 11 == 0)
     xs = F.sequence(F.lit(1), F.col("p_size") % 5 + 1)
+    csv = lambda col: F.array_join(F.transform(col, lambda x: x.cast("string")), ",")  # noqa: E731
     return p.select(
         "p_partkey",
-        xs.alias("xs"),
+        csv(xs).alias("xs"),
         F.size(xs).cast("bigint").alias("n"),
-        F.reverse(F.sort_array(xs)).alias("xs_desc"),
-        F.slice(xs, 1, 2).alias("first_two"),
+        csv(F.reverse(F.sort_array(xs))).alias("xs_desc"),
+        csv(F.slice(xs, 1, 2)).alias("first_two"),
         F.array_contains(xs, 3).alias("has_three"),
         F.expr(
             "CAST(aggregate(sequence(1, p_size % 5 + 1), CAST(0 AS BIGINT),"

@@ -30,7 +30,10 @@ def get_spark(app_name: str = "hive-server-spark", *, shuffle_partitions: int | 
         .master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
         # --- determinism / correctness ---
         .config("spark.sql.session.timeZone", "UTC")
-        # exact decimal ops; fail loudly on overflow instead of returning null
+        # ANSI off deliberately: matches DuckDB's permissive casts in the
+        # oracle comparisons. Decimal overflow would return null silently, so
+        # exactness relies on the bounded value ranges guaranteed by
+        # sources/synthetic.py and the explicit narrow casts in operators.
         .config("spark.sql.ansi.enabled", "false")
         # --- adaptive execution: runtime shuffle-partition coalescing,
         # skew-join splitting, broadcast-join conversion. Core of the

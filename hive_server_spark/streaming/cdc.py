@@ -67,8 +67,16 @@ def run_incremental_fold_with_cdc(
         touched = batch_df.select("pool_address").distinct()
         snaps = book_snapshots(
             materialize_orders(store.latest(sess)), touched, depth
-        ).withColumn("cdc_version", F.lit(batch_id).cast("bigint"))
-        snaps.write.mode("append").parquet(cdc_dir)
+        )
+        # exactly-once under foreachBatch retries: a plain append would
+        # duplicate this batch's snapshots if the job dies between the write
+        # and the checkpoint commit. Overwriting a hive-partition subdirectory
+        # (cdc_version=<batch_id>) is idempotent — a retry clobbers the
+        # partial output — and scanning cdc_dir still yields one table with
+        # cdc_version as a (prunable) partition column.
+        snaps.write.mode("overwrite").parquet(
+            os.path.join(cdc_dir, f"cdc_version={batch_id}")
+        )
 
     q = (
         events_stream.writeStream.foreachBatch(on_batch)

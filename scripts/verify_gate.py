@@ -53,9 +53,18 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 
 def main() -> int:
     import __spark_entry__ as mod
-    from hive_server_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark("verify-gate")
+    # VANILLA session, deliberately: the round driver builds its own
+    # SparkSession without any of our session.py tuning, so every query must
+    # be self-sufficient (catalog._ensure_read_confs pins what it needs).
+    # Round 1 lost ~22 gate queries to exactly this gap.
+    spark = (
+        SparkSession.builder.master(os.environ.get("SPARK_MASTER", "local[8]"))
+        .appName("verify-gate")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # --- smoke ---
@@ -78,6 +87,17 @@ def main() -> int:
         t0 = time.perf_counter()
         df = queries[name](spark, PARITY_DIR)
         scols = df.columns
+        # the driver canonicalizes with a pandas sort over ALL columns, which
+        # raises "unhashable type" on array/map/struct cells — forbid them
+        complex_cols = [
+            f.name for f in df.schema.fields
+            if f.dataType.simpleString().startswith(("array", "map", "struct"))
+        ]
+        if complex_cols:
+            print(f"{name}: COMPLEX-TYPED OUTPUT {complex_cols} "
+                  "(driver canonicalizer cannot sort these)")
+            failures.append(name)
+            continue
         srows = [tuple(r) for r in df.collect()]
         if name not in oracles:
             print(f"{name}: rows-only check, {len(srows)} rows "

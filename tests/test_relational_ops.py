@@ -40,13 +40,19 @@ def test_amount_out_cap_reports_insufficient_when_uncapped_fills(spark):
     from hive_server_spark.operators.fold import fold_order_events
     from hive_server_spark.sources.synthetic import order_events
 
-    orders = fold_order_events(order_events(spark, SF_SMALL))
-    uncapped = {r.pool_address: r for r in amount_out(orders, "BUY", 500).collect()}
-    capped = {r.pool_address: r for r in amount_out(orders, "BUY", 500, level_cap=2).collect()}
-    assert capped.keys() == uncapped.keys()
+    orders = fold_order_events(order_events(spark, SF_SMALL)).persist()
     diverged = 0
-    for k in capped:
-        assert float(capped[k].consumed) <= float(uncapped[k].consumed) + 1e-9
-        if capped[k].is_error and not uncapped[k].is_error:
-            diverged += 1
+    # BUY amounts are QUOTE units (≈ price × volume per level), so scan a few
+    # magnitudes — divergence appears once the walk needs deeper than 2 levels
+    for amount in (500, 5_000, 20_000, 60_000):
+        uncapped = {r.pool_address: r for r in amount_out(orders, "BUY", amount).collect()}
+        capped = {
+            r.pool_address: r
+            for r in amount_out(orders, "BUY", amount, level_cap=2).collect()
+        }
+        assert capped.keys() == uncapped.keys()
+        for k in capped:
+            assert float(capped[k].consumed) <= float(uncapped[k].consumed) + 1e-9
+            if capped[k].is_error and not uncapped[k].is_error:
+                diverged += 1
     assert diverged >= 1, "cap=2 should visibly truncate at least one pool"
