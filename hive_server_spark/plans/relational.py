@@ -915,3 +915,152 @@ def rel_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("o_totalprice", 0.9).alias("p90_price"),
         F.count("*").cast("bigint").alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subqueries (decorrelation surface). The oracle keeps the
+# correlated form; the Spark side uses the equivalent window/aggregate
+# formulation — two independent phrasings of the same semantics, and the
+# shape Catalyst itself decorrelates to (one shuffle on the correlation key,
+# no per-row subquery execution — the only plan that survives at 100 TB).
+# ---------------------------------------------------------------------------
+@register(
+    "rel_cheapest_line_per_part",
+    """
+SELECT l_orderkey, l_partkey, CAST(l_extendedprice AS DOUBLE) AS price
+FROM lineitem l1
+WHERE l_partkey % 50 = 0
+  AND CAST(l_extendedprice AS DECIMAL(18,2)) =
+      (SELECT MIN(CAST(l_extendedprice AS DECIMAL(18,2))) FROM lineitem l2
+       WHERE l2.l_partkey = l1.l_partkey)
+""",
+)
+def rel_cheapest_line_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows achieving the per-part minimum price, ties included (the TPC-H
+    Q2 min-cost shape). Window MIN over the correlation key instead of a
+    per-row subquery; the part filter applies after, as in the oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("_min_price", F.min(_dec("l_extendedprice")).over(w))
+        .where(
+            (F.col("l_partkey") % 50 == 0)
+            & (_dec("l_extendedprice") == F.col("_min_price"))
+        )
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            F.col("l_extendedprice").cast("double").alias("price"),
+        )
+    )
+
+
+@register(
+    "rel_orders_above_cust_avg",
+    """
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS total
+FROM orders o
+WHERE o_orderkey % 7 = 0
+  AND CAST(o_totalprice AS DECIMAL(18,2)) *
+      (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+      > (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) FROM orders i
+         WHERE i.o_custkey = o.o_custkey)
+""",
+)
+def rel_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders beating their customer's average order value — the correlated
+    comparison is kept exact by cross-multiplying (price·n > Σprice) instead
+    of dividing: decimal arithmetic only, no float average to diverge across
+    engines. Spark side: one window over the correlation key."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("_n", F.count("*").over(w))
+        .withColumn("_tot", F.sum(_dec("o_totalprice")).over(w))
+        .where(
+            (F.col("o_orderkey") % 7 == 0)
+            & (_dec("o_totalprice") * F.col("_n") > F.col("_tot"))
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("total"),
+        )
+    )
+
+
+@register(
+    "rel_rich_idle_customers",
+    """
+SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS acctbal
+FROM customer c
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+      (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer
+         WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+""",
+)
+def rel_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no urgent
+    orders — an uncorrelated scalar subquery (broadcast as a 1-row cross
+    join) plus a NOT EXISTS anti join. Exactness via the same
+    cross-multiplication trick; the anti join shuffles on c_custkey only."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    stats = c.where(F.col("c_acctbal") > 0).agg(
+        F.count("*").alias("_n"), F.sum(_dec("c_acctbal")).alias("_tot")
+    )
+    return (
+        c.crossJoin(F.broadcast(stats))
+        .where(_dec("c_acctbal") * F.col("_n") > F.col("_tot"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-resilient join, value-checked: the salted join must be observationally
+# identical to the plain equi-join (operators/skew.py). The oracle IS the
+# plain join, so the rewrite's correctness — not just its plan shape — is
+# gated. At 100 TB this is the fallback when one user_id dominates the
+# shuffle and AQE's skew splitting isn't available (e.g., bucketed sides).
+# ---------------------------------------------------------------------------
+@register(
+    "scale_salted_cohort_rollup",
+    """
+WITH dim AS (
+  SELECT DISTINCT user_id, concat('U', CAST(user_id % 7 AS VARCHAR)) AS cohort
+  FROM events
+)
+SELECT cohort,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN dim USING (user_id)
+GROUP BY cohort
+""",
+)
+def scale_salted_cohort_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_server_spark.operators.skew import salted_join
+
+    e = _t(spark, sf_dir, "events").select("user_id", "value")
+    dim = (
+        e.select("user_id")
+        .distinct()
+        .withColumn(
+            "cohort", F.concat(F.lit("U"), (F.col("user_id") % 7).cast("string"))
+        )
+    )
+    return (
+        salted_join(e, dim, on="user_id", salt=8)
+        .groupBy("cohort")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+    )

@@ -6,12 +6,16 @@ against a SQL oracle, not a rows-only smoke."""
 
 from __future__ import annotations
 
+import glob
 import os
 import tempfile
+import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hive_server_spark.catalog import load_table
 from hive_server_spark.operators.fold import ORDER_UPDATES_CTE, ORDERS_STATE_CTE
 from hive_server_spark.registry import register
 from hive_server_spark.sources.synthetic import ORDER_EVENTS_CTE, order_events
@@ -19,6 +23,7 @@ from hive_server_spark.streaming.incremental import (
     materialize_orders,
     run_incremental_fold,
 )
+from hive_server_spark.streaming.windows import hourly_rollup_stream
 
 _ORACLE = (
     f"WITH {ORDER_EVENTS_CTE}, {ORDER_UPDATES_CTE}, {ORDERS_STATE_CTE}"
@@ -55,13 +60,96 @@ def streamed_orders_state(
         .option("maxFilesPerTrigger", 1)
         .parquet(ev_dir)
     )
-    store = run_incremental_fold(
-        spark,
-        stream,
-        state_dir=os.path.join(work, "state"),
-        checkpoint_dir=os.path.join(work, "ckpt"),
-    )
+    with _scoped_shuffle_partitions(spark):
+        store = run_incremental_fold(
+            spark,
+            stream,
+            state_dir=os.path.join(work, "state"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+        )
     return materialize_orders(store.latest(spark))
+
+
+# ---------------------------------------------------------------------------
+# Watermarked tumbling-window aggregation, driven as a real append-mode
+# stream (SURVEY ST2). The oracle encodes the watermark contract itself:
+# a window is emitted iff its end <= final watermark (= max event time −
+# delay), so the HAVING clause below IS the late-data policy, cross-checked.
+# ---------------------------------------------------------------------------
+class _scoped_shuffle_partitions:
+    """Temporarily pin spark.sql.shuffle.partitions for a streaming run.
+
+    The state-store partition count is fixed from this conf when a stream
+    starts; under the driver's vanilla session it defaults to 200, which is
+    pure overhead for gate-scale state. Results are partition-count
+    invariant (pinned by tests/test_streaming.py chunk invariance), so this
+    is a latency knob only — on a real cluster the session owner sizes it."""
+
+    def __init__(self, spark: SparkSession, n: int = 8):
+        self.spark, self.n = spark, n
+
+    def __enter__(self) -> None:
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc) -> None:
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
+_HOURLY_STREAM_ORACLE = """
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+HAVING epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR)
+       <= (SELECT epoch_us(max(ts)) - 1000000 FROM events)
+"""
+
+
+def streamed_hourly_rollup(
+    spark: SparkSession, sf_dir: str, chunks: int = 3, watermark: str = "1 second"
+) -> DataFrame:
+    """Run the watermarked hourly rollup as an actual stream: land the events
+    range-partitioned by ts into `chunks` files, stamp ascending mtimes so
+    the file source replays them in event-time order (range k+1 never
+    regresses behind the watermark raised by range k — zero late drops by
+    construction), then drive to completion with availableNow. The final
+    no-data micro-batch advances the watermark past every closed window and
+    flushes append-mode state — the mechanism the oracle's HAVING mirrors."""
+    work = tempfile.mkdtemp(prefix="hss_hr_stream_")
+    ev_dir = os.path.join(work, "events")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.repartitionByRange(chunks, "ts").write.parquet(ev_dir)
+    base = time.time() - 1_000
+    for i, p in enumerate(sorted(glob.glob(os.path.join(ev_dir, "part-*.parquet")))):
+        os.utime(p, (base + 10 * i, base + 10 * i))
+    schema = spark.read.parquet(ev_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_dir)
+    )
+    sink = f"hourly_rollup_{uuid.uuid4().hex[:8]}"
+    with _scoped_shuffle_partitions(spark):
+        q = (
+            hourly_rollup_stream(stream, watermark=watermark)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink)
+
+
+@register("evt_hourly_rollup_streaming", _HOURLY_STREAM_ORACLE)
+def q_evt_hourly_rollup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streamed_hourly_rollup(spark, sf_dir)
 
 
 @register("orders_state_streaming", _ORACLE)
