@@ -575,6 +575,7 @@ from hive_server_spark.plans import (  # noqa: E402,F401
     events_pack,
     multimodal_pack,
     relational,
+    sources_pack,
     streaming_pack,
     text_pack,
 )

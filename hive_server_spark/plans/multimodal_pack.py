@@ -13,6 +13,41 @@ from hive_server_spark.functions import multimodal as M
 from hive_server_spark.registry import register
 
 
+@register(
+    "multimodal_inventory",
+    """
+WITH media AS (
+  SELECT 'image' AS kind, encode(text) AS payload, n_chars FROM documents
+  UNION ALL
+  SELECT 'audio' AS kind, encode(text) AS payload, n_chars FROM documents
+)
+SELECT kind,
+       CAST(COUNT(*) AS BIGINT)                  AS n_media,
+       CAST(SUM(octet_length(payload)) AS BIGINT) AS payload_bytes,
+       CAST(MAX(octet_length(payload)) AS BIGINT) AS max_payload_bytes,
+       CAST(SUM(n_chars) AS BIGINT)              AS declared_bytes
+FROM media GROUP BY kind
+""",
+)
+def multimodal_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binary-column plumbing, value-gated: synthesize image and audio
+    payloads (opaque binary + typed metadata struct — the multimodal table
+    layout), then inventory actual vs declared sizes per kind. The payload
+    bytes are measured on the BINARY column, so the utf-8 encode step and
+    the metadata struct both face the DuckDB oracle; only the codec stub
+    itself (multimodal_decode_profile) stays rows-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.synthesize_media(docs, kind="image").unionAll(
+        M.synthesize_media(docs, kind="audio")
+    )
+    return media.groupBy("kind").agg(
+        F.count("*").cast("bigint").alias("n_media"),
+        F.sum(F.length("payload")).cast("bigint").alias("payload_bytes"),
+        F.max(F.length("payload")).cast("bigint").alias("max_payload_bytes"),
+        F.sum(F.col("meta.n_bytes")).cast("bigint").alias("declared_bytes"),
+    )
+
+
 @register("multimodal_decode_profile")  # rows-only: codec stub, not SQL-expressible
 def multimodal_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize media from documents, decode via mapInPandas (deterministic

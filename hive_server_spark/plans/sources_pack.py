@@ -1,0 +1,72 @@
+"""Source-format coverage: JSONL and CSV round trips, value-gated.
+
+The reference ingests JSON exclusively (JSON-RPC responses and Redis JSON
+blobs, reference src/utils/ethers.ts, src/models/order-book.ts:61-77); an
+engine replacing it must read the same data from text formats without
+corrupting types. Each gate query here lands the events table in a text
+format, reads it back with an explicit schema, and aggregates — the oracle
+aggregates the ORIGINAL parquet, so any loss in the round trip (timestamp
+precision, double formatting, quoting/escaping) breaks the value hash.
+
+Scale posture: schema-on-read with an explicit schema (no inference pass —
+inference scans the data twice and is O(input)); timestamps are pinned to a
+microsecond-precision format; the aggregation itself is the same one-shuffle
+rollup as evt_hourly_rollup.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_server_spark.catalog import load_table
+from hive_server_spark.registry import register
+
+# microsecond-precision wire format: Spark's default JSON/CSV timestamp
+# pattern keeps millis only, which would silently truncate event times
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+_ROLLUP_ORACLE = """
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix=f"hss_{fmt}_")
+    path = os.path.join(work, f"events_{fmt}")
+    writer = ev.write.option("timestampFormat", _TS_FMT)
+    reader = spark.read.schema(ev.schema).option("timestampFormat", _TS_FMT)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+        reader = reader.option("header", "true")
+    getattr(writer, fmt)(path)
+    return getattr(reader, fmt)(path)
+
+
+def _rollup(e: DataFrame) -> DataFrame:
+    return e.groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+@register("src_jsonl_roundtrip", _ROLLUP_ORACLE)
+def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rollup(_roundtrip(spark, sf_dir, "json"))
+
+
+@register("src_csv_roundtrip", _ROLLUP_ORACLE)
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rollup(_roundtrip(spark, sf_dir, "csv"))

@@ -23,7 +23,7 @@ from hive_server_spark.streaming.incremental import (
     materialize_orders,
     run_incremental_fold,
 )
-from hive_server_spark.streaming.windows import hourly_rollup_stream
+from hive_server_spark.streaming.windows import hourly_rollup_stream, session_stream
 
 _ORACLE = (
     f"WITH {ORDER_EVENTS_CTE}, {ORDER_UPDATES_CTE}, {ORDERS_STATE_CTE}"
@@ -107,17 +107,14 @@ HAVING epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR)
 """
 
 
-def streamed_hourly_rollup(
-    spark: SparkSession, sf_dir: str, chunks: int = 3, watermark: str = "1 second"
-) -> DataFrame:
-    """Run the watermarked hourly rollup as an actual stream: land the events
-    range-partitioned by ts into `chunks` files, stamp ascending mtimes so
-    the file source replays them in event-time order (range k+1 never
-    regresses behind the watermark raised by range k — zero late drops by
-    construction), then drive to completion with availableNow. The final
-    no-data micro-batch advances the watermark past every closed window and
-    flushes append-mode state — the mechanism the oracle's HAVING mirrors."""
-    work = tempfile.mkdtemp(prefix="hss_hr_stream_")
+def _events_stream_in_ts_order(
+    spark: SparkSession, sf_dir: str, chunks: int = 3
+) -> tuple[DataFrame, str]:
+    """Land the events range-partitioned by ts into `chunks` files, stamp
+    ascending mtimes so the file source replays them in event-time order
+    (range k+1 never regresses behind the watermark raised by range k —
+    zero late drops by construction), and return (stream, workdir)."""
+    work = tempfile.mkdtemp(prefix="hss_stream_")
     ev_dir = os.path.join(work, "events")
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
@@ -132,11 +129,17 @@ def streamed_hourly_rollup(
         .option("maxFilesPerTrigger", 1)
         .parquet(ev_dir)
     )
-    sink = f"hourly_rollup_{uuid.uuid4().hex[:8]}"
+    return stream, work
+
+
+def _run_append_stream(spark: SparkSession, out: DataFrame, work: str) -> DataFrame:
+    """Drive an append-mode streaming DataFrame to completion (availableNow)
+    into a memory sink; the final no-data micro-batch advances the watermark
+    past every closed window and flushes the remaining state."""
+    sink = f"stream_{uuid.uuid4().hex[:8]}"
     with _scoped_shuffle_partitions(spark):
         q = (
-            hourly_rollup_stream(stream, watermark=watermark)
-            .writeStream.outputMode("append")
+            out.writeStream.outputMode("append")
             .format("memory")
             .queryName(sink)
             .option("checkpointLocation", os.path.join(work, "ckpt"))
@@ -147,9 +150,70 @@ def streamed_hourly_rollup(
     return spark.table(sink)
 
 
+def streamed_hourly_rollup(
+    spark: SparkSession, sf_dir: str, chunks: int = 3, watermark: str = "1 second"
+) -> DataFrame:
+    """The watermarked hourly rollup as an actual append-mode stream."""
+    stream, work = _events_stream_in_ts_order(spark, sf_dir, chunks)
+    return _run_append_stream(
+        spark, hourly_rollup_stream(stream, watermark=watermark), work
+    )
+
+
 @register("evt_hourly_rollup_streaming", _HOURLY_STREAM_ORACLE)
 def q_evt_hourly_rollup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streamed_hourly_rollup(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Native session windows (session_window(ts, gap)) as an append-mode stream.
+# The oracle is the BATCH island-numbering sessionization (lag → flag →
+# prefix sum — an entirely different algorithm) plus the watermark contract:
+# a session is emitted iff its end (= last event + gap) <= final watermark.
+# Session merging across micro-batch boundaries is exercised for real: a
+# session spanning two chunks exists as partial state until the gap closes.
+# Boundary semantics: session_window treats [start, last+gap) as half-open —
+# an event at exactly gap distance starts a NEW session — so the oracle
+# flags a new island on gap_us >= gap, not >.
+# ---------------------------------------------------------------------------
+_SESSIONS_STREAM_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, ts, value,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM seq
+), numbered AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts)                       AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE  AS session_end,
+       CAST(COUNT(*) AS BIGINT)      AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM numbered
+GROUP BY user_id, session_no
+HAVING epoch_us(MAX(ts)) + 1800000000
+       <= (SELECT epoch_us(max(ts)) - 1000000 FROM events)
+"""
+
+
+def streamed_sessions(
+    spark: SparkSession, sf_dir: str, chunks: int = 3
+) -> DataFrame:
+    stream, work = _events_stream_in_ts_order(spark, sf_dir, chunks)
+    return _run_append_stream(
+        spark, session_stream(stream, gap="30 minutes", watermark="1 second"), work
+    )
+
+
+@register("evt_sessions_streaming", _SESSIONS_STREAM_ORACLE)
+def q_evt_sessions_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streamed_sessions(spark, sf_dir)
 
 
 @register("orders_state_streaming", _ORACLE)

@@ -40,9 +40,11 @@ def hourly_rollup_stream(events_stream: DataFrame, watermark: str = "2 hours") -
     )
 
 
-def session_stream(events_stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+def session_stream(
+    events_stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
     return (
-        events_stream.withWatermark("ts", "2 hours")
+        events_stream.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
