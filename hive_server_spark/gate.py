@@ -578,4 +578,5 @@ from hive_server_spark.plans import (  # noqa: E402,F401
     sources_pack,
     streaming_pack,
     text_pack,
+    udf_pack,
 )
