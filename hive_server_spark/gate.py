@@ -570,13 +570,16 @@ def et_eq(name: str) -> Column:
 # ---------------------------------------------------------------------------
 # Query packs (self-register into hive_server_spark.registry on import)
 # ---------------------------------------------------------------------------
+# Import order = queries() registration order = the order any sequential
+# driver visits them. Cheap scan/agg packs first; the real-stream pack last,
+# so a time-budgeted run starves the most expensive entries, not coverage.
 from hive_server_spark.plans import (  # noqa: E402,F401
-    embedding_pack,
-    events_pack,
-    multimodal_pack,
     relational,
-    sources_pack,
-    streaming_pack,
+    events_pack,
+    embedding_pack,
     text_pack,
+    sources_pack,
     udf_pack,
+    multimodal_pack,
+    streaming_pack,
 )

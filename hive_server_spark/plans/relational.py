@@ -1064,3 +1064,160 @@ def scale_salted_cohort_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("value")).cast("double").alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: conditional revenue share (two exact sums, one division)
+# ---------------------------------------------------------------------------
+@register(
+    "rel_promo_revenue_ratio",
+    """
+WITH j AS (
+  SELECT CAST(l_extendedprice AS DECIMAL(18,2))
+         * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+         p_type
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+)
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(rev) AS DOUBLE)                               AS promo_pct,
+       CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE 0 END) AS DOUBLE)
+                                                                AS promo_revenue,
+       CAST(SUM(rev) AS DOUBLE)                                 AS total_revenue,
+       CAST(COUNT(*) AS BIGINT)                                 AS n_items
+FROM j
+""",
+)
+def rel_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue share (TPC-H Q14): broadcast part join, conditional
+    decimal sums, and the percentage as (100 · a) / b — exactly two IEEE ops
+    on exactly-cast operands, so the ratio hashes identically cross-engine."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    one = F.lit(1).cast(_D182)
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        rev.alias("rev"), F.col("p_type")
+    )
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type").like("PROMO%"), F.col("rev")).otherwise(
+            F.lit(0).cast("decimal(38,4)")
+        )).alias("_promo"),
+        F.sum("rev").alias("_total"),
+        F.count("*").alias("_n"),
+    )
+    return agg.select(
+        (
+            F.lit(100.0) * F.col("_promo").cast("double") / F.col("_total").cast("double")
+        ).alias("promo_pct"),
+        F.col("_promo").cast("double").alias("promo_revenue"),
+        F.col("_total").cast("double").alias("total_revenue"),
+        F.col("_n").cast("bigint").alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: bilateral trade flows between nation pairs
+# ---------------------------------------------------------------------------
+@register(
+    "rel_nation_trade_flows",
+    """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3')
+  AND n2.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3')
+  AND n1.n_name <> n2.n_name
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+""",
+)
+def rel_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral shipping volume (TPC-H Q7): the fact table reaches two
+    different nation dimensions through two different paths (supplier side,
+    customer side) — both broadcast, so the only big shuffles are the
+    orders join and the final group-by. Nation-pair inequality prunes the
+    diagonal before aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    nations = ["NATION_0", "NATION_1", "NATION_2", "NATION_3"]
+    n1 = _t(spark, sf_dir, "nation").where(F.col("n_name").isin(nations)).select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").where(F.col("n_name").isin(nations)).select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    one = F.lit(1).cast(_D182)
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("ship_year")
+    ).agg(
+        F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").cast("bigint").alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunction of conjunctive band predicates
+# ---------------------------------------------------------------------------
+@register(
+    "rel_disjunctive_bands",
+    """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 35)
+""",
+)
+def rel_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs band predicates across both join sides (TPC-H Q19): the
+    optimizer must split the disjunction — per-side conjuncts (l_quantity
+    bounds, p_size/p_brand bounds) are derivable and push to each scan,
+    while the residual OR evaluates after the broadcast join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    one = F.lit(1).cast(_D182)
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).where(
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+    )
+    return j.agg(
+        F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").cast("bigint").alias("n_items"),
+    )
