@@ -1221,3 +1221,47 @@ def rel_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.count("*").cast("bigint").alias("n_items"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt: wide measures → long (measure, value) form — the reshape
+# every feature/metrics pipeline needs before per-measure aggregation
+# ---------------------------------------------------------------------------
+@register(
+    "rel_unpivot_measures",
+    """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+  FROM lineitem WHERE l_orderkey % 11 = 0
+), long AS (
+  SELECT 'l_quantity' AS measure, l_quantity AS value FROM base
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM base
+  UNION ALL SELECT 'l_discount', l_discount FROM base
+)
+SELECT measure,
+       CAST(COUNT(*) AS BIGINT)                            AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)   AS total,
+       CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE)   AS min_value,
+       CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE)   AS max_value
+FROM long GROUP BY measure
+""",
+)
+def rel_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.unpivot (melt) of three numeric measures into long form,
+    then per-measure stats. Unpivot is a projection-side explode — no
+    shuffle until the final 3-group aggregate — so the reshape costs one
+    scan at any scale. The oracle phrases the same reshape as UNION ALL."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 11 == 0)
+    long = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    v = F.col("value").cast(_D182)
+    return long.groupBy("measure").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(v).cast("double").alias("total"),
+        F.min(v).cast("double").alias("min_value"),
+        F.max(v).cast("double").alias("max_value"),
+    )

@@ -340,3 +340,60 @@ def text_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof.groupBy("lang", bucket.alias("bucket")).agg(
         F.count("*").cast("bigint").alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Reproducible sampling: seeded-hash selection, never TABLESAMPLE/rand().
+# A training corpus must sample identically across reruns, engines, and
+# cluster sizes; rand()/TABLESAMPLE are none of those. The seeded md5-hash
+# predicate is bit-identical in Spark and DuckDB (functions/text.hash_expr),
+# so the SAME rows are selected everywhere — and the gate proves it.
+# ---------------------------------------------------------------------------
+_SAMPLE_PRED_S = f"pmod({T.hash_expr('doc_id', 'sample42', 's')}, 10) = 0"
+_SAMPLE_PRED_D = f"(({T.hash_expr('doc_id', 'sample42', 'd')}) % 10 + 10) % 10 = 0"
+
+
+@register(
+    "text_deterministic_sample",
+    f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {_SAMPLE_PRED_D}
+""",
+)
+def text_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% document sample via seeded hash-mod — the selection pushes to
+    the scan as a deterministic predicate (no shuffle, no sort, no state),
+    and re-running at any parallelism returns the identical row set."""
+    return (
+        _docs(spark, sf_dir)
+        .where(F.expr(_SAMPLE_PRED_S))
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+@register(
+    "text_sample_rates",
+    f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN {_SAMPLE_PRED_D} THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(SUM(CASE WHEN {_SAMPLE_PRED_D} THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS sample_rate
+FROM documents
+GROUP BY lang
+""",
+)
+def text_sample_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language realized sampling rate of the hash-mod sample — the
+    stratification check a pipeline runs before trusting a sample: rates
+    should hover near 1/10 for every stratum because the hash is
+    uncorrelated with language."""
+    d = _docs(spark, sf_dir).withColumn(
+        "sampled", F.expr(_SAMPLE_PRED_S).cast("int")
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("sampled").cast("bigint").alias("n_sampled"),
+        (F.sum("sampled").cast("double") / F.count("*")).alias("sample_rate"),
+    )
