@@ -216,6 +216,75 @@ def q_evt_sessions_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streamed_sessions(spark, sf_dir)
 
 
+# ---------------------------------------------------------------------------
+# Watermarked stream-stream band join (SURVEY ST2/ST3 composition): two
+# event streams co-join on user within ±10 minutes of event time. Both
+# sides carry watermarks and the time-range predicate bounds join state —
+# rows age out of state once the partner watermark passes ts + band, which
+# is the ONLY way an unbounded stream-stream join survives at scale. The
+# ts-ordered replay keeps both sides time-aligned, so no match is lost to
+# eviction, and the emitted set equals the batch band join exactly.
+# ---------------------------------------------------------------------------
+_SSJOIN_ORACLE = """
+SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+ AND b.ts BETWEEN a.ts - INTERVAL 10 MINUTE AND a.ts + INTERVAL 10 MINUTE
+"""
+
+
+def streamed_band_join(
+    spark: SparkSession, sf_dir: str, chunks: int = 3, band: str = "10 MINUTES"
+) -> DataFrame:
+    stream_a, work = _events_stream_in_ts_order(spark, sf_dir, chunks)
+    # second reader over the same landed files: both sides replay the same
+    # micro-batch sequence, so their watermarks advance in lockstep
+    ev_dir = os.path.join(work, "events")
+    schema = spark.read.parquet(ev_dir).schema
+    stream_b = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_dir)
+    )
+    a = (
+        stream_a.where(F.col("event_id") % 2 == 0)
+        .select(
+            F.col("event_id").alias("a_id"),
+            "user_id",
+            F.col("ts").alias("a_ts"),
+        )
+        .withWatermark("a_ts", "1 second")
+    )
+    b = (
+        stream_b.where(F.col("event_id") % 2 == 1)
+        .select(
+            F.col("event_id").alias("b_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", "1 second")
+    )
+    j = a.join(
+        b,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("a_ts") - F.expr(f"INTERVAL {band}"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {band}")),
+        "inner",
+    ).select(
+        "user_id",
+        "a_id",
+        "b_id",
+        (F.unix_micros("b_ts") - F.unix_micros("a_ts")).alias("gap_us"),
+    )
+    return _run_append_stream(spark, j, work)
+
+
+@register("evt_stream_stream_join", _SSJOIN_ORACLE)
+def q_evt_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streamed_band_join(spark, sf_dir)
+
+
 @register("orders_state_streaming", _ORACLE)
 def q_orders_state_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = streamed_orders_state(spark, sf_dir)
