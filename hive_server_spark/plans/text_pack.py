@@ -6,7 +6,7 @@ expressions (seeded md5 hashing, in-order folds, single-division ratios)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_server_spark.catalog import load_table
@@ -396,4 +396,113 @@ def text_sample_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("sampled").cast("bigint").alias("n_sampled"),
         (F.sum("sampled").cast("double") / F.count("*")).alias("sample_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-threshold filtering: keep documents at or above their language's
+# median quality — the concrete curation step the histogram view informs.
+# Median via exact interpolated percentile (Spark `percentile` ≡ DuckDB
+# `quantile_cont`, bit-identical on the same doubles), so even the
+# threshold comparison is hash-gated.
+# ---------------------------------------------------------------------------
+_SCORED_CTE_D = """
+scored AS (
+  SELECT doc_id, lang,
+         0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+           + 0.3 * (1.0 - CAST({s_en} + {s_es} + {s_de} + {s_fr} AS DOUBLE) / len(toks))
+           + 0.2 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS quality
+  FROM toks
+)
+""".format(
+    s_en=T.stop_count_expr("toks", "en", "d"),
+    s_es=T.stop_count_expr("toks", "es", "d"),
+    s_de=T.stop_count_expr("toks", "de", "d"),
+    s_fr=T.stop_count_expr("toks", "fr", "d"),
+)
+
+
+@register(
+    "text_quality_filter",
+    f"""
+WITH {_TOKS_CTE_D},
+{_SCORED_CTE_D},
+med AS (
+  SELECT lang, quantile_cont(quality, 0.5) AS lang_median
+  FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.quality, m.lang_median
+FROM scored s JOIN med m ON s.lang = m.lang
+WHERE s.quality >= m.lang_median
+""",
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language median-quality cut: one aggregate for the thresholds
+    (25 rows — broadcast back), one filter over the corpus. At 100 TB the
+    median comes from the same single shuffle as any per-lang aggregate and
+    the cut itself is a map-side filter."""
+    prof = T.doc_profile(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", F.col("quality_score").alias("quality")
+    )
+    med = prof.groupBy("lang").agg(
+        F.percentile("quality", 0.5).alias("lang_median")
+    )
+    return (
+        prof.join(F.broadcast(med), "lang")
+        .where(F.col("quality") >= F.col("lang_median"))
+        .select("doc_id", "lang", "quality", "lang_median")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sharding: assign documents (in doc_id order, per source) to
+# fixed-token-budget shards — the layout step before sequence packing in a
+# training pipeline. shard = floor(tokens_before / budget) is a pure prefix
+# sum: one window per source, no iteration, exact integers.
+# ---------------------------------------------------------------------------
+@register(
+    "text_token_shards",
+    f"""
+WITH {_TOKS_CTE_D},
+counted AS (
+  SELECT doc_id, source, len(toks) AS n_toks FROM toks
+), positioned AS (
+  SELECT doc_id, source, n_toks,
+         COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS toks_before
+  FROM counted
+)
+SELECT source,
+       CAST(toks_before // 2000 AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT)            AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT)         AS shard_tokens,
+       CAST(MIN(doc_id) AS BIGINT)         AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT)         AS last_doc
+FROM positioned
+GROUP BY source, CAST(toks_before // 2000 AS BIGINT)
+""",
+)
+def text_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2000-token shards per source in stable doc_id order. The prefix sum
+    shuffles once on source; shard boundaries are deterministic (integer
+    arithmetic), so a rerun — or a different cluster — produces identical
+    shard manifests, which is what makes incremental re-sharding safe."""
+    toks = T.with_tokens(_docs(spark, sf_dir)).select(
+        "doc_id", "source", F.size("toks").alias("n_toks")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pos = toks.withColumn(
+        "toks_before", F.coalesce(F.sum("n_toks").over(w), F.lit(0))
+    )
+    return pos.groupBy(
+        "source", F.floor(F.col("toks_before") / 2000).cast("bigint").alias("shard_id")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("shard_tokens"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
     )
