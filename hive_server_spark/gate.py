@@ -13,7 +13,7 @@ Conventions that make cross-engine value-hashing reliable:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_server_spark.registry import (  # noqa: F401  (re-exported API)
@@ -565,6 +565,78 @@ def q_range_price_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def et_eq(name: str) -> Column:
     return F.col("event_type") == name
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style gap fill: dense hourly price series per pool with
+# last-observation-carried-forward (the time-series read shape the
+# reference's latest-price KV can't serve — SURVEY §2.4 A4 generalized).
+# ---------------------------------------------------------------------------
+@register(
+    "price_hourly_gapfill",
+    f"WITH {ORDER_EVENTS_CTE}\n"
+    + """
+, lp AS (
+  SELECT pool_address, seq, date_trunc('hour', event_time) AS bucket, price
+  FROM order_events WHERE event_type = 'LatestPrice'
+), hourly AS (
+  SELECT pool_address, bucket, max_by(price, seq) AS px
+  FROM lp GROUP BY pool_address, bucket
+), bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM lp),
+grid AS (
+  SELECT p.pool_address,
+         unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+  FROM (SELECT DISTINCT pool_address FROM lp) p, bounds b
+), j AS (
+  SELECT g.pool_address, g.bucket, h.px
+  FROM grid g LEFT JOIN hourly h USING (pool_address, bucket)
+)
+SELECT pool_address, bucket,
+       CAST(last_value(px IGNORE NULLS) OVER (
+         PARTITION BY pool_address ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS price_filled,
+       px IS NULL AS is_gap
+FROM j
+""",
+)
+def q_price_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly grid (sequence + explode — generated, never scanned)
+    left-joined with the per-hour last trade price, gaps filled by a
+    last-non-null window. One shuffle on pool for the window; the grid is
+    rows = pools × hours, so output size is schedule-bounded, not
+    event-bounded — the property that makes gap fill safe on a 100 TB log."""
+    ev = order_events(spark, sf_dir).where(et_eq("LatestPrice"))
+    lp = ev.select(
+        "pool_address", "seq", F.date_trunc("hour", "event_time").alias("bucket"), "price"
+    )
+    hourly = lp.groupBy("pool_address", "bucket").agg(
+        F.max_by("price", "seq").alias("px")
+    )
+    bounds = lp.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    grid = (
+        lp.select("pool_address")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "pool_address",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    j = grid.join(hourly, ["pool_address", "bucket"], "left")
+    w = (
+        Window.partitionBy("pool_address")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "pool_address",
+        "bucket",
+        F.last("px", ignorenulls=True).over(w).cast("double").alias("price_filled"),
+        F.col("px").isNull().alias("is_gap"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -107,22 +107,39 @@ HAVING epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR)
 """
 
 
+# landed ts-ordered event files, shared across the streaming gate queries —
+# each run still gets its own checkpoint/sink dirs, but the (identical)
+# landing write happens once per (session, sf_dir)
+_LANDED: dict[tuple[int, str, int], str] = {}
+
+
+def _land_events_ts_ordered(spark: SparkSession, sf_dir: str, chunks: int) -> str:
+    key = (id(spark), sf_dir, chunks)
+    ev_dir = _LANDED.get(key)
+    if ev_dir is None:
+        ev_dir = os.path.join(tempfile.mkdtemp(prefix="hss_land_"), "events")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        ev.repartitionByRange(chunks, "ts").write.parquet(ev_dir)
+        base = time.time() - 1_000
+        parts = sorted(glob.glob(os.path.join(ev_dir, "part-*.parquet")))
+        for i, p in enumerate(parts):
+            os.utime(p, (base + 10 * i, base + 10 * i))
+        _LANDED[key] = ev_dir
+    return ev_dir
+
+
 def _events_stream_in_ts_order(
     spark: SparkSession, sf_dir: str, chunks: int = 3
 ) -> tuple[DataFrame, str]:
-    """Land the events range-partitioned by ts into `chunks` files, stamp
-    ascending mtimes so the file source replays them in event-time order
-    (range k+1 never regresses behind the watermark raised by range k —
-    zero late drops by construction), and return (stream, workdir)."""
+    """Stream over events landed range-partitioned by ts into `chunks`
+    files with ascending mtimes, so the file source replays them in
+    event-time order (range k+1 never regresses behind the watermark raised
+    by range k — zero late drops by construction). Returns (stream, a fresh
+    per-run workdir for checkpoints)."""
+    ev_dir = _land_events_ts_ordered(spark, sf_dir, chunks)
     work = tempfile.mkdtemp(prefix="hss_stream_")
-    ev_dir = os.path.join(work, "events")
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-    ev.repartitionByRange(chunks, "ts").write.parquet(ev_dir)
-    base = time.time() - 1_000
-    for i, p in enumerate(sorted(glob.glob(os.path.join(ev_dir, "part-*.parquet")))):
-        os.utime(p, (base + 10 * i, base + 10 * i))
     schema = spark.read.parquet(ev_dir).schema
     stream = (
         spark.readStream.schema(schema)
@@ -240,7 +257,7 @@ def streamed_band_join(
     stream_a, work = _events_stream_in_ts_order(spark, sf_dir, chunks)
     # second reader over the same landed files: both sides replay the same
     # micro-batch sequence, so their watermarks advance in lockstep
-    ev_dir = os.path.join(work, "events")
+    ev_dir = _land_events_ts_ordered(spark, sf_dir, chunks)
     schema = spark.read.parquet(ev_dir).schema
     stream_b = (
         spark.readStream.schema(schema)
