@@ -302,6 +302,117 @@ def q_evt_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streamed_band_join(spark, sf_dir)
 
 
+# ---------------------------------------------------------------------------
+# Chained stateful streaming: at-ingest dedup → windowed rollup in ONE
+# stream (Spark's multi-stateful-operator support). The landed input
+# contains every event 2-3×; dropDuplicatesWithinWatermark collapses the
+# copies (state bounded by the watermark horizon, the property that makes
+# ingest dedup viable on an unbounded stream), and the downstream tumbling
+# aggregate sees each event once — so the oracle is the rollup over
+# DISTINCT events plus the usual emission contract.
+# ---------------------------------------------------------------------------
+_DEDUP_ROLLUP_ORACLE = """
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+HAVING epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR)
+       <= (SELECT epoch_us(max(ts)) - 1000000 FROM events)
+"""
+
+
+def streamed_dedup_rollup(
+    spark: SparkSession, sf_dir: str, chunks: int = 3
+) -> DataFrame:
+    work = tempfile.mkdtemp(prefix="hss_dedup_")
+    ev_dir = os.path.join(work, "events")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    # land every event 2×, a third copy for every third event — duplicate
+    # copies share a ts, so range partitioning keeps them in one micro-batch
+    dup = ev.unionAll(ev).unionAll(ev.where(F.col("event_id") % 3 == 0))
+    dup.repartitionByRange(chunks, "ts").write.parquet(ev_dir)
+    base = time.time() - 1_000
+    for i, p in enumerate(sorted(glob.glob(os.path.join(ev_dir, "part-*.parquet")))):
+        os.utime(p, (base + 10 * i, base + 10 * i))
+    schema = spark.read.parquet(ev_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_dir)
+    )
+    out = (
+        stream.withWatermark("ts", "1 second")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("bucket"), "event_type", "n_events", "total_value"
+        )
+    )
+    return _run_append_stream(spark, out, work)
+
+
+@register("evt_dedup_rollup_streaming", _DEDUP_ROLLUP_ORACLE)
+def q_evt_dedup_rollup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streamed_dedup_rollup(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Stream-static join: the streaming side enriches from a static dimension
+# (re-resolved per micro-batch — the Spark pattern for slowly-changing
+# dims), then aggregates per cohort. Oracle: the batch join + rollup.
+# ---------------------------------------------------------------------------
+_STREAM_STATIC_ORACLE = """
+WITH dim AS (
+  SELECT DISTINCT user_id, concat('U', CAST(user_id % 7 AS VARCHAR)) AS cohort
+  FROM events
+)
+SELECT date_trunc('hour', e.ts) AS bucket, d.cohort,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN dim d USING (user_id)
+GROUP BY 1, 2
+HAVING epoch_us(date_trunc('hour', e.ts) + INTERVAL 1 HOUR)
+       <= (SELECT epoch_us(max(ts)) - 1000000 FROM events)
+"""
+
+
+def streamed_static_enrich_rollup(
+    spark: SparkSession, sf_dir: str, chunks: int = 3
+) -> DataFrame:
+    stream, work = _events_stream_in_ts_order(spark, sf_dir, chunks)
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn(
+            "cohort", F.concat(F.lit("U"), (F.col("user_id") % 7).cast("string"))
+        )
+    )
+    out = (
+        stream.withWatermark("ts", "1 second")
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "cohort")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("win.start").alias("bucket"), "cohort", "n_events", "total_value")
+    )
+    return _run_append_stream(spark, out, work)
+
+
+@register("evt_stream_static_enrich", _STREAM_STATIC_ORACLE)
+def q_evt_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streamed_static_enrich_rollup(spark, sf_dir)
+
+
 @register("orders_state_streaming", _ORACLE)
 def q_orders_state_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = streamed_orders_state(spark, sf_dir)

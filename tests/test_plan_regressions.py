@@ -55,6 +55,8 @@ def test_no_sort_merge_join_anywhere_in_gate(spark):
         "evt_hourly_rollup_streaming",  # runs a real stream; plan is a memory-table scan
         "evt_sessions_streaming",  # same: session_window stream, memory-table scan
         "evt_stream_stream_join",  # same: watermarked join stream, memory-table scan
+        "evt_dedup_rollup_streaming",  # same: chained stateful stream
+        "evt_stream_static_enrich",  # same: stream-static join stream
         "emb_lsh_neardup_topk",
         "dedup_clusters",
         "rel_full_outer_nation_activity",
