@@ -18,7 +18,11 @@ from pyspark.sql import functions as F
 from hive_server_spark.catalog import load_table
 from hive_server_spark.operators.fold import ORDER_UPDATES_CTE, ORDERS_STATE_CTE
 from hive_server_spark.registry import register
-from hive_server_spark.sources.synthetic import ORDER_EVENTS_CTE, order_events
+from hive_server_spark.sources.synthetic import (
+    ORDER_EVENTS_CTE,
+    ORDER_EVENTS_SQL,
+    order_events,
+)
 from hive_server_spark.streaming.incremental import (
     materialize_orders,
     run_incremental_fold,
@@ -411,6 +415,93 @@ def streamed_static_enrich_rollup(
 @register("evt_stream_static_enrich", _STREAM_STATIC_ORACLE)
 def q_evt_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streamed_static_enrich_rollup(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Time travel on the versioned state store: the orders state AS OF
+# micro-batch 1 of 3. The landing splits the log at deterministic seq
+# cutoffs (⌊max/3⌋, 2·⌊max/3⌋), so "state at v1" has an exact batch
+# definition — the fold over seq <= 2·⌊max/3⌋ — which is what the oracle
+# computes. This gates both the snapshot-read mechanism (every commit's
+# v{n} stays readable) and the incremental fold's mid-stream correctness,
+# not just its final convergence.
+# ---------------------------------------------------------------------------
+_TIME_TRAVEL_ORACLE = (
+    "WITH order_events AS (\n  SELECT * FROM (\n"
+    + ORDER_EVENTS_SQL
+    + "\n) _oe WHERE seq <= 2*((SELECT max(event_id) FROM events)//3)\n), "
+    + ORDER_UPDATES_CTE
+    + ", "
+    + ORDERS_STATE_CTE
+    + """
+SELECT pool_address, order_id, trader,
+       CAST(price AS DOUBLE)            AS price,
+       CAST(amount AS DOUBLE)           AS amount,
+       CAST(filled AS DOUBLE)           AS filled,
+       CAST(remaining_amount AS DOUBLE) AS remaining_amount,
+       order_type, active,
+       CAST(created_ts AS DATE)         AS created_date,
+       created_seq
+FROM orders_state
+"""
+)
+
+
+def orders_state_at_version(
+    spark: SparkSession, sf_dir: str, version: int = 1
+) -> DataFrame:
+    max_seq = order_events(spark, sf_dir).agg(F.max("seq")).collect()[0][0]
+    c1, c2 = max_seq // 3, 2 * (max_seq // 3)
+    ev = order_events(spark, sf_dir)
+    slices = [
+        ev.where(F.col("seq") <= c1),
+        ev.where((F.col("seq") > c1) & (F.col("seq") <= c2)),
+        ev.where(F.col("seq") > c2),
+    ]
+    work = tempfile.mkdtemp(prefix="hss_tt_")
+    ev_dir = os.path.join(work, "events")
+    os.makedirs(ev_dir)
+    base = time.time() - 1_000
+    for i, sl in enumerate(slices):
+        tmp = os.path.join(work, f"slice{i}")
+        sl.coalesce(1).write.parquet(tmp)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dst = os.path.join(ev_dir, f"{i:02d}.parquet")
+        os.replace(part, dst)
+        os.utime(dst, (base + 10 * i, base + 10 * i))
+    schema = spark.read.parquet(ev_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_dir)
+    )
+    with _scoped_shuffle_partitions(spark):
+        store = run_incremental_fold(
+            spark,
+            stream,
+            state_dir=os.path.join(work, "state"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+        )
+    return materialize_orders(store.at_version(spark, version))
+
+
+@register("orders_state_time_travel", _TIME_TRAVEL_ORACLE)
+def q_orders_state_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = orders_state_at_version(spark, sf_dir, version=1)
+    dbl = lambda c: F.col(c).cast("double").alias(c)  # noqa: E731
+    return st.select(
+        "pool_address",
+        "order_id",
+        "trader",
+        dbl("price"),
+        dbl("amount"),
+        dbl("filled"),
+        dbl("remaining_amount"),
+        "order_type",
+        "active",
+        F.col("created_ts").cast("date").alias("created_date"),
+        "created_seq",
+    )
 
 
 @register("orders_state_streaming", _ORACLE)

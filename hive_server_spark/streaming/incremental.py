@@ -132,6 +132,13 @@ class ParquetStateStore:
             version = fh.read().strip()
         return spark.read.parquet(os.path.join(self.root, version))
 
+    def at_version(self, spark: SparkSession, batch_id: int) -> DataFrame:
+        """Time travel: the partial state as of micro-batch `batch_id`.
+        Every commit keeps its `v{n}` directory, so any historical version
+        stays readable until explicitly vacuumed — the plain-parquet form
+        of Delta/Iceberg snapshot reads."""
+        return spark.read.parquet(os.path.join(self.root, f"v{batch_id}"))
+
     def commit(self, df: DataFrame, batch_id: int) -> None:
         version = f"v{batch_id}"
         df.write.mode("overwrite").parquet(os.path.join(self.root, version))
