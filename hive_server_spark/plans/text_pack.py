@@ -23,6 +23,23 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+# LSH candidate pairs are the dedup family's shared intermediate — the
+# "candidate table" a production pipeline would materialize once per corpus
+# snapshot. Persisted per (session, sf_dir) so the pairwise verifier and the
+# connected-components pass (dedup_minhash_candidates / dedup_clusters)
+# derive it once, exactly like orders_state in gate.py.
+_CAND_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    df = _CAND_CACHE.get(key)
+    if df is None:
+        df = T.minhash_candidates(_docs(spark, sf_dir)).persist()
+        _CAND_CACHE[key] = df
+    return df
+
+
 # ---------------------------------------------------------------------------
 # per-document profile: token stats, lang-id, quality, fingerprints
 # ---------------------------------------------------------------------------
@@ -172,7 +189,7 @@ FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 
 @register("dedup_minhash_candidates", _CAND_SQL)
 def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.minhash_candidates(_docs(spark, sf_dir))
+    return _minhash_candidates(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -298,10 +315,8 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle computes the same components via a recursive-CTE transitive
     closure, so the iterative algorithm gets full value parity."""
     from hive_server_spark.functions.clusters import dup_clusters
-    from hive_server_spark.functions.text import minhash_candidates
 
-    docs = _docs(spark, sf_dir)
-    return dup_clusters(docs, minhash_candidates(docs))
+    return dup_clusters(_docs(spark, sf_dir), _minhash_candidates(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
