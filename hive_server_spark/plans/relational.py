@@ -1265,3 +1265,35 @@ def rel_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(v).cast("double").alias("min_value"),
         F.max(v).cast("double").alias("max_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitwise scalar + aggregate surface
+# ---------------------------------------------------------------------------
+@register(
+    "rel_bitwise_functions",
+    """
+SELECT event_type,
+       CAST(bit_and(user_id) AS BIGINT) AS all_bits,
+       CAST(bit_or(user_id)  AS BIGINT) AS any_bits,
+       CAST(bit_xor(user_id) AS BIGINT) AS xor_bits,
+       CAST(SUM(user_id & 255) AS BIGINT) AS sum_low_byte,
+       CAST(SUM(CASE WHEN xor(user_id, event_id) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS parity_matches
+FROM events GROUP BY event_type
+""",
+)
+def rel_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (bit_and/or/xor) and scalar masking — integer ops,
+    trivially exact cross-engine. DuckDB's `^` is exponentiation, so the
+    oracle spells scalar xor as xor(a,b)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.bit_and("user_id").cast("bigint").alias("all_bits"),
+        F.bit_or("user_id").cast("bigint").alias("any_bits"),
+        F.bit_xor("user_id").cast("bigint").alias("xor_bits"),
+        F.sum(F.expr("user_id & 255")).cast("bigint").alias("sum_low_byte"),
+        F.sum(
+            F.when(F.expr("(user_id ^ event_id) % 2 = 0"), 1).otherwise(0)
+        ).cast("bigint").alias("parity_matches"),
+    )

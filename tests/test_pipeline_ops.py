@@ -1,0 +1,80 @@
+"""Unit pins for the round-2 pipeline operators — properties the gate's
+value-hash can't see on its own:
+- hash sampling is invariant under repartitioning (the reproducibility claim);
+- gap fill emits NULL before the first observation and carries values
+  forward, never backward;
+- token shards cover the corpus exactly once and respect doc_id order;
+- state-store time travel: earlier versions are prefixes (monotone growth).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_server_spark import gate
+from tests.conftest import SF_SMALL
+
+
+def test_hash_sample_invariant_under_partitioning(spark):
+    from hive_server_spark.plans.text_pack import text_deterministic_sample
+
+    base = {r.doc_id for r in text_deterministic_sample(spark, SF_SMALL).collect()}
+    # same predicate over a differently-partitioned scan → identical rows
+    from hive_server_spark.catalog import load_table
+    from hive_server_spark.plans.text_pack import _SAMPLE_PRED_S
+
+    shuffled = (
+        load_table(spark, SF_SMALL, "documents")
+        .repartition(13)
+        .where(F.expr(_SAMPLE_PRED_S))
+    )
+    assert {r.doc_id for r in shuffled.collect()} == base
+    assert 0 < len(base)
+
+
+def test_gapfill_locf_semantics(spark):
+    rows = gate.spark_queries()["price_hourly_gapfill"](spark, SF_SMALL).collect()
+    by_pool: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r.pool_address, r.bucket)):
+        by_pool.setdefault(r.pool_address, []).append(r)
+    for pool, series in by_pool.items():
+        seen_price = None
+        for r in series:
+            if not r.is_gap:
+                seen_price = r.price_filled
+            if seen_price is None:
+                # leading gap: nothing to carry yet
+                assert r.price_filled is None
+            else:
+                assert r.price_filled == seen_price  # carried forward, never back
+
+
+def test_token_shards_partition_the_corpus(spark):
+    from hive_server_spark.catalog import load_table
+    from hive_server_spark.plans.text_pack import text_token_shards
+
+    shards = text_token_shards(spark, SF_SMALL).collect()
+    n_docs = load_table(spark, SF_SMALL, "documents").count()
+    assert sum(r.n_docs for r in shards) == n_docs  # exact cover, no overlap
+    for r in shards:
+        assert r.first_doc <= r.last_doc
+    # within a source, shard ids are dense from 0 and doc ranges are ordered
+    per_source: dict[str, list] = {}
+    for r in shards:
+        per_source.setdefault(r.source, []).append(r)
+    for src, rs in per_source.items():
+        rs.sort(key=lambda r: r.shard_id)
+        assert [r.shard_id for r in rs] == list(range(len(rs)))
+        for a, b in zip(rs, rs[1:]):
+            assert a.last_doc < b.first_doc
+
+
+def test_time_travel_versions_are_prefix_monotone(spark):
+    from hive_server_spark.plans.streaming_pack import orders_state_at_version
+
+    v1 = orders_state_at_version(spark, SF_SMALL, version=1)
+    full = gate.spark_queries()["orders_state"](spark, SF_SMALL)
+    v1_keys = {(r.pool_address, r.order_id) for r in v1.collect()}
+    full_keys = {(r.pool_address, r.order_id) for r in full.collect()}
+    assert v1_keys <= full_keys  # old snapshot never contains unseen orders
+    assert len(v1_keys) < len(full_keys) or len(v1_keys) > 0
