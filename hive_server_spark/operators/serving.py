@@ -79,3 +79,89 @@ def user_orders_json(orders: DataFrame, trader: str) -> DataFrame:
             )
         ).alias("json")
     )
+
+
+def pools_json(pools: DataFrame) -> DataFrame:
+    """GET /api/pools — every pool with its token metadata; the reference
+    drops rows missing address/baseToken (validity filter P6,
+    reference src/api/controllers/pool-controller.ts:10)."""
+    valid = pools.where(
+        F.col("pool_address").isNotNull() & F.col("base_symbol").isNotNull()
+    )
+    return valid.select(
+        F.to_json(
+            F.struct(
+                F.col("pool_address").alias("address"),
+                F.struct(
+                    F.col("base_symbol").alias("symbol"),
+                    F.col("base_decimals").alias("decimals"),
+                ).alias("baseToken"),
+                F.struct(
+                    F.col("quote_symbol").alias("symbol"),
+                    F.lit(6).alias("decimals"),
+                ).alias("quoteToken"),
+            )
+        ).alias("json")
+    )
+
+
+def pool_info_json(pools: DataFrame, pool_address: str) -> DataFrame:
+    """GET /api/pools/:address — PoolInfo shape (reference
+    src/models/types.ts:35-40): token metadata + latest price as string."""
+    row = pools.where(F.col("pool_address") == pool_address)
+    return row.select(
+        F.to_json(
+            F.struct(
+                F.col("pool_address").alias("address"),
+                F.struct(
+                    F.col("base_symbol").alias("symbol"),
+                    F.col("base_decimals").alias("decimals"),
+                ).alias("baseToken"),
+                F.struct(
+                    F.col("quote_symbol").alias("symbol"),
+                    F.lit(6).alias("decimals"),
+                ).alias("quoteToken"),
+                F.col("latest_price").cast("string").alias("latestPrice"),
+            )
+        ).alias("json")
+    )
+
+
+def market_orders_json(events: DataFrame, pool_address: str, trader: str) -> DataFrame:
+    """GET /api/pools/:address/:trader/market-orders — the append-only
+    execution history (reference src/models/order-book.ts:184-200)."""
+    mo = events.where(
+        (F.col("event_type") == "MarketOrderExecuted")
+        & (F.col("pool_address") == pool_address)
+        & (F.col("trader") == trader)
+    )
+    return mo.select(
+        F.to_json(
+            F.struct(
+                F.col("seq").alias("sequence"),
+                F.col("order_type").alias("type"),
+                F.col("price").cast("string").alias("price"),
+                F.col("filled_amount").cast("string").alias("filledAmount"),
+                F.col("event_time").cast("string").alias("timestamp"),
+            )
+        ).alias("json")
+    )
+
+
+def amount_out_json(result: DataFrame, pool_address: str) -> DataFrame:
+    """GET /api/pools/:address/get-amount-out — AmountOutResult shape
+    (reference src/models/types.ts:49-54): string amounts, touched prices,
+    optional errorMessage."""
+    row = result.where(F.col("pool_address") == pool_address)
+    return row.select(
+        F.to_json(
+            F.struct(
+                F.col("is_error").alias("isError"),
+                F.col("error_message").alias("errorMessage"),
+                F.col("output_amount").cast("string").alias("outputAmount"),
+                F.transform(
+                    F.col("hit_prices"), lambda p: p.cast("string")
+                ).alias("prices"),
+            )
+        ).alias("json")
+    )

@@ -45,3 +45,48 @@ def test_user_orders_json_q7(spark):
     trader = orders.where("NOT active").first().trader
     docs = [json.loads(r.json) for r in serving.user_orders_json(orders, trader).collect()]
     assert docs and any(not d["active"] for d in docs)
+
+
+def _pools_dim(spark):
+    from hive_server_spark.gate import q_pool_info_enriched
+    return q_pool_info_enriched(spark, SF_SMALL)
+
+
+def test_pools_json_validity_filter_and_shape(spark):
+    docs = [json.loads(r.json) for r in serving.pools_json(_pools_dim(spark)).collect()]
+    assert docs
+    for d in docs:
+        assert d["address"].startswith("pool_")
+        assert set(d["baseToken"]) == {"symbol", "decimals"}
+        assert d["quoteToken"]["symbol"] == "USDQ"
+
+
+def test_pool_info_json_latest_price_is_string(spark):
+    pools = _pools_dim(spark)
+    addr = pools.first().pool_address
+    (row,) = serving.pool_info_json(pools, addr).collect()
+    doc = json.loads(row.json)
+    assert doc["address"] == addr
+    assert isinstance(doc["latestPrice"], str) and float(doc["latestPrice"]) > 0
+
+
+def test_market_orders_json_history(spark):
+    ev = order_events(spark, SF_SMALL)
+    mo = ev.where(ev.event_type == "MarketOrderExecuted").first()
+    rows = serving.market_orders_json(ev, mo.pool_address, mo.trader).collect()
+    assert rows
+    doc = json.loads(rows[0].json)
+    assert doc["type"] in ("BUY", "SELL")
+    assert isinstance(doc["price"], str) and isinstance(doc["filledAmount"], str)
+
+
+def test_amount_out_json_matches_reference_shape(spark):
+    from hive_server_spark.operators.amount_out import amount_out
+    r = amount_out(_orders(spark), "BUY", 500)
+    addr = r.first().pool_address
+    (row,) = serving.amount_out_json(r, addr).collect()
+    doc = json.loads(row.json)
+    assert set(doc) <= {"isError", "errorMessage", "outputAmount", "prices"}
+    assert isinstance(doc["outputAmount"], str)
+    assert all(isinstance(p, str) for p in doc["prices"])
+    assert ("errorMessage" in doc) == doc["isError"]
