@@ -45,8 +45,11 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     )
     work = tempfile.mkdtemp(prefix=f"hss_{fmt}_")
     path = os.path.join(work, f"events_{fmt}")
-    writer = ev.write.option("timestampFormat", _TS_FMT)
-    reader = spark.read.schema(ev.schema).option("timestampFormat", _TS_FMT)
+    writer = ev.write
+    reader = spark.read.schema(ev.schema)
+    if fmt in ("json", "csv"):
+        writer = writer.option("timestampFormat", _TS_FMT)
+        reader = reader.option("timestampFormat", _TS_FMT)
     if fmt == "csv":
         writer = writer.option("header", "true")
         reader = reader.option("header", "true")
@@ -70,3 +73,11 @@ def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("src_csv_roundtrip", _ROLLUP_ORACLE)
 def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rollup(_roundtrip(spark, sf_dir, "csv"))
+
+
+@register("src_orc_roundtrip", _ROLLUP_ORACLE)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC is binary/typed like parquet, so the round trip checks the
+    columnar path rather than text parsing — timestamps survive at full
+    microsecond precision without a format pin."""
+    return _rollup(_roundtrip(spark, sf_dir, "orc"))

@@ -95,6 +95,19 @@ def test_sell_walks_bids_desc(make_events):
     assert [int(p) for p in r.hit_prices] == [100, 99]
 
 
+def test_zero_volume_level_visited_but_contributes_nothing(make_events):
+    # a fully-unfilled order with amount 0 creates a zero-capacity level;
+    # the reference loop still visits it while remaining > 0 and pushes its
+    # price (src/models/order-book.ts:306) — output unaffected
+    orders = _orders(make_events, [
+        ("SELL", 100, 10), ("SELL", 101, 0), ("SELL", 102, 10),
+    ])
+    r = amount_out(orders, "BUY", 1000 + 0 + 1020).collect()[0]
+    assert r.output_amount == pytest.approx(20.0)
+    assert [int(p) for p in r.hit_prices] == [100, 101, 102]
+    assert r.is_error is False
+
+
 def test_no_liquidity_is_explicit_error_row(make_events):
     # only BUY orders exist, so a BUY walk has an empty opposite side —
     # the pool must still surface, as an error row (reference :271-278)
