@@ -40,6 +40,21 @@ def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+# the per-document profile (tokens, lang-id, quality, fingerprints) is the
+# other shared intermediate: profile, histogram, filter, and corpus stats
+# all start from it — one CPU-heavy derivation, persisted per session
+_PROFILE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    df = _PROFILE_CACHE.get(key)
+    if df is None:
+        df = T.doc_profile(_docs(spark, sf_dir)).persist()
+        _PROFILE_CACHE[key] = df
+    return df
+
+
 # ---------------------------------------------------------------------------
 # per-document profile: token stats, lang-id, quality, fingerprints
 # ---------------------------------------------------------------------------
@@ -82,7 +97,7 @@ FROM profile
 
 @register("text_profile", _PROFILE_SQL)
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.doc_profile(_docs(spark, sf_dir))
+    return _profile(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -348,7 +363,7 @@ def text_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus quality distribution per language: width_bucket over the
     (bit-deterministic) quality score — the filter-threshold-picking view a
     data-curation pipeline reads before choosing a cutoff."""
-    prof = T.doc_profile(_docs(spark, sf_dir))
+    prof = _profile(spark, sf_dir)
     bucket = F.least(
         F.floor(F.col("quality_score") * 10).cast("bigint") + 1, F.lit(10)
     ).cast("bigint")
@@ -456,7 +471,7 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (25 rows — broadcast back), one filter over the corpus. At 100 TB the
     median comes from the same single shuffle as any per-lang aggregate and
     the cut itself is a map-side filter."""
-    prof = T.doc_profile(_docs(spark, sf_dir)).select(
+    prof = _profile(spark, sf_dir).select(
         "doc_id", "lang", F.col("quality_score").alias("quality")
     )
     med = prof.groupBy("lang").agg(
