@@ -536,3 +536,53 @@ def text_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("first_doc"),
         F.max("doc_id").cast("bigint").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE surface (Spark 4 WITH RECURSIVE): bounded-depth reachability
+# from the smallest candidate doc over the near-dup pair graph. Spark's
+# recursion is UNION ALL-only, so termination on the (cyclic) pair graph
+# comes from the explicit depth bound, with a final DISTINCT — the oracle
+# uses the identical formulation. Depth-4 covers any near-dup cluster here;
+# UNBOUNDED transitive closure at scale belongs to the iterative
+# connected-components operator (dedup_clusters), not recursion.
+# ---------------------------------------------------------------------------
+_REACH_SQL_BODY = """
+, edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION ALL
+  SELECT doc_b, doc_a FROM cand
+), seed AS (SELECT min(a) AS s FROM edges),
+reach(x, lvl) AS (
+  SELECT s, 0 FROM seed
+  UNION ALL
+  SELECT e.b, r.lvl + 1 FROM reach r JOIN edges e ON r.x = e.a WHERE r.lvl < 4
+)
+SELECT DISTINCT CAST(x AS BIGINT) AS doc_id FROM reach
+"""
+
+_REACH_ORACLE = f"""
+WITH RECURSIVE {_TOKS_CTE_D},
+{_SHINGLES_CTE_D},
+sigs AS (
+  SELECT doc_id,
+       {_mh_cols_d}
+  FROM shingled
+),
+sigs_b AS (
+  SELECT doc_id, {_band_cols_d}
+  FROM sigs
+),
+bands AS ({_band_union_d}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+){_REACH_SQL_BODY}"""
+
+
+@register("dedup_reachability_recursive", _REACH_ORACLE)
+def dedup_reachability_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs within 4 hops of the smallest candidate doc, via an actual
+    WITH RECURSIVE query over the materialized candidate table."""
+    _minhash_candidates(spark, sf_dir).createOrReplaceTempView("cand")
+    return spark.sql("WITH RECURSIVE _x AS (SELECT 1)" + _REACH_SQL_BODY)
