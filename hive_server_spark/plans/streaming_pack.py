@@ -135,7 +135,7 @@ def _land_events_ts_ordered(spark: SparkSession, sf_dir: str, chunks: int) -> st
 
 
 def _events_stream_in_ts_order(
-    spark: SparkSession, sf_dir: str, chunks: int = 3
+    spark: SparkSession, sf_dir: str, chunks: int = 2
 ) -> tuple[DataFrame, str]:
     """Stream over events landed range-partitioned by ts into `chunks`
     files with ascending mtimes, so the file source replays them in
@@ -172,7 +172,7 @@ def _run_append_stream(spark: SparkSession, out: DataFrame, work: str) -> DataFr
 
 
 def streamed_hourly_rollup(
-    spark: SparkSession, sf_dir: str, chunks: int = 3, watermark: str = "1 second"
+    spark: SparkSession, sf_dir: str, chunks: int = 2, watermark: str = "1 second"
 ) -> DataFrame:
     """The watermarked hourly rollup as an actual append-mode stream."""
     stream, work = _events_stream_in_ts_order(spark, sf_dir, chunks)
@@ -224,7 +224,7 @@ HAVING epoch_us(MAX(ts)) + 1800000000
 
 
 def streamed_sessions(
-    spark: SparkSession, sf_dir: str, chunks: int = 3
+    spark: SparkSession, sf_dir: str, chunks: int = 2
 ) -> DataFrame:
     stream, work = _events_stream_in_ts_order(spark, sf_dir, chunks)
     return _run_append_stream(
@@ -256,7 +256,7 @@ FROM events a JOIN events b
 
 
 def streamed_band_join(
-    spark: SparkSession, sf_dir: str, chunks: int = 3, band: str = "10 MINUTES"
+    spark: SparkSession, sf_dir: str, chunks: int = 2, band: str = "10 MINUTES"
 ) -> DataFrame:
     stream_a, work = _events_stream_in_ts_order(spark, sf_dir, chunks)
     # second reader over the same landed files: both sides replay the same
@@ -329,7 +329,7 @@ HAVING epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR)
 
 
 def streamed_dedup_rollup(
-    spark: SparkSession, sf_dir: str, chunks: int = 3
+    spark: SparkSession, sf_dir: str, chunks: int = 2
 ) -> DataFrame:
     work = tempfile.mkdtemp(prefix="hss_dedup_")
     ev_dir = os.path.join(work, "events")
@@ -394,7 +394,7 @@ HAVING epoch_us(date_trunc('hour', e.ts) + INTERVAL 1 HOUR)
 
 
 def streamed_static_enrich_rollup(
-    spark: SparkSession, sf_dir: str, chunks: int = 3
+    spark: SparkSession, sf_dir: str, chunks: int = 2
 ) -> DataFrame:
     stream, work = _events_stream_in_ts_order(spark, sf_dir, chunks)
     dim = (
