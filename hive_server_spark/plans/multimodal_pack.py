@@ -48,6 +48,41 @@ def multimodal_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_frame_inventory",
+    """
+WITH media AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS n FROM documents
+), f AS (
+  SELECT media_id, unnest(range(4)) AS frame_idx, n,
+         greatest(n // 4, 1) AS step
+  FROM media
+)
+SELECT CAST(COUNT(DISTINCT media_id) AS BIGINT) AS n_media,
+       CAST(COUNT(*) AS BIGINT)                 AS n_frames,
+       CAST(SUM(greatest(least(n, (frame_idx+1)*step) - frame_idx*step, 0)) AS BIGINT)
+         AS total_frame_bytes,
+       CAST(MAX(greatest(least(n, (frame_idx+1)*step) - frame_idx*step, 0)) AS BIGINT)
+         AS max_frame_bytes
+FROM f
+""",
+)
+def multimodal_frame_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling, value-gated: uniform byte-slice 'keyframes' are
+    deterministic arithmetic over payload lengths, so the mapInPandas
+    explode (one row per frame, payload never transits the driver) faces a
+    closed-form DuckDB oracle — the batch shape and slicing logic are both
+    checked, leaving only the real codec stubbed."""
+    media = M.synthesize_media(load_table(spark, sf_dir, "documents"), kind="video")
+    frames = M.sample_frames(media, n_frames=4)
+    return frames.agg(
+        F.count_distinct("media_id").cast("bigint").alias("n_media"),
+        F.count("*").cast("bigint").alias("n_frames"),
+        F.sum(F.length("frame_payload")).cast("bigint").alias("total_frame_bytes"),
+        F.max(F.length("frame_payload")).cast("bigint").alias("max_frame_bytes"),
+    )
+
+
 @register("multimodal_decode_profile")  # rows-only: codec stub, not SQL-expressible
 def multimodal_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize media from documents, decode via mapInPandas (deterministic
