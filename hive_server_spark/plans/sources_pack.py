@@ -81,3 +81,46 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     columnar path rather than text parsing — timestamps survive at full
     microsecond precision without a format pin."""
     return _rollup(_roundtrip(spark, sf_dir, "orc"))
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout manifest: rows assigned to Z-contiguous files over two
+# dimensions, manifest = per-file count + bounding boxes. Closed-form bit
+# arithmetic, so the layout decision itself is value-gated.
+# ---------------------------------------------------------------------------
+from hive_server_spark.sources.zorder import zorder_manifest, zvalue_sql  # noqa: E402
+
+_Z_X = "user_id % 256"
+_Z_Y = "CAST(floor(value) AS BIGINT) % 256"
+_Z_STRIDE = (1 << 16) // 16
+
+_ZORDER_ORACLE = f"""
+WITH pts AS (
+  SELECT {_Z_X} AS zx, {_Z_Y} AS zy FROM events
+), z AS (
+  SELECT zx, zy, {zvalue_sql('zx', 'zy')} AS zval FROM pts
+)
+SELECT CAST(zval // {_Z_STRIDE} AS BIGINT) AS file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(zx) AS BIGINT) AS x_min,
+       CAST(MAX(zx) AS BIGINT) AS x_max,
+       CAST(MIN(zy) AS BIGINT) AS y_min,
+       CAST(MAX(zy) AS BIGINT) AS y_max
+FROM z GROUP BY 1
+"""
+
+
+@register("layout_zorder_manifest", _ZORDER_ORACLE)
+def layout_zorder_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-curve file assignment over (user bucket, value bucket): each
+    file's manifest row carries its (x, y) bounding box, which is what lets
+    a 2-D range predicate prune to a handful of files — the Z-ORDER layout
+    primitive of lakehouse tables, value-gated as pure integer math."""
+    e = load_table(spark, sf_dir, "events")
+    return zorder_manifest(
+        e,
+        x=F.expr(_Z_X),
+        y=F.expr(_Z_Y),
+        bits=8,
+        files=16,
+    )

@@ -82,3 +82,25 @@ def test_compaction_reduces_file_count(spark, tmp_path):
     n = compact(spark, src, f"{tmp_path}/compacted", target_files=2)
     assert n == 2
     assert spark.read.parquet(f"{tmp_path}/compacted").count() == ev.count()
+
+
+def test_zorder_files_cover_compact_boxes(spark):
+    """Z-order locality: every 16th-of-curve file must span at most half of
+    each dimension's range — the compactness that enables 2-D pruning (a
+    lexicographic (x, y) sort would give y_max - y_min ≈ 255 for every x
+    stripe)."""
+    from pyspark.sql import functions as F
+    from hive_server_spark.catalog import load_table
+    from hive_server_spark.sources.zorder import zorder_manifest
+
+    e = load_table(spark, "/root/testdata/sf0.01", "events")
+    man = zorder_manifest(
+        e,
+        x=F.expr("user_id % 256"),
+        y=F.expr("CAST(floor(value) AS BIGINT) % 256"),
+    ).collect()
+    # empty Z-regions produce no file; every occupied file must be compact
+    assert 8 <= len(man) <= 16
+    for r in man:
+        assert r.x_max - r.x_min <= 128
+        assert r.y_max - r.y_min <= 128
