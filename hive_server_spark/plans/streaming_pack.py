@@ -491,6 +491,73 @@ def orders_state_at_version(
     return materialize_orders(store.at_version(spark, version))
 
 
+# ---------------------------------------------------------------------------
+# The CUSTOM stateful operator form (SURVEY ST3/§2.10): the same keyed fold
+# as applyInPandasWithState — per-(pool, order) Python state over Arrow
+# batches, vectorized masks inside the group (never per-row loops). Update
+# output mode emits a row per touched key per batch; the final state is the
+# max-version row per key. Money is double here (exact for integer-valued
+# amounts), so it shares the batch fold's oracle minus created_date.
+# ---------------------------------------------------------------------------
+_STATEFUL_ORACLE = (
+    f"WITH {ORDER_EVENTS_CTE}, {ORDER_UPDATES_CTE}, {ORDERS_STATE_CTE}"
+    + """
+SELECT pool_address, order_id, trader,
+       CAST(price AS DOUBLE)            AS price,
+       CAST(amount AS DOUBLE)           AS amount,
+       CAST(filled AS DOUBLE)           AS filled,
+       CAST(remaining_amount AS DOUBLE) AS remaining_amount,
+       order_type, active, created_seq
+FROM orders_state
+"""
+)
+
+
+def stateful_orders_state(
+    spark: SparkSession, sf_dir: str, chunks: int = 2
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hive_server_spark.streaming.stateful import stateful_orders_stream
+
+    work = tempfile.mkdtemp(prefix="hss_stateful_")
+    ev_dir = os.path.join(work, "events")
+    order_events(spark, sf_dir).repartition(chunks).write.parquet(ev_dir)
+    schema = spark.read.parquet(ev_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_dir)
+    )
+    sink = f"stateful_{uuid.uuid4().hex[:8]}"
+    with _scoped_shuffle_partitions(spark):
+        q = (
+            stateful_orders_stream(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    tbl = spark.table(sink)
+    w = Window.partitionBy("pool_address", "order_id").orderBy(F.desc("version"))
+    return (
+        tbl.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "version")
+    )
+
+
+@register("orders_state_stateful", _STATEFUL_ORACLE)
+def q_orders_state_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stateful_orders_state(spark, sf_dir).select(
+        "pool_address", "order_id", "trader", "price", "amount", "filled",
+        "remaining_amount", "order_type", "active", "created_seq",
+    )
+
+
 @register("orders_state_time_travel", _TIME_TRAVEL_ORACLE)
 def q_orders_state_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = orders_state_at_version(spark, sf_dir, version=1)

@@ -19,7 +19,6 @@ reference (tombstone, not delete — Q7), hence NoTimeout."""
 from __future__ import annotations
 
 from collections.abc import Iterator
-from typing import Any
 
 import pandas as pd
 
@@ -74,31 +73,42 @@ _EVENT_COLS = [
 ]
 
 
-def _updates_for(row: pd.Series) -> dict[str, Any]:
-    """Field updates per event type — Q3/Q5/Q7 semantics, mirroring
-    operators/fold.py project_updates."""
-    et = row["event_type"]
-    if et == "OrderCreated":
-        return {
-            "trader": row["trader"],
-            "price": float(row["price"]),
-            "amount": float(row["amount"]),
-            "filled": 0.0,
-            "remaining_amount": float(row["amount"]),
-            "order_type": row["order_type"],
-            "active": True,
-        }
-    if et == "OrderFilled":
-        return {
-            "filled": float(row["filled"]),
-            "remaining_amount": float(row["remaining"]),
-            "active": bool(row["remaining"] > 0),
-        }
-    if et == "OrderCancelled":
-        return {"active": False}
-    if et == "OrderUpdated":
-        return {"amount": float(row["new_amount"])}
-    return {}
+def _last_field_update(name: str, pdf: pd.DataFrame, seqs, masks) -> tuple | None:
+    """(seq, value) of the latest update this batch touches `name` with —
+    Q3/Q5/Q7 semantics, mirroring operators/fold.py project_updates.
+    Vectorized: boolean masks + a tail index, never per-row Python."""
+    import numpy as np
+
+    created, filled, cancelled, updated = masks
+    num = lambda c: pd.to_numeric(pdf[c], errors="coerce").to_numpy()  # noqa: E731
+    if name == "trader":
+        mask, vals = created, pdf["trader"].to_numpy()
+    elif name == "price":
+        mask, vals = created, num("price")
+    elif name == "amount":
+        mask = created | updated
+        vals = np.where(created, num("amount"), num("new_amount"))
+    elif name == "filled":
+        mask = created | filled
+        vals = np.where(created, 0.0, num("filled"))
+    elif name == "remaining_amount":
+        mask = created | filled
+        vals = np.where(created, num("amount"), num("remaining"))
+    elif name == "order_type":
+        mask, vals = created, pdf["order_type"].to_numpy()
+    else:  # active
+        mask = created | filled | cancelled
+        vals = np.where(created, True, np.where(filled, num("remaining") > 0, False))
+    idx = np.nonzero(mask)[0]
+    if len(idx) == 0:
+        return None
+    i = idx[-1]
+    v = vals[i]
+    if name == "active":
+        v = bool(v)
+    elif name in ("price", "amount", "filled", "remaining_amount"):
+        v = float(v)
+    return int(seqs[i]), v
 
 
 def _fold_group(
@@ -112,15 +122,26 @@ def _fold_group(
     st[-1] = (st[-1] or 0) + 1
 
     for pdf in pdf_iter:
-        for _, row in pdf.sort_values("seq").iterrows():
-            seq = int(row["seq"])
-            upd = _updates_for(row)
-            for i, name in enumerate(names):
-                if name in upd and (st[2 * i] is None or seq >= st[2 * i]):
-                    st[2 * i], st[2 * i + 1] = seq, upd[name]
-            if row["event_type"] == "OrderCreated":
-                st[-3] = seq if st[-3] is None else max(st[-3], seq)
-                st[-2] = 1
+        pdf = pdf.sort_values("seq")
+        seqs = pdf["seq"].astype("int64").to_numpy()
+        et = pdf["event_type"].to_numpy()
+        masks = (
+            et == "OrderCreated",
+            et == "OrderFilled",
+            et == "OrderCancelled",
+            et == "OrderUpdated",
+        )
+        for i, name in enumerate(names):
+            upd = _last_field_update(name, pdf, seqs, masks)
+            if upd is not None and (st[2 * i] is None or upd[0] >= st[2 * i]):
+                st[2 * i], st[2 * i + 1] = upd
+        import numpy as np
+
+        created_idx = np.nonzero(masks[0])[0]
+        if len(created_idx):
+            last_created = int(seqs[created_idx[-1]])
+            st[-3] = last_created if st[-3] is None else max(st[-3], last_created)
+            st[-2] = 1
 
     state.update(tuple(st))
     out = {

@@ -58,6 +58,7 @@ def test_no_sort_merge_join_anywhere_in_gate(spark):
         "evt_dedup_rollup_streaming",  # same: chained stateful stream
         "evt_stream_static_enrich",  # same: stream-static join stream
         "orders_state_time_travel",  # same: incremental fold stream + snapshot read
+        "orders_state_stateful",  # same: applyInPandasWithState stream
         "emb_lsh_neardup_topk",
         "dedup_clusters",
         "rel_full_outer_nation_activity",
