@@ -1,0 +1,59 @@
+"""Data-quality validation: declarative row constraints → violation report.
+
+A training-data pipeline gates every ingest behind constraint checks (null
+rates, value ranges, set membership, cross-column implications). This
+operator evaluates ALL rules in one scan — each rule is a boolean column,
+the report is a single aggregate — so validating N rules costs one pass
+regardless of N, and the rule predicates stay Catalyst expressions (pushdown
+/ codegen apply as usual, no Python).
+
+`check()` returns one row per rule: rows checked, violations, pass flag.
+`violations()` returns the offending rows for one rule (bounded by `limit`
+— at 100 TB you sample the evidence, never collect the failure set).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    name: str
+    predicate: Column  # True ⇔ the row PASSES
+
+
+def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """One row per rule: (rule, n_rows, n_violations, passed)."""
+    # NULL predicate results count as violations (SQL three-valued logic
+    # would otherwise let null-laden rows pass every range check silently)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(
+                F.when(F.coalesce(r.predicate, F.lit(False)), 0).otherwise(1)
+            ).alias(f"_v_{i}")
+            for i, r in enumerate(rules)
+        ],
+    )
+    per_rule = [
+        F.struct(
+            F.lit(r.name).alias("rule"),
+            F.col("_n").cast("bigint").alias("n_rows"),
+            F.coalesce(F.col(f"_v_{i}"), F.lit(0)).cast("bigint").alias("n_violations"),
+        )
+        for i, r in enumerate(rules)
+    ]
+    return (
+        agg.select(F.explode(F.array(*per_rule)).alias("r"))
+        .select("r.rule", "r.n_rows", "r.n_violations")
+        .withColumn("passed", F.col("n_violations") == 0)
+    )
+
+
+def violations(df: DataFrame, rule: Rule, limit: int = 100) -> DataFrame:
+    """Evidence sample for one failing rule (null results are failures)."""
+    return df.where(~F.coalesce(rule.predicate, F.lit(False))).limit(limit)

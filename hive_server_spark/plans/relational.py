@@ -1297,3 +1297,97 @@ def rel_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.expr("(user_id ^ event_id) % 2 = 0"), 1).otherwise(0)
         ).cast("bigint").alias("parity_matches"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality validation: N declarative constraints in ONE scan
+# ---------------------------------------------------------------------------
+@register(
+    "dq_lineitem_report",
+    """
+WITH agg AS (
+  SELECT COUNT(*) AS n,
+    SUM(CASE WHEN COALESCE(l_quantity BETWEEN 1 AND 50, FALSE) THEN 0 ELSE 1 END) AS v0,
+    SUM(CASE WHEN COALESCE(l_discount BETWEEN 0 AND 0.10, FALSE) THEN 0 ELSE 1 END) AS v1,
+    SUM(CASE WHEN COALESCE(l_returnflag IN ('A','N','R'), FALSE) THEN 0 ELSE 1 END) AS v2,
+    SUM(CASE WHEN COALESCE(l_extendedprice > 0, FALSE) THEN 0 ELSE 1 END) AS v3,
+    SUM(CASE WHEN COALESCE(l_shipdate >= TIMESTAMP '1995-01-01 00:00:00', FALSE)
+        THEN 0 ELSE 1 END) AS v4
+  FROM lineitem
+)
+SELECT r.rule, CAST(n AS BIGINT) AS n_rows,
+       CAST(r.v AS BIGINT) AS n_violations,
+       r.v = 0 AS passed
+FROM agg, (
+  SELECT 'quantity_in_range' AS rule, v0 AS v FROM agg
+  UNION ALL SELECT 'discount_in_range', v1 FROM agg
+  UNION ALL SELECT 'returnflag_in_set', v2 FROM agg
+  UNION ALL SELECT 'price_positive', v3 FROM agg
+  UNION ALL SELECT 'shipdate_after_epoch', v4 FROM agg
+) r
+""",
+)
+def dq_lineitem_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint report over lineitem: five rules (range, set membership,
+    positivity, date floor) evaluated as boolean columns in a single
+    aggregate — validating N rules costs one scan at any scale, and null
+    comparison results count as violations, not silent passes."""
+    from hive_server_spark.operators.quality import Rule, check
+
+    li = _t(spark, sf_dir, "lineitem")
+    rules = [
+        Rule("quantity_in_range", F.col("l_quantity").between(1, 50)),
+        Rule("discount_in_range", F.col("l_discount").between(0, 0.10)),
+        Rule("returnflag_in_set", F.col("l_returnflag").isin("A", "N", "R")),
+        Rule("price_positive", F.col("l_extendedprice") > 0),
+        Rule(
+            "shipdate_after_epoch",
+            F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"),
+        ),
+    ]
+    return check(li, rules)
+
+
+# ---------------------------------------------------------------------------
+# Winsorization bounds: per-group p05/p95 clipping thresholds + clip counts
+# ---------------------------------------------------------------------------
+@register(
+    "evt_winsor_stats",
+    """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, b.p05, b.p95,
+       CAST(SUM(CASE WHEN e.value < b.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+       CAST(SUM(CASE WHEN e.value > b.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM events e JOIN b USING (event_type)
+GROUP BY e.event_type, b.p05, b.p95
+""",
+)
+def evt_winsor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-clipping prep: exact interpolated p05/p95 per event type
+    (bit-identical cross-engine) broadcast back onto the events, counting
+    rows each side of the clip — the winsorization report a feature
+    pipeline reviews before applying least/greatest clipping."""
+    e = _t(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("p05"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+    return (
+        e.join(F.broadcast(b), "event_type")
+        .groupBy("event_type", "p05", "p95")
+        .agg(
+            F.sum(F.when(F.col("value") < F.col("p05"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_below"),
+            F.sum(F.when(F.col("value") > F.col("p95"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_above"),
+            F.count("*").cast("bigint").alias("n_total"),
+        )
+    )

@@ -78,3 +78,29 @@ def test_time_travel_versions_are_prefix_monotone(spark):
     full_keys = {(r.pool_address, r.order_id) for r in full.collect()}
     assert v1_keys <= full_keys  # old snapshot never contains unseen orders
     assert len(v1_keys) < len(full_keys) or len(v1_keys) > 0
+
+
+def test_dq_nulls_count_as_violations(spark):
+    from hive_server_spark.operators.quality import Rule, check, violations
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 200.0)], "id long, v double"
+    )
+    rule = Rule("v_in_range", F.col("v").between(0, 100))
+    rep = {r.rule: r for r in check(df, [rule]).collect()}["v_in_range"]
+    assert rep.n_rows == 3
+    assert rep.n_violations == 2  # the NULL and the 200.0
+    assert rep.passed is False
+    bad = {r.id for r in violations(df, rule).collect()}
+    assert bad == {2, 3}
+
+
+def test_dq_single_scan_for_many_rules(spark):
+    from hive_server_spark.operators.quality import Rule, check
+    from hive_server_spark.catalog import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    rules = [Rule(f"r{i}", F.col("l_quantity") > i) for i in range(10)]
+    plan = check(li, rules)._jdf.queryExecution().executedPlan().toString()
+    # ten rules, one scan — the report must not re-read the table per rule
+    assert plan.count("Scan parquet") == 1
