@@ -586,3 +586,46 @@ def dedup_reachability_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE query over the materialized candidate table."""
     _minhash_candidates(spark, sf_dir).createOrReplaceTempView("cand")
     return spark.sql("WITH RECURSIVE _x AS (SELECT 1)" + _REACH_SQL_BODY)
+
+
+# ---------------------------------------------------------------------------
+# Mixture sampling: per-source target weights (the training-mix step) with
+# the same seeded-hash mechanism — each source keeps `rate`% of its docs,
+# deterministically, and the realized mix is auditable per stratum.
+# ---------------------------------------------------------------------------
+_MIX_HASH_S = T.hash_expr("doc_id", "mix7", "s")
+_MIX_HASH_D = T.hash_expr("doc_id", "mix7", "d")
+_MIX_RATE_S = "10 + (CAST(substring(source, 4, 8) AS INT) * 7) % 80"
+_MIX_RATE_D = "10 + (CAST(substr(source, 4) AS INT) * 7) % 80"
+
+
+@register(
+    "text_mixture_sample",
+    f"""
+SELECT source,
+       CAST({_MIX_RATE_D} AS BIGINT) AS target_rate_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN (({_MIX_HASH_D}) % 100 + 100) % 100 < {_MIX_RATE_D}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN (({_MIX_HASH_D}) % 100 + 100) % 100 < {_MIX_RATE_D}
+                THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS realized_rate
+FROM documents
+GROUP BY source
+""",
+)
+def text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture over sources: each stratum keeps a deterministic
+    hash-threshold fraction (its target weight), so the corpus mix is
+    reproducible and the realized-vs-target rates are one audit query."""
+    d = _docs(spark, sf_dir).select(
+        "source",
+        F.expr(f"CAST({_MIX_RATE_S} AS BIGINT)").alias("target_rate_pct"),
+        (F.expr(f"pmod({_MIX_HASH_S}, 100)") < F.expr(_MIX_RATE_S))
+        .cast("int")
+        .alias("kept"),
+    )
+    return d.groupBy("source", "target_rate_pct").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        (F.sum("kept").cast("double") / F.count("*")).alias("realized_rate"),
+    )
