@@ -629,3 +629,69 @@ def text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("kept").cast("bigint").alias("n_kept"),
         (F.sum("kept").cast("double") / F.count("*")).alias("realized_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model statistics: top bigrams with conditional probability
+# P(b|a) = c(ab)/c(a·). Counts are exact integers; the probability is one
+# division — the n-gram statistics pass an LM data pipeline runs over a
+# corpus. Spark side builds bigrams with zip_with over two slices (arguments
+# evaluate once per ROW; a transform over the derived token array would
+# re-inline the split per ELEMENT — the CollapseProject trap).
+# ---------------------------------------------------------------------------
+@register(
+    "text_bigram_lm",
+    f"""
+WITH {_TOKS_CTE_D},
+bg AS (
+  SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))
+           AS bigram
+  FROM toks WHERE len(toks) >= 2
+), c_ab AS (
+  SELECT bigram, COUNT(*) AS n_ab FROM bg GROUP BY bigram
+), c_a AS (
+  SELECT split_part(bigram, ' ', 1) AS head, COUNT(*) AS n_a
+  FROM bg GROUP BY split_part(bigram, ' ', 1)
+), ranked AS (
+  SELECT bigram, n_ab, n_a,
+         row_number() OVER (ORDER BY n_ab DESC, bigram ASC) AS rk
+  FROM c_ab JOIN c_a ON split_part(bigram, ' ', 1) = head
+)
+SELECT bigram,
+       CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(n_a AS BIGINT)  AS n_head,
+       CAST(n_ab AS DOUBLE) / n_a AS cond_p,
+       CAST(rk AS BIGINT)   AS rk
+FROM ranked WHERE rk <= 50
+""",
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_server_spark.operators.topk import global_topk
+
+    toks = T.with_tokens(_docs(spark, sf_dir)).where(F.size("toks") >= 2)
+    bigrams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram")
+    )
+    c_ab = bigrams.groupBy("bigram").agg(F.count("*").alias("n_ab"))
+    c_a = (
+        bigrams.select(F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("head"))
+        .groupBy("head")
+        .agg(F.count("*").alias("n_a"))
+    )
+    j = c_ab.join(
+        c_a, F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == F.col("head")
+    )
+    top = global_topk(j, [F.desc("n_ab"), F.asc("bigram")], 50)
+    return top.select(
+        "bigram",
+        F.col("n_ab").cast("bigint").alias("n_ab"),
+        F.col("n_a").cast("bigint").alias("n_head"),
+        (F.col("n_ab").cast("double") / F.col("n_a")).alias("cond_p"),
+        "rk",
+    )
