@@ -1391,3 +1391,75 @@ def evt_winsor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Conditional distinct aggregates (DISTINCT + FILTER combined)
+# ---------------------------------------------------------------------------
+@register(
+    "rel_conditional_distinct",
+    """
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+         AS n_customers_filled,
+       CAST(COUNT(DISTINCT date_trunc('month', o_orderdate)) AS BIGINT) AS n_months,
+       CAST(COUNT(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT) AS n_large
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def rel_conditional_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates under conditions — count_distinct over a
+    when()-guarded column (nulls drop out of DISTINCT, which IS the FILTER
+    semantics) plus a plain conditional count, all in one aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("n_customers"),
+        F.count_distinct(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_custkey"))
+        ).cast("bigint").alias("n_customers_filled"),
+        F.count_distinct(F.date_trunc("month", "o_orderdate"))
+        .cast("bigint")
+        .alias("n_months"),
+        F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_large"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Median absolute deviation — robust dispersion via two exact percentiles
+# ---------------------------------------------------------------------------
+@register(
+    "rel_mad_by_priority",
+    """
+WITH med AS (
+  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority,
+       any_value(m.med) AS median_price,
+       quantile_cont(abs(o.o_totalprice - m.med), 0.5) AS mad,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o JOIN med m USING (o_orderpriority)
+GROUP BY o.o_orderpriority
+""",
+)
+def rel_mad_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per priority: median via exact interpolated
+    percentile, |x − med| is one subtraction + abs (bit-deterministic), and
+    the outer median is again the exact percentile — a fully hash-gated
+    robust statistic, where stddev would be order-dependent float folding."""
+    o = _t(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("med")
+    )
+    return (
+        o.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.any_value("med").alias("median_price"),
+            F.percentile(F.abs(F.col("o_totalprice") - F.col("med")), 0.5).alias("mad"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+    )
