@@ -152,7 +152,11 @@ def extract_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
 
 
 DECODED_FEATURES_SCHEMA = StructType(
-    DECODED_SCHEMA.fields + [StructField("features", ArrayType(FloatType()), False)]
+    DECODED_SCHEMA.fields
+    + [
+        StructField("n_bytes", LongType(), False),
+        StructField("features", ArrayType(FloatType()), False),
+    ]
 )
 
 
@@ -166,10 +170,11 @@ def decode_and_featurize(media: DataFrame, n_bins: int = 16) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
-            decoded, feats = [], []
+            decoded, feats, sizes = [], [], []
             for p in pdf["payload"]:
                 b = bytes(p)
                 decoded.append(_fake_decode(b))
+                sizes.append(len(b))
                 arr = np.frombuffer(b, dtype=np.uint8)
                 hist = np.bincount(arr // (256 // n_bins), minlength=n_bins)[:n_bins]
                 total = max(int(hist.sum()), 1)
@@ -182,6 +187,7 @@ def decode_and_featurize(media: DataFrame, n_bins: int = 16) -> DataFrame:
                     "height": [d[1] for d in decoded],
                     "mean_luma": [d[2] for d in decoded],
                     "decoder": "fake-deterministic",
+                    "n_bytes": sizes,
                     "features": feats,
                 }
             )

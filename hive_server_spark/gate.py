@@ -655,3 +655,80 @@ from hive_server_spark.plans import (  # noqa: E402,F401
     multimodal_pack,
     streaming_pack,
 )
+
+# ---------------------------------------------------------------------------
+# Driver-visible ordering (round-3 rotation)
+# ---------------------------------------------------------------------------
+# The correctness driver hash-checks the FIRST 50 queries per round. Round 2
+# verified the core order-book + relational half (CORRECTNESS_r02.json:
+# 49/50 green). Round 3 rotates the other half to the front so the dedup /
+# embedding / events / text / sources / udf / multimodal / streaming surface
+# gets driver-green rows too. `rel_approx_sketches` rides along because its
+# oracle is new this round (it was the one `no_oracle` row). The displaced
+# names (the proven core+relational pack and `rel_conditional_distinct`)
+# remain fully covered by tests/test_gate_parity.py, which runs ALL
+# oracle-backed queries against DuckDB on every pytest.
+from hive_server_spark.registry import set_driver_priority  # noqa: E402
+
+DRIVER_PRIORITY_R3 = [
+    # late-registered relational/quality additions from round 2
+    "dq_lineitem_report",
+    "evt_winsor_stats",
+    "rel_mad_by_priority",
+    "rel_approx_sketches",
+    # events analytics pack
+    "evt_hourly_rollup",
+    "evt_sessions",
+    "evt_props_stats",
+    "evt_funnel_cohorts",
+    "evt_top_users",
+    "evt_trailing_hour_value",
+    "evt_type_pivot",
+    "evt_retention_matrix",
+    # embeddings / ANN pack
+    "emb_cosine_topk",
+    "emb_ivf_topk",
+    "emb_lsh_buckets",
+    "emb_lsh_neardup_topk",
+    # text + dedup pack
+    "text_profile",
+    "text_exact_dedup",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_sigs",
+    "dedup_minhash_candidates",
+    "dedup_simhash",
+    "text_corpus_stats",
+    "text_top_ngrams",
+    "dedup_clusters",
+    "text_quality_histogram",
+    "text_deterministic_sample",
+    "text_sample_rates",
+    "text_quality_filter",
+    "text_token_shards",
+    "dedup_reachability_recursive",
+    "text_mixture_sample",
+    "text_bigram_lm",
+    # sources / layout pack
+    "src_jsonl_roundtrip",
+    "src_csv_roundtrip",
+    "src_orc_roundtrip",
+    "layout_zorder_manifest",
+    # UDF surface pack
+    "udf_alpha_quality",
+    "udf_user_centered_values",
+    # multimodal pack
+    "multimodal_inventory",
+    "multimodal_frame_inventory",
+    "multimodal_decode_profile",
+    # structured-streaming pack
+    "evt_hourly_rollup_streaming",
+    "evt_sessions_streaming",
+    "evt_stream_stream_join",
+    "evt_dedup_rollup_streaming",
+    "evt_stream_static_enrich",
+    "orders_state_stateful",
+    "orders_state_time_travel",
+    "orders_state_streaming",
+]
+assert len(DRIVER_PRIORITY_R3) == 50, len(DRIVER_PRIORITY_R3)
+set_driver_priority(DRIVER_PRIORITY_R3)

@@ -764,27 +764,60 @@ def rel_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Approximate aggregates (rows-only: sketch implementations differ per
-# engine, so no value oracle — accuracy is pinned by tests vs exact)
+# Approximate aggregates. Sketch *estimates* differ per engine by
+# construction, so the hashed output carries (a) exact values both engines
+# compute identically and (b) booleans asserting the Spark-side sketches sit
+# inside their documented error bounds; the oracle emits the same exact
+# values with constant TRUE. A sketch drifting outside its bound therefore
+# fails the hash gate — a real correctness check, not rows-only.
 # ---------------------------------------------------------------------------
-@register("rel_approx_sketches")  # rows-only by design
+@register(
+    "rel_approx_sketches",
+    """
+SELECT s_nationkey,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_suppliers,
+       CAST(COUNT(*) AS BIGINT)                  AS n_rows,
+       TRUE AS hll_within_bound,
+       TRUE AS pctl_within_bound
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+""",
+)
 def rel_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct counts and approximate percentiles per nation:
     the constant-memory sketch path for 100 TB cardinality/quantile work
     (exact distinct shuffles every key; the sketch ships fixed-size state).
-    Accuracy vs exact is asserted in tests/test_relational_ops.py."""
+    HLL bound: 5×rsd relative error (rsd=0.02 → ±10%, ~5σ). Quantile bound:
+    accuracy=10000 ⇒ rank error n/10000, far inside the exact p45..p55 band
+    used here. Tighter accuracy assertions live in tests/test_relational_ops.py."""
     li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
     s = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
-    return (
+    agg = (
         li.join(s, li.l_suppkey == s.s_suppkey)
         .groupBy("s_nationkey")
         .agg(
-            F.approx_count_distinct("l_suppkey", rsd=0.02)
-            .cast("bigint")
-            .alias("approx_suppliers"),
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+            F.approx_count_distinct("l_suppkey", rsd=0.02).alias("_approx_nd"),
+            F.count_distinct("l_suppkey").alias("_exact_nd"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000)
+            .cast("double")
+            .alias("_approx_med"),
+            F.percentile("l_extendedprice", 0.45).alias("_p45"),
+            F.percentile("l_extendedprice", 0.55).alias("_p55"),
             F.count("*").cast("bigint").alias("n_rows"),
         )
+    )
+    return agg.select(
+        "s_nationkey",
+        F.col("_exact_nd").cast("bigint").alias("exact_suppliers"),
+        "n_rows",
+        (
+            F.abs(F.col("_approx_nd") - F.col("_exact_nd"))
+            <= F.lit(0.10) * F.col("_exact_nd")
+        ).alias("hll_within_bound"),
+        (
+            (F.col("_approx_med") >= F.col("_p45"))
+            & (F.col("_approx_med") <= F.col("_p55"))
+        ).alias("pctl_within_bound"),
     )
 
 

@@ -23,6 +23,28 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _SPARK_QUERIES: dict[str, QueryFn] = {}
 _ORACLE_SQL: dict[str, str] = {}
 
+# The correctness driver verifies the FIRST 50 entries of `queries()` in
+# iteration order each round. With >50 registered queries, which 50 get a
+# driver-green CORRECTNESS row is a per-round choice: round 2 verified the
+# core order-book + relational half, so round 3 surfaces the other half
+# (dedup / embeddings / events / text / sources / udf / multimodal /
+# streaming) first. `set_driver_priority` pins that front slice explicitly;
+# names not listed keep registration order after it. Local parity coverage
+# is unaffected — tests/test_gate_parity.py always runs ALL oracle-backed
+# queries regardless of this ordering.
+_DRIVER_PRIORITY: list[str] = []
+
+
+def set_driver_priority(names: list[str]) -> None:
+    """Pin which query names surface first in queries()/oracle_sql() order."""
+    _DRIVER_PRIORITY[:] = names
+
+
+def _ordered(d: dict) -> dict:
+    pri = [n for n in _DRIVER_PRIORITY if n in d]
+    head = set(pri)
+    return {n: d[n] for n in (*pri, *(k for k in d if k not in head))}
+
 
 def register(name: str, oracle: str | None = None):
     """Decorator: register a gate query and (optionally) its DuckDB oracle."""
@@ -37,8 +59,8 @@ def register(name: str, oracle: str | None = None):
 
 
 def spark_queries() -> dict[str, QueryFn]:
-    return dict(_SPARK_QUERIES)
+    return _ordered(_SPARK_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLE_SQL)
+    return _ordered(_ORACLE_SQL)
