@@ -49,16 +49,17 @@ _DBL = lambda c: F.col(c).cast("double").alias(c)  # noqa: E731
 # mirrors that architecture and spares every order-book query a re-fold;
 # at cluster scale this is the MERGE'd state table the streaming layer
 # maintains (streaming/incremental.py), not a per-query recompute.
-_STATE_CACHE: dict[tuple[int, str], DataFrame] = {}
+from hive_server_spark.session_cache import SessionCache, unpersist_df  # noqa: E402
+
+_STATE_CACHE: SessionCache[DataFrame] = SessionCache(on_evict=unpersist_df)
 
 
 def _orders_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
-    df = _STATE_CACHE.get(key)
-    if df is None:
-        df = fold_order_events(order_events(spark, sf_dir)).persist()
-        _STATE_CACHE[key] = df
-    return df
+    return _STATE_CACHE.get_or_create(
+        spark,
+        (sf_dir,),
+        lambda: fold_order_events(order_events(spark, sf_dir)).persist(),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import glob
 import os
+import shutil
 import tempfile
 import time
 import uuid
@@ -113,14 +114,17 @@ HAVING epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR)
 
 # landed ts-ordered event files, shared across the streaming gate queries —
 # each run still gets its own checkpoint/sink dirs, but the (identical)
-# landing write happens once per (session, sf_dir)
-_LANDED: dict[tuple[int, str, int], str] = {}
+# landing write happens once per (session, sf_dir); evicted landings have
+# their temp dirs deleted so long-lived processes don't leak disk
+from hive_server_spark.session_cache import SessionCache
+
+_LANDED: SessionCache[str] = SessionCache(
+    on_evict=lambda d: shutil.rmtree(os.path.dirname(d), ignore_errors=True)
+)
 
 
 def _land_events_ts_ordered(spark: SparkSession, sf_dir: str, chunks: int) -> str:
-    key = (id(spark), sf_dir, chunks)
-    ev_dir = _LANDED.get(key)
-    if ev_dir is None:
+    def land() -> str:
         ev_dir = os.path.join(tempfile.mkdtemp(prefix="hss_land_"), "events")
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "ts", "user_id", "event_type", "value"
@@ -130,8 +134,9 @@ def _land_events_ts_ordered(spark: SparkSession, sf_dir: str, chunks: int) -> st
         parts = sorted(glob.glob(os.path.join(ev_dir, "part-*.parquet")))
         for i, p in enumerate(parts):
             os.utime(p, (base + 10 * i, base + 10 * i))
-        _LANDED[key] = ev_dir
-    return ev_dir
+        return ev_dir
+
+    return _LANDED.get_or_create(spark, (sf_dir, chunks), land)
 
 
 def _events_stream_in_ts_order(
@@ -471,9 +476,17 @@ def orders_state_at_version(
     for i, sl in enumerate(slices):
         tmp = os.path.join(work, f"slice{i}")
         sl.coalesce(1).write.parquet(tmp)
-        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        parts = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        # the three-file mtime layout (batch ids 0/1/2) is what the
+        # time-travel oracle's version numbering is defined against — an
+        # empty or multi-file slice would silently break it, so fail loud
+        assert len(parts) == 1, (
+            f"seq slice {i} of events({sf_dir}) wrote {len(parts)} part files "
+            f"(expected exactly 1 after coalesce(1)); the version-numbering "
+            f"contract of orders_state_at_version requires one file per slice"
+        )
         dst = os.path.join(ev_dir, f"{i:02d}.parquet")
-        os.replace(part, dst)
+        os.replace(parts[0], dst)
         os.utime(dst, (base + 10 * i, base + 10 * i))
     schema = spark.read.parquet(ev_dir).schema
     stream = (

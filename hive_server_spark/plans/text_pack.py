@@ -28,31 +28,31 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # snapshot. Persisted per (session, sf_dir) so the pairwise verifier and the
 # connected-components pass (dedup_minhash_candidates / dedup_clusters)
 # derive it once, exactly like orders_state in gate.py.
-_CAND_CACHE: dict[tuple[int, str], DataFrame] = {}
+from hive_server_spark.session_cache import SessionCache, unpersist_df
+
+_CAND_CACHE: SessionCache[DataFrame] = SessionCache(on_evict=unpersist_df)
 
 
 def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
-    df = _CAND_CACHE.get(key)
-    if df is None:
-        df = T.minhash_candidates(_docs(spark, sf_dir)).persist()
-        _CAND_CACHE[key] = df
-    return df
+    return _CAND_CACHE.get_or_create(
+        spark,
+        (sf_dir,),
+        lambda: T.minhash_candidates(_docs(spark, sf_dir)).persist(),
+    )
 
 
 # the per-document profile (tokens, lang-id, quality, fingerprints) is the
 # other shared intermediate: profile, histogram, filter, and corpus stats
 # all start from it — one CPU-heavy derivation, persisted per session
-_PROFILE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_PROFILE_CACHE: SessionCache[DataFrame] = SessionCache(on_evict=unpersist_df)
 
 
 def _profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
-    df = _PROFILE_CACHE.get(key)
-    if df is None:
-        df = T.doc_profile(_docs(spark, sf_dir)).persist()
-        _PROFILE_CACHE[key] = df
-    return df
+    return _PROFILE_CACHE.get_or_create(
+        spark,
+        (sf_dir,),
+        lambda: T.doc_profile(_docs(spark, sf_dir)).persist(),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -583,9 +583,22 @@ cand AS (
 @register("dedup_reachability_recursive", _REACH_ORACLE)
 def dedup_reachability_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Docs within 4 hops of the smallest candidate doc, via an actual
-    WITH RECURSIVE query over the materialized candidate table."""
-    _minhash_candidates(spark, sf_dir).createOrReplaceTempView("cand")
-    return spark.sql("WITH RECURSIVE _x AS (SELECT 1)" + _REACH_SQL_BODY)
+    WITH RECURSIVE query over the materialized candidate table. The temp
+    view gets a unique name (the session catalog is shared state — a
+    generic 'cand' could silently clobber a concurrent query's view) and is
+    dropped once the plan is built; the returned DataFrame's resolved plan
+    no longer needs it."""
+    import uuid
+
+    view = f"cand_{uuid.uuid4().hex[:12]}"
+    _minhash_candidates(spark, sf_dir).createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            "WITH RECURSIVE _x AS (SELECT 1)"
+            + _REACH_SQL_BODY.replace("FROM cand", f"FROM {view}")
+        )
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 # ---------------------------------------------------------------------------

@@ -9,8 +9,13 @@ them safe to use at all: byte-identical results to the declarative oracle.
 
 Exactness recipe:
 - integer outputs from the UDF (counts) are trivially exact;
-- float means use math.fsum — the correctly-rounded exact sum — which equals
-  DuckDB's fsum() aggregate bit-for-bit, then one division;
+- float means are computed on a 2^-20 fixed-point grid: floor(value * 2^20)
+  is exact in binary FP (power-of-two scaling never rounds), the integer
+  sum is exact in both engines, and the divisions back happen in one fixed
+  IEEE order — no float *summation* exists anywhere, so there is no
+  dependence on any engine's compensated-summation implementation
+  (math.fsum is Shewchuk-exact but DuckDB's fsum() is Kahan — not
+  guaranteed correctly rounded, a one-ulp divergence class this removes);
 - a - b on doubles is a single IEEE op, identical everywhere.
 
 Scale posture: scalar pandas UDFs pipeline Arrow batches (no shuffle);
@@ -74,8 +79,15 @@ def udf_alpha_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Grouped-map applyInPandas: per-user value centering
 # ---------------------------------------------------------------------------
+_Q = 1048576.0  # 2^20 — power-of-two scale, value*_Q never rounds
+
+
 def _center(pdf: pd.DataFrame) -> pd.DataFrame:
-    mean = math.fsum(pdf["value"]) / len(pdf)
+    # exact integer sum of the 2^-20-quantized values (Python ints, no
+    # precision cap), then double conversion + division in the same order
+    # the SQL oracle uses: double(sum) / double(n) / 2^20
+    q_sum = sum(math.floor(v) for v in (pdf["value"].to_numpy() * _Q))
+    mean = float(q_sum) / float(len(pdf)) / _Q
     out = pdf[["event_id", "user_id", "value"]].copy()
     out["user_mean"] = mean
     out["centered"] = pdf["value"] - mean
@@ -88,7 +100,9 @@ def _center(pdf: pd.DataFrame) -> pd.DataFrame:
 WITH base AS (
   SELECT event_id, user_id, value FROM events WHERE user_id % 5 = 0
 ), stats AS (
-  SELECT user_id, fsum(value) / COUNT(*) AS user_mean
+  SELECT user_id,
+         CAST(SUM(CAST(floor(value * 1048576.0) AS BIGINT)) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) / 1048576.0 AS user_mean
   FROM base GROUP BY user_id
 )
 SELECT b.event_id, b.user_id, b.value,
@@ -100,9 +114,9 @@ FROM base b JOIN stats s USING (user_id)
 def udf_user_centered_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-group Python transform: each user's events stream through one
     worker as an Arrow batch and come back centered on the user mean. The
-    mean uses math.fsum (exact summation), which the oracle matches with
-    DuckDB's fsum() — so even this float pipeline is hash-gated, unlike the
-    usual order-dependent float aggregation."""
+    mean is the 2^-20 fixed-point quantized mean (see module docstring):
+    exact integer arithmetic end-to-end, so the Python path and the DuckDB
+    oracle are bit-identical with no compensated-summation assumptions."""
     e = (
         load_table(spark, sf_dir, "events")
         .where(F.col("user_id") % 5 == 0)
