@@ -142,12 +142,30 @@ def lsh_buckets(emb: DataFrame, n_dims: int = 64) -> DataFrame:
     )
 
 
-def lsh_neardup_topk(emb: DataFrame, k: int = 20, n_dims: int = 64) -> DataFrame:
+def lsh_neardup_topk(
+    emb: DataFrame, k: int = 20, n_dims: int = 64, max_bucket: int | None = None
+) -> DataFrame:
     """Top-k most-similar pairs among same-bucket candidates.
 
     Candidate volume is E[n²/2^N_PLANES] — the knob that keeps this linear-ish
-    at scale. Exact cosine is computed only on candidates."""
+    at scale. Exact cosine is computed only on candidates.
+
+    That expectation is for spread-out vectors; a degenerate batch (all
+    vectors equal — e.g. a zero-variance feature extractor upstream) puts n
+    rows in ONE bucket and the self-join emits C(n,2) rows regardless of
+    N_PLANES. `max_bucket` drops buckets above the cap from pair generation
+    (their members are mutual near-dups by construction — route them to an
+    exact/hash dedup instead of pairwise scoring). None = uncapped (the
+    parity-gate configuration)."""
     b = lsh_buckets(emb, n_dims).join(_vecs(emb).select("vec_id", "v"), "vec_id")
+    if max_bucket is not None:
+        small = (
+            b.groupBy("bucket")
+            .agg(F.count("*").alias("_b"))
+            .where(F.col("_b") <= max_bucket)
+            .select("bucket")
+        )
+        b = b.join(small, "bucket", "left_semi")
     a, c = b.alias("a"), b.alias("b")
     pairs = (
         a.join(

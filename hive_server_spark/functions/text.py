@@ -321,10 +321,18 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return out
 
 
-def minhash_candidates(docs: DataFrame) -> DataFrame:
+def minhash_candidates(docs: DataFrame, max_bucket: int | None = None) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one band bucket. Shuffle is
     on band keys (fine-grained); output is O(near-dups), never O(n²) — the
-    scale path for dedup. Pairs are distinct across bands."""
+    scale path for dedup. Pairs are distinct across bands.
+
+    `max_bucket` is the adversarial-input guard: a band bucket holding b docs
+    contributes C(b,2) join rows, so one pathological bucket (e.g. thousands
+    of byte-identical docs — a real failure mode in web corpora) re-creates
+    the O(n²) blowup banding exists to avoid. Buckets larger than the cap are
+    dropped from candidate generation; their members are (near-)identical by
+    construction and belong to `exact_dedup`'s hash-group path instead, which
+    handles them in O(b). None = uncapped (the parity-gate configuration)."""
     sigs = minhash_signatures(docs)
     bands = sigs.select(
         "doc_id",
@@ -332,6 +340,14 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
             F.array(*[F.concat_ws("#", F.lit(b), F.col(f"band_{b}")) for b in range(N_BANDS)])
         ).alias("band_key"),
     )
+    if max_bucket is not None:
+        small = (
+            bands.groupBy("band_key")
+            .agg(F.count("*").alias("_b"))
+            .where(F.col("_b") <= max_bucket)
+            .select("band_key")
+        )
+        bands = bands.join(small, "band_key", "left_semi")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -556,7 +556,11 @@ _REACH_SQL_BODY = """
 reach(x, lvl) AS (
   SELECT s, 0 FROM seed
   UNION ALL
-  SELECT e.b, r.lvl + 1 FROM reach r JOIN edges e ON r.x = e.a WHERE r.lvl < 4
+  -- DISTINCT per level is load-bearing: without it the recursion enumerates
+  -- WALKS (rows multiply by node degree each level — exponential in a dense
+  -- near-dup clique), with it each level is a BFS frontier bounded by n.
+  -- The final outer DISTINCT makes the result set identical either way.
+  SELECT DISTINCT e.b, r.lvl + 1 FROM reach r JOIN edges e ON r.x = e.a WHERE r.lvl < 4
 )
 SELECT DISTINCT CAST(x AS BIGINT) AS doc_id FROM reach
 """

@@ -48,6 +48,29 @@ def test_lsh_bucket_determinism_and_range(spark):
     assert {r.vec_id: r.bucket for r in b} == {r.vec_id: r.bucket for r in again}
 
 
+def test_lsh_hot_bucket_cap_bounds_pair_volume(spark):
+    """Degenerate all-equal embedding batch (zero-variance upstream feature
+    extractor): every vector projects to the same hyperplane signs, so ONE
+    bucket holds all n rows and the self-join emits C(n,2) pairs no matter
+    how many planes there are. The max_bucket guard drops oversized buckets
+    from pair generation (their members are mutual near-dups by construction
+    — exact dedup's O(b) hash path owns them); on the real corpus, where no
+    bucket is oversized, the cap is a no-op."""
+    n = 40
+    same = [0.5] * 64
+    degenerate = spark.createDataFrame(
+        [(i, same, 0) for i in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    assert E.lsh_neardup_topk(degenerate, k=10**9).count() == n * (n - 1) // 2
+    assert E.lsh_neardup_topk(degenerate, k=10**9, max_bucket=8).count() == 0
+    real = _emb(spark)
+    assert (
+        E.lsh_neardup_topk(real, k=10**9, max_bucket=10**6).count()
+        == E.lsh_neardup_topk(real, k=10**9).count()
+    )
+
+
 def test_neardup_pairs_are_true_cosines(spark):
     import numpy as np
 

@@ -62,3 +62,59 @@ def test_simhash_near_for_near_texts(spark):
     )
     # most planted near-dups should be within 6/32 bits
     assert close >= len(pairs) * 0.7
+
+
+# ---------------------------------------------------------------------------
+# Adversarial hot-key bounds: the scale claims in text.py:19-25 pinned as
+# join-ROW counts, not wall time (VERDICT r2 item 5).
+# ---------------------------------------------------------------------------
+def _shingle_join_volume(edges) -> int:
+    """Exact output volume of the shingle self-join: sum over shingles of
+    C(df, 2) — what the executor would actually emit."""
+    from pyspark.sql import functions as F
+
+    row = (
+        edges.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .agg(F.coalesce(F.sum(F.expr("df * (df - 1) / 2")), F.lit(0)).alias("v"))
+        .collect()[0]
+    )
+    return int(row.v)
+
+
+def test_df_cut_bounds_hot_shingle_join_volume(spark, monkeypatch):
+    """A shingle planted in all 24 docs alone contributes C(24,2)=276 join
+    rows; with DF_CUT below its document frequency the hot shingle is
+    dropped and the join volume collapses to the unique-tail residue (0)."""
+    docs = spark.createDataFrame(
+        [
+            (i, "en", "web", f"common hot phrase u{i}a u{i}b u{i}c u{i}d")
+            for i in range(24)
+        ],
+        "doc_id long, lang string, source string, text string",
+    )
+    monkeypatch.setattr(T, "DF_CUT", 10**9)
+    uncut = _shingle_join_volume(T._shingle_edges(docs))
+    monkeypatch.setattr(T, "DF_CUT", 10)
+    cut = _shingle_join_volume(T._shingle_edges(docs))
+    assert uncut >= 276  # the hot shingle's C(24,2) alone
+    assert cut == 0  # every surviving shingle is unique to its doc
+
+
+def test_minhash_hot_bucket_cap_bounds_candidates(spark):
+    """30 byte-identical docs collapse into one band bucket per band —
+    C(30,2) candidate pairs no matter how many bands there are. The
+    max_bucket guard drops oversized buckets (exact dups belong to
+    exact_dedup's O(b) hash path), bounding candidate volume; on a corpus
+    with no oversized bucket the cap is a no-op."""
+    docs = spark.createDataFrame(
+        [(i, "en", "web", "the very same duplicated text body here") for i in range(30)],
+        "doc_id long, lang string, source string, text string",
+    )
+    assert T.minhash_candidates(docs).count() == 30 * 29 // 2
+    assert T.minhash_candidates(docs, max_bucket=8).count() == 0
+    real = _docs(spark)
+    assert (
+        T.minhash_candidates(real, max_bucket=10**6).count()
+        == T.minhash_candidates(real).count()
+    )
