@@ -560,7 +560,12 @@ reach(x, lvl) AS (
   -- WALKS (rows multiply by node degree each level — exponential in a dense
   -- near-dup clique), with it each level is a BFS frontier bounded by n.
   -- The final outer DISTINCT makes the result set identical either way.
-  SELECT DISTINCT e.b, r.lvl + 1 FROM reach r JOIN edges e ON r.x = e.a WHERE r.lvl < 4
+  -- the BROADCAST hint keeps each iteration's join shuffle-free (the edge
+  -- set is the bounded candidate graph, tiny next to the corpus; the
+  -- frontier side never needs to move). DuckDB parses /*+ */ as a comment,
+  -- so the shared body stays oracle-identical.
+  SELECT /*+ BROADCAST(e) */ DISTINCT e.b, r.lvl + 1
+  FROM reach r JOIN edges e ON r.x = e.a WHERE r.lvl < 4
 )
 SELECT DISTINCT CAST(x AS BIGINT) AS doc_id FROM reach
 """
@@ -597,10 +602,19 @@ def dedup_reachability_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = f"cand_{uuid.uuid4().hex[:12]}"
     _minhash_candidates(spark, sf_dir).createOrReplaceTempView(view)
     try:
-        return spark.sql(
-            "WITH RECURSIVE _x AS (SELECT 1)"
-            + _REACH_SQL_BODY.replace("FROM cand", f"FROM {view}")
-        )
+        # recursion iterations run outside AQE's runtime coalescing, so the
+        # per-level DISTINCT would otherwise shuffle at the full session
+        # partition count for a graph of a few hundred edges. Shuffle
+        # partitions are a runtime conf, so the recursion must EXECUTE
+        # inside the scope — localCheckpoint(eager) materializes the (small,
+        # ≤ one dedup cluster) result there.
+        from hive_server_spark.session import scoped_shuffle_partitions
+
+        with scoped_shuffle_partitions(spark):
+            return spark.sql(
+                "WITH RECURSIVE _x AS (SELECT 1)"
+                + _REACH_SQL_BODY.replace("FROM cand", f"FROM {view}")
+            ).localCheckpoint(eager=True)
     finally:
         spark.catalog.dropTempView(view)
 

@@ -14,6 +14,26 @@ import os
 from pyspark.sql import SparkSession
 
 
+class scoped_shuffle_partitions:
+    """Temporarily pin spark.sql.shuffle.partitions around a bounded-size
+    stage (streaming state stores, recursive-CTE iterations — places where
+    AQE cannot coalesce at runtime). Results are partition-count invariant;
+    this is a latency knob only. On a real cluster the session owner sizes
+    it to the actual state/graph cardinality. 4 measured fastest for the
+    gate's state sizes (8 doubles the per-micro-batch state-store overhead
+    for no win; 2 starves the join stages)."""
+
+    def __init__(self, spark: SparkSession, n: int = 4):
+        self.spark, self.n = spark, n
+
+    def __enter__(self) -> None:
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc) -> None:
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def get_spark(app_name: str = "hive-server-spark", *, shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for this engine.
 
