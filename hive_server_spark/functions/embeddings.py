@@ -142,10 +142,10 @@ def lsh_buckets(emb: DataFrame, n_dims: int = 64) -> DataFrame:
     )
 
 
-def lsh_neardup_topk(
-    emb: DataFrame, k: int = 20, n_dims: int = 64, max_bucket: int | None = None
+def lsh_candidate_pairs(
+    emb: DataFrame, n_dims: int = 64, max_bucket: int | None = None
 ) -> DataFrame:
-    """Top-k most-similar pairs among same-bucket candidates.
+    """Same-bucket candidate pairs with exact cosine — the discovery stage.
 
     Candidate volume is E[n²/2^N_PLANES] — the knob that keeps this linear-ish
     at scale. Exact cosine is computed only on candidates.
@@ -167,19 +167,24 @@ def lsh_neardup_topk(
         )
         b = b.join(small, "bucket", "left_semi")
     a, c = b.alias("a"), b.alias("b")
-    pairs = (
-        a.join(
-            c,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.bucket").alias("bucket"),
-            F.expr(cosine_expr("a.v", "b.v", "s")).alias("cosine"),
-        )
+    return a.join(
+        c,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.bucket").alias("bucket"),
+        F.expr(cosine_expr("a.v", "b.v", "s")).alias("cosine"),
     )
+
+
+def lsh_neardup_topk(
+    emb: DataFrame, k: int = 20, n_dims: int = 64, max_bucket: int | None = None
+) -> DataFrame:
+    """Top-k most-similar pairs among same-bucket candidates (see
+    `lsh_candidate_pairs` for the discovery-stage scale posture)."""
+    pairs = lsh_candidate_pairs(emb, n_dims, max_bucket)
     from hive_server_spark.operators.topk import global_topk
 
     return global_topk(

