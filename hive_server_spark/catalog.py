@@ -42,17 +42,29 @@ def _ensure_read_confs(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver table. Parquet supplies the schema (footer-exact).
 
-    `events.ts` is TIMESTAMP(NANOS) in the driver parquet; Spark reads it as
-    long (nanosAsLong, pinned below) and we convert to a microsecond
-    timestamp here (truncation — matching DuckDB, whose timestamps are
-    microsecond too).
+    `events.ts` has changed physical encoding across driver testdata
+    regenerations, so normalize every known encoding to the session
+    TimestampType (LTZ) here — the single catalog boundary — rather than in
+    each consumer:
+
+    * TIMESTAMP(NANOS): Spark reads it as long under nanosAsLong (pinned
+      below); convert ns→µs with integer division (truncation — matching
+      DuckDB, whose timestamps are microsecond too).
+    * timestamp[us] isAdjustedToUTC=false → TIMESTAMP_NTZ: cast to session
+      TIMESTAMP. Session timezone is pinned UTC, so wall-clock values are
+      unchanged; downstream `unix_micros` / `withWatermark` require LTZ.
+    * timestamp[us] UTC → already session TIMESTAMP; no-op.
     """
     _ensure_read_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer division — ns epochs (~1.7e18) overflow double precision,
-        # so a float divide here would corrupt the microsecond digit
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer division — ns epochs (~1.7e18) overflow double precision,
+            # so a float divide here would corrupt the microsecond digit
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

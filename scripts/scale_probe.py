@@ -14,10 +14,17 @@ semantic invariants the gate queries rely on:
   order/pool* (state cardinality constant, fold input 10x): exactly the
   shape a 100 TB log has;
 - `documents.text` gets a per-copy suffix token (cross-copy rows are
-  near-duplicates, not byte-duplicates — keeps dedup candidate volume
-  realistic instead of exploding C(MULT,2) exact-dup groups);
-- `embeddings.embedding` gets a small per-copy additive offset (copies
-  spread over LSH buckets instead of stacking in them).
+  near-duplicates, not byte-duplicates — keeps exact-dedup group sizes
+  bounded). NOTE: the suffix barely perturbs minhash signatures (min over
+  all shingles), so copies of one base doc still collide in most bands.
+  That makes *candidate-pair* volume grow ~C(MULT,2) per base doc — a
+  property of the replicated corpus's duplicate structure, not engine
+  superlinearity — which is why DEFAULT_QUERIES times `dedup_minhash_sigs`
+  (the linear signature scan) and not `dedup_minhash_candidates`;
+- `embeddings.embedding` gets a per-copy, per-dimension deterministic
+  perturbation (sin-based, a function of (copy, dim)) large enough to flip
+  some hyperplane signs, so copies spread across LSH buckets instead of
+  stacking in them.
 
 Output: a markdown table of per-query wall time at 1x vs MULTx and the
 ratio. A query whose ratio is >> MULT is superlinear — the thing VERDICT
@@ -64,7 +71,12 @@ DEFAULT_QUERIES = [
     "scale_salted_cohort_rollup",
     "text_profile",
     "text_exact_dedup",
-    "dedup_minhash_candidates",
+    # dedup_minhash_sigs, NOT dedup_minhash_candidates: candidate-pair count
+    # scales with the corpus's duplicate structure (~C(mult,2) pairs per
+    # replicated base doc), so the candidates query is superlinear on this
+    # synthetic corpus by construction — timing it here would report a false
+    # superlinearity signal. The signature scan is the engine-linear part.
+    "dedup_minhash_sigs",
     "emb_lsh_buckets",
     "emb_cosine_topk",
 ]
@@ -116,8 +128,16 @@ def _scaled_copy(
         if table == "documents" and i > 0:
             df = df.withColumn("text", F.concat("text", F.lit(f" rep{i}")))
         if table == "embeddings" and i > 0:
+            # per-(copy, dim) deterministic perturbation: a uniform offset
+            # would shift every hyperplane projection by c*sum(weights) and
+            # copies would still stack in the same LSH buckets; varying the
+            # offset by dimension flips a meaningful fraction of plane signs.
             df = df.withColumn(
-                "embedding", F.expr(f"transform(embedding, x -> x + {0.0017 * i}F)")
+                "embedding",
+                F.expr(
+                    "transform(embedding, (x, d) -> "
+                    f"CAST(x + 0.08 * sin((d + 1) * 12.9898 * {i}) AS FLOAT))"
+                ),
             )
         copies.append(df)
     out = copies[0]
@@ -136,8 +156,10 @@ def build_scaled_dir(spark: SparkSession, out_dir: str, mult: int) -> None:
         else:
             shutil.copy(src, dst)
     for t in _SHIFTS:
-        # events.ts reads back as TIMESTAMP via load_table's nanos conversion;
-        # writing it re-typed is fine — load_table passes it through untouched.
+        # events.ts: load_table normalizes whatever parquet encoding the
+        # driver shipped (ns-as-bigint / µs-NTZ / µs-UTC) to session
+        # TIMESTAMP; the copy written here is µs-UTC, which load_table
+        # passes through untouched on re-read.
         _scaled_copy(spark, t, mult, strides).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"{t}.parquet")
         )
@@ -150,7 +172,12 @@ def time_queries(
     out: dict[str, float] = {}
     for n in names:
         t0 = time.perf_counter()
-        qs[n](spark, sf_dir).count()
+        # noop sink, not .count(): count() lets Catalyst prune every
+        # unreferenced column, so a map-only query (e.g. emb_lsh_buckets)
+        # would be timed as a bare scan with its projection expressions
+        # optimized away. The noop writer fully evaluates every output
+        # column without driver-side transfer.
+        qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save()
         out[n] = time.perf_counter() - t0
     return out
 
@@ -216,8 +243,13 @@ def _splice_scale_md(table: str, mult: int) -> None:
         f"{table}\n"
     )
     if _MARK in text:
-        head = text.split(_MARK)[0]
-        text = head + section
+        # replace only the measured-scaling section: splice up to the next
+        # '## ' heading after the marker and preserve the tail, so sections
+        # added after it are not silently deleted on the next run.
+        head, rest = text.split(_MARK, 1)
+        nxt = rest.find("\n## ")
+        tail = rest[nxt + 1:] if nxt != -1 else ""
+        text = head + section + ("\n" + tail if tail else "")
     else:
         text = text.rstrip() + "\n\n" + section
     with open(path, "w") as f:
