@@ -655,6 +655,7 @@ from hive_server_spark.plans import (  # noqa: E402,F401
     udf_pack,
     multimodal_pack,
     streaming_pack,
+    serving_pack,
 )
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,292 @@
+"""Oracle-backed gate queries for the serving and CDC edges (SURVEY S9/S10).
+
+Until round 3 these two surfaces were pytest-only ("edge" rows in the
+verdict's coverage table): the JSON serving shapes (operators/serving.py,
+reference src/api/routes.ts:11-17) and the CDC snapshot push
+(streaming/cdc.py, reference src/services/hive-listener.ts:212-221). This
+pack gives each a rows+schema+value-hash oracle:
+
+* serving JSON — the Spark side renders responses with `to_json` (JVM-side,
+  per row); the DuckDB oracle builds the byte-identical JSON string by
+  explicit concatenation. Any drift in field order, decimal rendering,
+  boolean casing, or null-key omission breaks the hash.
+* CDC — the streaming fold runs over the same deterministic 3-slice landing
+  as `orders_state_time_travel`, so each micro-batch has an exact seq-range
+  definition; the oracle recomputes every version's depth-k book for the
+  pools touched in that batch, entirely in SQL. This checks the versioned
+  *evolution* of the pushed snapshots, not just the final state.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_server_spark.operators.fold import ORDER_UPDATES_CTE, ORDERS_STATE_CTE
+from hive_server_spark.registry import register
+from hive_server_spark.sources.synthetic import ORDER_EVENTS_CTE, order_events
+
+
+def _orders_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # late import: gate.py imports this pack at the end of its module body,
+    # so a module-level `from hive_server_spark.gate import ...` would be
+    # circular; by the time queries run, gate is fully initialized and we
+    # reuse its per-session persisted state fold.
+    from hive_server_spark.gate import _orders_state as state
+
+    return state(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# S10 — GET /api/pools/:address (PoolInfo JSON), all pools
+# (reference src/api/controllers/pool-controller.ts, src/models/types.ts:35-40)
+# ---------------------------------------------------------------------------
+_POOL_INFO_JSON_ORACLE = (
+    f"WITH {ORDER_EVENTS_CTE}\n"
+    + """
+, pools AS (
+  SELECT pool_address,
+         CAST(14 + ('0x'||substr(md5(pool_address),1,2))::BIGINT % 5 AS BIGINT)
+           AS base_decimals,
+         concat('TK', upper(substr(pool_address, 6, 1)))  AS base_symbol,
+         'USDQ'                                           AS quote_symbol
+  FROM (SELECT DISTINCT pool_address FROM order_events)
+), lp AS (
+  SELECT pool_address, max_by(price, seq) AS latest_price
+  FROM order_events WHERE event_type = 'LatestPrice' GROUP BY pool_address
+)
+SELECT p.pool_address,
+       '{"address":"' || p.pool_address ||
+       '","baseToken":{"symbol":"' || p.base_symbol ||
+       '","decimals":' || CAST(p.base_decimals AS VARCHAR) ||
+       '},"quoteToken":{"symbol":"USDQ","decimals":6}' ||
+       CASE WHEN lp.latest_price IS NULL THEN '}'
+            ELSE ',"latestPrice":"' || CAST(lp.latest_price AS VARCHAR) || '"}'
+       END AS json
+FROM pools p LEFT JOIN lp ON p.pool_address = lp.pool_address
+"""
+)
+
+
+@register("serving_pool_info_json", _POOL_INFO_JSON_ORACLE)
+def q_serving_pool_info_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PoolInfo JSON for every pool — the GET /api/pools/:address response
+    shape rendered JVM-side with to_json (operators/serving.py:108). Spark's
+    to_json omits null keys, which the oracle mirrors with a CASE; the
+    whole string is hash-compared, so decimal rendering ("112.000"), field
+    order, and null-key omission are all pinned."""
+    ev = order_events(spark, sf_dir)
+    pools = ev.select("pool_address").distinct().select(
+        "pool_address",
+        (
+            F.lit(14)
+            + F.expr("CAST(conv(substring(md5(pool_address),1,2),16,10) AS BIGINT)") % 5
+        )
+        .cast("bigint")
+        .alias("base_decimals"),
+        F.concat(F.lit("TK"), F.upper(F.substring("pool_address", 6, 1))).alias(
+            "base_symbol"
+        ),
+    )
+    lp = (
+        ev.where(F.col("event_type") == "LatestPrice")
+        .groupBy("pool_address")
+        .agg(F.max_by("price", "seq").alias("latest_price"))
+    )
+    joined = F.broadcast(pools).join(lp, "pool_address", "left")
+    return joined.select(
+        "pool_address",
+        F.to_json(
+            F.struct(
+                F.col("pool_address").alias("address"),
+                F.struct(
+                    F.col("base_symbol").alias("symbol"),
+                    F.col("base_decimals").alias("decimals"),
+                ).alias("baseToken"),
+                F.struct(
+                    F.lit("USDQ").alias("symbol"),
+                    F.lit(6).alias("decimals"),
+                ).alias("quoteToken"),
+                F.col("latest_price").cast("string").alias("latestPrice"),
+            )
+        ).alias("json"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S10 — GET /api/pools/:address/orders?trader=T1 (per-order JSON rows)
+# (reference src/api/controllers/order-controller.ts; Q7 tombstones included)
+# ---------------------------------------------------------------------------
+_USER_ORDERS_JSON_ORACLE = (
+    f"WITH {ORDER_EVENTS_CTE}, {ORDER_UPDATES_CTE}, {ORDERS_STATE_CTE}"
+    + """
+SELECT pool_address, order_id,
+       '{"pool":"' || pool_address ||
+       '","id":' || CAST(order_id AS VARCHAR) ||
+       ',"price":"' || CAST(price AS VARCHAR) ||
+       '","amount":"' || CAST(amount AS VARCHAR) ||
+       '","type":"' || order_type ||
+       '","active":' || CASE WHEN active THEN 'true' ELSE 'false' END || '}'
+         AS json
+FROM orders_state WHERE trader = 'T1'
+"""
+)
+
+
+@register("serving_user_orders_json", _USER_ORDERS_JSON_ORACLE)
+def q_serving_user_orders_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trader T1's orders as serving JSON rows (active AND tombstoned — Q7),
+    the operators/serving.py:67 response shape over the folded state. Every
+    field of a created order is non-null, so no key-omission branch is
+    needed; decimals render to full scale identically in both engines."""
+    orders = _orders_state(spark, sf_dir).where(F.col("trader") == "T1")
+    return orders.select(
+        "pool_address",
+        "order_id",
+        F.to_json(
+            F.struct(
+                F.col("pool_address").alias("pool"),
+                F.col("order_id").alias("id"),
+                F.col("price").cast("string").alias("price"),
+                F.col("amount").cast("string").alias("amount"),
+                F.col("order_type").alias("type"),
+                F.col("active"),
+            )
+        ).alias("json"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S9/ST5 — CDC re-emit: versioned depth-k book snapshots per touched pool
+# ---------------------------------------------------------------------------
+def _cdc_oracle() -> str:
+    """Version-aware fold oracle: replicate order_events per CDC version
+    (cumulative seq cutoffs at ⌊max/3⌋ / 2·⌊max/3⌋ / all — the same slice
+    definition as the time-travel landing), fold per (version, pool, order),
+    then rank the book levels of each version's *touched* pools.
+
+    The updates/state CTEs are the canonical fold fragments from
+    operators/fold.py with the version key string-spliced into the
+    SELECT/GROUP BY — single-sourced fold logic, asserted below."""
+    v_updates = ORDER_UPDATES_CTE.replace(
+        "SELECT\n    pool_address, order_id, seq,",
+        "SELECT\n    cdc_version, pool_address, order_id, seq,",
+    ).replace("FROM order_events", "FROM ve")
+    v_state = ORDERS_STATE_CTE.replace(
+        "SELECT\n    pool_address, order_id,",
+        "SELECT\n    cdc_version, pool_address, order_id,",
+    ).replace(
+        "GROUP BY pool_address, order_id",
+        "GROUP BY cdc_version, pool_address, order_id",
+    )
+    assert "cdc_version" in v_updates and "FROM ve" in v_updates, (
+        "fold CTE splice failed for updates: operators/fold.py text changed; "
+        "update the replace() targets in plans/serving_pack._cdc_oracle"
+    )
+    assert v_state.count("cdc_version") == 2, (
+        "fold CTE splice failed for state: operators/fold.py text changed; "
+        "update the replace() targets in plans/serving_pack._cdc_oracle"
+    )
+    return (
+        f"WITH {ORDER_EVENTS_CTE},\n"
+        + """
+cut AS (
+  SELECT (SELECT max(event_id) FROM events)//3     AS c1,
+         2*((SELECT max(event_id) FROM events)//3) AS c2
+),
+vers AS (SELECT 0 AS cdc_version UNION ALL SELECT 1 UNION ALL SELECT 2),
+ve AS (
+  SELECT v.cdc_version, e.*
+  FROM order_events e JOIN vers v
+    ON e.seq <= CASE v.cdc_version
+                  WHEN 0 THEN (SELECT c1 FROM cut)
+                  WHEN 1 THEN (SELECT c2 FROM cut)
+                  ELSE e.seq END
+),
+touched AS (
+  SELECT DISTINCT
+         CASE WHEN seq <= (SELECT c1 FROM cut) THEN 0
+              WHEN seq <= (SELECT c2 FROM cut) THEN 1
+              ELSE 2 END AS cdc_version,
+         pool_address
+  FROM order_events
+),
+"""
+        + v_updates
+        + ",\n"
+        + v_state
+        + """
+, levels AS (
+  SELECT s.cdc_version, s.pool_address, s.order_type, s.price,
+         SUM(s.amount - s.filled) AS total_volume,
+         COUNT(*) AS order_count
+  FROM orders_state s
+  JOIN touched t
+    ON s.cdc_version = t.cdc_version AND s.pool_address = t.pool_address
+  WHERE s.active AND s.price IS NOT NULL
+  GROUP BY s.cdc_version, s.pool_address, s.order_type, s.price
+), ranked AS (
+  SELECT *,
+    CASE WHEN order_type = 'BUY'
+         THEN row_number() OVER (PARTITION BY cdc_version, pool_address, order_type ORDER BY price DESC)
+         ELSE row_number() OVER (PARTITION BY cdc_version, pool_address, order_type ORDER BY price ASC)
+    END AS level_rank
+  FROM levels
+)
+SELECT CAST(cdc_version AS BIGINT) AS cdc_version,
+       pool_address, order_type,
+       CAST(price AS DOUBLE)        AS price,
+       CAST(total_volume AS DOUBLE) AS total_volume,
+       CAST(order_count AS BIGINT)  AS order_count,
+       CAST(level_rank AS BIGINT)   AS level_rank
+FROM ranked WHERE level_rank <= 20
+"""
+    )
+
+
+@register("cdc_book_snapshots", _cdc_oracle())
+def q_cdc_book_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the incremental fold WITH CDC over the deterministic 3-slice
+    landing (one micro-batch per seq slice, shared with
+    orders_state_time_travel) and return every pushed snapshot row across
+    all three CDC versions. The oracle recomputes each version's book from
+    the events visible at that version's cutoff — so batch sequencing,
+    touched-pool selection, idempotent partition overwrite, and the book
+    recompute are all value-checked, closing the last oracle-less operator
+    (VERDICT r03 item 8)."""
+    from hive_server_spark.plans.streaming_pack import (
+        _land_seq_slices,
+        _scoped_shuffle_partitions,
+    )
+    from hive_server_spark.streaming.cdc import run_incremental_fold_with_cdc
+
+    work = tempfile.mkdtemp(prefix="hss_cdc_")
+    ev_dir = _land_seq_slices(spark, sf_dir)
+    schema = spark.read.parquet(ev_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_dir)
+    )
+    with _scoped_shuffle_partitions(spark):
+        _store, cdc_dir = run_incremental_fold_with_cdc(
+            spark,
+            stream,
+            state_dir=os.path.join(work, "state"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            cdc_dir=os.path.join(work, "cdc"),
+            depth=20,
+        )
+    snaps = spark.read.parquet(cdc_dir)
+    return snaps.select(
+        F.col("cdc_version").cast("bigint").alias("cdc_version"),
+        "pool_address",
+        "order_type",
+        F.col("price").cast("double").alias("price"),
+        F.col("total_volume").cast("double").alias("total_volume"),
+        F.col("order_count").cast("bigint").alias("order_count"),
+        F.col("level_rank").cast("bigint").alias("level_rank"),
+    )

@@ -90,3 +90,41 @@ def test_amount_out_json_matches_reference_shape(spark):
     assert isinstance(doc["outputAmount"], str)
     assert all(isinstance(p, str) for p in doc["prices"])
     assert ("errorMessage" in doc) == doc["isError"]
+
+
+def test_pool_info_json_null_latest_price_omits_key(spark):
+    """The serving gate oracle (plans/serving_pack._POOL_INFO_JSON_ORACLE)
+    mirrors Spark's to_json null-key omission with a CASE branch that sf0.01
+    data never exercises (every pool has LatestPrice events) — pin the
+    omission contract itself here so a to_json behavior change surfaces as
+    this failure, not a silent oracle divergence on sparser data."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(
+        F.to_json(
+            F.struct(
+                F.lit("p").alias("address"),
+                F.lit(None).cast("string").alias("latestPrice"),
+            )
+        ).alias("json")
+    )
+    (row,) = df.collect()
+    assert row.json == '{"address":"p"}'  # null key dropped, no trailing comma
+
+
+def test_serving_pack_json_is_parseable(spark):
+    """Gate JSON rows must round-trip through a real JSON parser (the hash
+    oracle checks bytes; this checks the bytes are valid JSON)."""
+    from hive_server_spark.plans import serving_pack
+
+    rows = serving_pack.q_serving_pool_info_json(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        doc = json.loads(r.json)
+        assert set(doc) >= {"address", "baseToken", "quoteToken"}
+        assert doc["baseToken"]["symbol"].startswith("TK")
+    rows = serving_pack.q_serving_user_orders_json(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        doc = json.loads(r.json)
+        assert doc["id"] == r.order_id and isinstance(doc["active"], bool)
