@@ -1,0 +1,207 @@
+"""Live JSON API daemon over the serving surface (SURVEY S10, the last
+"missing" row of VERDICT r03).
+
+The reference serves these routes from Express over in-memory listener state
+(reference src/api/server.ts:26-51, src/api/routes.ts:11-17):
+
+    GET /api/pools
+    GET /api/pools/:address
+    GET /api/pools/:address/orderbook
+    GET /api/pools/:address/orders/:id
+    GET /api/pools/:address/:trader/orders
+    GET /api/pools/:address/:trader/market-orders
+    GET /api/pools/:address/get-amount-out?amount=&side=
+
+Spark-first equivalent: the daemon holds the *persisted* folded state (the
+table the streaming layer maintains via MERGE at cluster scale) plus the
+broadcastable pools dim, and each request is a filter + tiny collect over
+those cached DataFrames — response rendering is the same JVM-side `to_json`
+path the oracle-checked serving gate queries pin byte-exactly
+(plans/serving_pack.py). No route ever collects more than its response.
+
+The reference's Socket.io orderbook push (server.ts:43-51) is a transport
+concern; its engine-side contract — "every touched pool re-emits a versioned
+snapshot" — is the CDC table (streaming/cdc.py). The daemon exposes that as
+
+    GET /api/cdc/:address?since=<version>
+
+returning all snapshots with cdc_version > since: any push transport
+(websocket bridge, SSE, poller) tails this endpoint; the engine's job ends
+at the versioned snapshot stream. Zero non-stdlib dependencies
+(http.server), threads share the one SparkSession (Spark reads are
+thread-safe).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_server_spark.operators import serving
+from hive_server_spark.operators.amount_out import amount_out
+from hive_server_spark.operators.fold import fold_order_events
+from hive_server_spark.sources.synthetic import order_events
+
+
+def _json_rows(df: DataFrame) -> str:
+    """Concatenate a `json`-column DataFrame into one JSON array, byte-exact
+    per element (no re-parse/re-serialize round trip)."""
+    return "[" + ",".join(r.json for r in df.collect()) + "]"
+
+
+class HiveApiServer:
+    """Serve the seven reference routes (+ the CDC tail) over one SparkSession.
+
+    Parameters
+    ----------
+    spark / sf_dir : the session and driver-table directory to serve from.
+    port : TCP port; 0 picks an ephemeral port (see `.port` after start()).
+    cdc_dir : optional path of a CDC snapshot table written by
+        streaming/cdc.run_incremental_fold_with_cdc; enables /api/cdc/:address.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        port: int = 0,
+        cdc_dir: str | None = None,
+    ) -> None:
+        self.spark = spark
+        ev = order_events(spark, sf_dir)
+        # the daemon's state tables: persisted once, shared by every request —
+        # the serving-time analogue of the reference holding books in memory
+        self.events = ev.persist()
+        self.orders = fold_order_events(ev).persist()
+        self.pools = (
+            ev.select("pool_address")
+            .distinct()
+            .select(
+                "pool_address",
+                (
+                    F.lit(14)
+                    + F.expr(
+                        "CAST(conv(substring(md5(pool_address),1,2),16,10) AS BIGINT)"
+                    )
+                    % 5
+                )
+                .cast("bigint")
+                .alias("base_decimals"),
+                F.concat(F.lit("TK"), F.upper(F.substring("pool_address", 6, 1))).alias(
+                    "base_symbol"
+                ),
+                F.lit("USDQ").alias("quote_symbol"),
+            )
+            .join(
+                ev.where(F.col("event_type") == "LatestPrice")
+                .groupBy("pool_address")
+                .agg(F.max_by("price", "seq").alias("latest_price")),
+                "pool_address",
+                "left",
+            )
+            .persist()
+        )
+        self.pools.count()  # materialize eagerly; requests only filter
+        self.cdc = (
+            spark.read.parquet(cdc_dir).persist() if cdc_dir is not None else None
+        )
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", port), self._make_handler())
+        self.port = self._httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    # -- route implementations (each returns (status, body-string)) ---------
+    def _route(self, path: str, q: dict[str, list[str]]) -> tuple[int, str]:
+        parts = [p for p in path.split("/") if p]
+        if len(parts) < 2 or parts[0] != "api":
+            return 404, '{"error":"not found"}'
+        if parts[1] == "cdc" and len(parts) == 3:
+            return self._cdc_tail(parts[2], int(q.get("since", ["-1"])[0]))
+        if parts[1] != "pools":
+            return 404, '{"error":"not found"}'
+        if len(parts) == 2:
+            return 200, _json_rows(serving.pools_json(self.pools))
+        addr = parts[2]
+        if len(parts) == 3:
+            rows = serving.pool_info_json(self.pools, addr).collect()
+            return (200, rows[0].json) if rows else (404, '{"error":"unknown pool"}')
+        if len(parts) == 4 and parts[3] == "orderbook":
+            rows = serving.order_book_json(self.orders, addr).collect()
+            return (200, rows[0].json) if rows else (404, '{"error":"unknown pool"}')
+        if len(parts) == 4 and parts[3] == "get-amount-out":
+            amt = int(q.get("amount", ["500"])[0])
+            side = q.get("side", ["BUY"])[0].upper()
+            if side not in ("BUY", "SELL"):
+                return 400, '{"error":"side must be BUY or SELL"}'
+            res = amount_out(self.orders, side, amt)
+            rows = serving.amount_out_json(res, addr).collect()
+            return (200, rows[0].json) if rows else (404, '{"error":"unknown pool"}')
+        if len(parts) == 5 and parts[3] == "orders":
+            rows = serving.order_json(self.orders, addr, int(parts[4])).collect()
+            return (200, rows[0].json) if rows else (404, '{"error":"unknown order"}')
+        if len(parts) == 5 and parts[4] == "orders":
+            trader_orders = self.orders.where(F.col("pool_address") == addr)
+            return 200, _json_rows(serving.user_orders_json(trader_orders, parts[3]))
+        if len(parts) == 5 and parts[4] == "market-orders":
+            return 200, _json_rows(serving.market_orders_json(self.events, addr, parts[3]))
+        return 404, '{"error":"not found"}'
+
+    def _cdc_tail(self, addr: str, since: int) -> tuple[int, str]:
+        if self.cdc is None:
+            return 404, '{"error":"cdc table not configured"}'
+        snaps = self.cdc.where(
+            (F.col("pool_address") == addr) & (F.col("cdc_version") > since)
+        ).select(
+            F.to_json(
+                F.struct(
+                    F.col("cdc_version").cast("long").alias("version"),
+                    F.col("order_type").alias("side"),
+                    F.col("price").cast("string").alias("price"),
+                    F.col("total_volume").cast("string").alias("totalVolume"),
+                    F.col("order_count").cast("long").alias("orderCount"),
+                    F.col("level_rank").cast("long").alias("levelRank"),
+                )
+            ).alias("json")
+        )
+        return 200, _json_rows(snaps)
+
+    # -- http plumbing ------------------------------------------------------
+    def _make_handler(self):
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self) -> None:  # noqa: N802 (http.server API)
+                u = urlparse(self.path)
+                try:
+                    status, body = outer._route(u.path, parse_qs(u.query))
+                except Exception as e:  # surface engine errors as 500 JSON
+                    status, body = 500, json.dumps({"error": str(e)})
+                payload = body.encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def log_message(self, *a) -> None:  # quiet test output
+                pass
+
+        return Handler
+
+    def start(self) -> "HiveApiServer":
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+        for df in (self.events, self.orders, self.pools, self.cdc):
+            if df is not None:
+                df.unpersist()

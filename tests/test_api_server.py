@@ -1,0 +1,115 @@
+"""Live-daemon tests: every reference route served over real HTTP
+(reference src/api/routes.ts:11-17), plus the CDC tail endpoint."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import urllib.error
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_server_spark.operators.api_server import HiveApiServer
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    from hive_server_spark.plans.streaming_pack import _land_seq_slices
+    from hive_server_spark.streaming.cdc import run_incremental_fold_with_cdc
+
+    work = tempfile.mkdtemp(prefix="hss_api_test_")
+    ev_dir = _land_seq_slices(spark, SF_SMALL)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(ev_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_dir)
+    )
+    _store, cdc_dir = run_incremental_fold_with_cdc(
+        spark,
+        stream,
+        state_dir=os.path.join(work, "state"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        cdc_dir=os.path.join(work, "cdc"),
+    )
+    srv = HiveApiServer(spark, SF_SMALL, cdc_dir=cdc_dir).start()
+    yield srv
+    srv.stop()
+
+
+def _get(srv: HiveApiServer, path: str):
+    with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}{path}") as r:
+        return json.loads(r.read())
+
+
+def test_all_pools(server):
+    pools = _get(server, "/api/pools")
+    assert len(pools) == 3
+    assert {p["address"] for p in pools} == {"pool_0", "pool_1", "pool_2"}
+    assert all(p["baseToken"]["symbol"].startswith("TK") for p in pools)
+
+
+def test_pool_info(server):
+    info = _get(server, "/api/pools/pool_0")
+    assert info["address"] == "pool_0"
+    assert float(info["latestPrice"]) > 0
+
+
+def test_orderbook(server):
+    book = _get(server, "/api/pools/pool_1/orderbook")
+    assert book["pool"] == "pool_1"
+    for side in ("bids", "asks"):
+        assert side in book
+        for lvl in book[side]:
+            assert float(lvl["totalVolume"]) != 0 or lvl["orders"]
+
+
+def test_order_point_get_and_404(server):
+    row = server.orders.select("pool_address", "order_id").first()
+    order = _get(server, f"/api/pools/{row.pool_address}/orders/{row.order_id}")
+    assert order["id"] == row.order_id
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, f"/api/pools/{row.pool_address}/orders/999999")
+    assert e.value.code == 404
+
+
+def test_user_orders(server):
+    row = (
+        server.orders.where(F.col("trader").isNotNull())
+        .select("pool_address", "trader")
+        .first()
+    )
+    orders = _get(server, f"/api/pools/{row.pool_address}/{row.trader}/orders")
+    assert orders and all(o["pool"] == row.pool_address for o in orders)
+
+
+def test_market_orders(server):
+    row = (
+        server.events.where(F.col("event_type") == "MarketOrderExecuted")
+        .select("pool_address", "trader")
+        .first()
+    )
+    mos = _get(server, f"/api/pools/{row.pool_address}/{row.trader}/market-orders")
+    assert mos and all(m["type"] in ("BUY", "SELL") for m in mos)
+
+
+def test_amount_out(server):
+    res = _get(server, "/api/pools/pool_0/get-amount-out?amount=500&side=BUY")
+    assert set(res) <= {"isError", "errorMessage", "outputAmount", "prices"}
+    assert _get(server, "/api/pools/pool_0/get-amount-out?amount=1&side=SELL") is not None
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, "/api/pools/pool_0/get-amount-out?side=LIMIT")
+    assert e.value.code == 400
+
+
+def test_cdc_tail_versions(server):
+    all_snaps = _get(server, "/api/cdc/pool_0?since=-1")
+    assert all_snaps, "pool_0 must have CDC snapshots"
+    versions = {s["version"] for s in all_snaps}
+    assert versions == {0, 1, 2}, "3-slice landing must yield 3 CDC versions"
+    later = _get(server, "/api/cdc/pool_0?since=1")
+    assert {s["version"] for s in later} == {2}
+    assert all(isinstance(s["price"], str) for s in all_snaps)
