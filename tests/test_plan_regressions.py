@@ -59,6 +59,7 @@ def test_no_sort_merge_join_anywhere_in_gate(spark):
         "evt_stream_static_enrich",  # same: stream-static join stream
         "orders_state_time_travel",  # same: incremental fold stream + snapshot read
         "orders_state_stateful",  # same: applyInPandasWithState stream
+        "cdc_book_snapshots",  # same: CDC fold stream; visible plan is the snapshot scan
         "emb_lsh_neardup_topk",
         "dedup_clusters",
         "rel_full_outer_nation_activity",
