@@ -726,3 +726,149 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_ab").cast("double") / F.col("n_a")).alias("cond_p"),
         "rk",
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk): the GPT-pretraining data op. Docs are
+# concatenated in stable (source, doc_id) order and cut into fixed 512-token
+# context windows; a doc whose span crosses a boundary contributes to every
+# window it overlaps. The whole manifest is exact integer arithmetic on ONE
+# per-source prefix sum: start = tokens-before, end = start + n_toks, touched
+# windows = start DIV 512 .. (end-1) DIV 512 — an explode bounded by
+# ceil(n_toks/512)+1 rows per doc, never a cross join. Same 100 TB shape as
+# text_token_shards: one shuffle on source, per-source sequential windows.
+# ---------------------------------------------------------------------------
+_PACK_CTX = 512
+
+_PACK_SQL = f"""
+WITH {_TOKS_CTE_D},
+counted AS (
+  SELECT doc_id, source, len(toks) AS n_toks FROM toks
+), positioned AS (
+  SELECT doc_id, source, n_toks,
+         CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+  FROM counted
+), spans AS (
+  SELECT doc_id, source, n_toks, start_tok,
+         start_tok + n_toks AS end_tok
+  FROM positioned
+), touched AS (
+  SELECT s.doc_id, s.source, s.start_tok, s.end_tok, w.window_id
+  FROM spans s,
+       unnest(generate_series(s.start_tok // {_PACK_CTX},
+                              (s.end_tok - 1) // {_PACK_CTX})) AS w(window_id)
+)
+SELECT source,
+       CAST(window_id AS BIGINT) AS window_id,
+       CAST(COUNT(*) AS BIGINT)  AS n_docs,
+       CAST(SUM(CASE WHEN start_tok // {_PACK_CTX} = window_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_starting,
+       CAST(SUM(CASE WHEN start_tok >= window_id * {_PACK_CTX}
+                      AND end_tok <= (window_id + 1) * {_PACK_CTX}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_full_docs,
+       CAST(SUM(LEAST(end_tok, (window_id + 1) * {_PACK_CTX})
+                - GREATEST(start_tok, window_id * {_PACK_CTX})) AS BIGINT)
+         AS window_tokens
+FROM touched
+GROUP BY source, window_id
+"""
+
+
+@register("text_pack_windows", _PACK_SQL)
+def text_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, context-window) packing manifest: how many docs each
+    512-token training window touches, how many start in / fit fully inside
+    it, and its token fill (== 512 everywhere except each source's final
+    window — the only padded one under concat-and-chunk packing)."""
+    ctx = _PACK_CTX
+    toks = T.with_tokens(_docs(spark, sf_dir)).select(
+        "doc_id", "source", F.size("toks").alias("n_toks")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = toks.withColumn(
+        "start_tok", F.coalesce(F.sum("n_toks").over(w), F.lit(0))
+    ).withColumn("end_tok", F.col("start_tok") + F.col("n_toks"))
+    touched = spans.select(
+        "doc_id",
+        "source",
+        "start_tok",
+        "end_tok",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_tok DIV {ctx}"), F.expr(f"(end_tok - 1) DIV {ctx}")
+            )
+        ).alias("window_id"),
+    )
+    win_start = F.col("window_id") * ctx
+    win_end = (F.col("window_id") + 1) * ctx
+    return touched.groupBy("source", F.col("window_id").cast("bigint").alias("window_id")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(
+            (F.expr(f"start_tok DIV {ctx}") == F.col("window_id")).cast("int")
+        ).cast("bigint").alias("n_docs_starting"),
+        F.sum(
+            ((F.col("start_tok") >= win_start) & (F.col("end_tok") <= win_end)).cast("int")
+        ).cast("bigint").alias("n_full_docs"),
+        F.sum(
+            F.least(F.col("end_tok"), win_end) - F.greatest(F.col("start_tok"), win_start)
+        ).cast("bigint").alias("window_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag corpus documents whose 3-gram shingle sets
+# overlap a held-out benchmark set (doc_id % 101 == 0) — the standard
+# eval-leakage sweep a pretraining pipeline runs before training. Scale
+# shape: the benchmark shingle set is tiny and BROADCAST; the corpus is
+# streamed through one explode + broadcast-hash join + per-doc count — no
+# shuffle of corpus text, O(corpus shingles) work.
+# ---------------------------------------------------------------------------
+_DECON_SQL = f"""
+WITH {_TOKS_CTE_D},
+{_SHINGLES_CTE_D},
+bench AS (
+  SELECT DISTINCT s AS shingle
+  FROM shingled, unnest(shingles) AS u(s)
+  WHERE doc_id % 101 = 0
+),
+corpus AS (
+  SELECT doc_id, len(shingles) AS n_sh, s AS shingle
+  FROM shingled, unnest(shingles) AS u(s)
+  WHERE doc_id % 101 <> 0
+)
+SELECT c.doc_id,
+       CAST(ANY_VALUE(c.n_sh) AS BIGINT) AS n_shingles,
+       CAST(COUNT(*) AS BIGINT)          AS n_overlap,
+       CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(c.n_sh) AS overlap_ratio,
+       CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(c.n_sh) >= 0.2 AS contaminated
+FROM corpus c JOIN bench b ON c.shingle = b.shingle
+GROUP BY c.doc_id
+"""
+
+
+@register("text_decontaminate", _DECON_SQL)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus docs sharing >=1 shingle with the benchmark holdout, with the
+    overlap ratio and a 0.2-threshold contamination flag. Only overlapping
+    docs are returned (the sweep's hit list, not the full corpus)."""
+    sh = T.with_shingles(_docs(spark, sf_dir)).select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
+    )
+    bench = (
+        sh.where(F.col("doc_id") % 101 == 0).select("shingle").distinct()
+    )
+    corpus = sh.where(F.col("doc_id") % 101 != 0)
+    hits = corpus.join(F.broadcast(bench), "shingle")
+    ratio = F.count("*").cast("double") / F.any_value("n_sh")
+    return hits.groupBy("doc_id").agg(
+        F.any_value("n_sh").cast("bigint").alias("n_shingles"),
+        F.count("*").cast("bigint").alias("n_overlap"),
+        ratio.alias("overlap_ratio"),
+        (ratio >= 0.2).alias("contaminated"),
+    )

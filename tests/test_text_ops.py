@@ -118,3 +118,40 @@ def test_minhash_hot_bucket_cap_bounds_candidates(spark):
         T.minhash_candidates(real, max_bucket=10**6).count()
         == T.minhash_candidates(real).count()
     )
+
+
+def test_pack_windows_fill_invariant(spark):
+    """Concat-and-chunk packing: every window is exactly CTX tokens except
+    each source's final window, and per-source token totals are preserved."""
+    from hive_server_spark.plans.text_pack import _PACK_CTX, text_pack_windows
+    import pyspark.sql.functions as F
+
+    m = text_pack_windows(spark, SF_SMALL)
+    last = m.groupBy("source").agg(F.max("window_id").alias("last_w"))
+    not_last = m.join(last, "source").where(F.col("window_id") < F.col("last_w"))
+    bad = not_last.where(F.col("window_tokens") != _PACK_CTX).count()
+    assert bad == 0, "non-final windows must be exactly CTX tokens"
+    # total packed tokens == total corpus tokens (no loss, no double count)
+    from hive_server_spark.catalog import load_table
+    toks = load_table(spark, SF_SMALL, "documents").select(
+        F.size(F.split("text", " ")).alias("n")
+    )
+    assert (
+        m.agg(F.sum("window_tokens")).collect()[0][0]
+        == toks.agg(F.sum("n")).collect()[0][0]
+    )
+
+
+def test_decontaminate_flags_near_dups_of_benchmark(spark):
+    """Docs sharing most shingles with a benchmark doc must be flagged; the
+    benchmark docs themselves are excluded from the output."""
+    from hive_server_spark.plans.text_pack import text_decontaminate
+    import pyspark.sql.functions as F
+
+    hits = text_decontaminate(spark, SF_SMALL)
+    assert hits.where(F.col("doc_id") % 101 == 0).count() == 0
+    rows = hits.collect()
+    assert rows, "sf0.001 corpus contains near-dups of benchmark docs"
+    for r in rows:
+        assert 0 < r.n_overlap <= r.n_shingles
+        assert r.contaminated == (r.overlap_ratio >= 0.2)
