@@ -71,11 +71,39 @@ def test_driver_testdata_events_ts(spark, sf_dir):
     df.withWatermark("ts", "1 second")
 
 
-def test_all_driver_tables_load(spark):
-    tables = load_all(spark, SF_SMALL)
-    assert set(tables) >= {
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    }
-    for name, df in tables.items():
-        assert len(df.columns) > 0, name
+# the column contract every query pack assumes; a driver-side testdata
+# regeneration that drops/renames a column should fail HERE with a table
+# name, not deep inside some query plan (the ts-encoding lesson, applied
+# to the rest of the schema — extra new columns are tolerated)
+EXPECTED_COLUMNS = {
+    "region": {"r_regionkey", "r_name"},
+    "nation": {"n_nationkey", "n_name", "n_regionkey"},
+    "customer": {"c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"},
+    "supplier": {"s_suppkey", "s_name", "s_nationkey", "s_acctbal"},
+    "part": {"p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"},
+    "orders": {
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    },
+    "lineitem": {
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    },
+    "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
+    "documents": {"doc_id", "text", "lang", "source", "n_chars"},
+    "embeddings": {"vec_id", "embedding", "label"},
+}
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_MED])
+def test_all_driver_tables_load_with_expected_columns(spark, sf_dir):
+    tables = load_all(spark, sf_dir)
+    assert set(tables) >= set(EXPECTED_COLUMNS)
+    for name, expected in EXPECTED_COLUMNS.items():
+        missing = expected - set(tables[name].columns)
+        assert not missing, (
+            f"{name} at {sf_dir} lost column(s) {sorted(missing)} — the driver "
+            f"regenerated testdata with a different schema; fix at the catalog "
+            f"boundary (hive_server_spark/catalog.py), not in consumers"
+        )
