@@ -77,6 +77,8 @@ DEFAULT_QUERIES = [
     # synthetic corpus by construction — timing it here would report a false
     # superlinearity signal. The signature scan is the engine-linear part.
     "dedup_minhash_sigs",
+    "text_pack_windows",
+    "text_decontaminate",
     "emb_lsh_buckets",
     "emb_cosine_topk",
 ]
