@@ -1496,3 +1496,55 @@ def rel_mad_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery (§2.7 join-shape coverage): per-customer top-2
+# orders. The oracle is a genuine CROSS JOIN LATERAL ... ORDER BY ... LIMIT 2
+# — the row-at-a-time formulation an imperative engine would run; the Spark
+# side is its decorrelated equivalent (ranked window over a broadcast-
+# filtered fact slice), which is what Catalyst's DecorrelateInnerQuery
+# produces and the only shape that scales: one shuffle on the correlation
+# key, top-k bounded per key, no per-row re-scan of orders.
+# ---------------------------------------------------------------------------
+@register(
+    "rel_lateral_top_orders",
+    """
+SELECT c.c_custkey, c.c_name,
+       t.o_orderkey,
+       CAST(t.o_totalprice AS DOUBLE) AS total,
+       CAST(t.rk AS BIGINT)           AS rk
+FROM customer c
+CROSS JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC
+  LIMIT 2
+) t
+WHERE c.c_custkey % 97 = 0
+""",
+)
+def rel_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per (filtered) customer. Total-order tiebreak
+    (price desc, orderkey asc) makes the pick deterministic; the customer
+    filter is applied before the join so the fact side shuffles only the
+    correlated slice."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 97 == 0)
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    ranked = (
+        o.join(F.broadcast(cust.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+    )
+    return ranked.join(F.broadcast(cust), "c_custkey").select(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("total"),
+        F.col("rk").cast("bigint").alias("rk"),
+    )

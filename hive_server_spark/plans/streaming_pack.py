@@ -623,3 +623,38 @@ def q_orders_state_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("created_ts").cast("date").alias("created_date"),
         "created_seq",
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding (overlapping) windows as an append-mode stream: each event belongs
+# to exactly size/slide = 4 windows. The oracle replicates Spark's epoch-
+# aligned window assignment arithmetically — bucket_k = time_bucket(15min,
+# ts) − k·15min for k in 0..3 — plus the same watermark finalization HAVING
+# as the tumbling oracle, so assignment, overlap fan-out, and late-data
+# policy are all value-checked.
+# ---------------------------------------------------------------------------
+_SLIDING_STREAM_ORACLE = """
+WITH fanned AS (
+  SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE AS bucket,
+         event_type, value
+  FROM events, unnest(generate_series(0, 3)) AS k(k)
+)
+SELECT bucket, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM fanned
+GROUP BY bucket, event_type
+HAVING epoch_us(bucket + INTERVAL 1 HOUR)
+       <= (SELECT epoch_us(max(ts)) - 1000000 FROM events)
+"""
+
+
+from hive_server_spark.streaming.windows import sliding_rollup_stream  # noqa: E402
+
+
+@register("evt_sliding_rollup_streaming", _SLIDING_STREAM_ORACLE)
+def q_evt_sliding_rollup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream, work = _events_stream_in_ts_order(spark, sf_dir)
+    return _run_append_stream(
+        spark, sliding_rollup_stream(stream, watermark="1 second"), work
+    )

@@ -58,3 +58,30 @@ def session_stream(
             "session_value",
         )
     )
+
+
+def sliding_rollup_stream(
+    events_stream: DataFrame,
+    size: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Overlapping (sliding) event-time windows: every event lands in
+    size/slide windows (4 here). Same append-mode finalization contract as
+    the tumbling rollup — a window emits once the watermark passes its end.
+    State is size/slide × the tumbling window count: the multiplier is the
+    overlap factor, still bounded by (watermark horizon × key cardinality)."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size, slide).alias("win"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("bucket"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -53,6 +53,7 @@ def test_no_sort_merge_join_anywhere_in_gate(spark):
     exempt = {
         "orders_state_streaming",
         "evt_hourly_rollup_streaming",  # runs a real stream; plan is a memory-table scan
+        "evt_sliding_rollup_streaming",  # same: overlapping-window stream
         "evt_sessions_streaming",  # same: session_window stream, memory-table scan
         "evt_stream_stream_join",  # same: watermarked join stream, memory-table scan
         "evt_dedup_rollup_streaming",  # same: chained stateful stream
