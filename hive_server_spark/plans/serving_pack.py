@@ -290,3 +290,143 @@ def q_cdc_book_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("order_count").cast("bigint").alias("order_count"),
         F.col("level_rank").cast("bigint").alias("level_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ST5/S6 — changelog (CDF) read of the versioned state store: which order
+# rows changed at each committed version, and how. Deltas are computed
+# between consecutive store snapshots with a null-safe full-row compare —
+# the "change data feed" a downstream consumer would read instead of
+# re-diffing snapshots itself. Tombstoning means deletes never occur
+# (SURVEY Q7): every change is an insert or an update.
+# ---------------------------------------------------------------------------
+def _changelog_oracle() -> str:
+    """Versioned fold (same splice as the CDC oracle) self-joined at
+    consecutive versions; a row appears iff it has no predecessor (insert)
+    or any field differs null-safely (update)."""
+    v_updates = ORDER_UPDATES_CTE.replace(
+        "SELECT\n    pool_address, order_id, seq,",
+        "SELECT\n    cdc_version, pool_address, order_id, seq,",
+    ).replace("FROM order_events", "FROM ve")
+    v_state = ORDERS_STATE_CTE.replace(
+        "SELECT\n    pool_address, order_id,",
+        "SELECT\n    cdc_version, pool_address, order_id,",
+    ).replace(
+        "GROUP BY pool_address, order_id",
+        "GROUP BY cdc_version, pool_address, order_id",
+    )
+    same = " AND ".join(
+        f"v.{c} IS NOT DISTINCT FROM p.{c}"
+        for c in (
+            "trader", "price", "amount", "filled", "remaining_amount",
+            "order_type", "active", "created_seq",
+        )
+    )
+    return (
+        f"WITH {ORDER_EVENTS_CTE},\n"
+        + """
+cut AS (
+  SELECT (SELECT max(event_id) FROM events)//3     AS c1,
+         2*((SELECT max(event_id) FROM events)//3) AS c2
+),
+vers AS (SELECT 0 AS cdc_version UNION ALL SELECT 1 UNION ALL SELECT 2),
+ve AS (
+  SELECT v.cdc_version, e.*
+  FROM order_events e JOIN vers v
+    ON e.seq <= CASE v.cdc_version
+                  WHEN 0 THEN (SELECT c1 FROM cut)
+                  WHEN 1 THEN (SELECT c2 FROM cut)
+                  ELSE e.seq END
+),
+"""
+        + v_updates
+        + ",\n"
+        + v_state
+        + f"""
+SELECT v.cdc_version AS version, v.pool_address, v.order_id,
+       CASE WHEN p.order_id IS NULL THEN 'insert' ELSE 'update' END AS change_type,
+       v.active,
+       CAST(v.remaining_amount AS DOUBLE) AS remaining_amount
+FROM orders_state v
+LEFT JOIN orders_state p
+  ON p.cdc_version = v.cdc_version - 1
+ AND p.pool_address = v.pool_address AND p.order_id = v.order_id
+WHERE p.order_id IS NULL OR NOT ({same})
+"""
+    )
+
+
+@register("orders_state_changelog", _changelog_oracle())
+def q_orders_state_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-version change feed of the streaming state store: run the
+    incremental fold over the 3-slice landing, then for each committed
+    version diff its snapshot against the previous one (null-safe struct
+    compare). Checks that every commit's delta — not just the final state —
+    matches the batch-fold semantics at that version's seq cutoff."""
+    from hive_server_spark.plans.streaming_pack import (
+        _land_seq_slices,
+        _scoped_shuffle_partitions,
+    )
+    from hive_server_spark.streaming.incremental import (
+        materialize_orders,
+        run_incremental_fold,
+    )
+
+    work = tempfile.mkdtemp(prefix="hss_cdf_")
+    ev_dir = _land_seq_slices(spark, sf_dir)
+    schema = spark.read.parquet(ev_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_dir)
+    )
+    with _scoped_shuffle_partitions(spark):
+        store = run_incremental_fold(
+            spark,
+            stream,
+            state_dir=os.path.join(work, "state"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+        )
+
+    fields = [
+        "trader", "price", "amount", "filled", "remaining_amount",
+        "order_type", "active", "created_seq",
+    ]
+    deltas = []
+    prev = None
+    for version in (0, 1, 2):
+        cur = materialize_orders(store.at_version(spark, version))
+        if prev is None:
+            d = cur.withColumn("change_type", F.lit("insert"))
+        else:
+            p = prev.select(
+                "pool_address",
+                "order_id",
+                F.struct(*fields).alias("_prev"),
+            )
+            d = (
+                cur.join(p, ["pool_address", "order_id"], "left")
+                .withColumn(
+                    "change_type",
+                    F.when(F.col("_prev").isNull(), "insert").otherwise("update"),
+                )
+                .where(
+                    F.col("_prev").isNull()
+                    | ~F.struct(*fields).eqNullSafe(F.col("_prev"))
+                )
+            )
+        deltas.append(
+            d.select(
+                F.lit(version).cast("int").alias("version"),
+                "pool_address",
+                "order_id",
+                "change_type",
+                "active",
+                F.col("remaining_amount").cast("double").alias("remaining_amount"),
+            )
+        )
+        prev = cur
+    out = deltas[0]
+    for d in deltas[1:]:
+        out = out.unionByName(d)
+    return out

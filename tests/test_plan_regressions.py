@@ -61,6 +61,7 @@ def test_no_sort_merge_join_anywhere_in_gate(spark):
         "orders_state_time_travel",  # same: incremental fold stream + snapshot read
         "orders_state_stateful",  # same: applyInPandasWithState stream
         "cdc_book_snapshots",  # same: CDC fold stream; visible plan is the snapshot scan
+        "orders_state_changelog",  # same: incremental fold stream + version diffs
         "emb_lsh_neardup_topk",
         "dedup_clusters",
         "rel_full_outer_nation_activity",
