@@ -146,7 +146,15 @@ def _events_stream_in_ts_order(
     files with ascending mtimes, so the file source replays them in
     event-time order (range k+1 never regresses behind the watermark raised
     by range k — zero late drops by construction). Returns (stream, a fresh
-    per-run workdir for checkpoints)."""
+    per-run workdir for checkpoints).
+
+    Zero-late ordering is load-bearing for oracle soundness: Spark's
+    watermark guarantee is one-directional — data within the delay is
+    guaranteed to aggregate, but *too-late* data "may or may not" be dropped
+    (empirically on 4.1.2, a below-watermark row whose window has no live
+    state still creates state and emits — verified with a newest-half-first
+    landing). A drop-policy oracle is therefore unspecifiable; only in-order
+    landings give the streaming gates a deterministic answer."""
     ev_dir = _land_events_ts_ordered(spark, sf_dir, chunks)
     work = tempfile.mkdtemp(prefix="hss_stream_")
     schema = spark.read.parquet(ev_dir).schema
