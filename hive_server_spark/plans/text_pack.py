@@ -41,6 +41,25 @@ def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the resolved duplicate clusters are likewise a shared intermediate:
+# dedup_clusters surfaces them directly and text_leakage_safe_splits keys
+# its split assignment on them — run the components loop once per
+# (session, sf_dir), not once per query
+_COMP_CACHE: SessionCache[DataFrame] = SessionCache(on_evict=unpersist_df)
+
+
+def _dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_server_spark.functions.clusters import dup_clusters
+
+    return _COMP_CACHE.get_or_create(
+        spark,
+        (sf_dir,),
+        lambda: dup_clusters(
+            _docs(spark, sf_dir), _minhash_candidates(spark, sf_dir)
+        ).persist(),
+    )
+
+
 # the per-document profile (tokens, lang-id, quality, fingerprints) is the
 # other shared intermediate: profile, histogram, filter, and corpus stats
 # all start from it — one CPU-heavy derivation, persisted per session
@@ -329,9 +348,7 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     label propagation, functions/clusters.py) over the LSH candidate pairs —
     the oracle computes the same components via a recursive-CTE transitive
     closure, so the iterative algorithm gets full value parity."""
-    from hive_server_spark.functions.clusters import dup_clusters
-
-    return dup_clusters(_docs(spark, sf_dir), _minhash_candidates(spark, sf_dir))
+    return _dup_clusters(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -871,4 +888,51 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_overlap"),
         ratio.alias("overlap_ratio"),
         (ratio >= 0.2).alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test splits: assignment is by dedup CLUSTER, not by
+# document — a per-doc hash split would scatter near-duplicates across
+# train and test, silently leaking eval content into training (the standard
+# contamination failure in web-scale corpora). Hashing the cluster
+# representative keeps every near-dup group in one split, with the usual
+# deterministic seeded-md5 80/10/10 assignment. Oracle: the dedup_clusters
+# recursive-closure oracle re-used verbatim, with the split CASE as its
+# final projection.
+# ---------------------------------------------------------------------------
+_SPLITS_ORACLE = _CLUSTERS_ORACLE.rsplit("SELECT d.doc_id,", 1)[0] + f""",
+resolved AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, cluster_id,
+         {T.hash_expr("CAST(cluster_id AS VARCHAR)", "split", "d")} % 10 AS h
+  FROM resolved
+)
+"""
+assert "reach(" in _SPLITS_ORACLE and "CASE WHEN h < 8" in _SPLITS_ORACLE, (
+    "splits oracle splice failed: _CLUSTERS_ORACLE's final SELECT changed; "
+    "update the rsplit target in text_pack._SPLITS_ORACLE"
+)
+
+
+@register("text_leakage_safe_splits", _SPLITS_ORACLE)
+def text_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split over dedup clusters: connected components over the LSH
+    candidate pairs (shared session-cached intermediate), then one seeded
+    md5 hash of the cluster representative decides the split for every
+    member. Deterministic across runs and cluster sizes; no shuffle beyond
+    the components loop itself."""
+    comp = _dup_clusters(spark, sf_dir)
+    h = (
+        F.expr(T.hash_expr("CAST(cluster_id AS STRING)", "split", "s")) % 10
+    )
+    return comp.select(
+        "doc_id",
+        "cluster_id",
+        F.when(h < 8, "train").when(h == 8, "val").otherwise("test").alias("split"),
     )

@@ -155,3 +155,28 @@ def test_decontaminate_flags_near_dups_of_benchmark(spark):
     for r in rows:
         assert 0 < r.n_overlap <= r.n_shingles
         assert r.contaminated == (r.overlap_ratio >= 0.2)
+
+
+def test_leakage_safe_splits_keep_neardups_together(spark):
+    """The whole point of cluster-keyed splits: no near-dup candidate pair
+    may straddle two splits, and the assignment must be deterministic."""
+    from hive_server_spark.plans.text_pack import (
+        _minhash_candidates,
+        text_leakage_safe_splits,
+    )
+    import pyspark.sql.functions as F
+
+    splits = text_leakage_safe_splits(spark, SF_SMALL)
+    assert set(r.split for r in splits.select("split").distinct().collect()) <= {
+        "train", "val", "test"
+    }
+    cands = _minhash_candidates(spark, SF_SMALL)
+    a = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    straddlers = (
+        cands.join(a, "doc_a").join(b, "doc_b").where(F.col("sa") != F.col("sb"))
+    )
+    assert straddlers.count() == 0, "near-dup pair split across train/val/test"
+    # deterministic: a second invocation assigns identically
+    again = text_leakage_safe_splits(spark, SF_SMALL)
+    assert splits.exceptAll(again).count() == 0
