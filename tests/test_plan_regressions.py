@@ -64,6 +64,7 @@ def test_no_sort_merge_join_anywhere_in_gate(spark):
         "orders_state_changelog",  # same: incremental fold stream + version diffs
         "emb_lsh_neardup_topk",
         "dedup_clusters",
+        "text_leakage_safe_splits",  # same shape as dedup_clusters: corpus ⋈ CC labels
         "rel_full_outer_nation_activity",
     }
     offenders = []
