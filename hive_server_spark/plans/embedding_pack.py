@@ -39,3 +39,89 @@ def emb_lsh_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 most-similar pairs among LSH same-bucket candidates — the
     scale path for embedding near-dup detection."""
     return E.lsh_neardup_topk(_emb(spark, sf_dir), k=20)
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization profile — the storage/serving compression step of
+# an ANN pipeline (256-level per-vector min-max quantizer). Everything is a
+# per-row projection (no shuffle); exactness discipline: every element is
+# CAST to DOUBLE before arithmetic (float→double is exact, and mixed-
+# precision promotion rules differ between engines), codes use floor (no
+# round-half ambiguity), the code sum is an in-order BIGINT fold, and the
+# reconstruction error surfaces as an order-insensitive array max — all
+# bit-identical in Spark and DuckDB.
+# ---------------------------------------------------------------------------
+def _quant_exprs(d: str) -> dict[str, str]:
+    """Dialect-dispatched expression fragments ('s' = Spark, 'd' = DuckDB)."""
+    tr, amin, amax, alen = (
+        ("transform", "array_min", "array_max", "size")
+        if d == "s"
+        else ("list_transform", "list_min", "list_max", "len")
+    )
+    xd = "CAST(x AS DOUBLE)"
+    code = f"CAST(floor(({xd} - mn) / (mx - mn) * 255.0) AS BIGINT)"
+    err = (
+        f"abs({xd} - (mn + (CAST({code} AS DOUBLE) + 0.5) / 256.0 * (mx - mn)))"
+    )
+    if d == "s":
+        code_sum = (
+            f"aggregate(embedding, CAST(0 AS BIGINT), (acc, x) -> acc + {code})"
+        )
+    else:
+        code_sum = (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"{tr}(embedding, x -> {code})), (acc, c) -> acc + c)"
+        )
+    return {
+        "mn": f"CAST({amin}(embedding) AS DOUBLE)",
+        "mx": f"CAST({amax}(embedding) AS DOUBLE)",
+        "n_dims": f"CAST({alen}(embedding) AS BIGINT)",
+        "code_sum": code_sum,
+        "max_abs_err": f"{amax}({tr}(embedding, x -> {err}))",
+    }
+
+
+_QS, _QD = _quant_exprs("s"), _quant_exprs("d")
+
+_QUANT_ORACLE = f"""
+WITH ranged AS (
+  SELECT vec_id, label, embedding,
+         {_QD["mn"]} AS mn, {_QD["mx"]} AS mx
+  FROM embeddings
+)
+SELECT vec_id, label,
+       {_QD["n_dims"]} AS n_dims,
+       mn AS v_min, mx AS v_max,
+       CASE WHEN mx = mn THEN 0 ELSE {_QD["code_sum"]} END AS code_sum,
+       CASE WHEN mx = mn THEN 0.0 ELSE {_QD["max_abs_err"]} END AS max_abs_err
+FROM ranged
+"""
+
+
+@register("emb_int8_quantization", _QUANT_ORACLE)
+def emb_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization profile: value range, exact BIGINT code
+    checksum, and the max absolute reconstruction error of the 256-level
+    min-max quantizer (constant vectors degenerate to code 0 / error 0)."""
+    from pyspark.sql import functions as F
+
+    ranged = _emb(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr(_QS["mn"]).alias("mn"),
+        F.expr(_QS["mx"]).alias("mx"),
+    )
+    return ranged.select(
+        "vec_id",
+        "label",
+        F.expr(_QS["n_dims"]).alias("n_dims"),
+        F.col("mn").alias("v_min"),
+        F.col("mx").alias("v_max"),
+        F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("bigint"))
+        .otherwise(F.expr(_QS["code_sum"]))
+        .alias("code_sum"),
+        F.when(F.col("mx") == F.col("mn"), F.lit(0.0))
+        .otherwise(F.expr(_QS["max_abs_err"]))
+        .alias("max_abs_err"),
+    )
