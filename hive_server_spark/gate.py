@@ -659,76 +659,85 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 )
 
 # ---------------------------------------------------------------------------
-# Driver-visible ordering (round-4 rotation)
+# Driver-visible ordering (round-5 rotation)
 # ---------------------------------------------------------------------------
-# The correctness driver hash-checks the FIRST 50 queries per round. Round 2
-# verified the core order-book + relational half; round 3 verified the dedup /
-# embedding / events / text / sources / udf / multimodal / streaming half,
-# except 7 queries that went red on the TIMESTAMP_NTZ testdata regeneration
-# (now fixed at the catalog boundary). Round 4's window therefore = those 7
-# newly-fixed queries + `rel_conditional_distinct` (the one registration that
-# has never been inside a checked window) + 42 of the 49 core queries stalest
-# since round 2. The 7 displaced names (`rel_scalar_functions` and friends —
-# deterministic scalar-function surface packs) keep their r02-green rows and
-# remain covered by tests/test_gate_parity.py, which runs ALL oracle-backed
-# queries against DuckDB on every pytest; they rotate to the front of round 5.
+# The correctness driver hash-checks the FIRST 50 queries per round. After
+# round 4, cumulative driver-green coverage is 100/110: the only queries
+# without a green CORRECTNESS row are the 10 round-4 registrations, which the
+# round-4 window could not reach. Round 5's window therefore = those 10
+# never-checked registrations, then the 7 scalar-surface packs green only in
+# r02 (the stalest), then 33 of the 43 queries stale since r03 — keeping
+# every query whose implementation changes this round (packing/sharding
+# two-level prefix sum, shared CDC fold, real codec) inside the window so
+# the changes are driver-revalidated. The 10 displaced r03 names (static
+# events/dq/sketch queries untouched this round) keep their r03-green rows
+# and stay covered by tests/test_gate_parity.py, which runs ALL oracle-backed
+# queries against DuckDB on every pytest; they rotate to the front of round 6.
+# tests/test_rotation.py asserts every name outside this window already has a
+# prior driver-green row, so a rotation mistake is a test failure.
 from hive_server_spark.registry import set_driver_priority  # noqa: E402
 
-DRIVER_PRIORITY_R4 = [
-    # the 7 TIMESTAMP_NTZ-red queries from CORRECTNESS_r03 — re-green first
-    "evt_sessions",
-    "evt_trailing_hour_value",
-    "evt_hourly_rollup_streaming",
-    "evt_sessions_streaming",
-    "evt_stream_stream_join",
-    "evt_dedup_rollup_streaming",
-    "evt_stream_static_enrich",
-    # never inside any checked window until now
-    "rel_conditional_distinct",
-    # core order-book / state surface (stale since r02)
-    "orders_state",
-    "order_book_levels",
-    "order_book_fifo_queues",
-    "order_book_snapshot",
-    "amount_out_buy",
-    "amount_out_sell",
-    "amount_out_prices",
-    "amount_out_capped",
-    "latest_price",
-    "market_orders_t2",
-    "user_orders_t1",
-    "trader_order_counts",
-    "pools_summary",
-    "pool_info_enriched",
-    "asof_trade_price",
-    "range_price_activity",
-    "price_hourly_gapfill",
-    # relational surface (stale since r02)
-    "rel_pricing_summary",
-    "rel_top_revenue_orders",
-    "rel_revenue_by_nation",
-    "rel_order_priority_exists",
-    "rel_parts_never_ordered",
-    "rel_nations_intersect",
-    "rel_nations_except",
-    "rel_rollup_revenue",
-    "rel_cube_status_priority",
-    "rel_window_top_customers",
-    "rel_window_running_total",
-    "rel_window_order_gaps",
-    "rel_full_outer_nation_activity",
-    "rel_distinct_suppliers_per_nation",
-    "rel_window_analytics",
-    "rel_grouping_sets",
-    "rel_union_all_parties",
-    "rel_exact_percentiles",
-    "rel_cheapest_line_per_part",
-    "rel_orders_above_cust_avg",
-    "rel_rich_idle_customers",
-    "scale_salted_cohort_rollup",
-    "rel_promo_revenue_ratio",
-    "rel_nation_trade_flows",
-    "rel_disjunctive_bands",
+DRIVER_PRIORITY_R5 = [
+    # -- the 10 round-4 registrations, never inside any checked window ------
+    "cdc_book_snapshots",
+    "orders_state_changelog",
+    "serving_pool_info_json",
+    "serving_user_orders_json",
+    "text_pack_windows",
+    "text_decontaminate",
+    "text_leakage_safe_splits",
+    "rel_lateral_top_orders",
+    "evt_sliding_rollup_streaming",
+    "emb_int8_quantization",
+    # -- scalar-function surface, green only in r02 (stalest) ---------------
+    "rel_scalar_functions",
+    "rel_string_functions",
+    "rel_datetime_functions",
+    "rel_array_functions",
+    "rel_bitwise_functions",
+    "rel_null_handling",
+    "rel_unpivot_measures",
+    # -- stale since r03: queries modified this round first -----------------
+    "text_token_shards",
+    "multimodal_decode_profile",
+    "multimodal_inventory",
+    "multimodal_frame_inventory",
+    "orders_state_time_travel",
+    "orders_state_streaming",
+    "orders_state_stateful",
+    # -- stale since r03: dedup / text / embeddings / sources / udf ---------
+    "text_profile",
+    "text_exact_dedup",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_sigs",
+    "dedup_minhash_candidates",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_reachability_recursive",
+    "text_corpus_stats",
+    "text_top_ngrams",
+    "text_quality_histogram",
+    "text_quality_filter",
+    "text_deterministic_sample",
+    "text_sample_rates",
+    "text_mixture_sample",
+    "text_bigram_lm",
+    "emb_cosine_topk",
+    "emb_ivf_topk",
+    "emb_lsh_buckets",
+    "emb_lsh_neardup_topk",
+    "src_jsonl_roundtrip",
+    "src_csv_roundtrip",
+    "src_orc_roundtrip",
+    "layout_zorder_manifest",
+    "udf_alpha_quality",
+    "udf_user_centered_values",
 ]
-assert len(DRIVER_PRIORITY_R4) == 50, len(DRIVER_PRIORITY_R4)
-set_driver_priority(DRIVER_PRIORITY_R4)
+assert len(DRIVER_PRIORITY_R5) == 50, len(DRIVER_PRIORITY_R5)
+# A typo'd or renamed name would silently shrink the checked window
+# (registry._ordered drops unknown names); fail loudly instead.
+from hive_server_spark.registry import _SPARK_QUERIES as _REG  # noqa: E402
+
+_missing = [n for n in DRIVER_PRIORITY_R5 if n not in _REG]
+assert not _missing, f"DRIVER_PRIORITY_R5 names not registered: {_missing}"
+set_driver_priority(DRIVER_PRIORITY_R5)

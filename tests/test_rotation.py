@@ -1,0 +1,82 @@
+"""Driver-window rotation safety net (VERDICT r04 item 6).
+
+The correctness driver hash-checks only the FIRST 50 entries of
+``queries()`` per round, so cumulative coverage depends on a deliberate
+per-round rotation of ``DRIVER_PRIORITY`` in gate.py. Two failure modes
+have bitten before and are pinned here:
+
+1. A name in the priority list that is not registered (typo / rename)
+   silently shrinks the checked window — registry._ordered drops it.
+2. A registered query left outside the window that has never earned a
+   driver-green row stays unchecked forever (``rel_conditional_distinct``
+   sat unchecked through round 3 this way).
+
+Neither check needs Spark; both read static registration order plus the
+committed CORRECTNESS_r*.json history.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+WINDOW = 50
+
+
+def _registered_names() -> list[str]:
+    import __spark_entry__ as entry
+
+    return list(entry.queries().keys())
+
+
+def _green_history() -> set[str]:
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            rows = json.load(f)
+        for name, rec in rows.items():
+            if not isinstance(rec, dict):
+                continue
+            ok = (
+                rec.get("rows_match")
+                and rec.get("schema_match") is not False
+                and rec.get("hash_match") is not False
+            )
+            if ok:
+                green.add(name)
+    return green
+
+
+def test_priority_names_all_registered():
+    from hive_server_spark.gate import DRIVER_PRIORITY_R5
+    from hive_server_spark.registry import _SPARK_QUERIES
+
+    missing = [n for n in DRIVER_PRIORITY_R5 if n not in _SPARK_QUERIES]
+    assert not missing, f"priority names not registered: {missing}"
+    assert len(DRIVER_PRIORITY_R5) == len(set(DRIVER_PRIORITY_R5)), "dup names"
+
+
+def test_window_is_exactly_the_priority_list():
+    from hive_server_spark.gate import DRIVER_PRIORITY_R5
+
+    names = _registered_names()
+    assert names[:WINDOW] == DRIVER_PRIORITY_R5
+
+
+def test_every_query_outside_window_has_prior_green_row():
+    """No registered query may be both outside the checked window AND
+    without a driver-green row in some prior round — that combination means
+    a query the driver will never validate this round and never has."""
+    names = _registered_names()
+    outside = names[WINDOW:]
+    green = _green_history()
+    unchecked = [n for n in outside if n not in green]
+    assert not unchecked, (
+        "queries outside the driver window with no prior green CORRECTNESS "
+        f"row (front-load them in DRIVER_PRIORITY): {unchecked}"
+    )
