@@ -10,7 +10,7 @@ The reference serves these routes from Express over in-memory listener state
     GET /api/pools/:address/orders/:id
     GET /api/pools/:address/:trader/orders
     GET /api/pools/:address/:trader/market-orders
-    GET /api/pools/:address/get-amount-out?amount=&side=
+    GET /api/pools/:address/get-amount-out?amount=&orderType=
 
 Spark-first equivalent: the daemon holds the *persisted* folded state (the
 table the streaming layer maintains via MERGE at cluster scale) plus the
@@ -46,6 +46,16 @@ from hive_server_spark.operators import serving
 from hive_server_spark.operators.amount_out import amount_out
 from hive_server_spark.operators.fold import fold_order_events
 from hive_server_spark.sources.synthetic import order_events
+
+
+def _parse_int(raw: str | None) -> int | None:
+    """Strict base-10 int or None — route params must never 500 on bad input."""
+    if raw is None:
+        return None
+    try:
+        return int(raw, 10)
+    except ValueError:
+        return None
 
 
 def _json_rows(df: DataFrame) -> str:
@@ -120,7 +130,10 @@ class HiveApiServer:
         if len(parts) < 2 or parts[0] != "api":
             return 404, '{"error":"not found"}'
         if parts[1] == "cdc" and len(parts) == 3:
-            return self._cdc_tail(parts[2], int(q.get("since", ["-1"])[0]))
+            since = _parse_int(q.get("since", ["-1"])[0])
+            if since is None:
+                return 400, '{"error":"since must be an integer"}'
+            return self._cdc_tail(parts[2], since)
         if parts[1] != "pools":
             return 404, '{"error":"not found"}'
         if len(parts) == 2:
@@ -133,15 +146,23 @@ class HiveApiServer:
             rows = serving.order_book_json(self.orders, addr).collect()
             return (200, rows[0].json) if rows else (404, '{"error":"unknown pool"}')
         if len(parts) == 4 and parts[3] == "get-amount-out":
-            amt = int(q.get("amount", ["500"])[0])
-            side = q.get("side", ["BUY"])[0].upper()
-            if side not in ("BUY", "SELL"):
-                return 400, '{"error":"side must be BUY or SELL"}'
-            res = amount_out(self.orders, side, amt)
+            # reference param is `orderType` (order-book-controller.ts:14);
+            # `side` kept as an alias for earlier clients of this daemon
+            raw_side = q.get("orderType", q.get("side", [None]))[0]
+            raw_amt = q.get("amount", [None])[0]
+            if raw_side is None or raw_side.upper() not in ("BUY", "SELL"):
+                return 400, '{"error":"orderType must be BUY or SELL"}'
+            amt = _parse_int(raw_amt)
+            if amt is None or amt <= 0:
+                return 400, '{"error":"amount must be a positive integer"}'
+            res = amount_out(self.orders, raw_side.upper(), amt)
             rows = serving.amount_out_json(res, addr).collect()
             return (200, rows[0].json) if rows else (404, '{"error":"unknown pool"}')
         if len(parts) == 5 and parts[3] == "orders":
-            rows = serving.order_json(self.orders, addr, int(parts[4])).collect()
+            order_id = _parse_int(parts[4])
+            if order_id is None:
+                return 404, '{"error":"unknown order"}'
+            rows = serving.order_json(self.orders, addr, order_id).collect()
             return (200, rows[0].json) if rows else (404, '{"error":"unknown order"}')
         if len(parts) == 5 and parts[4] == "orders":
             trader_orders = self.orders.where(F.col("pool_address") == addr)

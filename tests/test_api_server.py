@@ -97,11 +97,33 @@ def test_market_orders(server):
 
 
 def test_amount_out(server):
-    res = _get(server, "/api/pools/pool_0/get-amount-out?amount=500&side=BUY")
+    # reference clients send orderType (order-book-controller.ts:14)
+    res = _get(server, "/api/pools/pool_0/get-amount-out?amount=500&orderType=BUY")
     assert set(res) <= {"isError", "errorMessage", "outputAmount", "prices"}
-    assert _get(server, "/api/pools/pool_0/get-amount-out?amount=1&side=SELL") is not None
+    sell = _get(server, "/api/pools/pool_0/get-amount-out?amount=500&orderType=SELL")
+    assert sell is not None and sell != res, "orderType=SELL must not alias BUY"
+    # legacy `side` alias still honored
+    assert (
+        _get(server, "/api/pools/pool_0/get-amount-out?amount=500&side=SELL") == sell
+    )
+    for bad in (
+        "?orderType=LIMIT&amount=500",  # bad side
+        "?amount=500",  # missing orderType
+        "?orderType=BUY",  # missing amount
+        "?orderType=BUY&amount=x",  # unparseable amount
+        "?orderType=BUY&amount=-3",  # non-positive amount
+    ):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(server, f"/api/pools/pool_0/get-amount-out{bad}")
+        assert e.value.code == 400, bad
+
+
+def test_bad_param_types_never_500(server):
     with pytest.raises(urllib.error.HTTPError) as e:
-        _get(server, "/api/pools/pool_0/get-amount-out?side=LIMIT")
+        _get(server, "/api/pools/pool_0/orders/abc")
+    assert e.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, "/api/cdc/pool_0?since=x")
     assert e.value.code == 400
 
 
