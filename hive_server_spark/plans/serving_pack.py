@@ -19,9 +19,6 @@ pack gives each a rows+schema+value-hash oracle:
 
 from __future__ import annotations
 
-import os
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -256,30 +253,13 @@ def q_cdc_book_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     the events visible at that version's cutoff — so batch sequencing,
     touched-pool selection, idempotent partition overwrite, and the book
     recompute are all value-checked, closing the last oracle-less operator
-    (VERDICT r03 item 8)."""
-    from hive_server_spark.plans.streaming_pack import (
-        _land_seq_slices,
-        _scoped_shuffle_partitions,
-    )
-    from hive_server_spark.streaming.cdc import run_incremental_fold_with_cdc
+    (VERDICT r03 item 8). The fold is the session-shared run
+    (streaming_pack.fold_seq_slices, VERDICT r04 item 3): one 3-micro-batch
+    fold+CDC serves this query, orders_state_changelog, and
+    orders_state_time_travel."""
+    from hive_server_spark.plans.streaming_pack import fold_seq_slices
 
-    work = tempfile.mkdtemp(prefix="hss_cdc_")
-    ev_dir = _land_seq_slices(spark, sf_dir)
-    schema = spark.read.parquet(ev_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(ev_dir)
-    )
-    with _scoped_shuffle_partitions(spark):
-        _store, cdc_dir = run_incremental_fold_with_cdc(
-            spark,
-            stream,
-            state_dir=os.path.join(work, "state"),
-            checkpoint_dir=os.path.join(work, "ckpt"),
-            cdc_dir=os.path.join(work, "cdc"),
-            depth=20,
-        )
+    _store, cdc_dir = fold_seq_slices(spark, sf_dir)
     snaps = spark.read.parquet(cdc_dir)
     return snaps.select(
         F.col("cdc_version").cast("bigint").alias("cdc_version"),
@@ -362,31 +342,13 @@ def q_orders_state_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental fold over the 3-slice landing, then for each committed
     version diff its snapshot against the previous one (null-safe struct
     compare). Checks that every commit's delta — not just the final state —
-    matches the batch-fold semantics at that version's seq cutoff."""
-    from hive_server_spark.plans.streaming_pack import (
-        _land_seq_slices,
-        _scoped_shuffle_partitions,
-    )
-    from hive_server_spark.streaming.incremental import (
-        materialize_orders,
-        run_incremental_fold,
-    )
+    matches the batch-fold semantics at that version's seq cutoff. Reads
+    the session-shared fold (streaming_pack.fold_seq_slices) instead of
+    re-running its own."""
+    from hive_server_spark.plans.streaming_pack import fold_seq_slices
+    from hive_server_spark.streaming.incremental import materialize_orders
 
-    work = tempfile.mkdtemp(prefix="hss_cdf_")
-    ev_dir = _land_seq_slices(spark, sf_dir)
-    schema = spark.read.parquet(ev_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(ev_dir)
-    )
-    with _scoped_shuffle_partitions(spark):
-        store = run_incremental_fold(
-            spark,
-            stream,
-            state_dir=os.path.join(work, "state"),
-            checkpoint_dir=os.path.join(work, "ckpt"),
-        )
+    store, _cdc_dir = fold_seq_slices(spark, sf_dir)
 
     fields = [
         "trader", "price", "amount", "filled", "remaining_amount",

@@ -4,8 +4,6 @@
 from __future__ import annotations
 
 import json
-import os
-import tempfile
 import urllib.error
 import urllib.request
 
@@ -18,23 +16,9 @@ from tests.conftest import SF_SMALL
 
 @pytest.fixture(scope="module")
 def server(spark):
-    from hive_server_spark.plans.streaming_pack import _land_seq_slices
-    from hive_server_spark.streaming.cdc import run_incremental_fold_with_cdc
+    from hive_server_spark.plans.streaming_pack import fold_seq_slices
 
-    work = tempfile.mkdtemp(prefix="hss_api_test_")
-    ev_dir = _land_seq_slices(spark, SF_SMALL)
-    stream = (
-        spark.readStream.schema(spark.read.parquet(ev_dir).schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(ev_dir)
-    )
-    _store, cdc_dir = run_incremental_fold_with_cdc(
-        spark,
-        stream,
-        state_dir=os.path.join(work, "state"),
-        checkpoint_dir=os.path.join(work, "ckpt"),
-        cdc_dir=os.path.join(work, "cdc"),
-    )
+    _store, cdc_dir = fold_seq_slices(spark, SF_SMALL)
     srv = HiveApiServer(spark, SF_SMALL, cdc_dir=cdc_dir).start()
     yield srv
     srv.stop()
