@@ -83,71 +83,71 @@ def multimodal_frame_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The stub codec (functions/multimodal.py:_fake_decode) is a deterministic
-# pure function of the payload bytes — width/height from the first/last
-# byte, mean luma from the first 256 bytes, histogram bin 0 from bytes <16 —
-# so the whole decode+featurize pass faces a closed-form DuckDB oracle that
-# recomputes the same quantities byte-by-byte (hex-string extraction). The
-# float32 outputs are folded back to the integer quantities they encode
-# (round() recovers them exactly: worst-case reconstruction error is
-# 65280·2⁻²⁴ ≈ 0.004 for luma, n_bytes·2⁻²⁴ for bin0 — both ≪ 0.5).
+# The codec is REAL here (round-5): synthesize_ppm_media builds genuine P6
+# payloads with column expressions (header + w*h*3 hex-char pixel bytes),
+# and decode runs strict=True — header parsing + numpy pixel math in the
+# Arrow worker, no fake fallback reachable. The DuckDB oracle recomputes
+# what a correct PPM decode must observe: dimensions from the synthesis
+# formula and the pixel-byte sum of the same rpad-cycled hex string (ascii()
+# per position). The float32 outputs fold back to exact integers via
+# round(): pixel sums are ≤ 15·15·3·70 ≈ 47k, so the worst-case float32
+# reconstruction error ≈ 47k·2⁻²⁴ ≈ 0.003 ≪ 0.5; bin0 counts the exactly 3
+# header newlines (the only payload bytes < 16 — pixel bytes are hex-digit
+# ASCII ≥ 48), pinning the featurize path too.
 @register(
     "multimodal_decode_profile",
     """
 WITH m AS (
-  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
-         octet_length(encode(text)) AS n
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) AS n,
+         CASE WHEN octet_length(encode(text)) > 0
+              THEN hex(encode(text)) ELSE '0' END AS hx
   FROM documents
-), fl AS (
-  SELECT media_id, n,
-         16 + (CASE WHEN n > 0 THEN ('0x'||substr(hx, 1, 2))::BIGINT ELSE 0 END) % 240
-           AS width,
-         16 + (CASE WHEN n > 0 THEN ('0x'||substr(hx, 2*n-1, 2))::BIGINT ELSE 0 END) % 240
-           AS height
+), dims AS (
+  SELECT media_id, hx,
+         8 + n % 8        AS width,
+         8 + (n // 8) % 8 AS height
   FROM m
-), b AS (
-  SELECT media_id, n, unnest(range(1, n+1)) AS i, hx FROM m
-), byteagg AS (
-  SELECT media_id,
-         SUM(CASE WHEN i <= 256 THEN ('0x'||substr(hx, 2*i-1, 2))::BIGINT ELSE 0 END)
-           AS first256,
-         SUM(CASE WHEN ('0x'||substr(hx, 2*i-1, 2))::BIGINT < 16 THEN 1 ELSE 0 END)
-           AS bin0
-  FROM b GROUP BY media_id
+), px AS (
+  SELECT media_id, width, height,
+         rpad(hx, CAST(width*height*3 AS INTEGER), hx) AS pxs
+  FROM dims
+), pxb AS (
+  SELECT media_id, unnest(range(1, width*height*3 + 1)) AS i, pxs FROM px
+), pxsum AS (
+  SELECT media_id, SUM(ascii(substr(pxs, i, 1))) AS pixel_sum
+  FROM pxb GROUP BY media_id
 )
-SELECT 'image' AS kind, 'fake-deterministic' AS decoder,
-       CAST(COUNT(*) AS BIGINT)                       AS n_media,
-       CAST(MIN(width) AS BIGINT)                     AS min_width,
-       CAST(MAX(height) AS BIGINT)                    AS max_height,
-       CAST(SUM(width) AS BIGINT)                     AS sum_width,
-       CAST(SUM(height) AS BIGINT)                    AS sum_height,
-       CAST(SUM(COALESCE(first256, 0)) AS BIGINT)     AS sum_first256_bytes,
-       CAST(SUM(COALESCE(bin0, 0)) AS BIGINT)         AS bin0_bytes
-FROM fl LEFT JOIN byteagg USING (media_id)
+SELECT 'image' AS kind, 'ppm' AS decoder,
+       CAST(COUNT(*) AS BIGINT)          AS n_media,
+       CAST(MIN(width) AS BIGINT)        AS min_width,
+       CAST(MAX(height) AS BIGINT)       AS max_height,
+       CAST(SUM(width) AS BIGINT)        AS sum_width,
+       CAST(SUM(height) AS BIGINT)       AS sum_height,
+       CAST(SUM(pixel_sum) AS BIGINT)    AS sum_pixel_bytes,
+       CAST(COUNT(*) * 3 AS BIGINT)      AS bin0_bytes
+FROM px JOIN pxsum USING (media_id)
 """,
 )
 def multimodal_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthesize media from documents, run the fused decode+featurize pass
-    (one mapInPandas, one Python-worker round trip), then fold the float32
-    decode outputs back to the integer byte quantities they encode so the
-    profile is hash-comparable with the byte-level DuckDB oracle."""
-    media = M.synthesize_media(load_table(spark, sf_dir, "documents"))
-    both = M.decode_and_featurize(media).select(
+    """Synthesize REAL P6 PPM payloads from documents, run the fused
+    decode+featurize pass with strict=True (pure-Python PPM decode + numpy
+    pixel math in the Arrow worker — the fake path would raise), then fold
+    the float32 outputs back to the integer pixel quantities they encode so
+    the profile is hash-comparable with the byte-level DuckDB oracle."""
+    media = M.synthesize_ppm_media(load_table(spark, sf_dir, "documents"))
+    px_len = (F.col("width") * F.col("height") * 3).cast("double")
+    both = M.decode_and_featurize(media, strict=True).select(
         "kind",
         "decoder",
         "width",
         "height",
-        "n_bytes",
-        # mean_luma = sum(payload[:256]) / min(n,256) / 255 as float32;
-        # invert it to the exact integer byte sum
-        F.round(
-            F.col("mean_luma").cast("double")
-            * F.lit(255.0)
-            * F.least(F.col("n_bytes"), F.lit(256)).cast("double")
-        )
+        # mean_luma = pixel_mean/255 as float32; invert to the exact sum
+        F.round(F.col("mean_luma").cast("double") * F.lit(255.0) * px_len)
         .cast("bigint")
-        .alias("first256"),
-        # f0 = count(bytes < 16) / max(n,1) as float32; invert to the count
+        .alias("pixel_sum"),
+        # f0 = count(payload bytes < 16)/n_bytes as float32; invert to the
+        # count — must be exactly the 3 header newlines per payload
         F.round(
             F.element_at("features", 1).cast("double")
             * F.greatest(F.col("n_bytes"), F.lit(1)).cast("double")
@@ -161,6 +161,6 @@ def multimodal_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("height").cast("bigint").alias("max_height"),
         F.sum("width").cast("bigint").alias("sum_width"),
         F.sum("height").cast("bigint").alias("sum_height"),
-        F.sum("first256").cast("bigint").alias("sum_first256_bytes"),
+        F.sum("pixel_sum").cast("bigint").alias("sum_pixel_bytes"),
         F.sum("bin0").cast("bigint").alias("bin0_bytes"),
     )

@@ -1,7 +1,12 @@
-"""Multimodal plumbing: schema/partitioning/batch-shape are real; the codec
-is a deterministic stub (no image libs in this environment)."""
+"""Multimodal plumbing: schema/partitioning/batch-shape are real, and so is
+the codec for uncompressed raster formats — pure-Python PPM (P6/P3) and
+24-bit BMP decoders run actual header parsing + pixel math in the Arrow
+workers. Formats that would need external libs fall back to the
+deterministic fake under strict=False (and error under strict=True)."""
 
 from __future__ import annotations
+
+import struct
 
 import pytest
 
@@ -32,9 +37,80 @@ def test_decode_deterministic(media):
     assert all(16 <= w < 256 and 16 <= h < 256 and 0 <= m <= 1 for (w, h, m) in a.values())
 
 
-def test_decode_strict_raises(media):
-    with pytest.raises(NotImplementedError):
-        M.decode_media(media, strict=True)
+def test_decode_strict_raises_on_non_raster(spark, media):
+    """synthesize_media payloads are raw text bytes (stand-ins for
+    compressed formats) — strict mode must refuse them, not fake them."""
+    with pytest.raises(Exception, match="unsupported media format"):
+        M.decode_media(media, strict=True).collect()
+
+
+def _ppm_p6(width, height, pixel_bytes):
+    return f"P6\n{width} {height}\n255\n".encode() + pixel_bytes
+
+
+def _bmp_24(width, height, rows_bgr, top_down=False):
+    """Handcraft a 24-bpp BI_RGB BMP; rows_bgr is height rows of width*3
+    bytes, listed top-to-bottom visually."""
+    stride = (width * 3 + 3) & ~3
+    pad = b"\x00" * (stride - width * 3)
+    stored = rows_bgr if top_down else rows_bgr[::-1]
+    pixel_data = b"".join(r + pad for r in stored)
+    data_offset = 14 + 40
+    file_size = data_offset + len(pixel_data)
+    file_hdr = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_offset)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, width, -height if top_down else height,
+        1, 24, 0, len(pixel_data), 2835, 2835, 0, 0,
+    )
+    return file_hdr + info_hdr + pixel_data
+
+
+def test_ppm_decoder_exact_pixel_math():
+    px = bytes(range(24))  # 2x4 RGB = 24 bytes, mean = 11.5
+    w, h, luma = M._decode_ppm(_ppm_p6(2, 4, px))
+    assert (w, h) == (2, 4)
+    assert abs(luma - 11.5 / 255.0) < 1e-9
+    # P3 ascii variant, same image
+    p3 = ("P3\n2 4\n255\n" + " ".join(str(b) for b in px)).encode()
+    assert M._decode_ppm(p3) == (2, 4, luma)
+    with pytest.raises(ValueError, match="truncated"):
+        M._decode_ppm(_ppm_p6(4, 4, px))  # header promises 48 bytes
+    assert M._decode_ppm(b"BM...") is None  # not PPM -> defer, don't raise
+
+
+def test_bmp_decoder_ignores_stride_padding():
+    # width=3 -> row is 9 bytes, stride pads to 12; padding must not skew
+    rows = [bytes([255] * 9), bytes([0] * 9)]
+    w, h, luma = M._decode_bmp(_bmp_24(3, 2, rows))
+    assert (w, h) == (3, 2)
+    assert abs(luma - 0.5) < 1e-9  # half white half black, pad excluded
+    # top-down (negative height) stores rows in visual order; same stats
+    assert M._decode_bmp(_bmp_24(3, 2, rows, top_down=True))[2] == luma
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        bad = bytearray(_bmp_24(3, 2, rows))
+        struct.pack_into("<H", bad, 28, 8)  # claim 8 bpp
+        M._decode_bmp(bytes(bad))
+
+
+def test_strict_decode_real_ppm_via_spark(spark):
+    """End-to-end: column-expression-synthesized P6 payloads decode under
+    strict=True inside mapInPandas, dims matching the synthesis formula."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(40)
+    ppm = M.synthesize_ppm_media(docs)
+    rows = M.decode_media(ppm, strict=True).collect()
+    assert len(rows) == 40
+    expected = {
+        r.doc_id: 8 + r.n % 8
+        for r in docs.select(
+            "doc_id", F.octet_length(F.encode("text", "utf-8")).alias("n")
+        ).collect()
+    }
+    for r in rows:
+        assert r.decoder == "ppm"
+        assert r.width == expected[r.media_id]
+        assert 0.0 <= r.mean_luma <= 1.0
 
 
 def test_features_are_normalized_histograms(media):
