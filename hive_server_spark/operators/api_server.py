@@ -19,23 +19,31 @@ those cached DataFrames — response rendering is the same JVM-side `to_json`
 path the oracle-checked serving gate queries pin byte-exactly
 (plans/serving_pack.py). No route ever collects more than its response.
 
-The reference's Socket.io orderbook push (server.ts:43-51) is a transport
-concern; its engine-side contract — "every touched pool re-emits a versioned
-snapshot" — is the CDC table (streaming/cdc.py). The daemon exposes that as
+The reference's Socket.io orderbook push (server.ts:43-51, rooms per pool
+at :43-51) maps to the CDC table (streaming/cdc.py) plus two transports:
 
-    GET /api/cdc/:address?since=<version>
+    GET /api/cdc/:address?since=<version>       (pull: one-shot tail)
+    GET /api/cdc/:address/stream?since=&timeout= (push: SSE subscription)
 
-returning all snapshots with cdc_version > since: any push transport
-(websocket bridge, SSE, poller) tails this endpoint; the engine's job ends
-at the versioned snapshot stream. Zero non-stdlib dependencies
-(http.server), threads share the one SparkSession (Spark reads are
-thread-safe).
+The SSE endpoint is the actual push bridge — the `io.to(room).emit`
+analogue: a subscriber receives every existing snapshot version for its
+pool in order, then stays subscribed; new `cdc_version=N` partitions
+landed by the streaming fold are pushed as they appear (the handler polls
+the partition directory listing — cheap: names only — and reads only new
+versions, gated on Spark's _SUCCESS marker so a half-written partition is
+never served). One SSE event per version, `id:` = version, so clients
+resume with Last-Event-ID semantics via ?since=. Zero non-stdlib
+dependencies (http.server), threads share the one SparkSession (Spark
+reads are thread-safe).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import re
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -56,6 +64,15 @@ def _parse_int(raw: str | None) -> int | None:
         return int(raw, 10)
     except ValueError:
         return None
+
+
+def _plain(handler: BaseHTTPRequestHandler, status: int, body: str) -> None:
+    payload = body.encode()
+    handler.send_response(status)
+    handler.send_header("Content-Type", "application/json")
+    handler.send_header("Content-Length", str(len(payload)))
+    handler.end_headers()
+    handler.wfile.write(payload)
 
 
 def _json_rows(df: DataFrame) -> str:
@@ -117,6 +134,7 @@ class HiveApiServer:
             .persist()
         )
         self.pools.count()  # materialize eagerly; requests only filter
+        self.cdc_root = cdc_dir
         self.cdc = (
             spark.read.parquet(cdc_dir).persist() if cdc_dir is not None else None
         )
@@ -171,6 +189,71 @@ class HiveApiServer:
             return 200, _json_rows(serving.market_orders_json(self.events, addr, parts[3]))
         return 404, '{"error":"not found"}'
 
+    # -- SSE push bridge (the reference's io.to(room).emit analogue) --------
+    def _cdc_versions_on_disk(self) -> list[int]:
+        """Committed snapshot versions, from the partition directory NAMES —
+        no data read; Spark's _SUCCESS marker gates half-written partitions
+        (the CDC writer overwrites a whole cdc_version=N dir per batch)."""
+        out = []
+        for name in os.listdir(self.cdc_root):
+            m = re.fullmatch(r"cdc_version=(\d+)", name)
+            if m and os.path.exists(os.path.join(self.cdc_root, name, "_SUCCESS")):
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def _snapshot_event(self, version: int, addr: str) -> bytes:
+        """One SSE event: every level row of `addr`'s depth-k book at
+        `version`, as the same JSON shape the pull tail serves."""
+        df = self.spark.read.parquet(
+            os.path.join(self.cdc_root, f"cdc_version={version}")
+        )
+        rows = df.where(F.col("pool_address") == addr).select(
+            F.to_json(
+                F.struct(
+                    F.lit(version).cast("long").alias("version"),
+                    F.col("order_type").alias("side"),
+                    F.col("price").cast("string").alias("price"),
+                    F.col("total_volume").cast("string").alias("totalVolume"),
+                    F.col("order_count").cast("long").alias("orderCount"),
+                    F.col("level_rank").cast("long").alias("levelRank"),
+                )
+            ).alias("json")
+        )
+        payload = _json_rows(rows)
+        return f"id: {version}\nevent: book\ndata: {payload}\n\n".encode()
+
+    def _cdc_stream_sse(self, handler, addr: str, q: dict[str, list[str]]) -> None:
+        """Server-Sent Events subscription: replay committed versions after
+        `since` in order, then keep pushing new ones as the streaming fold
+        lands them, until `timeout` seconds pass or the client disconnects.
+        `id:` carries the version, so a reconnecting client resumes via
+        ?since=<last-seen> (Last-Event-ID semantics)."""
+        since = _parse_int(q.get("since", ["-1"])[0])
+        timeout_s = _parse_int(q.get("timeout", ["30"])[0])
+        if self.cdc_root is None:
+            _plain(handler, 404, '{"error":"cdc table not configured"}')
+            return
+        if since is None or timeout_s is None:
+            _plain(handler, 400, '{"error":"since/timeout must be integers"}')
+            return
+        handler.send_response(200)
+        handler.send_header("Content-Type", "text/event-stream")
+        handler.send_header("Cache-Control", "no-cache")
+        handler.end_headers()
+        last = since
+        deadline = time.monotonic() + timeout_s
+        try:
+            while time.monotonic() < deadline:
+                for version in self._cdc_versions_on_disk():
+                    if version <= last:
+                        continue
+                    handler.wfile.write(self._snapshot_event(version, addr))
+                    handler.wfile.flush()
+                    last = version
+                time.sleep(0.2)
+        except (BrokenPipeError, ConnectionResetError):
+            pass  # subscriber went away; nothing to clean up
+
     def _cdc_tail(self, addr: str, since: int) -> tuple[int, str]:
         if self.cdc is None:
             return 404, '{"error":"cdc table not configured"}'
@@ -197,16 +280,23 @@ class HiveApiServer:
         class Handler(BaseHTTPRequestHandler):
             def do_GET(self) -> None:  # noqa: N802 (http.server API)
                 u = urlparse(self.path)
+                q = parse_qs(u.query)
+                parts = [p for p in u.path.split("/") if p]
+                if (
+                    len(parts) == 4
+                    and parts[:2] == ["api", "cdc"]
+                    and parts[3] == "stream"
+                ):
+                    try:
+                        outer._cdc_stream_sse(self, parts[2], q)
+                    except Exception:
+                        pass  # SSE headers may already be on the wire
+                    return
                 try:
-                    status, body = outer._route(u.path, parse_qs(u.query))
+                    status, body = outer._route(u.path, q)
                 except Exception as e:  # surface engine errors as 500 JSON
                     status, body = 500, json.dumps({"error": str(e)})
-                payload = body.encode()
-                self.send_response(status)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(payload)))
-                self.end_headers()
-                self.wfile.write(payload)
+                _plain(self, status, body)
 
             def log_message(self, *a) -> None:  # quiet test output
                 pass

@@ -111,6 +111,73 @@ def test_bad_param_types_never_500(server):
     assert e.value.code == 400
 
 
+def _read_sse_events(resp, n_events, deadline_s=20.0):
+    """Parse n complete SSE events ({id, event, data}) from a live response."""
+    import time
+
+    events, cur = [], {}
+    start = time.monotonic()
+    while len(events) < n_events and time.monotonic() - start < deadline_s:
+        line = resp.readline().decode()
+        if line in ("\n", "\r\n"):
+            if cur:
+                events.append(cur)
+                cur = {}
+            continue
+        key, _, value = line.rstrip("\n").partition(": ")
+        cur[key] = value
+    return events
+
+
+def test_cdc_sse_push_bridge(server, spark):
+    """The io.to(room).emit analogue (reference src/api/server.ts:43-51):
+    a subscriber replays the committed versions in order, then receives a
+    NEW version pushed while subscribed — actual push, not just backlog.
+    Runs against a COPY of the CDC dir (own server) so landing the extra
+    version never pollutes the session-shared fold output."""
+    import shutil
+    import tempfile
+    import threading
+
+    cdc_copy = tempfile.mkdtemp(prefix="hss_sse_") + "/cdc"
+    shutil.copytree(server.cdc_root, cdc_copy)
+    srv = HiveApiServer(spark, SF_SMALL, cdc_dir=cdc_copy).start()
+    try:
+        url = f"http://127.0.0.1:{srv.port}/api/cdc/pool_0/stream?since=-1&timeout=15"
+        resp = urllib.request.urlopen(url)
+        assert resp.headers["Content-Type"] == "text/event-stream"
+
+        backlog = _read_sse_events(resp, 3)
+        assert [e["id"] for e in backlog] == ["0", "1", "2"], "version-ordered replay"
+        for e in backlog:
+            assert e["event"] == "book"
+            snaps = json.loads(e["data"])
+            assert snaps and all(s["side"] in ("BUY", "SELL") for s in snaps)
+            assert all(s["version"] == int(e["id"]) for s in snaps)
+
+        # land a new CDC version while subscribed — must be pushed live
+        def land_v3():
+            v2 = spark.read.parquet(f"{cdc_copy}/cdc_version=2")
+            v2.write.mode("overwrite").parquet(f"{cdc_copy}/cdc_version=3")
+
+        t = threading.Thread(target=land_v3)
+        t.start()
+        live = _read_sse_events(resp, 1)
+        t.join()
+        assert live and live[0]["id"] == "3" and json.loads(live[0]["data"])
+        resp.close()
+
+        # Last-Event-ID-style resume: since=2 replays only 3
+        resumed = urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/api/cdc/pool_0/stream?since=2&timeout=5"
+        )
+        assert [e["id"] for e in _read_sse_events(resumed, 1)] == ["3"]
+        resumed.close()
+    finally:
+        srv.stop()
+        shutil.rmtree(cdc_copy, ignore_errors=True)
+
+
 def test_cdc_tail_versions(server):
     all_snaps = _get(server, "/api/cdc/pool_0?since=-1")
     assert all_snaps, "pool_0 must have CDC snapshots"
