@@ -85,6 +85,27 @@ def shingles_expr(toks: str, dialect: str) -> str:
     )
 
 
+def ngram_list_expr(toks: str, k: int, dialect: str) -> str:
+    """Ordered, NON-distinct word k-grams joined by single spaces; empty list
+    when the doc has fewer than k tokens. The distinct-shingle variant above
+    feeds dedup; this one feeds repetition analysis, where multiplicity IS
+    the signal. Same CollapseProject-safe shape as shingles_expr: zip_with
+    over k slices, each argument evaluated once per row."""
+    if dialect == "s":
+        n = f"size({toks})-{k - 1}"
+        acc = f"slice({toks}, 1, {n})"
+        for i in range(1, k):
+            acc = f"zip_with({acc}, slice({toks}, {i + 1}, {n}), (a, b) -> concat(a, ' ', b))"
+        return f"CASE WHEN size({toks}) >= {k} THEN {acc} ELSE array() END"
+    # i ranges over 1 .. len-k+1 (duckdb range() excludes the stop value)
+    seq = f"range(1, len({toks})-{k - 2})"
+    parts = "||' '||".join(f"{toks}[i+{j}]" if j else f"{toks}[i]" for j in range(k))
+    return (
+        f"CASE WHEN len({toks}) >= {k} THEN list_transform({seq}, i -> {parts}) "
+        f"ELSE [] END"
+    )
+
+
 def minhash_expr(shingles: str, seed: int, dialect: str) -> str:
     """min over shingles of the seeded hash — one minhash signature value."""
     h = hash_expr("s", seed, dialect)

@@ -984,3 +984,74 @@ def text_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.when(h < 8, "train").when(h == 8, "val").otherwise("test").alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition profile: within-document duplicate / top n-gram mass — the
+# Gopher-style repetition quality signals (count-fraction form of its
+# "fraction of characters in duplicate n-grams" rules). Long-form output,
+# one row per (doc, gram_size in {2,3}):
+#   top_gram_frac  = multiplicity of the most frequent k-gram / total k-grams
+#   dup_gram_frac  = 1 - distinct k-grams / total k-grams
+# Scale shape: explode fans out ~2 rows per token; the first aggregate keys
+# on (doc_id, gram_size, gram) — near-unique, map-side combinable, no skew —
+# and collapses the corpus to one row per distinct in-doc gram before the
+# tiny per-doc rollup. No per-row O(tokens^2) work, no driver collection.
+# ---------------------------------------------------------------------------
+_REPETITION_ORACLE = f"""
+WITH {_TOKS_CTE_D},
+grams AS (
+  SELECT doc_id, 2 AS gram_size,
+         unnest({T.ngram_list_expr('toks', 2, 'd')}) AS gram
+  FROM toks WHERE len(toks) >= 2
+  UNION ALL
+  SELECT doc_id, 3 AS gram_size,
+         unnest({T.ngram_list_expr('toks', 3, 'd')}) AS gram
+  FROM toks WHERE len(toks) >= 3
+),
+counts AS (
+  SELECT doc_id, gram_size, gram, COUNT(*) AS c
+  FROM grams GROUP BY 1, 2, 3
+)
+SELECT doc_id, gram_size,
+       CAST(SUM(c) AS BIGINT)   AS n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_gram_frac,
+       1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_gram_frac
+FROM counts
+GROUP BY doc_id, gram_size
+"""
+
+
+@register("text_repetition_profile", _REPETITION_ORACLE)
+def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals over word 2- and 3-grams (long form,
+    one row per doc x gram size). Both ratios are single divisions of the
+    same aggregates in both engines, so the doubles are bit-identical."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(T.tokens_expr("text", "s")).alias("toks")
+    )
+
+    def grams(k: int) -> DataFrame:
+        return docs.where(F.size("toks") >= k).select(
+            "doc_id",
+            F.lit(k).alias("gram_size"),
+            F.explode(F.expr(T.ngram_list_expr("toks", k, "s"))).alias("gram"),
+        )
+
+    counts = (
+        grams(2)
+        .unionByName(grams(3))
+        .groupBy("doc_id", "gram_size", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    return counts.groupBy("doc_id", "gram_size").agg(
+        F.sum("c").cast("bigint").alias("n_grams"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+            "top_gram_frac"
+        ),
+        (
+            F.lit(1.0) - F.count("*").cast("double") / F.sum("c").cast("double")
+        ).alias("dup_gram_frac"),
+    )

@@ -78,9 +78,16 @@ DEFAULT_QUERIES = [
     # superlinearity signal. The signature scan is the engine-linear part.
     "dedup_minhash_sigs",
     "text_pack_windows",
+    "text_token_shards",
     "text_decontaminate",
     "emb_lsh_buckets",
     "emb_cosine_topk",
+    "emb_int8_quantization",
+    # cdc_book_snapshots pays the full 3-slice incremental fold + CDC landing;
+    # orders_state_changelog reuses the session-cached fold for the same
+    # sf_dir (plans/serving_pack.py), so its time is the CDF read alone.
+    "cdc_book_snapshots",
+    "orders_state_changelog",
 ]
 
 # pk stride column(s) per table; every fk shift reuses the owning pk stride.

@@ -180,3 +180,31 @@ def test_leakage_safe_splits_keep_neardups_together(spark):
     # deterministic: a second invocation assigns identically
     again = text_leakage_safe_splits(spark, SF_SMALL)
     assert splits.exceptAll(again).count() == 0
+
+
+def test_repetition_profile_hand_computed(spark):
+    """'a b a b a b c': bigrams [ab, ba, ab, ba, bc] x6 -> top 'a b' 3/6;
+    trigrams 5 with 'a b a' x2 and 'b a b' x2 -> top 2/5, distinct 3."""
+    from hive_server_spark.plans.text_pack import text_repetition_profile
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="rep_docs_")
+    spark.createDataFrame(
+        [(1, "a b a b a b c"), (2, "x y z"), (3, "solo")],
+        "doc_id long, text string",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    rows = {
+        (r.doc_id, r.gram_size): r
+        for r in text_repetition_profile(spark, d).collect()
+    }
+    r12 = rows[(1, 2)]
+    assert (r12.n_grams, r12.n_distinct) == (6, 3)
+    assert abs(r12.top_gram_frac - 3 / 6) < 1e-12
+    assert abs(r12.dup_gram_frac - (1 - 3 / 6)) < 1e-12
+    r13 = rows[(1, 3)]
+    assert (r13.n_grams, r13.n_distinct) == (5, 3)
+    assert abs(r13.top_gram_frac - 2 / 5) < 1e-12
+    # no repetition: every gram unique
+    r22 = rows[(2, 2)]
+    assert r22.dup_gram_frac == 0.0 and r22.top_gram_frac == 0.5
+    # single-token doc: no bigrams or trigrams at all
+    assert (3, 2) not in rows and (3, 3) not in rows
