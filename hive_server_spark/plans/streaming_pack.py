@@ -476,29 +476,47 @@ FROM orders_state
 
 def _land_seq_slices(spark: SparkSession, sf_dir: str) -> str:
     def land() -> str:
-        max_seq = order_events(spark, sf_dir).agg(F.max("seq")).collect()[0][0]
+        # one derivation, one write: seq IS event_id (sources/synthetic.py),
+        # so the cutoff probe is a max() over the raw events parquet
+        # (footer-stats cheap) rather than a materialization of the full
+        # order_events derivation; all three slices then land in a single
+        # partitionBy job (repartition(3, slice) puts every row of a slice
+        # in one task, so each slice=i directory holds exactly one part
+        # file; partitionBy drops the helper column from the files). The
+        # oracle side pins the same identity: its cutoffs are
+        # (SELECT max(event_id) FROM events)//3.
+        max_seq = (
+            load_table(spark, sf_dir, "events")
+            .agg(F.max("event_id"))
+            .collect()[0][0]
+        )
         c1, c2 = max_seq // 3, 2 * (max_seq // 3)
-        ev = order_events(spark, sf_dir)
-        slices = [
-            ev.where(F.col("seq") <= c1),
-            ev.where((F.col("seq") > c1) & (F.col("seq") <= c2)),
-            ev.where(F.col("seq") > c2),
-        ]
         land_root = tempfile.mkdtemp(prefix="hss_tt_land_")
+        tmp = os.path.join(land_root, "sliced")
+        (
+            order_events(spark, sf_dir)
+            .withColumn(
+                "slice",
+                F.when(F.col("seq") <= c1, 0)
+                .when(F.col("seq") <= c2, 1)
+                .otherwise(2),
+            )
+            .repartition(3, "slice")
+            .write.partitionBy("slice")
+            .parquet(tmp)
+        )
         ev_dir = os.path.join(land_root, "events")
         os.makedirs(ev_dir)
         base = time.time() - 1_000
-        for i, sl in enumerate(slices):
-            tmp = os.path.join(land_root, f"slice{i}")
-            sl.coalesce(1).write.parquet(tmp)
-            parts = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        for i in range(3):
+            parts = glob.glob(os.path.join(tmp, f"slice={i}", "part-*.parquet"))
             # the three-file mtime layout (batch ids 0/1/2) is what the
             # time-travel oracle's version numbering is defined against — an
             # empty or multi-file slice would silently break it, so fail loud
             assert len(parts) == 1, (
                 f"seq slice {i} of events({sf_dir}) wrote {len(parts)} part files "
-                f"(expected exactly 1 after coalesce(1)); the version-numbering "
-                f"contract of orders_state_at_version requires one file per slice"
+                f"(expected exactly 1); the version-numbering contract of "
+                f"orders_state_at_version requires one file per slice"
             )
             dst = os.path.join(ev_dir, f"{i:02d}.parquet")
             os.replace(parts[0], dst)
