@@ -1031,17 +1031,19 @@ def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.expr(T.tokens_expr("text", "s")).alias("toks")
     )
-
-    def grams(k: int) -> DataFrame:
-        return docs.where(F.size("toks") >= k).select(
-            "doc_id",
-            F.lit(k).alias("gram_size"),
-            F.explode(F.expr(T.ngram_list_expr("toks", k, "s"))).alias("gram"),
-        )
-
+    # both gram sizes from ONE scan and ONE explode: tag each k-gram with its
+    # size inside the array, instead of a union of two scans of the corpus
+    # (which would read every document twice at 100 TB)
+    both = (
+        f"concat("
+        f"transform({T.ngram_list_expr('toks', 2, 's')},"
+        f" g -> named_struct('gram_size', 2, 'gram', g)), "
+        f"transform({T.ngram_list_expr('toks', 3, 's')},"
+        f" g -> named_struct('gram_size', 3, 'gram', g)))"
+    )
     counts = (
-        grams(2)
-        .unionByName(grams(3))
+        docs.select("doc_id", F.explode(F.expr(both)).alias("g"))
+        .select("doc_id", F.col("g.gram_size").alias("gram_size"), F.col("g.gram").alias("gram"))
         .groupBy("doc_id", "gram_size", "gram")
         .agg(F.count("*").alias("c"))
     )
