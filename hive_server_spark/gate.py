@@ -689,8 +689,9 @@ DRIVER_PRIORITY_R5 = [
     "rel_lateral_top_orders",
     "evt_sliding_rollup_streaming",
     "emb_int8_quantization",
-    # -- new round-5 registration: checked this round or it inherits debt ---
+    # -- new round-5 registrations: checked this round or they inherit debt -
     "text_repetition_profile",
+    "text_source_overlap",
     # -- scalar-function surface, green only in r02 (stalest) ---------------
     "rel_scalar_functions",
     "rel_string_functions",
@@ -732,9 +733,9 @@ DRIVER_PRIORITY_R5 = [
     "src_csv_roundtrip",
     "src_orc_roundtrip",
     "layout_zorder_manifest",
-    "udf_alpha_quality",
-    # udf_user_centered_values rotated out (driver-green r03) to keep the
-    # window at 50 with the round-5 registration front-loaded
+    # udf_alpha_quality / udf_user_centered_values rotated out (both
+    # driver-green r03) to keep the window at 50 with the round-5
+    # registrations front-loaded
 ]
 assert len(DRIVER_PRIORITY_R5) == 50, len(DRIVER_PRIORITY_R5)
 # A typo'd or renamed name would silently shrink the checked window

@@ -1057,3 +1057,103 @@ def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.count("*").cast("double") / F.sum("c").cast("double")
         ).alias("dup_gram_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-source contamination matrix: for every pair of corpus sources, how
+# many distinct 3-token shingles they share, plus the Jaccard overlap of
+# their shingle sets — the source-level complement of text_decontaminate
+# (which checks the corpus against an external benchmark). Shingles present
+# in more than SRC_CUT sources are dropped before pairing: they are
+# boilerplate, carry no contamination signal, and — the scale reason — the
+# per-shingle self-join fan-out is bounded by SRC_CUT^2 instead of
+# (number of sources)^2. The cap is live on the gate corpus (its densest
+# shingles span 7 of 20 sources).
+# Scale shape: distinct (source, shingle) → per-shingle df filter → a
+# shingle-keyed self-join whose groups are ≤ SRC_CUT rows → a pair-keyed
+# aggregate whose output is at most (n_sources choose 2) rows; the
+# per-source set sizes are a tiny broadcast. At 100 TB the one thing to
+# add is persisting the filtered (source, shingle) set, which is read
+# three times below.
+# ---------------------------------------------------------------------------
+SRC_CUT = 5
+
+_SRC_OVERLAP_ORACLE = f"""
+WITH {_TOKS_CTE_D},
+{_SHINGLES_CTE_D},
+ss AS (
+  SELECT DISTINCT d.source, u.s AS shingle
+  FROM shingled sh JOIN documents d ON d.doc_id = sh.doc_id,
+       unnest(sh.shingles) AS u(s)
+),
+keep AS (SELECT shingle FROM ss GROUP BY shingle HAVING COUNT(*) <= {SRC_CUT}),
+sk AS (SELECT ss.* FROM ss JOIN keep USING (shingle)),
+sizes AS (SELECT source, COUNT(*) AS n FROM sk GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+  FROM sk a JOIN sk b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b,
+       CAST(p.n_common AS BIGINT) AS n_common,
+       CAST(sa.n AS BIGINT)       AS n_a,
+       CAST(sb.n AS BIGINT)       AS n_b,
+       CAST(p.n_common AS DOUBLE) / CAST(sa.n + sb.n - p.n_common AS DOUBLE)
+         AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.source = p.source_a
+JOIN sizes sb ON sb.source = p.source_b
+"""
+
+
+@register("text_source_overlap", _SRC_OVERLAP_ORACLE)
+def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise shared-shingle counts and Jaccard overlap between sources,
+    with the SRC_CUT boilerplate/fan-out cap described above."""
+    ss = (
+        T.with_shingles(_docs(spark, sf_dir))
+        .select("source", F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    keep = (
+        ss.groupBy("shingle")
+        .agg(F.count("*").alias("src_df"))
+        .where(F.col("src_df") <= SRC_CUT)
+        .select("shingle")
+    )
+    sk = ss.join(keep, "shingle")
+    sizes = sk.groupBy("source").agg(F.count("*").alias("n"))
+    pairs = (
+        sk.alias("a")
+        .join(
+            sk.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    size_a = sizes.select(
+        F.col("source").alias("source_a"), F.col("n").alias("n_a")
+    )
+    size_b = sizes.select(
+        F.col("source").alias("source_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(size_a), "source_a")
+        .join(F.broadcast(size_b), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

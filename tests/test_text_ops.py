@@ -208,3 +208,20 @@ def test_repetition_profile_hand_computed(spark):
     assert r22.dup_gram_frac == 0.0 and r22.top_gram_frac == 0.5
     # single-token doc: no bigrams or trigrams at all
     assert (3, 2) not in rows and (3, 3) not in rows
+
+
+def test_source_overlap_invariants(spark):
+    """Pair symmetry and set algebra: each unordered pair appears once with
+    source_a < source_b, n_common <= min(n_a, n_b), and jaccard equals
+    common/(n_a+n_b-common)."""
+    from hive_server_spark.plans.text_pack import text_source_overlap
+
+    rows = text_source_overlap(spark, SF_SMALL).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert (r.source_a, r.source_b) not in seen
+        seen.add((r.source_a, r.source_b))
+        assert 0 < r.n_common <= min(r.n_a, r.n_b)
+        assert abs(r.jaccard - r.n_common / (r.n_a + r.n_b - r.n_common)) < 1e-12
