@@ -692,6 +692,7 @@ DRIVER_PRIORITY_R5 = [
     # -- new round-5 registrations: checked this round or they inherit debt -
     "text_repetition_profile",
     "text_source_overlap",
+    "text_pretrain_keep",
     # -- scalar-function surface, green only in r02 (stalest) ---------------
     "rel_scalar_functions",
     "rel_string_functions",
@@ -732,7 +733,7 @@ DRIVER_PRIORITY_R5 = [
     "src_jsonl_roundtrip",
     "src_csv_roundtrip",
     "src_orc_roundtrip",
-    "layout_zorder_manifest",
+    # layout_zorder_manifest rotated out (driver-green r03), see below
     # udf_alpha_quality / udf_user_centered_values rotated out (both
     # driver-green r03) to keep the window at 50 with the round-5
     # registrations front-loaded

@@ -1157,3 +1157,92 @@ def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# the end-to-end pretraining keep/drop decision: the composition a cleaning
+# pipeline actually ships — quality floor, length band, repetition cap, and
+# near-dup-cluster canonicality — evaluated per document with per-rule
+# verdicts so a corpus owner can audit WHY a document was dropped. Reuses
+# the three session-cached intermediates (doc profile, dup clusters) plus a
+# bigram-only repetition pass; every rule is live on the gate corpus. The
+# oracle nests the profile and repetition oracles as derived tables inside
+# the recursive-CC splice, so both engines evaluate bit-identical doubles
+# before the threshold compares.
+# ---------------------------------------------------------------------------
+QUALITY_MIN = 0.61
+TOKENS_MIN, TOKENS_MAX = 12, 1000
+TOP_BIGRAM_MAX = 0.09
+
+_KEEP_ORACLE = _CLUSTERS_ORACLE.rsplit("SELECT d.doc_id,", 1)[0] + f""",
+resolved AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+prof AS (
+  SELECT doc_id, quality_score, n_tokens FROM ({_PROFILE_SQL}) _p
+),
+rep2 AS (
+  SELECT doc_id, top_gram_frac FROM ({_REPETITION_ORACLE}) _r WHERE gram_size = 2
+)
+SELECT r.doc_id,
+       p.quality_score >= CAST({QUALITY_MIN} AS DOUBLE)      AS keep_quality,
+       p.n_tokens BETWEEN {TOKENS_MIN} AND {TOKENS_MAX}      AS keep_length,
+       COALESCE(b.top_gram_frac <= CAST({TOP_BIGRAM_MAX} AS DOUBLE), TRUE)
+         AS keep_repetition,
+       r.cluster_id = r.doc_id                               AS keep_canonical,
+       (p.quality_score >= CAST({QUALITY_MIN} AS DOUBLE)
+        AND p.n_tokens BETWEEN {TOKENS_MIN} AND {TOKENS_MAX}
+        AND COALESCE(b.top_gram_frac <= CAST({TOP_BIGRAM_MAX} AS DOUBLE), TRUE)
+        AND r.cluster_id = r.doc_id)                         AS kept
+FROM resolved r
+JOIN prof p ON p.doc_id = r.doc_id
+LEFT JOIN rep2 b ON b.doc_id = r.doc_id
+"""
+assert "reach(" in _KEEP_ORACLE and "keep_canonical" in _KEEP_ORACLE, (
+    "keep oracle splice failed: _CLUSTERS_ORACLE's final SELECT changed; "
+    "update the rsplit target in text_pack._KEEP_ORACLE"
+)
+
+
+@register("text_pretrain_keep", _KEEP_ORACLE)
+def text_pretrain_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keep/drop verdict with per-rule booleans. All joins are
+    doc_id-keyed over cached intermediates; the only new work is the
+    bigram-only repetition pass (same two-aggregate shape as the full
+    repetition profile)."""
+    prof = _profile(spark, sf_dir).select("doc_id", "quality_score", "n_tokens")
+    comp = _dup_clusters(spark, sf_dir)
+    docs_t = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(T.tokens_expr("text", "s")).alias("toks")
+    )
+    rep2 = (
+        docs_t.select(
+            "doc_id",
+            F.explode(F.expr(T.ngram_list_expr("toks", 2, "s"))).alias("gram"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+                "top_gram_frac"
+            )
+        )
+    )
+    keep_q = F.col("quality_score") >= F.lit(QUALITY_MIN)
+    keep_l = F.col("n_tokens").between(TOKENS_MIN, TOKENS_MAX)
+    keep_r = F.coalesce(F.col("top_gram_frac") <= F.lit(TOP_BIGRAM_MAX), F.lit(True))
+    keep_c = F.col("cluster_id") == F.col("doc_id")
+    return (
+        comp.join(prof, "doc_id")
+        .join(rep2, "doc_id", "left")
+        .select(
+            "doc_id",
+            keep_q.alias("keep_quality"),
+            keep_l.alias("keep_length"),
+            keep_r.alias("keep_repetition"),
+            keep_c.alias("keep_canonical"),
+            (keep_q & keep_l & keep_r & keep_c).alias("kept"),
+        )
+    )
