@@ -1106,22 +1106,36 @@ JOIN sizes sb ON sb.source = p.source_b
 """
 
 
+_SRCSET_CACHE: SessionCache[DataFrame] = SessionCache(on_evict=unpersist_df)
+
+
+def _source_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df-capped distinct (source, shingle) set — persisted because the
+    overlap query reads it three times (sizes + both self-join sides); at
+    100 TB this is the intermediate a pipeline would materialize."""
+
+    def build() -> DataFrame:
+        ss = (
+            T.with_shingles(_docs(spark, sf_dir))
+            .select("source", F.explode("shingles").alias("shingle"))
+            .distinct()
+        )
+        keep = (
+            ss.groupBy("shingle")
+            .agg(F.count("*").alias("src_df"))
+            .where(F.col("src_df") <= SRC_CUT)
+            .select("shingle")
+        )
+        return ss.join(keep, "shingle").persist()
+
+    return _SRCSET_CACHE.get_or_create(spark, (sf_dir,), build)
+
+
 @register("text_source_overlap", _SRC_OVERLAP_ORACLE)
 def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise shared-shingle counts and Jaccard overlap between sources,
     with the SRC_CUT boilerplate/fan-out cap described above."""
-    ss = (
-        T.with_shingles(_docs(spark, sf_dir))
-        .select("source", F.explode("shingles").alias("shingle"))
-        .distinct()
-    )
-    keep = (
-        ss.groupBy("shingle")
-        .agg(F.count("*").alias("src_df"))
-        .where(F.col("src_df") <= SRC_CUT)
-        .select("shingle")
-    )
-    sk = ss.join(keep, "shingle")
+    sk = _source_shingles(spark, sf_dir)
     sizes = sk.groupBy("source").agg(F.count("*").alias("n"))
     pairs = (
         sk.alias("a")
