@@ -65,6 +65,9 @@ def test_no_sort_merge_join_anywhere_in_gate(spark):
         "emb_lsh_neardup_topk",
         "dedup_clusters",
         "text_leakage_safe_splits",  # same shape as dedup_clusters: corpus ⋈ CC labels
+        "text_pretrain_keep",  # three corpus-sized sides (profile ⋈ CC labels ⋈
+        # repetition) joined on doc_id — co-partitioned shuffle joins are the
+        # correct 100 TB strategy; no side is broadcastable
         "rel_full_outer_nation_activity",
     }
     offenders = []

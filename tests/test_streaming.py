@@ -116,3 +116,19 @@ def test_checkpoint_restart_exactly_once(spark):
     got = materialize_orders(store.latest(spark))
     want = fold_order_events(ev)
     assert _rows(got) == _rows(want)
+
+
+def test_windowed_streams_chunk_invariant(spark):
+    """The append-mode windowed streams emit exactly the final-watermark
+    result regardless of micro-batch count: re-chunking the same ts-ordered
+    landing from 2 files to 1 must not change a single row (the watermark
+    contract the DuckDB oracles encode is batch-boundary-free)."""
+    from hive_server_spark.plans.streaming_pack import (
+        streamed_hourly_rollup,
+        streamed_sessions,
+    )
+
+    for fn in (streamed_hourly_rollup, streamed_sessions):
+        one = {tuple(r) for r in fn(spark, SF_SMALL, chunks=1).collect()}
+        two = {tuple(r) for r in fn(spark, SF_SMALL, chunks=2).collect()}
+        assert one == two, f"{fn.__name__}: chunking changed the emitted set"
