@@ -225,3 +225,48 @@ def test_source_overlap_invariants(spark):
         seen.add((r.source_a, r.source_b))
         assert 0 < r.n_common <= min(r.n_a, r.n_b)
         assert abs(r.jaccard - r.n_common / (r.n_a + r.n_b - r.n_common)) < 1e-12
+
+
+def test_ngram_list_expr_matches_python_both_dialects(spark):
+    """Random token soups (including len < k, all-identical, single-token)
+    through the Spark AND DuckDB forms of ngram_list_expr must equal the
+    direct Python k-gram enumeration — order and multiplicity included."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    rng = random.Random(17)
+    vocab = ["a", "b", "cc", "ddd"]
+    docs = [(0, ""), (1, "solo"), (2, "x x x x x")]
+    for i in range(3, 40):
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 9)))))
+
+    def py_grams(text, k):
+        toks = text.split(" ")
+        if len(toks) < k:
+            return []
+        return [" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)]
+
+    df = spark.createDataFrame(docs, "doc_id long, text string").select(
+        "doc_id", F.expr(T.tokens_expr("text", "s")).alias("toks")
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d AS SELECT * FROM (VALUES %s) t(doc_id, text)"
+                % ", ".join("(%d, '%s')" % (i, t) for i, t in docs))
+    for k in (2, 3, 4):
+        got_s = {
+            r.doc_id: r.g
+            for r in df.select(
+                "doc_id", F.expr(T.ngram_list_expr("toks", k, "s")).alias("g")
+            ).collect()
+        }
+        got_d = dict(
+            con.execute(
+                f"SELECT doc_id, {T.ngram_list_expr(T.tokens_expr('text', 'd'), k, 'd')} FROM d"
+            ).fetchall()
+        )
+        for i, t in docs:
+            want = py_grams(t, k)
+            assert got_s[i] == want, (k, i, t, got_s[i], want)
+            assert got_d[i] == want, (k, i, t, got_d[i], want)
