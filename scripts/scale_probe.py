@@ -77,6 +77,13 @@ DEFAULT_QUERIES = [
     # synthetic corpus by construction — timing it here would report a false
     # superlinearity signal. The signature scan is the engine-linear part.
     "dedup_minhash_sigs",
+    "text_repetition_profile",
+    # text_source_overlap yes / text_pretrain_keep NO: the keep query reads
+    # the dup-cluster intermediate, whose candidate-pair volume is
+    # superlinear on this replicated corpus by construction (see the
+    # dedup_minhash_candidates note above) — timing it here would report
+    # corpus structure, not engine scaling.
+    "text_source_overlap",
     "text_pack_windows",
     "text_token_shards",
     "text_decontaminate",
