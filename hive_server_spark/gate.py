@@ -665,8 +665,9 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 # round 4, cumulative driver-green coverage is 100/110: the only queries
 # without a green CORRECTNESS row are the 10 round-4 registrations, which the
 # round-4 window could not reach. Round 5's window therefore = those 10
-# never-checked registrations, then the 7 scalar-surface packs green only in
-# r02 (the stalest), then 33 of the 43 queries stale since r03 — keeping
+# never-checked registrations, then the 3 round-5 registrations (repetition
+# profile, source overlap, pretrain keep), then the 7 scalar-surface packs
+# green only in r02 (the stalest), then 30 of the queries stale since r03 — keeping
 # every query whose implementation changes this round (packing/sharding
 # two-level prefix sum, shared CDC fold, real codec) inside the window so
 # the changes are driver-revalidated. The 10 displaced r03 names (static
