@@ -144,6 +144,8 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, float] | None:
     while len(tokens) < 3 and pos < len(payload):
         while pos < len(payload) and payload[pos : pos + 1].isspace():
             pos += 1
+        if pos >= len(payload):
+            break  # EOF during whitespace skip: fall through to truncated
         if payload[pos : pos + 1] == b"#":
             while pos < len(payload) and payload[pos : pos + 1] != b"\n":
                 pos += 1
@@ -156,6 +158,10 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, float] | None:
         raise ValueError("truncated PPM header")
     width, height, maxval = (int(t) for t in tokens)
     if payload[:2] == b"P6":
+        if maxval > 255:
+            # 2-bytes-per-sample P6; reading it as 8-bit would silently
+            # return a wrong mean — refuse instead of mis-decoding
+            raise ValueError(f"unsupported PPM maxval {maxval} (> 255 needs 16-bit samples)")
         pos += 1  # exactly one whitespace byte after maxval
         need = width * height * 3
         if len(payload) - pos < need:
@@ -212,9 +218,18 @@ def _fake_decode(payload: bytes) -> tuple[int, int, float]:
 
 def _decode_one(payload: bytes, strict: bool) -> tuple[int, int, float, str]:
     b = bytes(payload)
-    real = _decode_ppm(b)
-    if real is None:
-        real = _decode_bmp(b)
+    try:
+        real = _decode_ppm(b)
+        if real is None:
+            real = _decode_bmp(b)
+    except ValueError:
+        # magic bytes collided with PPM/BMP but the payload is not a valid
+        # raster (e.g. text starting "BMW…"): a strict decode propagates the
+        # codec's diagnostic; non-strict falls back to the fake like any
+        # other unsupported format instead of failing the whole task
+        if strict:
+            raise
+        real = None
     if real is not None:
         decoder = "ppm" if b[:1] == b"P" else "bmp"
         return (*real, decoder)

@@ -42,6 +42,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import sys
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -222,13 +223,24 @@ class HiveApiServer:
         payload = _json_rows(rows)
         return f"id: {version}\nevent: book\ndata: {payload}\n\n".encode()
 
+    # longest SSE subscription a single request may hold (the reference's
+    # Socket.io rooms are server-managed; here each subscription pins one
+    # handler thread, so an unbounded client-supplied timeout would let a
+    # handful of requests accumulate threads + per-version Spark jobs forever)
+    SSE_MAX_TIMEOUT_S = 300
+
     def _cdc_stream_sse(self, handler, addr: str, q: dict[str, list[str]]) -> None:
         """Server-Sent Events subscription: replay committed versions after
         `since` in order, then keep pushing new ones as the streaming fold
         lands them, until `timeout` seconds pass or the client disconnects.
-        `id:` carries the version, so a reconnecting client resumes via
-        ?since=<last-seen> (Last-Event-ID semantics)."""
+        `id:` carries the version; a reconnecting EventSource resumes from
+        its `Last-Event-ID` header (standard SSE), or via ?since=<v> for
+        plain HTTP clients — the header wins when both are present, because
+        that is what the browser auto-reconnect sends."""
         since = _parse_int(q.get("since", ["-1"])[0])
+        last_event_id = handler.headers.get("Last-Event-ID")
+        if last_event_id is not None:
+            since = _parse_int(last_event_id)
         timeout_s = _parse_int(q.get("timeout", ["30"])[0])
         if self.cdc_root is None:
             _plain(handler, 404, '{"error":"cdc table not configured"}')
@@ -236,6 +248,7 @@ class HiveApiServer:
         if since is None or timeout_s is None:
             _plain(handler, 400, '{"error":"since/timeout must be integers"}')
             return
+        timeout_s = min(timeout_s, self.SSE_MAX_TIMEOUT_S)
         handler.send_response(200)
         handler.send_header("Content-Type", "text/event-stream")
         handler.send_header("Cache-Control", "no-cache")
@@ -289,8 +302,15 @@ class HiveApiServer:
                 ):
                     try:
                         outer._cdc_stream_sse(self, parts[2], q)
+                    except (BrokenPipeError, ConnectionResetError):
+                        pass  # subscriber went away mid-stream
                     except Exception:
-                        pass  # SSE headers may already be on the wire
+                        # SSE headers may already be on the wire, so no 500
+                        # response is possible — but never swallow silently:
+                        # a mid-stream server bug must be visible in logs
+                        import traceback
+
+                        traceback.print_exc(file=sys.stderr)
                     return
                 try:
                     status, body = outer._route(u.path, q)

@@ -1023,30 +1023,48 @@ GROUP BY doc_id, gram_size
 """
 
 
+# the per-(doc, gram-size, gram) multiplicity table is shared between the
+# repetition profile and the pretrain keep verdict — one corpus-wide
+# tokenize+explode per session, like the other cached text intermediates
+_GRAMS_CACHE: SessionCache[DataFrame] = SessionCache(on_evict=unpersist_df)
+
+
+def _gram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", F.expr(T.tokens_expr("text", "s")).alias("toks")
+        )
+        # both gram sizes from ONE scan and ONE explode: tag each k-gram
+        # with its size inside the array, instead of a union of two scans
+        # of the corpus (which would read every document twice at 100 TB)
+        both = (
+            f"concat("
+            f"transform({T.ngram_list_expr('toks', 2, 's')},"
+            f" g -> named_struct('gram_size', 2, 'gram', g)), "
+            f"transform({T.ngram_list_expr('toks', 3, 's')},"
+            f" g -> named_struct('gram_size', 3, 'gram', g)))"
+        )
+        return (
+            docs.select("doc_id", F.explode(F.expr(both)).alias("g"))
+            .select(
+                "doc_id",
+                F.col("g.gram_size").alias("gram_size"),
+                F.col("g.gram").alias("gram"),
+            )
+            .groupBy("doc_id", "gram_size", "gram")
+            .agg(F.count("*").alias("c"))
+            .persist()
+        )
+
+    return _GRAMS_CACHE.get_or_create(spark, (sf_dir,), build)
+
+
 @register("text_repetition_profile", _REPETITION_ORACLE)
 def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition signals over word 2- and 3-grams (long form,
     one row per doc x gram size). Both ratios are single divisions of the
     same aggregates in both engines, so the doubles are bit-identical."""
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.expr(T.tokens_expr("text", "s")).alias("toks")
-    )
-    # both gram sizes from ONE scan and ONE explode: tag each k-gram with its
-    # size inside the array, instead of a union of two scans of the corpus
-    # (which would read every document twice at 100 TB)
-    both = (
-        f"concat("
-        f"transform({T.ngram_list_expr('toks', 2, 's')},"
-        f" g -> named_struct('gram_size', 2, 'gram', g)), "
-        f"transform({T.ngram_list_expr('toks', 3, 's')},"
-        f" g -> named_struct('gram_size', 3, 'gram', g)))"
-    )
-    counts = (
-        docs.select("doc_id", F.explode(F.expr(both)).alias("g"))
-        .select("doc_id", F.col("g.gram_size").alias("gram_size"), F.col("g.gram").alias("gram"))
-        .groupBy("doc_id", "gram_size", "gram")
-        .agg(F.count("*").alias("c"))
-    )
+    counts = _gram_counts(spark, sf_dir)
     return counts.groupBy("doc_id", "gram_size").agg(
         F.sum("c").cast("bigint").alias("n_grams"),
         F.count("*").cast("bigint").alias("n_distinct"),
@@ -1227,16 +1245,9 @@ def text_pretrain_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition profile)."""
     prof = _profile(spark, sf_dir).select("doc_id", "quality_score", "n_tokens")
     comp = _dup_clusters(spark, sf_dir)
-    docs_t = _docs(spark, sf_dir).select(
-        "doc_id", F.expr(T.tokens_expr("text", "s")).alias("toks")
-    )
     rep2 = (
-        docs_t.select(
-            "doc_id",
-            F.explode(F.expr(T.ngram_list_expr("toks", 2, "s"))).alias("gram"),
-        )
-        .groupBy("doc_id", "gram")
-        .agg(F.count("*").alias("c"))
+        _gram_counts(spark, sf_dir)
+        .where(F.col("gram_size") == 2)
         .groupBy("doc_id")
         .agg(
             (F.max("c").cast("double") / F.sum("c").cast("double")).alias(

@@ -186,3 +186,17 @@ def test_cdc_tail_versions(server):
     later = _get(server, "/api/cdc/pool_0?since=1")
     assert {s["version"] for s in later} == {2}
     assert all(isinstance(s["price"], str) for s in all_snaps)
+
+
+def test_cdc_sse_last_event_id_header_resume(server):
+    """A reconnecting EventSource sends 'Last-Event-ID: <n>' as a HEADER
+    (it cannot rewrite the query string) — the server must resume after it,
+    overriding ?since=, instead of replaying the full backlog."""
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/api/cdc/pool_0/stream?since=-1&timeout=5",
+        headers={"Last-Event-ID": "1"},
+    )
+    resp = urllib.request.urlopen(req)
+    events = _read_sse_events(resp, 1)
+    resp.close()
+    assert [e["id"] for e in events] == ["2"], "header must override ?since"

@@ -153,3 +153,31 @@ def test_features_feed_similarity_ops(spark, media):
     )
     rows = scored.collect()
     assert rows and any(abs(r.cosine - 1.0) < 1e-9 for r in rows)  # self-match
+
+
+def test_nonstrict_fallback_on_magic_collision():
+    """Payloads whose first bytes collide with PPM/BMP magic but are not
+    valid rasters ('BMW…', 'P6 garbage') must fall back to the fake decoder
+    under strict=False and propagate the codec diagnostic under strict=True."""
+    for payload in (b"BMW sedans are popular", b"P6 not actually an image"):
+        w, h, luma, dec = M._decode_one(payload, strict=False)
+        assert dec == "fake-deterministic" and w >= 16 and h >= 16
+        with pytest.raises(ValueError):
+            M._decode_one(payload, strict=True)
+
+
+def test_ppm_16bit_maxval_refused_not_misdecoded():
+    """P6 with maxval > 255 is 2 bytes/sample; reading it as 8-bit would
+    silently halve the pixel stream — must refuse instead."""
+    payload = b"P6\n2 2\n65535\n" + bytes(24)
+    with pytest.raises(ValueError, match="maxval"):
+        M._decode_ppm(payload)
+    # P3 ascii samples carry any maxval fine
+    p3 = ("P3\n1 1\n65535\n" + "65535 0 0").encode()
+    w, h, luma = M._decode_ppm(p3)
+    assert (w, h) == (1, 1) and abs(luma - (65535 + 0 + 0) / 3 / 65535) < 1e-9
+
+
+def test_ppm_header_truncated_at_whitespace_eof():
+    with pytest.raises(ValueError, match="truncated PPM header"):
+        M._decode_ppm(b"P6 1 2 ")
