@@ -63,6 +63,22 @@ def _dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the per-document profile (tokens, lang-id, quality, fingerprints) is the
 # other shared intermediate: profile, histogram, filter, and corpus stats
 # all start from it — one CPU-heavy derivation, persisted per session
+# the shingled corpus (doc_id, source, shingles[]) feeds top-ngrams,
+# decontamination, and the source-overlap matrix — materialized once per
+# (session, corpus) like the profile, instead of re-tokenizing per query
+_SHINGLED_CACHE: SessionCache[DataFrame] = SessionCache(on_evict=unpersist_df)
+
+
+def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _SHINGLED_CACHE.get_or_create(
+        spark,
+        (sf_dir,),
+        lambda: T.with_shingles(_docs(spark, sf_dir))
+        .select("doc_id", "source", "shingles")
+        .persist(),
+    )
+
+
 _PROFILE_CACHE: SessionCache[DataFrame] = SessionCache(on_evict=unpersist_df)
 
 
@@ -292,7 +308,7 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-50 word 3-grams by document frequency — the
     aggregate-then-rank shape again: the heavy explode reduces to one count
     per distinct shingle before the single-partition top-k."""
-    sh = T.with_shingles(_docs(spark, sf_dir)).select(
+    sh = _shingled_docs(spark, sf_dir).select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -922,7 +938,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus docs sharing >=1 shingle with the benchmark holdout, with the
     overlap ratio and a 0.2-threshold contamination flag. Only overlapping
     docs are returned (the sweep's hit list, not the full corpus)."""
-    sh = T.with_shingles(_docs(spark, sf_dir)).select(
+    sh = _shingled_docs(spark, sf_dir).select(
         "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
     )
     bench = (
@@ -1134,7 +1150,7 @@ def _source_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         ss = (
-            T.with_shingles(_docs(spark, sf_dir))
+            _shingled_docs(spark, sf_dir)
             .select("source", F.explode("shingles").alias("shingle"))
             .distinct()
         )
