@@ -1,6 +1,7 @@
 """Benchmark harness: runs every gate query at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+  {"queries": {...}, "sf": ..., "metric": ..., "unit": "sec", "value": total_sec}
+(headline fields deliberately LAST — see the key-order note in main()).
 
 Each query is executed with a count() action (full materialization, no
 driver-side result transfer) after a warm-up of the session.

@@ -157,6 +157,10 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, float] | None:
     if len(tokens) < 3:
         raise ValueError("truncated PPM header")
     width, height, maxval = (int(t) for t in tokens)
+    if maxval <= 0 or maxval >= 65536:
+        # PPM spec: 0 < maxval < 65536; a non-positive value would flow a
+        # negative/garbage mean_luma downstream as a "successful" decode
+        raise ValueError(f"invalid PPM maxval {maxval}")
     if payload[:2] == b"P6":
         if maxval > 255:
             # 2-bytes-per-sample P6; reading it as 8-bit would silently

@@ -238,9 +238,12 @@ class HiveApiServer:
         plain HTTP clients — the header wins when both are present, because
         that is what the browser auto-reconnect sends."""
         since = _parse_int(q.get("since", ["-1"])[0])
-        last_event_id = handler.headers.get("Last-Event-ID")
+        last_event_id = _parse_int(handler.headers.get("Last-Event-ID") or "")
         if last_event_id is not None:
-            since = _parse_int(last_event_id)
+            # an unusable Last-Event-ID falls back to ?since= (per SSE
+            # convention a bad id is ignored, never a fatal non-200 — an
+            # EventSource treats any error status as stop-reconnecting)
+            since = last_event_id
         timeout_s = _parse_int(q.get("timeout", ["30"])[0])
         if self.cdc_root is None:
             _plain(handler, 404, '{"error":"cdc table not configured"}')

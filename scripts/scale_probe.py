@@ -78,6 +78,12 @@ DEFAULT_QUERIES = [
     # superlinearity signal. The signature scan is the engine-linear part.
     "dedup_minhash_sigs",
     "text_repetition_profile",
+    # NOTE on shared session caches: queries later in this list that share a
+    # cached intermediate with an earlier one time only their residual work —
+    # text_source_overlap warms the shingled-corpus cache that
+    # text_decontaminate then reuses, so decontaminate's row measures the
+    # broadcast join/agg, not the tokenize+shingle derivation (which
+    # source_overlap's row covers).
     # text_source_overlap yes / text_pretrain_keep NO: the keep query reads
     # the dup-cluster intermediate, whose candidate-pair volume is
     # superlinear on this replicated corpus by construction (see the

@@ -200,3 +200,17 @@ def test_cdc_sse_last_event_id_header_resume(server):
     events = _read_sse_events(resp, 1)
     resp.close()
     assert [e["id"] for e in events] == ["2"], "header must override ?since"
+
+
+def test_cdc_sse_malformed_last_event_id_falls_back(server):
+    """A bad Last-Event-ID must be ignored (fall back to ?since=), never a
+    400 — EventSource treats any non-200 as stop-reconnecting-forever."""
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/api/cdc/pool_0/stream?since=1&timeout=5",
+        headers={"Last-Event-ID": "not-a-number"},
+    )
+    resp = urllib.request.urlopen(req)
+    assert resp.status == 200
+    events = _read_sse_events(resp, 1)
+    resp.close()
+    assert [e["id"] for e in events] == ["2"], "must resume from ?since=1"

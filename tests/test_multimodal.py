@@ -181,3 +181,10 @@ def test_ppm_16bit_maxval_refused_not_misdecoded():
 def test_ppm_header_truncated_at_whitespace_eof():
     with pytest.raises(ValueError, match="truncated PPM header"):
         M._decode_ppm(b"P6 1 2 ")
+
+
+def test_ppm_nonpositive_maxval_refused():
+    with pytest.raises(ValueError, match="invalid PPM maxval"):
+        M._decode_ppm(b"P6\n1 1\n-7\n" + bytes([120, 120, 120]))
+    with pytest.raises(ValueError, match="invalid PPM maxval"):
+        M._decode_ppm(b"P3\n1 1\n0\n120 120 120")
