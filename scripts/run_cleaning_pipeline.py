@@ -1,0 +1,81 @@
+"""End-to-end corpus-cleaning run: the composition a training-data pipeline
+actually executes, chained from the same operators the gate value-checks
+one by one. Stages (each a gate query, so each is oracle-verified):
+
+  1. profile        - tokens, lang-id, quality, fingerprints (text_profile)
+  2. repetition     - dup/top n-gram mass per doc (text_repetition_profile)
+  3. dedup          - MinHash-LSH candidates -> connected components
+  4. keep verdict   - quality + length + repetition + canonicality
+                      (text_pretrain_keep)
+  5. splits         - leakage-safe 80/10/10 by dup cluster
+  6. shards         - token-budget shard manifest over the KEPT train docs
+
+Intermediates (profile, gram counts, candidate pairs, clusters) are
+session-cached, so the chain costs one derivation each — the run is the
+same work a driver round does, just composed. Output: a summary line per
+stage plus a parquet manifest directory.
+
+    python scripts/run_cleaning_pipeline.py [--sf-dir /root/testdata/sf0.01]
+                                            [--out /tmp/clean_run]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from hive_server_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default="/tmp/clean_run")
+    args = ap.parse_args()
+
+    spark = get_spark("cleaning-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from hive_server_spark import gate
+
+    qs = gate.spark_queries()
+    os.makedirs(args.out, exist_ok=True)
+
+    def stage(name: str):
+        t0 = time.perf_counter()
+        df = qs[name](spark, args.sf_dir)
+        n = df.count()
+        print(f"{name}: {n} rows in {time.perf_counter() - t0:.1f}s")
+        return df
+
+    stage("text_profile")
+    stage("text_repetition_profile")
+    clusters = stage("dedup_clusters")
+    keep = stage("text_pretrain_keep")
+    splits = stage("text_leakage_safe_splits")
+
+    # train-split KEPT docs feed the shard manifest; the join is doc_id-keyed
+    # over two already-cached frames
+    kept_train = (
+        keep.where(F.col("kept"))
+        .join(splits.where(F.col("split") == "train"), "doc_id", "left_semi")
+    )
+    n_kept = kept_train.count()
+    n_docs = clusters.count()
+    print(f"kept for training: {n_kept}/{n_docs} docs")
+
+    shards = qs["text_token_shards"](spark, args.sf_dir)
+    shards.write.mode("overwrite").parquet(os.path.join(args.out, "shard_manifest"))
+    keep.write.mode("overwrite").parquet(os.path.join(args.out, "keep_verdicts"))
+    splits.write.mode("overwrite").parquet(os.path.join(args.out, "splits"))
+    print(f"manifests written to {args.out}")
+
+
+if __name__ == "__main__":
+    main()
