@@ -104,3 +104,25 @@ def test_dq_single_scan_for_many_rules(spark):
     plan = check(li, rules)._jdf.queryExecution().executedPlan().toString()
     # ten rules, one scan — the report must not re-read the table per rule
     assert plan.count("Scan parquet") == 1
+
+
+def test_cleaning_pipeline_script_end_to_end(spark, tmp_path, monkeypatch, capsys):
+    """The composed cleaning run (scripts/run_cleaning_pipeline.py) must
+    execute against the gate registry and write all three manifests."""
+    import os
+    import runpy
+    import sys
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_cleaning_pipeline.py", "--sf-dir", SF_SMALL, "--out", str(tmp_path)],
+    )
+    runpy.run_path(
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "scripts", "run_cleaning_pipeline.py"),
+        run_name="__main__",
+    )
+    out = capsys.readouterr().out
+    assert "kept for training:" in out
+    for sub in ("shard_manifest", "keep_verdicts", "splits"):
+        assert (tmp_path / sub / "_SUCCESS").exists(), sub
