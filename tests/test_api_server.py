@@ -214,3 +214,35 @@ def test_cdc_sse_malformed_last_event_id_falls_back(server):
     events = _read_sse_events(resp, 1)
     resp.close()
     assert [e["id"] for e in events] == ["2"], "must resume from ?since=1"
+
+
+def test_cdc_sse_concurrent_subscribers(server, spark):
+    """Two concurrent subscribers (the Socket.io multi-room analogue) must
+    each independently receive a version landed while both are connected."""
+    import shutil
+    import tempfile
+    import threading
+
+    cdc_copy = tempfile.mkdtemp(prefix="hss_sse2_") + "/cdc"
+    shutil.copytree(server.cdc_root, cdc_copy)
+    srv = HiveApiServer(spark, SF_SMALL, cdc_dir=cdc_copy).start()
+    try:
+        url = f"http://127.0.0.1:{srv.port}/api/cdc/pool_0/stream?since=2&timeout=15"
+        a = urllib.request.urlopen(url)
+        b = urllib.request.urlopen(url)
+
+        def land_v3():
+            v2 = spark.read.parquet(f"{cdc_copy}/cdc_version=2")
+            v2.write.mode("overwrite").parquet(f"{cdc_copy}/cdc_version=3")
+
+        t = threading.Thread(target=land_v3)
+        t.start()
+        got_a = _read_sse_events(a, 1)
+        got_b = _read_sse_events(b, 1)
+        t.join()
+        a.close(); b.close()
+        assert [e["id"] for e in got_a] == ["3"]
+        assert [e["id"] for e in got_b] == ["3"]
+    finally:
+        srv.stop()
+        shutil.rmtree(cdc_copy, ignore_errors=True)
