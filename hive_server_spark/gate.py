@@ -739,6 +739,12 @@ DRIVER_PRIORITY_R5 = [
     # driver-green r03) to keep the window at 50 with the round-5
     # registrations front-loaded
 ]
+# ROUND-6 ROTATION NOTE: assuming this window goes green, every registered
+# query will have a driver-green row. Round 6's front-50 should then lead
+# with (a) any round-6 registrations, (b) the three rotated out above
+# (udf_user_centered_values, udf_alpha_quality, layout_zorder_manifest),
+# then (c) whatever is stalest by last-green round — and tests/test_rotation.py
+# will keep enforcing that nothing outside the window lacks a prior green row.
 assert len(DRIVER_PRIORITY_R5) == 50, len(DRIVER_PRIORITY_R5)
 # A typo'd or renamed name would silently shrink the checked window
 # (registry._ordered drops unknown names); fail loudly instead.
