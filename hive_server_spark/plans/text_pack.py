@@ -1287,3 +1287,81 @@ def text_pretrain_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (keep_q & keep_l & keep_r & keep_c).alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cleaned-corpus shard manifest: token-budget sharding restricted to the
+# documents the pipeline actually trains on (kept AND split='train') — the
+# composition scripts/run_cleaning_pipeline.py ships as its final artifact
+# (ADVICE r05: the manifest must span the cleaned subset, not the raw
+# corpus). The prefix sum runs AFTER the keep/split restriction, so shard
+# offsets count only surviving tokens and the manifest is directly loadable
+# by a trainer. Oracle: the keep-verdict splice extended with the split
+# hash, then the same one-window positioned/shard rollup as
+# text_token_shards — bit-identical to the Spark two-level prefix sum.
+# ---------------------------------------------------------------------------
+_KEPT_SHARDS_ORACLE = _KEEP_ORACLE.rsplit("SELECT r.doc_id,", 1)[0] + f""",
+kept_train AS (
+  SELECT r.doc_id
+  FROM resolved r
+  JOIN prof p ON p.doc_id = r.doc_id
+  LEFT JOIN rep2 b ON b.doc_id = r.doc_id
+  WHERE p.quality_score >= CAST({QUALITY_MIN} AS DOUBLE)
+    AND p.n_tokens BETWEEN {TOKENS_MIN} AND {TOKENS_MAX}
+    AND COALESCE(b.top_gram_frac <= CAST({TOP_BIGRAM_MAX} AS DOUBLE), TRUE)
+    AND r.cluster_id = r.doc_id
+    AND ({T.hash_expr("CAST(r.cluster_id AS VARCHAR)", "split", "d")} % 10) < 8
+),
+counted AS (
+  SELECT t.doc_id, t.source, len(t.toks) AS n_toks
+  FROM toks t
+  WHERE t.doc_id IN (SELECT doc_id FROM kept_train)
+),
+positioned AS (
+  SELECT doc_id, source, n_toks,
+         COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS toks_before
+  FROM counted
+)
+SELECT source,
+       CAST(toks_before // 2000 AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT)            AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT)         AS shard_tokens,
+       CAST(MIN(doc_id) AS BIGINT)         AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT)         AS last_doc
+FROM positioned
+GROUP BY source, CAST(toks_before // 2000 AS BIGINT)
+"""
+assert "kept_train AS" in _KEPT_SHARDS_ORACLE and "reach(" in _KEPT_SHARDS_ORACLE, (
+    "kept-shards oracle splice failed: _KEEP_ORACLE's final SELECT changed; "
+    "update the rsplit target in text_pack._KEPT_SHARDS_ORACLE"
+)
+
+
+@register("text_kept_token_shards", _KEPT_SHARDS_ORACLE)
+def text_kept_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2000-token shards over the CLEANED training subset: the raw-corpus
+    token table semi-joined to the keep verdict and the train split (both
+    session-cached, doc_id-keyed), then the same two-level prefix sum as
+    text_token_shards over the survivors. Scale shape: the two semi-joins
+    shuffle on doc_id (the verdict/split tables are corpus-cardinality, not
+    broadcastable); everything after is the proven sharding plan."""
+    kept = text_pretrain_keep(spark, sf_dir).where(F.col("kept")).select("doc_id")
+    train = (
+        text_leakage_safe_splits(spark, sf_dir)
+        .where(F.col("split") == "train")
+        .select("doc_id")
+    )
+    toks = T.with_tokens(_docs(spark, sf_dir)).select(
+        "doc_id", "source", F.size("toks").alias("n_toks")
+    )
+    sel = toks.join(kept, "doc_id", "left_semi").join(train, "doc_id", "left_semi")
+    pos = _toks_before(sel)
+    return pos.groupBy(
+        "source", F.floor(F.col("toks_before") / 2000).cast("bigint").alias("shard_id")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("shard_tokens"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )

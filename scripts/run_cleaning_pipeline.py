@@ -9,6 +9,9 @@ one by one. Stages (each a gate query, so each is oracle-verified):
                       (text_pretrain_keep)
   5. splits         - leakage-safe 80/10/10 by dup cluster
   6. shards         - token-budget shard manifest over the KEPT train docs
+                      (text_kept_token_shards: the prefix sum runs after the
+                      keep/split restriction, so the manifest spans exactly
+                      the cleaned training subset)
 
 Intermediates (profile, gram counts, candidate pairs, clusters) are
 session-cached, so the chain costs one derivation each — the run is the
@@ -60,8 +63,8 @@ def main() -> None:
     keep = stage("text_pretrain_keep")
     splits = stage("text_leakage_safe_splits")
 
-    # train-split KEPT docs feed the shard manifest; the join is doc_id-keyed
-    # over two already-cached frames
+    # train-split KEPT docs feed the shard manifest; the joins are
+    # doc_id-keyed over the same session-cached frames the gate verifies
     kept_train = (
         keep.where(F.col("kept"))
         .join(splits.where(F.col("split") == "train"), "doc_id", "left_semi")
@@ -70,7 +73,15 @@ def main() -> None:
     n_docs = clusters.count()
     print(f"kept for training: {n_kept}/{n_docs} docs")
 
-    shards = qs["text_token_shards"](spark, args.sf_dir)
+    # gate-verified: text_kept_token_shards re-derives kept AND train
+    # internally (ADVICE r05 — the written manifest must cover only the
+    # cleaned subset, not the raw corpus)
+    shards = stage("text_kept_token_shards")
+    n_sharded = shards.agg(F.sum("n_docs")).collect()[0][0]
+    assert n_sharded == n_kept, (
+        f"shard manifest covers {n_sharded} docs but {n_kept} were kept for "
+        "training — the manifest no longer spans exactly the cleaned subset"
+    )
     shards.write.mode("overwrite").parquet(os.path.join(args.out, "shard_manifest"))
     keep.write.mode("overwrite").parquet(os.path.join(args.out, "keep_verdicts"))
     splits.write.mode("overwrite").parquet(os.path.join(args.out, "splits"))

@@ -124,5 +124,6 @@ def test_cleaning_pipeline_script_end_to_end(spark, tmp_path, monkeypatch, capsy
     )
     out = capsys.readouterr().out
     assert "kept for training:" in out
+    assert "text_kept_token_shards" in out
     for sub in ("shard_manifest", "keep_verdicts", "splits"):
         assert (tmp_path / sub / "_SUCCESS").exists(), sub
