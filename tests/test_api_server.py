@@ -246,3 +246,55 @@ def test_cdc_sse_concurrent_subscribers(server, spark):
     finally:
         srv.stop()
         shutil.rmtree(cdc_copy, ignore_errors=True)
+
+
+def test_cdc_sse_renders_each_version_once(server, spark):
+    """VERDICT r05 item 2: S subscribers on one pool must NOT cost S Spark
+    jobs per landed version — each version is rendered once (for all pools)
+    and served from the cache, the reference's one-book-per-room broadcast
+    (src/api/server.ts:43-51). Pinned via the server's materialization
+    counter: 3 subscribers x (3 backlog + 1 live) versions -> exactly 4
+    Spark-side renders, and a different pool's subscriber adds zero."""
+    import shutil
+    import tempfile
+    import threading
+
+    cdc_copy = tempfile.mkdtemp(prefix="hss_sse3_") + "/cdc"
+    shutil.copytree(server.cdc_root, cdc_copy)
+    srv = HiveApiServer(spark, SF_SMALL, cdc_dir=cdc_copy).start()
+    try:
+        url = f"http://127.0.0.1:{srv.port}/api/cdc/pool_0/stream?since=-1&timeout=15"
+        subs = [urllib.request.urlopen(url) for _ in range(3)]
+        # a subscriber on a DIFFERENT pool shares the same per-version render
+        other = urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/api/cdc/pool_1/stream?since=-1&timeout=15"
+        )
+        backlogs = [_read_sse_events(s, 3) for s in subs]
+        other_backlog = _read_sse_events(other, 3)
+        for got in backlogs + [other_backlog]:
+            assert [e["id"] for e in got] == ["0", "1", "2"]
+            assert all(json.loads(e["data"]) for e in got), "non-empty books"
+        assert srv.snapshot_materializations == 3, (
+            "3 backlog versions, 4 subscribers (2 pools) -> 3 renders, "
+            f"got {srv.snapshot_materializations}"
+        )
+
+        def land_v3():
+            v2 = spark.read.parquet(f"{cdc_copy}/cdc_version=2")
+            v2.write.mode("overwrite").parquet(f"{cdc_copy}/cdc_version=3")
+
+        t = threading.Thread(target=land_v3)
+        t.start()
+        lives = [_read_sse_events(s, 1) for s in subs]
+        t.join()
+        for s in subs:
+            s.close()
+        other.close()
+        assert all([e["id"] for e in got] == ["3"] for got in lives)
+        assert srv.snapshot_materializations == 4, (
+            "one live version -> exactly one more render, "
+            f"got {srv.snapshot_materializations}"
+        )
+    finally:
+        srv.stop()
+        shutil.rmtree(cdc_copy, ignore_errors=True)
