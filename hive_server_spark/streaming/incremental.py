@@ -28,6 +28,8 @@ State never leaves executors; the driver only tracks the version pointer.
 from __future__ import annotations
 
 import os
+import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -135,9 +137,45 @@ class ParquetStateStore:
     def at_version(self, spark: SparkSession, batch_id: int) -> DataFrame:
         """Time travel: the partial state as of micro-batch `batch_id`.
         Every commit keeps its `v{n}` directory, so any historical version
-        stays readable until explicitly vacuumed — the plain-parquet form
-        of Delta/Iceberg snapshot reads."""
-        return spark.read.parquet(os.path.join(self.root, f"v{batch_id}"))
+        stays readable until vacuumed — the plain-parquet form of
+        Delta/Iceberg snapshot reads. A vacuumed (or never-committed)
+        version fails loudly here, not with a deep Spark path error."""
+        path = os.path.join(self.root, f"v{batch_id}")
+        if not os.path.isdir(path):
+            raise ValueError(
+                f"state version {batch_id} is not readable; committed "
+                f"versions: {self.versions()} (older versions are removed "
+                "by vacuum(keep_last=...))"
+            )
+        return spark.read.parquet(path)
+
+    def versions(self) -> list[int]:
+        """Committed version numbers still on disk, ascending."""
+        out = []
+        for name in os.listdir(self.root):
+            m = re.fullmatch(r"v(\d+)", name)
+            if m is not None:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Retention: delete all but the newest `keep_last` version
+        directories (SCALE.md §6 — without this a long-running stream
+        accumulates one full state snapshot per commit, unboundedly).
+        The pointer target always survives, even if it is older than the
+        cut (a concurrent commit may not have flipped LATEST yet when the
+        newest directory appeared). Returns the removed version numbers."""
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        vs = self.versions()
+        keep = set(vs[-keep_last:])
+        if os.path.exists(self._ptr):
+            with open(self._ptr) as fh:
+                keep.add(int(fh.read().strip().lstrip("v")))
+        removed = [v for v in vs if v not in keep]
+        for v in removed:
+            shutil.rmtree(os.path.join(self.root, f"v{v}"))
+        return removed
 
     def commit(self, df: DataFrame, batch_id: int) -> None:
         version = f"v{batch_id}"

@@ -132,3 +132,48 @@ def test_windowed_streams_chunk_invariant(spark):
         one = {tuple(r) for r in fn(spark, SF_SMALL, chunks=1).collect()}
         two = {tuple(r) for r in fn(spark, SF_SMALL, chunks=2).collect()}
         assert one == two, f"{fn.__name__}: chunking changed the emitted set"
+
+
+def test_state_store_vacuum_retention(spark):
+    """SCALE.md §6 retention: vacuum(keep_last=N) prunes old `v{n}` state
+    snapshots so a long-running stream doesn't accumulate one full copy of
+    state per commit forever. Pruned versions must fail loudly on
+    at_version(); kept versions and latest() must survive unchanged."""
+    import os
+    import tempfile
+
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from hive_server_spark.streaming.incremental import (
+        ParquetStateStore,
+        partial_fold,
+    )
+
+    ev = order_events(spark, SF_SMALL)
+    store = ParquetStateStore(tempfile.mkdtemp(prefix="hss_vacuum_"))
+    for batch_id in range(4):
+        store.commit(partial_fold(ev.where(F.col("seq") % 4 == batch_id)), batch_id)
+    assert store.versions() == [0, 1, 2, 3]
+    latest_before = _rows(materialize_orders(store.latest(spark)))
+
+    removed = store.vacuum(keep_last=2)
+    assert removed == [0, 1]
+    assert store.versions() == [2, 3]
+    assert not os.path.isdir(os.path.join(store.root, "v0"))
+
+    # pruned -> a clear error naming vacuum, not a deep Spark path error
+    with _pt.raises(ValueError, match="vacuum"):
+        store.at_version(spark, 0)
+    # kept + latest unaffected
+    assert store.at_version(spark, 2).count() > 0
+    assert _rows(materialize_orders(store.latest(spark))) == latest_before
+
+    # the pointer target survives even when older than the keep_last cut
+    with open(store._ptr, "w") as fh:
+        fh.write("v2")
+    assert store.vacuum(keep_last=1) == []  # v3 newest, v2 pointed-to
+    assert store.versions() == [2, 3]
+
+    with _pt.raises(ValueError, match="keep_last"):
+        store.vacuum(keep_last=0)
