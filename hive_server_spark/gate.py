@@ -659,97 +659,100 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 )
 
 # ---------------------------------------------------------------------------
-# Driver-visible ordering (round-5 rotation)
+# Driver-visible ordering (round-6 rotation)
 # ---------------------------------------------------------------------------
 # The correctness driver hash-checks the FIRST 50 queries per round. After
-# round 4, cumulative driver-green coverage is 100/110: the only queries
-# without a green CORRECTNESS row are the 10 round-4 registrations, which the
-# round-4 window could not reach. Round 5's window therefore = those 10
-# never-checked registrations, then the 3 round-5 registrations (repetition
-# profile, source overlap, pretrain keep), then the 7 scalar-surface packs
-# green only in r02 (the stalest), then 30 of the queries stale since r03 — keeping
-# every query whose implementation changes this round (packing/sharding
-# two-level prefix sum, shared CDC fold, real codec) inside the window so
-# the changes are driver-revalidated. The 10 displaced r03 names (static
-# events/dq/sketch queries untouched this round) keep their r03-green rows
-# and stay covered by tests/test_gate_parity.py, which runs ALL oracle-backed
-# queries against DuckDB on every pytest; they rotate to the front of round 6.
-# tests/test_rotation.py asserts every name outside this window already has a
-# prior driver-green row, so a rotation mistake is a test failure.
+# round 5, every one of the 113 registered queries has a driver-green row
+# (CORRECTNESS_r01-r05 aggregate), so round 6's window is pure staleness
+# rotation per the round-5 note: (a) the round-6 registration
+# (text_kept_token_shards, the cleaned-corpus shard manifest), plus
+# multimodal_decode_profile (its implementation grows PNG decode this
+# round, so the change is driver-revalidated); (b) the 13 queries whose
+# last green row is r03 — the 3 rotated out in r5 (udf_user_centered_values,
+# udf_alpha_quality, layout_zorder_manifest) and the 10 static
+# events/dq/sketch queries displaced then; (c) 35 of the 50 queries last
+# green in r04, front-loading the evt_*_streaming family (its landed-input
+# plumbing is touched this round). The 15 displaced r04-green relational
+# names keep their green rows, stay covered by tests/test_gate_parity.py
+# (ALL oracle-backed queries vs DuckDB on every pytest), and rotate to the
+# front of round 7. tests/test_rotation.py asserts every name outside this
+# window already has a prior driver-green row, so a rotation mistake is a
+# test failure.
 from hive_server_spark.registry import set_driver_priority  # noqa: E402
 
-DRIVER_PRIORITY_R5 = [
-    # -- the 10 round-4 registrations, never inside any checked window ------
-    "cdc_book_snapshots",
-    "orders_state_changelog",
-    "serving_pool_info_json",
-    "serving_user_orders_json",
-    "text_pack_windows",
-    "text_decontaminate",
-    "text_leakage_safe_splits",
-    "rel_lateral_top_orders",
-    "evt_sliding_rollup_streaming",
-    "emb_int8_quantization",
-    # -- new round-5 registrations: checked this round or they inherit debt -
-    "text_repetition_profile",
-    "text_source_overlap",
-    "text_pretrain_keep",
-    # -- scalar-function surface, green only in r02 (stalest) ---------------
-    "rel_scalar_functions",
-    "rel_string_functions",
-    "rel_datetime_functions",
-    "rel_array_functions",
-    "rel_bitwise_functions",
-    "rel_null_handling",
-    "rel_unpivot_measures",
-    # -- stale since r03: queries modified this round first -----------------
-    "text_token_shards",
+DRIVER_PRIORITY_R6 = [
+    # -- (a) round-6 registration + round-6-modified query ------------------
+    "text_kept_token_shards",
     "multimodal_decode_profile",
-    "multimodal_inventory",
-    "multimodal_frame_inventory",
-    "orders_state_time_travel",
-    "orders_state_streaming",
-    "orders_state_stateful",
-    # -- stale since r03: dedup / text / embeddings / sources / udf ---------
-    "text_profile",
-    "text_exact_dedup",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_sigs",
-    "dedup_minhash_candidates",
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_reachability_recursive",
-    "text_corpus_stats",
-    "text_top_ngrams",
-    "text_quality_histogram",
-    "text_quality_filter",
-    "text_deterministic_sample",
-    "text_sample_rates",
-    "text_mixture_sample",
-    "text_bigram_lm",
-    "emb_cosine_topk",
-    "emb_ivf_topk",
-    "emb_lsh_buckets",
-    "emb_lsh_neardup_topk",
-    "src_jsonl_roundtrip",
-    "src_csv_roundtrip",
-    "src_orc_roundtrip",
-    # layout_zorder_manifest rotated out (driver-green r03), see below
-    # udf_alpha_quality / udf_user_centered_values rotated out (both
-    # driver-green r03) to keep the window at 50 with the round-5
-    # registrations front-loaded
+    # -- (b) stale since r03: the 3 rotated out in r5 first -----------------
+    "udf_user_centered_values",
+    "udf_alpha_quality",
+    "layout_zorder_manifest",
+    "dq_lineitem_report",
+    "evt_funnel_cohorts",
+    "evt_hourly_rollup",
+    "evt_props_stats",
+    "evt_retention_matrix",
+    "evt_top_users",
+    "evt_type_pivot",
+    "evt_winsor_stats",
+    "rel_approx_sketches",
+    "rel_mad_by_priority",
+    # -- (c) stale since r04: streaming family first (touched this round) ---
+    "evt_dedup_rollup_streaming",
+    "evt_hourly_rollup_streaming",
+    "evt_sessions_streaming",
+    "evt_stream_static_enrich",
+    "evt_stream_stream_join",
+    # -- stale since r04: fold / book / amount-out / events core ------------
+    "orders_state",
+    "latest_price",
+    "market_orders_t2",
+    "user_orders_t1",
+    "trader_order_counts",
+    "pools_summary",
+    "pool_info_enriched",
+    "order_book_levels",
+    "order_book_fifo_queues",
+    "order_book_snapshot",
+    "amount_out_buy",
+    "amount_out_sell",
+    "amount_out_prices",
+    "amount_out_capped",
+    "asof_trade_price",
+    "range_price_activity",
+    "price_hourly_gapfill",
+    "evt_sessions",
+    "evt_trailing_hour_value",
+    "scale_salted_cohort_rollup",
+    # -- stale since r04: relational half that fits the window --------------
+    "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "rel_cheapest_line_per_part",
+    "rel_conditional_distinct",
+    "rel_cube_status_priority",
+    "rel_disjunctive_bands",
+    "rel_distinct_suppliers_per_nation",
+    "rel_exact_percentiles",
+    "rel_full_outer_nation_activity",
+    "rel_grouping_sets",
+    # rotated out (all r04-green, untouched this round; front of round 7):
+    # rel_nation_trade_flows, rel_nations_except, rel_nations_intersect,
+    # rel_order_priority_exists, rel_orders_above_cust_avg,
+    # rel_parts_never_ordered, rel_promo_revenue_ratio,
+    # rel_rich_idle_customers, rel_rollup_revenue, rel_top_revenue_orders,
+    # rel_union_all_parties, rel_window_analytics, rel_window_order_gaps,
+    # rel_window_running_total, rel_window_top_customers
 ]
-# ROUND-6 ROTATION NOTE: assuming this window goes green, every registered
-# query will have a driver-green row. Round 6's front-50 should then lead
-# with (a) any round-6 registrations, (b) the three rotated out above
-# (udf_user_centered_values, udf_alpha_quality, layout_zorder_manifest),
-# then (c) whatever is stalest by last-green round — and tests/test_rotation.py
-# will keep enforcing that nothing outside the window lacks a prior green row.
-assert len(DRIVER_PRIORITY_R5) == 50, len(DRIVER_PRIORITY_R5)
+# ROUND-7 ROTATION NOTE: after this window goes green, staleness order is
+# (1) any round-7 registrations, (2) the 15 rel_* names rotated out above
+# (last green r04), (3) the r05-green families (dedup/text/emb/src/
+# serving/cdc/streaming twins) by registration order.
+assert len(DRIVER_PRIORITY_R6) == 50, len(DRIVER_PRIORITY_R6)
 # A typo'd or renamed name would silently shrink the checked window
 # (registry._ordered drops unknown names); fail loudly instead.
 from hive_server_spark.registry import _SPARK_QUERIES as _REG  # noqa: E402
 
-_missing = [n for n in DRIVER_PRIORITY_R5 if n not in _REG]
-assert not _missing, f"DRIVER_PRIORITY_R5 names not registered: {_missing}"
-set_driver_priority(DRIVER_PRIORITY_R5)
+_missing = [n for n in DRIVER_PRIORITY_R6 if n not in _REG]
+assert not _missing, f"DRIVER_PRIORITY_R6 names not registered: {_missing}"
+set_driver_priority(DRIVER_PRIORITY_R6)

@@ -68,6 +68,8 @@ def test_no_sort_merge_join_anywhere_in_gate(spark):
         "text_pretrain_keep",  # three corpus-sized sides (profile ⋈ CC labels ⋈
         # repetition) joined on doc_id — co-partitioned shuffle joins are the
         # correct 100 TB strategy; no side is broadcastable
+        "text_kept_token_shards",  # same shape: the token table semi-joins
+        # the keep verdict and train split, all three corpus-sized on doc_id
         "rel_full_outer_nation_activity",
     }
     offenders = []
