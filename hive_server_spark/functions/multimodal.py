@@ -7,15 +7,17 @@ executors stream RecordBatches through Python, nothing is collected, batch
 size bounded by spark.sql.execution.arrow.maxRecordsPerBatch.
 
 The codec: this container has no image/audio libs, so the decode step ships
-its own pure-Python decoders for the uncompressed raster formats — PPM
-(P6 binary and P3 ascii) and BMP (24-bit uncompressed BI_RGB) — doing real
-header parsing and numpy pixel math in the Arrow worker. strict=True
+its own pure-Python decoders — PNG (non-interlaced 8-bit RGB/grayscale via
+stdlib zlib, with full None/Sub/Up/Average/Paeth filter reconstruction),
+PPM (P6 binary and P3 ascii), and BMP (24-bit uncompressed BI_RGB) — doing
+real header parsing and numpy pixel math in the Arrow worker. strict=True
 requires every payload to be one of those formats (ValueError otherwise);
 strict=False falls back to a clearly-marked deterministic fake for payloads
-in formats that would need external codecs (JPEG/PNG/audio/video), keeping
+in formats that would need external codecs (JPEG/audio/video), keeping
 the full pipeline testable. `synthesize_ppm_media` builds REAL P6 payloads
-with pure column expressions, so the strict path is exercised end-to-end
-by the decode-profile gate query.
+with pure column expressions and `synthesize_png_media` builds REAL
+zlib-compressed PNGs of the same pixels, so both strict paths are
+exercised end-to-end by the decode-profile gate query.
 
 Scale posture: mapInPandas preserves partitioning (no shuffle); payload
 bytes stay columnar end-to-end via Arrow; feature vectors come back as
@@ -131,6 +133,49 @@ def synthesize_ppm_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_png_media(docs: DataFrame) -> DataFrame:
+    """REAL PNG payloads from documents, pixel-identical to
+    synthesize_ppm_media: same w/h formulas, same rpad-cycled uppercase-hex
+    pixel bytes — so the byte-level decode oracle (multimodal_pack) covers
+    both codecs with one closed-form pixel-sum computation. PNG needs zlib
+    + CRC32, which column expressions can't produce, so synthesis runs in
+    mapInPandas (Arrow-batched, partition-preserving — the same worker
+    shape the decode uses); row filters rotate y % 5, so the decoder's full
+    filter reconstruction is exercised on every image taller than 4 rows."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads, sizes = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = (text or "").encode("utf-8")
+                n = len(data)
+                w, h = 8 + n % 8, 8 + (n // 8) % 8
+                hx = data.hex().upper() or "0"
+                need = w * h * 3
+                px = (hx * (need // len(hx) + 1))[:need]
+                pixels = np.frombuffer(px.encode("ascii"), dtype=np.uint8).reshape(
+                    h, w, 3
+                )
+                payload = encode_png(pixels)
+                ids.append(doc_id)
+                payloads.append(payload)
+                sizes.append(len(payload))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "payload": payloads,
+                    "meta": [
+                        {"declared_format": "image/png", "n_bytes": s} for s in sizes
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
 def _decode_ppm(payload: bytes) -> tuple[int, int, float] | None:
     """Pure-Python PPM decode: P6 (binary) and P3 (ascii) headers, real
     pixel math. Returns (width, height, mean_luma) or None if not PPM."""
@@ -180,6 +225,150 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, float] | None:
     return width, height, mean / maxval if maxval else 0.0
 
 
+def encode_png(pixels) -> bytes:
+    """Minimal PNG encoder for fixtures: 8-bit RGB, non-interlaced, one
+    zlib-compressed IDAT. `pixels` is an (h, w, 3) uint8 array. Row y uses
+    filter type y % 5, so every decoder filter path (None/Sub/Up/Average/
+    Paeth) is exercised by any fixture taller than 4 rows — the encoder
+    exists to make the strict decoder's reconstruction logic testable, not
+    for compression quality."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, _ = pixels.shape
+    bpp = 3
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int32)
+    for y in range(h):
+        row = pixels[y].reshape(-1).astype(np.int32)
+        left = np.concatenate([np.zeros(bpp, dtype=np.int32), row[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
+        ftype = y % 5
+        if ftype == 0:
+            filt = row
+        elif ftype == 1:  # Sub
+            filt = row - left
+        elif ftype == 2:  # Up
+            filt = row - prev
+        elif ftype == 3:  # Average
+            filt = row - ((left + prev) >> 1)
+        else:  # Paeth
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            filt = row - pred
+        raw.append(ftype)
+        raw += (filt & 0xFF).astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, float] | None:
+    """Pure-Python PNG decode via stdlib zlib (VERDICT r05 stretch item 6):
+    chunk walk, IHDR parse, IDAT inflate, full per-row filter reconstruction
+    (None/Sub/Up/Average/Paeth). Supports non-interlaced 8-bit RGB (color
+    type 2) and grayscale (type 0); anything else — palette, alpha, 16-bit,
+    Adam7 — raises rather than mis-decoding. Returns (width, height,
+    mean_luma) or None if the payload is not PNG."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc32
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    if bit_depth != 8 or color_type not in (0, 2) or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (bit_depth={bit_depth}, "
+            f"color_type={color_type}, interlace={interlace}); strict decode "
+            "handles non-interlaced 8-bit RGB and grayscale"
+        )
+    bpp = 3 if color_type == 2 else 1
+    stride = width * bpp
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8) if height else None
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:
+            rec = row
+        elif ftype == 2:  # Up — no left-dependence, vectorized
+            rec = (row + prev) & 0xFF
+        elif ftype in (1, 3, 4):
+            # Sub/Average/Paeth depend on the just-reconstructed left
+            # neighbor, so reconstruction is sequential within the row
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        prev = rec
+        out[y] = rec.astype(np.uint8)
+    mean = float(out.mean()) if height and out.size else 0.0
+    return width, height, mean / 255.0
+
+
 def _decode_bmp(payload: bytes) -> tuple[int, int, float] | None:
     """Pure-Python BMP decode: BITMAPFILEHEADER + BITMAPINFOHEADER, 24-bit
     uncompressed (BI_RGB), bottom-up or top-down, honoring the 4-byte row
@@ -211,8 +400,8 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, float] | None:
 
 def _fake_decode(payload: bytes) -> tuple[int, int, float]:
     """Deterministic stand-in for formats needing external codecs
-    (JPEG/PNG/audio): dimensions and mean luminance derived from the bytes
-    themselves. Only reachable with strict=False."""
+    (JPEG/audio/video): dimensions and mean luminance derived from the
+    bytes themselves. Only reachable with strict=False."""
     n = len(payload)
     width = 16 + (payload[0] if n else 0) % 240
     height = 16 + (payload[-1] if n else 0) % 240
@@ -223,24 +412,27 @@ def _fake_decode(payload: bytes) -> tuple[int, int, float]:
 def _decode_one(payload: bytes, strict: bool) -> tuple[int, int, float, str]:
     b = bytes(payload)
     try:
-        real = _decode_ppm(b)
+        real = _decode_png(b)
+        if real is None:
+            real = _decode_ppm(b)
         if real is None:
             real = _decode_bmp(b)
     except ValueError:
-        # magic bytes collided with PPM/BMP but the payload is not a valid
-        # raster (e.g. text starting "BMW…"): a strict decode propagates the
-        # codec's diagnostic; non-strict falls back to the fake like any
-        # other unsupported format instead of failing the whole task
+        # magic bytes collided with PNG/PPM/BMP but the payload is not a
+        # valid raster (e.g. text starting "BMW…"): a strict decode
+        # propagates the codec's diagnostic; non-strict falls back to the
+        # fake like any other unsupported format instead of failing the task
         if strict:
             raise
         real = None
     if real is not None:
-        decoder = "ppm" if b[:1] == b"P" else "bmp"
+        decoder = "png" if b[:1] == b"\x89" else ("ppm" if b[:1] == b"P" else "bmp")
         return (*real, decoder)
     if strict:
         raise ValueError(
             f"unsupported media format (magic {b[:2]!r}); strict decode "
-            "handles PPM (P6/P3) and uncompressed 24-bit BMP"
+            "handles PNG (8-bit RGB/gray), PPM (P6/P3) and uncompressed "
+            "24-bit BMP"
         )
     return (*_fake_decode(b), "fake-deterministic")
 

@@ -1,7 +1,7 @@
-"""Gate entries for the multimodal surface. Every entry is value-gated:
-the codec step is a deterministic stub (functions/multimodal.py), so even
-the decode profile faces a closed-form byte-level DuckDB oracle; operator
-semantics are additionally pinned by tests/test_multimodal.py."""
+"""Gate entries for the multimodal surface. Every entry is value-gated,
+including the decode profile: the strict-mode codecs (pure-Python PNG/PPM/
+BMP, functions/multimodal.py) face a closed-form byte-level DuckDB oracle;
+operator semantics are additionally pinned by tests/test_multimodal.py."""
 
 from __future__ import annotations
 
@@ -83,17 +83,24 @@ def multimodal_frame_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The codec is REAL here (round-5): synthesize_ppm_media builds genuine P6
-# payloads with column expressions (header + w*h*3 hex-char pixel bytes),
-# and decode runs strict=True — header parsing + numpy pixel math in the
-# Arrow worker, no fake fallback reachable. The DuckDB oracle recomputes
-# what a correct PPM decode must observe: dimensions from the synthesis
+# The codec is REAL here (round-5 PPM, round-6 PNG): synthesize_ppm_media
+# builds genuine P6 payloads with column expressions (header + w*h*3
+# hex-char pixel bytes) and synthesize_png_media builds genuine zlib+CRC32
+# PNGs whose DECODED pixels are byte-identical to the PPM ones (same w/h
+# formulas, same rpad-cycled hex bytes; row filters rotate through all five
+# PNG filter types). decode runs strict=True — header parsing, IDAT
+# inflate + filter reconstruction, numpy pixel math in the Arrow worker, no
+# fake fallback reachable. The DuckDB oracle recomputes what a correct
+# decode of EITHER format must observe: dimensions from the synthesis
 # formula and the pixel-byte sum of the same rpad-cycled hex string (ascii()
-# per position). The float32 outputs fold back to exact integers via
-# round(): pixel sums are ≤ 15·15·3·70 ≈ 47k, so the worst-case float32
-# reconstruction error ≈ 47k·2⁻²⁴ ≈ 0.003 ≪ 0.5; bin0 counts the exactly 3
-# header newlines (the only payload bytes < 16 — pixel bytes are hex-digit
-# ASCII ≥ 48), pinning the featurize path too.
+# per position) — one closed-form computation, two decoder rows. The float32
+# outputs fold back to exact integers via round(): pixel sums are
+# ≤ 15·15·3·70 ≈ 47k, so the worst-case float32 reconstruction error
+# ≈ 47k·2⁻²⁴ ≈ 0.003 ≪ 0.5. bin0 pins the featurize path on the PPM row
+# (exactly 3 header newlines — the only payload bytes < 16; pixel bytes are
+# hex-digit ASCII ≥ 48); for PNG the payload is DEFLATE-compressed, so its
+# byte histogram has no closed SQL form and the bin0 column is fixed 0 on
+# both sides.
 @register(
     "multimodal_decode_profile",
     """
@@ -117,25 +124,35 @@ WITH m AS (
 ), pxsum AS (
   SELECT media_id, SUM(ascii(substr(pxs, i, 1))) AS pixel_sum
   FROM pxb GROUP BY media_id
+), profile AS (
+  SELECT CAST(COUNT(*) AS BIGINT)          AS n_media,
+         CAST(MIN(width) AS BIGINT)        AS min_width,
+         CAST(MAX(height) AS BIGINT)       AS max_height,
+         CAST(SUM(width) AS BIGINT)        AS sum_width,
+         CAST(SUM(height) AS BIGINT)       AS sum_height,
+         CAST(SUM(pixel_sum) AS BIGINT)    AS sum_pixel_bytes,
+         CAST(COUNT(*) * 3 AS BIGINT)      AS ppm_bin0
+  FROM px JOIN pxsum USING (media_id)
 )
-SELECT 'image' AS kind, 'ppm' AS decoder,
-       CAST(COUNT(*) AS BIGINT)          AS n_media,
-       CAST(MIN(width) AS BIGINT)        AS min_width,
-       CAST(MAX(height) AS BIGINT)       AS max_height,
-       CAST(SUM(width) AS BIGINT)        AS sum_width,
-       CAST(SUM(height) AS BIGINT)       AS sum_height,
-       CAST(SUM(pixel_sum) AS BIGINT)    AS sum_pixel_bytes,
-       CAST(COUNT(*) * 3 AS BIGINT)      AS bin0_bytes
-FROM px JOIN pxsum USING (media_id)
+SELECT 'image' AS kind, 'ppm' AS decoder, n_media, min_width, max_height,
+       sum_width, sum_height, sum_pixel_bytes, ppm_bin0 AS bin0_bytes
+FROM profile
+UNION ALL
+SELECT 'image' AS kind, 'png' AS decoder, n_media, min_width, max_height,
+       sum_width, sum_height, sum_pixel_bytes, CAST(0 AS BIGINT) AS bin0_bytes
+FROM profile
 """,
 )
 def multimodal_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthesize REAL P6 PPM payloads from documents, run the fused
-    decode+featurize pass with strict=True (pure-Python PPM decode + numpy
-    pixel math in the Arrow worker — the fake path would raise), then fold
-    the float32 outputs back to the integer pixel quantities they encode so
-    the profile is hash-comparable with the byte-level DuckDB oracle."""
-    media = M.synthesize_ppm_media(load_table(spark, sf_dir, "documents"))
+    """Synthesize REAL P6 PPM and PNG payloads from documents (pixel-for-
+    pixel identical images, two container formats), run the fused
+    decode+featurize pass with strict=True (pure-Python PPM parse / PNG
+    inflate+filter-reconstruction + numpy pixel math in the Arrow worker —
+    the fake path would raise), then fold the float32 outputs back to the
+    integer pixel quantities they encode so both decoder rows are
+    hash-comparable with the byte-level DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.synthesize_ppm_media(docs).unionAll(M.synthesize_png_media(docs))
     px_len = (F.col("width") * F.col("height") * 3).cast("double")
     both = M.decode_and_featurize(media, strict=True).select(
         "kind",
@@ -147,11 +164,17 @@ def multimodal_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pixel_sum"),
         # f0 = count(payload bytes < 16)/n_bytes as float32; invert to the
-        # count — must be exactly the 3 header newlines per payload
-        F.round(
-            F.element_at("features", 1).cast("double")
-            * F.greatest(F.col("n_bytes"), F.lit(1)).cast("double")
+        # count — exactly the 3 header newlines per PPM payload. The PNG
+        # payload is compressed, so its histogram has no closed SQL form:
+        # pinned 0 here and in the oracle's png row.
+        F.when(
+            F.col("decoder") == "ppm",
+            F.round(
+                F.element_at("features", 1).cast("double")
+                * F.greatest(F.col("n_bytes"), F.lit(1)).cast("double")
+            ),
         )
+        .otherwise(F.lit(0))
         .cast("bigint")
         .alias("bin0"),
     )

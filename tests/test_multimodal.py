@@ -188,3 +188,70 @@ def test_ppm_nonpositive_maxval_refused():
         M._decode_ppm(b"P6\n1 1\n-7\n" + bytes([120, 120, 120]))
     with pytest.raises(ValueError, match="invalid PPM maxval"):
         M._decode_ppm(b"P3\n1 1\n0\n120 120 120")
+
+
+def test_png_roundtrip_all_filter_types():
+    """encode_png rotates row filters y % 5, so a 5-row image exercises
+    None/Sub/Up/Average/Paeth; the decoder must reconstruct every pixel
+    byte exactly (checked via the exact mean over a known array)."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    px = rng.randint(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    w, h, luma = M._decode_png(M.encode_png(px))
+    assert (w, h) == (7, 10)
+    assert abs(luma - px.mean() / 255.0) < 1e-9
+
+
+def test_png_unsupported_variants_refused_not_misdecoded():
+    """16-bit, palette, and interlaced PNGs would silently produce wrong
+    means if read as flat 8-bit RGB — strict decode must refuse them."""
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    for bit_depth, color_type, interlace in [(16, 2, 0), (8, 3, 0), (8, 2, 1)]:
+        ihdr = struct.pack(">IIBBBBB", 2, 2, bit_depth, color_type, 0, 0, interlace)
+        bad = (
+            sig
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 32))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="unsupported PNG variant"):
+            M._decode_png(bad)
+
+
+def test_png_corrupt_and_truncated_refused():
+    import numpy as np
+
+    good = M.encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        M._decode_png(good[:40])  # truncated mid-chunk
+    # flip a byte inside the IDAT stream: zlib must fail loudly
+    corrupt = bytearray(good)
+    corrupt[45] ^= 0xFF
+    with pytest.raises(ValueError):
+        M._decode_png(bytes(corrupt))
+
+
+def test_png_synthesis_matches_ppm_pixels(spark):
+    """synthesize_png_media must produce images whose DECODED pixels are
+    byte-identical to synthesize_ppm_media's — the property that lets one
+    closed-form oracle value-gate both codecs."""
+    docs = load_table(spark, SF_SMALL, "documents").limit(8)
+    ppm = M.decode_media(M.synthesize_ppm_media(docs), strict=True)
+    png = M.decode_media(M.synthesize_png_media(docs), strict=True)
+    rows_ppm = {r.media_id: (r.width, r.height, round(r.mean_luma, 6))
+                for r in ppm.collect()}
+    rows_png = {r.media_id: (r.width, r.height, round(r.mean_luma, 6))
+                for r in png.collect()}
+    assert rows_ppm == rows_png
+    assert {r.decoder for r in png.collect()} == {"png"}
