@@ -103,6 +103,37 @@ DEFAULT_QUERIES = [
     "orders_state_changelog",
 ]
 
+# --mult 100 list (VERDICT r05 item 4): the cheap-per-row families where a
+# 100x corpus still fits local[32]'s memory and a probe run's time budget.
+# Exclusions, each explicit:
+# - cdc_book_snapshots / orders_state_changelog: the streaming harness
+#   replays the full 100x log through availableNow micro-batches — linear
+#   but wall-clock-dominated by the fixed per-batch landing cost; the fold
+#   math itself is covered by orders_state below.
+# - text_source_overlap / text_pretrain_keep / dedup candidates+clusters:
+#   candidate-pair volume on this REPLICATED corpus grows ~C(mult,2) per
+#   base doc by construction (see the dedup_minhash_sigs note above) —
+#   at 100x that is corpus structure, not engine scaling.
+# - emb_cosine_topk / emb_lsh_buckets: kept at 10x; the 100x embedding
+#   table is covered by the linear-scan quantization probe below.
+HUNDREDX_QUERIES = [
+    "orders_state",
+    "order_book_levels",
+    "amount_out_buy",
+    "rel_revenue_by_nation",
+    "rel_window_running_total",
+    "evt_sessions",
+    "scale_salted_cohort_rollup",
+    "text_profile",
+    "text_exact_dedup",
+    "dedup_minhash_sigs",
+    "text_repetition_profile",
+    "text_token_shards",
+    "text_pack_windows",
+    "text_decontaminate",
+    "emb_int8_quantization",
+]
+
 # pk stride column(s) per table; every fk shift reuses the owning pk stride.
 _SHIFTS = {
     "customer": ["c_custkey"],
@@ -207,9 +238,15 @@ def time_queries(
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
-    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument("--queries", default=None,
+                    help="comma list; default: DEFAULT_QUERIES, or "
+                         "HUNDREDX_QUERIES when --mult >= 100")
     ap.add_argument("--update-scale-md", action="store_true")
     args = ap.parse_args()
+    if args.queries is None:
+        args.queries = ",".join(
+            HUNDREDX_QUERIES if args.mult >= 100 else DEFAULT_QUERIES
+        )
     names = [q for q in args.queries.split(",") if q]
 
     spark = get_spark("scale-probe")
@@ -251,33 +288,52 @@ _MARK = "## Measured scaling"
 
 
 def _splice_scale_md(table: str, mult: int) -> None:
+    """Insert/replace the `### {mult}x probe` subsection inside the
+    '## Measured scaling' section, preserving every other multiplier's
+    subsection — the section accumulates one measured table per probed
+    scale (10x, 100x, ...) instead of overwriting."""
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "SCALE.md")
     with open(path) as f:
         text = f.read()
-    section = (
-        f"{_MARK}\n\n"
+    submark = f"### {mult}x probe"
+    subsection = (
+        f"{submark}\n\n"
         f"`scripts/scale_probe.py --mult {mult}`: wall time per headline query on\n"
         f"`local[32]` at sf0.1 (1x) vs a synthesized {mult}x corpus (shifted-key\n"
         f"fact-table replication; see the script docstring for why the shifts\n"
         f"preserve join selectivity and state cardinality). A ratio well above\n"
-        f"{mult}x would mean superlinear work — none observed. Ratios near or\n"
-        f"below 1x mean per-query fixed costs (planning, job scheduling, task\n"
-        f"launch) dominate at this corpus size: sf0.1-sized inputs saturate\n"
-        f"neither cores nor memory, so {mult}x more rows costs mostly nothing —\n"
-        f"the probe is a superlinearity detector, not a throughput benchmark.\n\n"
+        f"{mult}x would mean superlinear work. Ratios below {mult}x mean\n"
+        f"per-query fixed costs (planning, job scheduling, task launch) still\n"
+        f"dominate at this corpus size — the probe is a superlinearity\n"
+        f"detector, not a throughput benchmark. Queries excluded from this\n"
+        f"multiplier are listed with reasons in the script's query lists.\n\n"
         f"{table}\n"
     )
-    if _MARK in text:
-        # replace only the measured-scaling section: splice up to the next
-        # '## ' heading after the marker and preserve the tail, so sections
-        # added after it are not silently deleted on the next run.
+    if _MARK not in text:
+        text = text.rstrip() + "\n\n" + _MARK + "\n\n" + subsection
+    else:
         head, rest = text.split(_MARK, 1)
         nxt = rest.find("\n## ")
-        tail = rest[nxt + 1:] if nxt != -1 else ""
-        text = head + section + ("\n" + tail if tail else "")
-    else:
-        text = text.rstrip() + "\n\n" + section
+        section, tail = (
+            (rest[:nxt], rest[nxt + 1:]) if nxt != -1 else (rest, "")
+        )
+        # legacy format (no subsections): wrap the existing table as the
+        # probe subsection for its old multiplier, read from its own text
+        if "### " not in section and "--mult" in section:
+            import re as _re
+
+            m = _re.search(r"--mult (\d+)", section)
+            old = m.group(1) if m else "10"
+            section = f"\n\n### {old}x probe\n{section.split(chr(10), 1)[1]}"
+        if submark in section:
+            pre, sub = section.split(submark, 1)
+            nxt_sub = sub.find("\n### ")
+            post = sub[nxt_sub + 1:] if nxt_sub != -1 else ""
+            section = pre + subsection + ("\n" + post if post else "")
+        else:
+            section = section.rstrip() + "\n\n" + subsection
+        text = head + _MARK + section.rstrip() + "\n" + ("\n" + tail if tail else "")
     with open(path, "w") as f:
         f.write(text)
 
