@@ -192,11 +192,15 @@ def run_incremental_fold(
     state_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
+    retain_versions: int | None = None,
 ) -> ParquetStateStore:
     """Drive the stream to completion (availableNow) maintaining the state
     store; returns the store (materialize with `materialize_orders`).
 
     `events_stream` must be a *streaming* DataFrame with order_events shape.
+    `retain_versions=N` applies the vacuum retention policy after every
+    commit (keep the newest N snapshots) — the long-running-stream setting;
+    the default None keeps full history for time travel.
     """
     store = ParquetStateStore(state_dir)
 
@@ -205,6 +209,8 @@ def run_incremental_fold(
         current = store.latest(batch_df.sparkSession)
         merged = batch_state if current is None else merge_partials(current, batch_state)
         store.commit(merged, batch_id)
+        if retain_versions is not None:
+            store.vacuum(keep_last=retain_versions)
 
     writer = (
         events_stream.writeStream.foreachBatch(on_batch)

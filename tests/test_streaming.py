@@ -177,3 +177,36 @@ def test_state_store_vacuum_retention(spark):
 
     with _pt.raises(ValueError, match="keep_last"):
         store.vacuum(keep_last=0)
+
+
+def test_incremental_fold_with_retention(spark):
+    """retain_versions=1 applies the vacuum policy per commit: after the
+    stream drains, only the newest snapshot survives — and the final state
+    still equals the batch fold (vacuum can never touch the live pointer)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hive_server_spark.streaming.incremental import run_incremental_fold
+
+    ev = order_events(spark, SF_SMALL).cache()
+    work = tempfile.mkdtemp(prefix="hss_retain_")
+    ev_dir = os.path.join(work, "events")
+    ev.withColumn("half", (F.col("seq") % 2).cast("int")).write.partitionBy(
+        "half"
+    ).parquet(ev_dir)
+    schema = spark.read.parquet(ev_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_dir)
+    )
+    store = run_incremental_fold(
+        spark, stream, os.path.join(work, "state"), os.path.join(work, "ckpt"),
+        retain_versions=1,
+    )
+    assert len(store.versions()) == 1
+    got = materialize_orders(store.latest(spark))
+    want = fold_order_events(ev)
+    assert _rows(got) == _rows(want)
