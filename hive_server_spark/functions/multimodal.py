@@ -307,6 +307,11 @@ def _decode_png(payload: bytes) -> tuple[int, int, float] | None:
         if len(data) < length:
             raise ValueError("truncated PNG chunk")
         if ctype == b"IHDR":
+            if len(data) != 13:
+                # struct.unpack would raise struct.error here, which escapes
+                # the codec's ValueError contract (and the strict=False
+                # fallback in _decode_one) — normalize to the contract
+                raise ValueError(f"malformed PNG IHDR (length {len(data)}, want 13)")
             width, height, bit_depth, color_type, _c, _f, interlace = struct.unpack(
                 ">IIBBBBB", data
             )

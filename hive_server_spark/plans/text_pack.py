@@ -1332,7 +1332,10 @@ SELECT source,
 FROM positioned
 GROUP BY source, CAST(toks_before // 2000 AS BIGINT)
 """
-assert "kept_train AS" in _KEPT_SHARDS_ORACLE and "reach(" in _KEPT_SHARDS_ORACLE, (
+# the guard must prove the rsplit actually CUT the keep oracle's final
+# SELECT: on a failed rsplit the whole _KEEP_ORACLE (including its final
+# "SELECT r.doc_id,") survives as a prefix and the SQL is malformed
+assert "SELECT r.doc_id," not in _KEPT_SHARDS_ORACLE and "reach(" in _KEPT_SHARDS_ORACLE, (
     "kept-shards oracle splice failed: _KEEP_ORACLE's final SELECT changed; "
     "update the rsplit target in text_pack._KEPT_SHARDS_ORACLE"
 )

@@ -191,7 +191,6 @@ def run_incremental_fold(
     events_stream: DataFrame,
     state_dir: str,
     checkpoint_dir: str,
-    max_files_per_trigger: int | None = None,
     retain_versions: int | None = None,
 ) -> ParquetStateStore:
     """Drive the stream to completion (availableNow) maintaining the state

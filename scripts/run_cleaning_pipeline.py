@@ -35,6 +35,18 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from hive_server_spark.session import get_spark  # noqa: E402
 
+# the composed chain, in execution order — shared with scale_probe.py's
+# --pipeline mode so the probed composition can never drift from the one
+# this script ships
+CLEANING_STAGES = [
+    "text_profile",
+    "text_repetition_profile",
+    "dedup_clusters",
+    "text_pretrain_keep",
+    "text_leakage_safe_splits",
+    "text_kept_token_shards",
+]
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -50,7 +62,10 @@ def main() -> None:
     qs = gate.spark_queries()
     os.makedirs(args.out, exist_ok=True)
 
+    ran: list[str] = []
+
     def stage(name: str):
+        ran.append(name)
         t0 = time.perf_counter()
         df = qs[name](spark, args.sf_dir)
         n = df.count()
@@ -85,6 +100,9 @@ def main() -> None:
     shards.write.mode("overwrite").parquet(os.path.join(args.out, "shard_manifest"))
     keep.write.mode("overwrite").parquet(os.path.join(args.out, "keep_verdicts"))
     splits.write.mode("overwrite").parquet(os.path.join(args.out, "splits"))
+    assert ran == CLEANING_STAGES, (
+        f"stage calls drifted from CLEANING_STAGES: {ran} != {CLEANING_STAGES}"
+    )
     print(f"manifests written to {args.out}")
 
 

@@ -243,17 +243,11 @@ def time_cleaning_pipeline(spark: SparkSession, sf_dir: str) -> dict[str, float]
     NOTE: on the replicated probe corpus the dedup/keep stages see
     ~C(mult,2) candidate pairs per base doc by construction (see the
     DEFAULT_QUERIES comment) — treat their ratios as corpus structure."""
+    from scripts.run_cleaning_pipeline import CLEANING_STAGES
+
     qs = gate.spark_queries()
-    stages = [
-        "text_profile",
-        "text_repetition_profile",
-        "dedup_clusters",
-        "text_pretrain_keep",
-        "text_leakage_safe_splits",
-        "text_kept_token_shards",
-    ]
     out: dict[str, float] = {}
-    for name in stages:
+    for name in CLEANING_STAGES:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         out[name] = time.perf_counter() - t0
@@ -337,29 +331,16 @@ def main() -> None:
 _MARK = "## Measured scaling"
 
 
-def _splice_scale_md(table: str, mult: int) -> None:
-    """Insert/replace the `### {mult}x probe` subsection inside the
-    '## Measured scaling' section, preserving every other multiplier's
-    subsection — the section accumulates one measured table per probed
-    scale (10x, 100x, ...) instead of overwriting."""
+def _splice_subsection(submark: str, subsection: str) -> None:
+    """Insert/replace one `### ...` subsection inside '## Measured scaling',
+    preserving the section intro and every other subsection — the section
+    accumulates one measured table per (probe kind, multiplier). The
+    next-subsection search is scoped to the Measured-scaling section, so a
+    later '## ' section with its own '### ' headings is never touched."""
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "SCALE.md")
     with open(path) as f:
         text = f.read()
-    submark = f"### {mult}x probe"
-    subsection = (
-        f"{submark}\n\n"
-        f"`scripts/scale_probe.py --mult {mult}`: wall time per headline query on\n"
-        f"`local[32]` at sf0.1 (1x) vs a synthesized {mult}x corpus (shifted-key\n"
-        f"fact-table replication; see the script docstring for why the shifts\n"
-        f"preserve join selectivity and state cardinality). A ratio well above\n"
-        f"{mult}x would mean superlinear work. Ratios below {mult}x mean\n"
-        f"per-query fixed costs (planning, job scheduling, task launch) still\n"
-        f"dominate at this corpus size — the probe is a superlinearity\n"
-        f"detector, not a throughput benchmark. Queries excluded from this\n"
-        f"multiplier are listed with reasons in the script's query lists.\n\n"
-        f"{table}\n"
-    )
     if _MARK not in text:
         text = text.rstrip() + "\n\n" + _MARK + "\n\n" + subsection
     else:
@@ -388,20 +369,31 @@ def _splice_scale_md(table: str, mult: int) -> None:
         f.write(text)
 
 
+def _splice_scale_md(table: str, mult: int) -> None:
+    submark = f"### {mult}x probe"
+    _splice_subsection(submark, (
+        f"{submark}\n\n"
+        f"`scripts/scale_probe.py --mult {mult}`: wall time per headline query on\n"
+        f"`local[32]` at sf0.1 (1x) vs a synthesized {mult}x corpus (shifted-key\n"
+        f"fact-table replication; see the script docstring for why the shifts\n"
+        f"preserve join selectivity and state cardinality). A ratio well above\n"
+        f"{mult}x would mean superlinear work. Ratios below {mult}x mean\n"
+        f"per-query fixed costs (planning, job scheduling, task launch) still\n"
+        f"dominate at this corpus size — the probe is a superlinearity\n"
+        f"detector, not a throughput benchmark. See the durable caveats at\n"
+        f"the top of this section; exclusions are reasoned in the script's\n"
+        f"query lists.\n\n"
+        f"{table}\n"
+    ))
+
+
 def _splice_pipeline_md(table: str, mult: int) -> None:
-    """Insert/replace the cleaning-pipeline subsection for `mult` inside
-    '## Measured scaling' (same accumulate-per-multiplier contract as
-    _splice_scale_md)."""
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "SCALE.md")
-    with open(path) as f:
-        text = f.read()
     submark = f"### Cleaning pipeline at {mult}x"
-    subsection = (
+    _splice_subsection(submark, (
         f"{submark}\n\n"
         f"`scripts/scale_probe.py --mult {mult} --pipeline`: the composed\n"
-        f"corpus-cleaning chain (profile → repetition → dedup clusters →\n"
-        f"keep verdict → splits → kept-shard manifest), each stage timed\n"
+        f"corpus-cleaning chain (CLEANING_STAGES from\n"
+        f"scripts/run_cleaning_pipeline.py), each stage timed\n"
         f"cold-cache-first so intra-pipeline cache reuse is part of the\n"
         f"measurement. Caveat: on this REPLICATED corpus the dedup/keep/\n"
         f"splits/shards stages see ~C({mult},2) candidate pairs per base\n"
@@ -409,28 +401,8 @@ def _splice_pipeline_md(table: str, mult: int) -> None:
         f"duplicate structure, not engine superlinearity (the linear-stage\n"
         f"rows, profile/repetition, are the engine signal).\n\n"
         f"{table}\n"
-    )
-    if _MARK not in text:
-        text = text.rstrip() + "\n\n" + _MARK + "\n\n" + subsection
-    elif submark in text:
-        head, rest = text.split(submark, 1)
-        nxt = rest.find("\n### ")
-        if nxt == -1:
-            sec_end = rest.find("\n## ")
-            tail = rest[sec_end + 1:] if sec_end != -1 else ""
-        else:
-            tail = rest[nxt + 1:]
-        text = head + subsection + ("\n" + tail if tail else "")
-    else:
-        head, rest = text.split(_MARK, 1)
-        nxt = rest.find("\n## ")
-        section, tail = (
-            (rest[:nxt], rest[nxt + 1:]) if nxt != -1 else (rest, "")
-        )
-        section = section.rstrip() + "\n\n" + subsection
-        text = head + _MARK + section.rstrip() + "\n" + ("\n" + tail if tail else "")
-    with open(path, "w") as f:
-        f.write(text)
+    ))
+
 
 
 if __name__ == "__main__":

@@ -255,3 +255,29 @@ def test_png_synthesis_matches_ppm_pixels(spark):
                 for r in png.collect()}
     assert rows_ppm == rows_png
     assert {r.decoder for r in png.collect()} == {"png"}
+
+
+def test_png_malformed_ihdr_is_valueerror_not_struct_error():
+    """A truncated IHDR must surface as the codec's documented ValueError —
+    struct.error would escape _decode_one's strict=False fallback and fail
+    the whole Spark task instead of falling back to the fake decoder."""
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", b"\x00" * 10)  # 10 bytes, spec says 13
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IHDR"):
+        M._decode_png(bad)
+    # non-strict dispatch falls back to the fake instead of crashing
+    w, h, luma, decoder = M._decode_one(bad, strict=False)
+    assert decoder == "fake-deterministic" and w > 0 and h > 0
