@@ -24,6 +24,7 @@ at :43-51) maps to the CDC table (streaming/cdc.py) plus two transports:
 
     GET /api/cdc/:address?since=<version>       (pull: one-shot tail)
     GET /api/cdc/:address/stream?since=&timeout= (push: SSE subscription)
+    GET /api/cdc/:address/ws?since=&timeout=     (push: RFC 6455 WebSocket)
 
 The SSE endpoint is the actual push bridge — the `io.to(room).emit`
 analogue: a subscriber receives every existing snapshot version for its
@@ -145,8 +146,13 @@ class HiveApiServer:
         # memory, the io.to(room).emit shape of the reference
         # (src/api/server.ts:43-51: one book per room, broadcast). Without
         # this, S subscribers x P pools meant S*P Spark jobs per version.
-        self._snapshot_cache: dict[int, dict[str, str]] = {}
-        self._snapshot_lock = threading.Lock()
+        # entries are (success_mtime, {pool: payload}): the _SUCCESS marker
+        # mtime invalidates the cache when a cdc_version dir is REWRITTEN
+        # (foreachBatch replay after checkpoint restart overwrites whole
+        # version dirs) — a stale render must not outlive the data
+        self._snapshot_cache: dict[int, tuple[float, dict[str, str]]] = {}
+        self._snapshot_lock = threading.Lock()  # guards the two dicts only
+        self._version_locks: dict[int, threading.Lock] = {}
         self.snapshot_materializations = 0  # test-visible Spark-job count
         self._httpd = ThreadingHTTPServer(("127.0.0.1", port), self._make_handler())
         self.port = self._httpd.server_address[1]
@@ -218,13 +224,27 @@ class HiveApiServer:
 
     def _rendered_version(self, version: int) -> dict[str, str]:
         """The JSON payload of EVERY pool's book at `version`, rendered by
-        at most one Spark job regardless of subscriber count: first caller
-        holds the lock through the job (concurrent subscribers block, then
-        hit the cache — render-once semantics, not double-checked racing)."""
+        at most one Spark job per on-disk incarnation of the version,
+        regardless of subscriber count. Locking: the global lock guards
+        only dict lookups; the render itself runs under a per-version lock,
+        so a slow render of version N never blocks subscribers reading
+        already-cached versions or rendering a different version. The cache
+        entry is stamped with the _SUCCESS mtime — a rewritten version dir
+        (foreachBatch replay after restart) re-renders instead of serving
+        the pre-rewrite book."""
+        stamp = os.path.getmtime(
+            os.path.join(self.cdc_root, f"cdc_version={version}", "_SUCCESS")
+        )
         with self._snapshot_lock:
             hit = self._snapshot_cache.get(version)
-            if hit is not None:
-                return hit
+            if hit is not None and hit[0] == stamp:
+                return hit[1]
+            vlock = self._version_locks.setdefault(version, threading.Lock())
+        with vlock:
+            with self._snapshot_lock:
+                hit = self._snapshot_cache.get(version)
+                if hit is not None and hit[0] == stamp:
+                    return hit[1]
             df = self.spark.read.parquet(
                 os.path.join(self.cdc_root, f"cdc_version={version}")
             )
@@ -258,10 +278,13 @@ class HiveApiServer:
                 .collect()
             )
             rendered = {r.pool_address: r.payload for r in rows}
-            self.snapshot_materializations += 1
-            self._snapshot_cache[version] = rendered
-            while len(self._snapshot_cache) > self.SNAPSHOT_CACHE_VERSIONS:
-                del self._snapshot_cache[min(self._snapshot_cache)]
+            with self._snapshot_lock:
+                self.snapshot_materializations += 1
+                self._snapshot_cache[version] = (stamp, rendered)
+                while len(self._snapshot_cache) > self.SNAPSHOT_CACHE_VERSIONS:
+                    evicted = min(self._snapshot_cache)
+                    del self._snapshot_cache[evicted]
+                    self._version_locks.pop(evicted, None)
             return rendered
 
     def _snapshot_event(self, version: int, addr: str) -> bytes:
@@ -318,6 +341,88 @@ class HiveApiServer:
         except (BrokenPipeError, ConnectionResetError):
             pass  # subscriber went away; nothing to clean up
 
+    # -- WebSocket push bridge (RFC 6455, stdlib-only) ----------------------
+    # The reference pushes books over Socket.io rooms (reference
+    # src/api/server.ts:26-51); Socket.io's browser transport is WebSocket.
+    # This endpoint speaks actual RFC 6455: handshake (SHA-1 + base64
+    # accept key), then unmasked server→client text frames, one per landed
+    # CDC version, from the same render-once cache as the SSE bridge.
+    # Send-only by design: the server never reads client frames after the
+    # handshake (no ping/pong — a client close surfaces as a broken pipe on
+    # the next push, exactly like an SSE disconnect), which keeps the
+    # handler loop identical to SSE's and the whole transport dependency-free.
+    _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+    @staticmethod
+    def _ws_frame(payload: bytes, opcode: int = 0x1) -> bytes:
+        """One unmasked server frame (FIN set): text by default, 0x8 close."""
+        import struct
+
+        head = bytes([0x80 | opcode])
+        n = len(payload)
+        if n < 126:
+            head += bytes([n])
+        elif n < 65536:
+            head += bytes([126]) + struct.pack(">H", n)
+        else:
+            head += bytes([127]) + struct.pack(">Q", n)
+        return head + payload
+
+    def _cdc_stream_ws(self, handler, addr: str, q: dict[str, list[str]]) -> None:
+        """WebSocket subscription: same replay-then-push contract as the SSE
+        bridge (?since=, ?timeout=), each version delivered as one text
+        frame `{"version": N, "data": [...]}`; a clean close frame ends the
+        subscription at the timeout."""
+        import base64
+        import hashlib
+
+        if self.cdc_root is None:
+            _plain(handler, 404, '{"error":"cdc table not configured"}')
+            return
+        upgrade = (handler.headers.get("Upgrade") or "").lower()
+        key = handler.headers.get("Sec-WebSocket-Key")
+        if upgrade != "websocket" or not key:
+            _plain(handler, 400, '{"error":"websocket upgrade required"}')
+            return
+        since = _parse_int(q.get("since", ["-1"])[0])
+        timeout_s = _parse_int(q.get("timeout", ["30"])[0])
+        if since is None or timeout_s is None:
+            _plain(handler, 400, '{"error":"since/timeout must be integers"}')
+            return
+        timeout_s = min(timeout_s, self.SSE_MAX_TIMEOUT_S)
+        accept = base64.b64encode(
+            hashlib.sha1((key + self._WS_GUID).encode()).digest()
+        ).decode()
+        handler.wfile.write(
+            (
+                "HTTP/1.1 101 Switching Protocols\r\n"
+                "Upgrade: websocket\r\n"
+                "Connection: Upgrade\r\n"
+                f"Sec-WebSocket-Accept: {accept}\r\n\r\n"
+            ).encode()
+        )
+        handler.wfile.flush()
+        # http.server would try to read another request off this socket
+        # after do_GET returns — the connection is a WS stream now
+        handler.close_connection = True
+        last = since
+        deadline = time.monotonic() + timeout_s
+        try:
+            while time.monotonic() < deadline:
+                for version in self._cdc_versions_on_disk():
+                    if version <= last:
+                        continue
+                    payload = self._rendered_version(version).get(addr, "[]")
+                    msg = f'{{"version":{version},"data":{payload}}}'
+                    handler.wfile.write(self._ws_frame(msg.encode()))
+                    handler.wfile.flush()
+                    last = version
+                time.sleep(0.2)
+            handler.wfile.write(self._ws_frame(b"", opcode=0x8))
+            handler.wfile.flush()
+        except (BrokenPipeError, ConnectionResetError):
+            pass  # subscriber went away; nothing to clean up
+
     def _cdc_tail(self, addr: str, since: int) -> tuple[int, str]:
         if self.cdc is None:
             return 404, '{"error":"cdc table not configured"}'
@@ -349,16 +454,21 @@ class HiveApiServer:
                 if (
                     len(parts) == 4
                     and parts[:2] == ["api", "cdc"]
-                    and parts[3] == "stream"
+                    and parts[3] in ("stream", "ws")
                 ):
+                    push = (
+                        outer._cdc_stream_sse
+                        if parts[3] == "stream"
+                        else outer._cdc_stream_ws
+                    )
                     try:
-                        outer._cdc_stream_sse(self, parts[2], q)
+                        push(self, parts[2], q)
                     except (BrokenPipeError, ConnectionResetError):
                         pass  # subscriber went away mid-stream
                     except Exception:
-                        # SSE headers may already be on the wire, so no 500
-                        # response is possible — but never swallow silently:
-                        # a mid-stream server bug must be visible in logs
+                        # stream headers may already be on the wire, so no
+                        # 500 response is possible — but never swallow
+                        # silently: a mid-stream bug must be visible in logs
                         import traceback
 
                         traceback.print_exc(file=sys.stderr)

@@ -298,3 +298,170 @@ def test_cdc_sse_renders_each_version_once(server, spark):
     finally:
         srv.stop()
         shutil.rmtree(cdc_copy, ignore_errors=True)
+
+
+def test_cdc_sse_cache_invalidated_on_version_rewrite(server, spark):
+    """A rewritten cdc_version dir (foreachBatch replay after checkpoint
+    restart overwrites whole version dirs) must re-render: the cache is
+    stamped with the _SUCCESS mtime, so a late subscriber gets the book on
+    disk, never a pre-rewrite render."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    cdc_copy = tempfile.mkdtemp(prefix="hss_sse4_") + "/cdc"
+    shutil.copytree(server.cdc_root, cdc_copy)
+    srv = HiveApiServer(spark, SF_SMALL, cdc_dir=cdc_copy).start()
+    try:
+        url = f"http://127.0.0.1:{srv.port}/api/cdc/pool_0/stream?since=1&timeout=5"
+        first = urllib.request.urlopen(url)
+        got = _read_sse_events(first, 1)
+        first.close()
+        assert [e["id"] for e in got] == ["2"]
+        assert srv.snapshot_materializations == 1
+        before = json.loads(got[0]["data"])
+
+        # rewrite v2 with v1's data (different book) — mtime must change
+        v1 = spark.read.parquet(f"{cdc_copy}/cdc_version=1").withColumn(
+            "cdc_version", F.lit(2).cast("long")
+        )
+        _time.sleep(0.05)  # ensure a distinct _SUCCESS mtime
+        v1.write.mode("overwrite").parquet(f"{cdc_copy}/cdc_version=2")
+        os.utime(f"{cdc_copy}/cdc_version=2/_SUCCESS")
+
+        second = urllib.request.urlopen(url)
+        got2 = _read_sse_events(second, 1)
+        second.close()
+        assert srv.snapshot_materializations == 2, "rewrite must re-render"
+        after = json.loads(got2[0]["data"])
+        assert after != before, "subscriber must see the rewritten book"
+
+        # unchanged dir: third subscriber is a pure cache hit
+        third = urllib.request.urlopen(url)
+        _read_sse_events(third, 1)
+        third.close()
+        assert srv.snapshot_materializations == 2
+    finally:
+        srv.stop()
+        shutil.rmtree(cdc_copy, ignore_errors=True)
+
+
+def _ws_connect(port: int, path: str):
+    """Minimal RFC 6455 client: handshake on a raw socket, verify the
+    Sec-WebSocket-Accept digest, return the connected socket."""
+    import base64
+    import hashlib
+    import os as _os
+    import socket
+
+    s = socket.create_connection(("127.0.0.1", port), timeout=20)
+    key = base64.b64encode(_os.urandom(16)).decode()
+    s.sendall(
+        (
+            f"GET {path} HTTP/1.1\r\nHost: localhost\r\n"
+            "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+        ).encode()
+    )
+    buf = b""
+    while b"\r\n\r\n" not in buf:
+        chunk = s.recv(4096)
+        assert chunk, "server closed during handshake"
+        buf += chunk
+    head, rest = buf.split(b"\r\n\r\n", 1)
+    lines = head.decode().split("\r\n")
+    assert lines[0] == "HTTP/1.1 101 Switching Protocols", lines[0]
+    want = base64.b64encode(
+        hashlib.sha1(
+            (key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").encode()
+        ).digest()
+    ).decode()
+    accept = [l.split(": ", 1)[1] for l in lines if l.startswith("Sec-WebSocket-Accept")]
+    assert accept == [want], "RFC 6455 accept-key digest mismatch"
+    return s, rest
+
+
+def _ws_read_frames(sock, leftover: bytes, n_frames: int):
+    """Parse n unmasked server frames; returns list of (opcode, payload)."""
+    import struct as _struct
+
+    frames, buf = [], leftover
+    while len(frames) < n_frames:
+        while len(buf) < 2:
+            chunk = sock.recv(4096)
+            assert chunk, f"socket closed after {len(frames)} frames"
+            buf += chunk
+        fin_op, ln = buf[0], buf[1] & 0x7F
+        assert buf[1] & 0x80 == 0, "server frames must be unmasked"
+        off = 2
+        if ln == 126:
+            while len(buf) < 4:
+                buf += sock.recv(4096)
+            ln = _struct.unpack(">H", buf[2:4])[0]
+            off = 4
+        elif ln == 127:
+            while len(buf) < 10:
+                buf += sock.recv(4096)
+            ln = _struct.unpack(">Q", buf[2:10])[0]
+            off = 10
+        while len(buf) < off + ln:
+            chunk = sock.recv(4096)
+            assert chunk, "socket closed mid-frame"
+            buf += chunk
+        frames.append((fin_op & 0x0F, buf[off : off + ln]))
+        buf = buf[off + ln :]
+    return frames, buf
+
+
+def test_cdc_websocket_push_bridge(server, spark):
+    """RFC 6455 parity with the reference's Socket.io rooms: handshake with
+    a verified accept digest, version-ordered backlog replay as text
+    frames, a live-landed version pushed mid-subscription, and a clean
+    close frame at the timeout. Shares the render-once snapshot cache with
+    the SSE bridge."""
+    import shutil
+    import tempfile
+    import threading
+
+    cdc_copy = tempfile.mkdtemp(prefix="hss_ws_") + "/cdc"
+    shutil.copytree(server.cdc_root, cdc_copy)
+    srv = HiveApiServer(spark, SF_SMALL, cdc_dir=cdc_copy).start()
+    try:
+        sock, buf = _ws_connect(
+            srv.port, "/api/cdc/pool_0/ws?since=-1&timeout=8"
+        )
+        frames, buf = _ws_read_frames(sock, buf, 3)
+        assert [f[0] for f in frames] == [0x1, 0x1, 0x1], "text frames"
+        msgs = [json.loads(f[1]) for f in frames]
+        assert [m["version"] for m in msgs] == [0, 1, 2], "ordered replay"
+        assert all(m["data"] for m in msgs), "non-empty books"
+        assert all(
+            s["side"] in ("BUY", "SELL") for m in msgs for s in m["data"]
+        )
+
+        def land_v3():
+            v2 = spark.read.parquet(f"{cdc_copy}/cdc_version=2")
+            v2.write.mode("overwrite").parquet(f"{cdc_copy}/cdc_version=3")
+
+        t = threading.Thread(target=land_v3)
+        t.start()
+        live, buf = _ws_read_frames(sock, buf, 1)
+        t.join()
+        assert live[0][0] == 0x1 and json.loads(live[0][1])["version"] == 3
+
+        # timeout -> clean close frame (opcode 0x8), not just a dead socket
+        close, _ = _ws_read_frames(sock, buf, 1)
+        assert close[0][0] == 0x8, "server must send a close frame"
+        sock.close()
+    finally:
+        srv.stop()
+        shutil.rmtree(cdc_copy, ignore_errors=True)
+
+
+def test_cdc_websocket_requires_upgrade_headers(server):
+    """A plain GET to the ws route (no Upgrade handshake) must get a JSON
+    400, not a hung socket or a protocol error."""
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, "/api/cdc/pool_0/ws?since=-1&timeout=1")
+    assert e.value.code == 400
