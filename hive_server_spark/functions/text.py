@@ -56,6 +56,29 @@ def tokens_expr(text: str, dialect: str) -> str:
     return f"string_split({text}, ' ')"
 
 
+# GPT-2-style pretokenizer (contractions, letter runs, digit runs,
+# punctuation runs, whitespace runs), written WITHOUT backslash classes:
+# Spark SQL string literals process backslash escapes and DuckDB's don't,
+# so an explicit [ \t\n\r] class is the only spelling that reaches both
+# regex engines (Java util.regex / RE2) byte-identical.
+_BPE_WS = " \t\n\r"
+BPE_PATTERN = (
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+"
+    f"| ?[^{_BPE_WS}A-Za-z0-9]+|[{_BPE_WS}]+"
+)
+
+
+def bpe_tokens_expr(text: str, dialect: str) -> str:
+    """Token list under the BPE-ish pretokenizer regex — the unit LLM
+    tokenizers split on before merges, so `len()` of this is the standard
+    pre-merge token-count estimate (vs the whitespace count)."""
+    if dialect == "s":
+        pat = BPE_PATTERN.replace("'", "\\'")
+        return f"regexp_extract_all({text}, '{pat}', 0)"
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"regexp_extract_all({text}, '{pat}')"
+
+
 def shingles_expr(toks: str, dialect: str) -> str:
     """Distinct 3-token shingles (word 3-grams); degenerate docs (<3 tokens)
     fall back to the whole token list joined — still one deterministic

@@ -1368,3 +1368,55 @@ def text_kept_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("first_doc"),
         F.max("doc_id").cast("bigint").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer-aware token counting: whitespace tokens vs the GPT-2-style
+# pretokenizer (functions/text.py BPE_PATTERN) — the pre-merge token-count
+# estimate a training-budget calculation actually uses. Per-doc long output
+# so the fertility ratio (bpe per whitespace token) and compression
+# (chars per bpe token) are auditable per document; pure regexp_extract_all
+# column expressions in both engines (JVM-side, no UDF), linear scan.
+# ---------------------------------------------------------------------------
+@register(
+    "text_bpe_token_stats",
+    f"""
+WITH {_TOKS_CTE_D},
+c AS (
+  SELECT doc_id,
+         len(toks) AS n_ws,
+         len({T.bpe_tokens_expr('text', 'd')}) AS n_bpe,
+         length(text) AS n_chars
+  FROM toks
+)
+SELECT doc_id,
+       CAST(n_ws AS BIGINT)  AS n_ws_tokens,
+       CAST(n_bpe AS BIGINT) AS n_bpe_tokens,
+       CASE WHEN n_ws = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(n_bpe AS DOUBLE) / CAST(n_ws AS DOUBLE) END AS bpe_per_ws,
+       CASE WHEN n_bpe = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(n_chars AS DOUBLE) / CAST(n_bpe AS DOUBLE) END
+         AS chars_per_bpe_token
+FROM c
+""",
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish pretokenizer token counts per document, with
+    the fertility and chars-per-token ratios — single narrow scan, every
+    expression whole-stage-codegen (regexp_extract_all is JVM-side)."""
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        f"CAST(size({T.tokens_expr('text', 's')}) AS BIGINT) AS n_ws_tokens",
+        f"CAST(size({T.bpe_tokens_expr('text', 's')}) AS BIGINT) AS n_bpe_tokens",
+        "length(text) AS n_chars",
+    ).selectExpr(
+        "doc_id",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        "CASE WHEN n_ws_tokens = 0 THEN CAST(0 AS DOUBLE) "
+        "ELSE CAST(n_bpe_tokens AS DOUBLE) / CAST(n_ws_tokens AS DOUBLE) END "
+        "AS bpe_per_ws",
+        "CASE WHEN n_bpe_tokens = 0 THEN CAST(0 AS DOUBLE) "
+        "ELSE CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE) END "
+        "AS chars_per_bpe_token",
+    )

@@ -270,3 +270,29 @@ def test_ngram_list_expr_matches_python_both_dialects(spark):
             want = py_grams(t, k)
             assert got_s[i] == want, (k, i, t, got_s[i], want)
             assert got_d[i] == want, (k, i, t, got_d[i], want)
+
+
+def test_bpe_pretokenizer_hand_computed(spark):
+    """The GPT-2-style pretokenizer must split contractions, letter runs,
+    digit runs and punctuation runs the way the pattern documents — pinned
+    on hand-computed cases so a regex edit can't silently change token
+    accounting (the gate checks cross-engine equality, not semantics)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "don't stop"),      # don | 't | _stop
+            (2, "abc123 x!!"),      # abc | 123 | _x | !!
+            (3, "a  b"),            # a | '  ' | b  (whitespace run is 1 token)
+            (4, "we'll win 100%"),  # we | 'll | _win | _100 | %
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.toks, len(r.toks))
+        for r in docs.selectExpr(
+            "doc_id", f"{T.bpe_tokens_expr('text', 's')} AS toks"
+        ).collect()
+    }
+    assert got[1][0] == ["don", "'t", " stop"]
+    assert got[2][0] == ["abc", "123", " x", "!!"]
+    assert got[3][0] == ["a", "  ", "b"]
+    assert got[4][0] == ["we", "'ll", " win", " 100", "%"]
