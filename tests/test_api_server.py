@@ -465,3 +465,24 @@ def test_cdc_websocket_requires_upgrade_headers(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(server, "/api/cdc/pool_0/ws?since=-1&timeout=1")
     assert e.value.code == 400
+
+
+def test_ws_frame_length_encodings():
+    """RFC 6455 length fields: 7-bit (<126), 16-bit (126..65535), 64-bit
+    (>65535) — pinned with the same parser the live test uses, over a
+    loopback socket pair so recv() semantics match production."""
+    import socket
+
+    for n in (5, 126, 65535, 70000):
+        payload = b"x" * n
+        frame = HiveApiServer._ws_frame(payload)
+        a, b = socket.socketpair()
+        try:
+            a.sendall(frame)
+            a.shutdown(socket.SHUT_WR)
+            frames, rest = _ws_read_frames(b, b"", 1)
+        finally:
+            a.close()
+            b.close()
+        assert frames == [(0x1, payload)] and rest == b""
+    assert HiveApiServer._ws_frame(b"", opcode=0x8)[0] & 0x0F == 0x8
