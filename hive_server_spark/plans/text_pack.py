@@ -1344,21 +1344,27 @@ assert "SELECT r.doc_id," not in _KEPT_SHARDS_ORACLE and "reach(" in _KEPT_SHARD
 @register("text_kept_token_shards", _KEPT_SHARDS_ORACLE)
 def text_kept_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2000-token shards over the CLEANED training subset: the raw-corpus
-    token table semi-joined to the keep verdict and the train split (both
-    session-cached, doc_id-keyed), then the same two-level prefix sum as
-    text_token_shards over the survivors. Scale shape: the two semi-joins
-    shuffle on doc_id (the verdict/split tables are corpus-cardinality, not
-    broadcastable); everything after is the proven sharding plan."""
-    kept = text_pretrain_keep(spark, sf_dir).where(F.col("kept")).select("doc_id")
-    train = (
-        text_leakage_safe_splits(spark, sf_dir)
-        .where(F.col("split") == "train")
+    token table semi-joined to the kept-and-train doc set, then the same
+    two-level prefix sum as text_token_shards over the survivors.
+
+    The train-split test needs no join against text_leakage_safe_splits:
+    `kept` implies keep_canonical (cluster_id == doc_id), so the split
+    hash of the doc's cluster representative IS the hash of its own
+    doc_id — one filter on the keep verdict replaces a second corpus-sized
+    semi-join and the whole splits subtree (the oracle hashes
+    r.cluster_id, provably equal under the kept predicate). Scale shape:
+    one doc_id-keyed semi-join (the verdict table is corpus-cardinality,
+    not broadcastable); everything after is the proven sharding plan."""
+    train_h = F.expr(T.hash_expr("CAST(doc_id AS STRING)", "split", "s")) % 10
+    kept_train = (
+        text_pretrain_keep(spark, sf_dir)
+        .where(F.col("kept") & (train_h < 8))
         .select("doc_id")
     )
     toks = T.with_tokens(_docs(spark, sf_dir)).select(
         "doc_id", "source", F.size("toks").alias("n_toks")
     )
-    sel = toks.join(kept, "doc_id", "left_semi").join(train, "doc_id", "left_semi")
+    sel = toks.join(kept_train, "doc_id", "left_semi")
     pos = _toks_before(sel)
     return pos.groupBy(
         "source", F.floor(F.col("toks_before") / 2000).cast("bigint").alias("shard_id")
