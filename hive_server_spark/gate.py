@@ -665,15 +665,16 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 # round 5, every one of the 113 registered queries has a driver-green row
 # (CORRECTNESS_r01-r05 aggregate), so round 6's window is pure staleness
 # rotation per the round-5 note: (a) the round-6 registrations
-# (text_kept_token_shards, the cleaned-corpus shard manifest, and
-# text_bpe_token_stats, the tokenizer-aware count), plus
+# (text_kept_token_shards, the cleaned-corpus shard manifest,
+# text_bpe_token_stats, the tokenizer-aware count, and text_doc_novelty,
+# the cross-doc exclusive-bigram rate), plus
 # multimodal_decode_profile (its implementation grows PNG decode this
 # round, so the change is driver-revalidated); (b) the 13 queries whose
 # last green row is r03 — the 3 rotated out in r5 (udf_user_centered_values,
 # udf_alpha_quality, layout_zorder_manifest) and the 10 static
 # events/dq/sketch queries displaced then; (c) 34 of the 50 queries last
 # green in r04, front-loading the evt_*_streaming family (its landed-input
-# plumbing is touched this round). The 16 displaced r04-green relational
+# plumbing is touched this round). The 17 displaced r04-green relational
 # names keep their green rows, stay covered by tests/test_gate_parity.py
 # (ALL oracle-backed queries vs DuckDB on every pytest), and rotate to the
 # front of round 7. tests/test_rotation.py asserts every name outside this
@@ -685,6 +686,7 @@ DRIVER_PRIORITY_R6 = [
     # -- (a) round-6 registrations + round-6-modified query -----------------
     "text_kept_token_shards",
     "text_bpe_token_stats",
+    "text_doc_novelty",
     "multimodal_decode_profile",
     # -- (b) stale since r03: the 3 rotated out in r5 first -----------------
     "udf_user_centered_values",
@@ -735,10 +737,9 @@ DRIVER_PRIORITY_R6 = [
     "rel_cube_status_priority",
     "rel_disjunctive_bands",
     "rel_distinct_suppliers_per_nation",
-    "rel_exact_percentiles",
     "rel_full_outer_nation_activity",
     # rotated out (all r04-green, untouched this round; front of round 7):
-    # rel_grouping_sets,
+    # rel_grouping_sets, rel_exact_percentiles,
     # rel_nation_trade_flows, rel_nations_except, rel_nations_intersect,
     # rel_order_priority_exists, rel_orders_above_cust_avg,
     # rel_parts_never_ordered, rel_promo_revenue_ratio,

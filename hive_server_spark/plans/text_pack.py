@@ -1426,3 +1426,56 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ELSE CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE) END "
         "AS chars_per_bpe_token",
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document novelty: the fraction of a document's DISTINCT bigrams
+# that occur in no other document — the cross-corpus complement of the
+# within-doc repetition profile (a boilerplate/template detector: low
+# novelty = the doc is made of corpus-common phrasing; high novelty =
+# original text). Exact integer aggregates + one final division, so the
+# double is bit-identical cross-engine (house float-safety rule: no
+# multi-row float aggregation). Scale shape: reuses the cached per-(doc,
+# gram) multiplicity table; the corpus-total join shuffles on the gram key
+# (fine-grained, df-cut-free because it carries counts, not pairs).
+# ---------------------------------------------------------------------------
+_NOVELTY_ORACLE = f"""
+WITH {_TOKS_CTE_D},
+grams AS (
+  SELECT doc_id,
+         unnest({T.ngram_list_expr('toks', 2, 'd')}) AS gram
+  FROM toks WHERE len(toks) >= 2
+),
+counts AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram
+),
+totals AS (
+  SELECT gram, SUM(c) AS tc, COUNT(*) AS df FROM counts GROUP BY gram
+)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT)                            AS n_distinct,
+       CAST(SUM(CASE WHEN t.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exclusive,
+       CAST(SUM(CASE WHEN t.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE)                        AS novelty_rate
+FROM counts c JOIN totals t ON c.gram = t.gram
+GROUP BY c.doc_id
+"""
+
+
+@register("text_doc_novelty", _NOVELTY_ORACLE)
+def text_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document count and fraction of bigrams exclusive to the document
+    (document frequency 1 across the corpus). Reuses the session-cached
+    per-(doc, gram) multiplicity table shared with the repetition profile
+    and the keep verdict — the novelty pass costs one gram-keyed aggregate
+    plus one join, not a second corpus tokenization."""
+    counts = _gram_counts(spark, sf_dir).where(F.col("gram_size") == 2)
+    totals = counts.groupBy("gram").agg(F.count("*").alias("df"))
+    j = counts.join(totals, "gram")
+    excl = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_distinct"),
+        excl.cast("bigint").alias("n_exclusive"),
+        (excl.cast("double") / F.count("*").cast("double")).alias("novelty_rate"),
+    )
