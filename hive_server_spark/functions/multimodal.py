@@ -13,11 +13,21 @@ PPM (P6 binary and P3 ascii), and BMP (24-bit uncompressed BI_RGB) — doing
 real header parsing and numpy pixel math in the Arrow worker. strict=True
 requires every payload to be one of those formats (ValueError otherwise);
 strict=False falls back to a clearly-marked deterministic fake for payloads
-in formats that would need external codecs (JPEG/audio/video), keeping
+in formats that would need external codecs (JPEG/video), keeping
 the full pipeline testable. `synthesize_ppm_media` builds REAL P6 payloads
 with pure column expressions and `synthesize_png_media` builds REAL
 zlib-compressed PNGs of the same pixels, so both strict paths are
 exercised end-to-end by the decode-profile gate query.
+
+Audio is real too: `synthesize_wav_media` builds genuine RIFF/WAVE PCM
+containers with pure column expressions (the 44-byte canonical header is a
+computed hex string through unhex(); the sample bytes are the same
+rpad-cycled hex-of-text trick the image fixtures use) and `decode_audio`
+walks RIFF chunks properly — fmt/data discovery with word-alignment
+padding, unknown chunks skipped — supporting 8-bit unsigned and 16-bit
+signed PCM, mono or multi-channel. Only JPEG/video decode remains faked
+(and only with strict=False): those need entropy decoders that would be
+re-implementations of external codec libraries, out of scope here.
 
 Scale posture: mapInPandas preserves partitioning (no shuffle); payload
 bytes stay columnar end-to-end via Arrow; feature vectors come back as
@@ -69,6 +79,18 @@ FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("features", ArrayType(FloatType()), False),
+    ]
+)
+
+AUDIO_DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("bits_per_sample", IntegerType(), True),
+        StructField("n_samples", LongType(), True),  # frames (per channel)
+        StructField("mean_amp", FloatType(), True),
+        StructField("decoder", StringType(), False),
     ]
 )
 
@@ -554,3 +576,161 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
             )
 
     return media.where(F.col("kind") == "video").mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+def _le32_hex(col):
+    """Hex string of a non-negative integral column as a little-endian
+    uint32 (byte-pair reversal of the big-endian lpad'ed hex) — the header
+    arithmetic RIFF containers need, as a pure JVM expression."""
+    h = F.lpad(F.hex(col.cast("long")), 8, "0")
+    return F.concat(
+        F.substring(h, 7, 2), F.substring(h, 5, 2), F.substring(h, 3, 2),
+        F.substring(h, 1, 2),
+    )
+
+
+def _le16_hex(col):
+    h = F.lpad(F.hex(col.cast("long")), 4, "0")
+    return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+
+def synthesize_wav_media(docs: DataFrame) -> DataFrame:
+    """REAL RIFF/WAVE PCM payloads from documents, built entirely with JVM
+    column expressions: the canonical 44-byte header (RIFF size, fmt chunk
+    with PCM tag / mono / 8-bit, data chunk length — all little-endian
+    fields computed via `_le32_hex`/`_le16_hex` and materialized through
+    unhex) followed by n_samples unsigned 8-bit samples, which are the same
+    rpad-cycled uppercase-hex-of-text bytes the PPM/PNG fixtures use — so
+    one closed-form DuckDB byte-sum covers image and audio codecs alike.
+
+    n_samples ∈ [64, 255] derives from the utf-8 byte count; sample_rate
+    cycles {8000, 12000, 16000, 20000} Hz by doc_id, exercising the
+    decoder's rate parsing with more than one value."""
+    n = F.octet_length(F.encode("text", "utf-8"))
+    n_samples = (F.lit(64) + n % 192).alias("n_samples")
+    rate = (F.lit(8000) + (F.col("doc_id") % 4) * 4000).alias("rate")
+    sized = docs.select(F.col("doc_id"), n_samples, rate, F.col("text"))
+    hx = F.hex(F.encode("text", "utf-8"))
+    hx = F.when(F.length(hx) > 0, hx).otherwise(F.lit("0"))
+    samples = F.rpad(hx, F.col("n_samples"), hx)
+    data_len = F.col("n_samples")  # mono, 1 byte per sample
+    header_hex = F.concat(
+        F.lit("52494646"),            # "RIFF"
+        _le32_hex(F.lit(36) + data_len),
+        F.lit("57415645"),            # "WAVE"
+        F.lit("666D7420"),            # "fmt "
+        _le32_hex(F.lit(16)),         # fmt chunk size
+        _le16_hex(F.lit(1)),          # audio format 1 = PCM
+        _le16_hex(F.lit(1)),          # channels
+        _le32_hex(F.col("rate")),
+        _le32_hex(F.col("rate")),     # byte rate = rate * block_align(1)
+        _le16_hex(F.lit(1)),          # block align
+        _le16_hex(F.lit(8)),          # bits per sample
+        F.lit("64617461"),            # "data"
+        _le32_hex(data_len),
+    )
+    payload = F.concat(F.unhex(header_hex), F.encode(samples, "utf-8"))
+    return sized.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("audio/wav").alias("declared_format"),
+            (F.lit(44) + data_len).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int, int, float] | None:
+    """Pure-Python RIFF/WAVE PCM decode: proper chunk walk (fmt/data
+    discovery, word-alignment padding, unknown chunks skipped), 8-bit
+    unsigned and 16-bit signed PCM. Returns (sample_rate, n_channels,
+    bits, n_frames, mean_amp) — mean_amp is the mean raw unsigned value
+    for 8-bit, the mean absolute amplitude for 16-bit — or None if the
+    payload is not RIFF/WAVE. Malformed RIFF raises ValueError (the codec
+    error contract shared with the image decoders)."""
+    import struct as _struct
+
+    import numpy as np
+
+    b = payload
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    fmt = None
+    data = None
+    off = 12
+    while off + 8 <= len(b) and (fmt is None or data is None):
+        cid = b[off : off + 4]
+        (size,) = _struct.unpack_from("<I", b, off + 4)
+        body = b[off + 8 : off + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated RIFF chunk %r" % cid)
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too short")
+            audio_format, n_channels, rate, _brate, block_align, bits = (
+                _struct.unpack_from("<HHIIHH", body, 0)
+            )
+            if audio_format != 1:
+                raise ValueError(
+                    "unsupported WAVE audio format %d (PCM only)" % audio_format
+                )
+            if bits not in (8, 16):
+                raise ValueError("unsupported PCM bit depth %d" % bits)
+            fmt = (rate, n_channels, bits, block_align)
+        elif cid == b"data":
+            data = body
+        off += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("RIFF/WAVE missing fmt or data chunk")
+    rate, n_channels, bits, block_align = fmt
+    if block_align <= 0:
+        block_align = n_channels * (bits // 8)
+    n_frames = len(data) // block_align
+    if bits == 8:
+        arr = np.frombuffer(data[: n_frames * block_align], dtype=np.uint8)
+        mean_amp = float(arr.mean()) if arr.size else 0.0
+    else:
+        usable = (len(data) // 2) * 2
+        arr = np.frombuffer(data[:usable], dtype="<i2")
+        mean_amp = float(np.abs(arr.astype(np.int32)).mean()) if arr.size else 0.0
+    return rate, n_channels, bits, n_frames, mean_amp
+
+
+def decode_audio(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Decode audio payloads via mapInPandas: real RIFF/WAVE PCM parsing
+    (`_decode_wav`). strict=True errors on anything that is not a valid
+    WAVE container; strict=False treats unknown payloads as headerless
+    8-bit PCM at 8 kHz (decoder tag 'fake-pcm8') so mixed-format corpora
+    keep flowing. Partition-preserving, Arrow-batched, payloads never
+    transit the driver — same scale posture as the image codec."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                got = _decode_wav(b)
+                if got is not None:
+                    rate, ch, bits, frames, mean_amp = got
+                    rows.append((mid, rate, ch, bits, frames, mean_amp, "wav"))
+                elif strict:
+                    raise ValueError(
+                        f"unsupported audio format (magic {b[:4]!r}); strict "
+                        "decode handles RIFF/WAVE PCM (8/16-bit)"
+                    )
+                else:
+                    arr = np.frombuffer(b, dtype=np.uint8)
+                    mean_amp = float(arr.mean()) if arr.size else 0.0
+                    rows.append((mid, 8000, 1, 8, len(b), mean_amp, "fake-pcm8"))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_channels",
+                    "bits_per_sample", "n_samples", "mean_amp", "decoder",
+                ],
+            )
+
+    return media.mapInPandas(decode, schema=AUDIO_DECODED_SCHEMA)

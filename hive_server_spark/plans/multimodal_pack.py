@@ -187,3 +187,81 @@ def multimodal_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pixel_sum").cast("bigint").alias("sum_pixel_bytes"),
         F.sum("bin0").cast("bigint").alias("bin0_bytes"),
     )
+
+
+# The audio codec is REAL (round 6): synthesize_wav_media builds genuine
+# RIFF/WAVE PCM containers with pure column expressions (44-byte canonical
+# header through unhex; sample bytes are the same rpad-cycled hex-of-text
+# trick as the image fixtures) and decode_audio walks RIFF chunks with real
+# struct parsing — strict=True, so the fake-pcm8 fallback would raise. The
+# DuckDB oracle recomputes what a correct decode must observe, entirely
+# closed-form: n_samples and sample_rate from the synthesis formulas, the
+# sample-byte sum from ascii() over the same cycled hex string, and the
+# per-payload duration as exact integer microseconds. mean_amp comes back
+# float32; round(mean_amp * n_samples) folds it to the exact byte sum
+# (≤ 255·255 ≈ 65k, worst-case float32 error ≈ 65k·2⁻²⁴ ≈ 0.004 ≪ 0.5).
+@register(
+    "multimodal_audio_profile",
+    """
+WITH m AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n,
+         CASE WHEN octet_length(encode(text)) > 0
+              THEN hex(encode(text)) ELSE '0' END AS hx
+  FROM documents
+), s AS (
+  SELECT doc_id, 8000 + (doc_id % 4) * 4000 AS sample_rate,
+         64 + n % 192 AS n_samples, hx
+  FROM m
+), sb AS (
+  SELECT doc_id, sample_rate, n_samples,
+         rpad(hx, CAST(n_samples AS INTEGER), hx) AS smp
+  FROM s
+), pos AS (
+  SELECT doc_id, sample_rate, n_samples,
+         unnest(range(1, n_samples + 1)) AS i, smp
+  FROM sb
+), sums AS (
+  SELECT doc_id, sample_rate, n_samples,
+         SUM(ascii(substr(smp, CAST(i AS INTEGER), 1))) AS samp_sum
+  FROM pos GROUP BY 1, 2, 3
+)
+SELECT CAST(sample_rate AS BIGINT)            AS sample_rate,
+       CAST(COUNT(*) AS BIGINT)               AS n_media,
+       CAST(SUM(n_samples) AS BIGINT)         AS total_samples,
+       CAST(MIN(n_samples) AS BIGINT)         AS min_samples,
+       CAST(MAX(n_samples) AS BIGINT)         AS max_samples,
+       CAST(SUM(samp_sum) AS BIGINT)          AS sample_byte_sum,
+       CAST(SUM((1000000 * n_samples) // sample_rate) AS BIGINT)
+                                              AS total_duration_us
+FROM sums GROUP BY sample_rate
+""",
+)
+def multimodal_audio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize REAL RIFF/WAVE PCM payloads from documents, decode them
+    strict (pure-Python chunk walk + numpy sample math in the Arrow
+    worker), and profile per sample rate: media count, sample totals, the
+    exact sample-byte sum recovered from the decoder's mean amplitude, and
+    total duration in integer microseconds. Audio analogue of
+    multimodal_decode_profile — the WAV header fields (rate, mono, 8-bit,
+    chunk sizes) all face the byte-level oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    dec = M.decode_audio(M.synthesize_wav_media(docs), strict=True)
+    per = dec.select(
+        "sample_rate",
+        "n_samples",
+        F.round(F.col("mean_amp").cast("double") * F.col("n_samples").cast("double"))
+        .cast("bigint")
+        .alias("samp_sum"),
+        F.expr("CAST((1000000 * n_samples) DIV sample_rate AS BIGINT)").alias(
+            "duration_us"
+        ),
+    )
+    return per.groupBy(F.col("sample_rate").cast("bigint").alias("sample_rate")).agg(
+        F.count("*").cast("bigint").alias("n_media"),
+        F.sum("n_samples").cast("bigint").alias("total_samples"),
+        F.min("n_samples").cast("bigint").alias("min_samples"),
+        F.max("n_samples").cast("bigint").alias("max_samples"),
+        F.sum("samp_sum").cast("bigint").alias("sample_byte_sum"),
+        F.sum("duration_us").cast("bigint").alias("total_duration_us"),
+    )

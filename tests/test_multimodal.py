@@ -281,3 +281,98 @@ def test_png_malformed_ihdr_is_valueerror_not_struct_error():
     # non-strict dispatch falls back to the fake instead of crashing
     w, h, luma, decoder = M._decode_one(bad, strict=False)
     assert decoder == "fake-deterministic" and w > 0 and h > 0
+
+
+# ---------------------------------------------------------------------------
+# WAV audio codec (round 6)
+# ---------------------------------------------------------------------------
+
+
+def _wav(rate=16000, channels=1, bits=8, data=b"\x80" * 32, extra_chunks=()):
+    """Hand-built RIFF/WAVE fixture via stdlib struct — independent of the
+    Spark-side synthesis, so decoder and synthesizer cross-check each
+    other."""
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * (bits // 8),
+        channels * (bits // 8), bits,
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    for cid, body in extra_chunks:
+        chunks += cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_decode_8bit_exact():
+    data = bytes(range(64))
+    got = M._decode_wav(_wav(rate=8000, bits=8, data=data))
+    assert got == (8000, 1, 8, 64, sum(data) / 64)
+
+
+def test_wav_decode_16bit_stereo_abs_amplitude():
+    samples = [-300, 300, -1000, 1000, 0, 0]  # 3 stereo frames
+    data = struct.pack("<6h", *samples)
+    rate, ch, bits, frames, mean_amp = M._decode_wav(
+        _wav(rate=44100, channels=2, bits=16, data=data)
+    )
+    assert (rate, ch, bits, frames) == (44100, 2, 16, 3)
+    assert mean_amp == sum(abs(s) for s in samples) / 6
+
+
+def test_wav_chunk_walk_skips_unknown_and_pads_odd():
+    # LIST metadata chunk with ODD size before data: the walker must skip
+    # it including the alignment pad byte, or the data chunk id misparses
+    data = bytes(range(10))
+    payload = _wav(data=data, extra_chunks=[(b"LIST", b"INFOabc")])  # 7 bytes, odd
+    got = M._decode_wav(payload)
+    assert got is not None and got[3] == 10
+
+
+def test_wav_error_contract():
+    # not RIFF at all -> None (dispatch decides fake vs strict error)
+    assert M._decode_wav(b"not audio at all") is None
+    # RIFF but truncated chunk body -> ValueError
+    good = _wav()
+    with pytest.raises(ValueError, match="truncated"):
+        M._decode_wav(good[:30])
+    # non-PCM format tag refused, not misdecoded
+    mutated = bytearray(_wav())
+    mutated[20] = 3  # IEEE float tag
+    with pytest.raises(ValueError, match="PCM"):
+        M._decode_wav(bytes(mutated))
+    # missing data chunk
+    no_data = _wav()
+    no_data = no_data[: no_data.index(b"data")]
+    no_data = no_data[:4] + struct.pack("<I", len(no_data) - 8) + no_data[8:]
+    with pytest.raises(ValueError, match="missing"):
+        M._decode_wav(no_data)
+
+
+def test_wav_synthesis_roundtrip_via_spark(spark):
+    """The column-expression synthesis must produce payloads the real
+    decoder reads back exactly: rate from the doc_id formula, mono 8-bit,
+    n_samples from the byte-count formula, and a mean equal to the cycled
+    hex-byte mean."""
+    docs = load_table(spark, SF_SMALL, "documents").limit(24)
+    dec = M.decode_audio(M.synthesize_wav_media(docs), strict=True)
+    got = {r.media_id: r for r in dec.collect()}
+    for d in docs.collect():
+        raw = (d.text or "").encode()
+        hx = raw.hex().upper() or "0"
+        n_samples = 64 + len(raw) % 192
+        smp = (hx * (n_samples // len(hx) + 1))[:n_samples].encode()
+        r = got[d.doc_id]
+        assert r.decoder == "wav"
+        assert r.sample_rate == 8000 + (d.doc_id % 4) * 4000
+        assert (r.n_channels, r.bits_per_sample, r.n_samples) == (1, 8, n_samples)
+        assert round(r.mean_amp * n_samples) == sum(smp)
+
+
+def test_wav_nonstrict_fake_pcm8(spark):
+    media = M.synthesize_media(load_table(spark, SF_SMALL, "documents").limit(5),
+                               kind="audio")
+    rows = M.decode_audio(media, strict=False).collect()
+    assert {r.decoder for r in rows} == {"fake-pcm8"}
+    # strict mode refuses the same payloads
+    with pytest.raises(Exception, match="RIFF/WAVE"):
+        M.decode_audio(media, strict=True).collect()
