@@ -1479,3 +1479,102 @@ def text_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         excl.cast("bigint").alias("n_exclusive"),
         (excl.cast("double") / F.count("*").cast("double")).alias("novelty_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction: the scrubbing pass a pretraining pipeline runs
+# before packing (emails, phone numbers, IPv4 addresses). The driver corpus
+# is digit-free word soup, so — exactly like the multimodal fixtures — the
+# PII is INJECTED deterministically by doc_id with the same closed-form
+# expression in both dialects, then detected and redacted with the same
+# RE2-and-Java-compatible regexes (no lookarounds, no backrefs, explicit
+# [0-9] classes). All aggregates are exact integers: match counts from
+# regexp_count (Spark) / len(regexp_extract_all) (DuckDB), redaction cost
+# as a length delta. Scale shape: pure per-row JVM regexp in one scan +
+# one hash aggregate on the 5-value source key — no shuffle beyond the
+# final 5-group agg, no Python.
+# ---------------------------------------------------------------------------
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\b555-[0-9]{4}\\b"
+_PII_IP = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+# the injected-fixture expression, written once per dialect over (doc_id,
+# text); the two must stay literally equivalent — tests/test_text_ops.py
+# pins a hand-computed row of each class
+_PII_INJECT_SQL = """
+CASE CAST(doc_id % 5 AS INTEGER)
+  WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com now'
+  WHEN 1 THEN text || ' call 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+  WHEN 2 THEN text || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+              || CAST((doc_id * 7) % 256 AS VARCHAR) || '.42 logged'
+  ELSE text
+END
+"""
+
+_PII_ORACLE = f"""
+WITH injected AS (
+  SELECT doc_id, source, {_PII_INJECT_SQL} AS t FROM documents
+), hits AS (
+  SELECT doc_id, source, t,
+         len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_emails,
+         len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phones,
+         len(regexp_extract_all(t, '{_PII_IP}'))    AS n_ips,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_IP}', '<IP>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+  FROM injected
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)     AS n_docs,
+       CAST(SUM(CASE WHEN n_emails + n_phones + n_ips > 0 THEN 1 ELSE 0 END)
+            AS BIGINT)              AS docs_with_pii,
+       CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+       CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+       CAST(SUM(n_ips) AS BIGINT)    AS n_ips,
+       CAST(SUM(length(t) - length(redacted)) AS BIGINT) AS chars_redacted
+FROM hits GROUP BY source
+"""
+
+
+def pii_inject_col() -> F.Column:
+    """Spark twin of _PII_INJECT_SQL (VARCHAR→STRING is the only edit)."""
+    return F.expr(_PII_INJECT_SQL.replace("VARCHAR", "STRING"))
+
+
+@register("text_pii_scrub", _PII_ORACLE)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII scrub report over the injected corpus: document and
+    match counts per PII class (email / phone / IPv4) plus the exact
+    character cost of redacting them with <EMAIL>/<IP>/<PHONE> tokens.
+    Detection and redaction are single-pass JVM regexps; at 100 TB this is
+    a map-only scan plus a 5-group aggregate."""
+    t = pii_inject_col()
+    hits = _docs(spark, sf_dir).select(
+        "source",
+        t.alias("t"),
+        F.regexp_count(t, F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(t, F.lit(_PII_PHONE)).alias("n_phones"),
+        F.regexp_count(t, F.lit(_PII_IP)).alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(t, _PII_EMAIL, "<EMAIL>"), _PII_IP, "<IP>"
+            ),
+            _PII_PHONE,
+            "<PHONE>",
+        ).alias("redacted"),
+    )
+    any_pii = F.col("n_emails") + F.col("n_phones") + F.col("n_ips") > 0
+    return hits.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(any_pii, 1).otherwise(0)).cast("bigint").alias("docs_with_pii"),
+        F.sum("n_emails").cast("bigint").alias("n_emails"),
+        F.sum("n_phones").cast("bigint").alias("n_phones"),
+        F.sum("n_ips").cast("bigint").alias("n_ips"),
+        F.sum(F.length("t") - F.length("redacted"))
+        .cast("bigint")
+        .alias("chars_redacted"),
+    )

@@ -296,3 +296,50 @@ def test_bpe_pretokenizer_hand_computed(spark):
     assert got[2][0] == ["abc", "123", " x", "!!"]
     assert got[3][0] == ["a", "  ", "b"]
     assert got[4][0] == ["we", "'ll", " win", " 100", "%"]
+
+
+def test_pii_scrub_hand_computed(spark):
+    """Each injection class detected and redacted exactly: a hand-built
+    4-doc frame hits every CASE arm of the shared injection expression."""
+    from hive_server_spark.plans.text_pack import pii_inject_col
+
+    docs = spark.createDataFrame(
+        [
+            (10, "base a"),   # 10 % 5 = 0 -> email  user10@example.com
+            (11, "base b"),   # 11 % 5 = 1 -> phone  555-0011
+            (12, "base c"),   # 12 % 5 = 2 -> ip     10.12.84.42
+            (13, "base d"),   # no injection
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r.t for r in docs.select("doc_id", pii_inject_col().alias("t")).collect()}
+    assert rows[10] == "base a contact user10@example.com now"
+    assert rows[11] == "base b call 555-0011 today"
+    assert rows[12] == "base c from 10.12.84.42 logged"
+    assert rows[13] == "base d"
+
+    from pyspark.sql import functions as F
+
+    from hive_server_spark.plans.text_pack import (
+        _PII_EMAIL,
+        _PII_IP,
+        _PII_PHONE,
+    )
+
+    red = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(pii_inject_col(), _PII_EMAIL, "<EMAIL>"),
+                _PII_IP,
+                "<IP>",
+            ),
+            _PII_PHONE,
+            "<PHONE>",
+        ).alias("r"),
+    )
+    got = {r.doc_id: r.r for r in red.collect()}
+    assert got[10] == "base a contact <EMAIL> now"
+    assert got[11] == "base b call <PHONE> today"
+    assert got[12] == "base c from <IP> logged"
+    assert got[13] == "base d"
