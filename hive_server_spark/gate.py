@@ -666,8 +666,10 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 # (CORRECTNESS_r01-r05 aggregate), so round 6's window is pure staleness
 # rotation per the round-5 note: (a) the round-6 registrations
 # (text_kept_token_shards, the cleaned-corpus shard manifest,
-# text_bpe_token_stats, the tokenizer-aware count, and text_doc_novelty,
-# the cross-doc exclusive-bigram rate), plus
+# text_bpe_token_stats, the tokenizer-aware count, text_doc_novelty,
+# the cross-doc exclusive-bigram rate, text_pii_scrub, the PII
+# detect/redact report, and multimodal_audio_profile, the strict
+# WAV-codec profile), plus
 # multimodal_decode_profile (its implementation grows PNG decode this
 # round, so the change is driver-revalidated); (b) the 13 queries whose
 # last green row is r03 — the 3 rotated out in r5 (udf_user_centered_values,
@@ -687,6 +689,8 @@ DRIVER_PRIORITY_R6 = [
     "text_kept_token_shards",
     "text_bpe_token_stats",
     "text_doc_novelty",
+    "text_pii_scrub",
+    "multimodal_audio_profile",
     "multimodal_decode_profile",
     # -- (b) stale since r03: the 3 rotated out in r5 first -----------------
     "udf_user_centered_values",
@@ -736,10 +740,9 @@ DRIVER_PRIORITY_R6 = [
     "rel_conditional_distinct",
     "rel_cube_status_priority",
     "rel_disjunctive_bands",
-    "rel_distinct_suppliers_per_nation",
-    "rel_full_outer_nation_activity",
     # rotated out (all r04-green, untouched this round; front of round 7):
-    # rel_grouping_sets, rel_exact_percentiles,
+    # rel_distinct_suppliers_per_nation,
+    # rel_full_outer_nation_activity, rel_grouping_sets, rel_exact_percentiles,
     # rel_nation_trade_flows, rel_nations_except, rel_nations_intersect,
     # rel_order_priority_exists, rel_orders_above_cust_avg,
     # rel_parts_never_ordered, rel_promo_revenue_ratio,

@@ -96,6 +96,11 @@ DEFAULT_QUERIES = [
     "emb_lsh_buckets",
     "emb_cosine_topk",
     "emb_int8_quantization",
+    # round-6 additions, both map-only scans + small aggs (the shapes that
+    # must scale perfectly linearly): JVM-regexp PII scrub, WAV codec
+    # synth+decode through the Arrow worker
+    "text_pii_scrub",
+    "multimodal_audio_profile",
     # cdc_book_snapshots pays the full 3-slice incremental fold + CDC landing;
     # orders_state_changelog reuses the session-cached fold for the same
     # sf_dir (plans/serving_pack.py), so its time is the CDF read alone.
@@ -132,6 +137,8 @@ HUNDREDX_QUERIES = [
     "text_pack_windows",
     "text_decontaminate",
     "emb_int8_quantization",
+    "text_pii_scrub",
+    "multimodal_audio_profile",
 ]
 
 # pk stride column(s) per table; every fk shift reuses the owning pk stride.
