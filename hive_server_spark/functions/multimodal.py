@@ -201,6 +201,19 @@ def synthesize_png_media(docs: DataFrame) -> DataFrame:
 def _decode_ppm(payload: bytes) -> tuple[int, int, float] | None:
     """Pure-Python PPM decode: P6 (binary) and P3 (ascii) headers, real
     pixel math. Returns (width, height, mean_luma) or None if not PPM."""
+    got = _ppm_samples(payload)
+    if got is None:
+        return None
+    width, height, maxval, samples = got
+    mean = float(samples.mean()) if samples.size else 0.0
+    return width, height, mean / maxval if maxval else 0.0
+
+
+def _ppm_samples(payload: bytes):
+    """PPM header + sample parse shared by the stats decode and the resize
+    transform: returns (width, height, maxval, samples ndarray) or None if
+    the payload is not PPM; ValueError on malformed PPM (same error
+    contract as the other codecs)."""
     import numpy as np
 
     if payload[:2] not in (b"P6", b"P3"):
@@ -237,14 +250,12 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, float] | None:
         need = width * height * 3
         if len(payload) - pos < need:
             raise ValueError("truncated PPM pixel data")
-        pixels = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
-        mean = float(pixels.mean()) if pixels.size else 0.0
+        samples = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
     else:  # P3: ascii sample values
         samples = np.array(payload[pos:].split(), dtype=np.int64)
         if samples.size != width * height * 3:
             raise ValueError("P3 sample count mismatch")
-        mean = float(samples.mean()) if samples.size else 0.0
-    return width, height, mean / maxval if maxval else 0.0
+    return width, height, maxval, samples
 
 
 def encode_png(pixels) -> bytes:
@@ -576,6 +587,68 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
             )
 
     return media.where(F.col("kind") == "video").mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+def _nn_resize(arr, out_w: int, out_h: int):
+    """Nearest-neighbor resample of an (h, w, 3) array: source index of
+    output pixel (y, x) is (y*h//out_h, x*w//out_w) — the floor-mapping
+    convention, chosen because it is exactly reproducible as closed-form
+    integer SQL in the oracle."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return arr[np.ix_(ys, xs)]
+
+
+def resize_media(
+    media: DataFrame, out_w: int, out_h: int, strict: bool = False
+) -> DataFrame:
+    """Image resize as a media→media transform: decode PPM payloads (P6 or
+    P3, 8-bit), nearest-neighbor resample to (out_w, out_h), re-encode as
+    P6 — so downstream consumers (decode, featurize, frames) run unchanged
+    on the resized corpus. strict=True raises on non-PPM payloads and on
+    16-bit P3 (re-encoding those at maxval 255 would silently rescale);
+    strict=False passes unsupported payloads through untouched. Arrow-
+    batched mapInPandas, partition-preserving, payloads never transit the
+    driver."""
+    import numpy as np  # noqa: F401  (used via _nn_resize)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, payloads, metas = [], [], [], []
+            for mid, kind, p, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                b = bytes(p)
+                got = _ppm_samples(b)
+                if got is None or got[2] > 255:
+                    if strict:
+                        raise ValueError(
+                            "resize supports 8-bit PPM payloads only "
+                            f"(magic {b[:2]!r})"
+                        )
+                    ids.append(mid); kinds.append(kind)
+                    payloads.append(b); metas.append(meta)
+                    continue
+                w, h, _maxval, samples = got
+                arr = samples.astype("uint8").reshape(h, w, 3)
+                out = _nn_resize(arr, out_w, out_h)
+                header = b"P6\n%d %d\n255\n" % (out_w, out_h)
+                newp = header + out.tobytes()
+                ids.append(mid); kinds.append(kind)
+                payloads.append(newp)
+                metas.append(
+                    {"declared_format": "image/x-portable-pixmap",
+                     "n_bytes": len(newp)}
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "payload": payloads,
+                 "meta": metas}
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def _le32_hex(col):

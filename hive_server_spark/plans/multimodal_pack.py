@@ -189,6 +189,88 @@ def multimodal_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Resize is a REAL media→media transform (round 6): decode 8-bit PPM →
+# nearest-neighbor resample (floor mapping: src(y,x) = (y*h//OH, x*w//OW))
+# → re-encode P6, then the ordinary strict decoder profiles the RESIZED
+# payloads — so the oracle checks the whole decode→resize→encode→decode
+# roundtrip. The resampled pixel at output (y,x,c) is position
+# (sy*w+sx)*3+c of the same rpad-cycled hex string the synthesis used,
+# which DuckDB recomputes exactly with integer arithmetic over
+# range(OW*OH*3) positions. Output dims are pinned to the constants.
+_RESIZE_OW, _RESIZE_OH = 6, 5
+
+
+@register(
+    "multimodal_resize_profile",
+    f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) AS n,
+         CASE WHEN octet_length(encode(text)) > 0
+              THEN hex(encode(text)) ELSE '0' END AS hx
+  FROM documents
+), dims AS (
+  SELECT media_id, hx,
+         8 + n % 8        AS width,
+         8 + (n // 8) % 8 AS height
+  FROM m
+), px AS (
+  SELECT media_id, width, height,
+         rpad(hx, CAST(width*height*3 AS INTEGER), hx) AS pxs
+  FROM dims
+), o AS (
+  SELECT media_id, width, height, pxs,
+         unnest(range({_RESIZE_OW * _RESIZE_OH * 3})) AS i
+  FROM px
+), v AS (
+  SELECT media_id,
+         ( (((i // {_RESIZE_OW * 3}) * height) // {_RESIZE_OH}) * width
+           + (((i // 3) % {_RESIZE_OW}) * width) // {_RESIZE_OW}
+         ) * 3 + (i % 3) AS pos,
+         pxs
+  FROM o
+), s AS (
+  SELECT media_id,
+         SUM(ascii(substr(pxs, CAST(pos + 1 AS INTEGER), 1))) AS ps
+  FROM v GROUP BY media_id
+)
+SELECT CAST(COUNT(*) AS BIGINT)        AS n_media,
+       CAST({_RESIZE_OW} AS BIGINT)    AS min_width,
+       CAST({_RESIZE_OW} AS BIGINT)    AS max_width,
+       CAST({_RESIZE_OH} AS BIGINT)    AS min_height,
+       CAST({_RESIZE_OH} AS BIGINT)    AS max_height,
+       CAST(SUM(ps) AS BIGINT)         AS sum_resized_pixel_bytes
+FROM s
+""",
+)
+def multimodal_resize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize REAL P6 payloads, resize every image to
+    {OW}×{OH} with the nearest-neighbor media→media transform, then run
+    the ordinary strict decoder over the RESIZED payloads and profile:
+    the decode→resize→re-encode→decode roundtrip faces a closed-form
+    byte-level oracle (each resampled pixel located by integer arithmetic
+    in the synthesis hex string)."""
+    docs = load_table(spark, sf_dir, "documents")
+    resized = M.resize_media(
+        M.synthesize_ppm_media(docs), _RESIZE_OW, _RESIZE_OH, strict=True
+    )
+    dec = M.decode_media(resized, strict=True)
+    px = float(_RESIZE_OW * _RESIZE_OH * 3)
+    return dec.agg(
+        F.count("*").cast("bigint").alias("n_media"),
+        F.min("width").cast("bigint").alias("min_width"),
+        F.max("width").cast("bigint").alias("max_width"),
+        F.min("height").cast("bigint").alias("min_height"),
+        F.max("height").cast("bigint").alias("max_height"),
+        F.sum(
+            F.round(F.col("mean_luma").cast("double") * F.lit(255.0) * F.lit(px))
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("sum_resized_pixel_bytes"),
+    )
+
+
 # The audio codec is REAL (round 6): synthesize_wav_media builds genuine
 # RIFF/WAVE PCM containers with pure column expressions (44-byte canonical
 # header through unhex; sample bytes are the same rpad-cycled hex-of-text

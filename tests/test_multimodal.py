@@ -376,3 +376,68 @@ def test_wav_nonstrict_fake_pcm8(spark):
     # strict mode refuses the same payloads
     with pytest.raises(Exception, match="RIFF/WAVE"):
         M.decode_audio(media, strict=True).collect()
+
+
+# ---------------------------------------------------------------------------
+# nearest-neighbor resize transform (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_nn_resize_exact_mapping():
+    import numpy as np
+
+    # 2x2 distinct pixels -> 4x4: each source pixel becomes a 2x2 block
+    # under floor mapping sy = y*2//4
+    src = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    up = M._nn_resize(src, 4, 4)
+    assert up.shape == (4, 4, 3)
+    for y in range(4):
+        for x in range(4):
+            assert (up[y, x] == src[y * 2 // 4, x * 2 // 4]).all()
+    # downscale 4x4 -> 2x2 picks rows/cols 0 and 2
+    down = M._nn_resize(up, 2, 2)
+    assert (down == up[np.ix_([0, 2], [0, 2])]).all()
+
+
+def test_resize_media_roundtrip_via_spark(spark):
+    import numpy as np
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(6)
+    media = M.synthesize_ppm_media(docs)
+    resized = M.resize_media(media, 6, 5, strict=True)
+    got = {r.media_id: bytes(r.payload) for r in resized.collect()}
+    for d in docs.collect():
+        raw = (d.text or "").encode()
+        n = len(raw)
+        w, h = 8 + n % 8, 8 + (n // 8) % 8
+        hx = raw.hex().upper() or "0"
+        need = w * h * 3
+        px = (hx * (need // len(hx) + 1))[:need].encode()
+        src = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+        expect = b"P6\n6 5\n255\n" + M._nn_resize(src, 6, 5).tobytes()
+        assert got[d.doc_id] == expect
+    # and the resized payloads decode cleanly with the strict codec
+    dec = M.decode_media(resized, strict=True).collect()
+    assert {(r.width, r.height, r.decoder) for r in dec} == {(6, 5, "ppm")}
+
+
+def test_resize_strict_contract():
+    # non-PPM payload: the shared parse returns None (resize's strict path
+    # then raises — exercised end-to-end in
+    # test_resize_media_nonstrict_passthrough)
+    assert M._ppm_samples(b"not an image") is None
+    # 16-bit P3 is parseable but must be refused by resize (re-encode at
+    # maxval 255 would rescale silently) — strict path raises in the worker
+    p3_16 = b"P3\n1 1\n1000\n500 0 1000"
+    w, h, maxval, samples = M._ppm_samples(p3_16)
+    assert (w, h, maxval) == (1, 1, 1000) and list(samples) == [500, 0, 1000]
+
+
+def test_resize_media_nonstrict_passthrough(spark):
+    media = M.synthesize_media(load_table(spark, SF_SMALL, "documents").limit(4))
+    out = {r.media_id: bytes(r.payload)
+           for r in M.resize_media(media, 6, 5, strict=False).collect()}
+    src = {r.media_id: bytes(r.payload) for r in media.collect()}
+    assert out == src
+    with pytest.raises(Exception, match="8-bit PPM"):
+        M.resize_media(media, 6, 5, strict=True).collect()
