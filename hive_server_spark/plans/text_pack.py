@@ -1436,8 +1436,11 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # original text). Exact integer aggregates + one final division, so the
 # double is bit-identical cross-engine (house float-safety rule: no
 # multi-row float aggregation). Scale shape: reuses the cached per-(doc,
-# gram) multiplicity table; the corpus-total join shuffles on the gram key
-# (fine-grained, df-cut-free because it carries counts, not pairs).
+# gram) multiplicity table, and needs NO join back to it — a gram with
+# document frequency 1 is owned by exactly one doc, so the per-gram
+# aggregate carries its owner and the singleton set re-aggregates straight
+# to per-doc exclusive counts; the only large shuffle is the map-side-
+# combined gram aggregate itself.
 # ---------------------------------------------------------------------------
 _NOVELTY_ORACLE = f"""
 WITH {_TOKS_CTE_D},
@@ -1471,13 +1474,25 @@ def text_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the keep verdict — the novelty pass costs one gram-keyed aggregate
     plus one join, not a second corpus tokenization."""
     counts = _gram_counts(spark, sf_dir).where(F.col("gram_size") == 2)
-    totals = counts.groupBy("gram").agg(F.count("*").alias("df"))
-    j = counts.join(totals, "gram")
-    excl = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
-    return j.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_distinct"),
-        excl.cast("bigint").alias("n_exclusive"),
-        (excl.cast("double") / F.count("*").cast("double")).alias("novelty_rate"),
+    # first(doc_id) is deterministic exactly where it is consumed: the
+    # df == 1 groups have a single row
+    per_gram = counts.groupBy("gram").agg(
+        F.count("*").alias("df"), F.first("doc_id").alias("owner")
+    )
+    excl = (
+        per_gram.where(F.col("df") == 1)
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count("*").alias("n_excl"))
+    )
+    dist = counts.groupBy("doc_id").agg(F.count("*").alias("n_distinct"))
+    j = dist.join(excl, "doc_id", "left").na.fill({"n_excl": 0})
+    return j.select(
+        "doc_id",
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.col("n_excl").cast("bigint").alias("n_exclusive"),
+        (F.col("n_excl").cast("double") / F.col("n_distinct").cast("double")).alias(
+            "novelty_rate"
+        ),
     )
 
 
