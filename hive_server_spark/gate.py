@@ -691,6 +691,7 @@ DRIVER_PRIORITY_R6 = [
     "text_doc_novelty",
     "text_pii_scrub",
     "multimodal_audio_profile",
+    "multimodal_resize_profile",
     "multimodal_decode_profile",
     # -- (b) stale since r03: the 3 rotated out in r5 first -----------------
     "udf_user_centered_values",
@@ -739,9 +740,8 @@ DRIVER_PRIORITY_R6 = [
     "rel_cheapest_line_per_part",
     "rel_conditional_distinct",
     "rel_cube_status_priority",
-    "rel_disjunctive_bands",
     # rotated out (all r04-green, untouched this round; front of round 7):
-    # rel_distinct_suppliers_per_nation,
+    # rel_disjunctive_bands, rel_distinct_suppliers_per_nation,
     # rel_full_outer_nation_activity, rel_grouping_sets, rel_exact_percentiles,
     # rel_nation_trade_flows, rel_nations_except, rel_nations_intersect,
     # rel_order_priority_exists, rel_orders_above_cust_avg,
