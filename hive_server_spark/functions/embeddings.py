@@ -236,6 +236,102 @@ WHERE rk <= {k}
 """
 
 
+def sqdist_expr(a: str, b: str, dialect: str) -> str:
+    """In-order left fold of squared differences — the L2² twin of
+    `dot_expr`, bit-identical IEEE accumulation in both engines."""
+    if dialect == "s":
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+            f"CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+        )
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({a})+1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+        f"(acc, t) -> acc + t)"
+    )
+
+
+def kmeans_update(emb: DataFrame, k: int = 8, micro: int = 1_000_000) -> DataFrame:
+    """One exact-checkable Lloyd iteration: assign every vector to the
+    nearest of the k seed centroids (the embeddings of vec_id 0..k-1 — the
+    deterministic seeding both engines can reproduce), then recompute each
+    centroid coordinate as a fixed-point mean.
+
+    Exactness discipline: distances are bit-deterministic in-order L2²
+    folds, the argmin tie-breaks on centroid id via `min(struct(d2, cid))`
+    (a hash aggregate with map-side partial merge — no per-vector window
+    sort), and the centroid update sums `floor(x * micro)` BIGINTs so the
+    only float in the output is one exact-int division per (cluster, dim).
+    Scale shape: the k-row centroid table broadcasts; assignment is a
+    map-only scan; the update shuffles (cluster, dim)-keyed partial sums —
+    Lloyd's algorithm in its map-reduce normal form.
+
+    Output: one row per (cluster_id, dim) — the full updated centroid in
+    micro-units plus the cluster population."""
+    vec = _vecs(emb).select("vec_id", "v")
+    cent = vec.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    d2 = sqdist_expr("v", "cv", "s")
+    assigned = (
+        vec.crossJoin(F.broadcast(cent))
+        .withColumn("d2", F.expr(d2))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(F.struct("cid", "v"), F.struct("d2", "cid")).alias("m")
+        )
+        .select(F.col("m.cid").alias("cid"), F.col("m.v").alias("v"))
+    )
+    pos = assigned.select("cid", F.posexplode("v").alias("dim", "x"))
+    return (
+        pos.groupBy("cid", "dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr(f"CAST(floor(x * {micro}) AS BIGINT)")).alias("sum_micro"),
+        )
+        .select(
+            F.col("cid").cast("bigint").alias("cluster_id"),
+            F.col("dim").cast("bigint").alias("dim"),
+            F.col("n").cast("bigint").alias("n_vecs"),
+            F.col("sum_micro").cast("bigint").alias("sum_micro"),
+            (F.col("sum_micro").cast("double") / F.col("n").cast("double")).alias(
+                "centroid_micro_mean"
+            ),
+        )
+    )
+
+
+def kmeans_oracle(k: int = 8, micro: int = 1_000_000) -> str:
+    return f"""
+WITH vec AS (SELECT vec_id, {vec_expr('embedding', 'd')} AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM vec WHERE vec_id < {k}),
+d AS (
+  SELECT vec.vec_id, c.cid, vec.v,
+         {sqdist_expr('vec.v', 'c.cv', 'd')} AS d2
+  FROM vec CROSS JOIN c
+), a AS (
+  SELECT cid, v FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d
+  ) WHERE rn = 1
+), p AS (
+  SELECT cid, unnest(range(1, len(v)+1)) AS i, v FROM a
+), m AS (
+  SELECT cid, i - 1 AS dim,
+         CAST(floor(v[CAST(i AS INTEGER)] * {micro}) AS BIGINT) AS mx
+  FROM p
+)
+SELECT CAST(cid AS BIGINT)        AS cluster_id,
+       CAST(dim AS BIGINT)        AS dim,
+       CAST(COUNT(*) AS BIGINT)   AS n_vecs,
+       CAST(SUM(mx) AS BIGINT)    AS sum_micro,
+       CAST(SUM(mx) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                                  AS centroid_micro_mean
+FROM m GROUP BY cid, dim
+"""
+
+
 # ---------------------------------------------------------------------------
 # grouped-map applyInPandas: per-label centering (feature post-processing)
 # ---------------------------------------------------------------------------

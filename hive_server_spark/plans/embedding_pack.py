@@ -125,3 +125,21 @@ def emb_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr(_QS["max_abs_err"]))
         .alias("max_abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# one Lloyd iteration, exact-checkable (round 6): seeds are vec_id 0..7,
+# assignment via bit-deterministic in-order L2^2 folds with min(struct(d2,
+# cid)) tie-breaking, centroid update as fixed-point micro-unit sums so the
+# per-(cluster, dim) output hash-matches across engines (the house float
+# rule: the only float is one exact-int division). This is the iterative-
+# refinement building block an IVF coarse quantizer trains with; each
+# iteration is a broadcast + map-only assignment + (cluster, dim)-keyed
+# partial-sum shuffle — Lloyd in map-reduce normal form.
+# ---------------------------------------------------------------------------
+@register("emb_kmeans_update", E.kmeans_oracle(k=8))
+def emb_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every embedding to the nearest of 8 seed centroids and emit
+    the full recomputed centroid (one row per cluster x dimension, in
+    micro-units) plus cluster populations."""
+    return E.kmeans_update(_emb(spark, sf_dir), k=8)

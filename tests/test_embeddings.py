@@ -83,3 +83,27 @@ def test_neardup_pairs_are_true_cosines(spark):
         true_cos = float(a @ b / (math.sqrt(a @ a) * math.sqrt(b @ b)))
         assert abs(r.cosine - true_cos) < 1e-9
         assert r.vec_a < r.vec_b
+
+
+def test_kmeans_update_hand_computed(spark):
+    """2 seed centroids, 5 vectors, one Lloyd step — assignments (including
+    the equidistant tie, which must break to the LOWER centroid id) and the
+    fixed-point centroid means checked against hand arithmetic."""
+    rows = [
+        (0, [0.0, 0.0], "a"),    # seed 0
+        (1, [10.0, 10.0], "a"),  # seed 1
+        (2, [1.0, 1.5], "a"),    # -> cluster 0
+        (3, [9.0, 8.0], "a"),    # -> cluster 1
+        (4, [5.0, 5.0], "a"),    # equidistant -> tie-break to cluster 0
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {
+        (r.cluster_id, r.dim): (r.n_vecs, r.sum_micro, r.centroid_micro_mean)
+        for r in E.kmeans_update(emb, k=2).collect()
+    }
+    m = 1_000_000
+    # cluster 0 = vecs {0, 2, 4}; cluster 1 = vecs {1, 3}
+    assert got[(0, 0)] == (3, (0 + 1 + 5) * m, (0 + 1 + 5) * m / 3)
+    assert got[(0, 1)] == (3, int(0 + 1.5 * m + 5 * m), (0 + 1.5 * m + 5 * m) / 3)
+    assert got[(1, 0)] == (2, (10 + 9) * m, (10 + 9) * m / 2)
+    assert got[(1, 1)] == (2, (10 + 8) * m, (10 + 8) * m / 2)
