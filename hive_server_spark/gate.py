@@ -667,16 +667,16 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 # rotation per the round-5 note: (a) the round-6 registrations
 # (text_kept_token_shards, the cleaned-corpus shard manifest,
 # text_bpe_token_stats, the tokenizer-aware count, text_doc_novelty,
-# the cross-doc exclusive-bigram rate, text_pii_scrub, the PII
-# detect/redact report, and multimodal_audio_profile, the strict
-# WAV-codec profile), plus
+# the cross-doc exclusive-bigram rate, text_pii_scrub, emb_kmeans_update,
+# multimodal_audio_profile, multimodal_resize_profile — the round-6
+# additions), plus
 # multimodal_decode_profile (its implementation grows PNG decode this
 # round, so the change is driver-revalidated); (b) the 13 queries whose
 # last green row is r03 — the 3 rotated out in r5 (udf_user_centered_values,
 # udf_alpha_quality, layout_zorder_manifest) and the 10 static
-# events/dq/sketch queries displaced then; (c) 34 of the 50 queries last
+# events/dq/sketch queries displaced then; (c) 29 of the 50 queries last
 # green in r04, front-loading the evt_*_streaming family (its landed-input
-# plumbing is touched this round). The 17 displaced r04-green relational
+# plumbing is touched this round). The 20 displaced r04-green relational
 # names keep their green rows, stay covered by tests/test_gate_parity.py
 # (ALL oracle-backed queries vs DuckDB on every pytest), and rotate to the
 # front of round 7. tests/test_rotation.py asserts every name outside this
@@ -690,6 +690,7 @@ DRIVER_PRIORITY_R6 = [
     "text_bpe_token_stats",
     "text_doc_novelty",
     "text_pii_scrub",
+    "emb_kmeans_update",
     "multimodal_audio_profile",
     "multimodal_resize_profile",
     "multimodal_decode_profile",
@@ -739,9 +740,8 @@ DRIVER_PRIORITY_R6 = [
     "rel_revenue_by_nation",
     "rel_cheapest_line_per_part",
     "rel_conditional_distinct",
-    "rel_cube_status_priority",
     # rotated out (all r04-green, untouched this round; front of round 7):
-    # rel_disjunctive_bands, rel_distinct_suppliers_per_nation,
+    # rel_cube_status_priority, rel_disjunctive_bands, rel_distinct_suppliers_per_nation,
     # rel_full_outer_nation_activity, rel_grouping_sets, rel_exact_percentiles,
     # rel_nation_trade_flows, rel_nations_except, rel_nations_intersect,
     # rel_order_priority_exists, rel_orders_above_cust_avg,
@@ -751,7 +751,7 @@ DRIVER_PRIORITY_R6 = [
     # rel_window_running_total, rel_window_top_customers
 ]
 # ROUND-7 ROTATION NOTE: after this window goes green, staleness order is
-# (1) any round-7 registrations, (2) the 15 rel_* names rotated out above
+# (1) any round-7 registrations, (2) the 20 rel_* names rotated out above
 # (last green r04), (3) the r05-green families (dedup/text/emb/src/
 # serving/cdc/streaming twins) by registration order.
 assert len(DRIVER_PRIORITY_R6) == 50, len(DRIVER_PRIORITY_R6)
