@@ -651,6 +651,53 @@ def resize_media(
     return media.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+AUDIT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("verdict", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+    ]
+)
+
+
+def decode_audit(media: DataFrame) -> DataFrame:
+    """Quarantine classifier for mixed/dirty corpora: run every payload
+    through the real codecs and report per-payload
+    `ok-image` / `ok-audio` / `malformed` (right magic, broken body — the
+    rows a pipeline quarantines for re-fetch) / `unsupported` (no codec
+    claims it — the rows routed to a different pipeline or dropped).
+    Unlike strict decode, nothing raises: the point IS the error path.
+    Same scale posture as the codecs: Arrow-batched, partition-preserving,
+    map-only."""
+
+    def classify(b: bytes) -> str:
+        try:
+            for dec in (_decode_png, _decode_ppm, _decode_bmp):
+                if dec(b) is not None:
+                    return "ok-image"
+        except ValueError:
+            return "malformed"
+        try:
+            if _decode_wav(b) is not None:
+                return "ok-audio"
+        except ValueError:
+            return "malformed"
+        return "unsupported"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "verdict": [classify(b) for b in payloads],
+                    "n_bytes": [len(b) for b in payloads],
+                }
+            )
+
+    return media.mapInPandas(run, schema=AUDIT_SCHEMA)
+
+
 def _le32_hex(col):
     """Hex string of a non-negative integral column as a little-endian
     uint32 (byte-pair reversal of the big-endian lpad'ed hex) — the header

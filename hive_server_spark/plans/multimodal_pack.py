@@ -34,8 +34,9 @@ def multimodal_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads (opaque binary + typed metadata struct — the multimodal table
     layout), then inventory actual vs declared sizes per kind. The payload
     bytes are measured on the BINARY column, so the utf-8 encode step and
-    the metadata struct both face the DuckDB oracle; only the codec stub
-    itself (multimodal_decode_profile) stays rows-only."""
+    the metadata struct both face the DuckDB oracle (the codecs themselves
+    are value-gated separately: multimodal_decode_profile /
+    _audio_profile / _resize_profile / _corrupt_audit)."""
     docs = load_table(spark, sf_dir, "documents")
     media = M.synthesize_media(docs, kind="image").unionAll(
         M.synthesize_media(docs, kind="audio")
@@ -346,4 +347,70 @@ def multimodal_audio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_samples").cast("bigint").alias("max_samples"),
         F.sum("samp_sum").cast("bigint").alias("sample_byte_sum"),
         F.sum("duration_us").cast("bigint").alias("total_duration_us"),
+    )
+
+
+# The quarantine path (round 6): a real ingest sees valid, corrupt, and
+# foreign payloads in one stream; the audit classifies every payload by
+# actually running the codecs and catching their documented ValueErrors.
+# The mixed corpus is synthesized deterministically by doc_id % 4 — valid
+# PPM / valid WAV / PPM truncated by 10 bytes (right magic, broken body →
+# malformed) / raw text (unsupported) — so the oracle recomputes verdicts
+# and byte totals closed-form: PPM size is 9 + digits(w) + digits(h) +
+# w*h*3, WAV size is 44 + n_samples, and the truncated class subtracts 10.
+@register(
+    "multimodal_corrupt_audit",
+    """
+WITH m AS (
+  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+), sized AS (
+  SELECT doc_id, n,
+         8 + n % 8        AS w,
+         8 + (n // 8) % 8 AS h,
+         64 + n % 192     AS n_samples
+  FROM m
+), cls AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN 'ok-image'
+           WHEN 1 THEN 'ok-audio'
+           WHEN 2 THEN 'malformed'
+           ELSE 'unsupported'
+         END AS verdict,
+         CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + w*h*3
+           WHEN 1 THEN 44 + n_samples
+           WHEN 2 THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + w*h*3 - 10
+           ELSE n
+         END AS n_bytes
+  FROM sized
+)
+SELECT verdict,
+       CAST(COUNT(*) AS BIGINT)    AS n_media,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(MIN(doc_id) AS BIGINT)  AS first_media,
+       CAST(MAX(doc_id) AS BIGINT)  AS last_media
+FROM cls GROUP BY verdict
+""",
+)
+def multimodal_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify a deliberately mixed corpus (valid PPM / valid WAV /
+    truncated PPM / raw text by doc_id % 4) through the real codecs'
+    error paths and aggregate the quarantine report per verdict."""
+    docs = load_table(spark, sf_dir, "documents")
+    ppm = M.synthesize_ppm_media(docs.where(F.col("doc_id") % 4 == 0))
+    wav = M.synthesize_wav_media(docs.where(F.col("doc_id") % 4 == 1))
+    trunc = M.synthesize_ppm_media(docs.where(F.col("doc_id") % 4 == 2)).select(
+        "media_id",
+        "kind",
+        F.expr("substring(payload, 1, octet_length(payload) - 10)").alias("payload"),
+        "meta",
+    )
+    raw = M.synthesize_media(docs.where(F.col("doc_id") % 4 == 3))
+    audit = M.decode_audit(ppm.unionByName(wav).unionByName(trunc).unionByName(raw))
+    return audit.groupBy("verdict").agg(
+        F.count("*").cast("bigint").alias("n_media"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.min("media_id").cast("bigint").alias("first_media"),
+        F.max("media_id").cast("bigint").alias("last_media"),
     )

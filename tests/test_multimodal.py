@@ -441,3 +441,29 @@ def test_resize_media_nonstrict_passthrough(spark):
     assert out == src
     with pytest.raises(Exception, match="8-bit PPM"):
         M.resize_media(media, 6, 5, strict=True).collect()
+
+
+def test_decode_audit_verdicts(spark):
+    """Every verdict class exercised: valid PPM, valid WAV, truncated PPM
+    (malformed — right magic, broken body), and raw text (unsupported)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(8)
+    ppm = M.synthesize_ppm_media(docs)
+    trunc = ppm.select(
+        "media_id", "kind",
+        F.expr("substring(payload, 1, octet_length(payload) - 10)").alias("payload"),
+        "meta",
+    )
+    wav = M.synthesize_wav_media(docs)
+    raw = M.synthesize_media(docs)
+    verdicts = {
+        name: {r.verdict for r in M.decode_audit(m).collect()}
+        for name, m in [("ppm", ppm), ("trunc", trunc), ("wav", wav), ("raw", raw)]
+    }
+    assert verdicts == {
+        "ppm": {"ok-image"},
+        "trunc": {"malformed"},
+        "wav": {"ok-audio"},
+        "raw": {"unsupported"},
+    }
