@@ -674,7 +674,7 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 # round, so the change is driver-revalidated); (b) the 13 queries whose
 # last green row is r03 — the 3 rotated out in r5 (udf_user_centered_values,
 # udf_alpha_quality, layout_zorder_manifest) and the 10 static
-# events/dq/sketch queries displaced then; (c) 29 of the 50 queries last
+# events/dq/sketch queries displaced then; (c) 28 of the 50 queries last
 # green in r04, front-loading the evt_*_streaming family (its landed-input
 # plumbing is touched this round). The 20 displaced r04-green relational
 # names keep their green rows, stay covered by tests/test_gate_parity.py
@@ -693,6 +693,7 @@ DRIVER_PRIORITY_R6 = [
     "emb_kmeans_update",
     "multimodal_audio_profile",
     "multimodal_resize_profile",
+    "multimodal_corrupt_audit",
     "multimodal_decode_profile",
     # -- (b) stale since r03: the 3 rotated out in r5 first -----------------
     "udf_user_centered_values",
@@ -739,9 +740,8 @@ DRIVER_PRIORITY_R6 = [
     "rel_pricing_summary",
     "rel_revenue_by_nation",
     "rel_cheapest_line_per_part",
-    "rel_conditional_distinct",
     # rotated out (all r04-green, untouched this round; front of round 7):
-    # rel_cube_status_priority, rel_disjunctive_bands, rel_distinct_suppliers_per_nation,
+    # rel_conditional_distinct, rel_cube_status_priority, rel_disjunctive_bands, rel_distinct_suppliers_per_nation,
     # rel_full_outer_nation_activity, rel_grouping_sets, rel_exact_percentiles,
     # rel_nation_trade_flows, rel_nations_except, rel_nations_intersect,
     # rel_order_priority_exists, rel_orders_above_cust_avg,
