@@ -609,7 +609,8 @@ def resize_media(
     P3, 8-bit), nearest-neighbor resample to (out_w, out_h), re-encode as
     P6 — so downstream consumers (decode, featurize, frames) run unchanged
     on the resized corpus. strict=True raises on non-PPM payloads and on
-    16-bit P3 (re-encoding those at maxval 255 would silently rescale);
+    any maxval other than 255 (re-encoding at maxval 255 would silently
+    re-normalize the luma of 16-bit or sub-255-maxval images);
     strict=False passes unsupported payloads through untouched. Arrow-
     batched mapInPandas, partition-preserving, payloads never transit the
     driver."""
@@ -623,10 +624,10 @@ def resize_media(
             ):
                 b = bytes(p)
                 got = _ppm_samples(b)
-                if got is None or got[2] > 255:
+                if got is None or got[2] != 255:
                     if strict:
                         raise ValueError(
-                            "resize supports 8-bit PPM payloads only "
+                            "resize supports maxval-255 PPM payloads only "
                             f"(magic {b[:2]!r})"
                         )
                     ids.append(mid); kinds.append(kind)

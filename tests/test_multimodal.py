@@ -431,6 +431,12 @@ def test_resize_strict_contract():
     p3_16 = b"P3\n1 1\n1000\n500 0 1000"
     w, h, maxval, samples = M._ppm_samples(p3_16)
     assert (w, h, maxval) == (1, 1, 1000) and list(samples) == [500, 0, 1000]
+    # sub-255 maxval is the same hazard (0..100-ranged samples re-encoded
+    # at maxval 255 would silently re-normalize luma) — resize refuses any
+    # maxval != 255; the parse itself stays permissive
+    p3_100 = b"P3\n1 1\n100\n50 0 100"
+    w, h, maxval, samples = M._ppm_samples(p3_100)
+    assert (w, h, maxval) == (1, 1, 100) and list(samples) == [50, 0, 100]
 
 
 def test_resize_media_nonstrict_passthrough(spark):
@@ -439,7 +445,7 @@ def test_resize_media_nonstrict_passthrough(spark):
            for r in M.resize_media(media, 6, 5, strict=False).collect()}
     src = {r.media_id: bytes(r.payload) for r in media.collect()}
     assert out == src
-    with pytest.raises(Exception, match="8-bit PPM"):
+    with pytest.raises(Exception, match="maxval-255 PPM"):
         M.resize_media(media, 6, 5, strict=True).collect()
 
 
