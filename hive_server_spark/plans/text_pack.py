@@ -1593,3 +1593,126 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chars_redacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document line-level dedup (the C4/CCNet boilerplate rule): a line
+# that occurs in >= LINE_DF_CUT distinct documents is boilerplate
+# ("subscribe to our newsletter", nav bars, license footers) and is removed
+# from every document that carries it. The driver corpus is single-line
+# word soup, so — exactly like the PII and multimodal fixtures — multi-line
+# structure is INJECTED deterministically by doc_id with the same
+# closed-form expression in both dialects: docs in class 0/2 gain a shared
+# newsletter footer, class 1 a rights footer, class 2 additionally a cookie
+# banner; classes 3/4 stay single-line. Every aggregate is an exact
+# integer (line multiplicities, byte lengths), so the hash oracle is exact.
+#
+# Scale shape: one explode, then the line text is immediately reduced to a
+# 32-byte md5 key (the raw line never travels past the first map-side-
+# combined aggregate). Document frequency is an aggregate over the already-
+# distinct (doc, line-hash) rows, and only the df >= cut survivors — the
+# boilerplate set, which is tiny by definition (a line must repeat across
+# >= cut docs to qualify) — are broadcast back, so the per-doc dropped
+# tally is a broadcast hash join, not a shuffle of the full line table.
+# For an adversarial corpus where the "common" set itself is huge, cap it
+# with a top-N-by-df cut exactly like the shingle DF_CUT in functions/
+# text.py before the broadcast.
+# ---------------------------------------------------------------------------
+LINE_DF_CUT = 3  # a line in >= 3 distinct docs is boilerplate
+
+_LINE_INJECT_SQL = """
+CASE CAST(doc_id % 5 AS INTEGER)
+  WHEN 0 THEN text || chr(10) || 'subscribe to our newsletter for updates'
+  WHEN 1 THEN text || chr(10) || 'all rights reserved contact the webmaster'
+  WHEN 2 THEN text || chr(10) || 'subscribe to our newsletter for updates'
+              || chr(10) || 'cookie policy accepted by continuing'
+  ELSE text
+END
+"""
+
+_LINE_DEDUP_ORACLE = f"""
+WITH injected AS (
+  SELECT doc_id, {_LINE_INJECT_SQL} AS t FROM documents
+),
+lines AS (
+  SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM injected
+),
+per AS (
+  SELECT doc_id, md5(line) AS h, COUNT(*) AS c, MAX(length(line)) AS ln
+  FROM lines GROUP BY doc_id, md5(line)
+),
+freq AS (
+  SELECT h, COUNT(*) AS df FROM per GROUP BY h
+)
+SELECT p.doc_id,
+       CAST(SUM(p.c) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN f.df >= {LINE_DF_CUT} THEN p.c ELSE 0 END) AS BIGINT)
+         AS n_dropped_lines,
+       CAST(SUM(CASE WHEN f.df >= {LINE_DF_CUT} THEN p.c * p.ln ELSE 0 END)
+            AS BIGINT) AS chars_dropped,
+       CAST(SUM(CASE WHEN f.df < {LINE_DF_CUT} THEN p.c * p.ln ELSE 0 END)
+            + GREATEST(SUM(CASE WHEN f.df < {LINE_DF_CUT} THEN p.c ELSE 0 END)
+                       - 1, 0) AS BIGINT) AS cleaned_n_chars
+FROM per p JOIN freq f ON p.h = f.h
+GROUP BY p.doc_id
+"""
+
+
+def line_dedup_report(docs: DataFrame, df_cut: int = LINE_DF_CUT) -> DataFrame:
+    """Per-document line-dedup report over an already multi-line `t` column:
+    total lines, boilerplate lines dropped (document frequency >= df_cut),
+    exact character cost, and the cleaned length (kept lines re-joined by
+    newline). See the block comment above for the broadcast-common-set
+    scale posture."""
+    lines = docs.select(
+        "doc_id", F.explode(F.split(F.col("t"), "\n")).alias("line")
+    )
+    per = lines.groupBy("doc_id", F.md5("line").alias("h")).agg(
+        F.count("*").alias("c"), F.max(F.length("line")).alias("ln")
+    )
+    common = (
+        per.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= df_cut)
+        .select("h")
+    )
+    dropped = (
+        per.join(F.broadcast(common), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("d_lines"),
+            F.sum(F.col("c") * F.col("ln")).alias("d_chars"),
+        )
+    )
+    totals = per.groupBy("doc_id").agg(
+        F.sum("c").alias("t_lines"),
+        F.sum(F.col("c") * F.col("ln")).alias("t_chars"),
+    )
+    j = (
+        totals.join(dropped, "doc_id", "left")
+        .na.fill({"d_lines": 0, "d_chars": 0})
+        .withColumn("k_lines", F.col("t_lines") - F.col("d_lines"))
+    )
+    return j.select(
+        "doc_id",
+        F.col("t_lines").cast("bigint").alias("n_lines"),
+        F.col("d_lines").cast("bigint").alias("n_dropped_lines"),
+        F.col("d_chars").cast("bigint").alias("chars_dropped"),
+        (
+            (F.col("t_chars") - F.col("d_chars"))
+            + F.greatest(F.col("k_lines") - F.lit(1), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("cleaned_n_chars"),
+    )
+
+
+@register("text_line_dedup", _LINE_DEDUP_ORACLE)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document line dedup over the injected multi-line
+    corpus: per document, how many lines are corpus-common boilerplate
+    (>= LINE_DF_CUT docs) and the exact byte cost of stripping them."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_LINE_INJECT_SQL).alias("t")
+    )
+    return line_dedup_report(docs)

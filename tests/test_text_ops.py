@@ -343,3 +343,38 @@ def test_pii_scrub_hand_computed(spark):
     assert got[11] == "base b call <PHONE> today"
     assert got[12] == "base c from <IP> logged"
     assert got[13] == "base d"
+
+
+def test_line_dedup_hand_computed(spark):
+    """Hand-built 5-doc corpus: 'footer' sits in 3 docs (>= LINE_DF_CUT ->
+    dropped everywhere), 'rare' in 2 (kept), bodies unique. One doc carries
+    the boilerplate line twice — both occurrences are dropped and both
+    count toward the char cost."""
+    from hive_server_spark.plans.text_pack import line_dedup_report
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha\nfooter"),
+            (1, "bravo\nfooter\nrare"),
+            (2, "charlie\nfooter\nfooter"),
+            (3, "delta\nrare"),
+            (4, "echo"),
+        ],
+        ["doc_id", "t"],
+    )
+    got = {r.doc_id: r for r in line_dedup_report(docs).collect()}
+    assert len(got) == 5
+    # doc 0: 2 lines, footer(6 chars) dropped, cleaned = "alpha" (5)
+    assert (got[0].n_lines, got[0].n_dropped_lines) == (2, 1)
+    assert (got[0].chars_dropped, got[0].cleaned_n_chars) == (6, 5)
+    # doc 1: 3 lines, footer dropped, cleaned = "bravo\nrare" (10)
+    assert (got[1].n_lines, got[1].n_dropped_lines) == (3, 1)
+    assert (got[1].chars_dropped, got[1].cleaned_n_chars) == (6, 10)
+    # doc 2: both footer copies dropped, cleaned = "charlie" (7)
+    assert (got[2].n_lines, got[2].n_dropped_lines) == (3, 2)
+    assert (got[2].chars_dropped, got[2].cleaned_n_chars) == (12, 7)
+    # doc 3: nothing dropped, cleaned = original "delta\nrare" (10)
+    assert (got[3].n_lines, got[3].n_dropped_lines) == (2, 0)
+    assert (got[3].chars_dropped, got[3].cleaned_n_chars) == (0, 10)
+    # doc 4: single body line untouched
+    assert (got[4].n_lines, got[4].cleaned_n_chars) == (1, 4)
