@@ -358,3 +358,152 @@ def center_embeddings_per_label(emb: DataFrame) -> DataFrame:
     return emb.groupBy("label").applyInPandas(
         center, schema="vec_id long, label int, embedding array<float>"
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-shaped): LSH discovery -> cosine-thresholded
+# near-dup edges -> connected components -> one representative per cluster.
+# The raw driver embeddings are isotropic random (max pairwise cosine ~0.51
+# at every SF), so duplicates are INJECTED deterministically by vec_id with
+# the same closed-form expression in both dialects — the house fixture rule
+# (PII, multimodal): vectors with vec_id % 7 == 1 become 1.5x the embedding
+# of vec_id-1, and % 7 == 2 become 0.5x the embedding of vec_id-2, planting
+# 3-member clusters {k, k+1, k+2} at every k ≡ 0 (mod 7). Positive scaling
+# preserves every hyperplane sign (so dup groups share an LSH bucket by
+# construction) and cosine to within one ulp of 1.0; the 0.999 edge cut
+# sits in the wide gap between that and the 0.51 background maximum, and
+# both engines evaluate the same in-order IEEE folds, so the edge set —
+# and therefore the clustering — is bit-identical cross-engine.
+#
+# Scale shape: injection is one equi-self-join (fixture-only; a real corpus
+# skips it), discovery is the bucket equi-join with exact cosine only on
+# candidates (E[n²/2^planes] pairs), components run on the O(dups) edge
+# set via iterative label propagation, and cluster sizes are one aggregate
+# on the final labels. No all-pairs stage anywhere.
+# ---------------------------------------------------------------------------
+SEMDEDUP_COSINE_CUT = 0.999
+
+
+def _inject_case(dialect: str) -> tuple[str, str]:
+    """(offset, scale) CASE fragments on `vec_id` — identical text in both
+    dialects; Spark needs the D suffix dropped since 1.5 literals parse as
+    DOUBLE in both."""
+    off = (
+        "CASE CAST(vec_id % 7 AS INTEGER) WHEN 1 THEN 1 WHEN 2 THEN 2 "
+        "ELSE 0 END"
+    )
+    scale = (
+        "CASE CAST(vec_id % 7 AS INTEGER) WHEN 1 THEN CAST(1.5 AS DOUBLE) "
+        "WHEN 2 THEN CAST(0.5 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END"
+    )
+    return off, scale
+
+
+def injected_dup_vectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, v) with the planted scaled-copy duplicates applied."""
+    off, scale = _inject_case("s")
+    base = _vecs(emb).select("vec_id", "v")
+    keyed = base.select(
+        "vec_id",
+        (F.col("vec_id") - F.expr(off)).alias("src_id"),
+        F.expr(scale).alias("scale"),
+    )
+    src = base.select(F.col("vec_id").alias("src_id"), F.col("v").alias("src_v"))
+    return keyed.join(src, "src_id").select(
+        "vec_id", F.expr("transform(src_v, x -> x * scale)").alias("v")
+    )
+
+
+def semantic_dedup(emb: DataFrame, n_dims: int = 64) -> DataFrame:
+    """Full corpus -> (vec_id, cluster_id, is_representative, cluster_size):
+    near-dup components over cosine >= SEMDEDUP_COSINE_CUT LSH candidates,
+    representative = min vec_id, singletons filled in from the corpus."""
+    from hive_server_spark.functions.clusters import connected_components
+
+    inj = injected_dup_vectors(emb)
+    # per-vector norm ONCE (sqrt(dot(v,v)) — the same op sequence cosine_expr
+    # uses, so dot/(nrm_a*nrm_b) is bit-identical to the inline cosine while
+    # cutting the per-pair fold count from 3 to 1), then materialize the
+    # bucketed table so the self-join doesn't re-derive injection + buckets
+    # per side (the oracle mirrors this with MATERIALIZED CTEs)
+    b = inj.select(
+        "vec_id", "v",
+        F.expr(bucket_expr("v", n_dims, "s")).cast("bigint").alias("bucket"),
+        F.expr(f"sqrt({dot_expr('v', 'v', 's')})").alias("nrm"),
+    ).localCheckpoint()
+    a, c = b.alias("a"), b.alias("b")
+    edges = (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(
+            F.expr(dot_expr("a.v", "b.v", "s")) / (F.col("a.nrm") * F.col("b.nrm"))
+            >= F.lit(SEMDEDUP_COSINE_CUT)
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+    )
+    comp = connected_components(edges, a="vec_a", b="vec_b")
+    ids = b.select("vec_id")
+    lab = (
+        ids.join(comp, ids.vec_id == comp.doc_id, "left")
+        .select(
+            "vec_id", F.coalesce("cluster_id", F.col("vec_id")).alias("cluster_id")
+        )
+    )
+    sz = lab.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return lab.join(sz, "cluster_id").select(
+        "vec_id",
+        "cluster_id",
+        (F.col("vec_id") == F.col("cluster_id")).alias("is_representative"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+    )
+
+
+def semantic_dedup_oracle(n_dims: int = 64) -> str:
+    off, scale = _inject_case("d")
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT vec_id, {vec_expr('embedding', 'd')} AS v FROM embeddings
+),
+inj AS (
+  SELECT b.vec_id,
+         list_transform(s.v, x -> x * ({scale.replace('vec_id', 'b.vec_id')})) AS v
+  FROM base b JOIN base s
+    ON s.vec_id = b.vec_id - ({off.replace('vec_id', 'b.vec_id')})
+),
+bk AS MATERIALIZED (
+  SELECT vec_id, v, CAST({bucket_expr('v', n_dims, 'd')} AS BIGINT) AS bucket,
+         sqrt({dot_expr('v', 'v', 'd')}) AS nrm
+  FROM inj
+),
+cand AS MATERIALIZED (
+  SELECT a.vec_id AS va, b2.vec_id AS vb
+  FROM bk a JOIN bk b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+  WHERE {dot_expr('a.v', 'b2.v', 'd')} / (a.nrm * b2.nrm)
+        >= {SEMDEDUP_COSINE_CUT}
+),
+edges AS MATERIALIZED (
+  SELECT va AS x, vb AS y FROM cand UNION SELECT vb, va FROM cand
+),
+reach(x, y) AS (
+  SELECT x, y FROM edges
+  UNION
+  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+),
+comp AS (
+  SELECT x AS vec_id, least(min(y), x) AS cluster_id FROM reach GROUP BY x
+),
+lab AS (
+  SELECT i.vec_id, COALESCE(c.cluster_id, i.vec_id) AS cluster_id
+  FROM inj i LEFT JOIN comp c ON i.vec_id = c.vec_id
+),
+sz AS (SELECT cluster_id, COUNT(*) AS n FROM lab GROUP BY cluster_id)
+SELECT l.vec_id, l.cluster_id,
+       l.vec_id = l.cluster_id AS is_representative,
+       CAST(sz.n AS BIGINT) AS cluster_size
+FROM lab l JOIN sz ON l.cluster_id = sz.cluster_id
+"""

@@ -687,6 +687,7 @@ from hive_server_spark.registry import set_driver_priority  # noqa: E402
 DRIVER_PRIORITY_R6 = [
     # -- (a) round-6 registrations + round-6-modified query -----------------
     "text_line_dedup",
+    "emb_semantic_dedup",
     "text_kept_token_shards",
     "text_bpe_token_stats",
     "text_doc_novelty",
@@ -739,9 +740,8 @@ DRIVER_PRIORITY_R6 = [
     "scale_salted_cohort_rollup",
     # -- stale since r04: relational half that fits the window --------------
     "rel_pricing_summary",
-    "rel_revenue_by_nation",
     # rotated out (all r04-green, untouched this round; front of round 7):
-    # rel_cheapest_line_per_part,
+    # rel_revenue_by_nation, rel_cheapest_line_per_part,
     # rel_conditional_distinct, rel_cube_status_priority, rel_disjunctive_bands, rel_distinct_suppliers_per_nation,
     # rel_full_outer_nation_activity, rel_grouping_sets, rel_exact_percentiles,
     # rel_nation_trade_flows, rel_nations_except, rel_nations_intersect,

@@ -143,3 +143,14 @@ def emb_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full recomputed centroid (one row per cluster x dimension, in
     micro-units) plus cluster populations."""
     return E.kmeans_update(_emb(spark, sf_dir), k=8)
+
+
+@register("emb_semantic_dedup", E.semantic_dedup_oracle())
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup over the injected-duplicate corpus:
+    LSH candidate discovery -> cosine >= 0.999 edges -> connected
+    components (iterative label propagation; oracle recomputes them as a
+    recursive-CTE closure) -> min-vec_id representative + cluster size for
+    every vector. The keep-set a 100 TB embedding-dedup pass emits is
+    exactly the is_representative = true rows."""
+    return E.semantic_dedup(_emb(spark, sf_dir))

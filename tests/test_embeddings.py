@@ -107,3 +107,30 @@ def test_kmeans_update_hand_computed(spark):
     assert got[(0, 1)] == (3, int(0 + 1.5 * m + 5 * m), (0 + 1.5 * m + 5 * m) / 3)
     assert got[(1, 0)] == (2, (10 + 9) * m, (10 + 9) * m / 2)
     assert got[(1, 1)] == (2, (10 + 8) * m, (10 + 8) * m / 2)
+
+
+def test_semantic_dedup_planted_clusters(spark):
+    """The injected scaled-copy duplicates must resolve to {k, k+1, k+2}
+    clusters at every k ≡ 0 (mod 7) with min-id representatives, and every
+    other vector must stay a singleton."""
+    import numpy as np
+
+    from hive_server_spark.functions.embeddings import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=8)], 0) for i in range(16)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r.vec_id: r for r in semantic_dedup(emb, n_dims=8).collect()}
+    assert len(got) == 16
+    for k in (0, 7, 14):
+        members = [m for m in (k, k + 1, k + 2) if m < 16]
+        for m in members:
+            assert got[m].cluster_id == k, (m, got[m])
+            assert got[m].cluster_size == len(members)
+            assert got[m].is_representative == (m == k)
+    for v in (3, 4, 5, 6, 10, 11, 12, 13):
+        assert got[v].cluster_id == v and got[v].cluster_size == 1
