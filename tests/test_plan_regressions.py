@@ -64,6 +64,10 @@ def test_no_sort_merge_join_anywhere_in_gate(spark):
         "orders_state_changelog",  # same: incremental fold stream + version diffs
         "emb_lsh_neardup_topk",
         "dedup_clusters",
+        "emb_semantic_dedup",  # same shape as dedup_clusters: corpus ⋈ CC
+        # labels (+ cluster-size agg) on vec_id/cluster_id — the label side
+        # is O(duplicated vectors), not broadcastable at scale, and the plan
+        # flips between BHJ/SMJ on borderline localCheckpoint size stats
         "text_leakage_safe_splits",  # same shape as dedup_clusters: corpus ⋈ CC labels
         "text_pretrain_keep",  # three corpus-sized sides (profile ⋈ CC labels ⋈
         # repetition) joined on doc_id — co-partitioned shuffle joins are the
