@@ -9,15 +9,19 @@ size bounded by spark.sql.execution.arrow.maxRecordsPerBatch.
 The codec: this container has no image/audio libs, so the decode step ships
 its own pure-Python decoders — PNG (non-interlaced 8-bit RGB/grayscale via
 stdlib zlib, with full None/Sub/Up/Average/Paeth filter reconstruction),
-PPM (P6 binary and P3 ascii), and BMP (24-bit uncompressed BI_RGB) — doing
-real header parsing and numpy pixel math in the Arrow worker. strict=True
-requires every payload to be one of those formats (ValueError otherwise);
-strict=False falls back to a clearly-marked deterministic fake for payloads
-in formats that would need external codecs (JPEG/video), keeping
-the full pipeline testable. `synthesize_ppm_media` builds REAL P6 payloads
-with pure column expressions and `synthesize_png_media` builds REAL
-zlib-compressed PNGs of the same pixels, so both strict paths are
-exercised end-to-end by the decode-profile gate query.
+PPM (P6 binary and P3 ascii), BMP (24-bit uncompressed BI_RGB), and
+baseline JPEG (ITU-T T.81 marker walk + Huffman entropy decode + IDCT,
+grayscale and 4:4:4 color — functions/jpeg.py) — doing real header parsing
+and numpy pixel math in the Arrow worker. strict=True requires every
+payload to be one of those formats (ValueError otherwise); strict=False
+falls back to a clearly-marked deterministic fake for payloads in formats
+that would need external codecs (video / progressive+subsampled JPEG),
+keeping the full pipeline testable. `synthesize_ppm_media` builds REAL P6
+payloads with pure column expressions, `synthesize_png_media` builds REAL
+zlib-compressed PNGs of the same pixels, and `synthesize_jpeg_media`
+builds REAL entropy-coded baseline JPEGs whose constant 8×8 blocks make
+the lossy container decode-exact — so every strict path is exercised
+end-to-end by the decode-profile gate queries.
 
 Audio is real too: `synthesize_wav_media` builds genuine RIFF/WAVE PCM
 containers with pure column expressions (the 44-byte canonical header is a
@@ -25,9 +29,9 @@ computed hex string through unhex(); the sample bytes are the same
 rpad-cycled hex-of-text trick the image fixtures use) and `decode_audio`
 walks RIFF chunks properly — fmt/data discovery with word-alignment
 padding, unknown chunks skipped — supporting 8-bit unsigned and 16-bit
-signed PCM, mono or multi-channel. Only JPEG/video decode remains faked
-(and only with strict=False): those need entropy decoders that would be
-re-implementations of external codec libraries, out of scope here.
+signed PCM, mono or multi-channel. Only video decode remains faked (and
+only with strict=False): a container/GOP parser would be a
+re-implementation of an external codec library, out of scope here.
 
 Scale posture: mapInPandas preserves partitioning (no shuffle); payload
 bytes stay columnar end-to-end via Arrow; feature vectors come back as
@@ -191,6 +195,58 @@ def synthesize_png_media(docs: DataFrame) -> DataFrame:
                     "payload": payloads,
                     "meta": [
                         {"declared_format": "image/png", "n_bytes": s} for s in sizes
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
+    """REAL entropy-coded baseline JPEG payloads from documents: block
+    grid bw=1+n%3, bh=1+(n//3)%3 (8·bw × 8·bh pixels), block k's constant
+    value = ascii of the hex-of-text string cycled at position k — the
+    same closed-form byte derivation the PPM/PNG fixtures use, so the
+    decode profile keeps a byte-level DuckDB oracle despite the lossy
+    container (constant blocks are DC-only and quantization-exact; see
+    functions/jpeg.py). Even doc_ids encode grayscale, odd doc_ids encode
+    3-component 4:4:4 YCbCr with Cb=Cr=128 (decoded RGB == (Y,Y,Y), same
+    mean), and every payload carries a restart interval of 2 — the
+    decoder's RSTn resync path runs on every multi-block fixture."""
+    from hive_server_spark.functions.jpeg import (
+        encode_jpeg_gray_blocks,
+        encode_jpeg_ycbcr_blocks,
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, fmts = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = (text or "").encode("utf-8")
+                n = len(data)
+                bw, bh = 1 + n % 3, 1 + (n // 3) % 3
+                hx = data.hex().upper() or "0"
+                vals = [ord(hx[k % len(hx)]) for k in range(bw * bh)]
+                if doc_id % 2 == 0:
+                    payload = encode_jpeg_gray_blocks(vals, bw, bh, restart_interval=2)
+                    fmt = "image/jpeg;gray"
+                else:
+                    flat = [128] * len(vals)
+                    payload = encode_jpeg_ycbcr_blocks(
+                        vals, flat, flat, bw, bh, restart_interval=2
+                    )
+                    fmt = "image/jpeg;ycbcr"
+                ids.append(doc_id)
+                payloads.append(payload)
+                fmts.append(fmt)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "payload": payloads,
+                    "meta": [
+                        {"declared_format": f, "n_bytes": len(p)}
+                        for f, p in zip(fmts, payloads)
                     ],
                 }
             )
@@ -437,9 +493,10 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, float] | None:
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, float]:
-    """Deterministic stand-in for formats needing external codecs
-    (JPEG/audio/video): dimensions and mean luminance derived from the
-    bytes themselves. Only reachable with strict=False."""
+    """Deterministic stand-in for formats needing external codecs (video,
+    JPEG variants beyond baseline 1×1-sampled): dimensions and mean
+    luminance derived from the bytes themselves. Only reachable with
+    strict=False."""
     n = len(payload)
     width = 16 + (payload[0] if n else 0) % 240
     height = 16 + (payload[-1] if n else 0) % 240
@@ -455,22 +512,34 @@ def _decode_one(payload: bytes, strict: bool) -> tuple[int, int, float, str]:
             real = _decode_ppm(b)
         if real is None:
             real = _decode_bmp(b)
+        if real is None:
+            from hive_server_spark.functions.jpeg import decode_jpeg
+
+            real = decode_jpeg(b)
     except ValueError:
-        # magic bytes collided with PNG/PPM/BMP but the payload is not a
-        # valid raster (e.g. text starting "BMW…"): a strict decode
+        # magic bytes collided with PNG/PPM/BMP/JPEG but the payload is not
+        # a valid raster (e.g. text starting "BMW…"): a strict decode
         # propagates the codec's diagnostic; non-strict falls back to the
         # fake like any other unsupported format instead of failing the task
         if strict:
             raise
         real = None
     if real is not None:
-        decoder = "png" if b[:1] == b"\x89" else ("ppm" if b[:1] == b"P" else "bmp")
+        decoder = (
+            "png"
+            if b[:1] == b"\x89"
+            else (
+                "ppm"
+                if b[:1] == b"P"
+                else ("jpeg" if b[:2] == b"\xff\xd8" else "bmp")
+            )
+        )
         return (*real, decoder)
     if strict:
         raise ValueError(
             f"unsupported media format (magic {b[:2]!r}); strict decode "
-            "handles PNG (8-bit RGB/gray), PPM (P6/P3) and uncompressed "
-            "24-bit BMP"
+            "handles PNG (8-bit RGB/gray), PPM (P6/P3), uncompressed "
+            "24-bit BMP and baseline JPEG (grayscale / 4:4:4)"
         )
     return (*_fake_decode(b), "fake-deterministic")
 

@@ -696,6 +696,7 @@ DRIVER_PRIORITY_R6 = [
     "multimodal_audio_profile",
     "multimodal_resize_profile",
     "multimodal_corrupt_audit",
+    "multimodal_jpeg_profile",
     "multimodal_decode_profile",
     # -- (b) stale since r03: the 3 rotated out in r5 first -----------------
     "udf_user_centered_values",
@@ -738,10 +739,8 @@ DRIVER_PRIORITY_R6 = [
     "evt_sessions",
     "evt_trailing_hour_value",
     "scale_salted_cohort_rollup",
-    # -- stale since r04: relational half that fits the window --------------
-    "rel_pricing_summary",
     # rotated out (all r04-green, untouched this round; front of round 7):
-    # rel_revenue_by_nation, rel_cheapest_line_per_part,
+    # rel_pricing_summary, rel_revenue_by_nation, rel_cheapest_line_per_part,
     # rel_conditional_distinct, rel_cube_status_priority, rel_disjunctive_bands, rel_distinct_suppliers_per_nation,
     # rel_full_outer_nation_activity, rel_grouping_sets, rel_exact_percentiles,
     # rel_nation_trade_flows, rel_nations_except, rel_nations_intersect,

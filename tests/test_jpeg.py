@@ -1,0 +1,143 @@
+"""Unit tests for the pure-Python baseline JPEG codec (functions/jpeg.py).
+
+No Spark needed: the codec runs inside the Arrow worker; its contract is
+plain bytes → (width, height, mean_luma). The decode-exactness claims the
+gate oracle relies on (constant DC-only blocks round-trip losslessly) are
+pinned here, along with the error contract for every unsupported variant.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from hive_server_spark.functions.jpeg import (
+    decode_jpeg,
+    encode_jpeg_gray_blocks,
+    encode_jpeg_ycbcr_blocks,
+)
+
+
+def _mean(vals, bw, bh):
+    return sum(v * 64 for v in vals) / (bw * 8 * bh * 8) / 255.0
+
+
+def test_gray_roundtrip_exact():
+    vals = [48, 102, 70, 255, 0, 128]
+    w, h, luma = decode_jpeg(encode_jpeg_gray_blocks(vals, 3, 2))
+    assert (w, h) == (24, 16)
+    assert luma == pytest.approx(_mean(vals, 3, 2), abs=1e-12)
+
+
+def test_every_gray_level_exact_single_block():
+    for v in range(0, 256, 5):
+        w, h, luma = decode_jpeg(encode_jpeg_gray_blocks([v], 1, 1))
+        assert (w, h) == (8, 8)
+        assert luma == pytest.approx(v / 255.0, abs=1e-12), v
+
+
+def test_restart_markers_resync():
+    vals = list(range(40, 52))
+    w, h, luma = decode_jpeg(encode_jpeg_gray_blocks(vals, 4, 3, restart_interval=2))
+    assert (w, h) == (32, 24)
+    assert luma == pytest.approx(_mean(vals, 4, 3), abs=1e-12)
+
+
+def test_color_neutral_chroma_equals_gray():
+    y = [10, 200, 99, 128]
+    flat = [128] * 4
+    w, h, luma = decode_jpeg(encode_jpeg_ycbcr_blocks(y, flat, flat, 2, 2))
+    assert (w, h) == (16, 16)
+    assert luma == pytest.approx(_mean(y, 2, 2), abs=1e-12)
+
+
+def test_color_with_chroma_and_restarts_decodes():
+    p = encode_jpeg_ycbcr_blocks([100] * 4, [90] * 4, [170] * 4, 2, 2, restart_interval=1)
+    w, h, luma = decode_jpeg(p)
+    assert (w, h) == (16, 16)
+    assert 0.0 <= luma <= 1.0
+
+
+def test_non_jpeg_returns_none():
+    assert decode_jpeg(b"hello world") is None
+    assert decode_jpeg(b"\x89PNG\r\n\x1a\n") is None
+    assert decode_jpeg(b"") is None
+
+
+def test_truncated_raises():
+    p = encode_jpeg_gray_blocks([100], 1, 1)
+    with pytest.raises(ValueError):
+        decode_jpeg(p[:20])  # inside marker segments
+    with pytest.raises(ValueError):
+        decode_jpeg(p[:-12])  # inside the entropy stream
+
+
+def test_progressive_sof2_refused():
+    p = bytearray(encode_jpeg_gray_blocks([100], 1, 1))
+    idx = p.index(b"\xff\xc0")
+    p[idx + 1] = 0xC2  # SOF0 → SOF2
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(bytes(p))
+
+
+def test_subsampled_chroma_refused():
+    p = bytearray(encode_jpeg_ycbcr_blocks([100], [128], [128], 1, 1))
+    idx = p.index(b"\xff\xc0")
+    # component 1 sampling byte: SOF0 payload = len(2) P(1) Y(2) X(2) Nf(1),
+    # then [id, HV, Tq] per component → HV of comp 1 is at idx+2+8+1
+    assert p[idx + 2 + 8 + 1] == 0x11
+    p[idx + 2 + 8 + 1] = 0x22  # 2x2 luma sampling (4:2:0)
+    with pytest.raises(ValueError, match="sampling"):
+        decode_jpeg(bytes(p))
+
+
+def test_16bit_quant_table_refused():
+    p = bytearray(encode_jpeg_gray_blocks([100], 1, 1))
+    idx = p.index(b"\xff\xdb")
+    p[idx + 4] = 0x10  # Pq=1 (16-bit entries)
+    # the segment is now short for a 16-bit table, but Pq is checked first
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(p))
+
+
+def test_ac_coefficient_decodes_with_zero_mean_shift():
+    """Hand-crafted scan exercising the AC run/magnitude path: every
+    non-DC DCT basis function sums to zero over the block, so adding one
+    AC coefficient must leave the mean EXACTLY unchanged (no clipping at
+    mid-gray) while still being a legal, fully decoded stream."""
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([8] + [16] * 63)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    # DC: 12 categories at length 4. AC: EOB (0x00) and 0x01 (run 0, size 1)
+    # both at length 2 → canonical codes 00 and 01.
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    ac_counts = [0, 2] + [0] * 14
+    dht = bytes([0x00]) + bytes(dc_counts) + bytes(range(12))
+    dht += bytes([0x10]) + bytes(ac_counts) + bytes([0x00, 0x01])
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    # scan: DC cat 0 (0000) → DC diff 0 → block value 128; AC 0x01 (01) +
+    # magnitude bit 1 → coeff +1 at zig-zag 1; EOB (00).
+    # bits: 0000 01 1 00 → pad with 1s to 0000011 00111111
+    out += bytes([0b00000110, 0b01111111])
+    out += b"\xff\xd9"
+    w, h, luma = decode_jpeg(bytes(out))
+    assert (w, h) == (8, 8)
+    assert luma == pytest.approx(128.0 / 255.0, abs=1e-12)
+
+
+def test_bad_huffman_code_raises():
+    p = bytearray(encode_jpeg_gray_blocks([100], 1, 1))
+    p[-3] ^= 0x55  # corrupt the entropy bytes just before EOI
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(p))
+
+
+def test_strict_dispatch_reports_jpeg_decoder():
+    from hive_server_spark.functions.multimodal import _decode_one
+
+    w, h, luma, decoder = _decode_one(encode_jpeg_gray_blocks([70], 1, 1), strict=True)
+    assert decoder == "jpeg"
+    assert (w, h) == (8, 8)
+    assert luma == pytest.approx(70 / 255.0, abs=1e-12)
