@@ -686,6 +686,9 @@ from hive_server_spark.registry import set_driver_priority  # noqa: E402
 
 DRIVER_PRIORITY_R6 = [
     # -- (a) round-6 registrations + round-6-modified query -----------------
+    "text_bm25_topk",
+    "text_bigram_nll",
+    "text_c4_filters",
     "text_line_dedup",
     "emb_semantic_dedup",
     "text_kept_token_shards",
@@ -736,10 +739,8 @@ DRIVER_PRIORITY_R6 = [
     "asof_trade_price",
     "range_price_activity",
     "price_hourly_gapfill",
-    "evt_sessions",
-    "evt_trailing_hour_value",
-    "scale_salted_cohort_rollup",
     # rotated out (all r04-green, untouched this round; front of round 7):
+    # evt_sessions, evt_trailing_hour_value, scale_salted_cohort_rollup,
     # rel_pricing_summary, rel_revenue_by_nation, rel_cheapest_line_per_part,
     # rel_conditional_distinct, rel_cube_status_priority, rel_disjunctive_bands, rel_distinct_suppliers_per_nation,
     # rel_full_outer_nation_activity, rel_grouping_sets, rel_exact_percentiles,
@@ -751,8 +752,9 @@ DRIVER_PRIORITY_R6 = [
     # rel_window_running_total, rel_window_top_customers
 ]
 # ROUND-7 ROTATION NOTE: after this window goes green, staleness order is
-# (1) any round-7 registrations, (2) the 20 rel_* names rotated out above
-# (last green r04), (3) the r05-green families (dedup/text/emb/src/
+# (1) any round-7 registrations, (2) the r04-green names rotated out above
+# (evt_sessions / evt_trailing_hour_value / scale_salted_cohort_rollup +
+# the 21 rel_* names), (3) the r05-green families (dedup/text/emb/src/
 # serving/cdc/streaming twins) by registration order.
 assert len(DRIVER_PRIORITY_R6) == 50, len(DRIVER_PRIORITY_R6)
 # A typo'd or renamed name would silently shrink the checked window

@@ -1716,3 +1716,296 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.expr(_LINE_INJECT_SQL).alias("t")
     )
     return line_dedup_report(docs)
+
+
+# ---------------------------------------------------------------------------
+# BM25-shaped keyword retrieval (round 6): score documents against a fixed
+# query-term set and return the global top-k — the inverted-index scoring
+# pass of a retrieval / data-curation pipeline (rank corpus docs against a
+# probe query, e.g. for targeted decontamination or quality-biased
+# sampling). Scoring is the BM25 term-frequency saturation formula
+# (k1=1.2, b=0.75) with the LOG-FREE Robertson–Spärck-Jones idf ratio
+# (N − df + 0.5)/(df + 0.5): every factor is then integer-derived +, −, ×,
+# ÷ on doubles — single-rounded IEEE ops that are bit-identical across
+# Spark and DuckDB, where a ln() would differ in the last ulp between
+# libm implementations. Per-(doc, term) contributions are rounded to
+# integer MICRO units before summing, so the aggregate is an integer sum —
+# order-independent, hash-stable under any partitioning.
+# Scale: explode+filter is a scan (the term list prunes before the
+# shuffle); df/stat sides are tiny and broadcast; top-k is
+# TakeOrderedAndProject. Docs containing no query term score no rows —
+# they cannot reach any top-k that the query terms define.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("spark", "merge", "vector")
+_BM25_K = 25
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+WITH {_TOKS_CTE_D},
+dl AS (
+  SELECT doc_id, len(toks) AS dl FROM toks
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl
+),
+hits AS (
+  SELECT t.doc_id, u.tok, COUNT(*) AS tf
+  FROM toks t, unnest(t.toks) AS u(tok)
+  WHERE u.tok IN {str(tuple(_BM25_TERMS))}
+  GROUP BY t.doc_id, u.tok
+),
+dft AS (
+  SELECT tok, COUNT(*) AS df FROM hits GROUP BY tok
+),
+contrib AS (
+  SELECT h.doc_id,
+         CAST(ROUND(
+           ((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+             / (CAST(d.df AS DOUBLE) + 0.5))
+           * ((CAST(h.tf AS DOUBLE) * 2.2)
+              / (CAST(h.tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                                         / (CAST(s.sum_dl AS DOUBLE)
+                                            / CAST(s.n_docs AS DOUBLE))))))
+           * 1000000.0) AS BIGINT) AS micro
+  FROM hits h
+  JOIN dft d ON h.tok = d.tok
+  JOIN dl l ON h.doc_id = l.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+         CAST(SUM(micro) AS BIGINT) AS score_micro
+  FROM contrib GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, n_terms_hit, score_micro,
+         row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, n_terms_hit, score_micro, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_BM25_K}
+""",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword scoring (log-free RSJ idf, fixed-point micro-unit
+    summation) + deterministic global top-k over the documents corpus."""
+    from hive_server_spark.operators.topk import global_topk
+
+    toks = T.with_tokens(_docs(spark, sf_dir)).select("doc_id", "toks")
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    # dl rides through the explode so the per-doc length never needs a
+    # corpus-sized join back — the only shuffles are the two aggregates
+    hits = (
+        toks.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("tok")
+        )
+        .where(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = hits.groupBy("tok").agg(F.count("*").alias("df"))
+    j = hits.join(F.broadcast(dft), "tok").crossJoin(F.broadcast(stats))
+    n_d = F.col("n_docs").cast("double")
+    df_d = F.col("df").cast("double")
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("dl").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / n_d
+    idf = (n_d - df_d + F.lit(0.5)) / (df_d + F.lit(0.5))
+    satur = (tf_d * F.lit(2.2)) / (
+        tf_d + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (dl_d / avgdl))
+    )
+    contrib = j.select(
+        "doc_id",
+        F.round(idf * satur * F.lit(1000000.0)).cast("bigint").alias("micro"),
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_terms_hit"),
+        F.sum("micro").cast("bigint").alias("score_micro"),
+    )
+    return global_topk(
+        scored, [F.desc("score_micro"), F.asc("doc_id")], _BM25_K
+    ).select("doc_id", "n_terms_hit", "score_micro", "rk")
+
+
+# ---------------------------------------------------------------------------
+# Per-document bigram-LM negative log-likelihood (round 6): the language-
+# model quality signal (KenLM-style) data pipelines use to rank documents —
+# fluent in-distribution text scores low, repetitive or out-of-distribution
+# text scores high. The LM is the corpus's own MLE bigram model (the same
+# counts text_bigram_lm surfaces): nll(a b) = ln(c(a·)/c(ab)), summed over
+# every bigram INSTANCE of the document. Each distinct (n_a, n_ab) pair is
+# rounded to integer micro-nats once, then multiplied by its in-doc
+# instance count and integer-summed — aggregation order cannot perturb the
+# hash, and the one ln() per distinct count-pair is the only
+# libm-dependent op (a last-ulp difference would need to land within
+# ~1e-10 of a rounding boundary to flip a micro unit).
+# Scale: two scans of the bigram stream (doc-side and LM-side), shuffles
+# keyed on the bigram; LM joins are small-side broadcast only when the
+# vocabulary is (here it is); docs with < 2 tokens have no bigrams and no
+# row — mirrored in both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "text_bigram_nll",
+    f"""
+WITH {_TOKS_CTE_D},
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM toks WHERE len(toks) >= 2
+),
+inst AS (
+  SELECT doc_id, bigram, COUNT(*) AS m FROM bg GROUP BY doc_id, bigram
+),
+c_ab AS (
+  SELECT bigram, COUNT(*) AS n_ab FROM bg GROUP BY bigram
+),
+c_a AS (
+  SELECT split_part(bigram, ' ', 1) AS head, COUNT(*) AS n_a
+  FROM bg GROUP BY split_part(bigram, ' ', 1)
+),
+micro AS (
+  SELECT i.doc_id, i.m,
+         CAST(ROUND(ln(CAST(a.n_a AS DOUBLE) / CAST(ab.n_ab AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS nll_micro
+  FROM inst i
+  JOIN c_ab ab ON i.bigram = ab.bigram
+  JOIN c_a a ON split_part(i.bigram, ' ', 1) = a.head
+)
+SELECT doc_id,
+       CAST(SUM(m) AS BIGINT)             AS n_bigrams,
+       CAST(SUM(m * nll_micro) AS BIGINT) AS nll_micro_total
+FROM micro GROUP BY doc_id
+""",
+)
+def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document negative log-likelihood under the corpus MLE bigram
+    LM, in integer micro-nats (fixed-point so the sum is order-free)."""
+    toks = T.with_tokens(_docs(spark, sf_dir)).where(F.size("toks") >= 2)
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram"),
+    )
+    inst = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("m"))
+    c_ab = bg.groupBy("bigram").agg(F.count("*").alias("n_ab"))
+    c_a = (
+        bg.select(F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("head"))
+        .groupBy("head")
+        .agg(F.count("*").alias("n_a"))
+    )
+    micro = (
+        inst.join(c_ab, "bigram")
+        .join(
+            F.broadcast(c_a),
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == F.col("head"),
+        )
+        .select(
+            "doc_id",
+            "m",
+            F.round(
+                F.log(F.col("n_a").cast("double") / F.col("n_ab").cast("double"))
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("nll_micro"),
+        )
+    )
+    return micro.groupBy("doc_id").agg(
+        F.sum("m").cast("bigint").alias("n_bigrams"),
+        F.sum(F.col("m") * F.col("nll_micro")).cast("bigint").alias("nll_micro_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4 heuristic cleaning rules (round 6): the line- and document-level
+# filters from the C4 pipeline (Raffel et al. 2020, public) — keep only
+# lines ending in terminal punctuation, drop lines under 3 words, drop
+# lines mentioning javascript, drop whole documents containing '{' or the
+# phrase 'lorem ipsum'. The corpus's single-line docs violate the
+# terminal-punctuation rule by construction, so each rule is exercised by
+# an injected line keyed on doc_id % 6 (the _LINE_INJECT_SQL pattern):
+# a clean kept sentence / a javascript line / a brace line / a lorem-ipsum
+# sentence / a too-short line / no injection.
+# Scale: pure per-row array HOFs (split + filter + aggregate) — no
+# shuffle, no explode; the whole report is one scan with a map-side-only
+# plan shape.
+# ---------------------------------------------------------------------------
+_C4_INJECT_SQL = """
+CASE CAST(doc_id % 6 AS INTEGER)
+  WHEN 0 THEN text || chr(10) || 'click here to read the full story.'
+  WHEN 1 THEN text || chr(10) || 'please enable javascript to view this site.'
+  WHEN 2 THEN text || chr(10) || 'function() { return cookies; }'
+  WHEN 3 THEN text || chr(10) || 'lorem ipsum dolor sit amet.'
+  WHEN 4 THEN text || chr(10) || 'ok.'
+  ELSE text
+END
+"""
+
+@register(
+    "text_c4_filters",
+    f"""
+WITH injected AS (
+  SELECT doc_id, {_C4_INJECT_SQL} AS t FROM documents
+),
+per AS (
+  SELECT doc_id,
+         string_split(t, chr(10)) AS lines,
+         list_filter(string_split(t, chr(10)),
+                     l -> right(l, 1) IN ('.', '!', '?', '"')
+                          AND len(string_split(l, ' ')) >= 3
+                          AND position('javascript' IN l) = 0) AS kept,
+         position('{{' IN t) > 0 AS has_brace,
+         position('lorem ipsum' IN t) > 0 AS has_lorem
+  FROM injected
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT)  AS n_kept,
+       CAST(COALESCE(list_sum(list_transform(kept, l -> length(l))), 0)
+            AS BIGINT)            AS kept_chars,
+       has_brace, has_lorem,
+       (NOT has_brace) AND (NOT has_lorem) AND len(kept) >= 1 AS keep
+FROM per
+""",
+)
+def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line/document heuristic filters over the injected multi-line
+    corpus: per-doc kept-line stats + the document keep verdict."""
+    docs = _docs(spark, sf_dir).select("doc_id", F.expr(_C4_INJECT_SQL).alias("t"))
+    per = docs.select(
+        "doc_id",
+        F.expr("split(t, chr(10))").alias("lines"),
+        F.expr(
+            "filter(split(t, chr(10)),"
+            " l -> right(l, 1) IN ('.', '!', '?', '\"')"
+            " AND size(split(l, ' ')) >= 3"
+            " AND position('javascript' IN l) = 0)"
+        ).alias("kept"),
+        F.expr("position('{' IN t) > 0").alias("has_brace"),
+        F.expr("position('lorem ipsum' IN t) > 0").alias("has_lorem"),
+    )
+    return per.select(
+        "doc_id",
+        F.size("lines").cast("bigint").alias("n_lines"),
+        F.size("kept").cast("bigint").alias("n_kept"),
+        F.expr("aggregate(kept, 0L, (acc, l) -> acc + length(l))")
+        .cast("bigint")
+        .alias("kept_chars"),
+        "has_brace",
+        "has_lorem",
+        (
+            (~F.col("has_brace")) & (~F.col("has_lorem")) & (F.size("kept") >= 1)
+        ).alias("keep"),
+    )
