@@ -674,10 +674,10 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 # round, so the change is driver-revalidated); (b) the 13 queries whose
 # last green row is r03 — the 3 rotated out in r5 (udf_user_centered_values,
 # udf_alpha_quality, layout_zorder_manifest) and the 10 static
-# events/dq/sketch queries displaced then; (c) 28 of the 50 queries last
+# events/dq/sketch queries displaced then; (c) 18 of the 50 queries last
 # green in r04, front-loading the evt_*_streaming family (its landed-input
-# plumbing is touched this round). The 20 displaced r04-green relational
-# names keep their green rows, stay covered by tests/test_gate_parity.py
+# plumbing is touched this round). The displaced r04-green relational /
+# asof / gapfill names keep their green rows, stay covered by tests/test_gate_parity.py
 # (ALL oracle-backed queries vs DuckDB on every pytest), and rotate to the
 # front of round 7. tests/test_rotation.py asserts every name outside this
 # window already has a prior driver-green row, so a rotation mistake is a
@@ -686,6 +686,10 @@ from hive_server_spark.registry import set_driver_priority  # noqa: E402
 
 DRIVER_PRIORITY_R6 = [
     # -- (a) round-6 registrations + round-6-modified query -----------------
+    "text_source_mixing",
+    "text_dup_spans",
+    "text_length_buckets",
+    "emb_pca_moments",
     "text_bm25_topk",
     "text_bigram_nll",
     "text_c4_filters",
@@ -735,11 +739,9 @@ DRIVER_PRIORITY_R6 = [
     "amount_out_buy",
     "amount_out_sell",
     "amount_out_prices",
-    "amount_out_capped",
-    "asof_trade_price",
-    "range_price_activity",
-    "price_hourly_gapfill",
     # rotated out (all r04-green, untouched this round; front of round 7):
+    # amount_out_capped, asof_trade_price, range_price_activity,
+    # price_hourly_gapfill,
     # evt_sessions, evt_trailing_hour_value, scale_salted_cohort_rollup,
     # rel_pricing_summary, rel_revenue_by_nation, rel_cheapest_line_per_part,
     # rel_conditional_distinct, rel_cube_status_priority, rel_disjunctive_bands, rel_distinct_suppliers_per_nation,

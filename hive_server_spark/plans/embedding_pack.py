@@ -154,3 +154,122 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every vector. The keep-set a 100 TB embedding-dedup pass emits is
     exactly the is_representative = true rows."""
     return E.semantic_dedup(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# PCA moment matrix (round 6): the single-pass second-moment accumulation
+# that whitening / PCA / low-rank projection of an embedding corpus starts
+# from — per dimension pair (i <= j), the exact co-moment sum plus per-dim
+# first-moment sums, from which covariance falls out in closed form.
+# Exactness discipline: every element is quantized ONCE to integer micro
+# units (CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT) — float→double is
+# exact and the product is single-rounded, so the code is bit-identical
+# cross-engine), and all accumulation is BIGINT — order-free under any
+# partitioning. The one double per row is an identically-shaped closed-form
+# expression over those exact ints. Scale shape: the pair explode is
+# d(d+1)/2 per row — the inherent arithmetic cost of a d x d moment matrix
+# — and the shuffle after the map-side-combined (i, j) aggregate is
+# d(d+1)/2 rows PER PARTITION, independent of corpus size; the two
+# per-dim sum tables are d rows and broadcast back. Overflow headroom:
+# |x| < 1 → |q| < 1e6 → per-row product < 1e12; 2^63 accommodates ~9e6x
+# more rows than sf0.1 before the sum needs decimal widening.
+# ---------------------------------------------------------------------------
+def _q_expr(x: str) -> str:
+    return f"CAST(floor(CAST({x} AS DOUBLE) * 1000000.0) AS BIGINT)"
+
+
+_PCA_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> {_q_expr('x')}) AS q
+  FROM embeddings
+),
+d AS (
+  SELECT vec_id, unnest(q) AS qv,
+         CAST(unnest(range(1, len(q)+1)) AS BIGINT) AS i
+  FROM q
+),
+dims AS (
+  SELECT i, CAST(SUM(qv) AS BIGINT) AS sum_q, CAST(COUNT(*) AS BIGINT) AS n
+  FROM d GROUP BY i
+),
+pairs AS (
+  SELECT a.i AS i, b.i AS j,
+         CAST(SUM(a.qv * b.qv) AS BIGINT) AS sum_pp,
+         CAST(COUNT(*) AS BIGINT) AS n_vectors
+  FROM d a JOIN d b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+)
+SELECT p.i AS dim_i, p.j AS dim_j, p.n_vectors,
+       di.sum_q AS sum_qi, dj.sum_q AS sum_qj, p.sum_pp,
+       (CAST(p.sum_pp AS DOUBLE) / CAST(p.n_vectors AS DOUBLE)
+        - (CAST(di.sum_q AS DOUBLE) / CAST(p.n_vectors AS DOUBLE))
+          * (CAST(dj.sum_q AS DOUBLE) / CAST(p.n_vectors AS DOUBLE)))
+       / 1000000000000.0 AS cov
+FROM pairs p JOIN dims di ON p.i = di.i JOIN dims dj ON p.j = dj.i
+"""
+
+
+@register("emb_pca_moments", _PCA_ORACLE)
+def emb_pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangular co-moment matrix of the embedding corpus in exact
+    integer micro-units, with the covariance as a closed-form double —
+    one row per dimension pair (i <= j, 1-based). The pair products are
+    built per row as a flattened transform-over-slices (quantize inline,
+    no array materialization to re-inline), exploded, and aggregated with
+    map-side combine; the d-row per-dim sums broadcast back."""
+    from pyspark.sql import functions as F
+
+    # the pair build is d(d+1)/2 products per row and CPU-bound; the bench
+    # corpus arrives as ONE parquet split, so rebalance the narrow
+    # (vec_id, embedding) projection to full parallelism first — at real
+    # scale the scan is already wide and this is a cheap no-op rebalance
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    q = _q_expr("x")
+    qi, qj = _q_expr("xi"), _q_expr("xj")
+    pairs_expr = (
+        "flatten(transform(embedding, (xi, i) -> "
+        "transform(slice(embedding, i + 1, size(embedding) - i), (xj, j) -> "
+        f"struct(CAST(i + 1 AS BIGINT) AS i, CAST(i + j + 1 AS BIGINT) AS j, "
+        f"{qi} * {qj} AS pp))))"
+    )
+    pairs = (
+        emb.select(F.explode(F.expr(pairs_expr)).alias("e"))
+        .select("e.i", "e.j", "e.pp")
+        .groupBy("i", "j")
+        .agg(
+            F.sum("pp").cast("bigint").alias("sum_pp"),
+            F.count("*").cast("bigint").alias("n_vectors"),
+        )
+    )
+    dims = (
+        emb.select(F.posexplode("embedding").alias("i0", "x"))
+        .select(
+            (F.col("i0") + 1).cast("bigint").alias("i"),
+            F.expr(q).alias("qv"),
+        )
+        .groupBy("i")
+        .agg(
+            F.sum("qv").cast("bigint").alias("sum_q"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+    di = dims.select(F.col("i"), F.col("sum_q").alias("sum_qi"))
+    dj = dims.select(F.col("i").alias("j"), F.col("sum_q").alias("sum_qj"))
+    return (
+        pairs.join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .selectExpr(
+            "i AS dim_i",
+            "j AS dim_j",
+            "n_vectors",
+            "sum_qi",
+            "sum_qj",
+            "sum_pp",
+            "(CAST(sum_pp AS DOUBLE) / CAST(n_vectors AS DOUBLE)"
+            " - (CAST(sum_qi AS DOUBLE) / CAST(n_vectors AS DOUBLE))"
+            "   * (CAST(sum_qj AS DOUBLE) / CAST(n_vectors AS DOUBLE)))"
+            " / 1000000000000.0 AS cov",
+        )
+    )

@@ -2009,3 +2009,327 @@ def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (~F.col("has_brace")) & (~F.col("has_lorem")) & (F.size("kept") >= 1)
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature-weighted source mixing (round 6): the sampling-weight table a
+# pretraining run derives before reading a single shard — per source,
+# weight ~ n_tokens^tau, normalized to a sampling probability, a token
+# quota out of a fixed budget, and the implied epochs over that source
+# (the unitary-scale mixing rule of GPT-3 / The Pile; tau < 1 upsamples
+# small high-quality sources). tau is pinned to 0.5 because sqrt is the
+# ONE fractional power IEEE 754 requires to be correctly rounded — pow(x,
+# 0.7) may differ in the last ulp between Java's libm and DuckDB's, and a
+# last-ulp difference under floor() flips the micro-weight. Every
+# aggregate is an exact integer; the doubles are single-division /
+# identically-shaped expressions over identical ints. Scale shape: one
+# narrow scan, map-side-combined per-source aggregate (source cardinality
+# ~ tens), broadcast total — no shuffle beyond the tiny final agg.
+# ---------------------------------------------------------------------------
+_MIX_BUDGET = 10_000_000  # token budget the quotas are carved from
+
+
+@register(
+    "text_source_mixing",
+    f"""
+WITH {_TOKS_CTE_D},
+per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT)        AS n_docs,
+         CAST(SUM(len(toks)) AS BIGINT)  AS n_tokens
+  FROM toks GROUP BY source
+),
+w AS (
+  SELECT *,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)
+           AS w_micro
+  FROM per
+),
+tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tw FROM w)
+SELECT source, n_docs, n_tokens, w_micro,
+       CAST(w_micro AS DOUBLE) / CAST(tw AS DOUBLE) AS p_sample,
+       CAST(floor({_MIX_BUDGET}.0
+                  * (CAST(w_micro AS DOUBLE) / CAST(tw AS DOUBLE)))
+            AS BIGINT) AS quota_tokens,
+       ({_MIX_BUDGET}.0 * (CAST(w_micro AS DOUBLE) / CAST(tw AS DOUBLE)))
+         / CAST(n_tokens AS DOUBLE) AS epochs
+FROM w CROSS JOIN tot
+""",
+)
+def text_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source temperature-sampling table (tau = 0.5): token counts,
+    sqrt-scaled integer micro-weight, normalized sampling probability,
+    token quota out of a 10M budget, and implied epochs. One scan + one
+    tiny aggregate; the grand total broadcasts back."""
+    per = (
+        _docs(spark, sf_dir)
+        .selectExpr("source", f"size({T.tokens_expr('text', 's')}) AS n")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "w_micro",
+            F.expr(
+                "CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)"
+            ),
+        )
+    )
+    tot = per.agg(F.sum("w_micro").cast("bigint").alias("tw"))
+    return per.crossJoin(F.broadcast(tot)).selectExpr(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "w_micro",
+        "CAST(w_micro AS DOUBLE) / CAST(tw AS DOUBLE) AS p_sample",
+        f"CAST(floor({_MIX_BUDGET}.0"
+        " * (CAST(w_micro AS DOUBLE) / CAST(tw AS DOUBLE))) AS BIGINT)"
+        " AS quota_tokens",
+        f"({_MIX_BUDGET}.0 * (CAST(w_micro AS DOUBLE) / CAST(tw AS DOUBLE)))"
+        " / CAST(n_tokens AS DOUBLE) AS epochs",
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-document exact substring-span dedup (round 6): the Lee et al. 2021
+# "Deduplicating Training Data" operator — find every maximal token span
+# that appears verbatim in >= 2 documents, per document. Mechanism: slide
+# K_SPAN-token grams WITH their start positions, keep grams whose cross-
+# document frequency is >= 2, then merge overlapping/adjacent duplicated
+# gram intervals [p, p+K-1] per document into maximal spans
+# (gaps-and-islands: a new span starts when the gap to the previous
+# duplicated position exceeds K). The corpus is digit-free word soup, so —
+# like the PII and line-dedup fixtures — duplicated passages are INJECTED
+# deterministically by doc_id with the same literal expression in both
+# dialects; %4==2 docs carry one passage at each end and must yield exactly
+# two spans. All outputs are exact integers plus one final division.
+# Scale shape: gram df is a map-side-combined aggregate; the >= 2 survivor
+# set (shared passages only — tiny by definition) broadcasts back to the
+# position table, so the span pass is scan + broadcast-join + per-doc
+# window, never a shuffle of the full gram table. An adversarial corpus
+# where the duplicated set itself is huge takes the same top-N df cap as
+# LINE_DF_CUT / DF_CUT before the broadcast.
+# ---------------------------------------------------------------------------
+K_SPAN = 8  # exact-match span unit, in tokens
+
+_SPAN_PASSAGE_A = "the quick brown fox jumps over the lazy dog again and again"
+_SPAN_PASSAGE_B = "terms of service apply to every visitor of this website today"
+
+_SPAN_INJECT_SQL = f"""
+CASE CAST(doc_id % 4 AS INTEGER)
+  WHEN 0 THEN text || ' {_SPAN_PASSAGE_A}'
+  WHEN 1 THEN '{_SPAN_PASSAGE_B} ' || text
+  WHEN 2 THEN '{_SPAN_PASSAGE_B} ' || text || ' {_SPAN_PASSAGE_A}'
+  ELSE text
+END
+"""
+
+_SPAN_ORACLE = f"""
+WITH injected AS (
+  SELECT doc_id, {_SPAN_INJECT_SQL} AS text FROM documents
+),
+toks AS (SELECT doc_id, {T.tokens_expr('text', 'd')} AS toks FROM injected),
+g AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+         {T.ngram_list_expr('toks', K_SPAN, 'd')} AS gl
+  FROM toks
+),
+pos AS (
+  SELECT doc_id, n_toks, unnest(gl) AS gram,
+         unnest(range(1, len(gl)+1)) AS p
+  FROM g
+),
+dup AS (
+  SELECT gram FROM (
+    SELECT gram, COUNT(DISTINCT doc_id) AS df FROM pos GROUP BY gram
+  ) WHERE df >= 2
+),
+dpos AS (
+  SELECT p.doc_id, p.n_toks, p.p FROM pos p JOIN dup d ON p.gram = d.gram
+),
+marks AS (
+  SELECT doc_id, n_toks, p,
+         CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p)
+                   > {K_SPAN} THEN 1 ELSE 0 END AS brk
+  FROM dpos
+),
+islands AS (
+  SELECT doc_id, n_toks, p,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS UNBOUNDED PRECEDING) AS isl
+  FROM marks
+),
+spans AS (
+  SELECT doc_id, n_toks, isl,
+         MIN(p) AS p0, MAX(p) AS p1, COUNT(*) AS n_pos
+  FROM islands GROUP BY doc_id, n_toks, isl
+)
+SELECT doc_id,
+       CAST(MAX(n_toks) AS BIGINT)              AS n_toks,
+       CAST(COUNT(*) AS BIGINT)                 AS n_spans,
+       CAST(SUM(n_pos) AS BIGINT)               AS n_dup_grams,
+       CAST(SUM(p1 - p0 + {K_SPAN}) AS BIGINT)  AS dup_tokens,
+       CAST(SUM(p1 - p0 + {K_SPAN}) AS DOUBLE)
+         / CAST(MAX(n_toks) AS DOUBLE)          AS dup_token_rate
+FROM spans GROUP BY doc_id
+"""
+
+
+def _span_positions(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, n_toks, p, gram): every k-gram with its 1-based start
+    position. Gram construction is ~k× the byte volume of the raw text and
+    CPU-bound, so the raw docs are row-shuffled to full parallelism first —
+    at bench scale the corpus arrives as ONE dense parquet split and the
+    build would otherwise run single-task; at real scale the scan already
+    arrives wide and this degenerates to a cheap rebalance of the narrow
+    (doc_id, text) projection."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    g = docs.repartition(par).selectExpr(
+        "doc_id",
+        f"CAST(size({T.tokens_expr('text', 's')}) AS BIGINT) AS n_toks",
+        f"{T.ngram_list_expr(T.tokens_expr('text', 's'), k, 's')} AS gl",
+    )
+    return g.select(
+        "doc_id", "n_toks", F.posexplode("gl").alias("p0", "gram")
+    ).select("doc_id", "n_toks", (F.col("p0") + 1).alias("p"), "gram")
+
+
+def dup_span_report(
+    docs: DataFrame, k: int = K_SPAN, positions: DataFrame | None = None
+) -> DataFrame:
+    """Per-document maximal cross-document duplicated spans over a `text`
+    column: span count, duplicated k-gram count, exact duplicated token
+    mass (interval-merged, no double counting), and the duplicated-token
+    rate. Only documents containing at least one duplicated gram appear.
+    `positions` lets a caller pass an already-persisted position table —
+    it feeds both the df aggregate and the join probe, so without it the
+    gram build runs twice. See the block comment above for the
+    broadcast-survivor scale posture."""
+    pos = positions if positions is not None else _span_positions(docs, k)
+    dup = (
+        pos.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") >= 2)
+        .select("gram")
+    )
+    dpos = pos.join(F.broadcast(dup), "gram").select("doc_id", "n_toks", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    marks = dpos.withColumn(
+        "brk",
+        F.when(F.col("p") - F.lag("p").over(w) > k, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    islands = marks.withColumn(
+        "isl", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = islands.groupBy("doc_id", "n_toks", "isl").agg(
+        F.min("p").alias("p0"),
+        F.max("p").alias("p1"),
+        F.count("*").alias("n_pos"),
+    )
+    return spans.groupBy("doc_id").agg(
+        F.max("n_toks").cast("bigint").alias("n_toks"),
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum("n_pos").cast("bigint").alias("n_dup_grams"),
+        F.sum(F.col("p1") - F.col("p0") + k).cast("bigint").alias("dup_tokens"),
+        (
+            F.sum(F.col("p1") - F.col("p0") + k).cast("double")
+            / F.max("n_toks").cast("double")
+        ).alias("dup_token_rate"),
+    )
+
+
+# the k-gram position table feeds both the df aggregate and the join probe
+# — persist it once per session like the other shared text intermediates
+_SPAN_POS_CACHE: SessionCache[DataFrame] = SessionCache(on_evict=unpersist_df)
+
+
+@register("text_dup_spans", _SPAN_ORACLE)
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup report over the injected corpus: for each
+    document with a verbatim >= K_SPAN-token overlap with another document,
+    the maximal duplicated spans and their exact token cost."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_SPAN_INJECT_SQL).alias("text")
+    )
+
+    def build() -> DataFrame:
+        return _span_positions(docs, K_SPAN).persist()
+
+    pos = _SPAN_POS_CACHE.get_or_create(spark, (sf_dir,), build)
+    return dup_span_report(docs, positions=pos)
+
+
+# ---------------------------------------------------------------------------
+# length-bucketed batching audit (round 6): the padding-efficiency table a
+# trainer derives before fixed-shape batching — assign every document to a
+# power-of-2 length bucket from a FIXED ladder (the production pattern:
+# compiled kernel shapes exist only for the ladder entries), batch in
+# groups of BATCH_ROWS, and account exactly for the padding waste of
+# pad-to-cap batches (the last partial batch still allocates BATCH_ROWS
+# rows — that is what the accelerator step costs). The ladder is an
+# explicit CASE, not 2^ceil(log2 n): log2 is libm (last-ulp divergence
+# between engines flips a boundary doc), and real trainers enumerate their
+# bucket shapes anyway. All integers except the final fill-rate division.
+# Scale shape: one narrow scan, map-side-combined aggregate on a <= 6-row
+# key — no meaningful shuffle at any corpus size.
+# ---------------------------------------------------------------------------
+BATCH_ROWS = 16  # rows per training batch
+
+_BUCKET_CASE = (
+    "CASE WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128 "
+    "WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512 ELSE 2048 END"
+)
+
+
+@register(
+    "text_length_buckets",
+    f"""
+WITH {_TOKS_CTE_D},
+lens AS (SELECT CAST(len(toks) AS BIGINT) AS n FROM toks),
+b AS (SELECT CAST({_BUCKET_CASE} AS BIGINT) AS bucket_cap, n FROM lens),
+agg AS (
+  SELECT bucket_cap,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n) AS BIGINT)   AS total_tokens
+  FROM b GROUP BY bucket_cap
+)
+SELECT bucket_cap, n_docs, total_tokens,
+       CAST((n_docs + {BATCH_ROWS - 1}) // {BATCH_ROWS} AS BIGINT)
+         AS n_batches,
+       CAST(((n_docs + {BATCH_ROWS - 1}) // {BATCH_ROWS})
+            * {BATCH_ROWS} * bucket_cap AS BIGINT) AS alloc_tokens,
+       CAST(((n_docs + {BATCH_ROWS - 1}) // {BATCH_ROWS})
+            * {BATCH_ROWS} * bucket_cap - total_tokens AS BIGINT)
+         AS waste_tokens,
+       CAST(total_tokens AS DOUBLE)
+         / CAST(((n_docs + {BATCH_ROWS - 1}) // {BATCH_ROWS})
+                * {BATCH_ROWS} * bucket_cap AS DOUBLE) AS fill_rate
+FROM agg
+""",
+)
+def text_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-ladder length bucketing: per power-of-2 bucket cap, document
+    and token counts, full batches of BATCH_ROWS, exact allocated/wasted
+    padding tokens, and the resulting fill rate."""
+    b = _docs(spark, sf_dir).selectExpr(
+        f"CAST(size({T.tokens_expr('text', 's')}) AS BIGINT) AS n"
+    ).selectExpr(f"CAST({_BUCKET_CASE} AS BIGINT) AS bucket_cap", "n")
+    agg = b.groupBy("bucket_cap").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+    )
+    nb = f"((n_docs + {BATCH_ROWS - 1}) DIV {BATCH_ROWS})"
+    return agg.selectExpr(
+        "bucket_cap",
+        "n_docs",
+        "total_tokens",
+        f"CAST({nb} AS BIGINT) AS n_batches",
+        f"CAST({nb} * {BATCH_ROWS} * bucket_cap AS BIGINT) AS alloc_tokens",
+        f"CAST({nb} * {BATCH_ROWS} * bucket_cap - total_tokens AS BIGINT)"
+        " AS waste_tokens",
+        "CAST(total_tokens AS DOUBLE)"
+        f" / CAST({nb} * {BATCH_ROWS} * bucket_cap AS DOUBLE) AS fill_rate",
+    )

@@ -134,3 +134,37 @@ def test_semantic_dedup_planted_clusters(spark):
             assert got[m].is_representative == (m == k)
     for v in (3, 4, 5, 6, 10, 11, 12, 13):
         assert got[v].cluster_id == v and got[v].cluster_size == 1
+
+
+def test_pca_moments_match_numpy(spark):
+    """Full 2080-cell check of the co-moment matrix against a numpy
+    reference built with the identical floor-quantization."""
+    import math
+
+    import numpy as np
+
+    from hive_server_spark.catalog import load_table
+    from hive_server_spark.plans.embedding_pack import emb_pca_moments
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings").collect()
+    Q = np.array(
+        [[math.floor(float(x) * 1_000_000.0) for x in r.embedding] for r in emb],
+        dtype=np.int64,
+    )
+    n, d = Q.shape
+    S = Q.T @ Q
+    sums = Q.sum(axis=0)
+    rows = emb_pca_moments(spark, SF_SMALL).collect()
+    assert len(rows) == d * (d + 1) // 2
+    for r in rows:
+        i, j = r.dim_i - 1, r.dim_j - 1
+        assert r.n_vectors == n
+        assert r.sum_pp == int(S[i, j])
+        assert r.sum_qi == int(sums[i]) and r.sum_qj == int(sums[j])
+        expect = (
+            int(S[i, j]) / n - (int(sums[i]) / n) * (int(sums[j]) / n)
+        ) / 1e12
+        assert abs(r.cov - expect) < 1e-12
+        if i == j:
+            assert r.cov >= 0.0

@@ -378,3 +378,75 @@ def test_line_dedup_hand_computed(spark):
     assert (got[3].chars_dropped, got[3].cleaned_n_chars) == (0, 10)
     # doc 4: single body line untouched
     assert (got[4].n_lines, got[4].cleaned_n_chars) == (1, 4)
+
+
+# ---------------------------------------------------------------------------
+# round-6 additions: substring-span dedup, source mixing, length buckets
+# ---------------------------------------------------------------------------
+def test_dup_span_report_hand_computed(spark):
+    """Interval-merge correctness on planted passages: single shared 8-gram,
+    two separated spans in one doc, and an overlapping-gram run that must
+    merge into ONE span with no double-counted tokens."""
+    from hive_server_spark.plans.text_pack import dup_span_report
+
+    P = "a b c d e f g h"            # 8 tokens, shared by docs 1-3
+    Q = "m n o p q r s t"            # 8 tokens, shared by docs 3-4
+    R = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"  # 10 tokens, shared by docs 5-6
+    docs = spark.createDataFrame(
+        [
+            (1, f"{P} u1 u2"),
+            (2, f"v1 {P}"),
+            (3, f"{P} w1 w2 w3 w4 w5 w6 w7 w8 w9 {Q}"),
+            (4, f"{Q} z1 z2"),
+            (5, R),
+            (6, f"{R} y1"),
+            (7, "lone doc with no shared passage at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dup_span_report(docs).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5, 6}
+    assert (rows[1].n_spans, rows[1].n_dup_grams, rows[1].dup_tokens) == (1, 1, 8)
+    assert (rows[2].n_spans, rows[2].dup_tokens) == (1, 8)
+    # doc 3: P at position 1, Q at position 18 — gap 17 > 8 → two spans
+    assert (rows[3].n_spans, rows[3].n_dup_grams, rows[3].dup_tokens) == (2, 2, 16)
+    assert (rows[4].n_spans, rows[4].dup_tokens) == (1, 8)
+    # docs 5/6 share a 10-token run → 3 overlapping dup grams merge into one
+    # span covering exactly the 10 shared tokens (not 3 x 8 = 24)
+    assert (rows[5].n_spans, rows[5].n_dup_grams, rows[5].dup_tokens) == (1, 3, 10)
+    assert rows[5].dup_token_rate == 1.0
+    assert (rows[6].n_spans, rows[6].dup_tokens) == (1, 10)
+
+
+def test_source_mixing_invariants(spark):
+    """Sampling probabilities sum to ~1, quotas never exceed the budget,
+    and each micro-weight is exactly floor(sqrt(n_tokens) * 1e6)."""
+    import math
+
+    from hive_server_spark.plans.text_pack import _MIX_BUDGET, text_source_mixing
+
+    rows = text_source_mixing(spark, SF_SMALL).collect()
+    assert rows
+    assert abs(sum(r.p_sample for r in rows) - 1.0) < 1e-9
+    assert sum(r.quota_tokens for r in rows) <= _MIX_BUDGET
+    for r in rows:
+        assert r.w_micro == math.floor(math.sqrt(r.n_tokens) * 1_000_000.0)
+        assert abs(r.epochs - _MIX_BUDGET * r.p_sample / r.n_tokens) < 1e-9
+
+
+def test_length_buckets_accounting(spark):
+    """Every document lands in exactly one ladder bucket; waste is exactly
+    alloc - real; a full batch boundary allocates no extra batch."""
+    from hive_server_spark.catalog import load_table
+    from hive_server_spark.plans.text_pack import text_length_buckets
+
+    rows = text_length_buckets(spark, SF_SMALL).collect()
+    n_docs_total = load_table(spark, SF_SMALL, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    ladder = {32, 64, 128, 256, 512, 2048}
+    for r in rows:
+        assert r.bucket_cap in ladder
+        assert r.n_batches == (r.n_docs + 15) // 16
+        assert r.alloc_tokens == r.n_batches * 16 * r.bucket_cap
+        assert r.waste_tokens == r.alloc_tokens - r.total_tokens
+        assert 0.0 < r.fill_rate <= 1.0
