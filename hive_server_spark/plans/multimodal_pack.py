@@ -13,6 +13,18 @@ from hive_server_spark.functions import multimodal as M
 from hive_server_spark.registry import register
 
 
+def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents rebalanced to full parallelism BEFORE synthesis: the
+    codecs downstream are partition-preserving by design (payload bytes
+    are the data bulk at real scale — never shuffle them), so parallelism
+    is fixed at the narrow (doc_id, text) source. The bench corpus is ONE
+    parquet split; without this every pure-Python decode runs single-task.
+    At real scale the scan already arrives wide and this is a cheap
+    rebalance of the pre-synthesis rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.repartition(spark.sparkContext.defaultParallelism)
+
+
 @register(
     "multimodal_inventory",
     """
@@ -37,7 +49,7 @@ def multimodal_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     the metadata struct both face the DuckDB oracle (the codecs themselves
     are value-gated separately: multimodal_decode_profile /
     _audio_profile / _resize_profile / _corrupt_audit)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_wide(spark, sf_dir)
     media = M.synthesize_media(docs, kind="image").unionAll(
         M.synthesize_media(docs, kind="audio")
     )
@@ -74,7 +86,7 @@ def multimodal_frame_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode (one row per frame, payload never transits the driver) faces a
     closed-form DuckDB oracle — the batch shape and slicing logic are both
     checked, leaving only the real codec stubbed."""
-    media = M.synthesize_media(load_table(spark, sf_dir, "documents"), kind="video")
+    media = M.synthesize_media(_docs_wide(spark, sf_dir), kind="video")
     frames = M.sample_frames(media, n_frames=4)
     return frames.agg(
         F.count_distinct("media_id").cast("bigint").alias("n_media"),
@@ -152,7 +164,7 @@ def multimodal_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fake path would raise), then fold the float32 outputs back to the
     integer pixel quantities they encode so both decoder rows are
     hash-comparable with the byte-level DuckDB oracle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_wide(spark, sf_dir)
     media = M.synthesize_ppm_media(docs).unionAll(M.synthesize_png_media(docs))
     px_len = (F.col("width") * F.col("height") * 3).cast("double")
     both = M.decode_and_featurize(media, strict=True).select(
@@ -240,7 +252,7 @@ def multimodal_jpeg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     markers), decode them with the strict pure-Python T.81 decoder in the
     Arrow worker, and fold the float32 outputs back to exact per-image
     pixel sums so both variants face the byte-level DuckDB oracle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_wide(spark, sf_dir)
     dec = M.decode_media(M.synthesize_jpeg_media(docs), strict=True)
     px_len = (F.col("width") * F.col("height")).cast("double")
     per = dec.select(
@@ -324,7 +336,7 @@ def multimodal_resize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decode→resize→re-encode→decode roundtrip faces a closed-form
     byte-level oracle (each resampled pixel located by integer arithmetic
     in the synthesis hex string)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_wide(spark, sf_dir)
     resized = M.resize_media(
         M.synthesize_ppm_media(docs), _RESIZE_OW, _RESIZE_OH, strict=True
     )
@@ -401,7 +413,7 @@ def multimodal_audio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     total duration in integer microseconds. Audio analogue of
     multimodal_decode_profile — the WAV header fields (rate, mono, 8-bit,
     chunk sizes) all face the byte-level oracle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_wide(spark, sf_dir)
     dec = M.decode_audio(M.synthesize_wav_media(docs), strict=True)
     per = dec.select(
         "sample_rate",
@@ -470,7 +482,7 @@ def multimodal_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classify a deliberately mixed corpus (valid PPM / valid WAV /
     truncated PPM / raw text by doc_id % 4) through the real codecs'
     error paths and aggregate the quarantine report per verdict."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_wide(spark, sf_dir)
     ppm = M.synthesize_ppm_media(docs.where(F.col("doc_id") % 4 == 0))
     wav = M.synthesize_wav_media(docs.where(F.col("doc_id") % 4 == 1))
     trunc = M.synthesize_ppm_media(docs.where(F.col("doc_id") % 4 == 2)).select(
