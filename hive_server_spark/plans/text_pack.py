@@ -20,7 +20,16 @@ _SHINGLES_CTE_D = (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    """documents, rebalanced to at least full parallelism. The tokenize /
+    shingle / gram builds downstream are CPU-bound at many times the byte
+    volume of the raw text, and the bench corpus arrives as ONE dense
+    parquet split — without the rebalance every derivation in this pack
+    runs single-task. `max()` with the scan's own partition count so a
+    genuinely wide corpus is never coalesced; the shuffle moves only the
+    narrow raw rows, never a derived/exploded table."""
+    raw = load_table(spark, sf_dir, "documents")
+    n = max(spark.sparkContext.defaultParallelism, raw.rdd.getNumPartitions())
+    return raw.repartition(n)
 
 
 # LSH candidate pairs are the dedup family's shared intermediate — the
@@ -1886,24 +1895,25 @@ FROM micro GROUP BY doc_id
 )
 def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document negative log-likelihood under the corpus MLE bigram
-    LM, in integer micro-nats (fixed-point so the sum is order-free)."""
-    toks = T.with_tokens(_docs(spark, sf_dir)).where(F.size("toks") >= 2)
-    bg = toks.select(
-        "doc_id",
-        F.explode(
-            F.zip_with(
-                F.slice(F.col("toks"), 1, F.size("toks") - 1),
-                F.slice(F.col("toks"), 2, F.size("toks") - 1),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        ).alias("bigram"),
+    LM, in integer micro-nats (fixed-point so the sum is order-free).
+    All three count tables fold out of the session-cached per-(doc,
+    bigram) multiplicity table (`_gram_counts`): the per-doc instance
+    counts ARE its rows, the corpus bigram counts are a sum over it, and
+    the head counts are a sum over the (already tiny) bigram counts — the
+    corpus is tokenized zero extra times instead of three."""
+    inst = (
+        _gram_counts(spark, sf_dir)
+        .where(F.col("gram_size") == 2)
+        .select("doc_id", F.col("gram").alias("bigram"), F.col("c").alias("m"))
     )
-    inst = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("m"))
-    c_ab = bg.groupBy("bigram").agg(F.count("*").alias("n_ab"))
+    c_ab = inst.groupBy("bigram").agg(F.sum("m").alias("n_ab"))
     c_a = (
-        bg.select(F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("head"))
+        c_ab.select(
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("head"),
+            "n_ab",
+        )
         .groupBy("head")
-        .agg(F.count("*").alias("n_a"))
+        .agg(F.sum("n_ab").alias("n_a"))
     )
     micro = (
         inst.join(c_ab, "bigram")
@@ -2178,14 +2188,9 @@ FROM spans GROUP BY doc_id
 
 def _span_positions(docs: DataFrame, k: int) -> DataFrame:
     """(doc_id, n_toks, p, gram): every k-gram with its 1-based start
-    position. Gram construction is ~k× the byte volume of the raw text and
-    CPU-bound, so the raw docs are row-shuffled to full parallelism first —
-    at bench scale the corpus arrives as ONE dense parquet split and the
-    build would otherwise run single-task; at real scale the scan already
-    arrives wide and this degenerates to a cheap rebalance of the narrow
-    (doc_id, text) projection."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    g = docs.repartition(par).selectExpr(
+    position. Parallelism comes from the caller's input partitioning —
+    the gate path feeds `_docs`, which is already rebalanced wide."""
+    g = docs.selectExpr(
         "doc_id",
         f"CAST(size({T.tokens_expr('text', 's')}) AS BIGINT) AS n_toks",
         f"{T.ngram_list_expr(T.tokens_expr('text', 's'), k, 's')} AS gl",
