@@ -2338,3 +2338,249 @@ def text_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(total_tokens AS DOUBLE)"
         f" / CAST({nb} * {BATCH_ROWS} * bucket_cap AS DOUBLE) AS fill_rate",
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash accuracy audit (round 6): for every LSH candidate pair, the
+# sketch's Jaccard ESTIMATE (signature agreement rate) next to the EXACT
+# shingle-set Jaccard — the error audit a pipeline runs before trusting a
+# sketch parameterization (N_MINHASH=8 here, so the estimate is coarse by
+# design and the audit shows exactly how coarse). Exactness discipline:
+# agreement and intersection counts are integers; est = agree/8.0 is exact
+# binary; the exact Jaccard is one division of exact ints; the signed
+# error folds to integer milli-units with round() (same away-from-zero
+# half rule in both engines). Scale shape: the LSH contract itself —
+# exact verification runs ONLY on candidate pairs (O(near-dups)), never
+# all pairs; the shingle join probes are candidate-restricted before the
+# (doc, shingle) shuffle.
+# ---------------------------------------------------------------------------
+_sig_agree_d = " + ".join(
+    f"CASE WHEN sa.mh_{j} = sb.mh_{j} THEN 1 ELSE 0 END"
+    for j in range(T.N_MINHASH)
+)
+
+_MH_ACC_ORACLE = f"""
+WITH {_TOKS_CTE_D},
+{_SHINGLES_CTE_D},
+sigs AS (
+  SELECT doc_id,
+       {_mh_cols_d}
+  FROM shingled
+),
+sigs_b AS (
+  SELECT doc_id, {_band_cols_d}
+  FROM sigs
+),
+bands AS ({_band_union_d}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sh0 AS (SELECT doc_id, s AS shingle FROM shingled, unnest(shingles) AS u(s)),
+counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh0 GROUP BY doc_id),
+com AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+  FROM cand c
+  JOIN sh0 a ON a.doc_id = c.doc_a
+  JOIN sh0 b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+paired AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST({_sig_agree_d} AS BIGINT)   AS n_sig_agree,
+         CAST(COALESCE(m.common, 0) AS BIGINT) AS common,
+         CAST(na.n_sh AS BIGINT) AS n_a,
+         CAST(nb.n_sh AS BIGINT) AS n_b
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b
+  JOIN counts na ON na.doc_id = c.doc_a
+  JOIN counts nb ON nb.doc_id = c.doc_b
+  LEFT JOIN com m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+)
+SELECT doc_a, doc_b, n_sig_agree, common, n_a, n_b,
+       CAST(n_sig_agree AS DOUBLE) / {T.N_MINHASH}.0 AS est_jaccard,
+       CAST(common AS DOUBLE) / CAST(n_a + n_b - common AS DOUBLE)
+         AS exact_jaccard,
+       CAST(round((CAST(n_sig_agree AS DOUBLE) / {T.N_MINHASH}.0
+                   - CAST(common AS DOUBLE)
+                     / CAST(n_a + n_b - common AS DOUBLE)) * 1000.0)
+            AS BIGINT) AS err_milli
+FROM paired
+"""
+
+
+@register("dedup_minhash_accuracy", _MH_ACC_ORACLE)
+def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-vs-truth audit per LSH candidate pair: MinHash agreement
+    estimate, exact shingle Jaccard, and the signed error in milli-units.
+    Every input is a session-cached intermediate (candidates, signatures,
+    shingled corpus) — the audit adds only candidate-restricted joins."""
+    cand = _minhash_candidates(spark, sf_dir)
+    sigs = T.minhash_signatures(_docs(spark, sf_dir)).select(
+        "doc_id", *[f"mh_{j}" for j in range(T.N_MINHASH)]
+    )
+    sh = _shingled_docs(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b")
+    )
+    com = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .where(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    agree = sum(
+        F.when(F.col(f"a.mh_{j}") == F.col(f"b.mh_{j}"), 1).otherwise(0)
+        for j in range(T.N_MINHASH)
+    )
+    paired = (
+        cand.join(sigs.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
+        .join(sigs.alias("b"), F.col("doc_b") == F.col("b.doc_id"))
+        .join(
+            counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .join(com, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            agree.cast("bigint").alias("n_sig_agree"),
+            F.coalesce("common", F.lit(0)).cast("bigint").alias("common"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+        )
+    )
+    est = F.col("n_sig_agree").cast("double") / F.lit(float(T.N_MINHASH))
+    exact = F.col("common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("common")
+    ).cast("double")
+    return paired.select(
+        "doc_a",
+        "doc_b",
+        "n_sig_agree",
+        "common",
+        "n_a",
+        "n_b",
+        est.alias("est_jaccard"),
+        exact.alias("exact_jaccard"),
+        F.round((est - exact) * 1000.0).cast("bigint").alias("err_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality-ranked cluster canonicalization (round 6): dedup_clusters keeps
+# the MIN-doc_id member of each duplicate cluster; a production pipeline
+# keeps the BEST one. This operator re-canonicalizes every cluster by the
+# profile quality score (micro-floored to an exact integer — the score
+# itself is bit-identical cross-engine, the hash-gated text_profile proves
+# it), tie-broken by doc_id, and accounts the exact token cost of
+# dropping the rest. Scale shape: one doc_id-keyed join of two
+# session-cached intermediates (clusters, profile) + one cluster-keyed
+# aggregate via max(struct(...)) — no window, no sort, map-side combined.
+# ---------------------------------------------------------------------------
+_stops_d = " + ".join(
+    T.stop_count_expr("toks", lang, "d") for lang in ("en", "es", "de", "fr")
+)
+_quality_d = (
+    "0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))"
+    f" + 0.3 * (1.0 - CAST({_stops_d} AS DOUBLE) / len(toks))"
+    " + 0.2 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)"
+)
+
+_CANON_Q_ORACLE = f"""
+WITH RECURSIVE {_TOKS_CTE_D},
+{_SHINGLES_CTE_D},
+sigs AS (
+  SELECT doc_id,
+       {_mh_cols_d}
+  FROM shingled
+),
+sigs_b AS (
+  SELECT doc_id, {_band_cols_d}
+  FROM sigs
+),
+bands AS ({_band_union_d}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS x, doc_b AS y FROM cand
+  UNION SELECT doc_b, doc_a FROM cand
+),
+reach(x, y) AS (
+  SELECT x, y FROM edges
+  UNION
+  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+),
+comp AS (
+  SELECT x AS doc_id, least(min(y), x) AS cluster_id FROM reach GROUP BY x
+),
+members AS (
+  SELECT t.doc_id,
+         COALESCE(c.cluster_id, t.doc_id) AS cluster_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(floor(({_quality_d}) * 1000000.0) AS BIGINT) AS q_micro
+  FROM toks t LEFT JOIN comp c ON t.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY q_micro DESC, doc_id ASC) AS rk
+  FROM members
+)
+SELECT m.cluster_id,
+       CAST(COUNT(*) AS BIGINT)        AS n_members,
+       CAST(SUM(m.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MAX(r.doc_id) AS BIGINT)   AS rep_doc_id,
+       CAST(MAX(r.q_micro) AS BIGINT)  AS rep_q_micro,
+       CAST(SUM(m.n_tokens) - MAX(r.n_tokens) AS BIGINT) AS dropped_tokens
+FROM members m
+JOIN (SELECT * FROM ranked WHERE rk = 1) r ON m.cluster_id = r.cluster_id
+GROUP BY m.cluster_id
+"""
+
+
+@register("dedup_canonical_quality", _CANON_Q_ORACLE)
+def dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per duplicate cluster: member/token totals and the quality-ranked
+    representative (max quality micro-units, doc_id tie-break) with the
+    exact token mass dropped by keeping only it."""
+    clusters = _dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    prof = _profile(spark, sf_dir).select(
+        "doc_id",
+        "n_tokens",
+        F.expr("CAST(floor(quality_score * 1000000.0) AS BIGINT)").alias("q_micro"),
+    )
+    m = clusters.join(prof, "doc_id")
+    best = F.max(
+        F.struct(
+            F.col("q_micro").alias("q"),
+            (-F.col("doc_id")).alias("neg_id"),
+            F.col("n_tokens").alias("nt"),
+        )
+    ).alias("best")
+    agg = m.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        best,
+    )
+    return agg.select(
+        "cluster_id",
+        "n_members",
+        "total_tokens",
+        (-F.col("best.neg_id")).cast("bigint").alias("rep_doc_id"),
+        F.col("best.q").cast("bigint").alias("rep_q_micro"),
+        (F.col("total_tokens") - F.col("best.nt")).cast("bigint").alias(
+            "dropped_tokens"
+        ),
+    )

@@ -101,6 +101,17 @@ DEFAULT_QUERIES = [
     # synth+decode through the Arrow worker
     "text_pii_scrub",
     "multimodal_audio_profile",
+    # round-6 additions, second batch: the mixing/bucket audits are scan +
+    # tiny agg; the moment matrix is the d(d+1)/2-per-row pair explode —
+    # inherent arithmetic for a covariance pass, linear in rows.
+    # text_dup_spans is EXCLUDED like text_pretrain_keep: replicated copies
+    # differ only in the trailing " rep{i}" token, so nearly every 8-gram
+    # becomes cross-copy duplicated and the broadcast survivor set degrades
+    # to the whole distinct-gram table — corpus structure by construction,
+    # not engine scaling.
+    "text_source_mixing",
+    "text_length_buckets",
+    "emb_pca_moments",
     # cdc_book_snapshots pays the full 3-slice incremental fold + CDC landing;
     # orders_state_changelog reuses the session-cached fold for the same
     # sf_dir (plans/serving_pack.py), so its time is the CDF read alone.
@@ -121,6 +132,11 @@ DEFAULT_QUERIES = [
 #   at 100x that is corpus structure, not engine scaling.
 # - emb_cosine_topk / emb_lsh_buckets: kept at 10x; the 100x embedding
 #   table is covered by the linear-scan quantization probe below.
+# - emb_pca_moments: kept at 10x; at 100x the pair explode is ~10^10
+#   integer multiplies — linear, but it would time raw arithmetic
+#   throughput against the probe's wall-clock budget, not a plan shape.
+# - text_dup_spans: excluded at every mult (see DEFAULT_QUERIES note —
+#   the replicated corpus makes nearly every gram a cross-copy dup).
 HUNDREDX_QUERIES = [
     "orders_state",
     "order_book_levels",
@@ -139,6 +155,8 @@ HUNDREDX_QUERIES = [
     "emb_int8_quantization",
     "text_pii_scrub",
     "multimodal_audio_profile",
+    "text_source_mixing",
+    "text_length_buckets",
 ]
 
 # pk stride column(s) per table; every fk shift reuses the owning pk stride.

@@ -74,6 +74,13 @@ def test_no_sort_merge_join_anywhere_in_gate(spark):
         # correct 100 TB strategy; no side is broadcastable
         "text_kept_token_shards",  # same shape: the token table semi-joins
         # the keep verdict and train split, all three corpus-sized on doc_id
+        "dedup_canonical_quality",  # same shape: corpus ⋈ CC labels ⋈
+        # profile, all doc_id-keyed and corpus-sized — co-partitioned
+        # shuffle joins, nothing broadcastable at scale
+        "dedup_minhash_accuracy",  # candidate pairs ⋈ signatures ⋈ shingle
+        # table: the pair set is O(near-dups) (unbounded at scale, not a
+        # dimension) and the other sides are the corpus — big-big on
+        # doc_id/(doc, shingle) is the correct strategy
         "rel_full_outer_nation_activity",
     }
     offenders = []

@@ -450,3 +450,76 @@ def test_length_buckets_accounting(spark):
         assert r.alloc_tokens == r.n_batches * 16 * r.bucket_cap
         assert r.waste_tokens == r.alloc_tokens - r.total_tokens
         assert 0.0 < r.fill_rate <= 1.0
+
+
+def test_minhash_accuracy_audit(spark):
+    """The audit's exact Jaccard must equal a python recomputation from the
+    raw shingle sets for every candidate pair, and the milli error must be
+    exactly round((est - exact) * 1000)."""
+    from hive_server_spark.catalog import load_table
+    from hive_server_spark.plans.text_pack import dedup_minhash_accuracy
+
+    docs = load_table(spark, SF_SMALL, "documents").collect()
+
+    def shingles(text):
+        t = text.split(" ")
+        if len(t) >= 3:
+            return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+        return {" ".join(t)}
+
+    sets = {r.doc_id: shingles(r.text) for r in docs}
+    rows = dedup_minhash_accuracy(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        a, b = sets[r.doc_a], sets[r.doc_b]
+        common = len(a & b)
+        assert r.common == common
+        assert (r.n_a, r.n_b) == (len(a), len(b))
+        expect_exact = common / (len(a) + len(b) - common)
+        assert abs(r.exact_jaccard - expect_exact) < 1e-12
+        assert 0 <= r.n_sig_agree <= 8
+        assert abs(r.est_jaccard - r.n_sig_agree / 8.0) < 1e-12
+        d = (r.est_jaccard - r.exact_jaccard) * 1000.0
+        assert abs(r.err_milli - round(d)) <= 1  # half-rule slack at .5 only
+
+
+def test_canonical_quality_picks_best_member(spark):
+    """Representative per cluster == the member with max floor(quality*1e6),
+    doc_id tie-break; totals account every member exactly once."""
+    from hive_server_spark.plans.text_pack import (
+        _dup_clusters,
+        _profile,
+        dedup_canonical_quality,
+    )
+    import math
+
+    clusters = {
+        r.doc_id: r.cluster_id for r in _dup_clusters(spark, SF_SMALL).collect()
+    }
+    prof = {
+        r.doc_id: (math.floor(r.quality_score * 1_000_000.0), r.n_tokens)
+        for r in _profile(spark, SF_SMALL).collect()
+    }
+    expect = {}
+    for doc, cid in clusters.items():
+        q, nt = prof[doc]
+        cur = expect.get(cid)
+        row = (q, -doc, nt)
+        if cur is None or row > cur["best"]:
+            best = row
+        else:
+            best = cur["best"]
+        expect[cid] = {
+            "n": (cur["n"] if cur else 0) + 1,
+            "tot": (cur["tot"] if cur else 0) + nt,
+            "best": best,
+        }
+    rows = {r.cluster_id: r for r in dedup_canonical_quality(spark, SF_SMALL).collect()}
+    assert set(rows) == set(expect)
+    for cid, e in expect.items():
+        r = rows[cid]
+        assert r.n_members == e["n"]
+        assert r.total_tokens == e["tot"]
+        assert r.rep_doc_id == -e["best"][1]
+        assert r.rep_q_micro == e["best"][0]
+        assert r.dropped_tokens == e["tot"] - e["best"][2]
