@@ -2584,3 +2584,85 @@ def dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dropped_tokens"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG chunk manifest (round 6): per-document OVERLAPPING retrieval chunks
+# (64-token windows, stride 48 — the ~25% overlap retrieval pipelines use
+# so no answer span straddles a boundary uncovered). The complement of
+# text_pack_windows: packing concatenates ACROSS documents for training
+# throughput; chunking windows WITHIN one document for retrieval, and a
+# chunk never crosses a document boundary. Each chunk row carries the
+# order-sensitive polynomial rolling hash of its exact token slice, so the
+# oracle verifies chunk CONTENT and boundaries, not just arithmetic.
+# Scale shape: map-only — per-row start-list explode bounded by
+# ceil(doc_len / stride), no shuffle anywhere, embarrassingly parallel.
+# ---------------------------------------------------------------------------
+RAG_CHUNK = 64  # tokens per chunk
+RAG_STRIDE = 48  # chunk start stride (overlap = RAG_CHUNK - RAG_STRIDE)
+
+_rag_last_d = (
+    f"CASE WHEN len(toks) <= {RAG_CHUNK} THEN 0 "
+    f"ELSE ((len(toks) - {RAG_CHUNK} + {RAG_STRIDE - 1}) // {RAG_STRIDE})"
+    f" * {RAG_STRIDE} END"
+)
+_rag_last_s = (
+    f"CASE WHEN size(toks) <= {RAG_CHUNK} THEN 0 "
+    f"ELSE ((size(toks) - {RAG_CHUNK} + {RAG_STRIDE - 1}) DIV {RAG_STRIDE})"
+    f" * {RAG_STRIDE} END"
+)
+_rag_slice_d = (
+    f"(toks[CAST(s + 1 AS INTEGER)"
+    f":CAST(s + least({RAG_CHUNK}, n - s) AS INTEGER)])"
+)
+_rag_slice_s = f"slice(toks, s + 1, least({RAG_CHUNK}, n - s))"
+_rag_fp_d = T.rolling_fp_expr(_rag_slice_d, "d")
+_rag_fp_s = T.rolling_fp_expr(_rag_slice_s, "s")
+
+_RAG_ORACLE = f"""
+WITH {_TOKS_CTE_D},
+base AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         {_rag_last_d} AS last_start
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0, last_start, {RAG_STRIDE})) AS s
+  FROM base
+)
+SELECT doc_id,
+       CAST(s // {RAG_STRIDE} AS BIGINT)         AS chunk_idx,
+       CAST(s AS BIGINT)                         AS start_tok,
+       CAST(least({RAG_CHUNK}, n - s) AS BIGINT) AS n_chunk_toks,
+       CAST({_rag_fp_d} AS BIGINT)               AS chunk_fp
+FROM chunks
+"""
+
+
+@register("text_rag_chunks", _RAG_ORACLE)
+def text_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64/48 retrieval-chunk manifest per document: chunk
+    index, start offset, exact length, and the rolling content hash of the
+    token slice."""
+    base = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{T.tokens_expr('text', 's')} AS toks"
+    ).selectExpr(
+        "doc_id",
+        "toks",
+        "size(toks) AS n",
+        f"{_rag_last_s} AS last_start",
+    )
+    chunks = base.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(F.expr(f"sequence(0, last_start, {RAG_STRIDE})")).alias("s"),
+    )
+    return chunks.selectExpr(
+        "doc_id",
+        f"CAST(s DIV {RAG_STRIDE} AS BIGINT) AS chunk_idx",
+        "CAST(s AS BIGINT) AS start_tok",
+        f"CAST(least({RAG_CHUNK}, n - s) AS BIGINT) AS n_chunk_toks",
+        f"CAST({_rag_fp_s} AS BIGINT) AS chunk_fp",
+    )

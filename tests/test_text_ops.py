@@ -523,3 +523,69 @@ def test_canonical_quality_picks_best_member(spark):
         assert r.rep_doc_id == -e["best"][1]
         assert r.rep_q_micro == e["best"][0]
         assert r.dropped_tokens == e["tot"] - e["best"][2]
+
+
+def test_rag_chunks_hand_computed(spark):
+    """Chunk boundaries and content hashes against a python recomputation:
+    sub-chunk doc, exact-chunk doc, and a 3-chunk doc with a short tail."""
+    import hashlib
+
+    from hive_server_spark.catalog import load_table
+    from hive_server_spark.plans.text_pack import (
+        RAG_CHUNK,
+        RAG_STRIDE,
+        text_rag_chunks,
+    )
+
+    M, R = 1_000_000_007, 31
+
+    def h(tok):
+        return int(hashlib.md5(f"roll:{tok}".encode()).hexdigest()[:8], 16)
+
+    def fp(toks):
+        acc = 0
+        for t in toks:
+            acc = (acc * R + h(t)) % M
+        return acc
+
+    def expect_chunks(text):
+        t = text.split(" ")
+        n = len(t)
+        last = 0 if n <= RAG_CHUNK else -(-(n - RAG_CHUNK) // RAG_STRIDE) * RAG_STRIDE
+        out = []
+        for s in range(0, last + 1, RAG_STRIDE):
+            ln = min(RAG_CHUNK, n - s)
+            out.append((s // RAG_STRIDE, s, ln, fp(t[s : s + ln])))
+        return out
+
+    docs = load_table(spark, SF_SMALL, "documents").collect()
+    expect = {
+        (r.doc_id, c[0]): c for r in docs for c in expect_chunks(r.text)
+    }
+    rows = text_rag_chunks(spark, SF_SMALL).collect()
+    assert len(rows) == len(expect)
+    for r in rows:
+        e = expect[(r.doc_id, r.chunk_idx)]
+        assert (r.start_tok, r.n_chunk_toks, r.chunk_fp) == (e[1], e[2], e[3])
+    # synthetic shapes: 64-token doc -> one chunk; 113 tokens -> chunks at
+    # 0/48/96 with tail length 17
+    syn = spark.createDataFrame(
+        [(1, "en", "web", " ".join(f"t{i}" for i in range(64))),
+         (2, "en", "web", " ".join(f"u{i}" for i in range(113)))],
+        "doc_id long, lang string, source string, text string",
+    )
+    import hive_server_spark.plans.text_pack as tp
+
+    # direct shape check through the same expressions on the synthetic frame
+    from pyspark.sql import functions as F
+
+    base = syn.selectExpr("doc_id", "split(text, ' ') AS toks").selectExpr(
+        "doc_id", "toks", "size(toks) AS n", f"{tp._rag_last_s} AS last_start"
+    )
+    got = sorted(
+        (r.doc_id, r.s)
+        for r in base.select(
+            "doc_id", F.explode(F.expr(f"sequence(0, last_start, {RAG_STRIDE})")).alias("s")
+        ).collect()
+    )
+    assert got == [(1, 0), (2, 0), (2, 48), (2, 96)]
