@@ -686,6 +686,7 @@ from hive_server_spark.registry import set_driver_priority  # noqa: E402
 
 DRIVER_PRIORITY_R6 = [
     # -- (a) round-6 registrations + round-6-modified query -----------------
+    "emb_ivf_build",
     "text_rag_chunks",
     "dedup_minhash_accuracy",
     "dedup_canonical_quality",
@@ -738,8 +739,8 @@ DRIVER_PRIORITY_R6 = [
     "pool_info_enriched",
     "order_book_levels",
     "order_book_fifo_queues",
-    "order_book_snapshot",
     # rotated out (all r04-green, untouched this round; front of round 7):
+    # order_book_snapshot,
     # amount_out_buy, amount_out_sell, amount_out_prices,
     # amount_out_capped, asof_trade_price, range_price_activity,
     # price_hourly_gapfill,
@@ -756,9 +757,11 @@ DRIVER_PRIORITY_R6 = [
 ]
 # ROUND-7 ROTATION NOTE: after this window goes green, staleness order is
 # (1) any round-7 registrations, (2) the r04-green names rotated out above
-# (evt_sessions / evt_trailing_hour_value / scale_salted_cohort_rollup +
-# the 21 rel_* names), (3) the r05-green families (dedup/text/emb/src/
-# serving/cdc/streaming twins) by registration order.
+# (amount_out_buy/sell/prices/capped, asof_trade_price,
+# range_price_activity, price_hourly_gapfill, evt_sessions,
+# evt_trailing_hour_value, scale_salted_cohort_rollup + the 21 rel_*
+# names), (3) the r05-green families (dedup/text/emb/src/serving/cdc/
+# streaming twins) by registration order.
 assert len(DRIVER_PRIORITY_R6) == 50, len(DRIVER_PRIORITY_R6)
 # A typo'd or renamed name would silently shrink the checked window
 # (registry._ordered drops unknown names); fail loudly instead.

@@ -273,3 +273,85 @@ def emb_pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / 1000000000000.0 AS cov",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF index build artifact (round 6): the posting-list census an IVF index
+# materializes after training — every vector assigned to its nearest seed
+# centroid (same bit-deterministic assignment as emb_kmeans_update), then
+# per cell: population, corpus share, an exact posting-list checksum
+# (sum of member vec_ids), and the quantization distortion (sum of
+# micro-floored L2² to the assigned centroid — the quantity IVF training
+# minimizes; cells with high mean distortion need splitting). Completes
+# the ANN lifecycle: kmeans trains, THIS builds, ivf_topk searches.
+# Exactness: d2 is the in-order IEEE fold (bit-identical cross-engine),
+# micro-floored per row before the BIGINT sum; the doubles are single
+# divisions of exact ints. Scale: broadcast k centroids, map-only assign,
+# k-row aggregate — the 1-row total broadcasts back.
+# ---------------------------------------------------------------------------
+_IVF_K = 8
+
+
+def _ivf_build_oracle(k: int = _IVF_K, micro: int = 1_000_000) -> str:
+    return f"""
+WITH vec AS (SELECT vec_id, {E.vec_expr('embedding', 'd')} AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM vec WHERE vec_id < {k}),
+d AS (
+  SELECT vec.vec_id, c.cid,
+         {E.sqdist_expr('vec.v', 'c.cv', 'd')} AS d2
+  FROM vec CROSS JOIN c
+), a AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d
+  ) WHERE rn = 1
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM a)
+SELECT CAST(cid AS BIGINT)                 AS cluster_id,
+       CAST(COUNT(*) AS BIGINT)            AS n_vecs,
+       CAST(COUNT(*) AS DOUBLE) / CAST(nv AS DOUBLE) AS share,
+       CAST(SUM(vec_id) AS BIGINT)         AS posting_checksum,
+       CAST(SUM(CAST(floor(d2 * {micro}.0) AS BIGINT)) AS BIGINT)
+                                           AS sum_d2_micro,
+       CAST(SUM(CAST(floor(d2 * {micro}.0) AS BIGINT)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE)        AS mean_d2_micro
+FROM a CROSS JOIN tot
+GROUP BY cid, nv
+"""
+
+
+@register("emb_ivf_build", _ivf_build_oracle())
+def emb_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-IVF-cell build census: population, corpus share, posting-list
+    checksum, and exact fixed-point quantization distortion against the
+    assigned seed centroid."""
+    from pyspark.sql import functions as F
+
+    vec = E._vecs(_emb(spark, sf_dir)).select("vec_id", "v")
+    cent = vec.where(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    assigned = (
+        vec.crossJoin(F.broadcast(cent))
+        .withColumn("d2", F.expr(E.sqdist_expr("v", "cv", "s")))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2"))
+    )
+    tot = assigned.agg(F.count("*").cast("bigint").alias("nv"))
+    per = assigned.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum("vec_id").cast("bigint").alias("posting_checksum"),
+        F.sum(F.expr("CAST(floor(d2 * 1000000.0) AS BIGINT)"))
+        .cast("bigint")
+        .alias("sum_d2_micro"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("cid").cast("bigint").alias("cluster_id"),
+        "n_vecs",
+        (F.col("n_vecs").cast("double") / F.col("nv").cast("double")).alias("share"),
+        "posting_checksum",
+        "sum_d2_micro",
+        (
+            F.col("sum_d2_micro").cast("double") / F.col("n_vecs").cast("double")
+        ).alias("mean_d2_micro"),
+    )

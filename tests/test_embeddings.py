@@ -168,3 +168,41 @@ def test_pca_moments_match_numpy(spark):
         assert abs(r.cov - expect) < 1e-12
         if i == j:
             assert r.cov >= 0.0
+
+
+def test_ivf_build_matches_numpy_assignment(spark):
+    """Cell populations, posting checksums, and fixed-point distortion vs a
+    numpy nearest-seed-centroid recompute (in-order fold emulated exactly
+    by summing squared diffs left-to-right)."""
+    import math
+
+    from hive_server_spark.catalog import load_table
+    from hive_server_spark.plans.embedding_pack import _IVF_K, emb_ivf_build
+    from tests.conftest import SF_SMALL
+
+    emb = {r.vec_id: [float(x) for x in r.embedding]
+           for r in load_table(spark, SF_SMALL, "embeddings").collect()}
+    cents = {cid: emb[cid] for cid in range(_IVF_K)}
+
+    def d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    cells = {}
+    for vid, v in emb.items():
+        best = min((d2(v, cv), cid) for cid, cv in cents.items())
+        c = cells.setdefault(best[1], {"n": 0, "chk": 0, "d2": 0})
+        c["n"] += 1
+        c["chk"] += vid
+        c["d2"] += math.floor(best[0] * 1_000_000.0)
+    rows = {r.cluster_id: r for r in emb_ivf_build(spark, SF_SMALL).collect()}
+    assert set(rows) == set(cells)
+    n_total = len(emb)
+    for cid, e in cells.items():
+        r = rows[cid]
+        assert r.n_vecs == e["n"]
+        assert r.posting_checksum == e["chk"]
+        assert r.sum_d2_micro == e["d2"]
+        assert abs(r.share - e["n"] / n_total) < 1e-12
