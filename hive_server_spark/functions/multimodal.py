@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -831,17 +832,13 @@ def synthesize_wav_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def _decode_wav(payload: bytes) -> tuple[int, int, int, int, float] | None:
-    """Pure-Python RIFF/WAVE PCM decode: proper chunk walk (fmt/data
-    discovery, word-alignment padding, unknown chunks skipped), 8-bit
-    unsigned and 16-bit signed PCM. Returns (sample_rate, n_channels,
-    bits, n_frames, mean_amp) — mean_amp is the mean raw unsigned value
-    for 8-bit, the mean absolute amplitude for 16-bit — or None if the
-    payload is not RIFF/WAVE. Malformed RIFF raises ValueError (the codec
-    error contract shared with the image decoders)."""
+def _wav_parse(payload: bytes) -> tuple[int, int, int, int, bytes] | None:
+    """RIFF/WAVE container walk shared by every audio consumer: fmt/data
+    discovery with word-alignment padding and unknown chunks skipped.
+    Returns (sample_rate, n_channels, bits, block_align, data) — or None
+    if the payload is not RIFF/WAVE. Malformed RIFF raises ValueError
+    (the codec error contract shared with the image decoders)."""
     import struct as _struct
-
-    import numpy as np
 
     b = payload
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -876,6 +873,21 @@ def _decode_wav(payload: bytes) -> tuple[int, int, int, int, float] | None:
     rate, n_channels, bits, block_align = fmt
     if block_align <= 0:
         block_align = n_channels * (bits // 8)
+    return rate, n_channels, bits, block_align, data
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int, int, float] | None:
+    """Pure-Python RIFF/WAVE PCM decode over `_wav_parse`, 8-bit unsigned
+    and 16-bit signed PCM. Returns (sample_rate, n_channels, bits,
+    n_frames, mean_amp) — mean_amp is the mean raw unsigned value for
+    8-bit, the mean absolute amplitude for 16-bit — or None if the payload
+    is not RIFF/WAVE."""
+    import numpy as np
+
+    got = _wav_parse(payload)
+    if got is None:
+        return None
+    rate, n_channels, bits, block_align, data = got
     n_frames = len(data) // block_align
     if bits == 8:
         arr = np.frombuffer(data[: n_frames * block_align], dtype=np.uint8)
@@ -924,3 +936,81 @@ def decode_audio(media: DataFrame, strict: bool = False) -> DataFrame:
             )
 
     return media.mapInPandas(decode, schema=AUDIO_DECODED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("sample_sum", LongType(), False),
+        StructField("energy_num", LongType(), False),
+        StructField("zero_crossings", LongType(), False),
+        StructField("peak_num", LongType(), False),
+        StructField("zcr", DoubleType(), False),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Exact-integer DSP features through the REAL WAV codec: per clip,
+    the mean-centered signal energy, strict zero-crossing count, and peak
+    deviation — the feature-extract slot of an audio curation pipeline
+    (silence/clipping detection, energy-based filtering). The float mean
+    never appears: deviations are n-scaled (dev_i = n*s_i − Σs, an exact
+    integer), so energy = Σ dev², crossings = #(dev_i·dev_{i+1} < 0) and
+    peak = max|dev| are all BIGINT-exact and closed-form checkable. Only
+    mono 8-bit PCM is in scope (the synthesized corpus); anything else
+    raises — strict by construction. Same scale posture as the codecs:
+    Arrow-batched mapInPandas, partition-preserving, payloads never
+    transit the driver."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                got = _wav_parse(bytes(p))
+                if got is None:
+                    raise ValueError("audio_features: payload is not RIFF/WAVE")
+                rate, ch, bits, _block, data = got
+                if bits != 8 or ch != 1:
+                    raise ValueError(
+                        "audio_features: %d-bit %d-channel PCM out of scope"
+                        % (bits, ch)
+                    )
+                s = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+                n = int(s.size)
+                total = int(s.sum())
+                dev = n * s - total
+                energy = int(np.dot(dev, dev))
+                zc = int(np.count_nonzero(dev[:-1] * dev[1:] < 0))
+                peak = int(np.abs(dev).max()) if n else 0
+                rows.append(
+                    (
+                        int(mid),
+                        int(rate),
+                        n,
+                        total,
+                        energy,
+                        zc,
+                        peak,
+                        zc / (n - 1) if n > 1 else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_samples",
+                    "sample_sum",
+                    "energy_num",
+                    "zero_crossings",
+                    "peak_num",
+                    "zcr",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)

@@ -499,3 +499,66 @@ def multimodal_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("media_id").cast("bigint").alias("first_media"),
         F.max("media_id").cast("bigint").alias("last_media"),
     )
+
+
+# Audio feature extraction (round 6): exact-integer DSP through the real
+# WAV codec — the audio feature-extract slot (energy filtering, silence /
+# clipping detection) as a first-class gate query. The float mean never
+# exists: deviations are n-scaled integers (dev_i = n*s_i − Σs), so
+# energy, strict zero crossings (dev_i·dev_{i+1} < 0), and peak deviation
+# are BIGINT-exact in both the numpy worker and the closed-form DuckDB
+# recomputation of the synthesized sample bytes. The one double (zcr) is
+# a single division of those exact ints.
+@register(
+    "multimodal_audio_features",
+    """
+WITH m AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n,
+         CASE WHEN octet_length(encode(text)) > 0
+              THEN hex(encode(text)) ELSE '0' END AS hx
+  FROM documents
+), s AS (
+  SELECT doc_id, 8000 + (doc_id % 4) * 4000 AS sample_rate,
+         64 + n % 192 AS n_samples, hx
+  FROM m
+), sb AS (
+  SELECT doc_id, sample_rate, n_samples,
+         rpad(hx, CAST(n_samples AS INTEGER), hx) AS smp
+  FROM s
+), vals AS (
+  SELECT doc_id, sample_rate, n_samples,
+         unnest(range(1, n_samples + 1)) AS i,
+         ascii(substr(smp, CAST(unnest(range(1, n_samples + 1)) AS INTEGER), 1))
+           AS sv
+  FROM sb
+), sums AS (
+  SELECT doc_id, SUM(sv) AS total FROM vals GROUP BY doc_id
+), dev AS (
+  SELECT v.doc_id, v.sample_rate, v.n_samples, v.i, s.total,
+         v.n_samples * v.sv - s.total AS d
+  FROM vals v JOIN sums s ON v.doc_id = s.doc_id
+), lagd AS (
+  SELECT *, LAG(d) OVER (PARTITION BY doc_id ORDER BY i) AS pd FROM dev
+)
+SELECT CAST(doc_id AS BIGINT)       AS media_id,
+       CAST(MAX(sample_rate) AS BIGINT) AS sample_rate,
+       CAST(MAX(n_samples) AS BIGINT)   AS n_samples,
+       CAST(MAX(total) AS BIGINT)       AS sample_sum,
+       CAST(SUM(d * d) AS BIGINT)       AS energy_num,
+       CAST(SUM(CASE WHEN pd IS NOT NULL AND d * pd < 0 THEN 1 ELSE 0 END)
+            AS BIGINT)                  AS zero_crossings,
+       CAST(MAX(abs(d)) AS BIGINT)      AS peak_num,
+       CAST(SUM(CASE WHEN pd IS NOT NULL AND d * pd < 0 THEN 1 ELSE 0 END)
+            AS DOUBLE)
+         / CAST(MAX(n_samples) - 1 AS DOUBLE) AS zcr
+FROM lagd
+GROUP BY doc_id
+""",
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip exact DSP features (mean-centered energy, zero crossings,
+    peak) computed by the real WAV decode path in the Arrow worker, faced
+    with the closed-form sample-byte oracle."""
+    docs = _docs_wide(spark, sf_dir)
+    return M.audio_features(M.synthesize_wav_media(docs))

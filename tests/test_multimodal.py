@@ -473,3 +473,45 @@ def test_decode_audit_verdicts(spark):
         "wav": {"ok-audio"},
         "raw": {"unsupported"},
     }
+
+
+def test_audio_features_match_python_dsp(spark):
+    """Exact-integer DSP features vs a python recompute over the decoded
+    sample bytes of every synthesized clip (energy/crossings/peak in
+    n-scaled units, so no float mean exists on either side)."""
+    from hive_server_spark.catalog import load_table
+    from hive_server_spark.functions import multimodal as M
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    media = M.synthesize_wav_media(docs)
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    rows = {r.media_id: r for r in M.audio_features(media).collect()}
+    assert set(rows) == set(payloads)
+    for mid, p in payloads.items():
+        rate, ch, bits, _block, data = M._wav_parse(p)
+        assert (ch, bits) == (1, 8)
+        s = list(data)
+        n, total = len(s), sum(s)
+        dev = [n * x - total for x in s]
+        energy = sum(d * d for d in dev)
+        zc = sum(1 for a, b in zip(dev, dev[1:]) if a * b < 0)
+        peak = max(abs(d) for d in dev)
+        r = rows[mid]
+        assert (r.sample_rate, r.n_samples, r.sample_sum) == (rate, n, total)
+        assert (r.energy_num, r.zero_crossings, r.peak_num) == (energy, zc, peak)
+        assert abs(r.zcr - zc / (n - 1)) < 1e-15
+
+
+def test_audio_features_rejects_non_wav(spark):
+    """The strict contract: a non-RIFF payload fails loudly, not silently."""
+    import pytest as _pytest
+
+    from hive_server_spark.functions import multimodal as M
+
+    bad = spark.createDataFrame(
+        [(1, "audio", bytearray(b"not a wav"), None)],
+        M.MEDIA_SCHEMA,
+    )
+    with _pytest.raises(Exception, match="RIFF|WAVE|audio_features"):
+        M.audio_features(bad).collect()
