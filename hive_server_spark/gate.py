@@ -686,6 +686,7 @@ from hive_server_spark.registry import set_driver_priority  # noqa: E402
 
 DRIVER_PRIORITY_R6 = [
     # -- (a) round-6 registrations + round-6-modified query -----------------
+    "docs_ingest_streaming",
     "multimodal_audio_features",
     "emb_ivf_build",
     "text_rag_chunks",
@@ -738,9 +739,8 @@ DRIVER_PRIORITY_R6 = [
     "trader_order_counts",
     "pools_summary",
     "pool_info_enriched",
-    "order_book_levels",
     # rotated out (all r04-green, untouched this round; front of round 7):
-    # order_book_fifo_queues, order_book_snapshot,
+    # order_book_levels, order_book_fifo_queues, order_book_snapshot,
     # amount_out_buy, amount_out_sell, amount_out_prices,
     # amount_out_capped, asof_trade_price, range_price_activity,
     # price_hourly_gapfill,

@@ -712,3 +712,99 @@ def q_evt_sliding_rollup_streaming(spark: SparkSession, sf_dir: str) -> DataFram
     return _run_append_stream(
         spark, sliding_rollup_stream(stream, watermark="1 second"), work
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus ingest (round 6): the LLM-pipeline × streaming
+# intersection — a continuously-crawled corpus arrives in batches, and the
+# exact-dedup index (per content fingerprint: canonical doc, group size,
+# token mass) is maintained INCREMENTALLY, not recomputed. The per-batch
+# partial is a fingerprint-keyed hash aggregate and the cross-batch merge
+# is the monoid (min, sum, sum), so micro-batch boundaries can never
+# change the answer (same invariance argument as the orders fold), the
+# state store is the versioned/vacuumable ParquetStateStore, and the
+# oracle is the plain batch GROUP BY — the streaming machinery must land
+# exactly where one batch pass would. State scales with DISTINCT corpus
+# content (the dedup index a 100 TB crawl maintains anyway), shuffles are
+# fingerprint-keyed with map-side combine.
+# ---------------------------------------------------------------------------
+_DOCS_INGEST_ORACLE = """
+SELECT md5(text) AS fingerprint_md5,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+       CAST(COUNT(*) AS BIGINT)    AS group_size,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _docs_ingest_partial(batch: DataFrame) -> DataFrame:
+    return batch.groupBy(F.md5("text").alias("fingerprint_md5")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("group_size"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+    )
+
+
+def _docs_ingest_merge(state: DataFrame, batch: DataFrame) -> DataFrame:
+    return (
+        state.unionByName(batch)
+        .groupBy("fingerprint_md5")
+        .agg(
+            F.min("canonical_doc_id").alias("canonical_doc_id"),
+            F.sum("group_size").alias("group_size"),
+            F.sum("total_tokens").alias("total_tokens"),
+        )
+    )
+
+
+def _land_documents(spark: SparkSession, sf_dir: str, chunks: int) -> str:
+    def land() -> str:
+        d = os.path.join(tempfile.mkdtemp(prefix="hss_docs_land_"), "docs")
+        load_table(spark, sf_dir, "documents").repartitionByRange(
+            chunks, "doc_id"
+        ).write.parquet(d)
+        return d
+
+    return _LANDED.get_or_create(spark, ("documents", sf_dir, chunks), land)
+
+
+@register("docs_ingest_streaming", _DOCS_INGEST_ORACLE)
+def docs_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the corpus in doc_id-ordered chunks (one micro-batch per
+    file) and maintain the exact-dedup index incrementally in a versioned
+    parquet state store; return the final index, which must equal the
+    batch GROUP BY."""
+    from hive_server_spark.streaming.incremental import ParquetStateStore
+
+    chunks = 2
+    work = tempfile.mkdtemp(prefix="hss_docs_stream_")
+    d = _land_documents(spark, sf_dir, chunks)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    store = ParquetStateStore(os.path.join(work, "state"))
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = _docs_ingest_partial(batch_df)
+        cur = store.latest(batch_df.sparkSession)
+        merged = part if cur is None else _docs_ingest_merge(cur, part)
+        store.commit(merged, batch_id)
+
+    with _scoped_shuffle_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = store.latest(spark)
+    return out.select(
+        "fingerprint_md5",
+        F.col("canonical_doc_id").cast("bigint").alias("canonical_doc_id"),
+        F.col("group_size").cast("bigint").alias("group_size"),
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+    )

@@ -210,3 +210,48 @@ def test_incremental_fold_with_retention(spark):
     got = materialize_orders(store.latest(spark))
     want = fold_order_events(ev)
     assert _rows(got) == _rows(want)
+
+
+def test_docs_ingest_chunk_invariance(spark):
+    """The incremental dedup index is a monoid fold: 1-chunk and 3-chunk
+    ingests must produce identical index contents."""
+    from hive_server_spark.plans import streaming_pack as sp
+    from tests.conftest import SF_SMALL
+
+    def run(chunks):
+        import os
+        import tempfile
+
+        from hive_server_spark.streaming.incremental import ParquetStateStore
+
+        work = tempfile.mkdtemp(prefix="hss_docs_inv_")
+        d = sp._land_documents(spark, SF_SMALL, chunks)
+        schema = spark.read.parquet(d).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        store = ParquetStateStore(os.path.join(work, "state"))
+
+        def on_batch(bdf, bid):
+            part = sp._docs_ingest_partial(bdf)
+            cur = store.latest(bdf.sparkSession)
+            merged = part if cur is None else sp._docs_ingest_merge(cur, part)
+            store.commit(merged, bid)
+
+        q = (
+            stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.fingerprint_md5, r.canonical_doc_id, r.group_size, r.total_tokens)
+            for r in store.latest(spark).collect()
+        }
+
+    one = run(1)
+    three = run(3)
+    assert one == three and one
