@@ -664,17 +664,14 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 # The correctness driver hash-checks the FIRST 50 queries per round. After
 # round 5, every one of the 113 registered queries has a driver-green row
 # (CORRECTNESS_r01-r05 aggregate), so round 6's window is pure staleness
-# rotation per the round-5 note: (a) the round-6 registrations
-# (text_kept_token_shards, the cleaned-corpus shard manifest,
-# text_bpe_token_stats, the tokenizer-aware count, text_doc_novelty,
-# the cross-doc exclusive-bigram rate, text_pii_scrub, emb_kmeans_update,
-# multimodal_audio_profile, multimodal_resize_profile — the round-6
-# additions), plus
+# rotation per the round-5 note: (a) every round-6 registration (the
+# names in the first block below — dedup/text/emb/multimodal/streaming
+# additions across both round-6 work sessions), plus
 # multimodal_decode_profile (its implementation grows PNG decode this
 # round, so the change is driver-revalidated); (b) the 13 queries whose
 # last green row is r03 — the 3 rotated out in r5 (udf_user_centered_values,
 # udf_alpha_quality, layout_zorder_manifest) and the 10 static
-# events/dq/sketch queries displaced then; (c) 18 of the 50 queries last
+# events/dq/sketch queries displaced then; (c) 12 of the 50 queries last
 # green in r04, front-loading the evt_*_streaming family (its landed-input
 # plumbing is touched this round). The displaced r04-green relational /
 # asof / gapfill names keep their green rows, stay covered by tests/test_gate_parity.py
