@@ -355,3 +355,40 @@ def emb_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_d2_micro").cast("double") / F.col("n_vecs").cast("double")
         ).alias("mean_d2_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L2-norm audit (round 6): the pre-flight check every cosine/ANN pipeline
+# owes itself — per vector, the squared-norm in-order IEEE fold (the same
+# bit-deterministic accumulation dot_expr/cosine use), the norm in exact
+# micro-units (sqrt is correctly rounded by IEEE 754 — the one libm-safe
+# root), and a unit-norm flag at 1% tolerance. Vectors failing the flag
+# would silently skew any dot-product-as-cosine shortcut. Map-only scan.
+# ---------------------------------------------------------------------------
+def _norm_audit_oracle() -> str:
+    ssq = E.dot_expr("v", "v", "d")
+    return f"""
+WITH vec AS (SELECT vec_id, {E.vec_expr('embedding', 'd')} AS v FROM embeddings)
+SELECT CAST(vec_id AS BIGINT)      AS vec_id,
+       CAST(len(v) AS BIGINT)      AS n_dims,
+       {ssq}                       AS ssq,
+       CAST(floor(sqrt({ssq}) * 1000000.0) AS BIGINT) AS norm_micro,
+       abs(sqrt({ssq}) - 1.0) <= 0.01 AS is_unit
+FROM vec
+"""
+
+
+@register("emb_norm_audit", _norm_audit_oracle())
+def emb_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector squared norm (bit-deterministic fold), micro-unit norm,
+    and the 1%-tolerance unit-norm flag."""
+    from pyspark.sql import functions as F
+
+    ssq = E.dot_expr("v", "v", "s")
+    return E._vecs(_emb(spark, sf_dir)).selectExpr(
+        "CAST(vec_id AS BIGINT) AS vec_id",
+        "CAST(size(v) AS BIGINT) AS n_dims",
+        f"{ssq} AS ssq",
+        f"CAST(floor(sqrt({ssq}) * 1000000.0) AS BIGINT) AS norm_micro",
+        f"abs(sqrt({ssq}) - 1.0) <= 0.01 AS is_unit",
+    )

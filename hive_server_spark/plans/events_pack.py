@@ -364,3 +364,66 @@ def evt_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").cast("bigint").alias("active_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# MAD-based anomaly report (round 6): the robust outlier detector a feature
+# pipeline runs where winsorization (evt_winsor_stats) would clip — flag
+# values beyond median ± 3·MAD per event type. Median and MAD are exact
+# interpolated percentiles (bit-identical cross-engine, the
+# rel_mad_by_priority discipline); the 3·MAD threshold and |value − med|
+# comparisons are single IEEE ops on those identical doubles, so even the
+# boolean flag counts are hash-stable. Scale: two tiny per-type percentile
+# aggregates broadcast back over one scan.
+# ---------------------------------------------------------------------------
+@register(
+    "evt_mad_outliers",
+    """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+d AS (
+  SELECT e.event_type, any_value(m.med) AS med,
+         quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+)
+SELECT e.event_type,
+       any_value(d.med) AS median_value,
+       any_value(d.mad) AS mad,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN abs(e.value - d.med) > 3 * d.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       MAX(CASE WHEN abs(e.value - d.med) > 3 * d.mad
+                THEN abs(e.value - d.med) END) AS max_outlier_dev
+FROM events e JOIN d USING (event_type)
+GROUP BY e.event_type
+""",
+)
+def evt_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: exact median/MAD, total and outlier counts beyond
+    the 3-MAD fence, and the largest outlying deviation."""
+    e = _events(spark, sf_dir)
+    med = e.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    d = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med").alias("med"),
+            F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad"),
+        )
+    )
+    dev = F.abs(F.col("value") - F.col("med"))
+    out = F.col("dev") > 3 * F.col("mad")
+    return (
+        e.join(F.broadcast(d), "event_type")
+        .withColumn("dev", dev)
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med").alias("median_value"),
+            F.any_value("mad").alias("mad"),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.when(out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+            F.max(F.when(out, F.col("dev"))).alias("max_outlier_dev"),
+        )
+    )

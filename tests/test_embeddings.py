@@ -206,3 +206,24 @@ def test_ivf_build_matches_numpy_assignment(spark):
         assert r.posting_checksum == e["chk"]
         assert r.sum_d2_micro == e["d2"]
         assert abs(r.share - e["n"] / n_total) < 1e-12
+
+
+def test_norm_audit_matches_python_fold(spark):
+    """norm_micro is floor(sqrt(in-order ssq) * 1e6) for every vector, with
+    the ssq fold emulated exactly left-to-right in python."""
+    import math
+
+    from hive_server_spark.catalog import load_table
+    from hive_server_spark.plans.embedding_pack import emb_norm_audit
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings").collect()
+    rows = {r.vec_id: r for r in emb_norm_audit(spark, SF_SMALL).collect()}
+    for e in emb:
+        acc = 0.0
+        for x in e.embedding:
+            acc += float(x) * float(x)
+        r = rows[e.vec_id]
+        assert r.ssq == acc
+        assert r.norm_micro == math.floor(math.sqrt(acc) * 1_000_000.0)
+        assert r.is_unit == (abs(math.sqrt(acc) - 1.0) <= 0.01)

@@ -127,3 +127,29 @@ def test_cleaning_pipeline_script_end_to_end(spark, tmp_path, monkeypatch, capsy
     assert "text_kept_token_shards" in out
     for sub in ("shard_manifest", "keep_verdicts", "splits"):
         assert (tmp_path / sub / "_SUCCESS").exists(), sub
+
+
+def test_mad_outliers_fence(spark):
+    """Outlier counts equal a python recompute of the 3-MAD fence from the
+    query's own median/MAD values, and every fence is non-negative."""
+    from hive_server_spark.catalog import load_table
+    from hive_server_spark.plans.events_pack import evt_mad_outliers
+    from tests.conftest import SF_SMALL
+
+    vals = {}
+    for r in load_table(spark, SF_SMALL, "events").select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    rows = {r.event_type: r for r in evt_mad_outliers(spark, SF_SMALL).collect()}
+    assert set(rows) == set(vals)
+    for t, r in rows.items():
+        assert r.mad >= 0.0 and r.n_events == len(vals[t])
+        n_out = sum(1 for v in vals[t] if abs(v - r.median_value) > 3 * r.mad)
+        assert r.n_outliers == n_out
+        if n_out:
+            assert r.max_outlier_dev == max(
+                abs(v - r.median_value)
+                for v in vals[t]
+                if abs(v - r.median_value) > 3 * r.mad
+            )
+        else:
+            assert r.max_outlier_dev is None
