@@ -589,3 +589,61 @@ def test_rag_chunks_hand_computed(spark):
         ).collect()
     )
     assert got == [(1, 0), (2, 0), (2, 48), (2, 96)]
+
+
+def test_dup_span_report_randomized_vs_python(spark):
+    """Randomized corpora (seeded) of unique filler with shared passages
+    spliced at random offsets: the Spark report must equal a direct python
+    implementation (gram df -> dup positions -> interval merge)."""
+    import random
+
+    from hive_server_spark.plans.text_pack import K_SPAN, dup_span_report
+
+    rng = random.Random(20260814)
+    passages = [
+        " ".join(f"p{p}w{i}" for i in range(rng.randint(K_SPAN, 2 * K_SPAN)))
+        for p in range(3)
+    ]
+    docs = []
+    for doc_id in range(40):
+        toks = [f"u{doc_id}x{i}" for i in range(rng.randint(5, 60))]
+        for p in rng.sample(range(3), rng.randint(0, 2)):
+            pos = rng.randint(0, len(toks))
+            toks[pos:pos] = passages[p].split(" ")
+        docs.append((doc_id, " ".join(toks)))
+
+    def py_report(all_docs, k=K_SPAN):
+        grams = {}
+        per_doc = {}
+        for did, text in all_docs:
+            t = text.split(" ")
+            per_doc[did] = t
+            for i in range(max(len(t) - k + 1, 0)):
+                grams.setdefault(" ".join(t[i : i + k]), set()).add(did)
+        dup = {g for g, d in grams.items() if len(d) >= 2}
+        out = {}
+        for did, t in per_doc.items():
+            ps = [
+                i + 1
+                for i in range(max(len(t) - k + 1, 0))
+                if " ".join(t[i : i + k]) in dup
+            ]
+            if not ps:
+                continue
+            spans = []
+            for p in ps:
+                if spans and p - spans[-1][1] <= k:
+                    spans[-1] = (spans[-1][0], p)
+                else:
+                    spans.append((p, p))
+            n_dup_tokens = sum(p1 - p0 + k for p0, p1 in spans)
+            out[did] = (len(t), len(spans), len(ps), n_dup_tokens)
+        return out
+
+    expect = py_report(docs)
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_toks, r.n_spans, r.n_dup_grams, r.dup_tokens)
+        for r in dup_span_report(sdf).collect()
+    }
+    assert got == expect and expect
