@@ -2666,3 +2666,68 @@ def text_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(least({RAG_CHUNK}, n - s) AS BIGINT) AS n_chunk_toks",
         f"CAST({_rag_fp_s} AS BIGINT) AS chunk_fp",
     )
+
+
+# ---------------------------------------------------------------------------
+# language-ID confusion matrix (round 6): the evaluation table for the
+# heuristic classifier the profile carries — per (true lang, predicted
+# lang): doc count, token mass, and the cell's share of the true-lang row
+# (recall when on the diagonal). Everything reuses the session-cached
+# profile; aggregates are exact integers plus one identical division.
+# Scale: a <= |langs|² aggregate over one cached scan.
+# ---------------------------------------------------------------------------
+@register(
+    "text_lang_confusion",
+    f"""
+WITH {_TOKS_CTE_D},
+profile AS (
+  SELECT doc_id, lang, len(toks) AS n_tokens,
+         {T.stop_count_expr('toks', 'en', 'd')} AS s_en,
+         {T.stop_count_expr('toks', 'es', 'd')} AS s_es,
+         {T.stop_count_expr('toks', 'de', 'd')} AS s_de,
+         {T.stop_count_expr('toks', 'fr', 'd')} AS s_fr,
+         CASE WHEN regexp_matches(text, '{T.CJK_RE}') THEN 1 ELSE 0 END AS s_zh
+  FROM toks
+),
+pred AS (
+  SELECT lang, n_tokens,
+         CASE WHEN s_zh = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'zh'
+              WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+              WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+              WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+              ELSE 'fr' END AS predicted_lang
+  FROM profile
+),
+cells AS (
+  SELECT lang, predicted_lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+  FROM pred GROUP BY lang, predicted_lang
+),
+rows_t AS (
+  SELECT lang, SUM(n_docs) AS row_n FROM cells GROUP BY lang
+)
+SELECT c.lang, c.predicted_lang, c.n_docs, c.total_tokens,
+       CAST(c.n_docs AS DOUBLE) / CAST(r.row_n AS DOUBLE) AS row_share
+FROM cells c JOIN rows_t r ON c.lang = r.lang
+""",
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language classifier vs the labeled
+    lang column: per (lang, predicted_lang) cell, doc count, token mass,
+    and the share of the true-lang row (diagonal = recall)."""
+    p = _profile(spark, sf_dir).select("lang", "predicted_lang", "n_tokens")
+    cells = p.groupBy("lang", "predicted_lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    rows_t = cells.groupBy("lang").agg(F.sum("n_docs").alias("row_n"))
+    return cells.join(F.broadcast(rows_t), "lang").select(
+        "lang",
+        "predicted_lang",
+        "n_docs",
+        "total_tokens",
+        (F.col("n_docs").cast("double") / F.col("row_n").cast("double")).alias(
+            "row_share"
+        ),
+    )
