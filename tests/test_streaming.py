@@ -255,3 +255,81 @@ def test_docs_ingest_chunk_invariance(spark):
     one = run(1)
     three = run(3)
     assert one == three and one
+
+
+def test_docs_ingest_resumes_from_checkpoint(spark):
+    """Restart semantics of the incremental dedup index: after the first
+    availableNow run drains the landed files, new files appended to the
+    source are picked up by a SECOND run on the SAME checkpoint — already-
+    processed files are not re-folded (counts would double), and the final
+    index equals the batch GROUP BY over the union."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hive_server_spark.catalog import load_table
+    from hive_server_spark.plans import streaming_pack as sp
+    from hive_server_spark.streaming.incremental import ParquetStateStore
+    from tests.conftest import SF_SMALL
+
+    work = tempfile.mkdtemp(prefix="hss_docs_resume_")
+    src_dir = os.path.join(work, "docs")
+    docs = load_table(spark, SF_SMALL, "documents")
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    half_b = docs.where(F.col("doc_id") % 2 == 1)
+    half_a.coalesce(1).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    store = ParquetStateStore(os.path.join(work, "state"))
+    ckpt = os.path.join(work, "ckpt")
+
+    def on_batch(bdf, bid):
+        part = sp._docs_ingest_partial(bdf)
+        cur = store.latest(bdf.sparkSession)
+        merged = part if cur is None else sp._docs_ingest_merge(cur, part)
+        store.commit(merged, bid)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n_after_first = (
+        store.latest(spark).agg(F.sum("group_size")).collect()[0][0]
+    )
+    assert n_after_first == half_a.count()
+
+    # append the second half as new files, same source dir + checkpoint
+    tmp_b = os.path.join(work, "docs_b")
+    half_b.coalesce(1).write.parquet(tmp_b)
+    for f in os.listdir(tmp_b):
+        if f.startswith("part-"):
+            shutil.copy(os.path.join(tmp_b, f), os.path.join(src_dir, f))
+    run_once()
+
+    final = {
+        (r.fingerprint_md5, r.canonical_doc_id, r.group_size, r.total_tokens)
+        for r in store.latest(spark).collect()
+    }
+    expect = {
+        (r.fingerprint_md5, r.canonical_doc_id, r.group_size, r.total_tokens)
+        for r in docs.groupBy(F.md5("text").alias("fingerprint_md5"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("group_size"),
+            F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        )
+        .collect()
+    }
+    assert final == expect
