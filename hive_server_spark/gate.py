@@ -671,7 +671,7 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 # round, so the change is driver-revalidated); (b) the 13 queries whose
 # last green row is r03 — the 3 rotated out in r5 (udf_user_centered_values,
 # udf_alpha_quality, layout_zorder_manifest) and the 10 static
-# events/dq/sketch queries displaced then; (c) 9 of the 50 queries last
+# events/dq/sketch queries displaced then; (c) 8 of the 50 queries last
 # green in r04, front-loading the evt_*_streaming family (its landed-input
 # plumbing is touched this round). The displaced r04-green relational /
 # asof / gapfill names keep their green rows, stay covered by tests/test_gate_parity.py
@@ -683,6 +683,7 @@ from hive_server_spark.registry import set_driver_priority  # noqa: E402
 
 DRIVER_PRIORITY_R6 = [
     # -- (a) round-6 registrations + round-6-modified query -----------------
+    "src_partitioned_roundtrip",
     "text_lang_confusion",
     "evt_mad_outliers",
     "emb_norm_audit",
@@ -735,9 +736,8 @@ DRIVER_PRIORITY_R6 = [
     "orders_state",
     "latest_price",
     "market_orders_t2",
-    "user_orders_t1",
     # rotated out (all r04-green, untouched this round; front of round 7):
-    # trader_order_counts, pools_summary, pool_info_enriched,
+    # user_orders_t1, trader_order_counts, pools_summary, pool_info_enriched,
     # order_book_levels, order_book_fifo_queues, order_book_snapshot,
     # amount_out_buy, amount_out_sell, amount_out_prices,
     # amount_out_capped, asof_trade_price, range_price_activity,

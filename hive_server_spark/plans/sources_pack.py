@@ -124,3 +124,47 @@ def layout_zorder_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=8,
         files=16,
     )
+
+
+# ---------------------------------------------------------------------------
+# Hive-partitioned layout round trip (round 6): write events partitioned by
+# event_type (the §2 layout primitive: partition columns become directory
+# keys), read back ONE partition through a pushed filter, and aggregate.
+# The oracle filters the original table, so partition-column type recovery
+# and row routing are both value-gated; tests/test_scale_utils.py pins that
+# the physical scan actually prunes (PartitionFilters, one directory).
+# ---------------------------------------------------------------------------
+_PART_TYPE = "purchase"
+
+_PART_ORACLE = f"""
+SELECT date_trunc('hour', ts) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE event_type = '{_PART_TYPE}'
+GROUP BY date_trunc('hour', ts)
+"""
+
+
+def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write events hive-partitioned by event_type once per call (tmp dir);
+    callers read specific partitions back through pushed filters."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value", "event_type"
+    )
+    work = tempfile.mkdtemp(prefix="hss_part_")
+    path = os.path.join(work, "events_by_type")
+    ev.write.partitionBy("event_type").parquet(path)
+    return path
+
+
+@register("src_partitioned_roundtrip", _PART_ORACLE)
+def src_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = partitioned_events_path(spark, sf_dir)
+    back = spark.read.parquet(path).where(F.col("event_type") == _PART_TYPE)
+    return back.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )

@@ -104,3 +104,19 @@ def test_zorder_files_cover_compact_boxes(spark):
     for r in man:
         assert r.x_max - r.x_min <= 128
         assert r.y_max - r.y_min <= 128
+
+
+def test_partitioned_roundtrip_prunes_to_one_directory(spark):
+    """The partition filter must reach the scan as a PartitionFilters entry
+    (metadata-only pruning), not a post-scan Filter over all rows."""
+    from hive_server_spark.plans.sources_pack import (
+        _PART_TYPE,
+        partitioned_events_path,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMALL
+
+    path = partitioned_events_path(spark, SF_SMALL)
+    back = spark.read.parquet(path).where(F.col("event_type") == _PART_TYPE)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and _PART_TYPE in plan
