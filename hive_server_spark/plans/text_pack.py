@@ -2146,17 +2146,17 @@ g AS (
   FROM toks
 ),
 pos AS (
-  SELECT doc_id, n_toks, unnest(gl) AS gram,
+  SELECT doc_id, n_toks, md5(unnest(gl)) AS gh,
          unnest(range(1, len(gl)+1)) AS p
   FROM g
 ),
 dup AS (
-  SELECT gram FROM (
-    SELECT gram, COUNT(DISTINCT doc_id) AS df FROM pos GROUP BY gram
+  SELECT gh FROM (
+    SELECT gh, COUNT(DISTINCT doc_id) AS df FROM pos GROUP BY gh
   ) WHERE df >= 2
 ),
 dpos AS (
-  SELECT p.doc_id, p.n_toks, p.p FROM pos p JOIN dup d ON p.gram = d.gram
+  SELECT p.doc_id, p.n_toks, p.p FROM pos p JOIN dup d ON p.gh = d.gh
 ),
 marks AS (
   SELECT doc_id, n_toks, p,
@@ -2187,9 +2187,14 @@ FROM spans GROUP BY doc_id
 
 
 def _span_positions(docs: DataFrame, k: int) -> DataFrame:
-    """(doc_id, n_toks, p, gram): every k-gram with its 1-based start
-    position. Parallelism comes from the caller's input partitioning —
-    the gate path feeds `_docs`, which is already rebalanced wide."""
+    """(doc_id, n_toks, p, gh): every k-gram's md5 with its 1-based start
+    position. The gram is hashed AT THE EXPLODE (md5, the line-dedup
+    posture): downstream only tests equality, so the shuffle and the
+    broadcast survivor set carry fixed 32-char digests instead of
+    arbitrary-length k-word strings — and a 128-bit digest is
+    collision-free in practice, so the df semantics are unchanged.
+    Parallelism comes from the caller's input partitioning — the gate
+    path feeds `_docs`, which is already rebalanced wide."""
     g = docs.selectExpr(
         "doc_id",
         f"CAST(size({T.tokens_expr('text', 's')}) AS BIGINT) AS n_toks",
@@ -2197,7 +2202,9 @@ def _span_positions(docs: DataFrame, k: int) -> DataFrame:
     )
     return g.select(
         "doc_id", "n_toks", F.posexplode("gl").alias("p0", "gram")
-    ).select("doc_id", "n_toks", (F.col("p0") + 1).alias("p"), "gram")
+    ).select(
+        "doc_id", "n_toks", (F.col("p0") + 1).alias("p"), F.md5("gram").alias("gh")
+    )
 
 
 def dup_span_report(
@@ -2213,12 +2220,12 @@ def dup_span_report(
     broadcast-survivor scale posture."""
     pos = positions if positions is not None else _span_positions(docs, k)
     dup = (
-        pos.groupBy("gram")
+        pos.groupBy("gh")
         .agg(F.count_distinct("doc_id").alias("df"))
         .where(F.col("df") >= 2)
-        .select("gram")
+        .select("gh")
     )
-    dpos = pos.join(F.broadcast(dup), "gram").select("doc_id", "n_toks", "p")
+    dpos = pos.join(F.broadcast(dup), "gh").select("doc_id", "n_toks", "p")
     w = Window.partitionBy("doc_id").orderBy("p")
     marks = dpos.withColumn(
         "brk",
