@@ -58,9 +58,13 @@ _ZIGZAG: list[tuple[int, int]] = []
 
 
 def _build_zigzag() -> None:
+    # T.81 figure 5: odd diagonals (r+c odd) run down-left (row ascending),
+    # even diagonals run up-right (col ascending / row descending). Getting
+    # the parity backwards transposes every block silently — pinned by
+    # test_jpeg.py's asymmetric-AC fixture.
     order = sorted(
         ((r, c) for r in range(8) for c in range(8)),
-        key=lambda rc: (rc[0] + rc[1], rc[1] if (rc[0] + rc[1]) % 2 else rc[0]),
+        key=lambda rc: (rc[0] + rc[1], rc[0] if (rc[0] + rc[1]) % 2 else rc[1]),
     )
     _ZIGZAG.extend(order)
 
@@ -105,7 +109,12 @@ class _BitReader:
         if self.nbits == 0 and not self._fill():
             raise ValueError("JPEG entropy stream ended inside a codeword")
         self.nbits -= 1
-        return (self.bitbuf >> self.nbits) & 1
+        bit = (self.bitbuf >> self.nbits) & 1
+        # drop the consumed high bit: without this the Python int grows by
+        # 8 bits per _fill for the whole scan and every shift above becomes
+        # O(scan length) — an O(n²) decode on real megabyte entropy streams
+        self.bitbuf &= (1 << self.nbits) - 1
+        return bit
 
     def receive(self, n: int) -> int:
         v = 0
@@ -189,6 +198,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
     while pos < len(b):
         if b[pos] != 0xFF:
             raise ValueError(f"JPEG marker expected at {pos}, got {b[pos]:#04x}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before the
+        # marker code — skip them, or a conforming padded stream misparses
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
         marker = b[pos + 1] if pos + 1 < len(b) else None
         if marker is None:
             raise ValueError("truncated JPEG marker")
