@@ -19,7 +19,7 @@ deterministic fake. This module closes it the same way PNG did:
   blocks are each a constant value. For constant blocks the forward DCT is
   exactly one DC coefficient (8·(v−128)) and every AC is exactly 0, and
   with the DC quantizer pinned to 8 the quantized coefficient is the
-  integer v−128 — so decode reconstructs每 pixel EXACTLY and the decode
+  integer v−128 — so decode reconstructs every pixel EXACTLY and the decode
   profile keeps a closed-form byte-level DuckDB oracle even though the
   container is an entropy-coded lossy format. The lossless round-trip is
   a property of these fixtures, not a claim about JPEG.

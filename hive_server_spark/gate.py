@@ -659,112 +659,89 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 )
 
 # ---------------------------------------------------------------------------
-# Driver-visible ordering (round-6 rotation)
+# Driver-visible ordering (round-7 rotation)
 # ---------------------------------------------------------------------------
 # The correctness driver hash-checks the FIRST 50 queries per round. After
-# round 5, every one of the 113 registered queries has a driver-green row
-# (CORRECTNESS_r01-r05 aggregate), so round 6's window is pure staleness
-# rotation per the round-5 note: (a) every round-6 registration (the
-# names in the first block below — dedup/text/emb/multimodal/streaming
-# additions across both round-6 work sessions), plus
-# multimodal_decode_profile (its implementation grows PNG decode this
-# round, so the change is driver-revalidated); (b) the 13 queries whose
-# last green row is r03 — the 3 rotated out in r5 (udf_user_centered_values,
-# udf_alpha_quality, layout_zorder_manifest) and the 10 static
-# events/dq/sketch queries displaced then; (c) 8 of the 50 queries last
-# green in r04, front-loading the evt_*_streaming family (its landed-input
-# plumbing is touched this round). The displaced r04-green relational /
-# asof / gapfill names keep their green rows, stay covered by tests/test_gate_parity.py
-# (ALL oracle-backed queries vs DuckDB on every pytest), and rotate to the
-# front of round 7. tests/test_rotation.py asserts every name outside this
-# window already has a prior driver-green row, so a rotation mistake is a
-# test failure.
+# round 6 every one of the 141 registered queries has a driver-green row
+# (CORRECTNESS_r01-r06 aggregate, 0 red at latest check), so round 7's
+# window is pure staleness rotation per the round-6 note: (a) round-7
+# registrations plus the three queries whose implementation changed this
+# round (the de-broadcast survivor-set joins, VERDICT r06 item 1 — the
+# oracles are unchanged but the driver should revalidate the new plan);
+# (b) the 42 r04-green names rotated out in round 6 (trades/book/amount-out
+# core, asof/range/gapfill, evt_sessions, scale_salted_cohort_rollup, and
+# the 21+4 rel_* names); (c) fill to 50 from the r05-green families by
+# registration order (the rel_ scalar-function block leads). Displaced
+# r05-green names keep their green rows, stay re-proven by
+# tests/test_gate_parity.py (ALL oracle-backed queries vs DuckDB on every
+# pytest), and rotate forward in round 8.
+# ROUND-8 ROTATION NOTE: after this window goes green, staleness order is
+# (1) any round-8 registrations / modified queries, (2) the remaining
+# r05-green names (emb_* family onward in registration order — the 5
+# rel_* fillers below come off that list this round), (3) the r06-green
+# block by registration order.
 from hive_server_spark.registry import set_driver_priority  # noqa: E402
 
-DRIVER_PRIORITY_R6 = [
-    # -- (a) round-6 registrations + round-6-modified query -----------------
-    "src_partitioned_roundtrip",
-    "text_lang_confusion",
-    "evt_mad_outliers",
-    "emb_norm_audit",
-    "docs_ingest_streaming",
-    "multimodal_audio_features",
-    "emb_ivf_build",
-    "text_rag_chunks",
-    "dedup_minhash_accuracy",
-    "dedup_canonical_quality",
-    "text_source_mixing",
-    "text_dup_spans",
-    "text_length_buckets",
-    "emb_pca_moments",
-    "text_bm25_topk",
-    "text_bigram_nll",
-    "text_c4_filters",
+DRIVER_PRIORITY_R7 = [
+    # -- (a) round-7-modified queries (de-broadcast survivor-set joins) -----
     "text_line_dedup",
-    "emb_semantic_dedup",
-    "text_kept_token_shards",
-    "text_bpe_token_stats",
-    "text_doc_novelty",
-    "text_pii_scrub",
-    "emb_kmeans_update",
-    "multimodal_audio_profile",
-    "multimodal_resize_profile",
-    "multimodal_corrupt_audit",
-    "multimodal_jpeg_profile",
-    "multimodal_decode_profile",
-    # -- (b) stale since r03: the 3 rotated out in r5 first -----------------
-    "udf_user_centered_values",
-    "udf_alpha_quality",
-    "layout_zorder_manifest",
-    "dq_lineitem_report",
-    "evt_funnel_cohorts",
-    "evt_hourly_rollup",
-    "evt_props_stats",
-    "evt_retention_matrix",
-    "evt_top_users",
-    "evt_type_pivot",
-    "evt_winsor_stats",
-    "rel_approx_sketches",
-    "rel_mad_by_priority",
-    # -- (c) stale since r04: streaming family first (touched this round) ---
-    "evt_dedup_rollup_streaming",
-    "evt_hourly_rollup_streaming",
-    "evt_sessions_streaming",
-    "evt_stream_static_enrich",
-    "evt_stream_stream_join",
-    # -- stale since r04: fold / book / amount-out / events core ------------
-    "orders_state",
-    "latest_price",
-    "market_orders_t2",
-    # rotated out (all r04-green, untouched this round; front of round 7):
-    # user_orders_t1, trader_order_counts, pools_summary, pool_info_enriched,
-    # order_book_levels, order_book_fifo_queues, order_book_snapshot,
-    # amount_out_buy, amount_out_sell, amount_out_prices,
-    # amount_out_capped, asof_trade_price, range_price_activity,
-    # price_hourly_gapfill,
-    # evt_sessions, evt_trailing_hour_value, scale_salted_cohort_rollup,
-    # rel_pricing_summary, rel_revenue_by_nation, rel_cheapest_line_per_part,
-    # rel_conditional_distinct, rel_cube_status_priority, rel_disjunctive_bands, rel_distinct_suppliers_per_nation,
-    # rel_full_outer_nation_activity, rel_grouping_sets, rel_exact_percentiles,
-    # rel_nation_trade_flows, rel_nations_except, rel_nations_intersect,
-    # rel_order_priority_exists, rel_orders_above_cust_avg,
-    # rel_parts_never_ordered, rel_promo_revenue_ratio,
-    # rel_rich_idle_customers, rel_rollup_revenue, rel_top_revenue_orders,
-    # rel_union_all_parties, rel_window_analytics, rel_window_order_gaps,
-    # rel_window_running_total, rel_window_top_customers
+    "text_dup_spans",
+    "text_bigram_nll",
+    # -- (b) the 42 r04-green names rotated out in round 6 ------------------
+    "user_orders_t1",
+    "trader_order_counts",
+    "pools_summary",
+    "pool_info_enriched",
+    "order_book_levels",
+    "order_book_fifo_queues",
+    "order_book_snapshot",
+    "amount_out_buy",
+    "amount_out_sell",
+    "amount_out_prices",
+    "amount_out_capped",
+    "asof_trade_price",
+    "range_price_activity",
+    "price_hourly_gapfill",
+    "evt_sessions",
+    "evt_trailing_hour_value",
+    "scale_salted_cohort_rollup",
+    "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "rel_cheapest_line_per_part",
+    "rel_conditional_distinct",
+    "rel_cube_status_priority",
+    "rel_disjunctive_bands",
+    "rel_distinct_suppliers_per_nation",
+    "rel_full_outer_nation_activity",
+    "rel_grouping_sets",
+    "rel_exact_percentiles",
+    "rel_nation_trade_flows",
+    "rel_nations_except",
+    "rel_nations_intersect",
+    "rel_order_priority_exists",
+    "rel_orders_above_cust_avg",
+    "rel_parts_never_ordered",
+    "rel_promo_revenue_ratio",
+    "rel_rich_idle_customers",
+    "rel_rollup_revenue",
+    "rel_top_revenue_orders",
+    "rel_union_all_parties",
+    "rel_window_analytics",
+    "rel_window_order_gaps",
+    "rel_window_running_total",
+    "rel_window_top_customers",
+    # -- (c) fill to 50: r05-green by registration order --------------------
+    "rel_scalar_functions",
+    "rel_datetime_functions",
+    "rel_array_functions",
+    "rel_string_functions",
+    "rel_null_handling",
 ]
-# ROUND-7 ROTATION NOTE: after this window goes green, staleness order is
-# (1) any round-7 registrations, (2) the r04-green names rotated out above
-# (amount_out_buy/sell/prices/capped, asof_trade_price,
-# range_price_activity, price_hourly_gapfill, evt_sessions,
-# evt_trailing_hour_value, scale_salted_cohort_rollup + the 21 rel_*
-# names), (3) the r05-green families (dedup/text/emb/src/serving/cdc/
-# streaming twins) by registration order.
-assert len(DRIVER_PRIORITY_R6) == 50, len(DRIVER_PRIORITY_R6)
+assert len(DRIVER_PRIORITY_R7) == 50, len(DRIVER_PRIORITY_R7)
 # A typo'd or renamed name would silently shrink the checked window
 # (registry._ordered drops unknown names); fail loudly instead.
 from hive_server_spark.registry import _SPARK_QUERIES as _REG  # noqa: E402
 
-_missing = [n for n in DRIVER_PRIORITY_R6 if n not in _REG]
-assert not _missing, f"DRIVER_PRIORITY_R6 names not registered: {_missing}"
-set_driver_priority(DRIVER_PRIORITY_R6)
+_missing = [n for n in DRIVER_PRIORITY_R7 if n not in _REG]
+assert not _missing, f"DRIVER_PRIORITY_R7 names not registered: {_missing}"
+set_driver_priority(DRIVER_PRIORITY_R7)

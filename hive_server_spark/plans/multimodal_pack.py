@@ -19,10 +19,12 @@ def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the data bulk at real scale — never shuffle them), so parallelism
     is fixed at the narrow (doc_id, text) source. The bench corpus is ONE
     parquet split; without this every pure-Python decode runs single-task.
-    At real scale the scan already arrives wide and this is a cheap
-    rebalance of the pre-synthesis rows."""
+    `max()` with the scan's own partition count (the text_pack._docs
+    posture) so a genuinely wide corpus is never coalesced down to the
+    session default — the rebalance only ever widens."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.repartition(spark.sparkContext.defaultParallelism)
+    n = max(spark.sparkContext.defaultParallelism, docs.rdd.getNumPartitions())
+    return docs.repartition(n)
 
 
 @register(

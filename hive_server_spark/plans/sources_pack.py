@@ -17,6 +17,7 @@ rollup as evt_hourly_rollup.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,6 +25,7 @@ from pyspark.sql import functions as F
 
 from hive_server_spark.catalog import load_table
 from hive_server_spark.registry import register
+from hive_server_spark.session_cache import SessionCache
 
 # microsecond-precision wire format: Spark's default JSON/CSV timestamp
 # pattern keeps millis only, which would silently truncate event times
@@ -147,16 +149,30 @@ GROUP BY date_trunc('hour', ts)
 """
 
 
+# the partitioned layout is identical for every caller in a session (gate
+# hash, bench timing loops, pruning test) — land it once per (session,
+# sf_dir) like streaming_pack._LANDED, and delete evicted dirs so
+# long-lived processes don't leak disk
+_PARTITIONED: SessionCache[str] = SessionCache(
+    on_evict=lambda d: shutil.rmtree(os.path.dirname(d), ignore_errors=True)
+)
+
+
 def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
-    """Write events hive-partitioned by event_type once per call (tmp dir);
-    callers read specific partitions back through pushed filters."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "value", "event_type"
-    )
-    work = tempfile.mkdtemp(prefix="hss_part_")
-    path = os.path.join(work, "events_by_type")
-    ev.write.partitionBy("event_type").parquet(path)
-    return path
+    """Write events hive-partitioned by event_type once per (session,
+    sf_dir); callers read specific partitions back through pushed
+    filters."""
+
+    def land() -> str:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "value", "event_type"
+        )
+        work = tempfile.mkdtemp(prefix="hss_part_")
+        path = os.path.join(work, "events_by_type")
+        ev.write.partitionBy("event_type").parquet(path)
+        return path
+
+    return _PARTITIONED.get_or_create(spark, ("events_by_type", sf_dir), land)
 
 
 @register("src_partitioned_roundtrip", _PART_ORACLE)

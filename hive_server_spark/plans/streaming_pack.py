@@ -788,6 +788,11 @@ def docs_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = ParquetStateStore(os.path.join(work, "state"))
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # exactly-once over at-least-once replay: a crash between
+        # store.commit and the checkpoint commit re-delivers this batch_id;
+        # merging it twice would double-count group_size/total_tokens
+        if store.already_applied(batch_id):
+            return
         part = _docs_ingest_partial(batch_df)
         cur = store.latest(batch_df.sparkSession)
         merged = part if cur is None else _docs_ingest_merge(cur, part)

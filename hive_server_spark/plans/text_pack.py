@@ -1619,13 +1619,15 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale shape: one explode, then the line text is immediately reduced to a
 # 32-byte md5 key (the raw line never travels past the first map-side-
 # combined aggregate). Document frequency is an aggregate over the already-
-# distinct (doc, line-hash) rows, and only the df >= cut survivors — the
-# boilerplate set, which is tiny by definition (a line must repeat across
-# >= cut docs to qualify) — are broadcast back, so the per-doc dropped
-# tally is a broadcast hash join, not a shuffle of the full line table.
-# For an adversarial corpus where the "common" set itself is huge, cap it
-# with a top-N-by-df cut exactly like the shingle DF_CUT in functions/
-# text.py before the broadcast.
+# distinct (doc, line-hash) rows; the df >= cut survivor set joins back to
+# the per-doc table as a plain equi-join on the hash, NOT a forced
+# broadcast (VERDICT r06): on a real web corpus the boilerplate-line set
+# is billions of rows (C4/CCNet found cross-document repeated lines to be
+# a dominant mass), so a forced broadcast OOMs at exactly the scale this
+# operator exists for. Both sides are keyed and pre-aggregated on `h`, so
+# the co-partitioned shuffle join is the correct 100 TB plan; when the
+# survivor set genuinely is small, Spark's own size stats (and AQE at
+# runtime) still elect a broadcast without the hint.
 # ---------------------------------------------------------------------------
 LINE_DF_CUT = 3  # a line in >= 3 distinct docs is boilerplate
 
@@ -1671,8 +1673,8 @@ def line_dedup_report(docs: DataFrame, df_cut: int = LINE_DF_CUT) -> DataFrame:
     """Per-document line-dedup report over an already multi-line `t` column:
     total lines, boilerplate lines dropped (document frequency >= df_cut),
     exact character cost, and the cleaned length (kept lines re-joined by
-    newline). See the block comment above for the broadcast-common-set
-    scale posture."""
+    newline). See the block comment above for the survivor-set join scale
+    posture (plain equi-join, never a forced broadcast)."""
     lines = docs.select(
         "doc_id", F.explode(F.split(F.col("t"), "\n")).alias("line")
     )
@@ -1686,7 +1688,7 @@ def line_dedup_report(docs: DataFrame, df_cut: int = LINE_DF_CUT) -> DataFrame:
         .select("h")
     )
     dropped = (
-        per.join(F.broadcast(common), "h")
+        per.join(common, "h")
         .groupBy("doc_id")
         .agg(
             F.sum("c").alias("d_lines"),
@@ -1899,8 +1901,15 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     All three count tables fold out of the session-cached per-(doc,
     bigram) multiplicity table (`_gram_counts`): the per-doc instance
     counts ARE its rows, the corpus bigram counts are a sum over it, and
-    the head counts are a sum over the (already tiny) bigram counts — the
-    corpus is tokenized zero extra times instead of three."""
+    the head counts are a sum over the bigram counts — the corpus is
+    tokenized zero extra times instead of three. The head-count (c_a)
+    join is a plain equi-join, NOT a forced broadcast (VERDICT r06): c_a
+    is a vocabulary-sized table, and whitespace-token vocabulary on web
+    text is unbounded (every typo/URL/number is a head), so forcing a
+    broadcast OOMs at scale. Both join keys are the bigram head string,
+    so the instance→c_ab→c_a chain co-partitions on one shuffle key
+    family; a genuinely small vocabulary still elects broadcast via
+    Spark's size stats / AQE without the hint."""
     inst = (
         _gram_counts(spark, sf_dir)
         .where(F.col("gram_size") == 2)
@@ -1918,7 +1927,7 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro = (
         inst.join(c_ab, "bigram")
         .join(
-            F.broadcast(c_a),
+            c_a,
             F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == F.col("head"),
         )
         .select(
@@ -2115,11 +2124,15 @@ def text_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dialects; %4==2 docs carry one passage at each end and must yield exactly
 # two spans. All outputs are exact integers plus one final division.
 # Scale shape: gram df is a map-side-combined aggregate; the >= 2 survivor
-# set (shared passages only — tiny by definition) broadcasts back to the
-# position table, so the span pass is scan + broadcast-join + per-doc
-# window, never a shuffle of the full gram table. An adversarial corpus
-# where the duplicated set itself is huge takes the same top-N df cap as
-# LINE_DF_CUT / DF_CUT before the broadcast.
+# set joins back to the position table as a plain equi-join on the 32-char
+# gram digest, NOT a forced broadcast (VERDICT r06): duplicated-span mass
+# on real web corpora is enormous — Lee et al. needed suffix arrays
+# precisely because the duplicated-gram set is a large fraction of the
+# corpus — so a forced broadcast OOMs at the operator's target scale.
+# Both sides are keyed on `gh` (survivors pre-aggregated, positions one
+# row per gram), so the co-partitioned shuffle join is the correct 100 TB
+# plan; a genuinely tiny survivor set still elects broadcast via Spark's
+# size stats / AQE without the hint.
 # ---------------------------------------------------------------------------
 K_SPAN = 8  # exact-match span unit, in tokens
 
@@ -2190,7 +2203,7 @@ def _span_positions(docs: DataFrame, k: int) -> DataFrame:
     """(doc_id, n_toks, p, gh): every k-gram's md5 with its 1-based start
     position. The gram is hashed AT THE EXPLODE (md5, the line-dedup
     posture): downstream only tests equality, so the shuffle and the
-    broadcast survivor set carry fixed 32-char digests instead of
+    survivor-set join carry fixed 32-char digests instead of
     arbitrary-length k-word strings — and a 128-bit digest is
     collision-free in practice, so the df semantics are unchanged.
     Parallelism comes from the caller's input partitioning — the gate
@@ -2217,7 +2230,8 @@ def dup_span_report(
     `positions` lets a caller pass an already-persisted position table —
     it feeds both the df aggregate and the join probe, so without it the
     gram build runs twice. See the block comment above for the
-    broadcast-survivor scale posture."""
+    survivor-set join scale posture (plain equi-join, never a forced
+    broadcast)."""
     pos = positions if positions is not None else _span_positions(docs, k)
     dup = (
         pos.groupBy("gh")
@@ -2225,7 +2239,7 @@ def dup_span_report(
         .where(F.col("df") >= 2)
         .select("gh")
     )
-    dpos = pos.join(F.broadcast(dup), "gh").select("doc_id", "n_toks", "p")
+    dpos = pos.join(dup, "gh").select("doc_id", "n_toks", "p")
     w = Window.partitionBy("doc_id").orderBy("p")
     marks = dpos.withColumn(
         "brk",

@@ -59,10 +59,20 @@ def run_incremental_fold_with_cdc(
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        batch_state = partial_fold(batch_df)
-        current = store.latest(sess)
-        merged = batch_state if current is None else merge_partials(current, batch_state)
-        store.commit(merged, batch_id)
+        # exactly-once state over at-least-once replay: a crash between the
+        # state commit and the checkpoint commit re-delivers this batch_id;
+        # re-merging it would double-count. The snapshot write below still
+        # runs on replay — it is an idempotent partition overwrite, and the
+        # crash may have happened before it landed.
+        if not store.already_applied(batch_id):
+            batch_state = partial_fold(batch_df)
+            current = store.latest(sess)
+            merged = (
+                batch_state
+                if current is None
+                else merge_partials(current, batch_state)
+            )
+            store.commit(merged, batch_id)
 
         touched = batch_df.select("pool_address").distinct()
         snaps = book_snapshots(

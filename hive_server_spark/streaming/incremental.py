@@ -185,6 +185,48 @@ class ParquetStateStore:
             fh.write(version)
         os.replace(tmp, self._ptr)
 
+    def committed_version(self) -> int | None:
+        """The batch id the LATEST pointer currently names, or None before
+        the first commit. Only the pointer counts: a `v{n}` directory
+        without a flipped pointer is a torn commit and must be redone."""
+        if not os.path.exists(self._ptr):
+            return None
+        with open(self._ptr) as fh:
+            return int(fh.read().strip().lstrip("v"))
+
+    def already_applied(self, batch_id: int) -> bool:
+        """Replay guard (exactly-once over at-least-once foreachBatch):
+        True iff the committed state already reflects `batch_id`. A
+        foreachBatch job that dies AFTER store.commit() but BEFORE the
+        streaming checkpoint commits gets the same batch re-delivered on
+        restart with the same batch_id (the Structured Streaming replay
+        contract); merging it again would double-count. Batch ids are
+        monotonic, so pointer >= batch_id means this batch (and everything
+        before it) is in. A torn commit — `v{batch_id}` written, pointer
+        not flipped — returns False so the replay re-merges off the old
+        pointer and rewrites the directory (write mode is overwrite)."""
+        last = self.committed_version()
+        return last is not None and last >= batch_id
+
+
+def make_fold_on_batch(store: ParquetStateStore, retain_versions: int | None = None):
+    """The foreachBatch body for the incremental order fold, factored out
+    so the replay path is unit-testable: guarded by
+    ``store.already_applied`` (skip re-delivered batches), then
+    partial-fold → merge → commit → optional vacuum."""
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if store.already_applied(batch_id):
+            return
+        batch_state = partial_fold(batch_df)
+        current = store.latest(batch_df.sparkSession)
+        merged = batch_state if current is None else merge_partials(current, batch_state)
+        store.commit(merged, batch_id)
+        if retain_versions is not None:
+            store.vacuum(keep_last=retain_versions)
+
+    return on_batch
+
 
 def run_incremental_fold(
     spark: SparkSession,
@@ -202,15 +244,7 @@ def run_incremental_fold(
     the default None keeps full history for time travel.
     """
     store = ParquetStateStore(state_dir)
-
-    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_state = partial_fold(batch_df)
-        current = store.latest(batch_df.sparkSession)
-        merged = batch_state if current is None else merge_partials(current, batch_state)
-        store.commit(merged, batch_id)
-        if retain_versions is not None:
-            store.vacuum(keep_last=retain_versions)
-
+    on_batch = make_fold_on_batch(store, retain_versions=retain_versions)
     writer = (
         events_stream.writeStream.foreachBatch(on_batch)
         .option("checkpointLocation", checkpoint_dir)

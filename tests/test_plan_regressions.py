@@ -81,6 +81,16 @@ def test_no_sort_merge_join_anywhere_in_gate(spark):
         # table: the pair set is O(near-dups) (unbounded at scale, not a
         # dimension) and the other sides are the corpus — big-big on
         # doc_id/(doc, shingle) is the correct strategy
+        "text_line_dedup",  # the boilerplate-line survivor set is
+        # corpus-derived and huge on real web corpora (billions of repeated
+        # lines in C4/CCNet) — de-broadcast in r7 (VERDICT r06); the plan
+        # may legitimately resolve big-big on the line hash
+        "text_dup_spans",  # same shape: the duplicated-gram survivor set
+        # is a large corpus fraction at scale (Lee et al. 2021) — plain
+        # equi-join on the gram digest, stats decide the strategy
+        "text_bigram_nll",  # the head-count (c_a) side is vocabulary-
+        # sized, unbounded for whitespace tokens on web text — plain
+        # equi-join on the head token, stats decide the strategy
         "rel_full_outer_nation_activity",
     }
     offenders = []
@@ -93,6 +103,22 @@ def test_no_sort_merge_join_anywhere_in_gate(spark):
         except Exception as e:  # pragma: no cover
             pytest.fail(f"{name}: explain failed: {e}")
     assert not offenders, f"sort-merge joins crept into: {offenders}"
+
+
+def test_survivor_set_joins_are_not_hint_forced(spark):
+    """The three survivor-set joins (boilerplate lines, duplicated grams,
+    bigram head counts) must NOT carry a broadcast hint: the survivor side
+    is data-dependent and corpus-derived — huge on real web corpora — so a
+    forced broadcast OOMs at exactly the scale these operators target
+    (VERDICT r06). Without the hint Spark's size stats / AQE still elect a
+    broadcast when the set genuinely is small; hint-free is the contract.
+    The hint survives analysis as ResolvedHint, so its absence in the
+    analyzed plan proves no F.broadcast() wrap anywhere in the query."""
+    for name in ("text_line_dedup", "text_dup_spans", "text_bigram_nll"):
+        df = gate.spark_queries()[name](spark, SF_SMALL)
+        analyzed = str(df._jdf.queryExecution().analyzed())
+        assert "ResolvedHint" not in analyzed, f"{name}: forced join hint"
+        assert "UnresolvedHint" not in analyzed, f"{name}: unresolved hint"
 
 
 def test_topk_uses_bounded_sort(spark):

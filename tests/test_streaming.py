@@ -333,3 +333,53 @@ def test_docs_ingest_resumes_from_checkpoint(spark):
         .collect()
     }
     assert final == expect
+
+
+def test_replay_guard_batch_is_exactly_once(spark):
+    """foreachBatch is at-least-once: a crash after store.commit() but
+    before the streaming checkpoint commit re-delivers the same batch_id
+    on restart (ADVICE r06). Re-applying the batch must be a no-op — the
+    guarded on_batch skips it — otherwise the merge double-counts. A torn
+    commit (v{n} directory written, pointer NOT flipped) must NOT be
+    treated as applied: the replay re-merges off the old pointer."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hive_server_spark.streaming.incremental import (
+        ParquetStateStore,
+        make_fold_on_batch,
+    )
+
+    ev = order_events(spark, SF_SMALL)
+    b0 = ev.where(F.col("seq") % 2 == 0)
+    b1 = ev.where(F.col("seq") % 2 == 1)
+
+    store = ParquetStateStore(tempfile.mkdtemp(prefix="hss_replay_"))
+    on_batch = make_fold_on_batch(store)
+
+    assert not store.already_applied(0)  # empty store: nothing applied
+    on_batch(b0, 0)
+    assert store.already_applied(0)
+    assert not store.already_applied(1)
+    after_b0 = _rows(materialize_orders(store.latest(spark)))
+
+    on_batch(b0, 0)  # replay of a fully committed batch: must be a no-op
+    assert _rows(materialize_orders(store.latest(spark))) == after_b0
+    assert store.versions() == [0]
+
+    on_batch(b1, 1)
+    final = _rows(materialize_orders(store.latest(spark)))
+    assert final == _rows(fold_order_events(ev))  # still equals the batch fold
+
+    on_batch(b1, 1)  # replay of the newest batch: also a no-op
+    assert _rows(materialize_orders(store.latest(spark))) == final
+
+    # torn commit: v2 directory exists but the pointer still names v1 —
+    # the batch is NOT applied and the replay must redo the merge
+    torn = os.path.join(store.root, "v2")
+    os.makedirs(torn, exist_ok=True)
+    assert not store.already_applied(2)
+    shutil.rmtree(torn)
