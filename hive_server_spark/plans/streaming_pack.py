@@ -166,37 +166,51 @@ def _events_stream_in_ts_order(
     return stream, work
 
 
+def _start_append_stream(spark: SparkSession, out: DataFrame, work: str):
+    """Start (without awaiting) an append-mode stream into a memory sink;
+    returns (StreamingQuery, sink name). Callers await and then read
+    ``spark.table(sink)`` — the final no-data micro-batch advances the
+    watermark past every closed window and flushes the remaining state."""
+    sink = f"stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, sink
+
+
 def _run_append_stream(spark: SparkSession, out: DataFrame, work: str) -> DataFrame:
     """Drive an append-mode streaming DataFrame to completion (availableNow)
-    into a memory sink; the final no-data micro-batch advances the watermark
-    past every closed window and flushes the remaining state."""
-    sink = f"stream_{uuid.uuid4().hex[:8]}"
+    into a memory sink."""
     with _scoped_shuffle_partitions(spark):
-        q = (
-            out.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(sink)
-            .option("checkpointLocation", os.path.join(work, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
+        q, sink = _start_append_stream(spark, out, work)
         q.awaitTermination()
     return spark.table(sink)
+
+
+def _out_hourly_rollup(
+    spark: SparkSession, sf_dir: str, chunks: int = 2, watermark: str = "1 second"
+) -> tuple[DataFrame, str]:
+    stream, work = _events_stream_in_ts_order(spark, sf_dir, chunks)
+    return hourly_rollup_stream(stream, watermark=watermark), work
 
 
 def streamed_hourly_rollup(
     spark: SparkSession, sf_dir: str, chunks: int = 2, watermark: str = "1 second"
 ) -> DataFrame:
     """The watermarked hourly rollup as an actual append-mode stream."""
-    stream, work = _events_stream_in_ts_order(spark, sf_dir, chunks)
     return _run_append_stream(
-        spark, hourly_rollup_stream(stream, watermark=watermark), work
+        spark, *_out_hourly_rollup(spark, sf_dir, chunks, watermark)
     )
 
 
 @register("evt_hourly_rollup_streaming", _HOURLY_STREAM_ORACLE)
 def q_evt_hourly_rollup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return streamed_hourly_rollup(spark, sf_dir)
+    return _evt_streaming_results(spark, sf_dir)["evt_hourly_rollup_streaming"]
 
 
 # ---------------------------------------------------------------------------
@@ -236,18 +250,22 @@ HAVING epoch_us(MAX(ts)) + 1800000000
 """
 
 
+def _out_sessions(
+    spark: SparkSession, sf_dir: str, chunks: int = 2
+) -> tuple[DataFrame, str]:
+    stream, work = _events_stream_in_ts_order(spark, sf_dir, chunks)
+    return session_stream(stream, gap="30 minutes", watermark="1 second"), work
+
+
 def streamed_sessions(
     spark: SparkSession, sf_dir: str, chunks: int = 2
 ) -> DataFrame:
-    stream, work = _events_stream_in_ts_order(spark, sf_dir, chunks)
-    return _run_append_stream(
-        spark, session_stream(stream, gap="30 minutes", watermark="1 second"), work
-    )
+    return _run_append_stream(spark, *_out_sessions(spark, sf_dir, chunks))
 
 
 @register("evt_sessions_streaming", _SESSIONS_STREAM_ORACLE)
 def q_evt_sessions_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return streamed_sessions(spark, sf_dir)
+    return _evt_streaming_results(spark, sf_dir)["evt_sessions_streaming"]
 
 
 # ---------------------------------------------------------------------------
@@ -268,9 +286,9 @@ FROM events a JOIN events b
 """
 
 
-def streamed_band_join(
+def _out_band_join(
     spark: SparkSession, sf_dir: str, chunks: int = 2, band: str = "10 MINUTES"
-) -> DataFrame:
+) -> tuple[DataFrame, str]:
     stream_a, work = _events_stream_in_ts_order(spark, sf_dir, chunks)
     # second reader over the same landed files: both sides replay the same
     # micro-batch sequence, so their watermarks advance in lockstep
@@ -311,12 +329,18 @@ def streamed_band_join(
         "b_id",
         (F.unix_micros("b_ts") - F.unix_micros("a_ts")).alias("gap_us"),
     )
-    return _run_append_stream(spark, j, work)
+    return j, work
+
+
+def streamed_band_join(
+    spark: SparkSession, sf_dir: str, chunks: int = 2, band: str = "10 MINUTES"
+) -> DataFrame:
+    return _run_append_stream(spark, *_out_band_join(spark, sf_dir, chunks, band))
 
 
 @register("evt_stream_stream_join", _SSJOIN_ORACLE)
 def q_evt_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return streamed_band_join(spark, sf_dir)
+    return _evt_streaming_results(spark, sf_dir)["evt_stream_stream_join"]
 
 
 # ---------------------------------------------------------------------------
@@ -363,9 +387,9 @@ def _land_duplicated_events(spark: SparkSession, sf_dir: str, chunks: int) -> st
     return _LANDED.get_or_create(spark, ("events_dup", sf_dir, chunks), land)
 
 
-def streamed_dedup_rollup(
+def _out_dedup_rollup(
     spark: SparkSession, sf_dir: str, chunks: int = 2
-) -> DataFrame:
+) -> tuple[DataFrame, str]:
     work = tempfile.mkdtemp(prefix="hss_dedup_")
     ev_dir = _land_duplicated_events(spark, sf_dir, chunks)
     schema = spark.read.parquet(ev_dir).schema
@@ -386,12 +410,18 @@ def streamed_dedup_rollup(
             F.col("win.start").alias("bucket"), "event_type", "n_events", "total_value"
         )
     )
-    return _run_append_stream(spark, out, work)
+    return out, work
+
+
+def streamed_dedup_rollup(
+    spark: SparkSession, sf_dir: str, chunks: int = 2
+) -> DataFrame:
+    return _run_append_stream(spark, *_out_dedup_rollup(spark, sf_dir, chunks))
 
 
 @register("evt_dedup_rollup_streaming", _DEDUP_ROLLUP_ORACLE)
 def q_evt_dedup_rollup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return streamed_dedup_rollup(spark, sf_dir)
+    return _evt_streaming_results(spark, sf_dir)["evt_dedup_rollup_streaming"]
 
 
 # ---------------------------------------------------------------------------
@@ -414,9 +444,9 @@ HAVING epoch_us(date_trunc('hour', e.ts) + INTERVAL 1 HOUR)
 """
 
 
-def streamed_static_enrich_rollup(
+def _out_static_enrich_rollup(
     spark: SparkSession, sf_dir: str, chunks: int = 2
-) -> DataFrame:
+) -> tuple[DataFrame, str]:
     stream, work = _events_stream_in_ts_order(spark, sf_dir, chunks)
     dim = (
         load_table(spark, sf_dir, "events")
@@ -436,12 +466,20 @@ def streamed_static_enrich_rollup(
         )
         .select(F.col("win.start").alias("bucket"), "cohort", "n_events", "total_value")
     )
-    return _run_append_stream(spark, out, work)
+    return out, work
+
+
+def streamed_static_enrich_rollup(
+    spark: SparkSession, sf_dir: str, chunks: int = 2
+) -> DataFrame:
+    return _run_append_stream(
+        spark, *_out_static_enrich_rollup(spark, sf_dir, chunks)
+    )
 
 
 @register("evt_stream_static_enrich", _STREAM_STATIC_ORACLE)
 def q_evt_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return streamed_static_enrich_rollup(spark, sf_dir)
+    return _evt_streaming_results(spark, sf_dir)["evt_stream_static_enrich"]
 
 
 # ---------------------------------------------------------------------------
@@ -706,12 +744,63 @@ HAVING epoch_us(bucket + INTERVAL 1 HOUR)
 from hive_server_spark.streaming.windows import sliding_rollup_stream  # noqa: E402
 
 
+def _out_sliding_rollup(
+    spark: SparkSession, sf_dir: str, chunks: int = 2
+) -> tuple[DataFrame, str]:
+    stream, work = _events_stream_in_ts_order(spark, sf_dir, chunks)
+    return sliding_rollup_stream(stream, watermark="1 second"), work
+
+
 @register("evt_sliding_rollup_streaming", _SLIDING_STREAM_ORACLE)
 def q_evt_sliding_rollup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream, work = _events_stream_in_ts_order(spark, sf_dir)
-    return _run_append_stream(
-        spark, sliding_rollup_stream(stream, watermark="1 second"), work
-    )
+    return _evt_streaming_results(spark, sf_dir)["evt_sliding_rollup_streaming"]
+
+
+# ---------------------------------------------------------------------------
+# Concurrent family execution (VERDICT r06 item 3 / round-5 stretch 7).
+# The six evt_* streaming gates are six DIFFERENT stateful computations, so
+# they cannot share one streaming query — but they CAN share wall clock:
+# Spark runs any number of streaming queries concurrently on one session,
+# so the first gate call starts ALL six (availableNow) and awaits them
+# together; per-session results are cached the way the CDC family caches
+# its fold (_FOLDED above). Family wall time drops from sum(6 harness
+# spin-ups) to ~max(...), with zero semantic change — each query keeps its
+# own landed input, checkpoint dir, memory sink, and oracle. The landed
+# inputs themselves were already shared via _LANDED.
+# A caller that wants ONE stream in isolation (chunk-invariance tests, a
+# user embedding a single operator) uses the streamed_* functions, which
+# still run serially standalone.
+# ---------------------------------------------------------------------------
+_EVT_STREAM_BUILDERS = {
+    "evt_hourly_rollup_streaming": _out_hourly_rollup,
+    "evt_sessions_streaming": _out_sessions,
+    "evt_stream_stream_join": _out_band_join,
+    "evt_dedup_rollup_streaming": _out_dedup_rollup,
+    "evt_stream_static_enrich": _out_static_enrich_rollup,
+    "evt_sliding_rollup_streaming": _out_sliding_rollup,
+}
+
+_EVT_RESULTS: SessionCache[dict] = SessionCache()
+
+
+def _evt_streaming_results(spark: SparkSession, sf_dir: str) -> dict:
+    """Run the whole evt_* streaming family concurrently once per
+    (session, sf_dir); returns {query name: result DataFrame}."""
+
+    def build() -> dict:
+        with _scoped_shuffle_partitions(spark):
+            running = []
+            for name, builder in _EVT_STREAM_BUILDERS.items():
+                out, work = builder(spark, sf_dir)
+                q, sink = _start_append_stream(spark, out, work)
+                running.append((name, q, sink))
+            results = {}
+            for name, q, sink in running:
+                q.awaitTermination()
+                results[name] = spark.table(sink)
+        return results
+
+    return _EVT_RESULTS.get_or_create(spark, ("evt_streaming_family", sf_dir), build)
 
 
 # ---------------------------------------------------------------------------
