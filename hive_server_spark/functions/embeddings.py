@@ -507,3 +507,95 @@ SELECT l.vec_id, l.cluster_id,
        CAST(sz.n AS BIGINT) AS cluster_size
 FROM lab l JOIN sz ON l.cluster_id = sz.cluster_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Dim-truncation recall audit (round 7): the Matryoshka-style question —
+# if ANN search keeps only the first d dimensions (cheaper index, smaller
+# transfer), how much of the exact full-dim top-k does it still find?
+# Recall@k is exact set overlap between the full-dim top-k and each
+# truncated top-k; both rankings use the same IEEE in-order cosine fold
+# and the total (cosine DESC, vec_id ASC) tie-break, so the selected sets
+# are deterministic and the overlap is an integer.
+# ---------------------------------------------------------------------------
+def truncated_recall(
+    emb: DataFrame, query_vec_id: int = 0, k: int = 10,
+    dims: tuple[int, ...] = (8, 16, 32),
+) -> DataFrame:
+    """Recall@k of truncated-dimension cosine top-k vs the full-dim exact
+    top-k for one stored query vector: one row per truncation width.
+
+    Scale shape: the cosine folds run in ONE projection pass over the
+    corpus (all widths as columns of a narrow (vec_id, cosines) table,
+    localCheckpoint'ed so the per-ranking top-k scans re-read ~16 bytes x
+    corpus, not the vectors); each top-k is TakeOrderedAndProject; the
+    final joins touch k-row sets only."""
+    from hive_server_spark.operators.topk import global_topk
+
+    v = _vecs(emb)
+    q = (
+        v.where(F.col("vec_id") == query_vec_id)
+        .select(F.col("v").alias("qv"), F.col("vec_id").alias("q_vec_id"))
+    )
+    cand = v.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("q_vec_id"))
+    cols = [F.expr(cosine_expr("v", "qv", "s")).alias("cos_full")]
+    for d in dims:
+        cols.append(
+            F.expr(
+                cosine_expr(f"slice(v, 1, {d})", f"slice(qv, 1, {d})", "s")
+            ).alias(f"cos_{d}")
+        )
+    scored = cand.select("vec_id", *cols).localCheckpoint()
+    full = global_topk(scored, [F.desc("cos_full"), F.asc("vec_id")], k).select(
+        "vec_id"
+    )
+    out = None
+    for d in dims:
+        t = global_topk(scored, [F.desc(f"cos_{d}"), F.asc("vec_id")], k).select(
+            "vec_id"
+        )
+        row = t.join(full, "vec_id").agg(F.count("*").alias("n0")).select(
+            F.lit(d).cast("bigint").alias("trunc_dims"),
+            F.lit(k).cast("bigint").alias("k"),
+            F.col("n0").cast("bigint").alias("n_overlap"),
+            (F.col("n0").cast("double") / F.lit(float(k))).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def truncated_recall_oracle(
+    query_vec_id: int = 0, k: int = 10, dims: tuple[int, ...] = (8, 16, 32)
+) -> str:
+    tops = []
+    for d in dims:
+        tops.append(
+            f"t{d} AS (SELECT vec_id FROM (SELECT vec_id, row_number() OVER "
+            f"(ORDER BY cos_{d} DESC, vec_id ASC) AS rk FROM scored) WHERE rk <= {k})"
+        )
+    selects = []
+    for d in dims:
+        ov = f"(SELECT COUNT(*) FROM t{d} a JOIN full_k b USING (vec_id))"
+        selects.append(
+            f"SELECT CAST({d} AS BIGINT) AS trunc_dims, CAST({k} AS BIGINT) AS k,\n"
+            f"       CAST({ov} AS BIGINT) AS n_overlap,\n"
+            f"       CAST({ov} AS DOUBLE) / {float(k)} AS recall"
+        )
+    trunc_cols = ",\n         ".join(
+        f"{cosine_expr(f'(e.v[1:{d}])', f'(q.qv[1:{d}])', 'd')} AS cos_{d}"
+        for d in dims
+    )
+    return f"""
+WITH v AS (SELECT vec_id, {vec_expr('embedding', 'd')} AS v FROM embeddings),
+q AS (SELECT v AS qv, vec_id AS q_vec_id FROM v WHERE vec_id = {query_vec_id}),
+scored AS (
+  SELECT e.vec_id,
+         {cosine_expr('e.v', 'q.qv', 'd')} AS cos_full,
+         {trunc_cols}
+  FROM v e, q WHERE e.vec_id <> q.q_vec_id
+),
+full_k AS (SELECT vec_id FROM (SELECT vec_id, row_number() OVER
+  (ORDER BY cos_full DESC, vec_id ASC) AS rk FROM scored) WHERE rk <= {k}),
+{", ".join(tops)}
+{" UNION ALL ".join(selects)}
+"""

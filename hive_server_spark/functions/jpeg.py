@@ -10,10 +10,12 @@ deterministic fake. This module closes it the same way PNG did:
   stream (with 0xFF00 byte unstuffing and restart-interval resync),
   dequantization, zig-zag inverse, float64 IDCT via the orthonormal DCT-II
   basis matrix, level shift, and BT.601 full-range YCbCr→RGB for 3-component
-  scans. Grayscale (1 component) and 4:4:4 color (3 components, all
-  sampling factors 1×1) are fully supported; progressive (SOF2),
-  arithmetic coding, 12-bit precision and subsampled chroma raise a clear
-  ValueError instead of mis-decoding (the PPM maxval>255 stance).
+  scans. Grayscale (1 component) and 3-component color at any
+  integer-ratio sampling — 4:4:4, 4:2:2, and (round 7) 4:2:0 / 4:1:1 via
+  MCU-interleaved decode plus pixel-replication chroma upsampling — are
+  fully supported; progressive (SOF2), arithmetic coding, 12-bit
+  precision and fractional-ratio sampling raise a clear ValueError
+  instead of mis-decoding (the PPM maxval>255 stance).
 - ``encode_jpeg_gray_blocks`` is a FIXTURE encoder in the spirit of
   ``encode_png``: it emits a spec-valid grayscale baseline JPEG whose 8×8
   blocks are each a constant value. For constant blocks the forward DCT is
@@ -273,10 +275,21 @@ def _decode_scan(b, pos, seg, frame, qt, huff_dc, huff_ac, restart_interval):
         raise ValueError("JPEG non-interleaved multi-scan unsupported")
     if len(comps) not in (1, 3):
         raise ValueError(f"JPEG with {len(comps)} components unsupported")
-    if any(hs != 1 or vs != 1 for _, hs, vs, _ in comps):
-        raise ValueError(
-            "subsampled JPEG chroma unsupported; only 1x1 sampling (grayscale / 4:4:4)"
-        )
+    # sampling factors (T.81 A.1.1): the MCU is Hmax*8 x Vmax*8 pixels and
+    # component i contributes hs*vs blocks per MCU. Any integer-ratio
+    # subsampling decodes (4:4:4, 4:2:2, 4:2:0, 4:1:1); a fractional
+    # replication ratio (e.g. 3:2) would need true resampling and is
+    # refused rather than approximated.
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    for _, hs, vs, _ in comps:
+        if not (1 <= hs <= 4 and 1 <= vs <= 4):
+            raise ValueError(f"JPEG sampling factor {hs}x{vs} out of range")
+        if hmax % hs or vmax % vs:
+            raise ValueError(
+                f"JPEG fractional-ratio chroma sampling unsupported "
+                f"({hs}x{vs} against max {hmax}x{vmax})"
+            )
     # per-scan-component entropy table selectors, in scan order
     selectors = {}
     for i in range(ncomp_scan):
@@ -284,48 +297,65 @@ def _decode_scan(b, pos, seg, frame, qt, huff_dc, huff_ac, restart_interval):
         selectors[cs] = (tdta >> 4, tdta & 0x0F)
     if width <= 0 or height <= 0:
         raise ValueError("JPEG frame has empty dimensions")
-    bw, bh = (width + 7) // 8, (height + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in comps]
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)
+        for _, hs, vs, _ in comps
+    ]
     for _, _, _, tq in comps:
         if tq not in qt:
             raise ValueError(f"JPEG references missing quant table {tq}")
     br = _BitReader(b, pos)
     preds = [0] * len(comps)
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 br.restart()
                 preds = [0] * len(comps)
-            for ci, (cid, _, _, tq) in enumerate(comps):
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
                 if cid not in selectors:
                     raise ValueError(f"JPEG scan omits frame component {cid}")
                 td, ta = selectors[cid]
                 if td not in huff_dc or ta not in huff_ac:
                     raise ValueError("JPEG scan references missing Huffman table")
-                coeffs = np.zeros((8, 8), dtype=np.float64)
-                s = huff_dc[td].decode(br)
-                diff = _extend(br.receive(s), s)
-                preds[ci] += diff
-                coeffs[0, 0] = preds[ci]
-                k = 1
-                while k < 64:
-                    rs = huff_ac[ta].decode(br)
-                    r, size = rs >> 4, rs & 0x0F
-                    if size == 0:
-                        if r == 15:  # ZRL: sixteen zeros
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("JPEG AC run past end of block")
-                    coeffs[_ZIGZAG[k]] = _extend(br.receive(size), size)
-                    k += 1
-                block = _DCT_M.T @ (coeffs * qt[tq]) @ _DCT_M
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+                for v in range(vs):
+                    for h2 in range(hs):
+                        coeffs = np.zeros((8, 8), dtype=np.float64)
+                        s = huff_dc[td].decode(br)
+                        diff = _extend(br.receive(s), s)
+                        preds[ci] += diff
+                        coeffs[0, 0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = huff_ac[ta].decode(br)
+                            r, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if r == 15:  # ZRL: sixteen zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run past end of block")
+                            coeffs[_ZIGZAG[k]] = _extend(br.receive(size), size)
+                            k += 1
+                        block = _DCT_M.T @ (coeffs * qt[tq]) @ _DCT_M
+                        by, bx = my * vs + v, mx * hs + h2
+                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
             mcu += 1
-    out = [p[:height, :width] + 128.0 for p in planes]
+    # crop each plane to its component resolution (ceil(dim * s / smax),
+    # T.81 A.1.1), replicate up to frame resolution, crop to the frame
+    out = []
+    for (cid, hs, vs, tq), p in zip(comps, planes):
+        cw = -(-width * hs // hmax)
+        ch = -(-height * vs // vmax)
+        p = p[:ch, :cw] + 128.0
+        ry, rx = vmax // vs, hmax // hs
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out.append(p[:height, :width])
     if len(out) == 3:  # BT.601 full-range YCbCr → RGB
         y, cb, cr = out
         r = y + 1.402 * (cr - 128.0)
@@ -394,21 +424,30 @@ def _encode_dc_block(bw_: _BitWriter, v: int, pred: int) -> int:
     return dc
 
 
-def _encode_baseline(planes, blocks_w: int, blocks_h: int, restart_interval: int) -> bytes:
-    """Shared DC-only baseline writer: ``planes`` is a list of 1 (gray) or
-    3 (YCbCr, 4:4:4) per-component block-value lists, each row-major of
-    length blocks_w·blocks_h."""
+def _encode_baseline(
+    planes, mcus_w: int, mcus_h: int, restart_interval: int, sampling=None
+) -> bytes:
+    """Shared DC-only baseline writer. ``planes`` is a list of 1 (gray) or
+    3 (YCbCr) per-component block-value lists; ``sampling`` gives each
+    component's (hs, vs) factors (default all 1x1, where an MCU is one
+    block per component and mcus_w/mcus_h IS the block grid). Component
+    i's block grid is (mcus_w*hs) x (mcus_h*vs), its value list row-major
+    over that grid. Blocks are interleaved in MCU order per T.81 A.2.3."""
     ncomp = len(planes)
-    nblocks = blocks_w * blocks_h
-    for p in planes:
-        if len(p) != nblocks:
-            raise ValueError("block value count != blocks_w * blocks_h")
-    w, h = 8 * blocks_w, 8 * blocks_h
+    if sampling is None:
+        sampling = [(1, 1)] * ncomp
+    for p, (hs, vs) in zip(planes, sampling):
+        if len(p) != mcus_w * hs * mcus_h * vs:
+            raise ValueError("block value count != component block grid")
+    hmax = max(hs for hs, _ in sampling)
+    vmax = max(vs for _, vs in sampling)
+    w, h = 8 * mcus_w * hmax, 8 * mcus_h * vmax
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + _ENC_QUANT_ZIGZAG
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for ci in range(ncomp):
-        out += bytes([ci + 1, 0x11, 0])  # 1x1 sampling, shared quant table 0
+        hs, vs = sampling[ci]
+        out += bytes([ci + 1, (hs << 4) | vs, 0])  # shared quant table 0
     dht = bytes([0x00]) + bytes(_ENC_DC_COUNTS) + _ENC_DC_SYMBOLS
     dht += bytes([0x10]) + bytes(_ENC_AC_COUNTS) + _ENC_AC_SYMBOLS
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
@@ -420,14 +459,21 @@ def _encode_baseline(planes, blocks_w: int, blocks_h: int, restart_interval: int
     out += bytes([0, 63, 0])
     bw_ = _BitWriter()
     preds = [0] * ncomp
-    for k in range(nblocks):
-        if restart_interval and k and k % restart_interval == 0:
-            out += bw_.flush()
-            out += bytes([0xFF, 0xD0 + ((k // restart_interval) - 1) % 8])
-            bw_ = _BitWriter()
-            preds = [0] * ncomp
-        for ci in range(ncomp):
-            preds[ci] = _encode_dc_block(bw_, planes[ci][k], preds[ci])
+    mcu = 0
+    for my in range(mcus_h):
+        for mx in range(mcus_w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                out += bw_.flush()
+                out += bytes([0xFF, 0xD0 + ((mcu // restart_interval) - 1) % 8])
+                bw_ = _BitWriter()
+                preds = [0] * ncomp
+            for ci in range(ncomp):
+                hs, vs = sampling[ci]
+                for v in range(vs):
+                    for h2 in range(hs):
+                        k = (my * vs + v) * (mcus_w * hs) + (mx * hs + h2)
+                        preds[ci] = _encode_dc_block(bw_, planes[ci][k], preds[ci])
+            mcu += 1
     out += bw_.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -454,4 +500,21 @@ def encode_jpeg_ycbcr_blocks(
     return _encode_baseline(
         [list(y_values), list(cb_values), list(cr_values)],
         blocks_w, blocks_h, restart_interval,
+    )
+
+
+def encode_jpeg_ycbcr_420_blocks(
+    y_values, cb_values, cr_values, chroma_bw: int, chroma_bh: int,
+    restart_interval: int = 0,
+) -> bytes:
+    """3-component 4:2:0 baseline JPEG (luma 2x2, chroma 1x1): each MCU is
+    16x16 pixels carrying four Y blocks plus one Cb and one Cr block, the
+    common consumer-camera/web shape. ``y_values`` is row-major over the
+    (2*chroma_bw) x (2*chroma_bh) luma block grid; cb/cr over the chroma
+    grid. Constant blocks keep the DC-only decode-exact property, and with
+    Cb=Cr=128 the decoded RGB equals the replicated luma exactly."""
+    return _encode_baseline(
+        [list(y_values), list(cb_values), list(cr_values)],
+        chroma_bw, chroma_bh, restart_interval,
+        sampling=[(2, 2), (1, 1), (1, 1)],
     )

@@ -210,12 +210,15 @@ def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
     same closed-form byte derivation the PPM/PNG fixtures use, so the
     decode profile keeps a byte-level DuckDB oracle despite the lossy
     container (constant blocks are DC-only and quantization-exact; see
-    functions/jpeg.py). Even doc_ids encode grayscale, odd doc_ids encode
-    3-component 4:4:4 YCbCr with Cb=Cr=128 (decoded RGB == (Y,Y,Y), same
-    mean), and every payload carries a restart interval of 2 — the
-    decoder's RSTn resync path runs on every multi-block fixture."""
+    functions/jpeg.py). doc_id % 3 picks the variant — 0: grayscale, 1:
+    3-component 4:4:4 YCbCr, 2 (round 7): 4:2:0 subsampled YCbCr whose
+    16x16-pixel MCUs carry four constant luma blocks over the DOUBLED
+    (2bw x 2bh) luma grid — all with Cb=Cr=128 (decoded RGB == replicated
+    Y, same mean) and a restart interval of 2, so the RSTn resync path
+    runs on every multi-block/multi-MCU fixture."""
     from hive_server_spark.functions.jpeg import (
         encode_jpeg_gray_blocks,
+        encode_jpeg_ycbcr_420_blocks,
         encode_jpeg_ycbcr_blocks,
     )
 
@@ -227,16 +230,24 @@ def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
                 n = len(data)
                 bw, bh = 1 + n % 3, 1 + (n // 3) % 3
                 hx = data.hex().upper() or "0"
-                vals = [ord(hx[k % len(hx)]) for k in range(bw * bh)]
-                if doc_id % 2 == 0:
+                variant = doc_id % 3
+                nblk = 4 * bw * bh if variant == 2 else bw * bh
+                vals = [ord(hx[k % len(hx)]) for k in range(nblk)]
+                if variant == 0:
                     payload = encode_jpeg_gray_blocks(vals, bw, bh, restart_interval=2)
                     fmt = "image/jpeg;gray"
-                else:
+                elif variant == 1:
                     flat = [128] * len(vals)
                     payload = encode_jpeg_ycbcr_blocks(
                         vals, flat, flat, bw, bh, restart_interval=2
                     )
                     fmt = "image/jpeg;ycbcr"
+                else:
+                    flat = [128] * (bw * bh)
+                    payload = encode_jpeg_ycbcr_420_blocks(
+                        vals, flat, flat, bw, bh, restart_interval=2
+                    )
+                    fmt = "image/jpeg;ycbcr420"
                 ids.append(doc_id)
                 payloads.append(payload)
                 fmts.append(fmt)
@@ -379,6 +390,20 @@ def _decode_png(payload: bytes) -> tuple[int, int, float] | None:
     type 2) and grayscale (type 0); anything else — palette, alpha, 16-bit,
     Adam7 — raises rather than mis-decoding. Returns (width, height,
     mean_luma) or None if the payload is not PNG."""
+    got = _png_samples(payload)
+    if got is None:
+        return None
+    width, height, out = got
+    mean = float(out.mean()) if out.size else 0.0
+    return width, height, mean / 255.0
+
+
+def _png_samples(payload: bytes):
+    """PNG chunk walk + filter reconstruction shared by the stats decode
+    and the value-histogram operator: returns (width, height, samples
+    uint8 ndarray of shape (height, width*channels)) or None if the
+    payload is not PNG; ValueError on malformed/unsupported PNG (the
+    common codec error contract)."""
     import struct
     import zlib
 
@@ -460,8 +485,9 @@ def _decode_png(payload: bytes) -> tuple[int, int, float] | None:
             raise ValueError(f"invalid PNG filter type {ftype}")
         prev = rec
         out[y] = rec.astype(np.uint8)
-    mean = float(out.mean()) if height and out.size else 0.0
-    return width, height, mean / 255.0
+    if out is None:
+        out = np.zeros((0, stride), dtype=np.uint8)
+    return width, height, out
 
 
 def _decode_bmp(payload: bytes) -> tuple[int, int, float] | None:
@@ -495,9 +521,9 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, float] | None:
 
 def _fake_decode(payload: bytes) -> tuple[int, int, float]:
     """Deterministic stand-in for formats needing external codecs (video,
-    JPEG variants beyond baseline 1×1-sampled): dimensions and mean
-    luminance derived from the bytes themselves. Only reachable with
-    strict=False."""
+    JPEG variants beyond baseline integer-ratio-sampled — progressive,
+    arithmetic, 12-bit): dimensions and mean luminance derived from the
+    bytes themselves. Only reachable with strict=False."""
     n = len(payload)
     width = 16 + (payload[0] if n else 0) % 240
     height = 16 + (payload[-1] if n else 0) % 240
@@ -568,6 +594,52 @@ def decode_media(media: DataFrame, strict: bool = False) -> DataFrame:
             )
 
     return media.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+HISTOGRAM_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("value", LongType(), False),
+        StructField("c", LongType(), False),
+        StructField("n", LongType(), False),
+    ]
+)
+
+
+def image_value_histogram(media: DataFrame) -> DataFrame:
+    """Exact per-image sample-value histogram over REAL decoded pixels
+    (strict: PNG only here — the profile's synthesis is PNG): one row per
+    (media_id, distinct sample value) with its count `c` and the image's
+    total sample count `n`. The downstream entropy/stat aggregation stays
+    JVM-side; the Arrow worker only decodes and bincounts. Output is
+    bounded by 256 rows per image — a decode-then-aggregate shape whose
+    shuffle carries histograms, never pixels."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, values, cs, ns = [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                got = _png_samples(bytes(payload))
+                if got is None:
+                    raise ValueError("image_value_histogram expects PNG payloads")
+                _w, _h, samples = got
+                flat = samples.reshape(-1)
+                hist = np.bincount(flat, minlength=256)
+                nz = np.nonzero(hist)[0]
+                for v in nz:
+                    ids.append(int(media_id))
+                    values.append(int(v))
+                    cs.append(int(hist[v]))
+                    ns.append(int(flat.size))
+            yield pd.DataFrame(
+                {"media_id": ids, "value": values, "c": cs, "n": ns}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        build, schema=HISTOGRAM_SCHEMA
+    )
 
 
 def extract_features(media: DataFrame, n_bins: int = 16) -> DataFrame:

@@ -664,29 +664,35 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 # The correctness driver hash-checks the FIRST 50 queries per round. After
 # round 6 every one of the 141 registered queries has a driver-green row
 # (CORRECTNESS_r01-r06 aggregate, 0 red at latest check), so round 7's
-# window is pure staleness rotation per the round-6 note: (a) round-7
-# registrations plus the three queries whose implementation changed this
-# round (the de-broadcast survivor-set joins, VERDICT r06 item 1 — the
-# oracles are unchanged but the driver should revalidate the new plan);
-# (b) the 42 r04-green names rotated out in round 6 (trades/book/amount-out
-# core, asof/range/gapfill, evt_sessions, scale_salted_cohort_rollup, and
-# the 21+4 rel_* names); (c) fill to 50 from the r05-green families by
-# registration order (the rel_ scalar-function block leads). Displaced
-# r05-green names keep their green rows, stay re-proven by
-# tests/test_gate_parity.py (ALL oracle-backed queries vs DuckDB on every
-# pytest), and rotate forward in round 8.
+# window is pure staleness rotation per the round-6 note: (a) the four
+# round-7 registrations (vocab census, winnowing fingerprints, image
+# entropy, truncated recall) and the four queries whose implementation
+# changed this round (the de-broadcast survivor-set joins, VERDICT r06
+# item 1, oracles unchanged; the JPEG profile, which gains the 4:2:0
+# variant); (b) the 42 r04-green names rotated out in round 6 (trades/
+# book/amount-out core, asof/range/gapfill, evt_sessions,
+# scale_salted_cohort_rollup, and the 21+4 rel_* names) — exactly filling
+# the window. The r05-green families keep their green rows, stay
+# re-proven by tests/test_gate_parity.py (ALL oracle-backed queries vs
+# DuckDB on every pytest), and rotate forward in round 8.
 # ROUND-8 ROTATION NOTE: after this window goes green, staleness order is
-# (1) any round-8 registrations / modified queries, (2) the remaining
-# r05-green names (emb_* family onward in registration order — the 5
-# rel_* fillers below come off that list this round), (3) the r06-green
-# block by registration order.
+# (1) any round-8 registrations / modified queries, (2) the 49 r05-green
+# names (rel_scalar_functions onward in registration order), (3) the
+# r06-green block by registration order.
 from hive_server_spark.registry import set_driver_priority  # noqa: E402
 
 DRIVER_PRIORITY_R7 = [
-    # -- (a) round-7-modified queries (de-broadcast survivor-set joins) -----
+    # -- (a) round-7 registrations ------------------------------------------
+    "text_vocab_census",
+    "text_winnow_fingerprints",
+    "multimodal_image_entropy",
+    "emb_truncated_recall",
+    # -- round-7-modified queries: the de-broadcast survivor-set joins
+    #    plus the JPEG profile (gains the 4:2:0 subsampled variant) --------
     "text_line_dedup",
     "text_dup_spans",
     "text_bigram_nll",
+    "multimodal_jpeg_profile",
     # -- (b) the 42 r04-green names rotated out in round 6 ------------------
     "user_orders_t1",
     "trader_order_counts",
@@ -730,12 +736,6 @@ DRIVER_PRIORITY_R7 = [
     "rel_window_order_gaps",
     "rel_window_running_total",
     "rel_window_top_customers",
-    # -- (c) fill to 50: r05-green by registration order --------------------
-    "rel_scalar_functions",
-    "rel_datetime_functions",
-    "rel_array_functions",
-    "rel_string_functions",
-    "rel_null_handling",
 ]
 assert len(DRIVER_PRIORITY_R7) == 50, len(DRIVER_PRIORITY_R7)
 # A typo'd or renamed name would silently shrink the checked window

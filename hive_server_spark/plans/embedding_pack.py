@@ -392,3 +392,12 @@ def emb_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(floor(sqrt({ssq}) * 1000000.0) AS BIGINT) AS norm_micro",
         f"abs(sqrt({ssq}) - 1.0) <= 0.01 AS is_unit",
     )
+
+
+@register("emb_truncated_recall", E.truncated_recall_oracle())
+def emb_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style ANN quality audit: recall@10 of cosine top-k under
+    dimension truncation (first 8/16/32 of 64 dims) vs the exact full-dim
+    ranking — the measurement that decides how small a truncated index can
+    be before it loses the neighbors it exists to find."""
+    return E.truncated_recall(_emb(spark, sf_dir))

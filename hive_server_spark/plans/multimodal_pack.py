@@ -225,18 +225,24 @@ WITH m AS (
 ), grid AS (
   SELECT doc_id, hx,
          1 + n % 3        AS bw,
-         1 + (n // 3) % 3 AS bh
+         1 + (n // 3) % 3 AS bh,
+         CAST(doc_id % 3 AS INTEGER) AS v
   FROM m
 ), blk AS (
-  SELECT doc_id, bw, bh, hx, unnest(range(0, bw*bh)) AS k FROM grid
+  SELECT doc_id, bw, bh, v, hx,
+         unnest(range(0, CASE WHEN v = 2 THEN 4*bw*bh ELSE bw*bh END)) AS k
+  FROM grid
 ), px AS (
-  SELECT doc_id, bw, bh,
+  SELECT doc_id, bw, bh, v,
          SUM(64 * ascii(substr(hx, CAST(k % length(hx) AS INTEGER) + 1, 1)))
            AS pixel_sum
-  FROM blk GROUP BY doc_id, bw, bh
+  FROM blk GROUP BY doc_id, bw, bh, v
 ), per AS (
-  SELECT CASE WHEN doc_id % 2 = 0 THEN 'gray' ELSE 'ycbcr' END AS variant,
-         bw * 8 AS width, bh * 8 AS height, pixel_sum
+  SELECT CASE v WHEN 0 THEN 'gray' WHEN 1 THEN 'ycbcr'
+                ELSE 'ycbcr420' END AS variant,
+         bw * (CASE WHEN v = 2 THEN 16 ELSE 8 END) AS width,
+         bh * (CASE WHEN v = 2 THEN 16 ELSE 8 END) AS height,
+         pixel_sum
   FROM px
 )
 SELECT variant,
@@ -250,16 +256,18 @@ FROM per GROUP BY variant
 """,
 )
 def multimodal_jpeg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthesize REAL baseline JPEGs (gray + 4:4:4 color, restart
-    markers), decode them with the strict pure-Python T.81 decoder in the
-    Arrow worker, and fold the float32 outputs back to exact per-image
-    pixel sums so both variants face the byte-level DuckDB oracle."""
+    """Synthesize REAL baseline JPEGs (gray, 4:4:4 color, and — round 7 —
+    4:2:0 subsampled color, all with restart markers), decode them with
+    the strict pure-Python T.81 decoder in the Arrow worker, and fold the
+    float32 outputs back to exact per-image pixel sums so every variant
+    faces the byte-level DuckDB oracle."""
     docs = _docs_wide(spark, sf_dir)
     dec = M.decode_media(M.synthesize_jpeg_media(docs), strict=True)
     px_len = (F.col("width") * F.col("height")).cast("double")
     per = dec.select(
-        F.when(F.col("media_id") % 2 == 0, F.lit("gray"))
-        .otherwise(F.lit("ycbcr"))
+        F.when(F.col("media_id") % 3 == 0, F.lit("gray"))
+        .when(F.col("media_id") % 3 == 1, F.lit("ycbcr"))
+        .otherwise(F.lit("ycbcr420"))
         .alias("variant"),
         "width",
         "height",
@@ -564,3 +572,66 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the closed-form sample-byte oracle."""
     docs = _docs_wide(spark, sf_dir)
     return M.audio_features(M.synthesize_wav_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# Image value-entropy profile (round 7): decode the REAL PNG fixtures,
+# bincount sample values in the Arrow worker (<= 256 rows per image leave
+# Python — never pixels), then aggregate Shannon entropy JVM-side in exact
+# integer micro-nats: per (image, value) the term
+# round(c * ln(n/c) * 1e6) is a BIGINT, so the per-image sum is
+# reduction-order-free (the text_bigram_nll fixed-point posture). The
+# synthesis pixels are the hex-of-text cycle (functions/multimodal.py
+# synthesize_png_media), so DuckDB recomputes each image's histogram in
+# closed form: count of hex char ch in the rpad-cycled pixel string.
+# ---------------------------------------------------------------------------
+_IMG_ENTROPY_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS nb,
+         CASE WHEN octet_length(encode(text)) > 0
+              THEN hex(encode(text)) ELSE '0' END AS hx
+  FROM documents
+), dims AS (
+  SELECT media_id, hx, 8 + nb % 8 AS w, 8 + (nb // 8) % 8 AS h FROM m
+), px AS (
+  SELECT media_id, rpad(hx, CAST(w*h*3 AS INTEGER), hx) AS s,
+         CAST(w*h*3 AS BIGINT) AS n
+  FROM dims
+), chars AS (
+  SELECT media_id, s, n,
+         unnest(string_split('0,1,2,3,4,5,6,7,8,9,A,B,C,D,E,F', ',')) AS ch
+  FROM px
+), counts AS (
+  SELECT media_id, n,
+         CAST(length(s) - length(replace(s, ch, '')) AS BIGINT) AS c
+  FROM chars
+  WHERE length(s) - length(replace(s, ch, '')) > 0
+)
+SELECT media_id,
+       CAST(MAX(n) AS BIGINT)   AS n_samples,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_values,
+       CAST(SUM(CAST(round(CAST(c AS DOUBLE)
+                           * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))
+                           * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS entropy_micro
+FROM counts GROUP BY media_id
+"""
+
+
+@register("multimodal_image_entropy", _IMG_ENTROPY_ORACLE)
+def multimodal_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-image sample-value entropy (integer micro-nats) over the
+    real PNG decode path — the decode→histogram→entropy chain a corpus
+    image-quality audit runs, value-gated byte-for-byte."""
+    docs = _docs_wide(spark, sf_dir)
+    hist = M.image_value_histogram(M.synthesize_png_media(docs))
+    term = F.round(
+        F.col("c").cast("double")
+        * F.log(F.col("n").cast("double") / F.col("c").cast("double"))
+        * F.lit(1000000.0)
+    ).cast("bigint")
+    return hist.groupBy("media_id").agg(
+        F.max("n").cast("bigint").alias("n_samples"),
+        F.count("*").cast("bigint").alias("n_distinct_values"),
+        F.sum(term).cast("bigint").alias("entropy_micro"),
+    )

@@ -2752,3 +2752,158 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "row_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary census (round 7): the tokenizer-building primitive — corpus
+# collection frequency (cf) and document frequency (df) per token, the
+# top-N head with exact counts and corpus-mass fractions. Scale shape: one
+# explode collapsed by a map-side-combinable (token) hash aggregate —
+# near-unique keys, no skew hazard — then a bounded top-N via
+# TakeOrderedAndProject (never a global sort of the vocabulary); the
+# corpus total rides a broadcast one-row crossJoin; rank is a window over
+# the already-limited N rows. Tie-break (cf DESC, token ASC) is total, so
+# the selected set and ranks are deterministic.
+# ---------------------------------------------------------------------------
+VOCAB_TOP_N = 25
+
+_VOCAB_ORACLE = f"""
+WITH {_TOKS_CTE_D},
+tok AS (SELECT doc_id, unnest(toks) AS token FROM toks),
+vocab AS (
+  SELECT token, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df
+  FROM tok GROUP BY token
+),
+tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS total_cf FROM vocab),
+top AS (
+  SELECT token, cf, df FROM vocab
+  ORDER BY cf DESC, token ASC LIMIT {VOCAB_TOP_N}
+)
+SELECT CAST(row_number() OVER (ORDER BY cf DESC, token ASC) AS BIGINT) AS rank,
+       token,
+       CAST(cf AS BIGINT) AS cf,
+       CAST(df AS BIGINT) AS df,
+       CAST(cf AS DOUBLE) / CAST(t.total_cf AS DOUBLE) AS cf_frac
+FROM top, tot t
+"""
+
+
+def vocab_census(docs: DataFrame, top_n: int = VOCAB_TOP_N) -> DataFrame:
+    """Top-N vocabulary head by collection frequency with document
+    frequency and exact corpus-mass fraction — the census a tokenizer /
+    vocab build runs first. See the block comment above for the plan
+    shape."""
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(T.tokens_expr("text", "s"))).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(
+        F.count("*").alias("cf"), F.count_distinct("doc_id").alias("df")
+    )
+    total = vocab.agg(F.sum("cf").cast("bigint").alias("total_cf"))
+    top = vocab.orderBy(F.desc("cf"), F.asc("token")).limit(top_n)
+    w = Window.orderBy(F.desc("cf"), F.asc("token"))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select(
+            "rank",
+            "token",
+            F.col("cf").cast("bigint").alias("cf"),
+            F.col("df").cast("bigint").alias("df"),
+            (F.col("cf").cast("double") / F.col("total_cf").cast("double")).alias(
+                "cf_frac"
+            ),
+        )
+    )
+
+
+@register("text_vocab_census", _VOCAB_ORACLE)
+def text_vocab_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_census(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (round 7): the Schleimer/Wilkerson/Aiken 2003
+# local document fingerprinting scheme (the MOSS algorithm) — hash every
+# K_WIN-token gram, slide a W_WIN-window over the hash sequence, keep each
+# window's MINIMUM hash; the distinct kept hashes are the document's
+# fingerprint set, with the guarantee that any shared run of
+# W_WIN + K_WIN - 1 tokens between two documents shares a fingerprint.
+# Scale shape: explode is linear; the window min is per-doc (ROWS frame,
+# parallel across documents, bounded within); output is a per-doc summary
+# — the fingerprint-set size and its density over eligible windows. The
+# gram hash is the shared 32-bit md5-prefix hash (functions/text.py
+# hash_expr), identical in both engines.
+# ---------------------------------------------------------------------------
+K_WIN = 4   # gram size, tokens
+W_WIN = 5   # window length, grams
+
+_WINNOW_ORACLE = f"""
+WITH {_TOKS_CTE_D},
+g AS (
+  SELECT doc_id, {T.ngram_list_expr('toks', K_WIN, 'd')} AS gl FROM toks
+),
+pos AS (
+  SELECT doc_id, CAST(len(gl) AS BIGINT) AS n_grams,
+         unnest(range(1, len(gl)+1)) AS p,
+         {T.hash_expr('unnest(gl)', 'win', 'd')} AS h
+  FROM g
+),
+mins AS (
+  SELECT doc_id, n_grams, p,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND {W_WIN - 1} FOLLOWING) AS fp
+  FROM pos
+)
+SELECT doc_id,
+       CAST(MAX(n_grams) AS BIGINT)               AS n_grams,
+       CAST(MAX(n_grams) - {W_WIN} + 1 AS BIGINT) AS n_windows,
+       CAST(COUNT(DISTINCT fp) AS BIGINT)         AS n_fingerprints,
+       CAST(COUNT(DISTINCT fp) AS DOUBLE)
+         / CAST(MAX(n_grams) - {W_WIN} + 1 AS DOUBLE) AS fp_density
+FROM mins
+WHERE n_grams >= {W_WIN} AND p <= n_grams - {W_WIN} + 1
+GROUP BY doc_id
+"""
+
+
+def winnow_report(docs: DataFrame) -> DataFrame:
+    """Per-document winnowing fingerprint census: eligible window count,
+    distinct selected min-hashes, and selection density. See the block
+    comment above for the scheme and scale shape."""
+    g = docs.selectExpr(
+        "doc_id",
+        f"{T.ngram_list_expr(T.tokens_expr('text', 's'), K_WIN, 's')} AS gl",
+    )
+    pos = g.select(
+        "doc_id",
+        F.size("gl").cast("bigint").alias("n_grams"),
+        F.posexplode("gl").alias("p0", "gram"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        (F.col("p0") + 1).alias("p"),
+        F.expr(T.hash_expr("gram", "win", "s")).alias("h"),
+    )
+    wspec = (
+        Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, W_WIN - 1)
+    )
+    mins = pos.withColumn("fp", F.min("h").over(wspec))
+    eligible = mins.where(
+        (F.col("n_grams") >= W_WIN)
+        & (F.col("p") <= F.col("n_grams") - W_WIN + 1)
+    )
+    return eligible.groupBy("doc_id").agg(
+        F.max("n_grams").cast("bigint").alias("n_grams"),
+        (F.max("n_grams") - W_WIN + 1).cast("bigint").alias("n_windows"),
+        F.count_distinct("fp").cast("bigint").alias("n_fingerprints"),
+        (
+            F.count_distinct("fp").cast("double")
+            / (F.max("n_grams") - W_WIN + 1).cast("double")
+        ).alias("fp_density"),
+    )
+
+
+@register("text_winnow_fingerprints", _WINNOW_ORACLE)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_report(_docs(spark, sf_dir))

@@ -13,14 +13,21 @@ semantic invariants the gate queries rely on:
   modular arithmetic on event_id, so 10x events means 10x events *per
   order/pool* (state cardinality constant, fold input 10x): exactly the
   shape a 100 TB log has;
-- `documents.text` gets a per-copy suffix token (cross-copy rows are
-  near-duplicates, not byte-duplicates — keeps exact-dedup group sizes
-  bounded). NOTE: the suffix barely perturbs minhash signatures (min over
-  all shingles), so copies of one base doc still collide in most bands.
-  That makes *candidate-pair* volume grow ~C(MULT,2) per base doc — a
-  property of the replicated corpus's duplicate structure, not engine
-  superlinearity — which is why DEFAULT_QUERIES times `dedup_minhash_sigs`
-  (the linear signature scan) and not `dedup_minhash_candidates`;
+- `documents.text` is re-tokenized per copy with a DETERMINISTIC keyed
+  shuffle (tokens sorted by md5(token, position, copy)) plus a copy-suffix
+  token. The shuffle preserves the token MULTISET exactly — so every
+  multiset-based stat (profile counts, stopword ratios, language ID,
+  token shards) sees identical per-row work — while making cross-copy
+  n-grams and shingles DISTINCT: a replicated corpus must not consist of
+  MULT near-copies of every base doc, or every gram/shingle-granularity
+  operator (minhash candidates, dup spans) measures the synthetic
+  C(MULT,2) duplicate structure instead of engine scaling. Under the
+  shuffle, near-dup/dup-span mass is the base corpus's own structure
+  replicated linearly — the shape a real 100 TB corpus has. (The round-6
+  probe used a suffix-only perturbation; its C(MULT,2) candidate-pair
+  caveat and the resulting text_dup_spans / pretrain_keep exclusions are
+  obsolete under the shuffle.) The suffix still guarantees byte-level
+  distinctness for degenerate one-token docs;
 - `embeddings.embedding` gets a per-copy, per-dimension deterministic
   perturbation (sin-based, a function of (copy, dim)) large enough to flip
   some hyperplane signs, so copies spread across LSH buckets instead of
@@ -71,11 +78,11 @@ DEFAULT_QUERIES = [
     "scale_salted_cohort_rollup",
     "text_profile",
     "text_exact_dedup",
-    # dedup_minhash_sigs, NOT dedup_minhash_candidates: candidate-pair count
-    # scales with the corpus's duplicate structure (~C(mult,2) pairs per
-    # replicated base doc), so the candidates query is superlinear on this
-    # synthetic corpus by construction — timing it here would report a false
-    # superlinearity signal. The signature scan is the engine-linear part.
+    # dedup_minhash_sigs is the linear signature scan; under the keyed-
+    # shuffle replication (see module docstring) candidate-pair volume is
+    # also linear in mult (cross-copy shingles are distinct, so only the
+    # base corpus's own near-dup structure replicates), making the r6
+    # C(mult,2) caveat obsolete.
     "dedup_minhash_sigs",
     "text_repetition_profile",
     # NOTE on shared session caches: queries later in this list that share a
@@ -84,11 +91,6 @@ DEFAULT_QUERIES = [
     # text_decontaminate then reuses, so decontaminate's row measures the
     # broadcast join/agg, not the tokenize+shingle derivation (which
     # source_overlap's row covers).
-    # text_source_overlap yes / text_pretrain_keep NO: the keep query reads
-    # the dup-cluster intermediate, whose candidate-pair volume is
-    # superlinear on this replicated corpus by construction (see the
-    # dedup_minhash_candidates note above) — timing it here would report
-    # corpus structure, not engine scaling.
     "text_source_overlap",
     "text_pack_windows",
     "text_token_shards",
@@ -104,14 +106,21 @@ DEFAULT_QUERIES = [
     # round-6 additions, second batch: the mixing/bucket audits are scan +
     # tiny agg; the moment matrix is the d(d+1)/2-per-row pair explode —
     # inherent arithmetic for a covariance pass, linear in rows.
-    # text_dup_spans is EXCLUDED like text_pretrain_keep: replicated copies
-    # differ only in the trailing " rep{i}" token, so nearly every 8-gram
-    # becomes cross-copy duplicated and the broadcast survivor set degrades
-    # to the whole distinct-gram table — corpus structure by construction,
-    # not engine scaling.
     "text_source_mixing",
     "text_length_buckets",
     "emb_pca_moments",
+    # round-7 additions: the two de-broadcast survivor-set joins (VERDICT
+    # r06 item 1/4). Under the keyed-shuffle replication their survivor
+    # sets scale with the base corpus's own duplicate structure (injected
+    # footers/passages), not with C(mult,2) copy collisions — so the probe
+    # measures the new shuffle-join plan, which is the point.
+    "text_line_dedup",
+    "text_dup_spans",
+    # round-7 second batch: vocabulary census (explode + map-side-combined
+    # token agg + bounded top-N) and winnowing fingerprints (per-doc ROWS
+    # window over gram hashes) — both must scale linearly.
+    "text_vocab_census",
+    "text_winnow_fingerprints",
     # cdc_book_snapshots pays the full 3-slice incremental fold + CDC landing;
     # orders_state_changelog reuses the session-cached fold for the same
     # sf_dir (plans/serving_pack.py), so its time is the CDF read alone.
@@ -126,17 +135,14 @@ DEFAULT_QUERIES = [
 #   replays the full 100x log through availableNow micro-batches — linear
 #   but wall-clock-dominated by the fixed per-batch landing cost; the fold
 #   math itself is covered by orders_state below.
-# - text_source_overlap / text_pretrain_keep / dedup candidates+clusters:
-#   candidate-pair volume on this REPLICATED corpus grows ~C(mult,2) per
-#   base doc by construction (see the dedup_minhash_sigs note above) —
-#   at 100x that is corpus structure, not engine scaling.
+# - text_source_overlap: kept at 10x — under the keyed-shuffle
+#   replication its pair volume is linear, but the broadcast eval-set
+#   probe it shares a cache with is already characterized there.
 # - emb_cosine_topk / emb_lsh_buckets: kept at 10x; the 100x embedding
 #   table is covered by the linear-scan quantization probe below.
 # - emb_pca_moments: kept at 10x; at 100x the pair explode is ~10^10
 #   integer multiplies — linear, but it would time raw arithmetic
 #   throughput against the probe's wall-clock budget, not a plan shape.
-# - text_dup_spans: excluded at every mult (see DEFAULT_QUERIES note —
-#   the replicated corpus makes nearly every gram a cross-copy dup).
 HUNDREDX_QUERIES = [
     "orders_state",
     "order_book_levels",
@@ -157,6 +163,10 @@ HUNDREDX_QUERIES = [
     "multimodal_audio_profile",
     "text_source_mixing",
     "text_length_buckets",
+    # round-7 (VERDICT r06 item 4): the de-broadcast survivor-set joins,
+    # probed at 100x under the new shuffle plan
+    "text_line_dedup",
+    "text_dup_spans",
 ]
 
 # pk stride column(s) per table; every fk shift reuses the owning pk stride.
@@ -204,6 +214,19 @@ def _scaled_copy(
         for fk, owner in _FKS.get(table, {}).items():
             df = df.withColumn(fk, F.col(fk) + F.lit(i * strides[owner]))
         if table == "documents" and i > 0:
+            # keyed token shuffle (see module docstring): multiset-exact,
+            # cross-copy gram/shingle-distinct. Fully vectorized — one
+            # split, one array_sort by a per-(token, position, copy) md5
+            # key, one join; no element_at-in-lambda O(n^2) re-splits.
+            df = df.withColumn(
+                "text",
+                F.expr(
+                    "array_join(transform(array_sort(transform("
+                    "split(text, ' '), (t, p) -> struct("
+                    f"md5(concat(t, '#', CAST(p AS STRING), '#', '{i}')) AS k,"
+                    " t AS t))), s -> s.t), ' ')"
+                ),
+            )
             df = df.withColumn("text", F.concat("text", F.lit(f" rep{i}")))
         if table == "embeddings" and i > 0:
             # per-(copy, dim) deterministic perturbation: a uniform offset
@@ -265,9 +288,10 @@ def time_cleaning_pipeline(spark: SparkSession, sf_dir: str) -> dict[str, float]
     (scripts/run_cleaning_pipeline.py's chain) against `sf_dir` — the
     composition a 100 TB user actually executes, probed as one pipeline so
     stage-to-stage cache reuse is measured, not just per-query times.
-    NOTE: on the replicated probe corpus the dedup/keep stages see
-    ~C(mult,2) candidate pairs per base doc by construction (see the
-    DEFAULT_QUERIES comment) — treat their ratios as corpus structure."""
+    Under the keyed-shuffle replication (module docstring) the dedup/keep
+    stages see candidate-pair volume linear in mult — the base corpus's
+    own near-dup structure replicated — so every stage ratio is an engine
+    signal, including at --mult 100."""
     from scripts.run_cleaning_pipeline import CLEANING_STAGES
 
     qs = gate.spark_queries()
@@ -420,11 +444,11 @@ def _splice_pipeline_md(table: str, mult: int) -> None:
         f"corpus-cleaning chain (CLEANING_STAGES from\n"
         f"scripts/run_cleaning_pipeline.py), each stage timed\n"
         f"cold-cache-first so intra-pipeline cache reuse is part of the\n"
-        f"measurement. Caveat: on this REPLICATED corpus the dedup/keep/\n"
-        f"splits/shards stages see ~C({mult},2) candidate pairs per base\n"
-        f"doc by construction — their ratios reflect the synthetic\n"
-        f"duplicate structure, not engine superlinearity (the linear-stage\n"
-        f"rows, profile/repetition, are the engine signal).\n\n"
+        f"measurement. Under the keyed-shuffle replication (script\n"
+        f"docstring) candidate-pair volume in the dedup/keep stages is\n"
+        f"linear in the multiplier — the base corpus's own near-dup\n"
+        f"structure replicated — so every stage ratio is an engine\n"
+        f"signal, including the cluster/keep/shard stages.\n\n"
         f"{table}\n"
     ))
 

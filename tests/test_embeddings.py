@@ -227,3 +227,39 @@ def test_norm_audit_matches_python_fold(spark):
         assert r.ssq == acc
         assert r.norm_micro == math.floor(math.sqrt(acc) * 1_000_000.0)
         assert r.is_unit == (abs(math.sqrt(acc) - 1.0) <= 0.01)
+
+
+def test_truncated_recall_vs_numpy(spark):
+    """Recall@k of truncated-dim cosine top-k vs a full numpy recompute on
+    a random-but-seeded corpus — set overlap, ranks, and the density
+    division all exact."""
+    import numpy as np
+
+    from hive_server_spark.functions.embeddings import truncated_recall
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 64)).astype("float32")
+    rows = [
+        (int(i), int(i % 3), [float(x) for x in vecs[i]]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    got = {r.trunc_dims: r for r in truncated_recall(emb, k=5).collect()}
+    v64 = vecs.astype("float64")
+
+    def topk(d: int, k: int = 5) -> set[int]:
+        q = v64[0, :d]
+        scores = []
+        for i in range(1, 40):
+            x = v64[i, :d]
+            scores.append(
+                (float(np.dot(x, q) / (np.linalg.norm(x) * np.linalg.norm(q))), i)
+            )
+        scores.sort(key=lambda t: (-t[0], t[1]))
+        return {i for _, i in scores[:k]}
+
+    full = topk(64)
+    for d in (8, 16, 32):
+        overlap = len(topk(d) & full)
+        assert got[d].n_overlap == overlap
+        assert got[d].k == 5
+        assert got[d].recall == overlap / 5

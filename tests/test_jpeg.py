@@ -81,14 +81,43 @@ def test_progressive_sof2_refused():
         decode_jpeg(bytes(p))
 
 
-def test_subsampled_chroma_refused():
+def test_420_subsampled_decode_exact():
+    """4:2:0 (luma 2x2, chroma 1x1): MCU-interleaved decode with chroma
+    pixel replication. Constant DC-only blocks and neutral chroma keep the
+    round trip exact: mean = mean of the luma block constants."""
+    from hive_server_spark.functions.jpeg import encode_jpeg_ycbcr_420_blocks
+
+    y = [10, 20, 30, 40, 50, 60, 70, 80]  # luma grid 4x2 (chroma 2x1)
+    p = encode_jpeg_ycbcr_420_blocks(y, [128, 128], [128, 128], 2, 1,
+                                     restart_interval=1)
+    w, h, mean = decode_jpeg(p)
+    assert (w, h) == (32, 16)
+    assert mean == pytest.approx(sum(y) / len(y) / 255.0, abs=1e-12)
+
+
+def test_422_subsampled_decode_exact():
+    """4:2:2 via the generalized sampling path (luma 2x1, chroma 1x1)."""
+    from hive_server_spark.functions.jpeg import _encode_baseline
+
+    y = [100, 120, 140, 160]  # luma grid 4x1 (2 MCUs wide)
+    p = _encode_baseline([y, [128, 128], [128, 128]], 2, 1, 0,
+                         sampling=[(2, 1), (1, 1), (1, 1)])
+    w, h, mean = decode_jpeg(p)
+    assert (w, h) == (32, 8)
+    assert mean == pytest.approx(sum(y) / len(y) / 255.0, abs=1e-12)
+
+
+def test_fractional_ratio_sampling_refused():
+    """Integer replication ratios only: a 3x1 luma against a 2x1 chroma
+    (ratio 1.5) must refuse, not resample approximately."""
     p = bytearray(encode_jpeg_ycbcr_blocks([100], [128], [128], 1, 1))
     idx = p.index(b"\xff\xc0")
-    # component 1 sampling byte: SOF0 payload = len(2) P(1) Y(2) X(2) Nf(1),
-    # then [id, HV, Tq] per component → HV of comp 1 is at idx+2+8+1
+    # SOF0 payload = len(2) P(1) Y(2) X(2) Nf(1), then [id, HV, Tq] per
+    # component: comp 1 HV at idx+2+8+1, comp 2 HV at idx+2+11+1
     assert p[idx + 2 + 8 + 1] == 0x11
-    p[idx + 2 + 8 + 1] = 0x22  # 2x2 luma sampling (4:2:0)
-    with pytest.raises(ValueError, match="sampling"):
+    p[idx + 2 + 8 + 1] = 0x31  # luma 3x1
+    p[idx + 2 + 11 + 1] = 0x21  # cb 2x1 -> 3 % 2 != 0
+    with pytest.raises(ValueError, match="fractional"):
         decode_jpeg(bytes(p))
 
 

@@ -515,3 +515,38 @@ def test_audio_features_rejects_non_wav(spark):
     )
     with _pytest.raises(Exception, match="RIFF|WAVE|audio_features"):
         M.audio_features(bad).collect()
+
+
+def test_image_value_histogram_and_entropy_recompute(spark):
+    """The histogram op vs a python recompute of the synthesis pixels
+    (hex-of-text cycle), and the micro-nat entropy identity on top."""
+    import math
+
+    from hive_server_spark.functions import multimodal as M
+
+    texts = [(0, "hello world"), (1, "abc"), (2, "zzzz zz")]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+    hist = M.image_value_histogram(M.synthesize_png_media(docs)).collect()
+    got = {}
+    for r in hist:
+        got.setdefault(r.media_id, {})[r.value] = (r.c, r.n)
+    for doc_id, text in texts:
+        data = text.encode()
+        n = len(data)
+        w, h = 8 + n % 8, 8 + (n // 8) % 8
+        hx = data.hex().upper() or "0"
+        need = w * h * 3
+        px = (hx * (need // len(hx) + 1))[:need]
+        counts = {}
+        for ch in px:
+            counts[ord(ch)] = counts.get(ord(ch), 0) + 1
+        assert got[doc_id] == {v: (c, need) for v, c in counts.items()}
+        # entropy identity: sum of per-value rounded micro-nat terms
+        expected = sum(
+            int(round(c * math.log(need / c) * 1e6)) for c in counts.values()
+        )
+        actual = sum(
+            int(round(c * math.log(n_ / c) * 1e6))
+            for c, n_ in got[doc_id].values()
+        )
+        assert actual == expected

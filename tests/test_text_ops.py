@@ -647,3 +647,62 @@ def test_dup_span_report_randomized_vs_python(spark):
         for r in dup_span_report(sdf).collect()
     }
     assert got == expect and expect
+
+
+# ---------------------------------------------------------------------------
+# round-7 additions: vocabulary census, winnowing fingerprints
+# ---------------------------------------------------------------------------
+def test_vocab_census_hand_computed(spark):
+    """3-doc corpus with known counts: cf/df/rank/cf_frac exact, tie on cf
+    broken by token ascending, top_n cut respected."""
+    from hive_server_spark.plans.text_pack import vocab_census
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple"),
+            (1, "banana cherry"),
+            (2, "apple cherry cherry date"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.token: r for r in vocab_census(docs, top_n=3).collect()}
+    # cf: apple 3, cherry 3, banana 2, date 1 (cut). tie apple<cherry.
+    assert set(rows) == {"apple", "cherry", "banana"}
+    assert (rows["apple"].rank, rows["apple"].cf, rows["apple"].df) == (1, 3, 2)
+    assert (rows["cherry"].rank, rows["cherry"].cf, rows["cherry"].df) == (2, 3, 2)
+    assert (rows["banana"].rank, rows["banana"].cf, rows["banana"].df) == (3, 2, 2)
+    assert rows["apple"].cf_frac == 3 / 9
+    assert rows["banana"].cf_frac == 2 / 9
+
+
+def test_winnow_fingerprints_hand_computed(spark):
+    """Python winnowing recompute over a small corpus: same gram hashing
+    (md5-prefix, seed 'win'), same window mins, same distinct count —
+    including a doc below the window threshold (no row) and one at exactly
+    the threshold (one window)."""
+    import hashlib
+
+    from hive_server_spark.plans.text_pack import K_WIN, W_WIN, winnow_report
+
+    def h(gram: str) -> int:
+        return int(hashlib.md5(f"win:{gram}".encode()).hexdigest()[:8], 16)
+
+    texts = {
+        0: "a b c d e f g h i j k l",        # 12 tokens -> 9 grams, 5 windows
+        1: "x y z w x y z w",                # 8 tokens -> 5 grams, 1 window
+        2: "one two three four five six",    # 6 tokens -> 3 grams < W -> absent
+    }
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {r.doc_id: r for r in winnow_report(docs).collect()}
+    assert 2 not in got
+    for doc_id in (0, 1):
+        toks = texts[doc_id].split(" ")
+        grams = [" ".join(toks[i:i + K_WIN]) for i in range(len(toks) - K_WIN + 1)]
+        hs = [h(g) for g in grams]
+        n_windows = len(hs) - W_WIN + 1
+        fps = {min(hs[p:p + W_WIN]) for p in range(n_windows)}
+        r = got[doc_id]
+        assert (r.n_grams, r.n_windows, r.n_fingerprints) == (
+            len(grams), n_windows, len(fps)
+        )
+        assert r.fp_density == len(fps) / n_windows
