@@ -139,6 +139,157 @@ def q_order_book_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Order-book analytics on top of the levels (round 7): depth-weighted
+# VWAP per side over the top-20 levels, the best-bid/ask mid, and the
+# depth imbalance — the standard book-quality summary a market-data
+# consumer derives from exactly this snapshot. Every aggregate is an
+# exact DECIMAL sum; divisions happen once, in DOUBLE, identically on
+# both sides (the house float rule). One extra hash aggregate over the
+# already-tiny level table — no new shuffle of order data.
+# ---------------------------------------------------------------------------
+@register(
+    "order_book_vwap",
+    _FOLD_CTES
+    + """
+, levels AS (
+  SELECT pool_address, order_type, price,
+         SUM(amount - filled) AS total_volume,
+         COUNT(*) AS order_count
+  FROM orders_state
+  WHERE active AND price IS NOT NULL
+  GROUP BY pool_address, order_type, price
+), ranked AS (
+  SELECT *,
+    CASE WHEN order_type = 'BUY'
+         THEN row_number() OVER (PARTITION BY pool_address, order_type ORDER BY price DESC)
+         ELSE row_number() OVER (PARTITION BY pool_address, order_type ORDER BY price ASC)
+    END AS level_rank
+  FROM levels
+), top AS (SELECT * FROM ranked WHERE level_rank <= 20)
+SELECT pool_address,
+       CAST(SUM(CASE WHEN order_type = 'BUY'  THEN price * total_volume END) AS DOUBLE)
+         / CAST(SUM(CASE WHEN order_type = 'BUY'  THEN total_volume END) AS DOUBLE)
+         AS bid_vwap,
+       CAST(SUM(CASE WHEN order_type = 'SELL' THEN price * total_volume END) AS DOUBLE)
+         / CAST(SUM(CASE WHEN order_type = 'SELL' THEN total_volume END) AS DOUBLE)
+         AS ask_vwap,
+       CAST(MAX(CASE WHEN order_type = 'BUY'  AND level_rank = 1 THEN price END) AS DOUBLE)
+         AS best_bid,
+       CAST(MAX(CASE WHEN order_type = 'SELL' AND level_rank = 1 THEN price END) AS DOUBLE)
+         AS best_ask,
+       (CAST(MAX(CASE WHEN order_type = 'BUY'  AND level_rank = 1 THEN price END) AS DOUBLE)
+        + CAST(MAX(CASE WHEN order_type = 'SELL' AND level_rank = 1 THEN price END) AS DOUBLE))
+         / 2.0 AS mid_price,
+       (CAST(SUM(CASE WHEN order_type = 'BUY'  THEN total_volume END) AS DOUBLE)
+        - CAST(SUM(CASE WHEN order_type = 'SELL' THEN total_volume END) AS DOUBLE))
+       / (CAST(SUM(CASE WHEN order_type = 'BUY'  THEN total_volume END) AS DOUBLE)
+          + CAST(SUM(CASE WHEN order_type = 'SELL' THEN total_volume END) AS DOUBLE))
+         AS depth_imbalance
+FROM top GROUP BY pool_address
+""",
+)
+def q_order_book_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lv = top_levels(price_levels(_orders_state(spark, sf_dir)), depth=20)
+    bid = F.col("order_type") == "BUY"
+    ask = F.col("order_type") == "SELL"
+    pv = F.col("price") * F.col("total_volume")
+    bid_vol = F.sum(F.when(bid, F.col("total_volume"))).cast("double")
+    ask_vol = F.sum(F.when(ask, F.col("total_volume"))).cast("double")
+    best_bid = F.max(
+        F.when(bid & (F.col("level_rank") == 1), F.col("price"))
+    ).cast("double")
+    best_ask = F.max(
+        F.when(ask & (F.col("level_rank") == 1), F.col("price"))
+    ).cast("double")
+    return lv.groupBy("pool_address").agg(
+        (F.sum(F.when(bid, pv)).cast("double") / bid_vol).alias("bid_vwap"),
+        (F.sum(F.when(ask, pv)).cast("double") / ask_vol).alias("ask_vwap"),
+        best_bid.alias("best_bid"),
+        best_ask.alias("best_ask"),
+        ((best_bid + best_ask) / F.lit(2.0)).alias("mid_price"),
+        ((bid_vol - ask_vol) / (bid_vol + ask_vol)).alias("depth_imbalance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 order version history (round 7): the warehouse-style complement of
+# the state fold — every order-touching event becomes a version row with a
+# [valid_from_seq, valid_to_seq) validity interval, carried-forward
+# attributes (the same last-ignorenulls semantics the fold aggregates),
+# and an is_current flag. The fold answers "state now"; this answers
+# "state at any seq" as a joinable dimension — SCD type 2 exactly.
+# Scale shape: one shuffle on the order key, per-key ROWS windows (carry,
+# row_number, lead) in a single sort — linear, no self-join.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_scd2_versions",
+    f"WITH {ORDER_EVENTS_CTE}, {ORDER_UPDATES_CTE}\n"
+    + """
+, versions AS (
+  SELECT pool_address, order_id, seq,
+         row_number() OVER wn AS version_no,
+         lead(seq)    OVER wn AS next_seq,
+         last_value(u_trader IGNORE NULLS)     OVER wc AS trader,
+         last_value(u_price IGNORE NULLS)      OVER wc AS price,
+         last_value(u_amount IGNORE NULLS)     OVER wc AS amount,
+         last_value(u_filled IGNORE NULLS)     OVER wc AS filled,
+         last_value(u_remaining IGNORE NULLS)  OVER wc AS remaining_amount,
+         last_value(u_active IGNORE NULLS)     OVER wc AS active
+  FROM order_updates
+  WINDOW wn AS (PARTITION BY pool_address, order_id ORDER BY seq),
+         wc AS (PARTITION BY pool_address, order_id ORDER BY seq
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT pool_address, order_id,
+       CAST(version_no AS BIGINT)       AS version_no,
+       CAST(seq AS BIGINT)              AS valid_from_seq,
+       CAST(next_seq AS BIGINT)         AS valid_to_seq,
+       next_seq IS NULL                 AS is_current,
+       trader,
+       CAST(price AS DOUBLE)            AS price,
+       CAST(amount AS DOUBLE)           AS amount,
+       CAST(filled AS DOUBLE)           AS filled,
+       CAST(remaining_amount AS DOUBLE) AS remaining_amount,
+       active
+FROM versions
+""",
+)
+def q_orders_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_server_spark.operators.fold import project_updates
+
+    u = project_updates(order_events(spark, sf_dir))
+    wn = Window.partitionBy("pool_address", "order_id").orderBy("seq")
+    wc = wn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    carried = u.select(
+        "pool_address",
+        "order_id",
+        "seq",
+        F.row_number().over(wn).cast("bigint").alias("version_no"),
+        F.lead("seq").over(wn).cast("bigint").alias("next_seq"),
+        F.last("u_trader", ignorenulls=True).over(wc).alias("trader"),
+        F.last("u_price", ignorenulls=True).over(wc).alias("price"),
+        F.last("u_amount", ignorenulls=True).over(wc).alias("amount"),
+        F.last("u_filled", ignorenulls=True).over(wc).alias("filled"),
+        F.last("u_remaining", ignorenulls=True).over(wc).alias("remaining_amount"),
+        F.last("u_active", ignorenulls=True).over(wc).alias("active"),
+    )
+    return carried.select(
+        "pool_address",
+        "order_id",
+        "version_no",
+        F.col("seq").cast("bigint").alias("valid_from_seq"),
+        F.col("next_seq").alias("valid_to_seq"),
+        F.col("next_seq").isNull().alias("is_current"),
+        "trader",
+        _DBL("price"),
+        _DBL("amount"),
+        _DBL("filled"),
+        _DBL("remaining_amount"),
+        "active",
+    )
+
+
+# ---------------------------------------------------------------------------
 # A7/W2 — amount-out walk, both directions (SURVEY §2.4, §3.3)
 # ---------------------------------------------------------------------------
 def _amount_out_gate(order_type: str) -> QueryFn:
@@ -537,6 +688,65 @@ def q_asof_trade_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_nearest_price",
+    f"WITH {ORDER_EVENTS_CTE}\n"
+    + """
+, mo AS (SELECT pool_address, seq, trader, filled_amount FROM order_events
+         WHERE event_type = 'MarketOrderExecuted'),
+lp AS (SELECT pool_address, seq, price FROM order_events
+       WHERE event_type = 'LatestPrice'),
+nb AS (
+  SELECT mo.pool_address, mo.seq, mo.trader, mo.filled_amount,
+         b.price AS prev_price, b.seq AS prev_seq,
+         f.price AS next_price, f.seq AS next_seq
+  FROM mo
+  ASOF LEFT JOIN lp b
+    ON mo.pool_address = b.pool_address AND mo.seq >= b.seq
+  ASOF LEFT JOIN lp f
+    ON mo.pool_address = f.pool_address AND mo.seq <= f.seq
+)
+SELECT pool_address, seq, trader,
+       CAST(filled_amount AS DOUBLE) AS filled_amount,
+       CAST(CASE WHEN next_seq IS NULL
+                   OR (prev_seq IS NOT NULL
+                       AND seq - prev_seq <= next_seq - seq)
+                 THEN prev_price ELSE next_price END AS DOUBLE)
+         AS asof_price,
+       CAST((CASE WHEN next_seq IS NULL
+                    OR (prev_seq IS NOT NULL
+                        AND seq - prev_seq <= next_seq - seq)
+                  THEN prev_seq ELSE next_seq END) - seq AS BIGINT)
+         AS signed_lag
+FROM nb
+""",
+)
+def q_asof_nearest_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each executed market order enriched with the NEAREST price update in
+    either direction (pandas merge_asof direction='nearest'; ties go to
+    the earlier row). Spark side is the two-direction union-and-carry
+    window (one shuffle, two sorts — operators/asof.py); the oracle is a
+    pair of chained native DuckDB ASOF joins plus the same tie CASE, so
+    two independent formulations must agree. signed_lag < 0 means the
+    match is a stale prior quote, > 0 a future one."""
+    from hive_server_spark.operators.asof import asof_join_nearest
+
+    ev = order_events(spark, sf_dir)
+    mo = ev.where(et_eq("MarketOrderExecuted")).select(
+        "pool_address", "seq", "trader", "filled_amount"
+    )
+    lp = ev.where(et_eq("LatestPrice")).select("pool_address", "seq", "price")
+    j = asof_join_nearest(mo, lp, key="pool_address", order="seq", value_cols=["price"])
+    return j.select(
+        "pool_address",
+        "seq",
+        "trader",
+        _DBL("filled_amount"),
+        F.col("asof_price").cast("double").alias("asof_price"),
+        (F.col("asof_order") - F.col("seq")).cast("bigint").alias("signed_lag"),
+    )
+
+
+@register(
     "range_price_activity",
     f"WITH {ORDER_EVENTS_CTE}\n"
     + """
@@ -687,6 +897,11 @@ DRIVER_PRIORITY_R7 = [
     "text_winnow_fingerprints",
     "multimodal_image_entropy",
     "emb_truncated_recall",
+    "asof_nearest_price",
+    "text_heaps_law",
+    "order_book_vwap",
+    "orders_scd2_versions",
+    "text_source_kl",
     # -- round-7-modified queries: the de-broadcast survivor-set joins
     #    plus the JPEG profile (gains the 4:2:0 subsampled variant) --------
     "text_line_dedup",
@@ -731,11 +946,10 @@ DRIVER_PRIORITY_R7 = [
     "rel_rich_idle_customers",
     "rel_rollup_revenue",
     "rel_top_revenue_orders",
-    "rel_union_all_parties",
-    "rel_window_analytics",
-    "rel_window_order_gaps",
-    "rel_window_running_total",
-    "rel_window_top_customers",
+    # rel_union_all_parties / rel_window_analytics / rel_window_order_gaps /
+    # rel_window_running_total / rel_window_top_customers displaced to keep
+    # the window at 50 (all r04-green, re-proven by test_gate_parity.py on
+    # every pytest; front of the r8 staleness order)
 ]
 assert len(DRIVER_PRIORITY_R7) == 50, len(DRIVER_PRIORITY_R7)
 # A typo'd or renamed name would silently shrink the checked window

@@ -101,3 +101,86 @@ def seq_band_join_count(
     return joined.groupBy(key, order).agg(
         F.count("_ro").cast("bigint").alias(count_alias)
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    order: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """For every `left` row: the `right` row NEAREST in `order` within
+    `key`, either direction (pandas merge_asof direction='nearest');
+    exact ties broken toward the earlier (at-or-before) row. Same
+    union-and-carry idiom as asof_join_last run in both directions — two
+    window sorts over ONE shuffle on `key`, still linear: the backward
+    pass carries last(right) forward, the forward pass carries
+    first(right) backward, and a per-row CASE picks the closer. Right
+    value columns come back as `asof_<col>`, the matched order value as
+    `asof_order`; rows with no right row at all get nulls."""
+    is_left, r_order = "_is_left", "_r_order"
+    l_tag = left.select(
+        key, order,
+        *[F.col(c) for c in left.columns if c not in (key, order)],
+        F.lit(True).alias(is_left),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast("long").alias(r_order),
+    )
+    r_tag = right.select(
+        key, order,
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in (key, order)
+        ],
+        F.lit(False).alias(is_left),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.col(order).cast("long").alias(r_order),
+    )
+    unioned = l_tag.unionByName(r_tag)
+    # right rows sort before left rows at the same order value in BOTH
+    # directions, so an exact tie is visible as distance 0 on both sides
+    w_back = (
+        Window.partitionBy(key)
+        .orderBy(F.col(order).asc(), F.col(is_left).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(key)
+        .orderBy(F.col(order).desc(), F.col(is_left).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w_back).alias(f"_prev_{c}")
+            for c in value_cols
+        ],
+        F.last(r_order, ignorenulls=True).over(w_back).alias("_prev_order"),
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w_fwd).alias(f"_next_{c}")
+            for c in value_cols
+        ],
+        F.last(r_order, ignorenulls=True).over(w_fwd).alias("_next_order"),
+    )
+    take_prev = F.col("_next_order").isNull() | (
+        F.col("_prev_order").isNotNull()
+        & (
+            (F.col(order) - F.col("_prev_order"))
+            <= (F.col("_next_order") - F.col(order))
+        )
+    )
+    keep = [c for c in left.columns]
+    picked = [
+        F.when(take_prev, F.col(f"_prev_{c}")).otherwise(F.col(f"_next_{c}")).alias(
+            f"asof_{c}"
+        )
+        for c in value_cols
+    ]
+    asof_order = (
+        F.when(take_prev, F.col("_prev_order"))
+        .otherwise(F.col("_next_order"))
+        .alias("asof_order")
+    )
+    return carried.where(F.col(is_left)).select(*keep, *picked, asof_order)

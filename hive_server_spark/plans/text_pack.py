@@ -2907,3 +2907,182 @@ def winnow_report(docs: DataFrame) -> DataFrame:
 @register("text_winnow_fingerprints", _WINNOW_ORACLE)
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_report(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth (round 7): distinct-vocabulary size after the
+# first N corpus tokens (doc_id reading order) at geometric ladder points —
+# the curve a tokenizer/vocab budget is sized against. Exact formulation:
+# a token contributes to every prefix at or after its FIRST global
+# occurrence, so vocab_size(N) = |{tokens: first_occurrence <= N}|.
+# Scale shape: global token positions come from the same two-level prefix
+# sum as the shard manifests (constant source key — bucket subtotals stay
+# fully parallel, the only single-partition window sorts ~n_docs/4096
+# subtotal rows); first occurrence is a map-side-combined min per token;
+# the ladder (<= 12 rows) broadcasts against the vocabulary for the
+# inequality fan-out. The oracle keeps the one-window formulation, pinning
+# the two-level equivalence exactly like text_token_shards.
+# ---------------------------------------------------------------------------
+_HEAPS_BASE = 256   # smallest prefix; ladder = 256 * 2^k, k < 12
+_HEAPS_STEPS = 12
+
+_HEAPS_ORACLE = f"""
+WITH {_TOKS_CTE_D},
+doc_off AS (
+  SELECT doc_id, toks,
+         COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS toks_before
+  FROM toks
+),
+pos AS (
+  SELECT toks_before + unnest(range(1, len(toks)+1)) AS gp,
+         unnest(toks) AS token
+  FROM doc_off
+),
+first_occ AS (SELECT token, MIN(gp) AS fo FROM pos GROUP BY token),
+total AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS n FROM toks),
+ladder AS (
+  SELECT CAST({_HEAPS_BASE} * (1 << k.k) AS BIGINT) AS n_prefix
+  FROM (SELECT unnest(range(0, {_HEAPS_STEPS})) AS k) k, total t
+  WHERE {_HEAPS_BASE} * (1 << k.k) <= t.n
+)
+SELECT CAST(l.n_prefix AS BIGINT) AS n_prefix,
+       CAST(COUNT(*) AS BIGINT)   AS vocab_size,
+       CAST(COUNT(*) AS DOUBLE) / CAST(l.n_prefix AS DOUBLE)
+         AS type_token_ratio
+FROM ladder l JOIN first_occ f ON f.fo <= l.n_prefix
+GROUP BY l.n_prefix
+"""
+
+
+def heaps_curve(docs: DataFrame) -> DataFrame:
+    """Vocabulary size at geometric corpus-prefix points (see block
+    comment). Input needs (doc_id, text)."""
+    spark = docs.sparkSession
+    toks = docs.select(
+        "doc_id", F.expr(T.tokens_expr("text", "s")).alias("toks")
+    ).select(
+        F.lit("_corpus").alias("source"),
+        "doc_id",
+        "toks",
+        F.size("toks").cast("bigint").alias("n_toks"),
+    )
+    off = _toks_before(toks)
+    pos = off.select(
+        "toks_before", F.posexplode("toks").alias("p0", "token")
+    ).select((F.col("toks_before") + F.col("p0") + 1).alias("gp"), "token")
+    first = pos.groupBy("token").agg(F.min("gp").alias("fo"))
+    total = toks.agg(F.sum("n_toks").cast("bigint").alias("n"))
+    ladder = (
+        spark.range(_HEAPS_STEPS)
+        .select(
+            F.expr(
+                f"CAST({_HEAPS_BASE} AS BIGINT)"
+                " * CAST(shiftleft(1, CAST(id AS INT)) AS BIGINT)"
+            ).alias("n_prefix")
+        )
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n_prefix") <= F.col("n"))
+        .select("n_prefix")
+    )
+    return (
+        first.join(F.broadcast(ladder), F.col("fo") <= F.col("n_prefix"))
+        .groupBy("n_prefix")
+        .agg(
+            F.count("*").cast("bigint").alias("vocab_size"),
+            (F.count("*").cast("double") / F.col("n_prefix").cast("double")).alias(
+                "type_token_ratio"
+            ),
+        )
+        .select(
+            F.col("n_prefix").cast("bigint").alias("n_prefix"),
+            "vocab_size",
+            "type_token_ratio",
+        )
+    )
+
+
+@register("text_heaps_law", _HEAPS_ORACLE)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return heaps_curve(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Source-vs-corpus KL divergence (round 7): for each source, the KL
+# divergence of its unigram distribution from the corpus mixture — the
+# quantitative "how different is this source" signal a data-mixing /
+# domain-weighting decision reads. Exactness: each token's contribution
+# c_s * ln(c_s*N_c / (c_c*N_s)) is rounded to integer micro-nats BEFORE
+# the per-source sum (order-free, the bigram-NLL posture); the final
+# per-token-average division happens once in DOUBLE. Restriction to
+# tokens with c_s > 0 makes every log argument finite (and c_c >= c_s by
+# construction). Scale shape: one explode, a map-side-combined
+# (source, token) aggregate, a vocabulary-sized co-partitioned equi-join
+# on token (deliberately NOT broadcast — vocabulary is unbounded on web
+# text, the same posture as text_bigram_nll's head counts), and tiny
+# broadcast sides for the per-source and corpus totals.
+# ---------------------------------------------------------------------------
+_KL_ORACLE = f"""
+WITH {_TOKS_CTE_D},
+tok AS (SELECT source, unnest(toks) AS token FROM toks),
+sc AS (SELECT source, token, COUNT(*) AS c_s FROM tok GROUP BY 1, 2),
+cc AS (SELECT token, SUM(c_s) AS c_c FROM sc GROUP BY 1),
+ns AS (SELECT source, SUM(c_s) AS n_s FROM sc GROUP BY 1),
+nc AS (SELECT CAST(SUM(c_c) AS BIGINT) AS n_c FROM cc)
+SELECT s.source,
+       CAST(MAX(n.n_s) AS BIGINT)  AS n_tokens,
+       CAST(COUNT(*) AS BIGINT)    AS vocab_size,
+       CAST(SUM(CAST(round(CAST(s.c_s AS DOUBLE)
+                * ln(CAST(s.c_s * x.n_c AS DOUBLE)
+                     / CAST(c.c_c * n.n_s AS DOUBLE))
+                * 1000000.0) AS BIGINT)) AS BIGINT) AS kl_micro,
+       CAST(SUM(CAST(round(CAST(s.c_s AS DOUBLE)
+                * ln(CAST(s.c_s * x.n_c AS DOUBLE)
+                     / CAST(c.c_c * n.n_s AS DOUBLE))
+                * 1000000.0) AS BIGINT)) AS DOUBLE)
+         / CAST(MAX(n.n_s) AS DOUBLE) / 1000000.0 AS kl_nats
+FROM sc s JOIN cc c USING (token) JOIN ns n USING (source), nc x
+GROUP BY s.source
+"""
+
+
+def source_kl_report(docs: DataFrame) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus mixture, in exact
+    integer micro-nats plus the per-token average in nats. See the block
+    comment above for the exactness and join posture."""
+    tok = docs.select(
+        "source", F.explode(F.expr(T.tokens_expr("text", "s"))).alias("token")
+    )
+    sc_ = tok.groupBy("source", "token").agg(F.count("*").alias("c_s"))
+    cc = sc_.groupBy("token").agg(F.sum("c_s").alias("c_c"))
+    ns = sc_.groupBy("source").agg(F.sum("c_s").alias("n_s"))
+    nc = cc.agg(F.sum("c_c").cast("bigint").alias("n_c"))
+    j = (
+        sc_.join(cc, "token")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nc))
+    )
+    term = F.round(
+        F.col("c_s").cast("double")
+        * F.log(
+            (F.col("c_s") * F.col("n_c")).cast("double")
+            / (F.col("c_c") * F.col("n_s")).cast("double")
+        )
+        * F.lit(1000000.0)
+    ).cast("bigint")
+    return j.groupBy("source").agg(
+        F.max("n_s").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("vocab_size"),
+        F.sum(term).cast("bigint").alias("kl_micro"),
+        (
+            F.sum(term).cast("double")
+            / F.max("n_s").cast("double")
+            / F.lit(1000000.0)
+        ).alias("kl_nats"),
+    )
+
+
+@register("text_source_kl", _KL_ORACLE)
+def text_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_kl_report(_docs(spark, sf_dir))

@@ -123,3 +123,44 @@ def test_band_join_boundary_inclusive(spark):
         left, right, key="pool_address", order="seq", band=50
     ).collect()
     assert row.n_in_band == 3  # 50, 100, 150 in; 49/151 out
+
+
+def test_asof_join_nearest_matches_naive(spark):
+    """Nearest-in-either-direction vs a python scan: distance minimized,
+    exact ties (including distance-0 right rows AT a left order) go to the
+    at-or-before row, orphan keys get nulls."""
+    from hive_server_spark.operators.asof import asof_join_nearest
+
+    for seed in (11, 31, 77):
+        rng = random.Random(seed)
+        left_rows, right_rows = _random_sides(rng)
+        left = _mk(spark, left_rows, ["key", "ord", "tag"]).withColumnsRenamed(
+            {"key": "pool_address", "ord": "seq"}
+        )
+        right = _mk(spark, right_rows, ["key", "ord", "price"]).withColumnsRenamed(
+            {"key": "pool_address", "ord": "seq"}
+        )
+        got = {
+            (r.pool_address, r.seq, r.tag): (r.asof_price, r.asof_order)
+            for r in asof_join_nearest(
+                left, right, key="pool_address", order="seq", value_cols=["price"]
+            ).collect()
+        }
+        by_key: dict[str, list[tuple[int, float]]] = {}
+        for k, o, p in right_rows:
+            by_key.setdefault(k, []).append((o, p))
+        for k, o, tag in left_rows:
+            cands = by_key.get(k, [])
+            prevs = [(ro, rp) for ro, rp in cands if ro <= o]
+            nexts = [(ro, rp) for ro, rp in cands if ro >= o]
+            prev = max(prevs, key=lambda t: t[0]) if prevs else None
+            nxt = min(nexts, key=lambda t: t[0]) if nexts else None
+            if prev is None and nxt is None:
+                want = (None, None)
+            elif nxt is None or (
+                prev is not None and o - prev[0] <= nxt[0] - o
+            ):
+                want = (prev[1], prev[0])
+            else:
+                want = (nxt[1], nxt[0])
+            assert got[(k, o, tag)] == want, (seed, k, o)

@@ -99,3 +99,67 @@ def test_created_defaults(make_events):
     assert o.remaining_amount == D(5)
     assert o.active is True
     assert o.created_seq == 1
+
+
+def test_scd2_versions_match_python_carry(spark):
+    """orders_scd2_versions vs a python carry-forward over the same
+    projected updates: version numbering, validity intervals, is_current,
+    and every carried attribute — and the final (is_current) version of
+    each order must equal the batch fold's state row."""
+    from tests.conftest import SF_SMALL
+
+    from hive_server_spark.gate import spark_queries
+    from hive_server_spark.operators.fold import project_updates
+    from hive_server_spark.sources.synthetic import order_events
+
+    got = spark_queries()["orders_scd2_versions"](spark, SF_SMALL).collect()
+    upd = project_updates(order_events(spark, SF_SMALL)).collect()
+
+    by_key: dict[tuple, list] = {}
+    for r in upd:
+        by_key.setdefault((r.pool_address, r.order_id), []).append(r)
+    want = {}
+    for key, rows in by_key.items():
+        rows.sort(key=lambda r: r.seq)
+        carried = {"trader": None, "price": None, "amount": None,
+                   "filled": None, "remaining_amount": None, "active": None}
+        for i, r in enumerate(rows):
+            for field, u in (("trader", r.u_trader), ("price", r.u_price),
+                             ("amount", r.u_amount), ("filled", r.u_filled),
+                             ("remaining_amount", r.u_remaining),
+                             ("active", r.u_active)):
+                if u is not None:
+                    carried[field] = u
+            nxt = rows[i + 1].seq if i + 1 < len(rows) else None
+            want[(key[0], key[1], r.seq)] = (
+                i + 1, nxt,
+                carried["trader"],
+                None if carried["price"] is None else float(carried["price"]),
+                None if carried["amount"] is None else float(carried["amount"]),
+                None if carried["filled"] is None else float(carried["filled"]),
+                None if carried["remaining_amount"] is None
+                else float(carried["remaining_amount"]),
+                carried["active"],
+            )
+    assert len(got) == len(want)
+    for r in got:
+        w = want[(r.pool_address, r.order_id, r.valid_from_seq)]
+        assert (r.version_no, r.valid_to_seq, r.trader, r.price, r.amount,
+                r.filled, r.remaining_amount, r.active) == w
+        assert r.is_current == (r.valid_to_seq is None)
+
+    # final versions == batch fold state (for orders with a Created event)
+    state = {
+        (r.pool_address, r.order_id): r
+        for r in spark_queries()["orders_state"](spark, SF_SMALL).collect()
+    }
+    finals = {
+        (r.pool_address, r.order_id): r for r in got if r.is_current
+    }
+    for key, s in state.items():
+        f = finals[key]
+        assert (f.trader, f.price, f.amount, f.filled,
+                f.remaining_amount, f.active) == (
+            s.trader, s.price, s.amount, s.filled,
+            s.remaining_amount, s.active
+        )

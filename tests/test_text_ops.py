@@ -706,3 +706,70 @@ def test_winnow_fingerprints_hand_computed(spark):
             len(grams), n_windows, len(fps)
         )
         assert r.fp_density == len(fps) / n_windows
+
+
+def test_heaps_curve_hand_computed(spark):
+    """Vocabulary-growth recompute on a corpus sized to cross two ladder
+    points (256, 512): first-occurrence semantics, ladder cut at the
+    corpus total, exact ratios."""
+    from hive_server_spark.plans.text_pack import heaps_curve
+
+    # 600 tokens total: doc i contributes 60 tokens "w<i*7 % 40>"-ish so
+    # the vocabulary saturates and growth flattens measurably
+    rows = []
+    tok_stream = []
+    for d in range(10):
+        toks = [f"w{(d * 13 + j * 7) % 45}" for j in range(60)]
+        rows.append((d, " ".join(toks)))
+        tok_stream.extend(toks)
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.n_prefix: r for r in heaps_curve(docs).collect()}
+    assert set(got) == {256, 512}  # 1024 > 600 total -> cut
+    for n in (256, 512):
+        vocab = len(set(tok_stream[:n]))
+        assert got[n].vocab_size == vocab
+        assert got[n].type_token_ratio == vocab / n
+
+
+def test_source_kl_hand_computed(spark):
+    """Python recompute of the per-term micro-nat KL contributions on a
+    2-source corpus with overlapping and exclusive tokens; a source whose
+    distribution equals the corpus mixture restricted to its support must
+    come out with small positive KL, and all terms must match exactly."""
+    import math
+
+    from hive_server_spark.plans.text_pack import source_kl_report
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a b c", "web"),
+            (1, "a b b d", "web"),
+            (2, "a c c c", "books"),
+            (3, "d d e", "books"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    got = {r.source: r for r in source_kl_report(docs).collect()}
+
+    counts: dict[str, dict[str, int]] = {}
+    rows = [("web", "a a b c"), ("web", "a b b d"),
+            ("books", "a c c c"), ("books", "d d e")]
+    for src, text in rows:
+        for t in text.split(" "):
+            counts.setdefault(src, {})
+            counts[src][t] = counts[src].get(t, 0) + 1
+    corpus: dict[str, int] = {}
+    for src in counts:
+        for t, c in counts[src].items():
+            corpus[t] = corpus.get(t, 0) + c
+    n_c = sum(corpus.values())
+    for src in ("web", "books"):
+        n_s = sum(counts[src].values())
+        kl_micro = sum(
+            int(round(c * math.log((c * n_c) / (corpus[t] * n_s)) * 1e6))
+            for t, c in counts[src].items()
+        )
+        r = got[src]
+        assert (r.n_tokens, r.vocab_size) == (n_s, len(counts[src]))
+        assert r.kl_micro == kl_micro
+        assert r.kl_nats == kl_micro / n_s / 1e6
