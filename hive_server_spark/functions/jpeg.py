@@ -13,9 +13,13 @@ deterministic fake. This module closes it the same way PNG did:
   scans. Grayscale (1 component) and 3-component color at any
   integer-ratio sampling — 4:4:4, 4:2:2, and (round 7) 4:2:0 / 4:1:1 via
   MCU-interleaved decode plus pixel-replication chroma upsampling — are
-  fully supported; progressive (SOF2), arithmetic coding, 12-bit
-  precision and fractional-ratio sampling raise a clear ValueError
-  instead of mis-decoding (the PPM maxval>255 stance).
+  fully supported, and (round 7) PROGRESSIVE (SOF2) images decode for
+  real: multi-scan coefficient accumulation with spectral selection and
+  successive approximation — DC first/refinement scans, AC first scans
+  with EOB runs, and the AC correction-bit refinement algorithm (T.81
+  G.2) — reconstructed at EOI. Arithmetic coding, 12-bit precision,
+  fractional-ratio sampling and progressive-with-subsampling raise a
+  clear ValueError instead of mis-decoding (the PPM maxval>255 stance).
 - ``encode_jpeg_gray_blocks`` is a FIXTURE encoder in the spirit of
   ``encode_png``: it emits a spec-valid grayscale baseline JPEG whose 8×8
   blocks are each a constant value. For constant blocks the forward DCT is
@@ -196,6 +200,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
     huff_ac: dict[int, _HuffTable] = {}
     restart_interval = 0
     frame = None  # (h, w, comps) ; comps = [(cid, hq, vq, tq)]
+    progressive = False
+    coef = None  # progressive coefficient store, created at first SOS
     pos = 2
     while pos < len(b):
         if b[pos] != 0xFF:
@@ -208,7 +214,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
         if marker is None:
             raise ValueError("truncated JPEG marker")
         pos += 2
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            if progressive and coef is not None:
+                # progressive image complete: reconstruct from the
+                # accumulated coefficients
+                return _reconstruct_progressive(frame, qt, coef)
             raise ValueError("JPEG EOI before scan data")
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # TEM / stray RST: no segment body
@@ -243,7 +253,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
                     raise ValueError("truncated JPEG DHT")
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(counts, symbols)
                 off += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError(f"JPEG precision {prec} unsupported (baseline is 8)")
@@ -252,20 +262,227 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (height, width, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"JPEG SOF{marker - 0xC0} unsupported; only baseline "
-                "sequential (SOF0) Huffman decode is implemented"
+                "sequential (SOF0) and progressive (SOF2) Huffman decode "
+                "are implemented"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise ValueError("JPEG SOS before SOF0")
-            return _decode_scan(b, pos + seglen, seg, frame, qt, huff_dc, huff_ac, restart_interval)
+                raise ValueError("JPEG SOS before SOF")
+            if not progressive:
+                return _decode_scan(b, pos + seglen, seg, frame, qt, huff_dc, huff_ac, restart_interval)
+            if coef is None:
+                coef = _init_coef(frame)
+            pos = _decode_progressive_scan(
+                b, pos + seglen, seg, frame, huff_dc, huff_ac,
+                restart_interval, coef,
+            )
+            continue  # pos now points at the next marker's 0xFF
         # APPn / COM / anything else: skip
         pos += seglen
     raise ValueError("JPEG has no SOS marker")
+
+
+def _init_coef(frame):
+    """Per-component quantized-coefficient store for progressive decode:
+    (blocks_h, blocks_w, 8, 8) int32 per component, zero-initialized —
+    scans accumulate into it and reconstruction happens at EOI."""
+    height, width, comps = frame
+    if width <= 0 or height <= 0:
+        raise ValueError("JPEG frame has empty dimensions")
+    for _, hs, vs, _ in comps:
+        if hs != 1 or vs != 1:
+            raise ValueError(
+                "progressive JPEG with subsampled chroma unsupported; "
+                "progressive decode handles 1x1 sampling only"
+            )
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    return [np.zeros((bh, bw, 8, 8), dtype=np.int64) for _ in comps]
+
+
+def _decode_progressive_scan(
+    b, pos, seg, frame, huff_dc, huff_ac, restart_interval, coef
+):
+    """One progressive (SOF2) scan per T.81 G.2: DC first/refinement
+    (interleaved or single-component) and AC first/refinement
+    (single-component, spectral band [Ss, Se], successive approximation
+    Ah→Al) accumulate into `coef`. Returns the byte offset of the next
+    marker's 0xFF."""
+    height, width, comps = frame
+    ncomp_scan = seg[0]
+    selectors = {}
+    for i in range(ncomp_scan):
+        cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+        selectors[cs] = (tdta >> 4, tdta & 0x0F)
+    ss, se = seg[1 + 2 * ncomp_scan], seg[2 + 2 * ncomp_scan]
+    ahal = seg[3 + 2 * ncomp_scan]
+    ah, al = ahal >> 4, ahal & 0x0F
+    scan_comps = []  # (comp index, td, ta)
+    for ci, (cid, _hs, _vs, _tq) in enumerate(comps):
+        if cid in selectors:
+            scan_comps.append((ci, *selectors[cid]))
+    if len(scan_comps) != ncomp_scan:
+        raise ValueError("JPEG progressive scan names unknown component")
+    br = _BitReader(b, pos)
+    bh, bw = coef[0].shape[0], coef[0].shape[1]
+    nblocks = bh * bw
+
+    if ss == 0:  # DC scan (Se must be 0 per spec)
+        if se != 0:
+            raise ValueError("JPEG progressive DC scan with Se != 0")
+        preds = {ci: 0 for ci, _td, _ta in scan_comps}
+        unit = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    br.restart()
+                    preds = {ci: 0 for ci, _td, _ta in scan_comps}
+                for ci, td, _ta in scan_comps:
+                    if ah == 0:  # first DC scan: Huffman diff, shifted by Al
+                        if td not in huff_dc:
+                            raise ValueError("JPEG scan references missing Huffman table")
+                        s = huff_dc[td].decode(br)
+                        diff = _extend(br.receive(s), s)
+                        preds[ci] += diff
+                        coef[ci][by, bx, 0, 0] = preds[ci] << al
+                    else:  # DC refinement: one raw bit per block
+                        if br.read_bit():
+                            coef[ci][by, bx, 0, 0] |= 1 << al
+                unit += 1
+    else:  # AC scan: exactly one component (T.81 G.1.1.1.1)
+        if ncomp_scan != 1:
+            raise ValueError("JPEG progressive AC scan must be single-component")
+        ci, _td, ta = scan_comps[0]
+        if ta not in huff_ac:
+            raise ValueError("JPEG scan references missing Huffman table")
+        table = huff_ac[ta]
+        eobrun = 0
+        for blk in range(nblocks):
+            if restart_interval and blk and blk % restart_interval == 0:
+                br.restart()
+                eobrun = 0
+            by, bx = blk // bw, blk % bw
+            block = coef[ci][by, bx]
+            if ah == 0:  # AC first scan
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = table.decode(br)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.receive(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC run past spectral band end")
+                    block[_ZIGZAG[k]] = _extend(br.receive(s), s) << al
+                    k += 1
+            else:  # AC refinement scan (T.81 G.2.2)
+                p1, m1 = 1 << al, -1 << al
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = table.decode(br)
+                        r, s = rs >> 4, rs & 0x0F
+                        newval = 0
+                        if s == 0:
+                            if r < 15:
+                                # refinement convention: the count INCLUDES
+                                # this block, whose [k..Se] remainder still
+                                # gets correction bits below before the
+                                # eobrun -= 1 (libjpeg decode_mcu_AC_refine)
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.receive(r)
+                                break
+                            # ZRL: pass 16 zero-history coefficients
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "JPEG AC refinement magnitude must be 1"
+                                )
+                            newval = p1 if br.read_bit() else m1
+                        # advance past r zero-history coefficients, refining
+                        # every nonzero-history coefficient on the way
+                        placed = newval == 0
+                        while k <= se:
+                            z = _ZIGZAG[k]
+                            if block[z] != 0:
+                                if br.read_bit() and (block[z] & p1) == 0:
+                                    block[z] += p1 if block[z] >= 0 else m1
+                            else:
+                                if r == 0:
+                                    if newval:
+                                        block[z] = newval
+                                        placed = True
+                                    k += 1
+                                    break
+                                r -= 1
+                            k += 1
+                        if not placed:
+                            raise ValueError(
+                                "JPEG AC refinement ran past the spectral band"
+                            )
+                if eobrun > 0:
+                    # EOB band: refine remaining nonzero-history coefficients
+                    while k <= se:
+                        z = _ZIGZAG[k]
+                        if block[z] != 0:
+                            if br.read_bit() and (block[z] & p1) == 0:
+                                block[z] += p1 if block[z] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+
+    # the scan's entropy data ends here: either the reader already hit the
+    # next marker, or padding bits/bytes separate us from it
+    if br.seen_marker is not None:
+        return br.pos - 2
+    p = br.pos
+    while p + 1 < len(b):
+        if b[p] == 0xFF and b[p + 1] != 0x00:
+            return p
+        p += 1
+    raise ValueError("JPEG progressive scan not followed by a marker")
+
+
+def _reconstruct_progressive(frame, qt, coef):
+    """Dequantize + IDCT the accumulated progressive coefficients (EOI
+    reached) — same math as the baseline path, same output contract."""
+    height, width, comps = frame
+    out = []
+    for (cid, _hs, _vs, tq), c in zip(comps, coef):
+        if tq not in qt:
+            raise ValueError(f"JPEG references missing quant table {tq}")
+        bh, bw = c.shape[0], c.shape[1]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        q = qt[tq]
+        for by in range(bh):
+            for bx in range(bw):
+                block = _DCT_M.T @ (c[by, bx].astype(np.float64) * q) @ _DCT_M
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+        out.append(plane[:height, :width] + 128.0)
+    if len(out) == 3:  # BT.601 full-range YCbCr → RGB
+        y, cb, cr = out
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        bch = y + 1.772 * (cb - 128.0)
+        samples = np.stack([r, g, bch], axis=-1)
+    else:
+        samples = out[0]
+    samples = np.clip(np.rint(samples), 0, 255)
+    return width, height, float(samples.mean()) / 255.0
 
 
 def _decode_scan(b, pos, seg, frame, qt, huff_dc, huff_ac, restart_interval):
@@ -518,3 +735,83 @@ def encode_jpeg_ycbcr_420_blocks(
         chroma_bw, chroma_bh, restart_interval,
         sampling=[(2, 2), (1, 1), (1, 1)],
     )
+
+
+def _write_dc_diff(bw_: _BitWriter, diff: int) -> None:
+    """Category + magnitude bits for one DC difference (canonical length-4
+    DC code for category s IS s — the shared fixture table)."""
+    s = abs(diff).bit_length()
+    if s > 11:
+        raise ValueError("DC difference category out of range")
+    bw_.write(s, 4)
+    if s:
+        bw_.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+
+def encode_jpeg_progressive_blocks(
+    planes, blocks_w: int, blocks_h: int
+) -> bytes:
+    """Spec-valid PROGRESSIVE (SOF2) fixture: 1 (gray) or 3 (YCbCr, 1x1)
+    components of constant DC-only 8x8 blocks, coded in four-plus scans
+    that exercise the real progressive machinery:
+
+      1. interleaved DC first scan with successive approximation Al=1
+         (diff coding of (v-128) >> 1, arithmetic shift);
+      2. interleaved DC refinement scan (Ah=1, Al=0: one raw bit per
+         block — the low bit of v-128);
+      3. one EOB-coded AC scan per component (Ss=1..Se=63, all zeros).
+
+    d = ((d >> 1) << 1) | (d & 1) holds for every signed integer, so the
+    reconstruction is EXACT: decode returns precisely the block constants,
+    keeping the closed-form pixel-sum oracle of the baseline fixtures."""
+    ncomp = len(planes)
+    nblocks = blocks_w * blocks_h
+    for p in planes:
+        if len(p) != nblocks:
+            raise ValueError("block value count != blocks_w * blocks_h")
+        for v in p:
+            if not 0 <= int(v) <= 255:
+                raise ValueError(f"block value {v} outside 0..255")
+    w, h = 8 * blocks_w, 8 * blocks_h
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + _ENC_QUANT_ZIGZAG
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x11, 0])
+    dht = bytes([0x00]) + bytes(_ENC_DC_COUNTS) + _ENC_DC_SYMBOLS
+    dht += bytes([0x10]) + bytes(_ENC_AC_COUNTS) + _ENC_AC_SYMBOLS
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytearray([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + bytes(body)
+
+    # scan 1: DC first, all components interleaved, Al=1
+    out += sos(list(range(1, ncomp + 1)), 0, 0, 0, 1)
+    bw_ = _BitWriter()
+    preds = [0] * ncomp
+    for k in range(nblocks):
+        for ci in range(ncomp):
+            shifted = (int(planes[ci][k]) - 128) >> 1  # arithmetic shift
+            _write_dc_diff(bw_, shifted - preds[ci])
+            preds[ci] = shifted
+    out += bw_.flush()
+    # scan 2: DC refinement, Ah=1 -> Al=0: low bit of each block's DC
+    out += sos(list(range(1, ncomp + 1)), 0, 0, 1, 0)
+    bw_ = _BitWriter()
+    for k in range(nblocks):
+        for ci in range(ncomp):
+            bw_.write((int(planes[ci][k]) - 128) & 1, 1)
+    out += bw_.flush()
+    # per-component AC scans: every block all-zero AC -> one EOB0 each
+    for ci in range(ncomp):
+        out += sos([ci + 1], 1, 63, 0, 0)
+        bw_ = _BitWriter()
+        for _ in range(nblocks):
+            bw_.write(0b00, 2)  # EOB0
+        out += bw_.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -266,6 +266,52 @@ def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(build, schema=MEDIA_SCHEMA)
 
 
+def synthesize_progressive_jpeg_media(docs: DataFrame) -> DataFrame:
+    """REAL progressive (SOF2) JPEG payloads (round 7): the same block
+    grid / hex-cycle value derivation as synthesize_jpeg_media, but coded
+    as multi-scan progressive streams — DC successive approximation
+    (Al=1 first scan + refinement scan) plus per-component AC scans
+    (functions/jpeg.py encode_jpeg_progressive_blocks). Even doc_ids are
+    grayscale, odd are 3-component YCbCr with neutral chroma; decode
+    reconstruction is exact, so the closed-form pixel-sum oracle holds."""
+    from hive_server_spark.functions.jpeg import encode_jpeg_progressive_blocks
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, fmts = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = (text or "").encode("utf-8")
+                n = len(data)
+                bw, bh = 1 + n % 3, 1 + (n // 3) % 3
+                hx = data.hex().upper() or "0"
+                vals = [ord(hx[k % len(hx)]) for k in range(bw * bh)]
+                if doc_id % 2 == 0:
+                    payload = encode_jpeg_progressive_blocks([vals], bw, bh)
+                    fmt = "image/jpeg;progressive-gray"
+                else:
+                    flat = [128] * len(vals)
+                    payload = encode_jpeg_progressive_blocks(
+                        [vals, flat, flat], bw, bh
+                    )
+                    fmt = "image/jpeg;progressive-ycbcr"
+                ids.append(doc_id)
+                payloads.append(payload)
+                fmts.append(fmt)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "payload": payloads,
+                    "meta": [
+                        {"declared_format": f, "n_bytes": len(p)}
+                        for f, p in zip(fmts, payloads)
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
 def _decode_ppm(payload: bytes) -> tuple[int, int, float] | None:
     """Pure-Python PPM decode: P6 (binary) and P3 (ascii) headers, real
     pixel math. Returns (width, height, mean_luma) or None if not PPM."""

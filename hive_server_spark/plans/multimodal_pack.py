@@ -635,3 +635,74 @@ def multimodal_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_distinct_values"),
         F.sum(term).cast("bigint").alias("entropy_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG profile (round 7): the SOF2 decode path — multi-scan
+# coefficient accumulation with DC successive approximation and AC EOB
+# scans — exercised through the strict Arrow-worker decode against the
+# same closed-form pixel-sum oracle as the baseline profile (the
+# progressive fixtures reconstruct exactly; doc_id%2 picks gray/color).
+# ---------------------------------------------------------------------------
+_JPEG_PROG_ORACLE = """
+WITH m AS (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+         CASE WHEN octet_length(encode(text)) > 0
+              THEN hex(encode(text)) ELSE '0' END AS hx
+  FROM documents
+), grid AS (
+  SELECT doc_id, hx,
+         1 + n % 3        AS bw,
+         1 + (n // 3) % 3 AS bh
+  FROM m
+), blk AS (
+  SELECT doc_id, bw, bh, hx, unnest(range(0, bw*bh)) AS k FROM grid
+), px AS (
+  SELECT doc_id, bw, bh,
+         SUM(64 * ascii(substr(hx, CAST(k % length(hx) AS INTEGER) + 1, 1)))
+           AS pixel_sum
+  FROM blk GROUP BY doc_id, bw, bh
+), per AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 'progressive_gray'
+              ELSE 'progressive_ycbcr' END AS variant,
+         bw * 8 AS width, bh * 8 AS height, pixel_sum
+  FROM px
+)
+SELECT variant,
+       CAST(COUNT(*) AS BIGINT)       AS n_media,
+       CAST(MIN(width) AS BIGINT)     AS min_width,
+       CAST(MAX(height) AS BIGINT)    AS max_height,
+       CAST(SUM(width) AS BIGINT)     AS sum_width,
+       CAST(SUM(height) AS BIGINT)    AS sum_height,
+       CAST(SUM(pixel_sum) AS BIGINT) AS sum_pixel_bytes
+FROM per GROUP BY variant
+"""
+
+
+@register("multimodal_jpeg_progressive_profile", _JPEG_PROG_ORACLE)
+def multimodal_jpeg_progressive_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize REAL progressive (SOF2) JPEGs, decode them with the
+    strict pure-Python multi-scan decoder in the Arrow worker, and fold
+    the outputs back to exact per-image pixel sums against the byte-level
+    DuckDB oracle."""
+    docs = _docs_wide(spark, sf_dir)
+    dec = M.decode_media(M.synthesize_progressive_jpeg_media(docs), strict=True)
+    px_len = (F.col("width") * F.col("height")).cast("double")
+    per = dec.select(
+        F.when(F.col("media_id") % 2 == 0, F.lit("progressive_gray"))
+        .otherwise(F.lit("progressive_ycbcr"))
+        .alias("variant"),
+        "width",
+        "height",
+        F.round(F.col("mean_luma").cast("double") * F.lit(255.0) * px_len)
+        .cast("bigint")
+        .alias("pixel_sum"),
+    )
+    return per.groupBy("variant").agg(
+        F.count("*").cast("bigint").alias("n_media"),
+        F.min("width").cast("bigint").alias("min_width"),
+        F.max("height").cast("bigint").alias("max_height"),
+        F.sum("width").cast("bigint").alias("sum_width"),
+        F.sum("height").cast("bigint").alias("sum_height"),
+        F.sum("pixel_sum").cast("bigint").alias("sum_pixel_bytes"),
+    )

@@ -121,6 +121,12 @@ DEFAULT_QUERIES = [
     # window over gram hashes) — both must scale linearly.
     "text_vocab_census",
     "text_winnow_fingerprints",
+    # round-7 third batch: nearest as-of (two window sorts, one shuffle),
+    # SCD-2 versions (per-key window), source-KL (vocabulary equi-join) —
+    # window- and join-shaped plans that must stay linear.
+    "asof_nearest_price",
+    "orders_scd2_versions",
+    "text_source_kl",
     # cdc_book_snapshots pays the full 3-slice incremental fold + CDC landing;
     # orders_state_changelog reuses the session-cached fold for the same
     # sf_dir (plans/serving_pack.py), so its time is the CDF read alone.

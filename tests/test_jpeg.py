@@ -73,11 +73,69 @@ def test_truncated_raises():
         decode_jpeg(p[:-12])  # inside the entropy stream
 
 
-def test_progressive_sof2_refused():
-    p = bytearray(encode_jpeg_gray_blocks([100], 1, 1))
+def test_progressive_roundtrip_exact():
+    """SOF2 progressive decode (round 7): DC successive approximation
+    (first scan Al=1, then a refinement scan), per-component AC scans —
+    reconstruction at EOI must be bit-exact for the DC-only fixtures,
+    including odd negative DC values (the refinement OR on two's
+    complement)."""
+    from hive_server_spark.functions.jpeg import encode_jpeg_progressive_blocks
+
+    vals = [127, 129, 0, 255, 128, 1]  # odd/even, extremes, around the shift
+    w, h, mean = decode_jpeg(encode_jpeg_progressive_blocks([vals], 3, 2))
+    assert (w, h) == (24, 16)
+    assert mean == pytest.approx(sum(vals) / len(vals) / 255.0, abs=1e-12)
+    # 3-component with neutral chroma: decoded RGB == (Y, Y, Y)
+    y = [50, 151, 250]
+    flat = [128, 128, 128]
+    w, h, mean = decode_jpeg(
+        encode_jpeg_progressive_blocks([y, flat, flat], 3, 1)
+    )
+    assert (w, h) == (24, 8)
+    assert mean == pytest.approx(sum(y) / len(y) / 255.0, abs=1e-12)
+
+
+def test_progressive_ac_successive_approximation_hand_crafted():
+    """Hand-built SOF2 stream exercising the non-trivial progressive AC
+    paths: an AC-first scan at Al=1 placing coefficient k=1, then an AC
+    refinement scan whose EOB-band correction bit restores the low bit —
+    final coefficient exactly 3. The AC basis sums to zero over the block,
+    so the mean must equal the DC value exactly (no clipping at 100)."""
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([8] + [16] * 63)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    # DC table: categories 0..11 at length 4; AC table: EOB0='00', 0x11='01'
+    dht = bytes([0x00]) + bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12))
+    dht += bytes([0x10]) + bytes([0, 2] + [0] * 14) + bytes([0x00, 0x11])
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+
+    def sos(ss, se, ah, al):
+        return b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, ss, se, (ah << 4) | al])
+
+    # v=100 -> d=-28; scan 1: DC first Al=1: diff=-14 (cat 4 '0100', bits
+    # -14+15=1 -> '0001'); pad to byte with 1s
+    out += sos(0, 0, 0, 1) + bytes([0b01000001, 0b11111111])
+    # scan 2: DC refinement: low bit of -28 is 0 -> '0' + pad
+    out += sos(0, 0, 1, 0) + bytes([0b01111111])
+    # scan 3: AC first Al=1: k=1 symbol 0x11 ('01') + sign bit 1 (positive
+    # magnitude 1 -> coef 1<<1 = 2), then EOB0 ('00') -> '011 00' + pad
+    out += sos(1, 63, 0, 1) + bytes([0b01100111])
+    # scan 4: AC refinement Al=0: EOB0 first ('00'), then the EOB band
+    # correction bit for the nonzero k=1 coef: '1' -> coef 2 -> 3
+    out += sos(1, 63, 1, 0) + bytes([0b00111111])
+    out += b"\xff\xd9"
+    w, h, mean = decode_jpeg(bytes(out))
+    assert (w, h) == (8, 8)
+    assert mean == pytest.approx(100 / 255.0, abs=1e-12)
+
+
+def test_progressive_with_subsampling_refused():
+    from hive_server_spark.functions.jpeg import encode_jpeg_ycbcr_420_blocks
+
+    p = bytearray(encode_jpeg_ycbcr_420_blocks([1, 2, 3, 4], [128], [128], 1, 1))
     idx = p.index(b"\xff\xc0")
-    p[idx + 1] = 0xC2  # SOF0 → SOF2
-    with pytest.raises(ValueError, match="SOF2"):
+    p[idx + 1] = 0xC2  # SOF0 -> SOF2 on a subsampled frame
+    with pytest.raises(ValueError, match="progressive"):
         decode_jpeg(bytes(p))
 
 
