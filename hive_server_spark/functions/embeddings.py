@@ -599,3 +599,100 @@ full_k AS (SELECT vec_id FROM (SELECT vec_id, row_number() OVER
 {", ".join(tops)}
 {" UNION ALL ".join(selects)}
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (round 7): the memory-compression half of a
+# PQ/IVF-PQ ANN index — split each vector into M contiguous subvectors,
+# assign each to the nearest of K_SUB per-subspace sub-centroids, and pack
+# the assignments into one integer code. Sub-centroids are the subvectors
+# of the first K_SUB stored vectors (the same deterministic seeding as
+# kmeans_update / ivf_build, reproducible in both engines). Distances are
+# bit-deterministic in-order L2² folds over array slices, argmin
+# tie-breaks on sub-centroid id, and per-subspace distortion is floored
+# to integer micro-units BEFORE the per-vector sum (order-free).
+# ---------------------------------------------------------------------------
+PQ_M = 8       # subspaces (64 dims -> 8 dims each)
+PQ_KSUB = 4    # sub-centroids per subspace -> 2 bits per subspace
+
+
+def pq_codes(emb: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB,
+             micro: int = 1_000_000) -> DataFrame:
+    """Per-vector PQ code (sub-assignments packed little-endian, 2 bits
+    per subspace for ksub=4) plus exact integer-micro total distortion.
+
+    Scale shape: the ksub seed rows broadcast; the subspace fan-out is a
+    bounded explode (m rows per vector); assignment is a map-side-
+    combined min_by hash aggregate per (vector, subspace) and a final
+    per-vector rollup — no window over the corpus, no self-join."""
+    vec = _vecs(emb).select("vec_id", "v")
+    cent = vec.where(F.col("vec_id") < ksub).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    dsub = 64 // m
+    sub = (
+        vec.select("vec_id", "v", F.explode(F.expr(f"sequence(0, {m - 1})")).alias("m"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn(
+            "d2",
+            F.expr(
+                sqdist_expr(
+                    f"slice(v, m * {dsub} + 1, {dsub})",
+                    f"slice(cv, m * {dsub} + 1, {dsub})",
+                    "s",
+                )
+            ),
+        )
+    )
+    best = (
+        sub.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "cid")).alias("b"))
+        .select(
+            "vec_id",
+            "m",
+            F.col("b.cid").alias("cid"),
+            F.expr(f"CAST(floor(b.d2 * {micro}) AS BIGINT)").alias("dist_micro"),
+        )
+    )
+    bits = (ksub - 1).bit_length()
+    return best.groupBy("vec_id").agg(
+        F.sum(
+            F.expr(f"CAST(shiftleft(cid, CAST({bits} * m AS INT)) AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("pq_code"),
+        F.sum("dist_micro").cast("bigint").alias("distortion_micro"),
+        F.count("*").cast("bigint").alias("n_subspaces"),
+    )
+
+
+def pq_codes_oracle(m: int = PQ_M, ksub: int = PQ_KSUB,
+                    micro: int = 1_000_000) -> str:
+    dsub = 64 // m
+    bits = (ksub - 1).bit_length()
+    d2 = sqdist_expr(
+        f"list_slice(vec.v, s.m * {dsub} + 1, s.m * {dsub} + {dsub})",
+        f"list_slice(c.cv, s.m * {dsub} + 1, s.m * {dsub} + {dsub})",
+        "d",
+    )
+    return f"""
+WITH vec AS (SELECT vec_id, {vec_expr('embedding', 'd')} AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM vec WHERE vec_id < {ksub}),
+s AS (SELECT unnest(range(0, {m})) AS m),
+d AS (
+  SELECT vec.vec_id, s.m, c.cid, {d2} AS d2
+  FROM vec CROSS JOIN s CROSS JOIN c
+),
+a AS (
+  SELECT vec_id, m, cid, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+    FROM d
+  ) WHERE rn = 1
+)
+SELECT vec_id,
+       CAST(SUM(cid << ({bits} * m)) AS BIGINT)              AS pq_code,
+       CAST(SUM(CAST(floor(d2 * {micro}) AS BIGINT)) AS BIGINT)
+         AS distortion_micro,
+       CAST(COUNT(*) AS BIGINT)                              AS n_subspaces
+FROM a GROUP BY vec_id
+"""

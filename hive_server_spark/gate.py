@@ -903,6 +903,7 @@ DRIVER_PRIORITY_R7 = [
     "orders_scd2_versions",
     "text_source_kl",
     "multimodal_jpeg_progressive_profile",
+    "emb_pq_codes",
     # -- round-7-modified queries: the de-broadcast survivor-set joins
     #    plus the JPEG profile (gains the 4:2:0 subsampled variant) --------
     "text_line_dedup",
@@ -945,12 +946,11 @@ DRIVER_PRIORITY_R7 = [
     "rel_parts_never_ordered",
     "rel_promo_revenue_ratio",
     "rel_rich_idle_customers",
-    "rel_rollup_revenue",
-    # rel_top_revenue_orders / rel_union_all_parties / rel_window_analytics /
-    # rel_window_order_gaps / rel_window_running_total /
-    # rel_window_top_customers displaced to keep the window at 50 (all
-    # r04-green, re-proven by test_gate_parity.py on every pytest; front of
-    # the r8 staleness order)
+    # rel_rollup_revenue / rel_top_revenue_orders / rel_union_all_parties /
+    # rel_window_analytics / rel_window_order_gaps /
+    # rel_window_running_total / rel_window_top_customers displaced to keep
+    # the window at 50 (all r04-green, re-proven by test_gate_parity.py on
+    # every pytest; front of the r8 staleness order)
 ]
 assert len(DRIVER_PRIORITY_R7) == 50, len(DRIVER_PRIORITY_R7)
 # A typo'd or renamed name would silently shrink the checked window

@@ -401,3 +401,12 @@ def emb_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking — the measurement that decides how small a truncated index can
     be before it loses the neighbors it exists to find."""
     return E.truncated_recall(_emb(spark, sf_dir))
+
+
+@register("emb_pq_codes", E.pq_codes_oracle())
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook assignment: each vector split into 8
+    subspaces, each subspace assigned to the nearest of 4 deterministic
+    sub-centroids, packed into one integer code with exact micro-unit
+    total distortion — the PQ half of an IVF-PQ index build."""
+    return E.pq_codes(_emb(spark, sf_dir))

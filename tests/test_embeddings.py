@@ -263,3 +263,42 @@ def test_truncated_recall_vs_numpy(spark):
         assert got[d].n_overlap == overlap
         assert got[d].k == 5
         assert got[d].recall == overlap / 5
+
+
+def test_pq_codes_vs_numpy(spark):
+    """PQ assignment vs a full numpy recompute: per-subspace nearest
+    sub-centroid (ties to lower id), little-endian 2-bit packing, and the
+    floored micro-unit distortion sum."""
+    import math
+
+    import numpy as np
+
+    from hive_server_spark.functions.embeddings import PQ_KSUB, PQ_M, pq_codes
+
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(30, 64)).astype("float32")
+    rows = [
+        (int(i), int(i % 3), [float(x) for x in vecs[i]]) for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    got = {r.vec_id: r for r in pq_codes(emb).collect()}
+
+    v64 = vecs.astype("float64")
+    dsub = 64 // PQ_M
+    bits = (PQ_KSUB - 1).bit_length()
+    for i in range(30):
+        code, dist = 0, 0
+        for m in range(PQ_M):
+            sv = v64[i, m * dsub:(m + 1) * dsub]
+            best = None
+            for cid in range(PQ_KSUB):
+                cv = v64[cid, m * dsub:(m + 1) * dsub]
+                d2 = 0.0
+                for a, b in zip(sv, cv):  # in-order fold, matches the engines
+                    d2 += (a - b) * (a - b)
+                if best is None or (d2, cid) < best:
+                    best = (d2, cid)
+            code += best[1] << (bits * m)
+            dist += int(math.floor(best[0] * 1e6))
+        r = got[i]
+        assert (r.pq_code, r.distortion_micro, r.n_subspaces) == (code, dist, PQ_M)
