@@ -173,6 +173,14 @@ HUNDREDX_QUERIES = [
     # probed at 100x under the new shuffle plan
     "text_line_dedup",
     "text_dup_spans",
+    # round-7 second/third batches: token-agg + bounded-top-N census,
+    # per-doc window fingerprints, two-direction as-of windows, per-key
+    # SCD-2 windows, vocabulary-join KL — every shape must stay linear.
+    "text_vocab_census",
+    "text_winnow_fingerprints",
+    "asof_nearest_price",
+    "orders_scd2_versions",
+    "text_source_kl",
 ]
 
 # pk stride column(s) per table; every fk shift reuses the owning pk stride.
