@@ -696,3 +696,144 @@ SELECT vec_id,
        CAST(COUNT(*) AS BIGINT)                              AS n_subspaces
 FROM a GROUP BY vec_id
 """
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the stored PQ codes — the
+    search half of the PQ index whose build half is `pq_codes`.
+
+    The query's per-subspace distances to every sub-centroid form a
+    (m × ksub)-row lookup table (32 rows here — genuinely bounded by the
+    codebook shape, so its broadcast is safe at any corpus size, unlike a
+    data-dependent survivor set). Each database vector's approximate
+    distance is then the sum of m LUT entries selected by *decoding its
+    packed code* — the codes-only read path a real PQ index serves, no
+    raw vectors touched until the final k-row exact re-rank. LUT entries
+    are floored to integer micro-units per (subspace, sub-centroid)
+    BEFORE the per-vector sum, so the integer total is reduction-order
+    free; the exact re-rank distance is the house bit-deterministic L2²
+    fold. Scale shape: corpus-sized work is one bounded explode (m rows
+    per code) + broadcast-LUT join + hash agg; the global top-k is
+    TakeOrderedAndProject; the re-rank joins the broadcast ≤k survivors
+    back to the vectors. Reference parity: the reference's top-of-book
+    scans (src/models/order-book.ts) are exact; ADC is the approximate
+    analogue the LLM-pipeline extension adds for embedding retrieval."""
+    vec = _vecs(emb).select("vec_id", "v")
+    cent = vec.where(F.col("vec_id") < ksub).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    q = vec.where(F.col("vec_id") == query_vec_id).select(
+        F.col("v").alias("qv"), F.col("vec_id").alias("q_vec_id")
+    )
+    dsub = 64 // m
+    lut = (
+        q.select(F.explode(F.expr(f"sequence(0, {m - 1})")).alias("m"), "qv")
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "m",
+            "cid",
+            F.expr(
+                f"CAST(floor({sqdist_expr(f'slice(qv, m * {dsub} + 1, {dsub})', f'slice(cv, m * {dsub} + 1, {dsub})', 's')} * {micro}) AS BIGINT)"
+            ).alias("lut_micro"),
+        )
+    )
+    bits = (ksub - 1).bit_length()
+    mask = ksub - 1
+    decoded = (
+        pq_codes(emb, m=m, ksub=ksub, micro=micro)
+        .where(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            F.explode(F.expr(f"sequence(0, {m - 1})")).alias("m"),
+            "pq_code",
+        )
+        .withColumn(
+            "cid",
+            F.expr(
+                f"CAST(shiftright(pq_code, CAST({bits} * m AS INT)) & {mask} AS BIGINT)"
+            ),
+        )
+    )
+    adc = (
+        decoded.join(F.broadcast(lut), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("lut_micro").cast("bigint").alias("adc_micro"))
+    )
+    from hive_server_spark.operators.topk import global_topk
+
+    top = global_topk(adc, [F.asc("adc_micro"), F.asc("vec_id")], k)
+    exact = vec.join(F.broadcast(top.select("vec_id", "adc_micro", "rk")), "vec_id")
+    return (
+        exact.crossJoin(F.broadcast(q))
+        .select(
+            F.col("rk").alias("rank"),
+            "vec_id",
+            "adc_micro",
+            F.expr(
+                f"CAST(floor({sqdist_expr('v', 'qv', 's')} * {micro}) AS BIGINT)"
+            ).alias("exact_micro"),
+        )
+    )
+
+
+def pq_adc_topk_oracle(
+    query_vec_id: int = 0,
+    k: int = 10,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    micro: int = 1_000_000,
+) -> str:
+    dsub = 64 // m
+    d2 = sqdist_expr(
+        f"list_slice(vec.v, s.m * {dsub} + 1, s.m * {dsub} + {dsub})",
+        f"list_slice(c.cv, s.m * {dsub} + 1, s.m * {dsub} + {dsub})",
+        "d",
+    )
+    lut_d2 = sqdist_expr(
+        f"list_slice(q.v, s.m * {dsub} + 1, s.m * {dsub} + {dsub})",
+        f"list_slice(c.cv, s.m * {dsub} + 1, s.m * {dsub} + {dsub})",
+        "d",
+    )
+    exact_d2 = sqdist_expr("vec.v", "q.v", "d")
+    return f"""
+WITH vec AS (SELECT vec_id, {vec_expr('embedding', 'd')} AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM vec WHERE vec_id < {ksub}),
+s AS (SELECT unnest(range(0, {m})) AS m),
+q AS (SELECT vec_id, v FROM vec WHERE vec_id = {query_vec_id}),
+d AS (
+  SELECT vec.vec_id, s.m, c.cid, {d2} AS d2
+  FROM vec CROSS JOIN s CROSS JOIN c
+),
+a AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT s.m, c.cid,
+         CAST(floor({lut_d2} * {micro}) AS BIGINT) AS lut_micro
+  FROM s CROSS JOIN c CROSS JOIN q
+),
+adc AS (
+  SELECT a.vec_id, CAST(SUM(lut.lut_micro) AS BIGINT) AS adc_micro
+  FROM a JOIN lut ON a.m = lut.m AND a.cid = lut.cid
+  WHERE a.vec_id <> {query_vec_id}
+  GROUP BY a.vec_id
+),
+top AS (
+  SELECT CAST(row_number() OVER (ORDER BY adc_micro ASC, vec_id ASC) AS BIGINT)
+           AS rank, vec_id, adc_micro
+  FROM adc ORDER BY adc_micro ASC, vec_id ASC LIMIT {k}
+)
+SELECT top.rank, top.vec_id, top.adc_micro,
+       CAST(floor({exact_d2} * {micro}) AS BIGINT) AS exact_micro
+FROM top JOIN vec ON top.vec_id = vec.vec_id CROSS JOIN q
+"""

@@ -904,6 +904,12 @@ DRIVER_PRIORITY_R7 = [
     "text_source_kl",
     "multimodal_jpeg_progressive_profile",
     "emb_pq_codes",
+    "emb_pq_adc_topk",
+    "text_bpe_merge_step",
+    "layout_compaction_plan",
+    "evt_cms_heavy_hitters",
+    "evt_hll_cardinality",
+    "evt_cms_streaming",
     # -- round-7-modified queries: the de-broadcast survivor-set joins
     #    plus the JPEG profile (gains the 4:2:0 subsampled variant) --------
     "text_line_dedup",
@@ -940,13 +946,12 @@ DRIVER_PRIORITY_R7 = [
     "rel_exact_percentiles",
     "rel_nation_trade_flows",
     "rel_nations_except",
-    "rel_nations_intersect",
-    "rel_order_priority_exists",
-    "rel_orders_above_cust_avg",
-    "rel_parts_never_ordered",
-    "rel_promo_revenue_ratio",
-    "rel_rich_idle_customers",
-    # rel_rollup_revenue / rel_top_revenue_orders / rel_union_all_parties /
+    # rel_nations_intersect /
+    # rel_order_priority_exists /
+    # rel_orders_above_cust_avg /
+    # rel_parts_never_ordered /
+    # rel_promo_revenue_ratio / rel_rich_idle_customers / rel_rollup_revenue /
+    # rel_top_revenue_orders / rel_union_all_parties /
     # rel_window_analytics / rel_window_order_gaps /
     # rel_window_running_total / rel_window_top_customers displaced to keep
     # the window at 50 (all r04-green, re-proven by test_gate_parity.py on

@@ -410,3 +410,13 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-centroids, packed into one integer code with exact micro-unit
     total distortion — the PQ half of an IVF-PQ index build."""
     return E.pq_codes(_emb(spark, sf_dir))
+
+
+@register("emb_pq_adc_topk", E.pq_adc_topk_oracle())
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search: top-10 nearest stored vectors to the
+    query under the codes-only ADC metric (32-entry broadcast LUT +
+    bounded decode explode), with the exact L2² micro-distance re-rank
+    joined onto the ≤k survivors — the read path of the PQ index whose
+    build is `emb_pq_codes`."""
+    return E.pq_adc_topk(_emb(spark, sf_dir))

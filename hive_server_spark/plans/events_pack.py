@@ -427,3 +427,255 @@ def evt_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(out, F.col("dev"))).alias("max_outlier_dev"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (round 7): the mergeable-sketch answer to
+# "top users" when exact per-key counts don't fit — a d×w cell grid
+# (d=4 hash rows, w=64 buckets) where cell(r,b) sums the counts of every
+# key hashing to b under row-hash r; a key's estimate is the MIN over its
+# d cells (Cormode & Muthukrishnan 2005), an overestimate by construction.
+# The gate value-checks the sketch against the exact counts on the exact
+# top-10: estimate ≥ exact always, equality when no collision. Scale
+# shape: the corpus collapses to per-user counts in ONE map-side-combined
+# agg; the sketch build fans those out ×d and collapses to 256 bounded
+# cells (broadcastable forever — the grid size is a parameter, not data);
+# the probe joins the top-10 keys' (r, bucket) pairs against the
+# broadcast cells. Hashes are the shared md5-prefix construction,
+# identical in both engines.
+# ---------------------------------------------------------------------------
+_CMS_D = 4
+_CMS_W = 64
+
+
+def _cms_hash(r: str, key: str, dialect: str) -> str:
+    from hive_server_spark.functions.text import hash_expr
+
+    inner = f"concat(CAST({r} AS {'STRING' if dialect == 's' else 'VARCHAR'}), ':', CAST({key} AS {'STRING' if dialect == 's' else 'VARCHAR'}))"
+    return f"({hash_expr(inner, 'cms', dialect)} % {_CMS_W})"
+
+
+_CMS_ORACLE = f"""
+WITH u AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+r AS (SELECT unnest(range(0, {_CMS_D})) AS r),
+h AS (
+  SELECT u.user_id, u.cnt, r.r,
+         {_cms_hash('r.r', 'u.user_id', 'd')} AS bucket
+  FROM u CROSS JOIN r
+),
+cells AS (SELECT r, bucket, SUM(cnt) AS cell FROM h GROUP BY r, bucket),
+top AS (
+  SELECT user_id, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS BIGINT)
+           AS rank
+  FROM u ORDER BY cnt DESC, user_id ASC LIMIT 10
+),
+est AS (
+  SELECT h.user_id, CAST(MIN(c.cell) AS BIGINT) AS cms_estimate
+  FROM h JOIN top t ON h.user_id = t.user_id
+  JOIN cells c ON c.r = h.r AND c.bucket = h.bucket
+  GROUP BY h.user_id
+)
+SELECT t.rank, t.user_id, CAST(t.cnt AS BIGINT) AS exact_count,
+       e.cms_estimate,
+       CAST(e.cms_estimate - t.cnt AS BIGINT) AS overestimate
+FROM top t JOIN est e ON t.user_id = e.user_id
+"""
+
+
+def cms_heavy_hitters(events: DataFrame, k: int = 10) -> DataFrame:
+    """Exact top-k event counts per user side-by-side with their count-min
+    sketch estimates. See the block comment above for the plan shape."""
+    from hive_server_spark.operators.topk import global_topk
+
+    u = events.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    h = u.select(
+        "user_id",
+        "cnt",
+        F.explode(F.expr(f"sequence(0, {_CMS_D - 1})")).alias("r"),
+    ).withColumn("bucket", F.expr(_cms_hash("r", "user_id", "s")))
+    cells = h.groupBy("r", "bucket").agg(F.sum("cnt").alias("cell"))
+    top = global_topk(
+        u, [F.desc("cnt"), F.asc("user_id")], k, rank_col="rank"
+    )
+    est = (
+        h.join(F.broadcast(top.select("user_id")), "user_id")
+        .join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cell").cast("bigint").alias("cms_estimate"))
+    )
+    return top.join(est, "user_id").select(
+        "rank",
+        "user_id",
+        F.col("cnt").cast("bigint").alias("exact_count"),
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("cnt")).cast("bigint").alias("overestimate"),
+    )
+
+
+@register("evt_cms_heavy_hitters", _CMS_ORACLE)
+def evt_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cms_heavy_hitters(_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog cardinality sketch (round 7): the distinct-count twin of the
+# count-min sketch above — m=64 registers (p=6), register = max over keys
+# of (leading zeros of the 26-bit hash suffix + 1), estimate =
+# alpha_m * m^2 / Σ 2^-reg, with the standard small-range linear-counting
+# branch m*ln(m/V) when zero registers remain (Flajolet et al. 2007).
+# Float discipline: Σ 2^-reg is computed as the EXACT integer
+# Σ 2^(32-reg) (each term a single bit, reg ≤ 27, 64 terms < 2^39 —
+# order-free BIGINT math); the one transcendental (ln) and the one
+# division happen per GROUP, not per row, and the estimate is rounded to
+# integer micro-units in the same expression shape in both engines (the
+# text_source_kl micro-nat treatment). Scale shape: corpus → per-key
+# dedup agg → 64-cell register grid per group (bounded, mergeable —
+# registers combine by MAX, which is how a 1000-executor HLL merges);
+# the empty-register grid completion is a bounded static fan-out.
+# ---------------------------------------------------------------------------
+_HLL_M = 64          # registers (p = 6 bucket bits)
+_HLL_WBITS = 26      # 32-bit hash minus 6 bucket bits
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+
+
+def _hll_rank(w: str, dialect: str) -> str:
+    # leading zeros of the WBITS-bit suffix + 1; bin() drops leading
+    # zeros in both engines, so bitlen = length(bin(w)) and
+    # rank = WBITS - bitlen + 1; the all-zero suffix ranks WBITS + 1
+    return (
+        f"CASE WHEN {w} = 0 THEN {_HLL_WBITS + 1} "
+        f"ELSE {_HLL_WBITS} - length(bin({w})) + 1 END"
+    )
+
+
+_HLL_ORACLE = f"""
+WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type,
+         {{hash}} AS hv
+  FROM u
+),
+ranks AS (
+  SELECT event_type, hv % {_HLL_M} AS bucket,
+         {_hll_rank(f'hv // {_HLL_M}', 'd')} AS rank
+  FROM h
+),
+grid AS (
+  SELECT t.event_type, g.bucket FROM
+  (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(range(0, {_HLL_M})) AS bucket) g
+),
+regs AS (
+  SELECT grid.event_type, grid.bucket,
+         COALESCE(MAX(ranks.rank), 0) AS reg
+  FROM grid LEFT JOIN ranks
+    ON grid.event_type = ranks.event_type AND grid.bucket = ranks.bucket
+  GROUP BY grid.event_type, grid.bucket
+),
+s AS (
+  SELECT event_type,
+         CAST(SUM(CAST(1 AS BIGINT) << (32 - reg)) AS BIGINT) AS scaled_sum,
+         CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+  FROM regs GROUP BY event_type
+),
+est AS (
+  SELECT event_type, n_zero,
+         CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M}.0 * 4294967296.0
+           / CAST(scaled_sum AS DOUBLE) AS raw_est
+  FROM s
+),
+fin AS (
+  SELECT event_type, n_zero,
+         raw_est <= {2.5 * _HLL_M} AND n_zero > 0 AS linear_counting,
+         CASE WHEN raw_est <= {2.5 * _HLL_M} AND n_zero > 0
+              THEN {_HLL_M}.0 * ln({_HLL_M}.0 / CAST(n_zero AS DOUBLE))
+              ELSE raw_est END AS hll_est
+  FROM est
+),
+ex AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM u
+       GROUP BY event_type)
+SELECT fin.event_type, ex.exact_distinct,
+       CAST(ROUND(fin.hll_est * 1000000.0) AS BIGINT) AS hll_estimate_micro,
+       fin.n_zero AS n_zero_registers, fin.linear_counting
+FROM fin JOIN ex ON fin.event_type = ex.event_type
+""".format(hash="{hash}")
+
+
+def hll_cardinality(events: DataFrame) -> DataFrame:
+    """Per-event-type HLL estimate beside the exact distinct user count.
+    See the block comment above for the plan shape and float discipline."""
+    from hive_server_spark.functions.text import hash_expr
+
+    u = events.select("event_type", "user_id").distinct()
+    h = u.select(
+        "event_type",
+        F.expr(hash_expr("CAST(user_id AS STRING)", "hll", "s")).alias("hv"),
+    )
+    ranks = h.select(
+        "event_type",
+        (F.col("hv") % _HLL_M).alias("bucket"),
+        F.expr(_hll_rank(f"(hv DIV {_HLL_M})", "s")).alias("rank"),
+    )
+    grid = (
+        events.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.expr(f"sequence(0, {_HLL_M - 1})")).alias("bucket"),
+        )
+    )
+    regs = (
+        grid.join(ranks, ["event_type", "bucket"], "left")
+        .groupBy("event_type", "bucket")
+        .agg(F.coalesce(F.max("rank"), F.lit(0)).alias("reg"))
+    )
+    s = regs.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(32 - reg AS INT))"))
+        .cast("bigint")
+        .alias("scaled_sum"),
+        F.sum(F.expr("CASE WHEN reg = 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_zero"),
+    )
+    est = s.withColumn(
+        "raw_est",
+        F.expr(
+            f"CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M}.0 * 4294967296.0"
+            f" / CAST(scaled_sum AS DOUBLE)"
+        ),
+    )
+    fin = est.select(
+        "event_type",
+        "n_zero",
+        F.expr(f"raw_est <= {2.5 * _HLL_M} AND n_zero > 0").alias(
+            "linear_counting"
+        ),
+        F.expr(
+            f"CASE WHEN raw_est <= {2.5 * _HLL_M} AND n_zero > 0"
+            f" THEN {_HLL_M}.0 * ln({_HLL_M}.0 / CAST(n_zero AS DOUBLE))"
+            f" ELSE raw_est END"
+        ).alias("hll_est"),
+    )
+    ex = u.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("exact_distinct")
+    )
+    return fin.join(ex, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        F.expr("CAST(ROUND(hll_est * 1000000.0) AS BIGINT)").alias(
+            "hll_estimate_micro"
+        ),
+        F.col("n_zero").alias("n_zero_registers"),
+        "linear_counting",
+    )
+
+
+@register(
+    "evt_hll_cardinality",
+    _HLL_ORACLE.format(
+        hash="('0x'||substr(md5(concat('hll:', CAST(user_id AS VARCHAR))),1,8))::BIGINT"
+    ),
+)
+def evt_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hll_cardinality(_events(spark, sf_dir))

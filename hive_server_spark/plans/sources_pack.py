@@ -20,7 +20,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_server_spark.catalog import load_table
@@ -184,3 +184,68 @@ def src_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").cast("bigint").alias("n_users"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Compaction plan (round 7): the lakehouse small-file maintenance
+# primitive — given a file manifest (documents standing in as the
+# per-partition file listing: doc_id = file, n_chars = bytes, source =
+# partition directory), assign input files to target-size output files by
+# streaming first-fit: within each partition, files in manifest order are
+# packed into output file floor(bytes_before / TARGET). Pure integer
+# prefix-sum arithmetic, so the layout decision itself is value-gated.
+# Scale shape: ONE shuffle keyed by the partition directory; the running
+# sum is a per-partition ROWS window (parallel across partitions — a real
+# lakehouse has orders of magnitude more partition dirs than executors);
+# the per-output-file rollup is map-side combined. No global sort, no
+# driver-side file listing loop.
+# ---------------------------------------------------------------------------
+_COMPACT_TARGET = 16384  # target output size (chars standing in for bytes)
+
+_COMPACT_ORACLE = f"""
+WITH c AS (
+  SELECT source, doc_id, n_chars,
+         COALESCE(SUM(n_chars) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bytes_before
+  FROM documents
+)
+SELECT source,
+       CAST(bytes_before // {_COMPACT_TARGET} AS BIGINT) AS out_file,
+       CAST(COUNT(*) AS BIGINT) AS n_inputs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+       CAST(MIN(doc_id) AS BIGINT) AS first_input,
+       CAST(MAX(doc_id) AS BIGINT) AS last_input
+FROM c GROUP BY source, out_file
+"""
+
+
+def compaction_plan(manifest: DataFrame, target: int = _COMPACT_TARGET) -> DataFrame:
+    """Streaming first-fit bin packing of small files into target-size
+    outputs, one plan row per output file with its input count, byte
+    total, and input-id range — what an OPTIMIZE/compaction job executes.
+    `manifest` columns: source (partition dir), doc_id (file), n_chars
+    (bytes). See the block comment above for the plan shape."""
+    docs = manifest.select("source", "doc_id", "n_chars")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = docs.withColumn(
+        "bytes_before", F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+    )
+    return c.groupBy(
+        "source",
+        F.expr(f"CAST(bytes_before DIV {target} AS BIGINT)").alias("out_file"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_inputs"),
+        F.sum("n_chars").cast("bigint").alias("total_bytes"),
+        F.min("doc_id").cast("bigint").alias("first_input"),
+        F.max("doc_id").cast("bigint").alias("last_input"),
+    )
+
+
+@register("layout_compaction_plan", _COMPACT_ORACLE)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compaction_plan(load_table(spark, sf_dir, "documents"))

@@ -794,10 +794,14 @@ def _evt_streaming_results(spark: SparkSession, sf_dir: str) -> dict:
                 out, work = builder(spark, sf_dir)
                 q, sink = _start_append_stream(spark, out, work)
                 running.append((name, q, sink))
+            # the foreachBatch CMS stream joins the same concurrent wave
+            cms_q, cms_store = start_cms_stream(spark, sf_dir)
             results = {}
             for name, q, sink in running:
                 q.awaitTermination()
                 results[name] = spark.table(sink)
+            cms_q.awaitTermination()
+            results["evt_cms_streaming"] = _cms_final(spark, cms_store)
         return results
 
     return _EVT_RESULTS.get_or_create(spark, ("evt_streaming_family", sf_dir), build)
@@ -902,3 +906,93 @@ def docs_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("group_size").cast("bigint").alias("group_size"),
         F.col("total_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming count-min sketch (round 7): the sketch-monoid × streaming
+# intersection — the evt_cms_heavy_hitters grid, maintained INCREMENTALLY
+# over the event stream. Each micro-batch folds to its own d×w partial
+# (batch → per-user counts → ×d fan-out → (r, bucket) cells) and
+# cross-batch merge is cell-wise SUM — the count-min sketch is exactly a
+# monoid, so micro-batch boundaries can never change the final grid, the
+# state is BOUNDED (≤ d·w rows regardless of stream length — the whole
+# point of sketching a 100 TB stream), and the oracle is the plain batch
+# sketch. Replay-guarded like docs_ingest_streaming (skip already-applied
+# batch ids), versioned in the same vacuumable ParquetStateStore.
+# ---------------------------------------------------------------------------
+from hive_server_spark.plans.events_pack import _cms_hash, _CMS_D  # noqa: E402
+
+_CMS_STREAM_ORACLE = f"""
+WITH u AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+r AS (SELECT unnest(range(0, {_CMS_D})) AS r),
+h AS (
+  SELECT u.cnt, r.r, {_cms_hash('r.r', 'u.user_id', 'd')} AS bucket
+  FROM u CROSS JOIN r
+)
+SELECT r, bucket, CAST(SUM(cnt) AS BIGINT) AS cell
+FROM h GROUP BY r, bucket
+"""
+
+
+def _cms_partial(batch: DataFrame) -> DataFrame:
+    u = batch.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    return (
+        u.select(
+            "user_id",
+            "cnt",
+            F.explode(F.expr(f"sequence(0, {_CMS_D - 1})")).alias("r"),
+        )
+        .withColumn("bucket", F.expr(_cms_hash("r", "user_id", "s")))
+        .groupBy("r", "bucket")
+        .agg(F.sum("cnt").alias("cell"))
+    )
+
+
+def start_cms_stream(spark: SparkSession, sf_dir: str, chunks: int = 2):
+    """Start (without awaiting) the incremental CMS stream; returns
+    (StreamingQuery, ParquetStateStore). The landed ts-ordered events dir
+    is shared with the rest of the evt_* family via _LANDED."""
+    from hive_server_spark.streaming.incremental import ParquetStateStore
+
+    stream, work = _events_stream_in_ts_order(spark, sf_dir, chunks)
+    store = ParquetStateStore(os.path.join(work, "state"))
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if store.already_applied(batch_id):
+            return
+        part = _cms_partial(batch_df)
+        cur = store.latest(batch_df.sparkSession)
+        merged = (
+            part
+            if cur is None
+            else cur.unionByName(part)
+            .groupBy("r", "bucket")
+            .agg(F.sum("cell").alias("cell"))
+        )
+        store.commit(merged, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, store
+
+
+def _cms_final(spark: SparkSession, store) -> DataFrame:
+    out = store.latest(spark)
+    return out.select(
+        F.col("r").cast("bigint").alias("r"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("cell").cast("bigint").alias("cell"),
+    )
+
+
+@register("evt_cms_streaming", _CMS_STREAM_ORACLE)
+def evt_cms_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain the count-min grid incrementally over the landed event
+    stream (one micro-batch per file); the final cells must equal the
+    one-pass batch sketch — monoid merge, bounded state, exactly-once
+    under replay. Runs concurrently with the rest of the evt_* family."""
+    return _evt_streaming_results(spark, sf_dir)["evt_cms_streaming"]

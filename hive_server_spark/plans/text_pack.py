@@ -3086,3 +3086,92 @@ def source_kl_report(docs: DataFrame) -> DataFrame:
 @register("text_source_kl", _KL_ORACLE)
 def text_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_kl_report(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# BPE merge step (round 7): the inner loop of byte-pair-encoding tokenizer
+# TRAINING — count adjacent single-character symbol pairs across the
+# corpus, weighted by pretoken collection frequency; the argmax pair is
+# the next merge a BPE trainer would learn (GPT-2's first merges are
+# exactly the space+letter heads this surfaces). Scale shape: the
+# corpus-sized work is ONE explode collapsed into the pretoken frequency
+# table (map-side-combinable hash agg, vocab-sized result); the pair
+# fan-out then runs over DISTINCT pretokens only — the classic
+# distributed-BPE trick (Σ chars per vocab entry, independent of corpus
+# size); the pair agg is again map-side combined over a ≤|alphabet|²
+# key space, and the head is a bounded TakeOrderedAndProject. Total
+# tie-break (pair_count DESC, sym_a ASC, sym_b ASC) in both engines.
+# ---------------------------------------------------------------------------
+BPE_MERGE_TOP_N = 20
+
+_BPE_MERGE_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest({T.bpe_tokens_expr('text', 'd')}) AS token FROM documents
+),
+w AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+pos AS (
+  SELECT token, cnt, unnest(range(1, length(token))) AS i
+  FROM w WHERE length(token) >= 2
+),
+pairs AS (
+  SELECT substr(token, CAST(i AS INT), 1) AS sym_a,
+         substr(token, CAST(i AS INT) + 1, 1) AS sym_b,
+         cnt, token
+  FROM pos
+),
+agg AS (
+  SELECT sym_a, sym_b, CAST(SUM(cnt) AS BIGINT) AS pair_count,
+         CAST(COUNT(DISTINCT token) AS BIGINT) AS n_types
+  FROM pairs GROUP BY sym_a, sym_b
+),
+top AS (
+  SELECT * FROM agg
+  ORDER BY pair_count DESC, sym_a ASC, sym_b ASC LIMIT {BPE_MERGE_TOP_N}
+)
+SELECT CAST(row_number() OVER
+         (ORDER BY pair_count DESC, sym_a ASC, sym_b ASC) AS BIGINT) AS rank,
+       sym_a, sym_b, pair_count, n_types
+FROM top
+"""
+
+
+def bpe_merge_step(docs: DataFrame, top_n: int = BPE_MERGE_TOP_N) -> DataFrame:
+    """Top-N adjacent symbol pairs by corpus-weighted count — one BPE
+    training merge step over the GPT-2-style pretokens. See the block
+    comment above for the plan shape."""
+    from hive_server_spark.operators.topk import global_topk
+
+    w = (
+        docs.select(
+            F.explode(F.expr(T.bpe_tokens_expr("text", "s"))).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.length("token") >= 2)
+    )
+    pairs = w.select(
+        "token",
+        "cnt",
+        F.explode(F.expr("sequence(1, length(token) - 1)")).alias("i"),
+    ).select(
+        F.expr("substring(token, i, 1)").alias("sym_a"),
+        F.expr("substring(token, i + 1, 1)").alias("sym_b"),
+        "cnt",
+        "token",
+    )
+    agg = pairs.groupBy("sym_a", "sym_b").agg(
+        F.sum("cnt").cast("bigint").alias("pair_count"),
+        F.count_distinct("token").cast("bigint").alias("n_types"),
+    )
+    top = global_topk(
+        agg,
+        [F.desc("pair_count"), F.asc("sym_a"), F.asc("sym_b")],
+        top_n,
+        rank_col="rank",
+    )
+    return top.select("rank", "sym_a", "sym_b", "pair_count", "n_types")
+
+
+@register("text_bpe_merge_step", _BPE_MERGE_ORACLE)
+def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_merge_step(_docs(spark, sf_dir))

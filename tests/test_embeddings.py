@@ -302,3 +302,62 @@ def test_pq_codes_vs_numpy(spark):
             dist += int(math.floor(best[0] * 1e6))
         r = got[i]
         assert (r.pq_code, r.distortion_micro, r.n_subspaces) == (code, dist, PQ_M)
+
+
+def test_pq_adc_topk_vs_numpy(spark):
+    """ADC search vs a full numpy recompute: the (m × ksub) LUT floored to
+    micro-units per entry, codes-decoded approximate distances, total-order
+    top-k, and the exact re-rank distance on the survivors."""
+    import math
+
+    import numpy as np
+
+    from hive_server_spark.functions.embeddings import (
+        PQ_KSUB,
+        PQ_M,
+        pq_adc_topk,
+    )
+
+    rng = np.random.default_rng(29)
+    vecs = rng.normal(size=(30, 64)).astype("float32")
+    rows = [
+        (int(i), int(i % 3), [float(x) for x in vecs[i]]) for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    got = {r.rank: r for r in pq_adc_topk(emb, k=5).collect()}
+
+    v64 = vecs.astype("float64")
+    dsub = 64 // PQ_M
+
+    def fold_d2(a, b):
+        d2 = 0.0
+        for x, y in zip(a, b):  # in-order fold, matches the engines
+            d2 += (x - y) * (x - y)
+        return d2
+
+    lut = {}
+    for m in range(PQ_M):
+        qsv = v64[0, m * dsub:(m + 1) * dsub]
+        for cid in range(PQ_KSUB):
+            cv = v64[cid, m * dsub:(m + 1) * dsub]
+            lut[(m, cid)] = int(math.floor(fold_d2(qsv, cv) * 1e6))
+
+    adc = []
+    for i in range(1, 30):
+        total = 0
+        for m in range(PQ_M):
+            sv = v64[i, m * dsub:(m + 1) * dsub]
+            best = None
+            for cid in range(PQ_KSUB):
+                cv = v64[cid, m * dsub:(m + 1) * dsub]
+                d2 = fold_d2(sv, cv)
+                if best is None or (d2, cid) < best:
+                    best = (d2, cid)
+            total += lut[(m, best[1])]
+        adc.append((total, i))
+    adc.sort()
+    assert len(got) == 5
+    for rank, (total, i) in enumerate(adc[:5], start=1):
+        r = got[rank]
+        assert (r.vec_id, r.adc_micro) == (i, total)
+        assert r.exact_micro == int(math.floor(fold_d2(v64[i], v64[0]) * 1e6))

@@ -153,3 +153,87 @@ def test_mad_outliers_fence(spark):
             )
         else:
             assert r.max_outlier_dev is None
+
+
+def test_cms_heavy_hitters_hand_computed(spark):
+    """Python CMS recompute on a known stream: same md5-prefix row hashes,
+    cell sums, min-over-rows estimate, and the estimate >= exact guarantee."""
+    import hashlib
+
+    from hive_server_spark.plans.events_pack import (
+        _CMS_D,
+        _CMS_W,
+        cms_heavy_hitters,
+    )
+
+    # users 1..6 with event counts 6,5,4,3,2,1
+    rows = []
+    eid = 0
+    for uid, n in [(1, 6), (2, 5), (3, 4), (4, 3), (5, 2), (6, 1)]:
+        for _ in range(n):
+            rows.append((eid, uid))
+            eid += 1
+    events = spark.createDataFrame(rows, ["event_id", "user_id"])
+
+    def bucket(r: int, uid: int) -> int:
+        h = hashlib.md5(f"cms:{r}:{uid}".encode()).hexdigest()
+        return int(h[:8], 16) % _CMS_W
+
+    exact = {1: 6, 2: 5, 3: 4, 4: 3, 5: 2, 6: 1}
+    cells = {}
+    for uid, n in exact.items():
+        for r in range(_CMS_D):
+            key = (r, bucket(r, uid))
+            cells[key] = cells.get(key, 0) + n
+
+    got = {r.user_id: r for r in cms_heavy_hitters(events, k=4).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    for uid, r in got.items():
+        est = min(cells[(d, bucket(d, uid))] for d in range(_CMS_D))
+        assert r.exact_count == exact[uid]
+        assert r.cms_estimate == est
+        assert r.overestimate == est - exact[uid]
+        assert r.cms_estimate >= r.exact_count
+    assert [got[u].rank for u in (1, 2, 3, 4)] == [1, 2, 3, 4]
+
+
+def test_hll_cardinality_hand_computed(spark):
+    """Python HLL recompute: same md5-prefix hash, bucket/rank split,
+    register maxes, exact scaled-integer register sum, and the
+    linear-counting branch (n small, zero registers present)."""
+    import hashlib
+    import math
+
+    from hive_server_spark.plans.events_pack import (
+        _HLL_ALPHA,
+        _HLL_M,
+        _HLL_WBITS,
+        hll_cardinality,
+    )
+
+    rows = [(i, "t", 100 + (i % 37)) for i in range(200)]
+    events = spark.createDataFrame(rows, ["event_id", "event_type", "user_id"])
+
+    regs = [0] * _HLL_M
+    users = {uid for _, _, uid in rows}
+    for uid in users:
+        hv = int(hashlib.md5(f"hll:{uid}".encode()).hexdigest()[:8], 16)
+        bucket, w = hv % _HLL_M, hv // _HLL_M
+        rank = (_HLL_WBITS + 1) if w == 0 else _HLL_WBITS - w.bit_length() + 1
+        regs[bucket] = max(regs[bucket], rank)
+    scaled = sum(1 << (32 - r) for r in regs)
+    n_zero = regs.count(0)
+    raw = _HLL_ALPHA * (_HLL_M * _HLL_M) * 4294967296.0 / float(scaled)
+    if raw <= 2.5 * _HLL_M and n_zero > 0:
+        est, lc = _HLL_M * math.log(_HLL_M / n_zero), True
+    else:
+        est, lc = raw, False
+
+    [r] = hll_cardinality(events).collect()
+    assert r.event_type == "t"
+    assert r.exact_distinct == 37
+    assert r.n_zero_registers == n_zero
+    assert r.linear_counting == lc
+    assert r.hll_estimate_micro == round(est * 1_000_000)
+    # the sketch should land near the truth (37 keys, m=64)
+    assert abs(r.hll_estimate_micro / 1e6 - 37) / 37 < 0.5

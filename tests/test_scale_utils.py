@@ -120,3 +120,32 @@ def test_partitioned_roundtrip_prunes_to_one_directory(spark):
     back = spark.read.parquet(path).where(F.col("event_type") == _PART_TYPE)
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and _PART_TYPE in plan
+
+
+def test_compaction_plan_hand_computed(spark):
+    """Streaming first-fit packing on a known manifest: bins split exactly
+    at the prefix-sum boundary, a file straddling the boundary stays in
+    the bin where it starts, per-source independence."""
+    from hive_server_spark.plans.sources_pack import compaction_plan
+
+    rows = [
+        # source a: sizes 60, 50, 10, 100 with target 100 ->
+        # bytes_before 0, 60, 110, 120 -> bins 0, 0, 1, 1
+        ("a", 1, 60), ("a", 2, 50), ("a", 3, 10), ("a", 4, 100),
+        # source b: one oversized file alone in bin 0; the next file starts
+        # at offset 250 -> bin 2 (bin ids are offset//target, sparse when a
+        # file overflows its bin)
+        ("b", 1, 250), ("b", 2, 10),
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "n_chars"])
+    got = {
+        (r.source, r.out_file): r
+        for r in compaction_plan(df, target=100).collect()
+    }
+    assert set(got) == {("a", 0), ("a", 1), ("b", 0), ("b", 2)}
+    a0, a1 = got[("a", 0)], got[("a", 1)]
+    assert (a0.n_inputs, a0.total_bytes, a0.first_input, a0.last_input) == (2, 110, 1, 2)
+    assert (a1.n_inputs, a1.total_bytes, a1.first_input, a1.last_input) == (2, 110, 3, 4)
+    b0, b1 = got[("b", 0)], got[("b", 2)]
+    assert (b0.n_inputs, b0.total_bytes) == (1, 250)
+    assert (b1.n_inputs, b1.total_bytes) == (1, 10)

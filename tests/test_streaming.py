@@ -383,3 +383,27 @@ def test_replay_guard_batch_is_exactly_once(spark):
     os.makedirs(torn, exist_ok=True)
     assert not store.already_applied(2)
     shutil.rmtree(torn)
+
+
+@pytest.mark.parametrize("chunks", [1, 3])
+def test_cms_stream_equals_batch_sketch(spark, chunks):
+    """The incremental CMS grid must equal the one-pass batch sketch under
+    any micro-batch chunking — cell-wise SUM is a monoid."""
+    from pyspark.sql import functions as F
+
+    from hive_server_spark.catalog import load_table
+    from hive_server_spark.plans.streaming_pack import (
+        _cms_final,
+        _cms_partial,
+        start_cms_stream,
+    )
+
+    q, store = start_cms_stream(spark, SF_SMALL, chunks=chunks)
+    q.awaitTermination()
+    streamed = _cms_final(spark, store)
+    batch = _cms_partial(load_table(spark, SF_SMALL, "events")).select(
+        F.col("r").cast("bigint"),
+        F.col("bucket").cast("bigint"),
+        F.col("cell").cast("bigint"),
+    )
+    assert _rows(streamed) == _rows(batch)

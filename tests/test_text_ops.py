@@ -773,3 +773,41 @@ def test_source_kl_hand_computed(spark):
         assert (r.n_tokens, r.vocab_size) == (n_s, len(counts[src]))
         assert r.kl_micro == kl_micro
         assert r.kl_nats == kl_micro / n_s / 1e6
+
+
+def test_bpe_merge_step_hand_computed(spark):
+    """Python recompute of the BPE pair counts on a tiny corpus: GPT-2
+    pretokens, pairs weighted by pretoken collection frequency, n_types =
+    distinct pretokens containing the pair, total tie-break order."""
+    import re
+    from collections import Counter
+
+    from hive_server_spark.functions.text import BPE_PATTERN
+    from hive_server_spark.plans.text_pack import bpe_merge_step
+
+    texts = ["the cat sat", "the cat", "aa aa bb"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+    cnt = Counter()
+    for t in texts:
+        cnt.update(re.findall(BPE_PATTERN, t))
+    pair_count, type_sets = Counter(), {}
+    for token, c in cnt.items():
+        if len(token) < 2:
+            continue
+        for i in range(len(token) - 1):
+            p = (token[i], token[i + 1])
+            pair_count[p] += c
+            type_sets.setdefault(p, set()).add(token)
+    expect = sorted(
+        ((-n, a, b, n, len(type_sets[(a, b)])) for (a, b), n in pair_count.items())
+    )
+
+    got = bpe_merge_step(docs, top_n=50).orderBy("rank").collect()
+    assert len(got) == len(expect)
+    for rank, (r, (_, a, b, n, nt)) in enumerate(zip(got, expect), start=1):
+        assert (r.rank, r.sym_a, r.sym_b, r.pair_count, r.n_types) == (
+            rank, a, b, n, nt,
+        )
