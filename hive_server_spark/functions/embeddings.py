@@ -837,3 +837,192 @@ SELECT top.rank, top.vec_id, top.adc_micro,
        CAST(floor({exact_d2} * {micro}) AS BIGINT) AS exact_micro
 FROM top JOIN vec ON top.vec_id = vec.vec_id CROSS JOIN q
 """
+
+
+IVF_NLIST = 8   # coarse cells — matches the emb_ivf_build census
+IVF_NPROBE = 2  # cells probed per query
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """IVF-PQ composed search — the full ANN-index read path: route the
+    query to its `nprobe` nearest coarse cells, run ADC over the stored
+    PQ codes of ONLY those cells, exact-re-rank the ≤k survivors.
+
+    Scale shape: the coarse codebook (nlist rows) and the ADC LUT
+    (m × ksub rows) are genuinely bounded broadcasts; cell assignment is
+    one broadcast join + map-side-combined argmin; the candidate
+    restriction happens BEFORE the per-code decode explode, so corpus-
+    sized work shrinks by ~nprobe/nlist exactly as a real IVF index
+    prunes; codes ⋈ candidates is a vec_id co-partitioned equi-join
+    (both sides exit vec_id hash aggregates, so the partitioning is
+    reused). In a deployed index the codes are *stored* partitioned by
+    cell and the assignment join disappears entirely — this operator is
+    the plan-shape contract for that layout. Completes the lifecycle:
+    emb_kmeans_update trains, emb_ivf_build builds the census,
+    emb_pq_codes compresses, THIS serves."""
+    vec = _vecs(emb).select("vec_id", "v")
+    coarse = vec.where(F.col("vec_id") < nlist).select(
+        F.col("vec_id").alias("ccid"), F.col("v").alias("ccv")
+    )
+    q = vec.where(F.col("vec_id") == query_vec_id).select(F.col("v").alias("qv"))
+    assign = (
+        vec.crossJoin(F.broadcast(coarse))
+        .withColumn("cd2", F.expr(sqdist_expr("v", "ccv", "s")))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("cd2", "ccid")).alias("b"))
+        .select("vec_id", F.col("b.ccid").cast("bigint").alias("cell"))
+    )
+    from hive_server_spark.operators.topk import global_topk
+
+    probe = global_topk(
+        q.crossJoin(F.broadcast(coarse)).select(
+            F.col("ccid").cast("bigint").alias("cell"),
+            F.expr(sqdist_expr("qv", "ccv", "s")).alias("qd2"),
+        ),
+        [F.asc("qd2"), F.asc("cell")],
+        nprobe,
+    ).select("cell")
+    cand = assign.join(F.broadcast(probe), "cell").where(
+        F.col("vec_id") != query_vec_id
+    )
+    bits = (ksub - 1).bit_length()
+    mask = ksub - 1
+    decoded = (
+        pq_codes(emb, m=m, ksub=ksub, micro=micro)
+        .join(cand.select("vec_id", "cell"), "vec_id")
+        .select(
+            "vec_id",
+            "cell",
+            F.explode(F.expr(f"sequence(0, {m - 1})")).alias("m"),
+            "pq_code",
+        )
+        .withColumn(
+            "cid",
+            F.expr(
+                f"CAST(shiftright(pq_code, CAST({bits} * m AS INT)) & {mask} AS BIGINT)"
+            ),
+        )
+    )
+    dsub = 64 // m
+    sub_cent = vec.where(F.col("vec_id") < ksub).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    lut = (
+        q.select(F.explode(F.expr(f"sequence(0, {m - 1})")).alias("m"), "qv")
+        .crossJoin(F.broadcast(sub_cent))
+        .select(
+            "m",
+            "cid",
+            F.expr(
+                f"CAST(floor({sqdist_expr(f'slice(qv, m * {dsub} + 1, {dsub})', f'slice(cv, m * {dsub} + 1, {dsub})', 's')} * {micro}) AS BIGINT)"
+            ).alias("lut_micro"),
+        )
+    )
+    adc = (
+        decoded.join(F.broadcast(lut), ["m", "cid"])
+        .groupBy("vec_id", "cell")
+        .agg(F.sum("lut_micro").cast("bigint").alias("adc_micro"))
+    )
+    top = global_topk(adc, [F.asc("adc_micro"), F.asc("vec_id")], k)
+    return (
+        vec.join(F.broadcast(top), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("rk").alias("rank"),
+            "vec_id",
+            "cell",
+            "adc_micro",
+            F.expr(
+                f"CAST(floor({sqdist_expr('v', 'qv', 's')} * {micro}) AS BIGINT)"
+            ).alias("exact_micro"),
+        )
+    )
+
+
+def ivfpq_topk_oracle(
+    query_vec_id: int = 0,
+    k: int = 10,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    micro: int = 1_000_000,
+) -> str:
+    dsub = 64 // m
+    cd2 = sqdist_expr("vec.v", "cc.ccv", "d")
+    d2 = sqdist_expr(
+        f"list_slice(vec.v, s.m * {dsub} + 1, s.m * {dsub} + {dsub})",
+        f"list_slice(c.cv, s.m * {dsub} + 1, s.m * {dsub} + {dsub})",
+        "d",
+    )
+    lut_d2 = sqdist_expr(
+        f"list_slice(q.v, s.m * {dsub} + 1, s.m * {dsub} + {dsub})",
+        f"list_slice(c.cv, s.m * {dsub} + 1, s.m * {dsub} + {dsub})",
+        "d",
+    )
+    exact_d2 = sqdist_expr("vec.v", "q.v", "d")
+    return f"""
+WITH vec AS (SELECT vec_id, {vec_expr('embedding', 'd')} AS v FROM embeddings),
+cc AS (SELECT vec_id AS ccid, v AS ccv FROM vec WHERE vec_id < {nlist}),
+q AS (SELECT vec_id, v FROM vec WHERE vec_id = {query_vec_id}),
+ad AS (
+  SELECT vec.vec_id, cc.ccid, {cd2} AS cd2
+  FROM vec CROSS JOIN cc
+),
+assign AS (
+  SELECT vec_id, CAST(ccid AS BIGINT) AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd2, ccid) AS rn
+    FROM ad
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT CAST(ccid AS BIGINT) AS cell FROM (
+    SELECT ccid, row_number() OVER (ORDER BY cd2, ccid) AS rn
+    FROM ad WHERE vec_id = {query_vec_id}
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT a.vec_id, a.cell FROM assign a JOIN probe p ON a.cell = p.cell
+  WHERE a.vec_id <> {query_vec_id}
+),
+c AS (SELECT vec_id AS cid, v AS cv FROM vec WHERE vec_id < {ksub}),
+s AS (SELECT unnest(range(0, {m})) AS m),
+d AS (
+  SELECT vec.vec_id, s.m, c.cid, {d2} AS d2
+  FROM vec JOIN cand ON vec.vec_id = cand.vec_id CROSS JOIN s CROSS JOIN c
+),
+a AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT s.m, c.cid,
+         CAST(floor({lut_d2} * {micro}) AS BIGINT) AS lut_micro
+  FROM s CROSS JOIN c CROSS JOIN q
+),
+adc AS (
+  SELECT a.vec_id, CAST(SUM(lut.lut_micro) AS BIGINT) AS adc_micro
+  FROM a JOIN lut ON a.m = lut.m AND a.cid = lut.cid
+  GROUP BY a.vec_id
+),
+top AS (
+  SELECT CAST(row_number() OVER (ORDER BY adc_micro ASC, vec_id ASC) AS BIGINT)
+           AS rank, vec_id, adc_micro
+  FROM adc ORDER BY adc_micro ASC, vec_id ASC LIMIT {k}
+)
+SELECT top.rank, top.vec_id, cand.cell, top.adc_micro,
+       CAST(floor({exact_d2} * {micro}) AS BIGINT) AS exact_micro
+FROM top JOIN cand ON top.vec_id = cand.vec_id
+         JOIN vec ON top.vec_id = vec.vec_id CROSS JOIN q
+"""

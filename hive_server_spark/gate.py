@@ -910,6 +910,10 @@ DRIVER_PRIORITY_R7 = [
     "evt_cms_heavy_hitters",
     "evt_hll_cardinality",
     "evt_cms_streaming",
+    "emb_ivfpq_topk",
+    "evt_hll_streaming",
+    "layout_zonemap_skipping",
+    "evt_bloom_prune_join",
     # -- round-7-modified queries: the de-broadcast survivor-set joins
     #    plus the JPEG profile (gains the 4:2:0 subsampled variant) --------
     "text_line_dedup",
@@ -942,11 +946,8 @@ DRIVER_PRIORITY_R7 = [
     "rel_disjunctive_bands",
     "rel_distinct_suppliers_per_nation",
     "rel_full_outer_nation_activity",
-    "rel_grouping_sets",
-    "rel_exact_percentiles",
-    "rel_nation_trade_flows",
-    "rel_nations_except",
-    # rel_nations_intersect /
+    # rel_grouping_sets / rel_exact_percentiles /
+    # rel_nation_trade_flows / rel_nations_except / rel_nations_intersect /
     # rel_order_priority_exists /
     # rel_orders_above_cust_avg /
     # rel_parts_never_ordered /

@@ -420,3 +420,16 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined onto the ≤k survivors — the read path of the PQ index whose
     build is `emb_pq_codes`."""
     return E.pq_adc_topk(_emb(spark, sf_dir))
+
+
+@register("emb_ivfpq_topk", E.ivfpq_topk_oracle())
+def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed top-k: coarse routing to the query's 2 nearest of
+    8 cells, ADC over the stored codes of ONLY the probed cells
+    (candidate restriction applied before the decode explode, so scanned
+    work shrinks by ~nprobe/nlist exactly as the index promises), exact
+    re-rank of the ≤k survivors. Completes the ANN lifecycle:
+    emb_kmeans_update trains, emb_ivf_build builds, emb_pq_codes
+    compresses, emb_pq_adc_topk serves flat, THIS serves the routed
+    index."""
+    return E.ivfpq_topk(_emb(spark, sf_dir))

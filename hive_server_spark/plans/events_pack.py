@@ -679,3 +679,132 @@ def hll_cardinality(events: DataFrame) -> DataFrame:
 )
 def evt_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_cardinality(_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join reduction (round 7): the runtime-filter pattern
+# every warehouse engine applies to big-probe/small-build joins — build a
+# Bloom filter from the build-side keys, prune the probe side BEFORE the
+# shuffle, then verify exactly. Build side: users whose purchase total
+# exceeds a threshold (a derived, data-dependent key set — NOT broadcast;
+# it stays a user_id-co-partitioned equi-join for the exact pass). What
+# IS broadcast is the bit set: ≤ m = 128 distinct positions BY
+# CONSTRUCTION (the modulus caps it), so the broadcast is safe at any
+# scale — the same bounded-vs-data-dependent distinction the survivor-set
+# de-broadcast (VERDICT r06) enforced. The probe side chains k = 3
+# bounded semi-joins (each a broadcast build of ≤ m rows) — rows failing
+# any hash never reach the exact join, exactly how Spark's own
+# spark.sql.optimizer.runtimeFilter Bloom pruning behaves. The audit
+# reports, per event type: total rows, Bloom survivors, true members,
+# false positives (survivors − members, the price of m = 128), and the
+# exact DECIMAL value sum over true members. Bloom membership is
+# deterministic md5 arithmetic, so even the false-positive counts are
+# value-gated cross-engine.
+# ---------------------------------------------------------------------------
+_BLOOM_M = 128   # bits
+_BLOOM_K = 3     # hash functions
+_BLOOM_THR = 900  # purchase-total threshold defining the build-side keys
+
+
+def _bloom_pos(key: str, i: int, dialect: str) -> str:
+    from hive_server_spark.functions.text import hash_expr
+
+    return f"({hash_expr(key, f'bl{i}', dialect)} % {_BLOOM_M})"
+
+
+def _bloom_oracle() -> str:
+    key_d = "CAST(user_id AS VARCHAR)"
+    pos = [_bloom_pos(key_d, i, "d") for i in range(_BLOOM_K)]
+    bits_union = " UNION ".join(f"SELECT {p} AS bit FROM k" for p in pos)
+    member = " AND ".join(f"{p} IN (SELECT bit FROM bits)" for p in pos)
+    return f"""
+WITH k AS (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id HAVING SUM(CAST(value AS DECIMAL(18,2))) > {_BLOOM_THR}
+),
+bits AS ({bits_union}),
+p AS (SELECT event_type, user_id, value FROM events WHERE {member}),
+t AS (
+  SELECT event_type, user_id, value FROM events
+  WHERE user_id IN (SELECT user_id FROM k)
+),
+tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS rows_total
+        FROM events GROUP BY event_type),
+pa AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS rows_bloom_pass
+       FROM p GROUP BY event_type),
+ta AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS rows_true,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS true_value
+       FROM t GROUP BY event_type)
+SELECT tot.event_type, tot.rows_total,
+       COALESCE(pa.rows_bloom_pass, 0) AS rows_bloom_pass,
+       COALESCE(ta.rows_true, 0) AS rows_true,
+       COALESCE(pa.rows_bloom_pass, 0) - COALESCE(ta.rows_true, 0)
+         AS false_positive_rows,
+       COALESCE(ta.true_value, 0.0) AS true_value
+FROM tot LEFT JOIN pa ON tot.event_type = pa.event_type
+         LEFT JOIN ta ON tot.event_type = ta.event_type
+"""
+
+
+def bloom_prune_join(events: DataFrame) -> DataFrame:
+    """Bloom-filter semi-join reduction audit — see block comment above."""
+    key_s = "CAST(user_id AS STRING)"
+    keys = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("tot"))
+        .where(F.col("tot") > _BLOOM_THR)
+        .select("user_id")
+    )
+    bits = (
+        keys.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.expr(_bloom_pos(key_s, i, "s"))
+                        for i in range(_BLOOM_K)
+                    ]
+                )
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    pruned = events.select("event_type", "user_id", "value")
+    for i in range(_BLOOM_K):
+        probe = pruned.withColumn("bit", F.expr(_bloom_pos(key_s, i, "s")))
+        pruned = probe.join(F.broadcast(bits), "bit", "left_semi")
+    true_rows = events.select("event_type", "user_id", "value").join(
+        keys, "user_id", "left_semi"
+    )
+    tot = events.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("rows_total")
+    )
+    pa = pruned.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("rows_bloom_pass")
+    )
+    ta = true_rows.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("rows_true"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("true_value"),
+    )
+    return (
+        tot.join(pa, "event_type", "left")
+        .join(ta, "event_type", "left")
+        .select(
+            "event_type",
+            "rows_total",
+            F.coalesce("rows_bloom_pass", F.lit(0)).cast("bigint").alias("rows_bloom_pass"),
+            F.coalesce("rows_true", F.lit(0)).cast("bigint").alias("rows_true"),
+            (
+                F.coalesce("rows_bloom_pass", F.lit(0))
+                - F.coalesce("rows_true", F.lit(0))
+            ).cast("bigint").alias("false_positive_rows"),
+            F.coalesce("true_value", F.lit(0.0)).cast("double").alias("true_value"),
+        )
+    )
+
+
+@register("evt_bloom_prune_join", _bloom_oracle())
+def evt_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bloom_prune_join(_events(spark, sf_dir))

@@ -249,3 +249,126 @@ def compaction_plan(manifest: DataFrame, target: int = _COMPACT_TARGET) -> DataF
 @register("layout_compaction_plan", _COMPACT_ORACLE)
 def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compaction_plan(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Zone-map data skipping (round 7): the min/max-statistics read-pruning
+# primitive every lakehouse format (parquet row groups, Delta/Iceberg file
+# stats) serves — computed and *evaluated* as a value-gated query. Events
+# are grouped into synthetic files (file = event_id DIV 512, the same
+# manifest stand-in documents played for the compaction plan); per file
+# the zone map is min/max of ts, value, event_type plus the row count;
+# four fixed predicates are then tested against the maps and the audit
+# reports, per predicate: file count, files provably skippable, rows in
+# the files that must still be scanned, and the exact matching row count
+# (one conditional-aggregation pass — no per-predicate scans).
+# The result is the classic zone-map lesson made measurable: ts predicates
+# skip almost everything because the layout is ts-clustered (event_id
+# rides ts order), while value/type predicates skip nothing because every
+# file spans the full range — the quantitative case for the z-order
+# manifest (layout_zorder_manifest) and OPTIMIZE (layout_compaction_plan).
+# Scale shape: one map-side-combined agg per file for the maps (files ≫
+# executors → parallel), a 4-entry literal stack over the file table, a
+# single conditional-agg pass for ground truth, and a 4-row broadcast
+# join — nothing corpus-sized shuffles twice.
+# ---------------------------------------------------------------------------
+_ZM_FILE_ROWS = 512
+
+_ZM_PREDS = [
+    ("ts_ge_jan28", "ts >= TIMESTAMP '2024-01-28 00:00:00'"),
+    ("value_ge_450", "value >= 450.0"),
+    ("value_band_100_101", "value >= 100.0 AND value <= 101.0"),
+    ("type_eq_purchase", "event_type = 'purchase'"),
+]
+
+_ZM_SKIPS = [
+    ("ts_ge_jan28", "max_ts < TIMESTAMP '2024-01-28 00:00:00'"),
+    ("value_ge_450", "max_value < 450.0"),
+    ("value_band_100_101", "max_value < 100.0 OR min_value > 101.0"),
+    ("type_eq_purchase", "max_type < 'purchase' OR min_type > 'purchase'"),
+]
+
+
+def _zm_oracle() -> str:
+    per_file = ", ".join(
+        f"SUM(CASE WHEN NOT ({skip}) THEN n_rows ELSE 0 END) AS scan_{name}, "
+        f"SUM(CASE WHEN {skip} THEN 1 ELSE 0 END) AS skip_{name}"
+        for name, skip in _ZM_SKIPS
+    )
+    matched = ", ".join(
+        f"SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS match_{name}"
+        for name, pred in _ZM_PREDS
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS pred, z.n_files, CAST(z.skip_{name} AS BIGINT) AS n_skipped, "
+        f"CAST(z.scan_{name} AS BIGINT) AS rows_scanned, CAST(m.match_{name} AS BIGINT) AS rows_matched "
+        f"FROM z CROSS JOIN m"
+        for name, _ in _ZM_PREDS
+    )
+    return f"""
+WITH files AS (
+  SELECT event_id // {_ZM_FILE_ROWS} AS file_id,
+         COUNT(*) AS n_rows,
+         MIN(ts) AS min_ts, MAX(ts) AS max_ts,
+         MIN(value) AS min_value, MAX(value) AS max_value,
+         MIN(event_type) AS min_type, MAX(event_type) AS max_type
+  FROM events GROUP BY event_id // {_ZM_FILE_ROWS}
+),
+z AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_files, {per_file} FROM files),
+m AS (SELECT {matched} FROM events)
+{unions}
+"""
+
+
+@register("layout_zonemap_skipping", _zm_oracle())
+def layout_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map skipping audit — see the block comment above."""
+    ev = load_table(spark, sf_dir, "events")
+    files = ev.groupBy(
+        F.expr(f"event_id DIV {_ZM_FILE_ROWS}").alias("file_id")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.min("event_type").alias("min_type"),
+        F.max("event_type").alias("max_type"),
+    )
+    skip_cols = [
+        c
+        for name, skip in _ZM_SKIPS
+        for c in (
+            F.expr(
+                f"SUM(CASE WHEN NOT ({skip}) THEN n_rows ELSE 0 END)"
+            ).alias(f"scan_{name}"),
+            F.expr(f"SUM(CASE WHEN {skip} THEN 1 ELSE 0 END)").alias(
+                f"skip_{name}"
+            ),
+        )
+    ]
+    z = files.agg(F.count("*").cast("bigint").alias("n_files"), *skip_cols)
+    m = ev.agg(
+        *[
+            F.expr(f"SUM(CASE WHEN {pred} THEN 1 ELSE 0 END)").alias(
+                f"match_{name}"
+            )
+            for name, pred in _ZM_PREDS
+        ]
+    )
+    stacked = z.crossJoin(F.broadcast(m)).select(
+        "n_files",
+        F.expr(
+            "stack({n}, {args}) AS (pred, n_skipped, rows_scanned, rows_matched)".format(
+                n=len(_ZM_PREDS),
+                args=", ".join(
+                    f"'{name}', CAST(skip_{name} AS BIGINT), "
+                    f"CAST(scan_{name} AS BIGINT), CAST(match_{name} AS BIGINT)"
+                    for name, _ in _ZM_PREDS
+                ),
+            )
+        ),
+    )
+    return stacked.select(
+        "pred", "n_files", "n_skipped", "rows_scanned", "rows_matched"
+    )

@@ -794,14 +794,17 @@ def _evt_streaming_results(spark: SparkSession, sf_dir: str) -> dict:
                 out, work = builder(spark, sf_dir)
                 q, sink = _start_append_stream(spark, out, work)
                 running.append((name, q, sink))
-            # the foreachBatch CMS stream joins the same concurrent wave
+            # the foreachBatch sketch streams join the same concurrent wave
             cms_q, cms_store = start_cms_stream(spark, sf_dir)
+            hll_q, hll_store = start_hll_stream(spark, sf_dir)
             results = {}
             for name, q, sink in running:
                 q.awaitTermination()
                 results[name] = spark.table(sink)
             cms_q.awaitTermination()
             results["evt_cms_streaming"] = _cms_final(spark, cms_store)
+            hll_q.awaitTermination()
+            results["evt_hll_streaming"] = _hll_final(spark, hll_store)
         return results
 
     return _EVT_RESULTS.get_or_create(spark, ("evt_streaming_family", sf_dir), build)
@@ -996,3 +999,98 @@ def evt_cms_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-pass batch sketch — monoid merge, bounded state, exactly-once
     under replay. Runs concurrently with the rest of the evt_* family."""
     return _evt_streaming_results(spark, sf_dir)["evt_cms_streaming"]
+
+
+# ---------------------------------------------------------------------------
+# Streaming HyperLogLog registers (round 7): the MAX-merge twin of the
+# SUM-merge CMS grid above. Each micro-batch folds its distinct
+# (event_type, user) hashes to per-(type, bucket) rank maxima; cross-batch
+# merge is cell-wise MAX — registers are a bounded join-semilattice
+# (≤ types × m rows regardless of stream length), so micro-batch
+# boundaries can never change the final register table and re-delivered
+# elements are absorbed (MAX is idempotent — the reason real pipelines
+# ship HLL registers, not distinct sets, between workers). The oracle is
+# the plain batch register table; evt_hll_cardinality gates the estimate
+# arithmetic on the same registers.
+# ---------------------------------------------------------------------------
+from hive_server_spark.functions.text import hash_expr  # noqa: E402
+from hive_server_spark.plans.events_pack import _hll_rank, _HLL_M  # noqa: E402
+
+_HLL_STREAM_ORACLE = f"""
+WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type,
+         {hash_expr("CAST(user_id AS VARCHAR)", "hll", "d")} AS hv
+  FROM u
+)
+SELECT event_type, CAST(hv % {_HLL_M} AS BIGINT) AS bucket,
+       CAST(MAX({_hll_rank(f"(hv // {_HLL_M})", "d")}) AS BIGINT) AS reg
+FROM h GROUP BY event_type, hv % {_HLL_M}
+"""
+
+
+def _hll_partial(batch: DataFrame) -> DataFrame:
+    u = batch.select("event_type", "user_id").distinct()
+    h = u.select(
+        "event_type",
+        F.expr(hash_expr("CAST(user_id AS STRING)", "hll", "s")).alias("hv"),
+    )
+    return (
+        h.select(
+            "event_type",
+            (F.col("hv") % _HLL_M).alias("bucket"),
+            F.expr(_hll_rank(f"(hv DIV {_HLL_M})", "s")).alias("rank"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rank").alias("reg"))
+    )
+
+
+def start_hll_stream(spark: SparkSession, sf_dir: str, chunks: int = 2):
+    """Start (without awaiting) the incremental HLL-register stream;
+    returns (StreamingQuery, ParquetStateStore). Shares the landed
+    ts-ordered events dir with the rest of the evt_* family."""
+    from hive_server_spark.streaming.incremental import ParquetStateStore
+
+    stream, work = _events_stream_in_ts_order(spark, sf_dir, chunks)
+    store = ParquetStateStore(os.path.join(work, "hll_state"))
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if store.already_applied(batch_id):
+            return
+        part = _hll_partial(batch_df)
+        cur = store.latest(batch_df.sparkSession)
+        merged = (
+            part
+            if cur is None
+            else cur.unionByName(part)
+            .groupBy("event_type", "bucket")
+            .agg(F.max("reg").alias("reg"))
+        )
+        store.commit(merged, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", os.path.join(work, "hll_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, store
+
+
+def _hll_final(spark: SparkSession, store) -> DataFrame:
+    out = store.latest(spark)
+    return out.select(
+        "event_type",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("reg").cast("bigint").alias("reg"),
+    )
+
+
+@register("evt_hll_streaming", _HLL_STREAM_ORACLE)
+def evt_hll_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain the HLL register table incrementally over the landed event
+    stream; the final registers must equal the one-pass batch fold —
+    MAX-semilattice merge, bounded state, idempotent under replay. Runs
+    concurrently with the rest of the evt_* family."""
+    return _evt_streaming_results(spark, sf_dir)["evt_hll_streaming"]

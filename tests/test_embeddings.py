@@ -361,3 +361,74 @@ def test_pq_adc_topk_vs_numpy(spark):
         r = got[rank]
         assert (r.vec_id, r.adc_micro) == (i, total)
         assert r.exact_micro == int(math.floor(fold_d2(v64[i], v64[0]) * 1e6))
+
+
+def test_ivfpq_topk_vs_numpy(spark):
+    """IVF-PQ vs a full numpy recompute: coarse assignment argmin, nprobe
+    routing, candidate-restricted ADC with the micro-floored LUT, top-k,
+    exact re-rank — every row and value."""
+    import math
+
+    import numpy as np
+
+    from hive_server_spark.functions.embeddings import (
+        IVF_NLIST,
+        IVF_NPROBE,
+        PQ_KSUB,
+        PQ_M,
+        ivfpq_topk,
+    )
+
+    rng = np.random.default_rng(31)
+    vecs = rng.normal(size=(40, 64)).astype("float32")
+    rows = [(int(i), int(i % 3), [float(x) for x in vecs[i]]) for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    got = {r.rank: r for r in ivfpq_topk(emb, k=5).collect()}
+
+    v64 = vecs.astype("float64")
+    dsub = 64 // PQ_M
+
+    def fold_d2(a, b):
+        d2 = 0.0
+        for x, y in zip(a, b):  # in-order fold, matches the engines
+            d2 += (x - y) * (x - y)
+        return d2
+
+    def cell_of(i):
+        return min(
+            range(IVF_NLIST), key=lambda c: (fold_d2(v64[i], v64[c]), c)
+        )
+
+    probed = sorted(
+        range(IVF_NLIST), key=lambda c: (fold_d2(v64[0], v64[c]), c)
+    )[:IVF_NPROBE]
+    lut = {}
+    for m in range(PQ_M):
+        qsv = v64[0, m * dsub:(m + 1) * dsub]
+        for cid in range(PQ_KSUB):
+            lut[(m, cid)] = int(
+                math.floor(fold_d2(qsv, v64[cid, m * dsub:(m + 1) * dsub]) * 1e6)
+            )
+
+    adc = []
+    for i in range(1, 40):
+        cell = cell_of(i)
+        if cell not in probed:
+            continue
+        total = 0
+        for m in range(PQ_M):
+            sv = v64[i, m * dsub:(m + 1) * dsub]
+            best = None
+            for cid in range(PQ_KSUB):
+                d2 = fold_d2(sv, v64[cid, m * dsub:(m + 1) * dsub])
+                if best is None or (d2, cid) < best:
+                    best = (d2, cid)
+            total += lut[(m, best[1])]
+        adc.append((total, i, cell))
+    adc.sort()
+    assert 1 <= len(got) <= 5
+    assert len(got) == min(5, len(adc))
+    for rank, (total, i, cell) in enumerate(adc[: len(got)], start=1):
+        r = got[rank]
+        assert (r.vec_id, r.cell, r.adc_micro) == (i, cell, total)
+        assert r.exact_micro == int(math.floor(fold_d2(v64[i], v64[0]) * 1e6))

@@ -237,3 +237,55 @@ def test_hll_cardinality_hand_computed(spark):
     assert r.hll_estimate_micro == round(est * 1_000_000)
     # the sketch should land near the truth (37 keys, m=64)
     assert abs(r.hll_estimate_micro / 1e6 - 37) / 37 < 0.5
+
+
+def test_bloom_prune_join_python_recompute(spark):
+    """Bloom semi-join audit vs a full python recompute of the md5 bloom:
+    key set, bit positions, per-row membership (including which false
+    positives survive), and the exact value sum."""
+    import hashlib
+    from decimal import Decimal
+
+    from hive_server_spark.plans.events_pack import (
+        _BLOOM_K,
+        _BLOOM_M,
+        _BLOOM_THR,
+        bloom_prune_join,
+    )
+
+    rows = []
+    # users 1..20; users 1-3 are heavy purchasers (over threshold)
+    for u in range(1, 21):
+        heavy = u <= 3
+        rows.append((u * 10, u, "purchase", 500.0 if heavy else 1.0))
+        rows.append((u * 10 + 1, u, "purchase", 500.0 if heavy else 1.0))
+        rows.append((u * 10 + 2, u, "click", 7.5))
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 5)
+    df = spark.createDataFrame(
+        [(eid, t0, u, et, v, "{}") for eid, u, et, v in rows],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    got = {r.event_type: r for r in bloom_prune_join(df).collect()}
+
+    def pos(u, i):
+        h = hashlib.md5(f"bl{i}:{u}".encode()).hexdigest()[:8]
+        return int(h, 16) % _BLOOM_M
+
+    keys = {u for u in range(1, 21) if (1000.0 if u <= 3 else 2.0) > _BLOOM_THR}
+    assert keys == {1, 2, 3}
+    bits = {pos(u, i) for u in keys for i in range(_BLOOM_K)}
+    passing = {
+        u for u in range(1, 21) if all(pos(u, i) in bits for i in range(_BLOOM_K))
+    }
+    assert keys <= passing  # no false negatives, ever
+    for et, n_rows_per_user in (("purchase", 2), ("click", 1)):
+        r = got[et]
+        assert r.rows_total == 20 * n_rows_per_user
+        assert r.rows_bloom_pass == len(passing) * n_rows_per_user
+        assert r.rows_true == len(keys) * n_rows_per_user
+        assert r.false_positive_rows == (len(passing) - len(keys)) * n_rows_per_user
+    exp_purchase_value = float(sum(Decimal("500.0") * 2 for _ in keys))
+    assert got["purchase"].true_value == exp_purchase_value
+    assert got["click"].true_value == float(Decimal("7.5") * len(keys))

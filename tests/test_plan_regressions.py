@@ -92,6 +92,12 @@ def test_no_sort_merge_join_anywhere_in_gate(spark):
         # sized, unbounded for whitespace tokens on web text — plain
         # equi-join on the head token, stats decide the strategy
         "rel_full_outer_nation_activity",
+        "emb_ivfpq_topk",  # codes ⋈ probed-cell candidates: both sides
+        # exit vec_id hash aggregates over the corpus (codes are the whole
+        # index, candidates ~nprobe/nlist of it) — a vec_id co-partitioned
+        # shuffle join that reuses the aggregate partitioning is the
+        # correct 100 TB strategy; in a deployed index the codes are
+        # stored partitioned by cell and the join disappears
     }
     offenders = []
     for name in sorted(gate.spark_queries()):

@@ -149,3 +149,50 @@ def test_compaction_plan_hand_computed(spark):
     b0, b1 = got[("b", 0)], got[("b", 2)]
     assert (b0.n_inputs, b0.total_bytes) == (1, 250)
     assert (b1.n_inputs, b1.total_bytes) == (1, 10)
+
+
+def test_zonemap_skipping_hand_computed(spark):
+    """Zone-map audit on a crafted two-file layout: the ts-clustered
+    predicate proves one file skippable, the unclustered value band skips
+    nothing, and exact matched counts come from the full scan."""
+    import datetime as dt
+
+    from hive_server_spark.plans.sources_pack import layout_zonemap_skipping
+    import hive_server_spark.plans.sources_pack as sp
+    import os
+    import tempfile
+
+    t0 = dt.datetime(2024, 1, 1)
+    late = dt.datetime(2024, 1, 29)
+    rows = []
+    # file 0: event_ids 0..511 — all early, values 0..99
+    for i in range(512):
+        rows.append((i, t0, 7, "click", float(i % 100), "{}"))
+    # file 1: event_ids 512..515 — late, one high value, one purchase
+    rows += [
+        (512, late, 8, "purchase", 460.0, "{}"),
+        (513, late, 8, "view", 100.5, "{}"),
+        (514, late, 9, "click", 10.0, "{}"),
+        (515, late, 9, "click", 11.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    work = tempfile.mkdtemp(prefix="zm_test_")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(work, "events.parquet")
+    )
+    got = {r.pred: r for r in layout_zonemap_skipping(spark, work).collect()}
+    assert set(got) == {p[0] for p in sp._ZM_PREDS}
+    r = got["ts_ge_jan28"]
+    # file 0 provably early -> skipped; file 1 scanned (4 rows), 4 match
+    assert (r.n_files, r.n_skipped, r.rows_scanned, r.rows_matched) == (2, 1, 4, 4)
+    r = got["value_ge_450"]
+    assert (r.n_files, r.n_skipped, r.rows_scanned, r.rows_matched) == (2, 1, 4, 1)
+    r = got["value_band_100_101"]
+    # file 0's values are i % 100 in [0, 99] -> max 99 < 100 proves it
+    # skippable; file 1 scanned (4 rows), only 100.5 matches
+    assert (r.n_files, r.n_skipped, r.rows_scanned, r.rows_matched) == (2, 1, 4, 1)
+    r = got["type_eq_purchase"]
+    # file 0 is all 'click' -> min=max='click' < 'purchase' -> skipped
+    assert (r.n_files, r.n_skipped, r.rows_scanned, r.rows_matched) == (2, 1, 4, 1)

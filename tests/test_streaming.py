@@ -407,3 +407,28 @@ def test_cms_stream_equals_batch_sketch(spark, chunks):
         F.col("cell").cast("bigint"),
     )
     assert _rows(streamed) == _rows(batch)
+
+
+@pytest.mark.parametrize("chunks", [1, 3])
+def test_hll_stream_equals_batch_registers(spark, chunks):
+    """The incremental HLL register table must equal the one-pass batch
+    fold under any micro-batch chunking — cell-wise MAX is an idempotent
+    semilattice merge."""
+    from pyspark.sql import functions as F
+
+    from hive_server_spark.catalog import load_table
+    from hive_server_spark.plans.streaming_pack import (
+        _hll_final,
+        _hll_partial,
+        start_hll_stream,
+    )
+
+    q, store = start_hll_stream(spark, SF_SMALL, chunks=chunks)
+    q.awaitTermination()
+    streamed = _hll_final(spark, store)
+    batch = _hll_partial(load_table(spark, SF_SMALL, "events")).select(
+        "event_type",
+        F.col("bucket").cast("bigint"),
+        F.col("reg").cast("bigint"),
+    )
+    assert _rows(streamed) == _rows(batch)
