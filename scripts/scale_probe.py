@@ -132,6 +132,17 @@ DEFAULT_QUERIES = [
     # sf_dir (plans/serving_pack.py), so its time is the CDF read alone.
     "cdc_book_snapshots",
     "orders_state_changelog",
+    # round-7 fourth batch: mergeable sketches (map-side-combined grids,
+    # bounded regardless of corpus size), the Bloom runtime-filter join
+    # (bounded 128-bit set broadcast + co-partitioned equi-join), the
+    # zone-map audit (per-file agg + one conditional-agg pass), and the
+    # composed IVF-PQ read path (candidate restriction BEFORE the decode
+    # explode — its ratio should track nprobe/nlist of a linear scan).
+    "evt_cms_heavy_hitters",
+    "evt_hll_cardinality",
+    "evt_bloom_prune_join",
+    "layout_zonemap_skipping",
+    "emb_ivfpq_topk",
 ]
 
 # --mult 100 list (VERDICT r05 item 4): the cheap-per-row families where a
@@ -181,6 +192,21 @@ HUNDREDX_QUERIES = [
     "asof_nearest_price",
     "orders_scd2_versions",
     "text_source_kl",
+    # round-7 fourth batch. The sketches are the 100x headline: CMS/HLL
+    # grids are bounded by construction, so 100x data is pure linear scan
+    # + map-side combine into a fixed-size state. Bloom prune and the
+    # zone-map audit are events-table linear shapes. emb_ivfpq_topk is
+    # kept at 10x: the 100x embedding linear scan is already covered by
+    # emb_int8_quantization, and the PQ LUT/codebook sides are bounded by
+    # shape (32 entries), so only raw assignment arithmetic would be timed.
+    # evt_cms_streaming / evt_hll_streaming are excluded like
+    # cdc_book_snapshots: the availableNow harness replays the 100x log
+    # through fixed-cost micro-batch landings; the sketch math itself is
+    # covered by the batch rows below.
+    "evt_cms_heavy_hitters",
+    "evt_hll_cardinality",
+    "evt_bloom_prune_join",
+    "layout_zonemap_skipping",
 ]
 
 # pk stride column(s) per table; every fk shift reuses the owning pk stride.
