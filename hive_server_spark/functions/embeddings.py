@@ -1026,3 +1026,67 @@ SELECT top.rank, top.vec_id, cand.cell, top.adc_micro,
 FROM top JOIN cand ON top.vec_id = cand.vec_id
          JOIN vec ON top.vec_id = vec.vec_id CROSS JOIN q
 """
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (round 7): for each anchor vector, the most
+# cosine-similar vectors with a DIFFERENT label — the contrastive-training
+# curation step (high-similarity cross-label neighbors are the negatives
+# that carry gradient; random negatives are too easy). The anchor set is
+# bounded BY CONSTRUCTION (vec_id < n_anchors, a fixed probe set — the
+# survivor-set lesson: only provably bounded sides broadcast); production
+# mining over a corpus-sized anchor set goes through the LSH bucket join
+# (lsh_candidate_pairs) instead, filtering label equality at the pair stage.
+# Scale shape: one corpus scan x n_anchors scored rows, then the two-level
+# grouped_topk (per-partition k-row heads, merge ranks ≤ k x n_partitions
+# rows per anchor) — no corpus-sized single-task window sort per anchor.
+# ---------------------------------------------------------------------------
+def hard_negatives(emb: DataFrame, n_anchors: int = 8, k: int = 3) -> DataFrame:
+    from hive_server_spark.operators.topk import grouped_topk
+
+    v = _vecs(emb)
+    q = v.where(F.col("vec_id") < n_anchors).select(
+        F.col("v").alias("qv"),
+        F.col("label").alias("q_label"),
+        F.col("vec_id").alias("q_vec_id"),
+    )
+    cand = (
+        v.crossJoin(F.broadcast(q))
+        .where(F.col("label") != F.col("q_label"))
+        .select(
+            "q_vec_id",
+            "q_label",
+            "vec_id",
+            "label",
+            F.expr(cosine_expr("v", "qv", "s")).alias("cosine"),
+        )
+        # negate for ascending struct sort inside grouped_topk (cosine is
+        # finite here: vectors are non-zero by construction)
+        .withColumn("neg_cosine", -F.col("cosine"))
+    )
+    out = grouped_topk(
+        cand,
+        group_cols=["q_vec_id", "q_label"],
+        sort_cols=["neg_cosine", "vec_id"],
+        payload_cols=["label", "cosine"],
+        k=k,
+    )
+    return out.select("q_vec_id", "q_label", "vec_id", "label", "cosine", "rk")
+
+
+def hard_negatives_oracle(n_anchors: int = 8, k: int = 3) -> str:
+    return f"""
+WITH v AS (SELECT vec_id, label, {vec_expr('embedding', 'd')} AS v FROM embeddings),
+q AS (SELECT v AS qv, label AS q_label, vec_id AS q_vec_id FROM v
+      WHERE vec_id < {n_anchors}),
+scored AS (
+  SELECT q.q_vec_id, q.q_label, e.vec_id, e.label,
+         {cosine_expr('e.v', 'q.qv', 'd')} AS cosine
+  FROM v e, q WHERE e.label <> q.q_label
+)
+SELECT q_vec_id, q_label, vec_id, label, cosine, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                   ORDER BY cosine DESC, vec_id ASC) AS rk
+      FROM scored)
+WHERE rk <= {k}
+"""

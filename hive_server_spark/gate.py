@@ -774,6 +774,105 @@ def q_range_price_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq_band_join_count(mo, lp, key="pool_address", order="seq", band=50)
 
 
+# ---------------------------------------------------------------------------
+# Tick-rule trade classification + order-flow imbalance (round 7): the
+# Lee-Ready tick test (Lee & Ready 1991, public) over executed market
+# orders — an up-tick vs the previous trade print in the same pool marks
+# the trade buyer-initiated (+1), a down-tick seller-initiated (-1), and a
+# zero-tick carries the last non-zero direction. Per-pool rollup: signed
+# counts and the filled-amount order-flow imbalance (the net aggressor
+# volume a market-surveillance / microstructure pipeline tracks).
+# Scale: one shuffle on pool_address, two per-pool windows (lag + the
+# carried last non-zero sign, both ROWS-framed and parallel across pools),
+# then a map-side-combined rollup; signed DECIMAL sums stay exact and cast
+# DOUBLE only at the output edge. The Spark side uses F.last(ignorenulls)
+# and the oracle DuckDB's last_value(... IGNORE NULLS) — two engines'
+# independent carry implementations must agree.
+# ---------------------------------------------------------------------------
+_TICK_ORACLE = f"""WITH {ORDER_EVENTS_CTE}
+, mo AS (SELECT pool_address, seq, price, filled_amount FROM order_events
+         WHERE event_type = 'MarketOrderExecuted'),
+ticked AS (
+  SELECT pool_address, seq, filled_amount,
+         CASE WHEN prev IS NULL THEN NULL
+              WHEN price > prev THEN 1
+              WHEN price < prev THEN -1
+              ELSE 0 END AS tick
+  FROM (SELECT *, lag(price) OVER (PARTITION BY pool_address ORDER BY seq)
+               AS prev FROM mo)
+),
+signed AS (
+  SELECT pool_address, seq, filled_amount, tick,
+         last_value(CASE WHEN tick <> 0 THEN tick END IGNORE NULLS)
+           OVER (PARTITION BY pool_address ORDER BY seq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sign
+  FROM ticked
+)
+SELECT pool_address,
+       CAST(COUNT(*) AS BIGINT)                                   AS n_trades,
+       CAST(SUM(CASE WHEN sign = 1  THEN 1 ELSE 0 END) AS BIGINT) AS n_buys,
+       CAST(SUM(CASE WHEN sign = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sells,
+       CAST(SUM(CASE WHEN sign IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                                  AS n_unsigned,
+       CAST(SUM(CASE WHEN tick = 1  THEN 1 ELSE 0 END) AS BIGINT) AS n_upticks,
+       CAST(SUM(CASE WHEN tick = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_downticks,
+       CAST(SUM(sign * filled_amount) AS DOUBLE)                  AS ofi_filled,
+       CAST(SUM(CASE WHEN sign = 1 THEN filled_amount END) AS DOUBLE)
+                                                                  AS buy_filled,
+       CAST(SUM(CASE WHEN sign = -1 THEN filled_amount END) AS DOUBLE)
+                                                                  AS sell_filled
+FROM signed
+GROUP BY pool_address
+"""
+
+
+@register("trade_tick_flow", _TICK_ORACLE)
+def q_trade_tick_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-Ready tick-rule aggressor classification and per-pool order-flow
+    imbalance (see block comment above for semantics and scale shape)."""
+    mo = (
+        order_events(spark, sf_dir)
+        .where(et_eq("MarketOrderExecuted"))
+        .select("pool_address", "seq", "price", "filled_amount")
+    )
+    w = Window.partitionBy("pool_address").orderBy("seq")
+    prev = F.lag("price").over(w)
+    ticked = mo.withColumn(
+        "tick",
+        F.when(prev.isNull(), F.lit(None).cast("int"))
+        .when(F.col("price") > prev, F.lit(1))
+        .when(F.col("price") < prev, F.lit(-1))
+        .otherwise(F.lit(0)),
+    )
+    carry = Window.partitionBy("pool_address").orderBy("seq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    signed = ticked.withColumn(
+        "sign",
+        F.last(F.when(F.col("tick") != 0, F.col("tick")), ignorenulls=True)
+        .over(carry),
+    )
+    return signed.groupBy("pool_address").agg(
+        F.count("*").cast("bigint").alias("n_trades"),
+        F.sum(F.when(F.col("sign") == 1, 1).otherwise(0)).cast("bigint")
+        .alias("n_buys"),
+        F.sum(F.when(F.col("sign") == -1, 1).otherwise(0)).cast("bigint")
+        .alias("n_sells"),
+        F.sum(F.when(F.col("sign").isNull(), 1).otherwise(0)).cast("bigint")
+        .alias("n_unsigned"),
+        F.sum(F.when(F.col("tick") == 1, 1).otherwise(0)).cast("bigint")
+        .alias("n_upticks"),
+        F.sum(F.when(F.col("tick") == -1, 1).otherwise(0)).cast("bigint")
+        .alias("n_downticks"),
+        F.sum(F.col("sign") * F.col("filled_amount")).cast("double")
+        .alias("ofi_filled"),
+        F.sum(F.when(F.col("sign") == 1, F.col("filled_amount")))
+        .cast("double").alias("buy_filled"),
+        F.sum(F.when(F.col("sign") == -1, F.col("filled_amount")))
+        .cast("double").alias("sell_filled"),
+    )
+
+
 def et_eq(name: str) -> Column:
     return F.col("event_type") == name
 
@@ -914,6 +1013,10 @@ DRIVER_PRIORITY_R7 = [
     "evt_hll_streaming",
     "layout_zonemap_skipping",
     "evt_bloom_prune_join",
+    "text_gopher_rules",
+    "emb_hard_negatives",
+    "trade_tick_flow",
+    "text_tfidf_terms",
     # -- round-7-modified queries: the de-broadcast survivor-set joins
     #    plus the JPEG profile (gains the 4:2:0 subsampled variant) --------
     "text_line_dedup",
@@ -942,10 +1045,8 @@ DRIVER_PRIORITY_R7 = [
     "rel_revenue_by_nation",
     "rel_cheapest_line_per_part",
     "rel_conditional_distinct",
-    "rel_cube_status_priority",
-    "rel_disjunctive_bands",
-    "rel_distinct_suppliers_per_nation",
-    "rel_full_outer_nation_activity",
+    # rel_cube_status_priority / rel_disjunctive_bands /
+    # rel_distinct_suppliers_per_nation / rel_full_outer_nation_activity /
     # rel_grouping_sets / rel_exact_percentiles /
     # rel_nation_trade_flows / rel_nations_except / rel_nations_intersect /
     # rel_order_priority_exists /

@@ -433,3 +433,11 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     compresses, emb_pq_adc_topk serves flat, THIS serves the routed
     index."""
     return E.ivfpq_topk(_emb(spark, sf_dir))
+
+
+@register("emb_hard_negatives", E.hard_negatives_oracle(n_anchors=8, k=3))
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: top-3 most-similar DIFFERENT-label
+    vectors per bounded anchor, via the two-level grouped_topk (no
+    corpus-sized per-anchor window sort — see functions/embeddings.py)."""
+    return E.hard_negatives(_emb(spark, sf_dir), n_anchors=8, k=3)

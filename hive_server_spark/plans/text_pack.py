@@ -3175,3 +3175,263 @@ def bpe_merge_step(docs: DataFrame, top_n: int = BPE_MERGE_TOP_N) -> DataFrame:
 @register("text_bpe_merge_step", _BPE_MERGE_ORACLE)
 def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_step(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (round 7): the document-level heuristic filter suite
+# from Gopher (Rae et al. 2021, public) / MassiveText — word-count bounds,
+# mean-word-length band, symbol-to-word ratio, alphabetic-word fraction,
+# stop-word presence, bullet-line and ellipsis-line fractions. Complements
+# text_c4_filters (line-level C4 rules): C4 edits lines, Gopher scores whole
+# documents. Thresholds are the published ones where the synthetic corpus
+# can exercise them and corpus-calibrated where it cannot (word-count band
+# 30..5000 instead of 50..100k; bullet/ellipsis line caps 40%/30% because
+# the injected docs have 2 lines, vs Gopher's 90%/30% over many; the stop
+# set is drawn from the corpus vocabulary — Gopher's own set shares only
+# 'the' with it). Violations are exercised by injected content keyed on
+# doc_id % 6, the text_c4_filters pattern: a bullet line / an ellipsis
+# line / a '#'-symbol run / a numeric-token run (kills the alphabetic
+# fraction) / a benign extra line / no injection.
+# Scale: one scan, pure per-row array HOFs + fixed-width string ops — a
+# map-only plan with zero shuffle; every ratio is a single division
+# micro-rounded to BIGINT so the keep verdict is integer-exact in both
+# engines.
+# ---------------------------------------------------------------------------
+_GOPHER_INJECT_SQL = """
+CASE CAST(doc_id % 6 AS INTEGER)
+  WHEN 0 THEN text || chr(10) || '- bullet item in a list'
+  WHEN 1 THEN text || chr(10) || 'to be continued...'
+  WHEN 2 THEN text || ' ' || trim(repeat('# ', 20))
+  WHEN 3 THEN text || repeat(' 12345', 30)
+  WHEN 4 THEN text || chr(10) || 'the table holds the data rows.'
+  ELSE text
+END
+"""
+
+_GOPHER_STOPS = ("the", "a", "to", "of", "and", "data", "table", "row")
+
+
+def _gopher_exprs(d: str) -> dict[str, str]:
+    """Dialect-dispatched metric fragments ('s' = Spark, 'd' = DuckDB).
+    Shared contract: words = single-space split of the newline-flattened
+    text (injections never create double spaces); every fraction is
+    round(1e6 * a / b) cast BIGINT so threshold comparisons are integer."""
+    flt, alen, contains = (
+        ("filter", "size", "array_contains")
+        if d == "s"
+        else ("list_filter", "len", "list_contains")
+    )
+    ws = "split(replace(t, chr(10), ' '), ' ')" if d == "s" else \
+        "string_split(replace(t, chr(10), ' '), ' ')"
+    lines = "split(t, chr(10))" if d == "s" else "string_split(t, chr(10))"
+    if d == "s":
+        sum_wlen = ("aggregate(ws, CAST(0 AS BIGINT), "
+                    "(acc, w) -> acc + length(w))")
+        alpha = "size(filter(ws, w -> w rlike '[a-z]'))"
+    else:
+        sum_wlen = ("COALESCE(list_sum(list_transform(ws, "
+                    "w -> CAST(length(w) AS BIGINT))), 0)")
+        alpha = "len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))"
+    n_stop = " + ".join(
+        f"(CASE WHEN {contains}(ws, '{s}') THEN 1 ELSE 0 END)"
+        for s in _GOPHER_STOPS
+    )
+    return {
+        "ws": ws,
+        "lines": lines,
+        "n_words": f"CAST({alen}(ws) AS BIGINT)",
+        "sum_wlen": sum_wlen,
+        "hashes": "CAST(length(t) - length(replace(t, '#', '')) AS BIGINT)",
+        "ellipses": ("CAST((length(t) - length(replace(t, '...', ''))) / 3 "
+                     "AS BIGINT)"),
+        "n_alpha": f"CAST({alpha} AS BIGINT)",
+        "n_stop": f"CAST({n_stop} AS BIGINT)",
+        "n_lines": f"CAST({alen}(lines) AS BIGINT)",
+        "n_bullet": (f"CAST({alen}({flt}(lines, l -> l LIKE '- %' "
+                     f"OR l LIKE '* %')) AS BIGINT)"),
+        "n_ell_lines": (f"CAST({alen}({flt}(lines, l -> right(l, 3) = '...'))"
+                        " AS BIGINT)"),
+    }
+
+
+_GOPHER_MICRO = {
+    "mean_wlen_micro": ("sum_wlen", "n_words"),
+    "sym_ratio_micro": ("hashes + ellipses", "n_words"),
+    "alpha_frac_micro": ("n_alpha", "n_words"),
+    "bullet_frac_micro": ("n_bullet", "n_lines"),
+    "ellipsis_frac_micro": ("n_ell_lines", "n_lines"),
+}
+
+_GOPHER_KEEP = (
+    "n_words >= 30 AND n_words <= 5000"
+    " AND mean_wlen_micro >= 3000000 AND mean_wlen_micro <= 10000000"
+    " AND sym_ratio_micro <= 100000"
+    " AND alpha_frac_micro >= 800000"
+    " AND n_stop >= 2"
+    " AND bullet_frac_micro <= 400000"
+    " AND ellipsis_frac_micro <= 300000"
+)
+
+
+def _gopher_select(d: str) -> str:
+    e = _gopher_exprs(d)
+    micro = ", ".join(
+        f"CAST(round(1000000.0 * ({num}) / ({den})) AS BIGINT) AS {name}"
+        for name, (num, den) in _GOPHER_MICRO.items()
+    )
+    return (
+        f"SELECT doc_id, n_words, {micro}, n_stop FROM ("
+        f"SELECT doc_id, {e['n_words']} AS n_words, {e['sum_wlen']} AS sum_wlen, "
+        f"{e['hashes']} AS hashes, {e['ellipses']} AS ellipses, "
+        f"{e['n_alpha']} AS n_alpha, {e['n_stop']} AS n_stop, "
+        f"{e['n_lines']} AS n_lines, {e['n_bullet']} AS n_bullet, "
+        f"{e['n_ell_lines']} AS n_ell_lines "
+        f"FROM (SELECT doc_id, t, {e['ws']} AS ws, {e['lines']} AS lines "
+        f"FROM injected) base) m"
+    )
+
+
+_GOPHER_ORACLE = f"""
+WITH injected AS (
+  SELECT doc_id, {_GOPHER_INJECT_SQL} AS t FROM documents
+),
+scored AS ({_gopher_select('d')})
+SELECT doc_id, n_words, mean_wlen_micro, sym_ratio_micro, alpha_frac_micro,
+       n_stop, bullet_frac_micro, ellipsis_frac_micro,
+       {_GOPHER_KEEP} AS keep
+FROM scored
+"""
+
+
+@register("text_gopher_rules", _GOPHER_ORACLE)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules over the injected corpus: per-doc
+    metric panel plus the keep verdict (see block comment for the rule set
+    and the scaled thresholds)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_GOPHER_INJECT_SQL).alias("t")
+    )
+    # Build via the same fragment pipeline as the oracle: base -> metrics ->
+    # micro ratios + keep, each stage a selectExpr so the expression shapes
+    # match the DuckDB text exactly.
+    e = _gopher_exprs("s")
+    base = docs.selectExpr(
+        "doc_id", "t", f"{e['ws']} AS ws", f"{e['lines']} AS lines"
+    )
+    m = base.selectExpr(
+        "doc_id",
+        f"{e['n_words']} AS n_words",
+        f"{e['sum_wlen']} AS sum_wlen",
+        f"{e['hashes']} AS hashes",
+        f"{e['ellipses']} AS ellipses",
+        f"{e['n_alpha']} AS n_alpha",
+        f"{e['n_stop']} AS n_stop",
+        f"{e['n_lines']} AS n_lines",
+        f"{e['n_bullet']} AS n_bullet",
+        f"{e['n_ell_lines']} AS n_ell_lines",
+    )
+    micro = m.selectExpr(
+        "doc_id",
+        "n_words",
+        *[
+            f"CAST(round(1000000.0 * ({num}) / ({den})) AS BIGINT) AS {name}"
+            for name, (num, den) in _GOPHER_MICRO.items()
+        ],
+        "n_stop",
+    )
+    return micro.selectExpr(
+        "doc_id", "n_words", "mean_wlen_micro", "sym_ratio_micro",
+        "alpha_frac_micro", "n_stop", "bullet_frac_micro",
+        "ellipsis_frac_micro", f"({_GOPHER_KEEP}) AS keep",
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (round 7): top-3 terms per document by
+# tf-idf — the classic per-document keyword/topic signal (Sparck Jones
+# 1972, public); complements text_bm25_topk (which ranks documents for a
+# fixed query — this ranks terms for each document). tf = in-doc count /
+# doc length; idf = ln(N / df) over the FULL corpus. The gate scores the
+# doc_id % 25 == 0 slice to keep the parity output small — the full-corpus
+# run has the same plan, just more output rows.
+# Scale shape: one explode → per-(doc, term) count with map-side combine;
+# doc length is a per-doc window sum over that table (rows per doc ≤ doc
+# vocabulary, bounded); df is a vocabulary-sized aggregate joined back as
+# a PLAIN equi-join on term — vocabulary on web text is unbounded, so no
+# forced broadcast (the survivor-set lesson; Spark's stats still elect
+# broadcast when it genuinely fits); N is a 1-row broadcast. The per-doc
+# top-3 window sorts ≤ doc-vocabulary rows per doc, parallel across docs.
+# Score is micro-rounded after a fixed (tf * ln) shape so ranking ties are
+# integer-exact in both engines; ties break on term ASC.
+# ---------------------------------------------------------------------------
+_TFIDF_SCORE = (
+    "CAST(round(1000000.0 * (CAST(c AS DOUBLE) / CAST(n_words AS DOUBLE)) "
+    "* ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))) AS BIGINT)"
+)
+
+_TFIDF_ORACLE = f"""
+WITH {_TOKS_CTE_D},
+tok AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS c,
+         SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS n_words
+  FROM tok GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok
+          GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.c, tf.n_words, dfreq.df,
+         {_TFIDF_SCORE} AS tfidf_micro
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+  WHERE tf.doc_id % 25 = 0
+)
+SELECT doc_id, term,
+       CAST(c AS BIGINT) AS c, CAST(n_words AS BIGINT) AS n_words, df,
+       tfidf_micro, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf_micro DESC, term ASC) AS rk
+      FROM scored)
+WHERE rk <= 3
+"""
+
+
+@register("text_tfidf_terms", _TFIDF_ORACLE)
+def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF top-3 keyword extraction (see block comment for
+    the plan shape; df join deliberately hint-free)."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(T.tokens_expr("text", "s"))).alias("term")
+    )
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "n_words",
+            F.sum("c").over(Window.partitionBy("doc_id")),
+        )
+    )
+    dfreq = tok.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df")
+    )
+    n = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    scored = (
+        tf.where(F.col("doc_id") % 25 == 0)
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf_micro", F.expr(_TFIDF_SCORE))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 3)
+        .select(
+            "doc_id", "term",
+            F.col("c").cast("bigint").alias("c"),
+            F.col("n_words").cast("bigint").alias("n_words"),
+            "df", "tfidf_micro", "rk",
+        )
+    )

@@ -432,3 +432,37 @@ def test_ivfpq_topk_vs_numpy(spark):
         r = got[rank]
         assert (r.vec_id, r.cell, r.adc_micro) == (i, cell, total)
         assert r.exact_micro == int(math.floor(fold_d2(v64[i], v64[0]) * 1e6))
+
+
+def test_hard_negatives_numpy_recompute(spark):
+    """Per-anchor cross-label top-3 must equal the numpy brute-force ranking
+    (cosine desc, vec_id tiebreak), never contain the anchor's own label,
+    and cover every anchor vec_id < 8."""
+    import numpy as np
+
+    rows = _emb(spark).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    labels = {r.vec_id: r.label for r in rows}
+
+    def cos(a, b):
+        return float(a @ b / (math.sqrt(a @ a) * math.sqrt(b @ b)))
+
+    got = E.hard_negatives(_emb(spark), n_anchors=8, k=3).collect()
+    by_anchor: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r.q_vec_id, r.rk)):
+        assert r.label != r.q_label
+        assert r.q_label == labels[r.q_vec_id]
+        by_anchor.setdefault(r.q_vec_id, []).append(r)
+    assert set(by_anchor) == set(range(8))
+    for q_id, neg in by_anchor.items():
+        expected = sorted(
+            (
+                (-cos(v, vecs[q_id]), vid)
+                for vid, v in vecs.items()
+                if labels[vid] != labels[q_id]
+            ),
+        )[:3]
+        assert [r.vec_id for r in neg] == [vid for _, vid in expected]
+        for r, (negc, _) in zip(neg, expected):
+            assert abs(r.cosine - (-negc)) < 1e-9
+        assert [r.rk for r in neg] == list(range(1, len(neg) + 1))

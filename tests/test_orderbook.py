@@ -61,3 +61,62 @@ def test_order_book_assembly(make_events):
     assert [str(x.price) for x in b.asks] == ["101.000000000000000000",
                                               "102.000000000000000000"]
     assert b.asks[0].total_volume == D(20)
+
+
+def test_trade_tick_flow_python_recompute(spark):
+    """Lee-Ready tick/carry recomputed in python from the same executed
+    prints: per-pool signed counts and the exact signed fill imbalance."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from hive_server_spark.gate import q_trade_tick_flow
+    from hive_server_spark.sources.synthetic import order_events
+    from tests.conftest import SF_SMALL
+
+    prints = (
+        order_events(spark, SF_SMALL)
+        .where("event_type = 'MarketOrderExecuted'")
+        .select("pool_address", "seq", "price", "filled_amount")
+        .collect()
+    )
+    per_pool = defaultdict(list)
+    for r in prints:
+        per_pool[r.pool_address].append(r)
+    expected = {}
+    for pool, rows in per_pool.items():
+        rows.sort(key=lambda r: r.seq)
+        sign, stats = None, defaultdict(int)
+        ofi = buy = sell = Decimal(0)
+        for i, r in enumerate(rows):
+            tick = None
+            if i > 0:
+                prev = rows[i - 1].price
+                tick = 1 if r.price > prev else (-1 if r.price < prev else 0)
+                if tick:
+                    sign = tick
+            stats["n_trades"] += 1
+            stats["n_upticks"] += tick == 1
+            stats["n_downticks"] += tick == -1
+            if sign is None:
+                stats["n_unsigned"] += 1
+            elif sign == 1:
+                stats["n_buys"] += 1
+                ofi += r.filled_amount
+                buy += r.filled_amount
+            else:
+                stats["n_sells"] += 1
+                ofi -= r.filled_amount
+                sell += r.filled_amount
+        expected[pool] = (
+            stats["n_trades"], stats["n_buys"], stats["n_sells"],
+            stats["n_unsigned"], stats["n_upticks"], stats["n_downticks"],
+            float(ofi), float(buy), float(sell),
+        )
+    got = q_trade_tick_flow(spark, SF_SMALL).collect()
+    assert {r.pool_address for r in got} == set(expected)
+    for r in got:
+        assert (
+            r.n_trades, r.n_buys, r.n_sells, r.n_unsigned,
+            r.n_upticks, r.n_downticks, r.ofi_filled, r.buy_filled,
+            r.sell_filled,
+        ) == expected[r.pool_address], r.pool_address

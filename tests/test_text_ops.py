@@ -811,3 +811,106 @@ def test_bpe_merge_step_hand_computed(spark):
         assert (r.rank, r.sym_a, r.sym_b, r.pair_count, r.n_types) == (
             rank, a, b, n, nt,
         )
+
+
+def _floor_half_up(x: float) -> int:
+    import math
+
+    return int(math.floor(x + 0.5))
+
+
+def test_gopher_rules_python_recompute(spark):
+    """Full metric panel + keep verdict recomputed in python over the same
+    injected corpus — every rule's arithmetic, not just the verdict."""
+    import re
+
+    from hive_server_spark.plans.text_pack import (
+        _GOPHER_STOPS,
+        text_gopher_rules,
+    )
+    from tests.conftest import SF_SMALL as _SF
+
+    got = {r.doc_id: r for r in text_gopher_rules(spark, _SF).collect()}
+    docs = {r.doc_id: r.text for r in _docs(spark).collect()}
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        case = doc_id % 6
+        t = {
+            0: text + "\n- bullet item in a list",
+            1: text + "\nto be continued...",
+            2: text + " " + ("# " * 20).strip(),
+            3: text + " 12345" * 30,
+            4: text + "\nthe table holds the data rows.",
+            5: text,
+        }[case]
+        words = t.replace("\n", " ").split(" ")
+        lines = t.split("\n")
+        nw, nl = len(words), len(lines)
+        mean_wlen = _floor_half_up(1e6 * sum(len(w) for w in words) / nw)
+        hashes = t.count("#")
+        ell = (len(t) - len(t.replace("...", ""))) // 3
+        sym = _floor_half_up(1e6 * (hashes + ell) / nw)
+        n_alpha = sum(1 for w in words if re.search("[a-z]", w))
+        alpha = _floor_half_up(1e6 * n_alpha / nw)
+        n_stop = sum(1 for s in _GOPHER_STOPS if s in words)
+        n_bul = sum(1 for l in lines if l.startswith("- ") or l.startswith("* "))
+        n_ell = sum(1 for l in lines if l.endswith("..."))
+        bul = _floor_half_up(1e6 * n_bul / nl)
+        ellf = _floor_half_up(1e6 * n_ell / nl)
+        keep = (
+            30 <= nw <= 5000
+            and 3_000_000 <= mean_wlen <= 10_000_000
+            and sym <= 100_000
+            and alpha >= 800_000
+            and n_stop >= 2
+            and bul <= 400_000
+            and ellf <= 300_000
+        )
+        r = got[doc_id]
+        assert (
+            r.n_words, r.mean_wlen_micro, r.sym_ratio_micro,
+            r.alpha_frac_micro, r.n_stop, r.bullet_frac_micro,
+            r.ellipsis_frac_micro, r.keep,
+        ) == (nw, mean_wlen, sym, alpha, n_stop, bul, ellf, keep), doc_id
+
+
+def test_tfidf_terms_python_recompute(spark):
+    """Top-3 per sliced doc vs a python Counter recompute: same terms, same
+    order (micro score desc, term asc), same micro scores."""
+    import math
+    from collections import Counter
+
+    from hive_server_spark.plans.text_pack import text_tfidf_terms
+    from tests.conftest import SF_SMALL as _SF
+
+    docs = {r.doc_id: r.text.split(" ") for r in _docs(spark).collect()}
+    df: Counter = Counter()
+    for toks in docs.values():
+        df.update(set(toks))
+    n_docs = len(docs)
+
+    got = text_tfidf_terms(spark, _SF).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r.doc_id, r.rk)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {d for d in docs if d % 25 == 0}
+    for doc_id, rows in by_doc.items():
+        toks = docs[doc_id]
+        c = Counter(toks)
+        n = len(toks)
+        expected = sorted(
+            (
+                (
+                    -_floor_half_up(
+                        1e6 * (cnt / n) * math.log(n_docs / df[t])
+                    ),
+                    t,
+                )
+                for t, cnt in c.items()
+            )
+        )[:3]
+        assert [(r.term, r.tfidf_micro) for r in rows] == [
+            (t, -s) for s, t in expected
+        ]
+        for r in rows:
+            assert r.n_words == n and r.c == c[r.term] and r.df == df[r.term]
