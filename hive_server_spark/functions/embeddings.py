@@ -71,10 +71,13 @@ def cosine_expr(a: str, b: str, dialect: str) -> str:
     )
 
 
-def bucket_expr(a: str, n_dims: int, dialect: str) -> str:
-    """LSH bucket id: bit p = sign of the ±1-weighted in-order projection."""
+def bucket_expr(a: str, n_dims: int, dialect: str, n_planes: int | None = None) -> str:
+    """LSH bucket id: bit p = sign of the ±1-weighted in-order projection.
+    `n_planes` (default N_PLANES) trades bucket count for occupancy — a
+    coarse-recall consumer (bitext mining) uses fewer planes than a
+    near-dup detector."""
     terms = []
-    for p, weights in enumerate(plane_literals(n_dims)):
+    for p, weights in enumerate(plane_literals(n_dims)[: n_planes or N_PLANES]):
         if dialect == "s":
             lit = "array(" + ",".join(f"{w}D" for w in weights) + ")"
             proj = (
@@ -1089,4 +1092,239 @@ FROM (SELECT *, row_number() OVER (PARTITION BY q_vec_id
                                    ORDER BY cosine DESC, vec_id ASC) AS rk
       FROM scored)
 WHERE rk <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF routing recall curve (round 7): recall@k of cell-restricted exact
+# search at nprobe = 1, 2, 4 against the full-scan exact top-k — the
+# recall/compute trade-off table every ANN index ships with (the IVF
+# contract: scanned fraction ~ nprobe/nlist, recall climbs toward 1).
+# Exact distances everywhere — this isolates COARSE-ROUTING loss, while
+# emb_pq_adc_topk / emb_ivfpq_topk cover quantization loss.
+# Scale shape: one corpus scan for cell assignment (bounded coarse-
+# codebook broadcast + map-side argmin), one bounded global top-k for the
+# ground truth, a 1-row-per-cell rank table, and conditional aggregates —
+# the recall join touches only the k ground-truth rows.
+# ---------------------------------------------------------------------------
+IVF_RECALL_PROBES = (1, 2, 4)
+
+
+def ivf_recall_curve(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    nlist: int = IVF_NLIST,
+    probes: tuple[int, ...] = IVF_RECALL_PROBES,
+) -> DataFrame:
+    from hive_server_spark.operators.topk import global_topk
+
+    vec = _vecs(emb).select("vec_id", "v")
+    coarse = vec.where(F.col("vec_id") < nlist).select(
+        F.col("vec_id").alias("ccid"), F.col("v").alias("ccv")
+    )
+    q = vec.where(F.col("vec_id") == query_vec_id).select(F.col("v").alias("qv"))
+    assign = (
+        vec.crossJoin(F.broadcast(coarse))
+        .withColumn("cd2", F.expr(sqdist_expr("v", "ccv", "s")))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("cd2", "ccid")).alias("b"))
+        .select("vec_id", F.col("b.ccid").cast("bigint").alias("cell"))
+    )
+    ranks = global_topk(
+        q.crossJoin(F.broadcast(coarse)).select(
+            F.col("ccid").cast("bigint").alias("cell"),
+            F.expr(sqdist_expr("qv", "ccv", "s")).alias("qd2"),
+        ),
+        [F.asc("qd2"), F.asc("cell")],
+        nlist,
+        rank_col="cell_rank",
+    ).select("cell", "cell_rank")
+    exact = global_topk(
+        vec.where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.expr(sqdist_expr("v", "qv", "s")).alias("d2")),
+        [F.asc("d2"), F.asc("vec_id")],
+        k,
+    ).select("vec_id")
+    ranked = (
+        assign.where(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(ranks), "cell")
+    )
+    cands = ranked.agg(
+        *[
+            F.sum(F.when(F.col("cell_rank") <= p, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"cand_{p}")
+            for p in probes
+        ]
+    )
+    hits = ranked.join(F.broadcast(exact), "vec_id").agg(
+        *[
+            F.sum(F.when(F.col("cell_rank") <= p, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"hits_{p}")
+            for p in probes
+        ]
+    )
+    stack = ", ".join(
+        f"CAST({p} AS BIGINT), cand_{p}, hits_{p}" for p in probes
+    )
+    return (
+        cands.crossJoin(F.broadcast(hits))
+        .selectExpr(
+            f"stack({len(probes)}, {stack}) AS (nprobe, n_candidates, hits)"
+        )
+        .selectExpr(
+            "nprobe",
+            "n_candidates",
+            "hits",
+            f"CAST(round(1000000.0 * hits / {k}) AS BIGINT) AS recall_micro",
+        )
+    )
+
+
+def ivf_recall_oracle(
+    query_vec_id: int = 0,
+    k: int = 10,
+    nlist: int = IVF_NLIST,
+    probes: tuple[int, ...] = IVF_RECALL_PROBES,
+) -> str:
+    cd2 = sqdist_expr("vec.v", "cc.ccv", "d")
+    exact_d2 = sqdist_expr("vec.v", "q.qv", "d")
+    cand_cols = ", ".join(
+        f"SUM(CASE WHEN cell_rank <= {p} THEN 1 ELSE 0 END) AS cand_{p}"
+        for p in probes
+    )
+    hit_cols = ", ".join(
+        f"SUM(CASE WHEN r.cell_rank <= {p} THEN 1 ELSE 0 END) AS hits_{p}"
+        for p in probes
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({p} AS BIGINT) AS nprobe, "
+        f"CAST(c.cand_{p} AS BIGINT) AS n_candidates, "
+        f"CAST(h.hits_{p} AS BIGINT) AS hits, "
+        f"CAST(round(1000000.0 * h.hits_{p} / {k}) AS BIGINT) AS recall_micro "
+        f"FROM c CROSS JOIN h"
+        for p in probes
+    )
+    return f"""
+WITH vec AS (SELECT vec_id, {vec_expr('embedding', 'd')} AS v FROM embeddings),
+cc AS (SELECT vec_id AS ccid, v AS ccv FROM vec WHERE vec_id < {nlist}),
+ad AS (SELECT vec.vec_id, cc.ccid, {cd2} AS cd2 FROM vec CROSS JOIN cc),
+assign AS (
+  SELECT vec_id, CAST(ccid AS BIGINT) AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd2, ccid) AS rn
+    FROM ad) WHERE rn = 1
+),
+ranks AS (
+  SELECT CAST(ccid AS BIGINT) AS cell,
+         row_number() OVER (ORDER BY cd2, ccid) AS cell_rank
+  FROM ad WHERE vec_id = {query_vec_id}
+),
+q AS (SELECT v AS qv FROM vec WHERE vec_id = {query_vec_id}),
+exact AS (
+  SELECT vec_id FROM (
+    SELECT vec.vec_id,
+           row_number() OVER (ORDER BY {exact_d2}, vec.vec_id) AS rn
+    FROM vec CROSS JOIN q WHERE vec.vec_id <> {query_vec_id})
+  WHERE rn <= {k}
+),
+ranked AS (
+  SELECT a.vec_id, r.cell_rank FROM assign a JOIN ranks r USING (cell)
+  WHERE a.vec_id <> {query_vec_id}
+),
+c AS (SELECT {cand_cols} FROM ranked),
+h AS (SELECT {hit_cols} FROM ranked r JOIN exact e USING (vec_id))
+{unions}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bitext mining (round 7): CCMatrix/LASER-style parallel-corpus discovery —
+# for every source-language document, the most cosine-similar
+# target-language document among LSH co-bucket candidates, using the
+# multilingual embedding as the alignment space (Schwenk et al. 2021,
+# public). Fewer hyperplanes than the near-dup detector (4 -> 16 buckets):
+# mining wants RECALL of moderately-similar cross-lingual pairs, not
+# precision on near-identical ones, so buckets are kept coarse/occupied.
+# Scale shape: docs ⋈ embeddings is a co-keyed equi-join (doc_id = vec_id;
+# at scale the embedding column lives in the same table and the join
+# disappears); candidate generation is a bucket equi-shuffle with expected
+# pair volume n_src*n_tgt/2^planes; exact cosine only on candidates; the
+# per-source top-1 window sorts one bucket's target members (bounded by
+# occupancy — a degenerate hot bucket is capped the same way
+# lsh_candidate_pairs.max_bucket does).
+# ---------------------------------------------------------------------------
+BITEXT_PLANES = 4
+
+
+def bitext_mining(
+    docs: DataFrame,
+    emb: DataFrame,
+    src_lang: str = "zh",
+    tgt_lang: str = "en",
+    n_planes: int = BITEXT_PLANES,
+) -> DataFrame:
+    langs = docs.select("doc_id", "lang")
+    v = _vecs(emb).select(
+        F.col("vec_id").alias("doc_id"),
+        "v",
+        F.expr(bucket_expr("v", 64, "s", n_planes)).cast("bigint").alias("bucket"),
+    ).join(langs, "doc_id")
+    src = v.where(F.col("lang") == src_lang).select(
+        F.col("doc_id").alias("src_doc_id"),
+        F.col("v").alias("sv"),
+        "bucket",
+    )
+    tgt = v.where(F.col("lang") == tgt_lang).select(
+        F.col("doc_id").alias("tgt_doc_id"),
+        F.col("v").alias("tv"),
+        "bucket",
+    )
+    pairs = src.join(tgt, "bucket").select(
+        "src_doc_id",
+        "tgt_doc_id",
+        "bucket",
+        F.expr(cosine_expr("sv", "tv", "s")).alias("cosine"),
+    )
+    w = Window.partitionBy("src_doc_id")
+    wr = w.orderBy(F.desc("cosine"), F.asc("tgt_doc_id"))
+    return (
+        pairs.withColumn("n_candidates", F.count("*").over(w).cast("bigint"))
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select("src_doc_id", "tgt_doc_id", "bucket", "n_candidates", "cosine")
+    )
+
+
+def bitext_oracle(
+    src_lang: str = "zh", tgt_lang: str = "en", n_planes: int = BITEXT_PLANES
+) -> str:
+    return f"""
+WITH v AS (
+  SELECT e.vec_id AS doc_id, d.lang,
+         {vec_expr('e.embedding', 'd')} AS v
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+),
+b AS (
+  SELECT doc_id, lang, v,
+         CAST({bucket_expr('v', 64, 'd', n_planes)} AS BIGINT) AS bucket
+  FROM v
+),
+pairs AS (
+  SELECT s.doc_id AS src_doc_id, t.doc_id AS tgt_doc_id, s.bucket,
+         {cosine_expr('s.v', 't.v', 'd')} AS cosine
+  FROM b s JOIN b t ON s.bucket = t.bucket
+  WHERE s.lang = '{src_lang}' AND t.lang = '{tgt_lang}'
+)
+SELECT src_doc_id, tgt_doc_id, bucket, n_candidates, cosine
+FROM (
+  SELECT *,
+         CAST(COUNT(*) OVER (PARTITION BY src_doc_id) AS BIGINT)
+           AS n_candidates,
+         row_number() OVER (PARTITION BY src_doc_id
+                            ORDER BY cosine DESC, tgt_doc_id ASC) AS rn
+  FROM pairs
+) WHERE rn = 1
 """

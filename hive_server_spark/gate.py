@@ -1017,6 +1017,10 @@ DRIVER_PRIORITY_R7 = [
     "emb_hard_negatives",
     "trade_tick_flow",
     "text_tfidf_terms",
+    "emb_ivf_recall_curve",
+    "emb_bitext_mining",
+    "text_dsir_weights",
+    "rag_hybrid_rrf",
     # -- round-7-modified queries: the de-broadcast survivor-set joins
     #    plus the JPEG profile (gains the 4:2:0 subsampled variant) --------
     "text_line_dedup",
@@ -1041,10 +1045,8 @@ DRIVER_PRIORITY_R7 = [
     "evt_sessions",
     "evt_trailing_hour_value",
     "scale_salted_cohort_rollup",
-    "rel_pricing_summary",
-    "rel_revenue_by_nation",
-    "rel_cheapest_line_per_part",
-    "rel_conditional_distinct",
+    # rel_pricing_summary / rel_revenue_by_nation / rel_cheapest_line_per_part /
+    # rel_conditional_distinct /
     # rel_cube_status_priority / rel_disjunctive_bands /
     # rel_distinct_suppliers_per_nation / rel_full_outer_nation_activity /
     # rel_grouping_sets / rel_exact_percentiles /

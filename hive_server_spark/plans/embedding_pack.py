@@ -441,3 +441,21 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors per bounded anchor, via the two-level grouped_topk (no
     corpus-sized per-anchor window sort — see functions/embeddings.py)."""
     return E.hard_negatives(_emb(spark, sf_dir), n_anchors=8, k=3)
+
+
+@register("emb_ivf_recall_curve", E.ivf_recall_oracle(query_vec_id=0, k=10))
+def emb_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 vs nprobe (1/2/4 of 8 cells) for exact cell-restricted
+    search against the full-scan ground truth — the routing-loss half of
+    the ANN recall budget (emb_ivfpq_topk covers the quantization half)."""
+    return E.ivf_recall_curve(_emb(spark, sf_dir), query_vec_id=0, k=10)
+
+
+@register("emb_bitext_mining", E.bitext_oracle())
+def emb_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCMatrix-style bitext mining: per zh document, the top-1 en document
+    among LSH co-bucket candidates (coarse 4-plane buckets — see
+    functions/embeddings.py for the recall-vs-precision stance)."""
+    return E.bitext_mining(
+        load_table(spark, sf_dir, "documents"), _emb(spark, sf_dir)
+    )

@@ -1751,9 +1751,7 @@ _BM25_TERMS = ("spark", "merge", "vector")
 _BM25_K = 25
 
 
-@register(
-    "text_bm25_topk",
-    f"""
+_BM25_ORACLE = f"""
 WITH {_TOKS_CTE_D},
 dl AS (
   SELECT doc_id, len(toks) AS dl FROM toks
@@ -1798,8 +1796,10 @@ ranked AS (
 )
 SELECT doc_id, n_terms_hit, score_micro, CAST(rk AS BIGINT) AS rk
 FROM ranked WHERE rk <= {_BM25_K}
-""",
-)
+"""
+
+
+@register("text_bm25_topk", _BM25_ORACLE)
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword scoring (log-free RSJ idf, fixed-point micro-unit
     summation) + deterministic global top-k over the documents corpus."""
@@ -3435,3 +3435,190 @@ def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "df", "tfidf_micro", "rk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (round 7): Data Selection via Importance
+# Resampling (Xie et al. 2023, public) — score every document by how much
+# its hashed n-gram feature distribution looks like a TARGET domain vs the
+# rest of the corpus. Features are unigram hashes folded into 128 buckets
+# (the paper's hashed-feature trick: the model is over a FIXED-SIZE bucket
+# space, never the unbounded vocabulary); bucket probabilities are add-1
+# smoothed; a document's score is the sum over its tokens of
+# ln(p_target(bucket) / p_source(bucket)). The gate's target is the
+# 'src0' slice — a stand-in for "looks like Wikipedia" in the paper.
+# Exactness: per-BUCKET log-ratios are micro-rounded BIGINTs (128 of
+# them), and each document's score is an integer SUM of those — order-free
+# under any parallelism, the same discipline as text_bigram_nll.
+# Scale shape: one token explode feeds one conditional aggregate into a
+# ≤128-row model table (map-side combined); totals are window sums over
+# that bounded table; scoring joins tokens to the model on bucket with a
+# FORCED broadcast that is legitimate for once — the model is bounded BY
+# CONSTRUCTION (128 rows), unlike the corpus-derived survivor sets the
+# no-forced-broadcast rule exists for.
+# ---------------------------------------------------------------------------
+_DSIR_BUCKETS = 128
+_DSIR_TARGET = "src0"
+
+
+def _dsir_w_micro() -> str:
+    # every operand CAST to DOUBLE first: Spark parses bare x.y literals as
+    # DECIMAL and would run the whole ratio in decimal arithmetic (truncated
+    # scale -> ln argument off at 1e-7, micro-rounding flips)
+    return (
+        f"CAST(round(1000000.0 * ln("
+        f"((CAST(tcnt AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + {_DSIR_BUCKETS}.0)) / "
+        f"((CAST(scnt AS DOUBLE) + 1.0) / (CAST(st AS DOUBLE) + {_DSIR_BUCKETS}.0)))) AS BIGINT)"
+    )
+
+
+_DSIR_ORACLE = f"""
+WITH {_TOKS_CTE_D},
+tok AS (
+  SELECT doc_id, source,
+         {T.hash_expr('unnest(toks)', 'dsir', 'd')} % {_DSIR_BUCKETS} AS bucket
+  FROM toks
+),
+model AS (
+  SELECT bucket,
+         SUM(CASE WHEN source = '{_DSIR_TARGET}' THEN 1 ELSE 0 END) AS tcnt,
+         SUM(CASE WHEN source <> '{_DSIR_TARGET}' THEN 1 ELSE 0 END) AS scnt
+  FROM tok GROUP BY bucket
+),
+weights AS (
+  SELECT bucket, {_dsir_w_micro()} AS w_micro
+  FROM (SELECT bucket, tcnt, scnt,
+               SUM(tcnt) OVER () AS tt, SUM(scnt) OVER () AS st
+        FROM model) m
+)
+SELECT t.doc_id, t.source,
+       CAST(COUNT(*) AS BIGINT)       AS n_tokens,
+       CAST(SUM(w.w_micro) AS BIGINT) AS dsir_micro_total
+FROM tok t JOIN weights w USING (bucket)
+GROUP BY t.doc_id, t.source
+"""
+
+
+@register("text_dsir_weights", _DSIR_ORACLE)
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance score against the 'src0' target slice
+    (see block comment; 128-bucket hashed unigram model, integer
+    micro-nats)."""
+    docs = _docs(spark, sf_dir)
+    # explode before hashing so the md5 runs on token strings, the same
+    # bytes as the oracle's unnest
+    tok = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.expr(T.tokens_expr("text", "s"))).alias("token"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            (F.expr(T.hash_expr("token", "dsir", "s")) % _DSIR_BUCKETS)
+            .alias("bucket"),
+        )
+    )
+    model = tok.groupBy("bucket").agg(
+        F.sum(F.when(F.col("source") == _DSIR_TARGET, 1).otherwise(0))
+        .alias("tcnt"),
+        F.sum(F.when(F.col("source") != _DSIR_TARGET, 1).otherwise(0))
+        .alias("scnt"),
+    )
+    w_all = Window.partitionBy()
+    weights = (
+        model.withColumn("tt", F.sum("tcnt").over(w_all))
+        .withColumn("st", F.sum("scnt").over(w_all))
+        .selectExpr("bucket", f"{_dsir_w_micro()} AS w_micro")
+    )
+    return (
+        tok.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("w_micro").cast("bigint").alias("dsir_micro_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval via Reciprocal Rank Fusion (round 7): fuse the lexical
+# BM25 top-25 (text_bm25_topk's fixed probe query) with the semantic
+# cosine top-25 (stored query vector 0; vec_id = doc_id in this corpus)
+# using RRF (Cormack et al. 2009, public): score(d) = Σ_arms 1/(60 + rank).
+# This is the retrieval stack RAG pipelines actually deploy — each arm
+# covers the other's misses, and rank-space fusion needs no score
+# calibration between BM25 units and cosine units.
+# Exactness: each arm's contribution is micro-rounded from the INTEGER
+# rank (1e6/(60+rk) — one double division), so the fused score is an
+# integer sum; top-10 ties break on doc_id.
+# Scale shape: both arms end in bounded top-k sets (TakeOrderedAndProject
+# lexically, broadcast-query scan semantically), so the fusion is a
+# full-outer join of two ≤k-row sides and a ≤2k-row rank — nothing
+# corpus-sized moves after the arms reduce. The full-outer join of two
+# bounded sets is an allowed SMJ shape (README plan-audit note).
+# ---------------------------------------------------------------------------
+_RRF_K0 = 60
+_RRF_TOPK = 10
+
+
+def _rrf_contrib(rk: str) -> str:
+    return (
+        f"COALESCE(CAST(round(1000000.0 / ({_RRF_K0}.0 + CAST({rk} AS DOUBLE)))"
+        f" AS BIGINT), 0)"
+    )
+
+
+_RRF_ORACLE = f"""
+WITH lex AS ({_BM25_ORACLE}),
+sem AS ({{sem_oracle}}),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.vec_id) AS doc_id,
+         l.rk AS lex_rk, s.rk AS sem_rk,
+         {_rrf_contrib('l.rk')} + {_rrf_contrib('s.rk')} AS rrf_micro
+  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.vec_id
+)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, lex_rk, sem_rk, rrf_micro
+FROM (SELECT *, row_number() OVER (ORDER BY rrf_micro DESC, doc_id ASC)
+             AS rank
+      FROM fused)
+WHERE rank <= {_RRF_TOPK}
+"""
+
+
+def _rrf_oracle() -> str:
+    from hive_server_spark.functions import embeddings as E
+
+    return _RRF_ORACLE.format(sem_oracle=E.topk_oracle(0, _BM25_K, False))
+
+
+@register("rag_hybrid_rrf", _rrf_oracle())
+def rag_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval fused with RRF (see block comment
+    for semantics and the bounded-fusion scale shape)."""
+    from hive_server_spark.catalog import load_table
+    from hive_server_spark.functions import embeddings as E
+    from hive_server_spark.operators.topk import global_topk
+
+    lex = text_bm25_topk(spark, sf_dir).select(
+        "doc_id", F.col("rk").alias("lex_rk")
+    )
+    sem = E.cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=_BM25_K
+    ).select(F.col("vec_id").alias("sem_doc_id"), F.col("rk").alias("sem_rk"))
+    fused = (
+        lex.join(sem, lex.doc_id == sem.sem_doc_id, "full_outer")
+        .select(
+            F.coalesce("doc_id", "sem_doc_id").alias("doc_id"),
+            "lex_rk",
+            "sem_rk",
+            (
+                F.expr(_rrf_contrib("lex_rk")) + F.expr(_rrf_contrib("sem_rk"))
+            ).alias("rrf_micro"),
+        )
+    )
+    return global_topk(
+        fused, [F.desc("rrf_micro"), F.asc("doc_id")], _RRF_TOPK,
+        rank_col="rank",
+    ).select("rank", "doc_id", "lex_rk", "sem_rk", "rrf_micro")

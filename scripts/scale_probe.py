@@ -143,6 +143,20 @@ DEFAULT_QUERIES = [
     "evt_bloom_prune_join",
     "layout_zonemap_skipping",
     "emb_ivfpq_topk",
+    # round-7 fifth batch: Gopher rules are the map-only filter shape;
+    # TF-IDF and DSIR are explode + (vocab-join | bounded-model-join)
+    # shapes; tick flow is two per-pool windows + rollup; hard negatives
+    # is the two-level grouped_topk (per-partition heads, bounded merge);
+    # bitext is the bucket equi-shuffle; the recall curve is one
+    # assignment scan + bounded joins; RRF fuses two bounded top-k arms.
+    "text_gopher_rules",
+    "text_tfidf_terms",
+    "text_dsir_weights",
+    "trade_tick_flow",
+    "emb_hard_negatives",
+    "emb_bitext_mining",
+    "emb_ivf_recall_curve",
+    "rag_hybrid_rrf",
 ]
 
 # --mult 100 list (VERDICT r05 item 4): the cheap-per-row families where a
@@ -207,6 +221,17 @@ HUNDREDX_QUERIES = [
     "evt_hll_cardinality",
     "evt_bloom_prune_join",
     "layout_zonemap_skipping",
+    # round-7 fifth batch, the corpus-scaling members: map-only Gopher
+    # rules, the two explode+join text shapes, and the per-pool window
+    # rollup. The emb_* members and RRF stay at 10x: embeddings at 100x is
+    # already characterized by the emb_int8_quantization linear scan, and
+    # the RRF fusion inputs are bounded top-k sets whose cost is the arms'
+    # (bm25's corpus side is text_bm25-shaped, already probed via tfidf's
+    # explode+join twin).
+    "text_gopher_rules",
+    "text_tfidf_terms",
+    "text_dsir_weights",
+    "trade_tick_flow",
 ]
 
 # pk stride column(s) per table; every fk shift reuses the owning pk stride.

@@ -466,3 +466,101 @@ def test_hard_negatives_numpy_recompute(spark):
         for r, (negc, _) in zip(neg, expected):
             assert abs(r.cosine - (-negc)) < 1e-9
         assert [r.rk for r in neg] == list(range(1, len(neg) + 1))
+
+
+def test_ivf_recall_curve_numpy_recompute(spark):
+    """Assignment (argmin over the 8 seed centroids), routing ranks, and
+    recall@10 at nprobe 1/2/4 recomputed in numpy; recall must be
+    monotone non-decreasing in nprobe."""
+    import numpy as np
+
+    rows = _emb(spark).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+
+    def fold_d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    cells = {
+        vid: min(
+            ((fold_d2(v, vecs[c]), c) for c in range(8)),
+        )[1]
+        for vid, v in vecs.items()
+    }
+    rank_of_cell = {
+        c: i + 1
+        for i, (_, c) in enumerate(
+            sorted((fold_d2(vecs[0], vecs[c]), c) for c in range(8))
+        )
+    }
+    exact10 = [
+        vid
+        for _, vid in sorted(
+            (fold_d2(v, vecs[0]), vid) for vid, v in vecs.items() if vid != 0
+        )[:10]
+    ]
+    got = {
+        r.nprobe: r
+        for r in E.ivf_recall_curve(_emb(spark), 0, k=10).collect()
+    }
+    assert set(got) == {1, 2, 4}
+    prev = -1
+    for p in (1, 2, 4):
+        cand = [v for v, c in cells.items() if rank_of_cell[c] <= p and v != 0]
+        hits = sum(1 for v in exact10 if rank_of_cell[cells[v]] <= p)
+        r = got[p]
+        assert r.n_candidates == len(cand)
+        assert r.hits == hits
+        assert r.recall_micro == round(1e6 * hits / 10)
+        assert r.hits >= prev
+        prev = r.hits
+
+
+def test_bitext_mining_numpy_recompute(spark):
+    """Per-zh top-1 en within the 4-plane bucket recomputed in numpy from
+    the same plane literals; every zh doc sharing a bucket with >=1 en doc
+    must be matched, and the pair must be the bucket's argmax cosine."""
+    import numpy as np
+
+    from hive_server_spark.catalog import load_table
+
+    emb_rows = _emb(spark).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb_rows}
+    langs = {
+        r.doc_id: r.lang
+        for r in load_table(spark, SF_SMALL, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    planes = [
+        np.array(w, dtype=np.float64) for w in E.plane_literals(64)[: E.BITEXT_PLANES]
+    ]
+
+    def bucket(v):
+        return sum((1 << p) for p, w in enumerate(planes) if float(v @ w) >= 0)
+
+    def cos(a, b):
+        return float(a @ b / (math.sqrt(a @ a) * math.sqrt(b @ b)))
+
+    by_bucket: dict[int, list] = {}
+    for vid, v in vecs.items():
+        by_bucket.setdefault(bucket(v), []).append(vid)
+    expected = {}
+    for b, members in by_bucket.items():
+        zh = [m for m in members if langs[m] == "zh"]
+        en = [m for m in members if langs[m] == "en"]
+        if not en:
+            continue
+        for z in zh:
+            best = min(((-cos(vecs[z], vecs[e]), e) for e in en))
+            expected[z] = (best[1], b, len(en), -best[0])
+    got = {r.src_doc_id: r for r in E.bitext_mining(
+        load_table(spark, SF_SMALL, "documents"), _emb(spark)
+    ).collect()}
+    assert set(got) == set(expected)
+    for z, (e_id, b, n_cand, c) in expected.items():
+        r = got[z]
+        assert (r.tgt_doc_id, r.bucket, r.n_candidates) == (e_id, b, n_cand)
+        assert abs(r.cosine - c) < 1e-9

@@ -63,6 +63,13 @@ def test_no_sort_merge_join_anywhere_in_gate(spark):
         "cdc_book_snapshots",  # same: CDC fold stream; visible plan is the snapshot scan
         "orders_state_changelog",  # same: incremental fold stream + version diffs
         "emb_lsh_neardup_topk",
+        "rag_hybrid_rrf",  # FULL OUTER has no broadcast form (the
+        # rel_full_outer_nation_activity case) — but both fusion inputs are
+        # ≤k-row top-k sets by construction, so the SMJ sorts ~2k rows
+        "emb_bitext_mining",  # same family as emb_lsh_neardup_topk: src-lang
+        # corpus ⋈ tgt-lang corpus on LSH bucket — both sides are corpus
+        # slices, so a co-partitioned shuffle join IS the 100 TB plan; the
+        # hint-free small-scale strategy flips on borderline size stats
         "dedup_clusters",
         "emb_semantic_dedup",  # same shape as dedup_clusters: corpus ⋈ CC
         # labels (+ cluster-size agg) on vec_id/cluster_id — the label side

@@ -914,3 +914,102 @@ def test_tfidf_terms_python_recompute(spark):
         ]
         for r in rows:
             assert r.n_words == n and r.c == c[r.term] and r.df == df[r.term]
+
+
+def test_dsir_weights_python_recompute(spark):
+    """Full DSIR model + per-doc scores recomputed in python: 128-bucket
+    hashed features, add-1 smoothing, micro-rounded per-bucket weights,
+    integer per-doc sums. Target-slice docs must score higher on average
+    than the rest (the op's entire point)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from hive_server_spark.plans.text_pack import (
+        _DSIR_BUCKETS,
+        _DSIR_TARGET,
+        text_dsir_weights,
+    )
+    from tests.conftest import SF_SMALL as _SF
+
+    docs = [
+        (r.doc_id, r.source, r.text.split(" "))
+        for r in load_table(spark, _SF, "documents")
+        .select("doc_id", "source", "text")
+        .collect()
+    ]
+
+    def bucket(tok: str) -> int:
+        h = hashlib.md5(f"dsir:{tok}".encode()).hexdigest()[:8]
+        return int(h, 16) % _DSIR_BUCKETS
+
+    tcnt: Counter = Counter()
+    scnt: Counter = Counter()
+    for _, source, toks in docs:
+        c = tcnt if source == _DSIR_TARGET else scnt
+        for t in toks:
+            c[bucket(t)] += 1
+    tt, st = sum(tcnt.values()), sum(scnt.values())
+    w = {
+        b: _floor_half_up(
+            1e6
+            * math.log(
+                ((tcnt[b] + 1.0) / (tt + _DSIR_BUCKETS))
+                / ((scnt[b] + 1.0) / (st + _DSIR_BUCKETS))
+            )
+        )
+        for b in set(tcnt) | set(scnt)
+    }
+    got = {r.doc_id: r for r in text_dsir_weights(spark, _SF).collect()}
+    assert set(got) == {d for d, _, _ in docs}
+    tgt_scores, rest_scores = [], []
+    for doc_id, source, toks in docs:
+        score = sum(w[bucket(t)] for t in toks)
+        r = got[doc_id]
+        assert (r.source, r.n_tokens, r.dsir_micro_total) == (
+            source, len(toks), score,
+        ), doc_id
+        (tgt_scores if source == _DSIR_TARGET else rest_scores).append(
+            score / len(toks)
+        )
+    assert sum(tgt_scores) / len(tgt_scores) > sum(rest_scores) / len(rest_scores)
+
+
+def test_rag_hybrid_rrf_python_recompute(spark):
+    """RRF fusion recomputed in python from the two arms' own outputs:
+    same fused top-10, same micro scores, and the fused set must actually
+    mix arms (at least one doc per arm among the contributors)."""
+    from hive_server_spark.catalog import load_table
+    from hive_server_spark.functions import embeddings as E
+    from hive_server_spark.plans.text_pack import (
+        _BM25_K,
+        _RRF_K0,
+        _RRF_TOPK,
+        rag_hybrid_rrf,
+        text_bm25_topk,
+    )
+    from tests.conftest import SF_SMALL as _SF
+
+    lex = {r.doc_id: r.rk for r in text_bm25_topk(spark, _SF).collect()}
+    sem = {
+        r.vec_id: r.rk
+        for r in E.cosine_topk(
+            load_table(spark, _SF, "embeddings"), 0, k=_BM25_K
+        ).collect()
+    }
+
+    def contrib(rk):
+        return _floor_half_up(1e6 / (_RRF_K0 + rk)) if rk is not None else 0
+
+    fused = {
+        d: contrib(lex.get(d)) + contrib(sem.get(d))
+        for d in set(lex) | set(sem)
+    }
+    expected = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:_RRF_TOPK]
+    got = rag_hybrid_rrf(spark, _SF).orderBy("rank").collect()
+    assert [(r.doc_id, r.rrf_micro) for r in got] == expected
+    assert [r.rank for r in got] == list(range(1, len(expected) + 1))
+    for r in got:
+        assert r.lex_rk == lex.get(r.doc_id) and r.sem_rk == sem.get(r.doc_id)
+    assert any(r.lex_rk is not None for r in got)
+    assert any(r.sem_rk is not None for r in got)
