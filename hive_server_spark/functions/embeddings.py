@@ -1328,3 +1328,159 @@ FROM (
   FROM pairs
 ) WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# MMR diverse re-ranking (round 7): Maximal Marginal Relevance (Carbonell &
+# Goldstein 1998, public) — re-rank a relevance top-N pool down to k items
+# that are relevant AND mutually dissimilar: each step picks
+# argmax λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s). The de-duplicated
+# retrieval step of a RAG stack (rag_hybrid_rrf fuses arms; this
+# diversifies the final context window).
+# Exactness: rel and sim are the house cosine folds; each step's score is
+# ONE micro-rounding of the full λ-expression (BIGINT compare, vec_id
+# tie-break), so both engines select identical items at every step.
+# Scale shape: the iterative part never touches the corpus — the pool is
+# a bounded top-N (TakeOrderedAndProject), pairwise sims are pool×pool
+# (N² ≤ 625 rows, broadcast), and each of the k−1 selection steps is an
+# agg + 1-row argmax over ≤N rows. k and N are constants, so the chained
+# plan is bounded regardless of corpus size.
+# ---------------------------------------------------------------------------
+MMR_POOL = 25
+MMR_K = 5
+MMR_LAMBDA_PCT = 70  # λ = 0.70, spelled in integer percent to keep the
+#                      expression text identical in both dialects
+
+
+def _mmr_score(rel: str, max_sim: str) -> str:
+    lam = MMR_LAMBDA_PCT
+    return (
+        f"CAST(round(1000000.0 * (({lam}.0 / 100.0) * {rel} "
+        f"- ({100 - lam}.0 / 100.0) * {max_sim})) AS BIGINT)"
+    )
+
+
+def mmr_diverse_topk(
+    emb: DataFrame, query_vec_id: int = 0, pool_n: int = MMR_POOL, k: int = MMR_K
+) -> DataFrame:
+    # materialize the bounded pool once (localCheckpoint truncates lineage —
+    # the k−1 selection steps below must NOT each replay the corpus scan,
+    # which is exactly what lazily chaining them onto cosine_topk would do)
+    pool = (
+        cosine_topk(emb, query_vec_id, k=pool_n)
+        .select("vec_id", "label", F.col("cosine").alias("rel"))
+        .localCheckpoint()
+    )
+    vecs = _vecs(emb).select("vec_id", "v")
+    pv = pool.join(
+        F.broadcast(vecs.join(F.broadcast(pool.select("vec_id")), "vec_id")),
+        "vec_id",
+    )
+    a, b = pv.alias("a"), pv.alias("b")
+    sims = (
+        a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("other"),
+            F.expr(cosine_expr("a.v", "b.v", "s")).alias("sim"),
+        )
+        .localCheckpoint()
+    )
+    picks: list[DataFrame] = []
+    selected = None
+    for step in range(1, k + 1):
+        if step == 1:
+            scored = pool.select(
+                "vec_id",
+                "label",
+                "rel",
+                F.expr(_mmr_score("rel", "0.0")).alias("mmr_micro"),
+            )
+        else:
+            msim = (
+                sims.join(F.broadcast(selected.select(F.col("vec_id").alias("other"))), "other")
+                .groupBy("vec_id")
+                .agg(F.max("sim").alias("max_sim"))
+            )
+            scored = (
+                pool.join(F.broadcast(selected.select("vec_id")), "vec_id", "left_anti")
+                .join(F.broadcast(msim), "vec_id")
+                .select(
+                    "vec_id",
+                    "label",
+                    "rel",
+                    F.expr(_mmr_score("rel", "max_sim")).alias("mmr_micro"),
+                )
+            )
+        # checkpoint each 1-row pick: later steps reference ALL earlier
+        # picks, so a lazy pick makes the chained plan grow combinatorially
+        # (2^k sub-plans) — eager truncation keeps every step's plan flat
+        pick = (
+            scored.orderBy(F.desc("mmr_micro"), F.asc("vec_id"))
+            .limit(1)
+            .withColumn("step", F.lit(step).cast("bigint"))
+            .localCheckpoint()
+        )
+        picks.append(pick)
+        sel_new = pick.select("vec_id")
+        selected = sel_new if selected is None else selected.unionByName(sel_new)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select("step", "vec_id", "label", "rel", "mmr_micro")
+
+
+def mmr_oracle(
+    query_vec_id: int = 0, pool_n: int = MMR_POOL, k: int = MMR_K
+) -> str:
+    """k−1 chained selection CTEs — the oracle spells the iteration out
+    longhand so DuckDB recomputes MMR with zero shared code."""
+    steps = []
+    prev_sel = None
+    for step in range(1, k + 1):
+        if step == 1:
+            steps.append(
+                f"sel1 AS (SELECT 1 AS step, vec_id, label, rel, "
+                f"{_mmr_score('rel', '0.0')} AS mmr_micro "
+                f"FROM pool ORDER BY {_mmr_score('rel', '0.0')} DESC, vec_id ASC "
+                f"LIMIT 1)"
+            )
+            prev_sel = "sel1"
+        else:
+            union_prev = " UNION ALL ".join(
+                f"SELECT vec_id FROM sel{i}" for i in range(1, step)
+            )
+            steps.append(
+                f"sel{step} AS (\n"
+                f"  SELECT {step} AS step, p.vec_id, p.label, p.rel,\n"
+                f"         {_mmr_score('p.rel', 'm.max_sim')} AS mmr_micro\n"
+                f"  FROM pool p\n"
+                f"  JOIN (SELECT s.vec_id, MAX(s.sim) AS max_sim FROM sims s\n"
+                f"        WHERE s.other IN ({union_prev})\n"
+                f"        GROUP BY s.vec_id) m ON p.vec_id = m.vec_id\n"
+                f"  WHERE p.vec_id NOT IN ({union_prev})\n"
+                f"  ORDER BY {_mmr_score('p.rel', 'm.max_sim')} DESC, p.vec_id ASC\n"
+                f"  LIMIT 1)"
+            )
+    all_steps = ",\n".join(steps)
+    union_all = "\nUNION ALL\n".join(f"SELECT * FROM sel{i}" for i in range(1, k + 1))
+    return f"""
+WITH v AS (SELECT vec_id, label, {vec_expr('embedding', 'd')} AS v FROM embeddings),
+q AS (SELECT v AS qv, vec_id AS q_vec_id FROM v WHERE vec_id = {query_vec_id}),
+pool AS (
+  SELECT vec_id, label, rel, v FROM (
+    SELECT e.vec_id, e.label, e.v,
+           {cosine_expr('e.v', 'q.qv', 'd')} AS rel,
+           row_number() OVER (ORDER BY {cosine_expr('e.v', 'q.qv', 'd')} DESC,
+                              e.vec_id ASC) AS rn
+    FROM v e, q WHERE e.vec_id <> q.q_vec_id)
+  WHERE rn <= {pool_n}
+),
+sims AS (
+  SELECT a.vec_id, b.vec_id AS other, {cosine_expr('a.v', 'b.v', 'd')} AS sim
+  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+),
+{all_steps}
+SELECT CAST(step AS BIGINT) AS step, vec_id, label, rel, mmr_micro
+FROM ({union_all})
+"""

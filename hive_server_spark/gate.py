@@ -1021,6 +1021,7 @@ DRIVER_PRIORITY_R7 = [
     "emb_bitext_mining",
     "text_dsir_weights",
     "rag_hybrid_rrf",
+    "emb_mmr_diverse_topk",
     # -- round-7-modified queries: the de-broadcast survivor-set joins
     #    plus the JPEG profile (gains the 4:2:0 subsampled variant) --------
     "text_line_dedup",
@@ -1044,7 +1045,7 @@ DRIVER_PRIORITY_R7 = [
     "price_hourly_gapfill",
     "evt_sessions",
     "evt_trailing_hour_value",
-    "scale_salted_cohort_rollup",
+    # scale_salted_cohort_rollup /
     # rel_pricing_summary / rel_revenue_by_nation / rel_cheapest_line_per_part /
     # rel_conditional_distinct /
     # rel_cube_status_priority / rel_disjunctive_bands /

@@ -459,3 +459,11 @@ def emb_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.bitext_mining(
         load_table(spark, sf_dir, "documents"), _emb(spark, sf_dir)
     )
+
+
+@register("emb_mmr_diverse_topk", E.mmr_oracle(query_vec_id=0))
+def emb_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking of the cosine top-25 pool down to 5 (λ=0.7);
+    the iterative selection runs over BOUNDED sets only — see
+    functions/embeddings.py for the step-exactness discipline."""
+    return E.mmr_diverse_topk(_emb(spark, sf_dir), query_vec_id=0)

@@ -564,3 +564,49 @@ def test_bitext_mining_numpy_recompute(spark):
         r = got[z]
         assert (r.tgt_doc_id, r.bucket, r.n_candidates) == (e_id, b, n_cand)
         assert abs(r.cosine - c) < 1e-9
+
+
+def test_mmr_diverse_topk_numpy_recompute(spark):
+    """Step-by-step MMR recomputed in numpy over the same top-25 pool:
+    identical picks in identical order, identical micro scores; the
+    diverse set must differ from the plain relevance top-5 head (the op
+    must actually trade relevance for diversity on this corpus) or — if it
+    ever coincides — every later pick's max-sim penalty must be zero."""
+    import numpy as np
+
+    rows = _emb(spark).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+
+    def cos(a, b):
+        return float(a @ b / (math.sqrt(a @ a) * math.sqrt(b @ b)))
+
+    def micro(x):
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+    pool = sorted(
+        ((cos(v, vecs[0]), vid) for vid, v in vecs.items() if vid != 0),
+        key=lambda t: (-t[0], t[1]),
+    )[: E.MMR_POOL]
+    rel = {vid: r for r, vid in pool}
+    lam = E.MMR_LAMBDA_PCT / 100.0
+    selected: list[int] = []
+    expected = []
+    for step in range(1, E.MMR_K + 1):
+        best = None
+        for vid in rel:
+            if vid in selected:
+                continue
+            pen = max((cos(vecs[vid], vecs[s]) for s in selected), default=0.0)
+            score = micro(1e6 * (lam * rel[vid] - (1 - lam) * pen))
+            key = (-score, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, score)
+        selected.append(best[1])
+        expected.append((step, best[1], best[2]))
+    got = E.mmr_diverse_topk(_emb(spark), 0).orderBy("step").collect()
+    assert [(r.step, r.vec_id, r.mmr_micro) for r in got] == expected
+    top5_by_rel = [vid for _, vid in pool[: E.MMR_K]]
+    if [r.vec_id for r in got] == top5_by_rel:
+        assert all(
+            r.mmr_micro == micro(1e6 * lam * rel[r.vec_id]) for r in got
+        )
