@@ -1022,6 +1022,7 @@ DRIVER_PRIORITY_R7 = [
     "text_dsir_weights",
     "rag_hybrid_rrf",
     "emb_mmr_diverse_topk",
+    "layout_deletion_vectors",
     # -- round-7-modified queries: the de-broadcast survivor-set joins
     #    plus the JPEG profile (gains the 4:2:0 subsampled variant) --------
     "text_line_dedup",
@@ -1044,8 +1045,7 @@ DRIVER_PRIORITY_R7 = [
     "range_price_activity",
     "price_hourly_gapfill",
     "evt_sessions",
-    "evt_trailing_hour_value",
-    # scale_salted_cohort_rollup /
+    # evt_trailing_hour_value / scale_salted_cohort_rollup /
     # rel_pricing_summary / rel_revenue_by_nation / rel_cheapest_line_per_part /
     # rel_conditional_distinct /
     # rel_cube_status_priority / rel_disjunctive_bands /

@@ -372,3 +372,91 @@ def layout_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stacked.select(
         "pred", "n_files", "n_skipped", "rows_scanned", "rows_matched"
     )
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors (round 7): the lakehouse DML-without-rewrite primitive
+# (Delta deletion vectors / Iceberg positional delete files, public specs) —
+# a DELETE marks row POSITIONS inside immutable files instead of rewriting
+# them; readers apply the per-file position bitmap. This query runs
+# `DELETE WHERE event_type = 'error' AND value < 100.0` against the same
+# synthetic file layout the compaction/zone-map queries use (file =
+# event_id DIV 512) and emits each touched file's deletion vector as its
+# ordered-position md5 (a deterministic stand-in for the serialized
+# bitmap) plus the audit counts a MERGE/DELETE commit records.
+# Completes the lakehouse-layout family: layout_zorder_manifest clusters,
+# layout_compaction_plan compacts, layout_zonemap_skipping prunes reads,
+# THIS mutates.
+# Scale shape: one scan; positions are a per-file row_number window
+# (parallel across files, bounded within — file size is the 512-row
+# manifest contract); the vector itself is a per-file sort_array over the
+# DELETED positions only (deletes per file ≤ file size by construction,
+# and real DVs are per-file small — a mostly-deleted file goes to
+# compaction instead). One map-side-combinable agg; no joins.
+# ---------------------------------------------------------------------------
+_DV_PRED = "event_type = 'error' AND value < 100.0"
+
+
+_DV_ORACLE = f"""
+WITH pos AS (
+  SELECT event_id // {_ZM_FILE_ROWS} AS file_id,
+         row_number() OVER (PARTITION BY event_id // {_ZM_FILE_ROWS}
+                            ORDER BY event_id) AS pos,
+         ({_DV_PRED}) AS deleted
+  FROM events
+)
+SELECT file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN deleted THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+       CAST(SUM(CASE WHEN deleted THEN 0 ELSE 1 END) AS BIGINT) AS n_live,
+       CAST(COALESCE(SUM(CASE WHEN deleted THEN pos END), 0) AS BIGINT)
+         AS pos_checksum,
+       md5(array_to_string(list_sort(list(pos) FILTER (WHERE deleted)), ','))
+         AS dv_md5
+FROM pos
+GROUP BY file_id
+HAVING SUM(CASE WHEN deleted THEN 1 ELSE 0 END) > 0
+"""
+
+
+@register("layout_deletion_vectors", _DV_ORACLE)
+def layout_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional deletion vectors for a predicate DELETE over the
+    synthetic 512-row file layout (see block comment): per touched file,
+    live/deleted audit counts and the md5 of the ordered deleted-position
+    list."""
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("event_id") / _ZM_FILE_ROWS).cast("bigint").alias("file_id"),
+        "event_id",
+        F.expr(f"({_DV_PRED})").alias("deleted"),
+    )
+    w = Window.partitionBy("file_id").orderBy("event_id")
+    pos = ev.withColumn("pos", F.row_number().over(w))
+    return (
+        pos.groupBy("file_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("deleted"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_deleted"),
+            F.sum(F.when(F.col("deleted"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_live"),
+            F.coalesce(
+                F.sum(F.when(F.col("deleted"), F.col("pos"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("pos_checksum"),
+            F.md5(
+                F.array_join(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(F.col("deleted"), F.col("pos"))
+                        )
+                    ),
+                    ",",
+                )
+            ).alias("dv_md5"),
+        )
+        .where(F.col("n_deleted") > 0)
+    )

@@ -157,6 +157,9 @@ DEFAULT_QUERIES = [
     "emb_bitext_mining",
     "emb_ivf_recall_curve",
     "rag_hybrid_rrf",
+    # sixth batch: the DELETE-without-rewrite primitive (per-file windows +
+    # one agg — must scale with the file count, i.e. linearly)
+    "layout_deletion_vectors",
 ]
 
 # --mult 100 list (VERDICT r05 item 4): the cheap-per-row families where a
@@ -232,6 +235,7 @@ HUNDREDX_QUERIES = [
     "text_tfidf_terms",
     "text_dsir_weights",
     "trade_tick_flow",
+    "layout_deletion_vectors",
 ]
 
 # pk stride column(s) per table; every fk shift reuses the owning pk stride.

@@ -196,3 +196,46 @@ def test_zonemap_skipping_hand_computed(spark):
     r = got["type_eq_purchase"]
     # file 0 is all 'click' -> min=max='click' < 'purchase' -> skipped
     assert (r.n_files, r.n_skipped, r.rows_scanned, r.rows_matched) == (2, 1, 4, 1)
+
+
+def test_deletion_vectors_python_recompute(spark):
+    """Positions, checksums, and the DV md5 recomputed in python from the
+    raw events: per touched file the vector is exactly the ordered deleted
+    positions; untouched files must be absent; live + deleted = file rows."""
+    import hashlib
+    from collections import defaultdict
+
+    from hive_server_spark.catalog import load_table
+    from hive_server_spark.plans.sources_pack import (
+        _DV_PRED,
+        _ZM_FILE_ROWS,
+        layout_deletion_vectors,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = (
+        load_table(spark, SF_SMALL, "events")
+        .selectExpr("event_id", f"({_DV_PRED}) AS deleted")
+        .collect()
+    )
+    by_file = defaultdict(list)
+    for r in rows:
+        by_file[r.event_id // _ZM_FILE_ROWS].append((r.event_id, r.deleted))
+    expected = {}
+    for fid, evs in by_file.items():
+        evs.sort()
+        positions = [i + 1 for i, (_, d) in enumerate(evs) if d]
+        if not positions:
+            continue
+        dv = hashlib.md5(",".join(str(p) for p in positions).encode()).hexdigest()
+        expected[fid] = (
+            len(evs), len(positions), len(evs) - len(positions),
+            sum(positions), dv,
+        )
+    got = {r.file_id: r for r in layout_deletion_vectors(spark, SF_SMALL).collect()}
+    assert set(got) == set(expected)
+    for fid, (n_rows, n_del, n_live, chk, dv) in expected.items():
+        r = got[fid]
+        assert (r.n_rows, r.n_deleted, r.n_live, r.pos_checksum, r.dv_md5) == (
+            n_rows, n_del, n_live, chk, dv,
+        ), fid
