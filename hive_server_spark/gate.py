@@ -873,6 +873,76 @@ def q_trade_tick_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Trailing EWMA of the price stream (round 7): the exponentially-weighted
+# moving average every ticker/analytics panel smooths with (alpha = 0.2),
+# over the LAST 100 price updates per pool. The recursion
+# ewma_i = a*p_i + (1-a)*ewma_{i-1} is inherently sequential — the house
+# answer is the bounded in-order array fold (the same left-fold discipline
+# as the cosine dot products): rank-restrict to <=100 rows per pool FIRST
+# (a per-pool window, parallel across pools), collect the bounded window
+# in seq order, and fold it with identical lambda text in both engines —
+# bit-identical IEEE sequence, no window-function recursion emulation.
+# Scale: nothing unbounded is ever collected; the only corpus-sized ops
+# are the filter scan and one pool-keyed shuffle.
+# ---------------------------------------------------------------------------
+_EWMA_ALPHA = "0.2"  # spelled once; used verbatim in both dialects
+_EWMA_N = 100
+
+_EWMA_ORACLE = f"""WITH {ORDER_EVENTS_CTE}
+, lp AS (
+  SELECT pool_address, seq, CAST(price AS DOUBLE) AS p,
+         row_number() OVER (PARTITION BY pool_address ORDER BY seq DESC)
+           AS rn_desc
+  FROM order_events WHERE event_type = 'LatestPrice'
+),
+arrs AS (
+  SELECT pool_address,
+         CAST(MAX(rn_desc) AS BIGINT) AS n_used,
+         list(p ORDER BY seq) AS win
+  FROM lp WHERE rn_desc <= {_EWMA_N}
+  GROUP BY pool_address
+)
+SELECT pool_address, n_used,
+       win[len(win)] AS last_price,
+       list_reduce(list_prepend(win[1], win[2:len(win)]),
+                   (acc, x) -> {_EWMA_ALPHA} * x
+                               + (1.0 - {_EWMA_ALPHA}) * acc) AS ewma
+FROM arrs
+"""
+
+
+@register("trade_price_ewma", _EWMA_ORACLE)
+def q_trade_price_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-100 EWMA (alpha 0.2) of each pool's price stream via the
+    bounded in-order fold (see block comment)."""
+    lp = (
+        order_events(spark, sf_dir)
+        .where(et_eq("LatestPrice"))
+        .select("pool_address", "seq", F.col("price").cast("double").alias("p"))
+    )
+    w = Window.partitionBy("pool_address").orderBy(F.desc("seq"))
+    recent = lp.withColumn("rn_desc", F.row_number().over(w)).where(
+        F.col("rn_desc") <= _EWMA_N
+    )
+    arrs = recent.groupBy("pool_address").agg(
+        F.max("rn_desc").cast("bigint").alias("n_used"),
+        F.expr(
+            "transform(sort_array(collect_list(struct(seq, p))), s -> s.p)"
+        ).alias("win"),
+    )
+    fold = (
+        f"aggregate(slice(win, 2, size(win) - 1), element_at(win, 1), "
+        f"(acc, x) -> {_EWMA_ALPHA} * x + (1.0 - {_EWMA_ALPHA}) * acc)"
+    )
+    return arrs.select(
+        "pool_address",
+        "n_used",
+        F.expr("element_at(win, size(win))").alias("last_price"),
+        F.expr(fold).alias("ewma"),
+    )
+
+
 def et_eq(name: str) -> Column:
     return F.col("event_type") == name
 
@@ -1023,6 +1093,7 @@ DRIVER_PRIORITY_R7 = [
     "rag_hybrid_rrf",
     "emb_mmr_diverse_topk",
     "layout_deletion_vectors",
+    "trade_price_ewma",
     # -- round-7-modified queries: the de-broadcast survivor-set joins
     #    plus the JPEG profile (gains the 4:2:0 subsampled variant) --------
     "text_line_dedup",
@@ -1044,8 +1115,7 @@ DRIVER_PRIORITY_R7 = [
     "asof_trade_price",
     "range_price_activity",
     "price_hourly_gapfill",
-    "evt_sessions",
-    # evt_trailing_hour_value / scale_salted_cohort_rollup /
+    # evt_sessions / evt_trailing_hour_value / scale_salted_cohort_rollup /
     # rel_pricing_summary / rel_revenue_by_nation / rel_cheapest_line_per_part /
     # rel_conditional_distinct /
     # rel_cube_status_priority / rel_disjunctive_bands /

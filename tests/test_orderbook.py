@@ -120,3 +120,39 @@ def test_trade_tick_flow_python_recompute(spark):
             r.n_upticks, r.n_downticks, r.ofi_filled, r.buy_filled,
             r.sell_filled,
         ) == expected[r.pool_address], r.pool_address
+
+
+def test_trade_price_ewma_python_recompute(spark):
+    """Sequential EWMA over the last 100 LatestPrice updates per pool,
+    recomputed in python as the literal recursion — the fold must equal
+    ewma_i = a*p_i + (1-a)*ewma_{i-1} seeded with the oldest price in the
+    window."""
+    from collections import defaultdict
+
+    from hive_server_spark.gate import _EWMA_N, q_trade_price_ewma
+    from hive_server_spark.sources.synthetic import order_events
+    from tests.conftest import SF_SMALL
+
+    rows = (
+        order_events(spark, SF_SMALL)
+        .where("event_type = 'LatestPrice'")
+        .selectExpr("pool_address", "seq", "CAST(price AS DOUBLE) AS p")
+        .collect()
+    )
+    hist = defaultdict(list)
+    for r in rows:
+        hist[r.pool_address].append((r.seq, r.p))
+    expected = {}
+    for pool, seqd in hist.items():
+        seqd.sort()
+        win = [p for _, p in seqd[-_EWMA_N:]]
+        acc = win[0]
+        for x in win[1:]:
+            acc = 0.2 * x + (1.0 - 0.2) * acc
+        expected[pool] = (len(win), win[-1], acc)
+    got = {r.pool_address: r for r in q_trade_price_ewma(spark, SF_SMALL).collect()}
+    assert set(got) == set(expected)
+    for pool, (n, last, acc) in expected.items():
+        r = got[pool]
+        assert (r.n_used, r.last_price) == (n, last)
+        assert r.ewma == acc, pool  # bit-identical in-order fold
