@@ -808,3 +808,66 @@ def bloom_prune_join(events: DataFrame) -> DataFrame:
 @register("evt_bloom_prune_join", _bloom_oracle())
 def evt_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_prune_join(_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov transition matrix (round 7): per-user event-type
+# transition counts and row-normalized probabilities — the sequence-level
+# behavioral model product analytics builds next to funnels (funnel =
+# fixed path, this = the full 5x5 transition structure), and the
+# next-event-prediction baseline. Order is (ts, event_id) per user — the
+# same total tiebreak the session/funnel queries use.
+# Exactness: probabilities are round(1e6 * n / row_total) BIGINTs, one
+# division per output row off exact integer counts.
+# Scale shape: one per-user window (lag — parallel across users, bounded
+# per user), a map-side-combined pair count, and the row normalization is
+# a window sum over the TYPE-PAIR table (≤ |types|² rows, trivially
+# bounded) — nothing corpus-sized after the first aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "evt_markov_transitions",
+    """
+WITH seq AS (
+  SELECT user_id, event_type AS to_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type
+  FROM events
+),
+pairs AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM seq WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       CAST(round(1000000.0 * CAST(n AS DOUBLE)
+                  / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE))
+            AS BIGINT) AS p_micro
+FROM pairs
+""",
+)
+def evt_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user first-order event-type transition matrix with micro-exact
+    row-normalized probabilities (see block comment)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = _events(spark, sf_dir).select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    )
+    pairs = (
+        seq.where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    row = Window.partitionBy("from_type")
+    return (
+        pairs.withColumn("row_total", F.sum("n").over(row))
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr(
+                "CAST(round(1000000.0 * CAST(n AS DOUBLE) "
+                "/ CAST(row_total AS DOUBLE)) AS BIGINT)"
+            ).alias("p_micro"),
+        )
+    )

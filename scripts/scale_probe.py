@@ -158,8 +158,12 @@ DEFAULT_QUERIES = [
     "emb_ivf_recall_curve",
     "rag_hybrid_rrf",
     # sixth batch: the DELETE-without-rewrite primitive (per-file windows +
-    # one agg — must scale with the file count, i.e. linearly)
+    # one agg — must scale with the file count, i.e. linearly), the
+    # rank-restricted EWMA fold (bounded per pool by construction), and the
+    # per-user lag + bounded-pair-table Markov matrix
     "layout_deletion_vectors",
+    "trade_price_ewma",
+    "evt_markov_transitions",
 ]
 
 # --mult 100 list (VERDICT r05 item 4): the cheap-per-row families where a
@@ -236,6 +240,8 @@ HUNDREDX_QUERIES = [
     "text_dsir_weights",
     "trade_tick_flow",
     "layout_deletion_vectors",
+    "trade_price_ewma",
+    "evt_markov_transitions",
 ]
 
 # pk stride column(s) per table; every fk shift reuses the owning pk stride.

@@ -289,3 +289,43 @@ def test_bloom_prune_join_python_recompute(spark):
     exp_purchase_value = float(sum(Decimal("500.0") * 2 for _ in keys))
     assert got["purchase"].true_value == exp_purchase_value
     assert got["click"].true_value == float(Decimal("7.5") * len(keys))
+
+
+def test_markov_transitions_python_recompute(spark):
+    """Transition counts + row-normalized micro probabilities recomputed in
+    python over the same (ts, event_id)-ordered per-user sequences; row
+    probabilities must sum to ~1e6 per from_type."""
+    import math
+    from collections import Counter, defaultdict
+
+    from hive_server_spark.catalog import load_table
+    from hive_server_spark.plans.events_pack import evt_markov_transitions
+    from tests.conftest import SF_SMALL
+
+    rows = (
+        load_table(spark, SF_SMALL, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    pairs: Counter = Counter()
+    for evs in per_user.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            pairs[(a, b)] += 1
+    row_tot = Counter()
+    for (a, _), n in pairs.items():
+        row_tot[a] += n
+    got = {(r.from_type, r.to_type): r for r in evt_markov_transitions(spark, SF_SMALL).collect()}
+    assert set(got) == set(pairs)
+    for (a, b), n in pairs.items():
+        r = got[(a, b)]
+        p = int(math.floor(1e6 * n / row_tot[a] + 0.5))
+        assert (r.n, r.p_micro) == (n, p), (a, b)
+    by_from = defaultdict(int)
+    for r in got.values():
+        by_from[r.from_type] += r.p_micro
+    for a, s in by_from.items():
+        assert abs(s - 1_000_000) <= len(pairs), a  # rounding slack
