@@ -1095,6 +1095,7 @@ DRIVER_PRIORITY_R7 = [
     "layout_deletion_vectors",
     "trade_price_ewma",
     "evt_markov_transitions",
+    "udtf_char_ngram_census",
     # -- round-7-modified queries: the de-broadcast survivor-set joins
     #    plus the JPEG profile (gains the 4:2:0 subsampled variant) --------
     "text_line_dedup",
@@ -1114,8 +1115,7 @@ DRIVER_PRIORITY_R7 = [
     "amount_out_prices",
     "amount_out_capped",
     "asof_trade_price",
-    "range_price_activity",
-    # price_hourly_gapfill /
+    # range_price_activity / price_hourly_gapfill /
     # evt_sessions / evt_trailing_hour_value / scale_salted_cohort_rollup /
     # rel_pricing_summary / rel_revenue_by_nation / rel_cheapest_line_per_part /
     # rel_conditional_distinct /

@@ -126,3 +126,80 @@ def udf_user_centered_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         _center,
         schema="event_id long, user_id long, value double, user_mean double, centered double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (round 7): the table-function third of the UDF/UDAF/UDTF
+# surface (Spark 4 `@udtf`, Arrow-transported) — a per-row generator that
+# EMITS rows, joined laterally, which neither a scalar UDF (1→1) nor a
+# grouped map (group→group) expresses. Showcase: character-trigram
+# emission over the doc_id % 50 == 0 slice, aggregated to the corpus-head
+# census. The oracle recomputes the same rows declaratively (substring
+# over an unnested position range), so the Python generator's emission
+# contract — positions, boundaries, short-string behavior — is value-
+# gated, same as every other query.
+# Scale posture: a UDTF is per-row Python (the slow path, like every UDF
+# here) — the gate restricts it to a corpus slice and the docstring's
+# contract is the API shape, not throughput; the declarative twin IS the
+# production plan for this particular job.
+# ---------------------------------------------------------------------------
+_UDTF_N = 3
+_UDTF_TOP = 20
+
+
+def _char_ngrams_udtf():
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: bigint, gram: string")
+    class CharNgrams:
+        def eval(self, text, n):
+            if text is None:
+                return
+            for i in range(len(text) - n + 1):
+                yield i + 1, text[i : i + n]
+
+    return CharNgrams
+
+
+@register(
+    "udtf_char_ngram_census",
+    f"""
+WITH sliced AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0
+),
+grams AS (
+  SELECT doc_id, unnest(range(1, length(text) - {_UDTF_N} + 2)) AS pos,
+         substring(text, CAST(unnest(range(1, length(text) - {_UDTF_N} + 2))
+                           AS INTEGER), {_UDTF_N}) AS gram
+  FROM sliced WHERE length(text) >= {_UDTF_N}
+),
+census AS (
+  SELECT gram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+  FROM grams GROUP BY gram
+)
+SELECT gram, CAST(n AS BIGINT) AS n, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, row_number() OVER (ORDER BY n DESC, gram ASC) AS rk
+      FROM census)
+WHERE rk <= {_UDTF_TOP}
+""",
+)
+def udtf_char_ngram_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram head census over the doc slice, emitted by a Python
+    UDTF through a LATERAL join (see block comment for the API-surface
+    contract)."""
+    from hive_server_spark.operators.topk import global_topk
+
+    spark.udtf.register("hss_char_ngrams", _char_ngrams_udtf())
+    load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 50 == 0
+    ).createOrReplaceTempView("_hss_udtf_docs")
+    grams = spark.sql(
+        f"SELECT d.doc_id, t.pos, t.gram "
+        f"FROM _hss_udtf_docs d, LATERAL hss_char_ngrams(d.text, {_UDTF_N}) t"
+    )
+    census = grams.groupBy("gram").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+    return global_topk(census, [F.desc("n"), F.asc("gram")], _UDTF_TOP)

@@ -329,3 +329,42 @@ def test_markov_transitions_python_recompute(spark):
         by_from[r.from_type] += r.p_micro
     for a, s in by_from.items():
         assert abs(s - 1_000_000) <= len(pairs), a  # rounding slack
+
+
+def test_udtf_char_ngram_census_python_recompute(spark):
+    """The UDTF's row-emission contract recomputed in python: trigram
+    counts, doc frequencies, and ranking over the same doc slice; a
+    too-short string must emit nothing (generator boundary)."""
+    from collections import Counter
+
+    from hive_server_spark.catalog import load_table
+    from hive_server_spark.plans.udf_pack import (
+        _UDTF_N,
+        _UDTF_TOP,
+        _char_ngrams_udtf,
+        udtf_char_ngram_census,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_SMALL, "documents")
+        .where("doc_id % 50 = 0")
+        .collect()
+    }
+    n: Counter = Counter()
+    nd: Counter = Counter()
+    for _, text in docs.items():
+        grams = [text[i : i + _UDTF_N] for i in range(len(text) - _UDTF_N + 1)]
+        n.update(grams)
+        nd.update(set(grams))
+    expected = sorted(n.items(), key=lambda kv: (-kv[1], kv[0]))[:_UDTF_TOP]
+    got = udtf_char_ngram_census(spark, SF_SMALL).orderBy("rk").collect()
+    assert [(r.gram, r.n, r.n_docs) for r in got] == [
+        (g, c, nd[g]) for g, c in expected
+    ]
+    # generator boundary: a string shorter than n emits nothing
+    spark.udtf.register("hss_char_ngrams_t", _char_ngrams_udtf())
+    assert spark.sql(
+        f"SELECT * FROM hss_char_ngrams_t('ab', {_UDTF_N})"
+    ).count() == 0
