@@ -164,3 +164,42 @@ def test_asof_join_nearest_matches_naive(spark):
             else:
                 want = (nxt[1], nxt[0])
             assert got[(k, o, tag)] == want, (seed, k, o)
+
+
+def test_grouped_topk_property_random(spark):
+    """grouped_topk (two-level per-group top-k) vs a direct python
+    reference over random adversarial inputs: duplicate sort keys (the
+    tiebreak must decide), groups smaller than k, single-row groups, and a
+    partition layout the operator must be independent of."""
+    from hive_server_spark.operators.topk import grouped_topk
+
+    rng = random.Random(20260815)
+    for trial in range(3):
+        n_groups = rng.randrange(1, 6)
+        rows = []
+        for g in range(n_groups):
+            for i in range(rng.randrange(1, 30)):
+                # coarse scores force ties; (g, score, uid) is the contract's
+                # total order
+                rows.append((f"g{g}", rng.randrange(0, 8), rng.randrange(10_000)))
+        rows = [(g, s, u) for g, s, u in {(g, s, u): None for g, s, u in rows}]
+        k = rng.randrange(1, 5)
+        df = spark.createDataFrame(
+            rows, "grp string, score long, uid long"
+        ).repartition(rng.randrange(1, 9))
+        got = grouped_topk(
+            df, group_cols=["grp"], sort_cols=["score", "uid"],
+            payload_cols=[], k=k,
+        ).collect()
+        expected = {}
+        for g, s, u in rows:
+            expected.setdefault(g, []).append((s, u))
+        for g in expected:
+            expected[g] = sorted(expected[g])[:k]
+        by_g = {}
+        for r in sorted(got, key=lambda r: (r.grp, r.rk)):
+            by_g.setdefault(r.grp, []).append((r.score, r.uid, r.rk))
+        assert set(by_g) == set(expected), trial
+        for g, exp in expected.items():
+            assert [(s, u) for s, u, _ in by_g[g]] == exp, (trial, g)
+            assert [rk for _, _, rk in by_g[g]] == list(range(1, len(exp) + 1))
