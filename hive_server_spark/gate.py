@@ -1042,22 +1042,24 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # The correctness driver hash-checks the FIRST 50 queries per round. After
 # round 6 every one of the 141 registered queries has a driver-green row
-# (CORRECTNESS_r01-r06 aggregate, 0 red at latest check), so round 7's
-# window is pure staleness rotation per the round-6 note: (a) the four
-# round-7 registrations (vocab census, winnowing fingerprints, image
-# entropy, truncated recall) and the four queries whose implementation
-# changed this round (the de-broadcast survivor-set joins, VERDICT r06
-# item 1, oracles unchanged; the JPEG profile, which gains the 4:2:0
-# variant); (b) the 42 r04-green names rotated out in round 6 (trades/
-# book/amount-out core, asof/range/gapfill, evt_sessions,
-# scale_salted_cohort_rollup, and the 21+4 rel_* names) — exactly filling
-# the window. The r05-green families keep their green rows, stay
-# re-proven by tests/test_gate_parity.py (ALL oracle-backed queries vs
-# DuckDB on every pytest), and rotate forward in round 8.
+# (CORRECTNESS_r01-r06 aggregate, 0 red at latest check). Round 7 grew the
+# registry 141 -> 175, and every NEW name must sit in the window (no prior
+# green row — tests/test_rotation.py enforces), so the window is: (a) the
+# 35 round-7 registrations, (b) the 4 queries whose implementation changed
+# this round (the de-broadcast survivor-set joins, VERDICT r06 item 1,
+# oracles unchanged; the JPEG profile, which gains the 4:2:0 variant),
+# (c) the 11 oldest r04-green names that still fit. The rest of the
+# r04-green rotation planned by the round-6 note is DEFERRED to round 8 —
+# displaced by the new registrations; all of them keep their green rows
+# and stay re-proven by tests/test_gate_parity.py (ALL oracle-backed
+# queries vs DuckDB on every pytest).
 # ROUND-8 ROTATION NOTE: after this window goes green, staleness order is
-# (1) any round-8 registrations / modified queries, (2) the 49 r05-green
-# names (rel_scalar_functions onward in registration order), (3) the
-# r06-green block by registration order.
+# (1) any round-8 registrations / modified queries, (2) the r04-green
+# names displaced this round (the commented-out tail below: evt_sessions,
+# evt_trailing_hour_value, scale_salted_cohort_rollup,
+# range_price_activity, price_hourly_gapfill, and the 25 rel_* names),
+# (3) the 49 r05-green names (rel_scalar_functions onward in registration
+# order), (4) the r06-green block by registration order.
 from hive_server_spark.registry import set_driver_priority  # noqa: E402
 
 DRIVER_PRIORITY_R7 = [

@@ -164,6 +164,12 @@ DEFAULT_QUERIES = [
     "layout_deletion_vectors",
     "trade_price_ewma",
     "evt_markov_transitions",
+    # excluded: emb_mmr_diverse_topk (k fixed selection steps over
+    # localCheckpointed ≤625-row sets — its cost is per-step job overhead,
+    # constant in corpus size; the corpus-touching pool build is
+    # emb_cosine_topk, probed above) and udtf_char_ngram_census (a
+    # deliberate Python-slow-path API showcase on a corpus slice; the
+    # declarative twin IS the production plan — see SCALE.md §5).
 ]
 
 # --mult 100 list (VERDICT r05 item 4): the cheap-per-row families where a
