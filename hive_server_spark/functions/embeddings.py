@@ -1484,3 +1484,97 @@ sims AS (
 SELECT CAST(step AS BIGINT) AS step, vec_id, label, rel, mmr_micro
 FROM ({union_all})
 """
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination (round 7): the embedding-space twin of
+# text_decontaminate — flag corpus vectors whose cosine against ANY
+# held-out benchmark vector (vec_id % 101 = 0, the same holdout convention
+# as the n-gram sweep) reaches the near-dup threshold. Paraphrased eval
+# leakage survives n-gram sweeps; this is the sweep that catches it
+# (SemDeDup-style, Abbas et al. 2023, public). Candidates come from coarse
+# LSH co-buckets (4 planes — recall over precision, the bitext stance);
+# every corpus vector is returned with its candidate count and max
+# benchmark cosine (NULL when its bucket holds no benchmark vector), so
+# the output is never empty and the non-candidate majority is visible.
+# The synthetic corpus's own near-dup structure never crosses the % 101
+# holdout (no >= 0.999 pair does, at any SF), so the sweep's POSITIVE path
+# is exercised the way the text packs exercise theirs — by injection: an
+# exact clone of every even-id benchmark vector is planted into the corpus
+# side under vec_id + 1_000_000 (cosine exactly 1.0 against its source),
+# so `contaminated` fires deterministically at every scale factor.
+# Scale shape: the benchmark side is a FIXED eval suite — bounded by
+# construction, broadcast like the n-gram sweep's shingle set; the corpus
+# streams through one bucket projection + broadcast left join + per-vec
+# max (order-free) — no corpus shuffle at all.
+# ---------------------------------------------------------------------------
+SEMDECON_THRESHOLD = "0.98"
+_SEMDECON_CLONE_SHIFT = 1_000_000
+
+
+def semantic_decontaminate(
+    emb: DataFrame, n_planes: int = BITEXT_PLANES
+) -> DataFrame:
+    v = _vecs(emb).select(
+        "vec_id",
+        "v",
+        F.expr(bucket_expr("v", 64, "s", n_planes)).cast("bigint").alias("bucket"),
+    )
+    bench = v.where(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("v").alias("bv"),
+        "bucket",
+    )
+    clones = bench.where(F.col("b_vec_id") % 2 == 0).select(
+        (F.col("b_vec_id") + _SEMDECON_CLONE_SHIFT).alias("vec_id"),
+        F.col("bv").alias("v"),
+        "bucket",
+    )
+    corpus = v.where(F.col("vec_id") % 101 != 0).unionByName(clones)
+    joined = corpus.join(F.broadcast(bench), "bucket", "left").select(
+        "vec_id",
+        "bucket",
+        "b_vec_id",
+        F.when(
+            F.col("b_vec_id").isNotNull(),
+            F.expr(cosine_expr("v", "bv", "s")),
+        ).alias("cos"),
+    )
+    return joined.groupBy("vec_id", "bucket").agg(
+        F.count("b_vec_id").cast("bigint").alias("n_bench_candidates"),
+        F.max("cos").alias("max_bench_cos"),
+        (F.max("cos") >= F.expr(f"CAST({SEMDECON_THRESHOLD} AS DOUBLE)"))
+        .alias("contaminated"),
+    )
+
+
+def semantic_decontaminate_oracle(n_planes: int = BITEXT_PLANES) -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, {vec_expr('embedding', 'd')} AS v FROM embeddings
+),
+b AS (
+  SELECT vec_id, v,
+         CAST({bucket_expr('v', 64, 'd', n_planes)} AS BIGINT) AS bucket
+  FROM v
+),
+bench AS (SELECT vec_id AS b_vec_id, v AS bv, bucket FROM b
+          WHERE vec_id % 101 = 0),
+corpus AS (
+  SELECT vec_id, v, bucket FROM b WHERE vec_id % 101 <> 0
+  UNION ALL
+  SELECT b_vec_id + {_SEMDECON_CLONE_SHIFT} AS vec_id, bv AS v, bucket
+  FROM bench WHERE b_vec_id % 2 = 0
+),
+joined AS (
+  SELECT c.vec_id, c.bucket, be.b_vec_id,
+         CASE WHEN be.b_vec_id IS NOT NULL
+              THEN {cosine_expr('c.v', 'be.bv', 'd')} END AS cos
+  FROM corpus c LEFT JOIN bench be ON c.bucket = be.bucket
+)
+SELECT vec_id, bucket,
+       CAST(COUNT(b_vec_id) AS BIGINT) AS n_bench_candidates,
+       MAX(cos) AS max_bench_cos,
+       MAX(cos) >= CAST({SEMDECON_THRESHOLD} AS DOUBLE) AS contaminated
+FROM joined GROUP BY vec_id, bucket
+"""

@@ -467,3 +467,11 @@ def emb_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the iterative selection runs over BOUNDED sets only — see
     functions/embeddings.py for the step-exactness discipline."""
     return E.mmr_diverse_topk(_emb(spark, sf_dir), query_vec_id=0)
+
+
+@register("emb_semantic_decontaminate", E.semantic_decontaminate_oracle())
+def emb_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval-leakage sweep against the vec_id % 101 holdout
+    (the semantic twin of text_decontaminate — see functions/embeddings.py
+    for the broadcast-bench / coarse-bucket stance)."""
+    return E.semantic_decontaminate(_emb(spark, sf_dir))

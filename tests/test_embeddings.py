@@ -610,3 +610,50 @@ def test_mmr_diverse_topk_numpy_recompute(spark):
         assert all(
             r.mmr_micro == micro(1e6 * lam * rel[r.vec_id]) for r in got
         )
+
+
+def test_semantic_decontaminate_numpy_recompute(spark):
+    """Bucket routing, candidate counts, max benchmark cosine, and the
+    contamination flag recomputed in numpy — including the injected
+    benchmark clones, every one of which must flag contaminated with
+    cosine exactly 1.0."""
+    import numpy as np
+
+    rows = _emb(spark).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    planes = [
+        np.array(w, dtype=np.float64) for w in E.plane_literals(64)[: E.BITEXT_PLANES]
+    ]
+
+    def bucket(v):
+        return sum((1 << p) for p, w in enumerate(planes) if float(v @ w) >= 0)
+
+    def cos(a, b):
+        return float(a @ b / (math.sqrt(a @ a) * math.sqrt(b @ b)))
+
+    bench = {vid: v for vid, v in vecs.items() if vid % 101 == 0}
+    corpus = {vid: v for vid, v in vecs.items() if vid % 101 != 0}
+    for vid, v in bench.items():
+        if vid % 2 == 0:
+            corpus[vid + E._SEMDECON_CLONE_SHIFT] = v
+    bench_by_bucket: dict[int, list] = {}
+    for vid, v in bench.items():
+        bench_by_bucket.setdefault(bucket(v), []).append(vid)
+    got = {r.vec_id: r for r in E.semantic_decontaminate(_emb(spark)).collect()}
+    assert set(got) == set(corpus)
+    n_flagged = 0
+    for vid, v in corpus.items():
+        b = bucket(v)
+        cands = bench_by_bucket.get(b, [])
+        r = got[vid]
+        assert (r.bucket, r.n_bench_candidates) == (b, len(cands)), vid
+        if not cands:
+            assert r.max_bench_cos is None and r.contaminated is None
+            continue
+        mx = max(cos(v, vecs[c]) for c in cands)
+        assert abs(r.max_bench_cos - mx) < 1e-9
+        assert r.contaminated == (r.max_bench_cos >= 0.98)
+        n_flagged += r.contaminated
+        if vid >= E._SEMDECON_CLONE_SHIFT:
+            assert r.contaminated and r.max_bench_cos == 1.0, vid
+    assert n_flagged >= 1  # the injected clones keep the positive path live
