@@ -164,6 +164,8 @@ DEFAULT_QUERIES = [
     "layout_deletion_vectors",
     "trade_price_ewma",
     "evt_markov_transitions",
+    # seventh batch: the bitext-stance broadcast-bench leakage sweep
+    "emb_semantic_decontaminate",
     # excluded: emb_mmr_diverse_topk (k fixed selection steps over
     # localCheckpointed ≤625-row sets — its cost is per-step job overhead,
     # constant in corpus size; the corpus-touching pool build is
