@@ -794,17 +794,43 @@ def _evt_streaming_results(spark: SparkSession, sf_dir: str) -> dict:
                 out, work = builder(spark, sf_dir)
                 q, sink = _start_append_stream(spark, out, work)
                 running.append((name, q, sink))
-            # the foreachBatch sketch streams join the same concurrent wave
+            # The memory-sink streams above never call back into Python, so
+            # they run as one concurrent wave. The foreachBatch sketch
+            # streams DO (each micro-batch invokes a Python function over
+            # py4j's callback channel), which flakes transiently under load
+            # (see streaming/incremental.py::_TRANSIENT_PY4J). Policy: at
+            # most ONE Python-callback stream in flight (cms rides the
+            # append wave, hll starts after cms terminates), and each is
+            # awaited through the checkpoint-resuming retry — the replay
+            # guard makes re-delivered batches exactly-once.
+            from hive_server_spark.streaming.incremental import (
+                await_stream_with_retry,
+                is_transient_py4j,
+            )
+
             cms_q, cms_store = start_cms_stream(spark, sf_dir)
-            hll_q, hll_store = start_hll_stream(spark, sf_dir)
             results = {}
             for name, q, sink in running:
                 q.awaitTermination()
                 results[name] = spark.table(sink)
-            cms_q.awaitTermination()
+            try:
+                cms_q.awaitTermination()
+            except Exception as e:
+                if not is_transient_py4j(e):
+                    raise
+                await_stream_with_retry(
+                    lambda: start_cms_stream(spark, sf_dir)[0], attempts=2
+                )
             results["evt_cms_streaming"] = _cms_final(spark, cms_store)
-            hll_q.awaitTermination()
-            results["evt_hll_streaming"] = _hll_final(spark, hll_store)
+            hll_holder = {}
+
+            def _start_hll():
+                q2, st = start_hll_stream(spark, sf_dir)
+                hll_holder["store"] = st
+                return q2
+
+            await_stream_with_retry(_start_hll)
+            results["evt_hll_streaming"] = _hll_final(spark, hll_holder["store"])
         return results
 
     return _EVT_RESULTS.get_or_create(spark, ("evt_streaming_family", sf_dir), build)
@@ -895,13 +921,16 @@ def docs_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         store.commit(merged, batch_id)
 
     with _scoped_shuffle_partitions(spark):
-        q = (
+        from hive_server_spark.streaming.incremental import (
+            await_stream_with_retry,
+        )
+
+        writer = (
             stream.writeStream.foreachBatch(on_batch)
             .option("checkpointLocation", os.path.join(work, "ckpt"))
             .trigger(availableNow=True)
-            .start()
         )
-        q.awaitTermination()
+        await_stream_with_retry(writer.start)
     out = store.latest(spark)
     return out.select(
         "fingerprint_md5",

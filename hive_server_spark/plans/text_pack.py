@@ -3622,3 +3622,122 @@ def rag_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused, [F.desc("rrf_micro"), F.asc("doc_id")], _RRF_TOPK,
         rank_col="rank",
     ).select("rank", "doc_id", "lex_rk", "sem_rk", "rrf_micro")
+
+
+# ---------------------------------------------------------------------------
+# Exact stratified quota sampling (round 7): allocate a FIXED total sample
+# size across sources proportionally via the largest-remainder (Hamilton)
+# method — the apportionment algorithm that gives every source
+# floor(N*n_s/T) seats and hands the N - Σfloor leftovers to the largest
+# remainders — then deterministically draw each source's quota by md5
+# rank. "Give me exactly 100 eval docs, stratified like the corpus" is a
+# curation op that proportional Bernoulli sampling (text_deterministic_
+# sample) cannot answer: Bernoulli's total is binomial, never exact.
+# Exactness: the entire allocation is INTEGER arithmetic — floor_q =
+# (N*n_s) DIV T, remainder = (N*n_s) MOD T, seat assignment by
+# (remainder DESC, source ASC) rank — no float anywhere; the draw
+# checksum pins the md5-ranked selection itself.
+# Scale shape: one map-side-combined count per source; the allocation
+# runs on the |sources|-row table (windows over a bounded set); the draw
+# is a per-source md5-rank window (the standard per-key top-N, parallel
+# across sources) + one conditional agg.
+# ---------------------------------------------------------------------------
+_QUOTA_N = 100
+
+
+_QUOTA_ORACLE = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+floored AS (
+  SELECT source, n_docs,
+         ({_QUOTA_N} * n_docs) // SUM(n_docs) OVER ()  AS floor_q,
+         ({_QUOTA_N} * n_docs) %  SUM(n_docs) OVER ()  AS rem
+  FROM counts
+),
+seated AS (
+  SELECT source, n_docs, floor_q, rem,
+         row_number() OVER (ORDER BY rem DESC, source ASC)
+           <= {_QUOTA_N} - SUM(floor_q) OVER () AS extra
+  FROM floored
+),
+quotas AS (
+  SELECT source, n_docs, CAST(floor_q AS BIGINT) AS floor_q,
+         CAST(rem AS BIGINT) AS rem, extra,
+         CAST(floor_q + CASE WHEN extra THEN 1 ELSE 0 END AS BIGINT)
+           AS quota
+  FROM seated
+),
+ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS draw_rank
+  FROM documents
+)
+SELECT q.source, CAST(q.n_docs AS BIGINT) AS n_docs, q.floor_q, q.rem,
+       q.extra, q.quota,
+       CAST(COALESCE(SUM(CASE WHEN r.draw_rank <= q.quota THEN r.doc_id END),
+                     0) AS BIGINT) AS sample_id_sum,
+       CAST(SUM(CASE WHEN r.draw_rank <= q.quota THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sampled
+FROM quotas q JOIN ranked r USING (source)
+GROUP BY q.source, q.n_docs, q.floor_q, q.rem, q.extra, q.quota
+"""
+
+
+@register("text_quota_sample", _QUOTA_ORACLE)
+def text_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder stratified allocation of a fixed 100-doc sample
+    across sources, plus the md5-ranked deterministic draw checksum (see
+    block comment; all-integer arithmetic)."""
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    whole = Window.partitionBy()
+    alloc = (
+        counts.withColumn("total", F.sum("n_docs").over(whole))
+        .withColumn("floor_q", F.expr(f"({_QUOTA_N} * n_docs) DIV total"))
+        .withColumn("rem", F.expr(f"({_QUOTA_N} * n_docs) % total"))
+        .withColumn(
+            "seats_left",
+            F.lit(_QUOTA_N) - F.sum("floor_q").over(whole),
+        )
+    )
+    seat_rank = Window.orderBy(F.desc("rem"), F.asc("source"))
+    quotas = alloc.withColumn(
+        "extra", F.row_number().over(seat_rank) <= F.col("seats_left")
+    ).select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("floor_q").cast("bigint").alias("floor_q"),
+        F.col("rem").cast("bigint").alias("rem"),
+        "extra",
+        (F.col("floor_q") + F.when(F.col("extra"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("quota"),
+    )
+    draw = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    ranked = docs.select(
+        "source", "doc_id", F.row_number().over(draw).alias("draw_rank")
+    )
+    return (
+        quotas.join(ranked, "source")
+        .groupBy("source", "n_docs", "floor_q", "rem", "extra", "quota")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("draw_rank") <= F.col("quota"), F.col("doc_id"))
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("sample_id_sum"),
+            F.sum(
+                F.when(F.col("draw_rank") <= F.col("quota"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_sampled"),
+        )
+    )

@@ -88,11 +88,15 @@ def run_incremental_fold_with_cdc(
             os.path.join(cdc_dir, f"cdc_version={batch_id}")
         )
 
-    q = (
+    from hive_server_spark.streaming.incremental import await_stream_with_retry
+
+    writer = (
         events_stream.writeStream.foreachBatch(on_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    # retry policy: see incremental.py::_TRANSIENT_PY4J — the CDC write is
+    # already idempotent per batch (partition-overwrite above), so a
+    # checkpoint-resumed retry is exactly-once here too.
+    await_stream_with_retry(writer.start)
     return store, cdc_dir

@@ -228,6 +228,51 @@ def make_fold_on_batch(store: ParquetStateStore, retain_versions: int | None = N
     return on_batch
 
 
+# py4j's CALLBACK channel (the JVM→Python path every foreachBatch batch
+# rides) occasionally dies with a reset/garbled socket under local[32]
+# load — observed as "Error while sending a command" / "Received empty
+# command" / "Connection reset" wrapped in FOREACH_BATCH_USER_FUNCTION_
+# ERROR. It is an infrastructure flake, not a data error, and every
+# foreachBatch in this repo is built to survive a restart anyway: the
+# checkpoint resumes the stream and the state store's replay guard
+# (`already_applied`, torn-commit re-merge) makes re-delivered batches
+# exactly-once. So the house policy is: retry the stream, never the data.
+_TRANSIENT_PY4J = (
+    "Error while sending a command",
+    "Received empty command",
+    "Connection reset",
+    "Py4JNetworkException",
+)
+
+
+def is_transient_py4j(exc: BaseException) -> bool:
+    msg = str(exc)
+    return any(t in msg for t in _TRANSIENT_PY4J)
+
+
+def await_stream_with_retry(start_query, attempts: int = 3, backoff_s: float = 2.0):
+    """Start + await an availableNow stream via `start_query()` (a thunk
+    returning a started StreamingQuery), retrying on the transient py4j
+    callback-channel failure documented above. Each retry re-starts from
+    the SAME checkpoint, so progress is kept and replays are absorbed by
+    the store's replay guard."""
+    import time as _time
+
+    last: BaseException | None = None
+    for _ in range(attempts):
+        q = start_query()
+        try:
+            q.awaitTermination()
+            return
+        except Exception as e:
+            if not is_transient_py4j(e):
+                raise
+            last = e
+            _time.sleep(backoff_s)
+    assert last is not None
+    raise last
+
+
 def run_incremental_fold(
     spark: SparkSession,
     events_stream: DataFrame,
@@ -250,6 +295,5 @@ def run_incremental_fold(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
-    q = writer.start()
-    q.awaitTermination()
+    await_stream_with_retry(writer.start)
     return store

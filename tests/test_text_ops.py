@@ -1013,3 +1013,47 @@ def test_rag_hybrid_rrf_python_recompute(spark):
         assert r.lex_rk == lex.get(r.doc_id) and r.sem_rk == sem.get(r.doc_id)
     assert any(r.lex_rk is not None for r in got)
     assert any(r.sem_rk is not None for r in got)
+
+
+def test_quota_sample_hamilton_recompute(spark):
+    """Largest-remainder allocation + deterministic draw recomputed in
+    python: quotas sum to exactly N, every source draws exactly its quota,
+    and the checksum pins the md5-ranked selection."""
+    import hashlib
+    from collections import Counter
+
+    from hive_server_spark.plans.text_pack import _QUOTA_N, text_quota_sample
+    from tests.conftest import SF_SMALL as _SF
+
+    docs = [
+        (r.source, r.doc_id)
+        for r in _docs(spark).select("source", "doc_id").collect()
+    ]
+    n_s = Counter(s for s, _ in docs)
+    total = sum(n_s.values())
+    floor_q = {s: (_QUOTA_N * n) // total for s, n in n_s.items()}
+    rem = {s: (_QUOTA_N * n) % total for s, n in n_s.items()}
+    seats_left = _QUOTA_N - sum(floor_q.values())
+    order = sorted(n_s, key=lambda s: (-rem[s], s))
+    extra = {s: i < seats_left for i, s in enumerate(order)}
+    quota = {s: floor_q[s] + extra[s] for s in n_s}
+    assert sum(quota.values()) == _QUOTA_N
+    by_source = {}
+    for s, d in docs:
+        by_source.setdefault(s, []).append(d)
+    checksum = {}
+    for s, ids in by_source.items():
+        ranked = sorted(ids, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))
+        checksum[s] = sum(ranked[: quota[s]])
+    got = {r.source: r for r in text_quota_sample(spark, _SF).collect()}
+    assert set(got) == set(n_s)
+    for s in n_s:
+        r = got[s]
+        assert (
+            r.n_docs, r.floor_q, r.rem, r.extra, r.quota,
+            r.n_sampled, r.sample_id_sum,
+        ) == (
+            n_s[s], floor_q[s], rem[s], extra[s], quota[s],
+            quota[s], checksum[s],
+        ), s
+    assert sum(r.n_sampled for r in got.values()) == _QUOTA_N
