@@ -3639,8 +3639,12 @@ def rag_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # checksum pins the md5-ranked selection itself.
 # Scale shape: one map-side-combined count per source; the allocation
 # runs on the |sources|-row table (windows over a bounded set); the draw
-# is a per-source md5-rank window (the standard per-key top-N, parallel
-# across sources) + one conditional agg.
+# CANNOT be a per-source rank window — sources are FEW, so that window
+# would funnel corpus/|sources| rows through single-task sorts. Since
+# every quota is ≤ N by construction, the draw is grouped_topk (per-
+# partition N-row heads, bounded merge) with k = N, then the quota
+# filter. The oracle keeps the declarative full-rank window — same
+# semantics, independently formulated.
 # ---------------------------------------------------------------------------
 _QUOTA_N = 100
 
@@ -3716,12 +3720,20 @@ def text_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("quota"),
     )
-    draw = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
-    )
-    ranked = docs.select(
-        "source", "doc_id", F.row_number().over(draw).alias("draw_rank")
-    )
+    from hive_server_spark.operators.topk import grouped_topk
+
+    ranked = grouped_topk(
+        docs.select(
+            "source",
+            F.md5(F.col("doc_id").cast("string")).alias("draw_key"),
+            "doc_id",
+        ),
+        group_cols=["source"],
+        sort_cols=["draw_key", "doc_id"],
+        payload_cols=[],
+        k=_QUOTA_N,
+        rank_col="draw_rank",
+    ).select("source", "doc_id", "draw_rank")
     return (
         quotas.join(ranked, "source")
         .groupBy("source", "n_docs", "floor_q", "rem", "extra", "quota")

@@ -164,8 +164,10 @@ DEFAULT_QUERIES = [
     "layout_deletion_vectors",
     "trade_price_ewma",
     "evt_markov_transitions",
-    # seventh batch: the bitext-stance broadcast-bench leakage sweep
+    # seventh batch: the bitext-stance broadcast-bench leakage sweep and
+    # the all-integer Hamilton allocation + per-source md5-rank draw
     "emb_semantic_decontaminate",
+    "text_quota_sample",
     # excluded: emb_mmr_diverse_topk (k fixed selection steps over
     # localCheckpointed ≤625-row sets — its cost is per-step job overhead,
     # constant in corpus size; the corpus-touching pool build is
@@ -250,6 +252,7 @@ HUNDREDX_QUERIES = [
     "layout_deletion_vectors",
     "trade_price_ewma",
     "evt_markov_transitions",
+    "text_quota_sample",
 ]
 
 # pk stride column(s) per table; every fk shift reuses the owning pk stride.
