@@ -1100,6 +1100,7 @@ DRIVER_PRIORITY_R7 = [
     "udtf_char_ngram_census",
     "emb_semantic_decontaminate",
     "text_quota_sample",
+    "evt_cusum_drift",
     # -- round-7-modified queries: the de-broadcast survivor-set joins
     #    plus the JPEG profile (gains the 4:2:0 subsampled variant) --------
     "text_line_dedup",
@@ -1116,8 +1117,8 @@ DRIVER_PRIORITY_R7 = [
     "order_book_snapshot",
     "amount_out_buy",
     "amount_out_sell",
-    "amount_out_prices",
-    # amount_out_capped / asof_trade_price / range_price_activity /
+    # amount_out_prices / amount_out_capped / asof_trade_price /
+    # range_price_activity /
     # price_hourly_gapfill /
     # evt_sessions / evt_trailing_hour_value / scale_salted_cohort_rollup /
     # rel_pricing_summary / rel_revenue_by_nation / rel_cheapest_line_per_part /

@@ -871,3 +871,108 @@ def evt_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection (round 7): the sequential change-point monitor
+# (Page 1954, public) a pipeline-health system runs over per-type hourly
+# event rates — two-sided cumulative sums S_up = max(0, S + (x - mean)),
+# S_dn = max(0, S + (mean - x)), whose maxima localize sustained rate
+# drifts that point-anomaly tests (evt_mad_outliers) miss by design.
+# The recursion is inherently sequential, so it runs the house way (the
+# EWMA pattern): rank-restrict to the last 512 hourly buckets per type
+# FIRST (bounded by construction — the hourly table is time-bounded, not
+# volume-bounded), collect in bucket order, and fold with a 4-element
+# array state carrying (S_up, max_up, S_dn, max_dn) — identical in-order
+# IEEE ops in both engines.
+# ---------------------------------------------------------------------------
+_CUSUM_HOURS = 512
+
+
+def _cusum_fold(d: str) -> str:
+    """In-order two-sided CUSUM fold over the per-type rate array; `mean`
+    is the window mean column in scope. 's' = Spark, 'd' = DuckDB — only
+    the element-access spelling differs (element_at vs [i], both
+    1-based)."""
+    if d == "s":
+        at = lambda a, i: "element_at({}, {})".format(a, i)  # noqa: E731
+    else:
+        at = lambda a, i: "{}[{}]".format(a, i)  # noqa: E731
+
+    def arms(x):
+        up = "greatest(0.0, {} + ({} - mean))".format(at("acc", 1), x)
+        dn = "greatest(0.0, {} + (mean - {}))".format(at("acc", 3), x)
+        return up, dn
+
+    if d == "s":
+        up, dn = arms("x")
+        return (
+            "aggregate(rates, array(0.0D, 0.0D, 0.0D, 0.0D), (acc, x) -> "
+            "array({up}, greatest({m2}, {up}), {dn}, greatest({m4}, {dn})))"
+        ).format(up=up, dn=dn, m2=at("acc", 2), m4=at("acc", 4))
+    up, dn = arms(at("e", 1))
+    return (
+        "list_reduce(list_prepend([0.0, 0.0, 0.0, 0.0], "
+        "list_transform(rates, x -> [x, 0.0, 0.0, 0.0])), "
+        "(acc, e) -> [{up}, greatest({m2}, {up}), {dn}, greatest({m4}, {dn})])"
+    ).format(up=up, dn=dn, m2=at("acc", 2), m4=at("acc", 4))
+
+
+_CUSUM_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+recent AS (
+  SELECT event_type, bucket, cnt FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+                                 ORDER BY bucket DESC) AS rn_desc
+    FROM hourly) WHERE rn_desc <= {_CUSUM_HOURS}
+),
+arrs AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         SUM(cnt) / COUNT(*) AS mean,
+         list(cnt ORDER BY bucket) AS rates
+  FROM recent GROUP BY event_type
+),
+folded AS (
+  SELECT event_type, n_hours, mean,
+         {_cusum_fold('d')} AS st
+  FROM arrs
+)
+SELECT event_type, n_hours, mean AS mean_rate,
+       st[2] AS max_cusum_up, st[4] AS max_cusum_dn
+FROM folded
+"""
+
+
+@register("evt_cusum_drift", _CUSUM_ORACLE)
+def evt_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift maxima over the last 512 hourly rate buckets
+    per event type (see block comment; bounded in-order fold)."""
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count("*").cast("double").alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("bucket"))
+    recent = hourly.withColumn("rn_desc", F.row_number().over(w)).where(
+        F.col("rn_desc") <= _CUSUM_HOURS
+    )
+    arrs = recent.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_hours"),
+        (F.sum("cnt") / F.count("*")).alias("mean"),
+        F.expr(
+            "transform(sort_array(collect_list(struct(bucket, cnt))),"
+            " s -> s.cnt)"
+        ).alias("rates"),
+    )
+    return arrs.select(
+        "event_type",
+        "n_hours",
+        F.col("mean").alias("mean_rate"),
+        F.expr(f"element_at({_cusum_fold('s')}, 2)").alias("max_cusum_up"),
+        F.expr(f"element_at({_cusum_fold('s')}, 4)").alias("max_cusum_dn"),
+    )

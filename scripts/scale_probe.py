@@ -168,6 +168,7 @@ DEFAULT_QUERIES = [
     # the all-integer Hamilton allocation + per-source md5-rank draw
     "emb_semantic_decontaminate",
     "text_quota_sample",
+    "evt_cusum_drift",
     # excluded: emb_mmr_diverse_topk (k fixed selection steps over
     # localCheckpointed ≤625-row sets — its cost is per-step job overhead,
     # constant in corpus size; the corpus-touching pool build is
@@ -253,6 +254,7 @@ HUNDREDX_QUERIES = [
     "trade_price_ewma",
     "evt_markov_transitions",
     "text_quota_sample",
+    "evt_cusum_drift",
 ]
 
 # pk stride column(s) per table; every fk shift reuses the owning pk stride.

@@ -368,3 +368,46 @@ def test_udtf_char_ngram_census_python_recompute(spark):
     assert spark.sql(
         f"SELECT * FROM hss_char_ngrams_t('ab', {_UDTF_N})"
     ).count() == 0
+
+
+def test_cusum_drift_python_recompute(spark):
+    """Two-sided CUSUM recomputed in python as the literal sequential
+    recursion over the same hourly rate series; the fold must match
+    bit-for-bit (identical in-order IEEE ops)."""
+    from collections import defaultdict
+
+    from hive_server_spark.catalog import load_table
+    from hive_server_spark.plans.events_pack import _CUSUM_HOURS, evt_cusum_drift
+    from tests.conftest import SF_SMALL
+
+    hourly = (
+        load_table(spark, SF_SMALL, "events")
+        .selectExpr("event_type", "date_trunc('hour', ts) AS bucket")
+        .groupBy("event_type", "bucket")
+        .count()
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in hourly:
+        series[r.event_type].append((r.bucket, float(r["count"])))
+    got = {r.event_type: r for r in evt_cusum_drift(spark, SF_SMALL).collect()}
+    assert set(got) == set(series)
+    for et, pts in series.items():
+        pts.sort()
+        rates = [c for _, c in pts[-_CUSUM_HOURS:]]
+        mean = sum(rates) / len(rates)  # NOTE: python sum is left-to-right,
+        # same order as SUM over the sorted collect — but Spark's SUM(cnt)
+        # aggregates in partition order; equality of the MEAN holds because
+        # the per-(type, bucket) counts are exact integers as doubles and
+        # their sum stays exactly representable at this scale.
+        s_up = m_up = s_dn = m_dn = 0.0
+        for x in rates:
+            s_up = max(0.0, s_up + (x - mean))
+            m_up = max(m_up, s_up)
+            s_dn = max(0.0, s_dn + (mean - x))
+            m_dn = max(m_dn, s_dn)
+        r = got[et]
+        assert r.n_hours == len(rates)
+        assert r.mean_rate == mean
+        assert (r.max_cusum_up, r.max_cusum_dn) == (m_up, m_dn), et
+        assert r.max_cusum_up > 0.0 or r.max_cusum_dn > 0.0
