@@ -118,7 +118,25 @@ def asof_join_nearest(
     pass carries last(right) forward, the forward pass carries
     first(right) backward, and a per-row CASE picks the closer. Right
     value columns come back as `asof_<col>`, the matched order value as
-    `asof_order`; rows with no right row at all get nulls."""
+    `asof_order`; rows with no right row at all get nulls.
+
+    CONTRACT: `order` must be an integral column (byte/short/int/long) on
+    BOTH sides — the distance arithmetic and the returned `asof_order` run
+    in long. Timestamp/date callers cast to epoch integers first
+    (e.g. unix_micros); validated up front so a wrong type fails with this
+    contract, not a deep analysis error."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    _integral = (ByteType, ShortType, IntegerType, LongType)
+    for df, side in ((left, "left"), (right, "right")):
+        dt = df.schema[order].dataType
+        if not isinstance(dt, _integral):
+            raise TypeError(
+                f"asof_join_nearest requires an integral order column; "
+                f"{side}[{order!r}] is {dt.simpleString()} — cast "
+                "timestamps/dates to epoch integers (unix_micros/unix_date) "
+                "before calling"
+            )
     is_left, r_order = "_is_left", "_r_order"
     l_tag = left.select(
         key, order,

@@ -426,7 +426,10 @@ def layout_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     live/deleted audit counts and the md5 of the ordered deleted-position
     list."""
     ev = load_table(spark, sf_dir, "events").select(
-        (F.col("event_id") / _ZM_FILE_ROWS).cast("bigint").alias("file_id"),
+        # integer DIV, matching the zone-map twin and both oracles: a
+        # double division + truncate rounds for event_id beyond 2^53 and
+        # would land rows in the wrong file at that scale
+        F.expr(f"event_id DIV {_ZM_FILE_ROWS}").alias("file_id"),
         "event_id",
         F.expr(f"({_DV_PRED})").alias("deleted"),
     )

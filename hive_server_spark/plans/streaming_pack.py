@@ -808,7 +808,13 @@ def _evt_streaming_results(spark: SparkSession, sf_dir: str) -> dict:
                 is_transient_py4j,
             )
 
-            cms_q, cms_store = start_cms_stream(spark, sf_dir)
+            # Pinned work dirs: a transient py4j failure retries the SAME
+            # checkpoint + state dir, so the resumed stream keeps committed
+            # progress and the store handle the results are built from IS
+            # the store the retry wrote to (a fresh dir per attempt would
+            # leave the original store holding only pre-crash batches).
+            cms_work = tempfile.mkdtemp(prefix="hss_cms_")
+            cms_q, cms_store = start_cms_stream(spark, sf_dir, work=cms_work)
             results = {}
             for name, q, sink in running:
                 q.awaitTermination()
@@ -819,18 +825,22 @@ def _evt_streaming_results(spark: SparkSession, sf_dir: str) -> dict:
                 if not is_transient_py4j(e):
                     raise
                 await_stream_with_retry(
-                    lambda: start_cms_stream(spark, sf_dir)[0], attempts=2
+                    lambda: start_cms_stream(spark, sf_dir, work=cms_work)[0],
+                    attempts=2,
                 )
             results["evt_cms_streaming"] = _cms_final(spark, cms_store)
-            hll_holder = {}
-
-            def _start_hll():
-                q2, st = start_hll_stream(spark, sf_dir)
-                hll_holder["store"] = st
-                return q2
-
-            await_stream_with_retry(_start_hll)
-            results["evt_hll_streaming"] = _hll_final(spark, hll_holder["store"])
+            hll_work = tempfile.mkdtemp(prefix="hss_hll_")
+            hll_q, hll_store = start_hll_stream(spark, sf_dir, work=hll_work)
+            try:
+                hll_q.awaitTermination()
+            except Exception as e:
+                if not is_transient_py4j(e):
+                    raise
+                await_stream_with_retry(
+                    lambda: start_hll_stream(spark, sf_dir, work=hll_work)[0],
+                    attempts=2,
+                )
+            results["evt_hll_streaming"] = _hll_final(spark, hll_store)
         return results
 
     return _EVT_RESULTS.get_or_create(spark, ("evt_streaming_family", sf_dir), build)
@@ -980,14 +990,24 @@ def _cms_partial(batch: DataFrame) -> DataFrame:
     )
 
 
-def start_cms_stream(spark: SparkSession, sf_dir: str, chunks: int = 2):
+def start_cms_stream(
+    spark: SparkSession, sf_dir: str, chunks: int = 2, work: str | None = None
+):
     """Start (without awaiting) the incremental CMS stream; returns
     (StreamingQuery, ParquetStateStore). The landed ts-ordered events dir
-    is shared with the rest of the evt_* family via _LANDED."""
+    is shared with the rest of the evt_* family via _LANDED.
+
+    `work` pins the checkpoint + state directory: a retry that passes the
+    SAME work dir resumes the original checkpoint exactly-once (the
+    store's replay guard absorbs re-delivered batches). Omitting it mints
+    a fresh run — never do that inside a retry loop, the fresh store
+    would start empty while the caller still reads the original one."""
     from hive_server_spark.streaming.incremental import ParquetStateStore
 
-    stream, work = _events_stream_in_ts_order(spark, sf_dir, chunks)
-    store = ParquetStateStore(os.path.join(work, "state"))
+    stream, fresh_work = _events_stream_in_ts_order(spark, sf_dir, chunks)
+    work = work or fresh_work
+    ckpt = os.path.join(work, "ckpt")
+    store = ParquetStateStore(os.path.join(work, "state"), run_id=ckpt)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         if store.already_applied(batch_id):
@@ -1005,7 +1025,7 @@ def start_cms_stream(spark: SparkSession, sf_dir: str, chunks: int = 2):
 
     q = (
         stream.writeStream.foreachBatch(on_batch)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
@@ -1075,14 +1095,19 @@ def _hll_partial(batch: DataFrame) -> DataFrame:
     )
 
 
-def start_hll_stream(spark: SparkSession, sf_dir: str, chunks: int = 2):
+def start_hll_stream(
+    spark: SparkSession, sf_dir: str, chunks: int = 2, work: str | None = None
+):
     """Start (without awaiting) the incremental HLL-register stream;
     returns (StreamingQuery, ParquetStateStore). Shares the landed
-    ts-ordered events dir with the rest of the evt_* family."""
+    ts-ordered events dir with the rest of the evt_* family. `work` pins
+    the checkpoint + state dir across retries (see start_cms_stream)."""
     from hive_server_spark.streaming.incremental import ParquetStateStore
 
-    stream, work = _events_stream_in_ts_order(spark, sf_dir, chunks)
-    store = ParquetStateStore(os.path.join(work, "hll_state"))
+    stream, fresh_work = _events_stream_in_ts_order(spark, sf_dir, chunks)
+    work = work or fresh_work
+    ckpt = os.path.join(work, "hll_ckpt")
+    store = ParquetStateStore(os.path.join(work, "hll_state"), run_id=ckpt)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         if store.already_applied(batch_id):
@@ -1100,7 +1125,7 @@ def start_hll_stream(spark: SparkSession, sf_dir: str, chunks: int = 2):
 
     q = (
         stream.writeStream.foreachBatch(on_batch)
-        .option("checkpointLocation", os.path.join(work, "hll_ckpt"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )

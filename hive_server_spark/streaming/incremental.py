@@ -119,13 +119,32 @@ class ParquetStateStore:
         O(touched state), at the cost of non-atomic multi-bucket commits.
     Plain versioned parquet keeps this repo dependency-free."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, run_id: str | None = None):
+        """`run_id` (optional) binds this store handle to one streaming
+        checkpoint's identity (callers pass the checkpoint dir). Batch ids
+        are only monotonic WITHIN one checkpoint lineage — a fresh
+        checkpoint restarts them at 0, so replaying a fresh stream onto an
+        already-committed store would silently skip every batch (the
+        `already_applied` guard would read them all as replays). Recording
+        the identity at first commit turns that mismatch into a loud
+        error instead."""
         self.root = root
+        self.run_id = run_id
         os.makedirs(root, exist_ok=True)
 
     @property
     def _ptr(self) -> str:
         return os.path.join(self.root, "LATEST")
+
+    @property
+    def _run_file(self) -> str:
+        return os.path.join(self.root, "RUN_ID")
+
+    def _recorded_run_id(self) -> str | None:
+        if not os.path.exists(self._run_file):
+            return None
+        with open(self._run_file) as fh:
+            return fh.read().strip()
 
     def latest(self, spark: SparkSession) -> DataFrame | None:
         if not os.path.exists(self._ptr):
@@ -180,6 +199,11 @@ class ParquetStateStore:
     def commit(self, df: DataFrame, batch_id: int) -> None:
         version = f"v{batch_id}"
         df.write.mode("overwrite").parquet(os.path.join(self.root, version))
+        if self.run_id is not None and self._recorded_run_id() is None:
+            rtmp = self._run_file + ".tmp"
+            with open(rtmp, "w") as fh:
+                fh.write(self.run_id)
+            os.replace(rtmp, self._run_file)
         tmp = self._ptr + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(version)
@@ -204,9 +228,31 @@ class ParquetStateStore:
         monotonic, so pointer >= batch_id means this batch (and everything
         before it) is in. A torn commit — `v{batch_id}` written, pointer
         not flipped — returns False so the replay re-merges off the old
-        pointer and rewrites the directory (write mode is overwrite)."""
+        pointer and rewrites the directory (write mode is overwrite).
+
+        The pointer-vs-batch-id comparison is only sound within ONE
+        checkpoint lineage: a FRESH checkpoint restarts batch ids at 0, so
+        a committed store fed by a new stream would read every batch as a
+        replay and silently return stale state. When both this handle and
+        the store on disk carry a run id (see __init__) and they disagree
+        while the pointer is ahead, raise instead of skipping."""
         last = self.committed_version()
-        return last is not None and last >= batch_id
+        if last is None or last < batch_id:
+            return False
+        recorded = self._recorded_run_id()
+        if (
+            self.run_id is not None
+            and recorded is not None
+            and recorded != self.run_id
+        ):
+            raise RuntimeError(
+                f"state store {self.root} is at v{last} (>= batch {batch_id}) "
+                f"but was committed under a different streaming checkpoint "
+                f"({recorded!r} != {self.run_id!r}); a fresh checkpoint over "
+                "existing state would silently skip every batch — use a new "
+                "state_dir or resume the original checkpoint"
+            )
+        return True
 
 
 def make_fold_on_batch(store: ParquetStateStore, retain_versions: int | None = None):
@@ -253,15 +299,20 @@ def is_transient_py4j(exc: BaseException) -> bool:
 def await_stream_with_retry(start_query, attempts: int = 3, backoff_s: float = 2.0):
     """Start + await an availableNow stream via `start_query()` (a thunk
     returning a started StreamingQuery), retrying on the transient py4j
-    callback-channel failure documented above. Each retry re-starts from
-    the SAME checkpoint, so progress is kept and replays are absorbed by
-    the store's replay guard."""
+    callback-channel failure documented above. Starting the stream is
+    itself a py4j round-trip, so the start call sits INSIDE the retry.
+
+    Exactly-once across retries holds only if the thunk re-uses the SAME
+    checkpoint (and state) directory on every call — writer.start-style
+    thunks and the work=-pinned sketch starters do; a thunk that mints a
+    fresh checkpoint per call would recompute from scratch and must not
+    be passed here."""
     import time as _time
 
     last: BaseException | None = None
     for _ in range(attempts):
-        q = start_query()
         try:
+            q = start_query()
             q.awaitTermination()
             return
         except Exception as e:
@@ -288,7 +339,7 @@ def run_incremental_fold(
     commit (keep the newest N snapshots) — the long-running-stream setting;
     the default None keeps full history for time travel.
     """
-    store = ParquetStateStore(state_dir)
+    store = ParquetStateStore(state_dir, run_id=checkpoint_dir)
     on_batch = make_fold_on_batch(store, retain_versions=retain_versions)
     writer = (
         events_stream.writeStream.foreachBatch(on_batch)

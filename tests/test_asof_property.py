@@ -203,3 +203,31 @@ def test_grouped_topk_property_random(spark):
         for g, exp in expected.items():
             assert [(s, u) for s, u, _ in by_g[g]] == exp, (trial, g)
             assert [rk for _, _, rk in by_g[g]] == list(range(1, len(exp) + 1))
+
+
+def test_asof_join_nearest_rejects_non_integral_order(spark):
+    """Contract check (ADVICE r07): the nearest-join's distance arithmetic
+    runs in long, so a timestamp/date order column must fail with the
+    documented TypeError up front, not a deep analysis error or silent
+    wrong arithmetic."""
+    import pytest
+
+    from hive_server_spark.operators.asof import asof_join_nearest
+
+    left = _mk(spark, [("k0", 1, "L0")], ["pool_address", "seq", "tag"]).select(
+        "pool_address", F.timestamp_seconds("seq").alias("seq"), "tag"
+    )
+    right = _mk(spark, [("k0", 1, 5.0)], ["pool_address", "seq", "price"])
+    with pytest.raises(TypeError, match="integral order column"):
+        asof_join_nearest(
+            left, right, key="pool_address", order="seq", value_cols=["price"]
+        )
+    # and the mirror: integral left, timestamp right
+    left_ok = _mk(spark, [("k0", 1, "L0")], ["pool_address", "seq", "tag"])
+    right_ts = right.select(
+        "pool_address", F.timestamp_seconds("seq").alias("seq"), "price"
+    )
+    with pytest.raises(TypeError, match="integral order column"):
+        asof_join_nearest(
+            left_ok, right_ts, key="pool_address", order="seq", value_cols=["price"]
+        )

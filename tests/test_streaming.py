@@ -432,3 +432,39 @@ def test_hll_stream_equals_batch_registers(spark, chunks):
         F.col("reg").cast("bigint"),
     )
     assert _rows(streamed) == _rows(batch)
+
+
+def test_state_store_run_id_guard(spark):
+    """ADVICE r07: batch ids are monotonic only within ONE checkpoint
+    lineage. A store committed under checkpoint A and then driven by a
+    FRESH checkpoint B (batch ids restart at 0) must raise from
+    already_applied — silently treating every batch as a replay would
+    return stale state as the result. Unbound handles (no run_id) keep
+    the legacy within-lineage behavior."""
+    import tempfile
+
+    from hive_server_spark.streaming.incremental import ParquetStateStore
+
+    root = tempfile.mkdtemp(prefix="hss_runid_")
+    df = spark.range(3)
+
+    s1 = ParquetStateStore(root, run_id="/ckpt/run-A")
+    assert not s1.already_applied(0)
+    s1.commit(df, 0)
+    assert s1.already_applied(0)  # same lineage: normal replay detection
+    assert not s1.already_applied(1)
+
+    # resume of the SAME checkpoint via a new handle: still fine
+    s1b = ParquetStateStore(root, run_id="/ckpt/run-A")
+    assert s1b.already_applied(0)
+
+    # same state dir under a DIFFERENT checkpoint, batch ids restarting
+    s2 = ParquetStateStore(root, run_id="/ckpt/run-B")
+    with pytest.raises(RuntimeError, match="different streaming checkpoint"):
+        s2.already_applied(0)
+    # a batch id AHEAD of the pointer is new work either way
+    assert not s2.already_applied(5)
+
+    # unbound handle: legacy behavior (no identity to compare)
+    s3 = ParquetStateStore(root)
+    assert s3.already_applied(0)
