@@ -1038,110 +1038,87 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 )
 
 # ---------------------------------------------------------------------------
-# Driver-visible ordering (round-7 rotation)
+# Driver-visible ordering (round-8 rotation)
 # ---------------------------------------------------------------------------
-# The correctness driver hash-checks the FIRST 50 queries per round. After
-# round 6 every one of the 141 registered queries has a driver-green row
-# (CORRECTNESS_r01-r06 aggregate, 0 red at latest check). Round 7 grew the
-# registry 141 -> 175, and every NEW name must sit in the window (no prior
-# green row — tests/test_rotation.py enforces), so the window is: (a) the
-# 35 round-7 registrations, (b) the 4 queries whose implementation changed
-# this round (the de-broadcast survivor-set joins, VERDICT r06 item 1,
-# oracles unchanged; the JPEG profile, which gains the 4:2:0 variant),
-# (c) the 11 oldest r04-green names that still fit. The rest of the
-# r04-green rotation planned by the round-6 note is DEFERRED to round 8 —
-# displaced by the new registrations; all of them keep their green rows
-# and stay re-proven by tests/test_gate_parity.py (ALL oracle-backed
-# queries vs DuckDB on every pytest).
-# ROUND-8 ROTATION NOTE: after this window goes green, staleness order is
-# (1) any round-8 registrations / modified queries, (2) the r04-green
-# names displaced this round (the commented-out tail below: evt_sessions,
-# evt_trailing_hour_value, scale_salted_cohort_rollup,
-# range_price_activity, price_hourly_gapfill, and the 25 rel_* names),
-# (3) the 49 r05-green names (rel_scalar_functions onward in registration
-# order), (4) the r06-green block by registration order.
+# The correctness driver hash-checks the FIRST 50 queries per round. This
+# window executes the rotation plan written in round 7 (and echoed by
+# VERDICT r07 item 1) exactly: (a) the 3 round-8 registrations (the BPE
+# train/encode pair and the streaming CUSUM twin), (b) the 6 queries whose
+# implementation changed this round (deletion-vector file_id now integer
+# DIV; the CMS/HLL sketch streams now retry on a pinned checkpoint+state
+# dir and their stores are run-id-bound, as is the orders fold behind
+# orders_state_streaming; evt_cusum_drift refactored through the shared
+# cusum_from_hourly; asof_nearest_price's operator gained the
+# integral-order contract), (c) ALL 33 r04-green names displaced by the
+# round-7 registrations — this clears the three-round-deep freshness
+# backlog — and (d) the 8 oldest r05-green names by registration order.
+# ROUND-9 ROTATION NOTE: after this window goes green the staleness order
+# is (1) any round-9 registrations / modified queries, (2) the remaining
+# 41 r05-green names (emb_cosine_topk onward in registration order),
+# (3) the 46 r06-green names by registration order, (4) r07-green.
 from hive_server_spark.registry import set_driver_priority  # noqa: E402
 
-DRIVER_PRIORITY_R7 = [
-    # -- (a) round-7 registrations ------------------------------------------
-    "text_vocab_census",
-    "text_winnow_fingerprints",
-    "multimodal_image_entropy",
-    "emb_truncated_recall",
-    "asof_nearest_price",
-    "text_heaps_law",
-    "order_book_vwap",
-    "orders_scd2_versions",
-    "text_source_kl",
-    "multimodal_jpeg_progressive_profile",
-    "emb_pq_codes",
-    "emb_pq_adc_topk",
-    "text_bpe_merge_step",
-    "layout_compaction_plan",
-    "evt_cms_heavy_hitters",
-    "evt_hll_cardinality",
-    "evt_cms_streaming",
-    "emb_ivfpq_topk",
-    "evt_hll_streaming",
-    "layout_zonemap_skipping",
-    "evt_bloom_prune_join",
-    "text_gopher_rules",
-    "emb_hard_negatives",
-    "trade_tick_flow",
-    "text_tfidf_terms",
-    "emb_ivf_recall_curve",
-    "emb_bitext_mining",
-    "text_dsir_weights",
-    "rag_hybrid_rrf",
-    "emb_mmr_diverse_topk",
+DRIVER_PRIORITY_R8 = [
+    # -- (a) round-8 registrations ------------------------------------------
+    "text_bpe_train",
+    "text_bpe_encode",
+    "evt_cusum_streaming",
+    # -- (b) round-8-modified queries ---------------------------------------
     "layout_deletion_vectors",
-    "trade_price_ewma",
-    "evt_markov_transitions",
-    "udtf_char_ngram_census",
-    "emb_semantic_decontaminate",
-    "text_quota_sample",
+    "evt_cms_streaming",
+    "evt_hll_streaming",
     "evt_cusum_drift",
-    # -- round-7-modified queries: the de-broadcast survivor-set joins
-    #    plus the JPEG profile (gains the 4:2:0 subsampled variant) --------
-    "text_line_dedup",
-    "text_dup_spans",
-    "text_bigram_nll",
-    "multimodal_jpeg_profile",
-    # -- (b) the 42 r04-green names rotated out in round 6 ------------------
-    "user_orders_t1",
-    "trader_order_counts",
-    "pools_summary",
-    "pool_info_enriched",
-    "order_book_levels",
-    "order_book_fifo_queues",
-    "order_book_snapshot",
-    "amount_out_buy",
-    "amount_out_sell",
-    # amount_out_prices / amount_out_capped / asof_trade_price /
-    # range_price_activity /
-    # price_hourly_gapfill /
-    # evt_sessions / evt_trailing_hour_value / scale_salted_cohort_rollup /
-    # rel_pricing_summary / rel_revenue_by_nation / rel_cheapest_line_per_part /
-    # rel_conditional_distinct /
-    # rel_cube_status_priority / rel_disjunctive_bands /
-    # rel_distinct_suppliers_per_nation / rel_full_outer_nation_activity /
-    # rel_grouping_sets / rel_exact_percentiles /
-    # rel_nation_trade_flows / rel_nations_except / rel_nations_intersect /
-    # rel_order_priority_exists /
-    # rel_orders_above_cust_avg /
-    # rel_parts_never_ordered /
-    # rel_promo_revenue_ratio / rel_rich_idle_customers / rel_rollup_revenue /
-    # rel_top_revenue_orders / rel_union_all_parties /
-    # rel_window_analytics / rel_window_order_gaps /
-    # rel_window_running_total / rel_window_top_customers displaced to keep
-    # the window at 50 (all r04-green, re-proven by test_gate_parity.py on
-    # every pytest; front of the r8 staleness order)
+    "asof_nearest_price",
+    "orders_state_streaming",
+    # -- (c) the 33 r04-green names: the deferred rotation backlog ----------
+    "amount_out_capped",
+    "amount_out_prices",
+    "asof_trade_price",
+    "evt_sessions",
+    "evt_trailing_hour_value",
+    "price_hourly_gapfill",
+    "range_price_activity",
+    "scale_salted_cohort_rollup",
+    "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "rel_cheapest_line_per_part",
+    "rel_conditional_distinct",
+    "rel_cube_status_priority",
+    "rel_disjunctive_bands",
+    "rel_distinct_suppliers_per_nation",
+    "rel_exact_percentiles",
+    "rel_full_outer_nation_activity",
+    "rel_grouping_sets",
+    "rel_nation_trade_flows",
+    "rel_nations_except",
+    "rel_nations_intersect",
+    "rel_order_priority_exists",
+    "rel_orders_above_cust_avg",
+    "rel_parts_never_ordered",
+    "rel_promo_revenue_ratio",
+    "rel_rich_idle_customers",
+    "rel_rollup_revenue",
+    "rel_top_revenue_orders",
+    "rel_union_all_parties",
+    "rel_window_analytics",
+    "rel_window_order_gaps",
+    "rel_window_running_total",
+    "rel_window_top_customers",
+    # -- (d) the 8 oldest r05-green names by registration order -------------
+    "rel_scalar_functions",
+    "rel_datetime_functions",
+    "rel_array_functions",
+    "rel_string_functions",
+    "rel_null_handling",
+    "rel_unpivot_measures",
+    "rel_bitwise_functions",
+    "rel_lateral_top_orders",
 ]
-assert len(DRIVER_PRIORITY_R7) == 50, len(DRIVER_PRIORITY_R7)
+assert len(DRIVER_PRIORITY_R8) == 50, len(DRIVER_PRIORITY_R8)
 # A typo'd or renamed name would silently shrink the checked window
 # (registry._ordered drops unknown names); fail loudly instead.
 from hive_server_spark.registry import _SPARK_QUERIES as _REG  # noqa: E402
 
-_missing = [n for n in DRIVER_PRIORITY_R7 if n not in _REG]
-assert not _missing, f"DRIVER_PRIORITY_R7 names not registered: {_missing}"
-set_driver_priority(DRIVER_PRIORITY_R7)
+_missing = [n for n in DRIVER_PRIORITY_R8 if n not in _REG]
+assert not _missing, f"DRIVER_PRIORITY_R8 names not registered: {_missing}"
+set_driver_priority(DRIVER_PRIORITY_R8)

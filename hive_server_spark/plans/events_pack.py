@@ -948,15 +948,11 @@ FROM folded
 """
 
 
-@register("evt_cusum_drift", _CUSUM_ORACLE)
-def evt_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-sided CUSUM drift maxima over the last 512 hourly rate buckets
-    per event type (see block comment; bounded in-order fold)."""
-    hourly = (
-        _events(spark, sf_dir)
-        .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
-        .agg(F.count("*").cast("double").alias("cnt"))
-    )
+def cusum_from_hourly(hourly: DataFrame) -> DataFrame:
+    """The read-side CUSUM statistic over an hourly (event_type, bucket,
+    cnt) rate table — shared by the batch query below and the streaming
+    twin (plans/streaming_pack.py::evt_cusum_streaming), which maintains
+    the hourly table incrementally and must land on the same fold."""
     w = Window.partitionBy("event_type").orderBy(F.desc("bucket"))
     recent = hourly.withColumn("rn_desc", F.row_number().over(w)).where(
         F.col("rn_desc") <= _CUSUM_HOURS
@@ -976,3 +972,15 @@ def evt_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"element_at({_cusum_fold('s')}, 2)").alias("max_cusum_up"),
         F.expr(f"element_at({_cusum_fold('s')}, 4)").alias("max_cusum_dn"),
     )
+
+
+@register("evt_cusum_drift", _CUSUM_ORACLE)
+def evt_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift maxima over the last 512 hourly rate buckets
+    per event type (see block comment; bounded in-order fold)."""
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count("*").cast("double").alias("cnt"))
+    )
+    return cusum_from_hourly(hourly)

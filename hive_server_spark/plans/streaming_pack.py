@@ -841,6 +841,20 @@ def _evt_streaming_results(spark: SparkSession, sf_dir: str) -> dict:
                     attempts=2,
                 )
             results["evt_hll_streaming"] = _hll_final(spark, hll_store)
+            cusum_work = tempfile.mkdtemp(prefix="hss_cusum_")
+            cusum_q, cusum_store = start_cusum_stream(
+                spark, sf_dir, work=cusum_work
+            )
+            try:
+                cusum_q.awaitTermination()
+            except Exception as e:
+                if not is_transient_py4j(e):
+                    raise
+                await_stream_with_retry(
+                    lambda: start_cusum_stream(spark, sf_dir, work=cusum_work)[0],
+                    attempts=2,
+                )
+            results["evt_cusum_streaming"] = _cusum_final(spark, cusum_store)
         return results
 
     return _EVT_RESULTS.get_or_create(spark, ("evt_streaming_family", sf_dir), build)
@@ -1148,3 +1162,84 @@ def evt_hll_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAX-semilattice merge, bounded state, idempotent under replay. Runs
     concurrently with the rest of the evt_* family."""
     return _evt_streaming_results(spark, sf_dir)["evt_hll_streaming"]
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM drift monitor (round 8, VERDICT r07 item 7): the
+# operational twin of the batch evt_cusum_drift — drift detection is a
+# continuously-running job in practice, not a nightly batch. Split of
+# labor: the UNBOUNDED part (per-(type, hour) event counts) is maintained
+# incrementally — per micro-batch one map-side-combined hash agg, merged
+# into the versioned state store by cell-wise SUM (a monoid: micro-batch
+# boundaries can never change the hourly table, re-delivered batches are
+# absorbed by the replay guard). The BOUNDED part (the two-sided CUSUM
+# fold over the last 512 hourly rates per type) runs at read time on the
+# final state via the SAME cusum_from_hourly the batch query uses — so
+# the oracle is the batch oracle, verbatim. State is time-bounded
+# (types × hours), never event-bounded; at 100 TB/day the store holds
+# ~24 new cells per type per day.
+# ---------------------------------------------------------------------------
+from hive_server_spark.plans.events_pack import (  # noqa: E402
+    _CUSUM_ORACLE,
+    cusum_from_hourly,
+)
+
+
+def _cusum_partial(batch: DataFrame) -> DataFrame:
+    return batch.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+
+
+def start_cusum_stream(
+    spark: SparkSession, sf_dir: str, chunks: int = 2, work: str | None = None
+):
+    """Start (without awaiting) the incremental hourly-rate stream behind
+    the CUSUM monitor; returns (StreamingQuery, ParquetStateStore).
+    `work` pins the checkpoint + state dir across retries (see
+    start_cms_stream)."""
+    from hive_server_spark.streaming.incremental import ParquetStateStore
+
+    stream, fresh_work = _events_stream_in_ts_order(spark, sf_dir, chunks)
+    work = work or fresh_work
+    ckpt = os.path.join(work, "cusum_ckpt")
+    store = ParquetStateStore(os.path.join(work, "cusum_state"), run_id=ckpt)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if store.already_applied(batch_id):
+            return
+        part = _cusum_partial(batch_df)
+        cur = store.latest(batch_df.sparkSession)
+        merged = (
+            part
+            if cur is None
+            else cur.unionByName(part)
+            .groupBy("event_type", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        store.commit(merged, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, store
+
+
+def _cusum_final(spark: SparkSession, store) -> DataFrame:
+    hourly = store.latest(spark).select(
+        "event_type", "bucket", F.col("cnt").cast("double").alias("cnt")
+    )
+    return cusum_from_hourly(hourly)
+
+
+@register("evt_cusum_streaming", _CUSUM_ORACLE)
+def evt_cusum_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain the hourly rate table incrementally over the landed event
+    stream and compute the two-sided CUSUM drift maxima from the final
+    state — must equal the batch evt_cusum_drift exactly (see block
+    comment; SUM-monoid state, bounded read-side fold, exactly-once under
+    replay). Runs in the evt_* family wave."""
+    return _evt_streaming_results(spark, sf_dir)["evt_cusum_streaming"]

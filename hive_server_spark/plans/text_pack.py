@@ -3753,3 +3753,271 @@ def text_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_sampled"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer TRAINING loop (round 8, VERDICT r07 item 6): the full
+# bounded-K merge-learning loop a tokenizer trainer runs, built from the
+# text_bpe_merge_step primitive. Distributed-BPE shape (Sennrich et al.
+# 2016 + the trick every large-scale trainer uses): the corpus-sized work
+# is ONE pass collapsing documents into the pretoken frequency table;
+# every merge iteration then runs over the DISTINCT-pretoken vocab only
+# (Σ symbols per vocab entry, independent of corpus size). Per iteration:
+# pair counts = one map-side-combined hash agg over a ≤|sym-vocab|² key
+# space, the winner is a bounded TakeOrderedAndProject (k=1), and the
+# merge is applied with a pure string replace — SQL replace() scans left
+# to right and continues AFTER the substituted text, which is exactly
+# BPE's greedy non-overlapping merge application. Symbol sequences are
+# space-joined; GPT-2's own whitespace remap (space->Ġ, \n->Ċ, \t->ĉ,
+# \r->č) keeps the separator unambiguous. Bounded-iteration discipline
+# (the MMR pattern): the vocab table and each 1-row winner are
+# localCheckpoint-ed per step, so plans stay flat instead of growing a
+# 2^K lineage; at 100 TB the checkpointed table is vocab-sized (the
+# object a real trainer holds in memory anyway), never corpus-sized.
+# Total tie-break (pair_count DESC, sym_a ASC, sym_b ASC) in both
+# engines; counts are exact integers, so parity is exact.
+# ---------------------------------------------------------------------------
+_BPE_TRAIN_STEPS = 10
+
+
+def _bpe_ws_map(col: str) -> str:
+    """GPT-2-style whitespace remap so ' ' can separate symbols; the
+    spelling is identical in both dialects."""
+    return (
+        "replace(replace(replace(replace({c}, ' ', 'Ġ'), chr(10), 'Ċ'), "
+        "chr(9), 'ĉ'), chr(13), 'č')"
+    ).format(c=col)
+
+
+def _bpe_sym_init(col: str, d: str) -> str:
+    """Initial symbol sequence: one space-separated character per symbol
+    ('.' matches one codepoint in both regex engines; DuckDB needs the
+    explicit 'g' flag Spark applies by default)."""
+    if d == "s":
+        return f"trim(regexp_replace({_bpe_ws_map(col)}, '(.)', '$1 '))"
+    return f"trim(regexp_replace({_bpe_ws_map(col)}, '(.)', '\\1 ', 'g'))"
+
+
+def _bpe_apply_merge(seq: str, a: str, b: str) -> str:
+    """Apply one learned merge to a space-joined symbol sequence."""
+    return (
+        f"trim(replace(' ' || {seq} || ' ', "
+        f"' ' || {a} || ' ' || {b} || ' ', "
+        f"' ' || {a} || {b} || ' '))"
+    )
+
+
+def _bpe_chain_ctes(steps: int) -> list[str]:
+    """DuckDB CTE chain: vocab v0, then per step k the pair counts p{k},
+    the 1-row winner m{k}, and the merged vocab v{k} — the longhand
+    unrolling of the training loop (the mmr_oracle chained-CTE pattern).
+
+    AS MATERIALIZED is load-bearing: each v{k} is referenced twice
+    (p{k+1} and v{k+1}), so inlined CTEs re-evaluate the whole prefix at
+    every reference — 2^K blowup (measured: 36 s for K=10 at sf0.01
+    inlined, <1 s materialized)."""
+    parts = [
+        f"tok AS (SELECT unnest({T.bpe_tokens_expr('text', 'd')}) AS token "
+        "FROM documents)",
+        "w AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token)",
+        "v0 AS MATERIALIZED (SELECT token, "
+        f"{_bpe_sym_init('token', 'd')} AS symseq, cnt FROM w)",
+    ]
+    for k in range(1, steps + 1):
+        parts.append(
+            f"p{k} AS (SELECT ls[CAST(i AS INT)] AS sym_a, "
+            "ls[CAST(i AS INT) + 1] AS sym_b, "
+            "CAST(SUM(cnt) AS BIGINT) AS pair_count "
+            "FROM (SELECT cnt, string_split(symseq, ' ') AS ls, "
+            "unnest(range(1, len(string_split(symseq, ' ')))) AS i "
+            f"FROM v{k - 1}) GROUP BY sym_a, sym_b)"
+        )
+        parts.append(
+            f"m{k} AS MATERIALIZED (SELECT CAST({k} AS BIGINT) AS step, "
+            f"sym_a, sym_b, pair_count FROM p{k} "
+            "ORDER BY pair_count DESC, sym_a ASC, sym_b ASC LIMIT 1)"
+        )
+        parts.append(
+            f"v{k} AS MATERIALIZED (SELECT token, "
+            f"{_bpe_apply_merge('symseq', 'm.sym_a', 'm.sym_b')} AS symseq, "
+            f"cnt FROM v{k - 1}, m{k} m)"
+        )
+    return parts
+
+
+_BPE_TRAIN_CACHE: SessionCache[tuple] = SessionCache()
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str, steps: int = _BPE_TRAIN_STEPS):
+    """Run the K-merge training loop once per (session, sf_dir); returns
+    (merge table DF, final vocab DF with token/symseq/cnt).
+
+    The 1-row argmax IS collected to the driver each step — deliberately:
+    the learned merge rule is bounded trainer METADATA (K × 3 strings),
+    exactly the object a real distributed-BPE trainer holds and
+    broadcasts every round; corpus- and vocab-sized data never leaves
+    executors. Driver-held literals keep each applied merge a PURE
+    PROJECTION (no per-step join), so lineage grows linearly in K — one
+    localCheckpoint of the initial vocab suffices; per-step checkpoints
+    would only add K materialization jobs (the MMR 2^K hazard needs a
+    plan that references earlier PICKS, which literals avoid). Shuffle
+    partitions are pinned for the loop (vocab-sized aggregates; on a
+    real cluster size this to the live vocab)."""
+
+    def build() -> tuple:
+        from hive_server_spark.session import scoped_shuffle_partitions
+
+        with scoped_shuffle_partitions(spark, 8):
+            vocab = (
+                _docs(spark, sf_dir)
+                .select(
+                    F.explode(F.expr(T.bpe_tokens_expr("text", "s"))).alias("token")
+                )
+                .groupBy("token")
+                .agg(F.count("*").alias("cnt"))
+                .select(
+                    "token", F.expr(_bpe_sym_init("token", "s")).alias("symseq"), "cnt"
+                )
+                .localCheckpoint()
+            )
+            rows = []
+            sep = F.lit(" ")
+            for k in range(1, steps + 1):
+                # size >= 2 filter is load-bearing on the Spark side:
+                # sequence(1, 0) DESCENDS ([1, 0]) instead of being empty
+                pairs = (
+                    vocab.select("cnt", F.split("symseq", " ").alias("ls"))
+                    .where(F.size("ls") >= 2)
+                    .select(
+                        "cnt",
+                        "ls",
+                        F.explode(F.expr("sequence(1, size(ls) - 1)")).alias("i"),
+                    )
+                    .select(
+                        F.expr("element_at(ls, i)").alias("sym_a"),
+                        F.expr("element_at(ls, i + 1)").alias("sym_b"),
+                        "cnt",
+                    )
+                    .groupBy("sym_a", "sym_b")
+                    .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
+                )
+                top = (
+                    pairs.orderBy(
+                        F.desc("pair_count"), F.asc("sym_a"), F.asc("sym_b")
+                    )
+                    .limit(1)
+                    .collect()
+                )
+                if not top:  # degenerate corpus: nothing left to merge
+                    break
+                a, b, cnt = top[0]["sym_a"], top[0]["sym_b"], top[0]["pair_count"]
+                rows.append((k, a, b, cnt))
+                # column-function replace (not an F.expr string): symbols
+                # may contain quotes/regex metachars; literals need no
+                # escaping here
+                vocab = vocab.select(
+                    "token",
+                    F.trim(
+                        F.replace(
+                            F.concat(sep, F.col("symseq"), sep),
+                            F.concat(sep, F.lit(a), sep, F.lit(b), sep),
+                            F.concat(sep, F.lit(a + b), sep),
+                        )
+                    ).alias("symseq"),
+                    "cnt",
+                )
+        merges = spark.createDataFrame(
+            rows, "step long, sym_a string, sym_b string, pair_count long"
+        )
+        return merges, vocab
+
+    return _BPE_TRAIN_CACHE.get_or_create(spark, ("bpe_train", sf_dir), build)
+
+
+_BPE_TRAIN_ORACLE = (
+    "WITH "
+    + ",\n".join(_bpe_chain_ctes(_BPE_TRAIN_STEPS))
+    + "\n"
+    + " UNION ALL ".join(
+        f"SELECT step, sym_a, sym_b, pair_count FROM m{k}"
+        for k in range(1, _BPE_TRAIN_STEPS + 1)
+    )
+)
+
+
+@register("text_bpe_train", _BPE_TRAIN_ORACLE)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned K-step BPE merge table (step, sym_a, sym_b,
+    pair_count) — the artifact a tokenizer trainer emits (see block
+    comment for the distributed shape and the bounded-iteration
+    discipline)."""
+    merges, _vocab = _bpe_train(spark, sf_dir)
+    return merges
+
+
+# ---------------------------------------------------------------------------
+# BPE corpus ENCODE (round 8): apply the trained merge table back to the
+# corpus — the tokenization pass every training-data pipeline runs last.
+# Same vocab trick in reverse: merges are applied once per DISTINCT
+# pretoken (the final training vocab already holds the merged symbol
+# sequences), and the corpus-sized side only needs per-(source, token)
+# counts — a hash agg — joined vocab-to-vocab on token (AQE elects
+# broadcast when the vocab is small; plain shuffle equi-join otherwise,
+# hint-free). Reports per source: pretoken count, post-merge BPE token
+# count, and micro-rounded symbols-per-pretoken — the compression a K-merge
+# tokenizer actually achieves on each slice.
+# ---------------------------------------------------------------------------
+_BPE_ENCODE_ORACLE = (
+    "WITH "
+    + ",\n".join(_bpe_chain_ctes(_BPE_TRAIN_STEPS))
+    + f""",
+enc AS (SELECT token,
+               CAST(len(string_split(symseq, ' ')) AS BIGINT) AS n_syms
+        FROM v{_BPE_TRAIN_STEPS}),
+stok AS (SELECT source, unnest({T.bpe_tokens_expr('text', 'd')}) AS token
+         FROM documents),
+sw AS (SELECT source, token, COUNT(*) AS cnt FROM stok GROUP BY source, token)
+SELECT sw.source,
+       CAST(SUM(sw.cnt) AS BIGINT) AS n_pretokens,
+       CAST(SUM(sw.cnt * e.n_syms) AS BIGINT) AS n_bpe_tokens,
+       CAST(round(1000000.0 * SUM(sw.cnt * e.n_syms) / SUM(sw.cnt)) AS BIGINT)
+         AS syms_per_pretoken_micro
+FROM sw JOIN enc e ON sw.token = e.token
+GROUP BY sw.source
+"""
+)
+
+
+@register("text_bpe_encode", _BPE_ENCODE_ORACLE)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenization census under the trained K-merge BPE:
+    pretokens, post-merge tokens, micro-rounded symbols-per-pretoken (see
+    block comment for the vocab-join shape)."""
+    _merges, vocab = _bpe_train(spark, sf_dir)
+    enc = vocab.select(
+        "token", F.size(F.split("symseq", " ")).cast("bigint").alias("n_syms")
+    )
+    sw = (
+        _docs(spark, sf_dir)
+        .select(
+            "source",
+            F.explode(F.expr(T.bpe_tokens_expr("text", "s"))).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        sw.join(enc, "token")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_pretokens"),
+            F.sum(F.col("cnt") * F.col("n_syms")).cast("bigint").alias("n_bpe_tokens"),
+            F.round(
+                1000000.0
+                * F.sum(F.col("cnt") * F.col("n_syms"))
+                / F.sum("cnt")
+            )
+            .cast("bigint")
+            .alias("syms_per_pretoken_micro"),
+        )
+    )

@@ -169,12 +169,23 @@ DEFAULT_QUERIES = [
     "emb_semantic_decontaminate",
     "text_quota_sample",
     "evt_cusum_drift",
-    # excluded: emb_mmr_diverse_topk (k fixed selection steps over
-    # localCheckpointed ≤625-row sets — its cost is per-step job overhead,
-    # constant in corpus size; the corpus-touching pool build is
-    # emb_cosine_topk, probed above) and udtf_char_ngram_census (a
-    # deliberate Python-slow-path API showcase on a corpus slice; the
-    # declarative twin IS the production plan — see SCALE.md §5).
+    # round-8 batch (VERDICT r07 item 5): MMR measured rather than
+    # excluded — its ratio should be ~1x by design (k fixed selection
+    # steps over localCheckpointed ≤625-row sets; only the pool-build
+    # scan is corpus-linear), and the probe row PROVES the
+    # bounded-iteration claim instead of asserting it. The BPE pair are
+    # round-8 registrations: train = one linear vocab-build pass + K
+    # vocab-sized iterations (corpus-size-independent after the first
+    # agg); encode = per-(source, token) agg + vocab-to-vocab join.
+    "emb_mmr_diverse_topk",
+    "text_bpe_train",
+    "text_bpe_encode",
+    # excluded: udtf_char_ngram_census (a deliberate Python-slow-path API
+    # showcase on a corpus slice; the declarative twin IS the production
+    # plan — see SCALE.md §5); evt_cusum_streaming (availableNow harness
+    # replays the replicated log through fixed-cost micro-batch landings,
+    # like evt_cms_streaming/evt_hll_streaming below — the maintained
+    # hourly-agg math is evt_cusum_drift, probed above).
 ]
 
 # --mult 100 list (VERDICT r05 item 4): the cheap-per-row families where a
@@ -227,18 +238,33 @@ HUNDREDX_QUERIES = [
     # round-7 fourth batch. The sketches are the 100x headline: CMS/HLL
     # grids are bounded by construction, so 100x data is pure linear scan
     # + map-side combine into a fixed-size state. Bloom prune and the
-    # zone-map audit are events-table linear shapes. emb_ivfpq_topk is
-    # kept at 10x: the 100x embedding linear scan is already covered by
-    # emb_int8_quantization, and the PQ LUT/codebook sides are bounded by
-    # shape (32 entries), so only raw assignment arithmetic would be timed.
-    # evt_cms_streaming / evt_hll_streaming are excluded like
-    # cdc_book_snapshots: the availableNow harness replays the 100x log
-    # through fixed-cost micro-batch landings; the sketch math itself is
-    # covered by the batch rows below.
+    # zone-map audit are events-table linear shapes.
+    # evt_cms_streaming / evt_hll_streaming / evt_cusum_streaming are
+    # excluded like cdc_book_snapshots: the availableNow harness replays
+    # the 100x log through fixed-cost micro-batch landings; the sketch /
+    # hourly-agg math itself is covered by the batch rows below.
     "evt_cms_heavy_hitters",
     "evt_hll_cardinality",
     "evt_bloom_prune_join",
     "layout_zonemap_skipping",
+    # round-8 (VERDICT r07 item 5): the composed IVF-PQ read path at 100x
+    # for real — candidate restriction lands BEFORE the decode explode, so
+    # the ratio should track a linear scan shrunk by nprobe/nlist plus the
+    # bounded LUT/codebook broadcasts. emb_bitext_mining stays at 10x BY
+    # CONTRACT: with the gate's FIXED 4-plane grid, candidate pairs grow
+    # ~n_src*n_tgt/2^planes (~quadratic/16) — at 100x that measures the
+    # documented plane-count knob (raise planes with corpus size to hold
+    # bucket occupancy constant, the SCALE.md bitext note), not the
+    # engine; the 10x row + note is the honest characterization.
+    # emb_mmr_diverse_topk stays at 10x: its post-pool cost is
+    # corpus-size-independent by construction (measured ~flat at 10x), so
+    # a 100x run would re-time the same constant step overhead.
+    # text_bpe_encode is the corpus-touching half of the BPE pair (the
+    # per-(source, token) agg + vocab join); text_bpe_train stays at 10x —
+    # after its first linear vocab-build agg the K iterations are
+    # vocab-sized, so 100x would re-time one agg plus constants.
+    "emb_ivfpq_topk",
+    "text_bpe_encode",
     # round-7 fifth batch, the corpus-scaling members: map-only Gopher
     # rules, the two explode+join text shapes, and the per-pool window
     # rollup. The emb_* members and RRF stay at 10x: embeddings at 100x is

@@ -434,6 +434,24 @@ def test_hll_stream_equals_batch_registers(spark, chunks):
     assert _rows(streamed) == _rows(batch)
 
 
+@pytest.mark.parametrize("chunks", [1, 3])
+def test_cusum_stream_equals_batch_drift(spark, chunks):
+    """The streaming CUSUM monitor must equal the batch evt_cusum_drift
+    under any micro-batch chunking — the maintained hourly table is a
+    SUM monoid, and the read-side fold is the shared cusum_from_hourly."""
+    from hive_server_spark.plans.events_pack import evt_cusum_drift
+    from hive_server_spark.plans.streaming_pack import (
+        _cusum_final,
+        start_cusum_stream,
+    )
+
+    q, store = start_cusum_stream(spark, SF_SMALL, chunks=chunks)
+    q.awaitTermination()
+    streamed = _cusum_final(spark, store)
+    batch = evt_cusum_drift(spark, SF_SMALL)
+    assert _rows(streamed) == _rows(batch)
+
+
 def test_state_store_run_id_guard(spark):
     """ADVICE r07: batch ids are monotonic only within ONE checkpoint
     lineage. A store committed under checkpoint A and then driven by a

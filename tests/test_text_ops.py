@@ -1057,3 +1057,81 @@ def test_quota_sample_hamilton_recompute(spark):
             quota[s], checksum[s],
         ), s
     assert sum(r.n_sampled for r in got.values()) == _QUOTA_N
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """The full K-merge training loop vs an independent pure-python BPE
+    trainer over the same corpus: same pretokenizer regex, pretoken
+    frequency weighting, every-adjacent-position pair counting, greedy
+    left-to-right non-overlapping merge application, and the
+    (count DESC, sym_a, sym_b) tie-break."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from hive_server_spark.functions.text import BPE_PATTERN
+    from hive_server_spark.plans.text_pack import (
+        _BPE_TRAIN_STEPS,
+        text_bpe_encode,
+        text_bpe_train,
+    )
+
+    rows = duckdb.execute(
+        f"SELECT source, text FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    ).fetchall()
+    ws_map = {" ": "Ġ", "\n": "Ċ", "\t": "ĉ", "\r": "č"}
+    pat = re.compile(BPE_PATTERN)
+
+    def pretokens(text):
+        return [
+            "".join(ws_map.get(c, c) for c in tok) for tok in pat.findall(text)
+        ]
+
+    vocab = Counter()
+    for _src, text in rows:
+        vocab.update(pretokens(text))
+    seqs = {tok: tuple(tok) for tok in vocab}  # symbol sequences
+
+    def apply_merge(seq, a, b):
+        out, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        return tuple(out)
+
+    expect = []
+    for step in range(1, _BPE_TRAIN_STEPS + 1):
+        pair_counts = Counter()
+        for tok, seq in seqs.items():
+            for i in range(len(seq) - 1):
+                pair_counts[(seq[i], seq[i + 1])] += vocab[tok]
+        (a, b), cnt = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expect.append((step, a, b, cnt))
+        seqs = {tok: apply_merge(seq, a, b) for tok, seq in seqs.items()}
+
+    got = sorted(
+        (r.step, r.sym_a, r.sym_b, r.pair_count)
+        for r in text_bpe_train(spark, SF_SMALL).collect()
+    )
+    assert got == expect
+
+    # encode: per-source pretoken and post-merge token counts vs the same
+    # python state
+    per_source = {}
+    for src, text in rows:
+        pre, bpe = per_source.setdefault(src, [0, 0])
+        toks = pretokens(text)
+        per_source[src][0] += len(toks)
+        per_source[src][1] += sum(len(seqs[t]) for t in toks)
+    enc = {r.source: r for r in text_bpe_encode(spark, SF_SMALL).collect()}
+    assert set(enc) == set(per_source)
+    for src, (n_pre, n_bpe) in per_source.items():
+        assert (enc[src].n_pretokens, enc[src].n_bpe_tokens) == (n_pre, n_bpe), src
+        assert enc[src].syms_per_pretoken_micro == round(1_000_000.0 * n_bpe / n_pre)
