@@ -49,6 +49,7 @@ def main() -> None:
     d1, l1, e1 = decompose(scale_probe.BASE_DIR)
 
     scaled = os.path.join(tempfile.mkdtemp(prefix="hss_cdec_"), f"x{args.mult}")
+    os.makedirs(scaled, exist_ok=True)
     print(f"building {args.mult}x corpus at {scaled} ...", flush=True)
     scale_probe.build_scaled_dir(spark, scaled, args.mult)
     dM, lM, eM = decompose(scaled)

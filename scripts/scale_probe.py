@@ -558,11 +558,14 @@ def _splice_pipeline_md(table: str, mult: int) -> None:
         f"corpus-cleaning chain (CLEANING_STAGES from\n"
         f"scripts/run_cleaning_pipeline.py), each stage timed\n"
         f"cold-cache-first so intra-pipeline cache reuse is part of the\n"
-        f"measurement. Under the keyed-shuffle replication (script\n"
-        f"docstring) candidate-pair volume in the dedup/keep stages is\n"
-        f"linear in the multiplier — the base corpus's own near-dup\n"
-        f"structure replicated — so every stage ratio is an engine\n"
-        f"signal, including the cluster/keep/shard stages.\n\n"
+        f"measurement. The keyed-shuffle replication (script docstring)\n"
+        f"makes exact-gram pair volume linear and same-doc cross-copy\n"
+        f"MinHash collisions vanish, but CROSS-base near-dup pairs\n"
+        f"replicate ~C(mult,2): genuinely-similar base docs stay similar\n"
+        f"in every copy, so the replicated corpus is quadratically\n"
+        f"self-similar — see the dedup_clusters decomposition caveat at\n"
+        f"the top of Measured scaling for what that does to the cluster\n"
+        f"stage (and why its ratio is an upper bound).\n\n"
         f"{table}\n"
     ))
 
