@@ -463,3 +463,174 @@ def layout_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_deleted") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution round trip (round 8): the read-side contract every
+# long-lived lakehouse table depends on — a v1 batch written with three
+# columns and a v2 batch with two ADDED columns are read back through
+# parquet schema merging; pre-evolution rows must surface the added
+# columns as NULL (never as a read error or silent column drop). The
+# split is keyed on o_orderkey parity, so the oracle reconstructs the
+# exact merged table from the original orders view with a CASE — null backfill,
+# column-order independence, and aggregate semantics over the mixed
+# batches are all value-gated. Scale: schema merging is a FOOTER
+# operation (Spark unions the parquet schemas, it never rewrites data),
+# so the read cost is the same scan either way; the write is two
+# straight columnar dumps.
+# ---------------------------------------------------------------------------
+_EVO_ORACLE = """
+WITH merged AS (
+  SELECT o_custkey, o_totalprice,
+         CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS status,
+         CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS priority
+  FROM orders
+)
+SELECT COALESCE(status, '<pre-evolution>') AS status_key,
+       COALESCE(priority, '<pre-evolution>') AS priority_key,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_price_cents
+FROM merged GROUP BY 1, 2
+"""
+
+
+@register("src_schema_evolution_roundtrip", _EVO_ORACLE)
+def src_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders as a 3-column v1 batch plus a 5-column v2 batch, read
+    them back under mergeSchema, and aggregate across the evolution
+    boundary (see block comment; '<pre-evolution>' keys the null-backfilled
+    v1 rows)."""
+    o = load_table(spark, sf_dir, "orders")
+    work = tempfile.mkdtemp(prefix="hss_evo_")
+    p1, p2 = os.path.join(work, "v1"), os.path.join(work, "v2")
+    o.where(F.expr("o_orderkey % 2 = 0")).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).write.parquet(p1)
+    o.where(F.expr("o_orderkey % 2 = 1")).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
+    ).write.parquet(p2)
+    merged = spark.read.option("mergeSchema", "true").parquet(p1, p2)
+    return merged.groupBy(
+        F.coalesce("o_orderstatus", F.lit("<pre-evolution>")).alias("status_key"),
+        F.coalesce("o_orderpriority", F.lit("<pre-evolution>")).alias("priority_key"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count_distinct("o_custkey").cast("bigint").alias("n_customers"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("total_price_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot manifest diff (round 8): what an incremental consumer (or a
+# table-maintenance audit) sees between two versions of the synthetic
+# 512-row-file layout. v2 applies (a) a RANGE-SCOPED predicate DELETE —
+# the layout_deletion_vectors predicate restricted to 3 of every 5 file
+# ranges, the shape a retention DELETE over a time range has — touched
+# files are REWRITTEN in place, files outside the range (or with no
+# matching rows) stay UNCHANGED; and (b) a structural whole-file drop
+# (file_id % 17 = 3, the DROP PARTITION shape) — those files are
+# REMOVED; the deleted rows from kept files land in fresh quarantine
+# files (file_id + 100000) — ADDED. A file is UNCHANGED iff its content
+# hash (md5 over the int-sorted event-id list) is byte-identical. Scale: each manifest is ONE map-side-combined
+# agg producing a file-count-sized table; the diff is a manifest-to-
+# manifest full-outer equi-join on file_id (hint-free — manifests of a
+# million-file table broadcast only if stats say so).
+# ---------------------------------------------------------------------------
+_MD_QUAR_BASE = 100_000
+
+
+def _manifest_cte(rows_sql: str, d: str) -> str:
+    """Manifest over `rows_sql` (which must yield file_id, event_id)."""
+    if d == "d":
+        return (
+            f"SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "md5(array_to_string(list_transform(list_sort(list(event_id)), "
+            "x -> CAST(x AS VARCHAR)), ',')) AS content_md5 "
+            f"FROM ({rows_sql}) GROUP BY file_id"
+        )
+    raise ValueError(d)
+
+
+_MD_V1_ROWS = f"SELECT event_id // {_ZM_FILE_ROWS} AS file_id, event_id FROM events"
+# the DELETE is range-scoped (file ranges ≡ 0,1,3 mod 5): retention jobs
+# target time ranges, and the scope guarantees genuinely-untouched files
+_MD_DEL = f"({_DV_PRED}) AND (event_id // {_ZM_FILE_ROWS}) % 5 IN (0, 1, 3)"
+
+_MD_V2_ROWS = f"""
+SELECT CASE WHEN {_MD_DEL}
+            THEN {_MD_QUAR_BASE} + (event_id // {_ZM_FILE_ROWS})
+            ELSE event_id // {_ZM_FILE_ROWS} END AS file_id,
+       event_id
+FROM events
+WHERE (event_id // {_ZM_FILE_ROWS}) % 17 != 3
+"""
+
+_MANIFEST_DIFF_ORACLE = f"""
+WITH v1 AS ({_manifest_cte(_MD_V1_ROWS, 'd')}),
+v2 AS ({_manifest_cte(_MD_V2_ROWS, 'd')})
+SELECT COALESCE(v1.file_id, v2.file_id) AS file_id,
+       CASE WHEN v2.file_id IS NULL THEN 'removed'
+            WHEN v1.file_id IS NULL THEN 'added'
+            WHEN v1.content_md5 = v2.content_md5 THEN 'unchanged'
+            ELSE 'rewritten' END AS status,
+       CAST(COALESCE(v1.n_rows, 0) AS BIGINT) AS rows_v1,
+       CAST(COALESCE(v2.n_rows, 0) AS BIGINT) AS rows_v2
+FROM v1 FULL OUTER JOIN v2 ON v1.file_id = v2.file_id
+"""
+
+
+def _manifest_df(rows: DataFrame) -> DataFrame:
+    return rows.groupBy("file_id").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(sort_array(collect_list(event_id)), "
+                    "x -> CAST(x AS STRING))"
+                ),
+                ",",
+            )
+        ).alias("content_md5"),
+    )
+
+
+@register("layout_manifest_diff", _MANIFEST_DIFF_ORACLE)
+def layout_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file diff between two table snapshots — unchanged / rewritten /
+    removed / added, with row counts on both sides (see block comment for
+    the v2 construction and the manifest-join scale shape)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(f"event_id DIV {_ZM_FILE_ROWS}").alias("orig_file"),
+        "event_id",
+        F.expr(
+            f"({_DV_PRED}) AND (event_id DIV {_ZM_FILE_ROWS}) % 5 IN (0, 1, 3)"
+        ).alias("deleted"),
+    )
+    v1 = _manifest_df(ev.select(F.col("orig_file").alias("file_id"), "event_id"))
+    v2 = _manifest_df(
+        ev.where(F.expr("orig_file % 17 != 3")).select(
+            F.when(
+                F.col("deleted"), F.lit(_MD_QUAR_BASE) + F.col("orig_file")
+            )
+            .otherwise(F.col("orig_file"))
+            .alias("file_id"),
+            "event_id",
+        )
+    )
+    j = v1.alias("v1").join(
+        v2.alias("v2"), F.col("v1.file_id") == F.col("v2.file_id"), "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("v1.file_id"), F.col("v2.file_id")).alias("file_id"),
+        F.when(F.col("v2.file_id").isNull(), "removed")
+        .when(F.col("v1.file_id").isNull(), "added")
+        .when(F.col("v1.content_md5") == F.col("v2.content_md5"), "unchanged")
+        .otherwise("rewritten")
+        .alias("status"),
+        F.coalesce(F.col("v1.n_rows"), F.lit(0)).cast("bigint").alias("rows_v1"),
+        F.coalesce(F.col("v2.n_rows"), F.lit(0)).cast("bigint").alias("rows_v2"),
+    )

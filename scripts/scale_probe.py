@@ -180,6 +180,11 @@ DEFAULT_QUERIES = [
     "emb_mmr_diverse_topk",
     "text_bpe_train",
     "text_bpe_encode",
+    # the manifest diff is two per-file aggs + a manifest-join (file-count-
+    # sized); the evolution round trip is two columnar writes + one merged
+    # scan — both must track the events/orders linear scans.
+    "layout_manifest_diff",
+    "src_schema_evolution_roundtrip",
     # excluded: udtf_char_ngram_census (a deliberate Python-slow-path API
     # showcase on a corpus slice; the declarative twin IS the production
     # plan — see SCALE.md §5); evt_cusum_streaming (availableNow harness
@@ -265,6 +270,7 @@ HUNDREDX_QUERIES = [
     # vocab-sized, so 100x would re-time one agg plus constants.
     "emb_ivfpq_topk",
     "text_bpe_encode",
+    "layout_manifest_diff",
     # round-7 fifth batch, the corpus-scaling members: map-only Gopher
     # rules, the two explode+join text shapes, and the per-pool window
     # rollup. The emb_* members and RRF stay at 10x: embeddings at 100x is

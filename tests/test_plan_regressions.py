@@ -99,6 +99,10 @@ def test_no_sort_merge_join_anywhere_in_gate(spark):
         # sized, unbounded for whitespace tokens on web text — plain
         # equi-join on the head token, stats decide the strategy
         "rel_full_outer_nation_activity",
+        "layout_manifest_diff",  # manifest ⋈ manifest FULL OUTER on
+        # file_id: both sides are file-count-sized (millions of rows on a
+        # large table, and full outer cannot one-side-broadcast anyway) —
+        # the co-partitioned sort-merge is the correct snapshot-diff plan
         "emb_ivfpq_topk",  # codes ⋈ probed-cell candidates: both sides
         # exit vec_id hash aggregates over the corpus (codes are the whole
         # index, candidates ~nprobe/nlist of it) — a vec_id co-partitioned

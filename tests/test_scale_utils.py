@@ -239,3 +239,96 @@ def test_deletion_vectors_python_recompute(spark):
         assert (r.n_rows, r.n_deleted, r.n_live, r.pos_checksum, r.dv_md5) == (
             n_rows, n_del, n_live, chk, dv,
         ), fid
+
+
+def test_manifest_diff_python_recompute(spark):
+    """Four-way snapshot classification vs a pure-python recompute over the
+    same events: per-file content identity via the int-sorted id list, the
+    DROP-PARTITION files removed, predicate-deleted rows quarantined into
+    added files, and untouched files byte-identical."""
+    import duckdb
+
+    from hive_server_spark.plans.sources_pack import (
+        _DV_PRED,
+        _MD_QUAR_BASE,
+        _ZM_FILE_ROWS,
+        layout_manifest_diff,
+    )
+
+    rows = duckdb.execute(
+        f"SELECT event_id, ({_DV_PRED}) FROM "
+        f"read_parquet('{SF_SMALL}/events.parquet')"
+    ).fetchall()
+    v1, v2 = {}, {}
+    for eid, pred in rows:
+        f = eid // _ZM_FILE_ROWS
+        deleted = pred and f % 5 in (0, 1, 3)  # range-scoped DELETE
+        v1.setdefault(f, []).append(eid)
+        if f % 17 == 3:
+            continue  # whole-file drop
+        f2 = _MD_QUAR_BASE + f if deleted else f
+        v2.setdefault(f2, []).append(eid)
+
+    def key(ids):
+        return ",".join(str(i) for i in sorted(ids))
+
+    expect = {}
+    for f in set(v1) | set(v2):
+        if f not in v2:
+            status = "removed"
+        elif f not in v1:
+            status = "added"
+        elif key(v1[f]) == key(v2[f]):
+            status = "unchanged"
+        else:
+            status = "rewritten"
+        expect[f] = (status, len(v1.get(f, [])), len(v2.get(f, [])))
+
+    got = {
+        r.file_id: (r.status, r.rows_v1, r.rows_v2)
+        for r in layout_manifest_diff(spark, SF_SMALL).collect()
+    }
+    assert got == expect
+    # at the tiny sf0.001 layout (a handful of files) only the
+    # delete-driven classes are guaranteed; the full four-way coverage is
+    # exercised by the sf0.01 gate parity (39 diff rows incl. removed/
+    # unchanged)
+    statuses = {s for s, _, _ in got.values()}
+    assert statuses <= {"unchanged", "rewritten", "removed", "added"}
+    assert {"added", "rewritten"} <= statuses
+
+
+def test_schema_evolution_python_recompute(spark):
+    """mergeSchema read of a 3-column v1 batch + 5-column v2 batch vs a
+    python recompute: added columns null-backfill on pre-evolution rows and
+    the cross-boundary aggregate is integer-cent exact."""
+    import duckdb
+
+    from hive_server_spark.plans.sources_pack import (
+        src_schema_evolution_roundtrip,
+    )
+
+    rows = duckdb.execute(
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, "
+        f"o_orderpriority FROM read_parquet('{SF_SMALL}/orders.parquet')"
+    ).fetchall()
+    agg = {}
+    for okey, ckey, price, status, prio in rows:
+        k = (
+            (status, prio)
+            if okey % 2 == 1
+            else ("<pre-evolution>", "<pre-evolution>")
+        )
+        n, custs, cents = agg.setdefault(k, [0, set(), 0])
+        agg[k][0] += 1
+        agg[k][1].add(ckey)
+        agg[k][2] += round(price * 100)
+    got = {
+        (r.status_key, r.priority_key): (
+            r.n_rows, r.n_customers, r.total_price_cents,
+        )
+        for r in src_schema_evolution_roundtrip(spark, SF_SMALL).collect()
+    }
+    expect = {k: (n, len(c), cents) for k, (n, c, cents) in agg.items()}
+    assert got == expect
+    assert ("<pre-evolution>", "<pre-evolution>") in got  # v1 rows present
