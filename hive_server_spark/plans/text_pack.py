@@ -1861,9 +1861,9 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vocabulary is (here it is); docs with < 2 tokens have no bigrams and no
 # row — mirrored in both engines.
 # ---------------------------------------------------------------------------
-@register(
-    "text_bigram_nll",
-    f"""
+# shared with text_ccnet_buckets below, which quantile-buckets these
+# per-doc scores per source
+_NLL_PER_DOC_ORACLE = f"""
 WITH {_TOKS_CTE_D},
 bg AS (
   SELECT doc_id,
@@ -1893,8 +1893,10 @@ SELECT doc_id,
        CAST(SUM(m) AS BIGINT)             AS n_bigrams,
        CAST(SUM(m * nll_micro) AS BIGINT) AS nll_micro_total
 FROM micro GROUP BY doc_id
-""",
-)
+"""
+
+
+@register("text_bigram_nll", _NLL_PER_DOC_ORACLE)
 def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document negative log-likelihood under the corpus MLE bigram
     LM, in integer micro-nats (fixed-point so the sum is order-free).
@@ -4020,4 +4022,152 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("syms_per_pretoken_micro"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets (round 8): the canonical LM-quality
+# partition (Wenzek et al. 2019, public) — per SOURCE, rank documents by
+# their mean per-bigram NLL under the corpus LM and split at the exact
+# 33rd/66th percentiles into head (most fluent) / middle / tail. CCNet
+# computes the thresholds per language on a held-out slice; here they are
+# exact per-source quantiles of the integer mean-micro-nat scores, so the
+# cut is reproducible to the bit (Spark `percentile` ≡ DuckDB
+# `quantile_cont` on identical doubles, the rel_exact_percentiles
+# precedent). Scale: the per-doc scores are the text_bigram_nll plan
+# (gram-cache folds); the threshold table is one source-keyed agg
+# (|sources| rows) joined back hint-free — AQE broadcasts it; the bucket
+# rollup is a bounded-key hash agg. Docs with < 2 tokens have no bigrams,
+# no score, and no bucket — mirrored in both engines.
+# ---------------------------------------------------------------------------
+_CCNET_ORACLE = f"""
+WITH nll AS ({_NLL_PER_DOC_ORACLE}),
+per_doc AS (
+  SELECT d.source, n.doc_id, n.n_bigrams,
+         n.nll_micro_total // n.n_bigrams AS mean_micro
+  FROM nll n JOIN documents d ON n.doc_id = d.doc_id
+),
+thr AS (
+  SELECT source,
+         quantile_cont(CAST(mean_micro AS DOUBLE), 0.33) AS t33,
+         quantile_cont(CAST(mean_micro AS DOUBLE), 0.66) AS t66
+  FROM per_doc GROUP BY source
+),
+bucketed AS (
+  SELECT p.source,
+         CASE WHEN CAST(p.mean_micro AS DOUBLE) < t.t33 THEN 'head'
+              WHEN CAST(p.mean_micro AS DOUBLE) < t.t66 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         p.n_bigrams, p.mean_micro
+  FROM per_doc p JOIN thr t ON p.source = t.source
+)
+SELECT source, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams_total,
+       CAST(SUM(mean_micro) AS BIGINT) AS mean_micro_sum
+FROM bucketed GROUP BY source, bucket
+"""
+
+
+@register("text_ccnet_buckets", _CCNET_ORACLE)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source head/middle/tail perplexity buckets at exact 33/66
+    percentiles of the mean bigram-NLL score (see block comment for the
+    CCNet framing and the threshold-join scale shape)."""
+    nll = text_bigram_nll(spark, sf_dir)
+    per_doc = nll.select(
+        "doc_id",
+        "n_bigrams",
+        F.expr("nll_micro_total DIV n_bigrams").alias("mean_micro"),
+    ).join(_docs(spark, sf_dir).select("doc_id", "source"), "doc_id")
+    thr = per_doc.groupBy("source").agg(
+        F.percentile(F.col("mean_micro").cast("double"), 0.33).alias("t33"),
+        F.percentile(F.col("mean_micro").cast("double"), 0.66).alias("t66"),
+    )
+    bucketed = per_doc.join(thr, "source").select(
+        "source",
+        F.when(F.col("mean_micro").cast("double") < F.col("t33"), "head")
+        .when(F.col("mean_micro").cast("double") < F.col("t66"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        "n_bigrams",
+        "mean_micro",
+    )
+    return bucketed.groupBy("source", "bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_bigrams").cast("bigint").alias("n_bigrams_total"),
+        F.sum("mean_micro").cast("bigint").alias("mean_micro_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear scorer (round 8): the fastText-shaped quality
+# classifier every big curation pipeline applies at full corpus scale
+# (CCNet's LM filter, LLaMA's wiki-reference classifier) reduced to its
+# distributed essence — feature hashing (bigrams → 2^12 buckets via the
+# seeded md5 hash both engines share) and a sparse dot product with a
+# fixed weight table. Weights are a deterministic function of the bucket
+# id (a Knuth multiplicative hash mapped to [-1000, 1000]), so the model
+# ships as an expression instead of a side table and the whole scorer is
+# map + one doc-keyed hash agg — zero joins, zero floats, exactly the
+# shape a broadcast weight-vector scorer has at 100 TB. Score and
+# decision are integer-exact in both engines.
+# ---------------------------------------------------------------------------
+_HASHFEAT_BUCKETS = 4096
+_HASHFEAT_KNUTH = 2654435761
+
+
+def _hashfeat_weight(bucket: str) -> str:
+    """Deterministic weight in [-1000, 1000] for a feature bucket id —
+    identical integer arithmetic in both dialects."""
+    return f"(({bucket}) * {_HASHFEAT_KNUTH}) % 2001 - 1000"
+
+
+_HASHFEAT_ORACLE = f"""
+WITH {_TOKS_CTE_D},
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM toks WHERE len(toks) >= 2
+),
+inst AS (
+  SELECT doc_id, bigram, COUNT(*) AS m FROM bg GROUP BY doc_id, bigram
+),
+feats AS (
+  SELECT doc_id, m,
+         {T.hash_expr('bigram', 'feat', 'd')} % {_HASHFEAT_BUCKETS} AS bucket
+  FROM inst
+)
+SELECT doc_id,
+       CAST(SUM(m) AS BIGINT) AS n_feature_instances,
+       CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets_hit,
+       CAST(SUM(m * ({_hashfeat_weight('bucket')})) AS BIGINT) AS score_units,
+       SUM(m * ({_hashfeat_weight('bucket')})) > 0 AS kept
+FROM feats GROUP BY doc_id
+"""
+
+
+@register("text_hash_features_score", _HASHFEAT_ORACLE)
+def text_hash_features_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document hashed-bigram linear-classifier score and keep
+    decision (see block comment; integer weights, zero joins)."""
+    inst = (
+        _gram_counts(spark, sf_dir)
+        .where(F.col("gram_size") == 2)
+        .select("doc_id", F.col("gram").alias("bigram"), F.col("c").alias("m"))
+    )
+    feats = inst.select(
+        "doc_id",
+        "m",
+        (
+            F.expr(T.hash_expr("bigram", "feat", "s")) % _HASHFEAT_BUCKETS
+        ).alias("bucket"),
+    )
+    w = F.expr(_hashfeat_weight("bucket"))
+    return feats.groupBy("doc_id").agg(
+        F.sum("m").cast("bigint").alias("n_feature_instances"),
+        F.count_distinct("bucket").cast("bigint").alias("n_buckets_hit"),
+        F.sum(F.col("m") * w).cast("bigint").alias("score_units"),
+        (F.sum(F.col("m") * w) > 0).alias("kept"),
     )

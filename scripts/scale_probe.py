@@ -185,6 +185,13 @@ DEFAULT_QUERIES = [
     # scan — both must track the events/orders linear scans.
     "layout_manifest_diff",
     "src_schema_evolution_roundtrip",
+    # CCNet buckets = the NLL plan + an |sources|-row threshold join;
+    # the hashed scorer is map + one doc-keyed agg. Both stay at 10x for
+    # 100x purposes: their corpus-sized halves are the gram explode+join
+    # family already probed at 100x (text_tfidf_terms, text_dsir_weights,
+    # text_gopher_rules).
+    "text_ccnet_buckets",
+    "text_hash_features_score",
     # excluded: udtf_char_ngram_census (a deliberate Python-slow-path API
     # showcase on a corpus slice; the declarative twin IS the production
     # plan — see SCALE.md §5); evt_cusum_streaming (availableNow harness

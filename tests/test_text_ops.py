@@ -1135,3 +1135,111 @@ def test_bpe_train_matches_python_reference(spark):
     for src, (n_pre, n_bpe) in per_source.items():
         assert (enc[src].n_pretokens, enc[src].n_bpe_tokens) == (n_pre, n_bpe), src
         assert enc[src].syms_per_pretoken_micro == round(1_000_000.0 * n_bpe / n_pre)
+
+
+def test_ccnet_buckets_python_recompute(spark):
+    """Per-source tercile bucketing vs a pure-python recompute: per-doc
+    mean micro-NLL from the python bigram LM, numpy-free linear-interp
+    quantiles (the quantile_cont/percentile definition), strict-< bucket
+    edges, and the per-bucket rollups."""
+    import math
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from hive_server_spark.plans.text_pack import text_ccnet_buckets
+
+    rows = duckdb.execute(
+        f"SELECT doc_id, source, text FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    ).fetchall()
+    # per-doc bigram instances under the house tokenizer (single-space split)
+    inst, heads, grams = {}, Counter(), Counter()
+    for doc_id, _src, text in rows:
+        toks = text.split(" ")
+        bgs = [f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)]
+        if bgs:
+            inst[doc_id] = Counter(bgs)
+            grams.update(bgs)
+    for g, n in grams.items():
+        heads[g.split(" ", 1)[0]] += n
+    per_doc = {}
+    for doc_id, cnt in inst.items():
+        total_micro = sum(
+            m * round(math.log(heads[g.split(" ", 1)[0]] / grams[g]) * 1e6)
+            for g, m in cnt.items()
+        )
+        n_bg = sum(cnt.values())
+        per_doc[doc_id] = (n_bg, total_micro // n_bg)
+
+    def quantile_cont(vals, q):
+        s = sorted(vals)
+        pos = (len(s) - 1) * q
+        lo, hi = int(pos), min(int(pos) + 1, len(s) - 1)
+        return s[lo] + (s[hi] - s[lo]) * (pos - lo)
+
+    src_of = {doc_id: src for doc_id, src, _ in rows}
+    by_src = defaultdict(list)
+    for doc_id, (_n, mean) in per_doc.items():
+        by_src[src_of[doc_id]].append(mean)
+    expect = defaultdict(lambda: [0, 0, 0])
+    for doc_id, (n_bg, mean) in per_doc.items():
+        s = src_of[doc_id]
+        t33 = quantile_cont(by_src[s], 0.33)
+        t66 = quantile_cont(by_src[s], 0.66)
+        b = "head" if mean < t33 else ("middle" if mean < t66 else "tail")
+        agg = expect[(s, b)]
+        agg[0] += 1
+        agg[1] += n_bg
+        agg[2] += mean
+    got = {
+        (r.source, r.bucket): (r.n_docs, r.n_bigrams_total, r.mean_micro_sum)
+        for r in text_ccnet_buckets(spark, SF_SMALL).collect()
+    }
+    assert got == {k: tuple(v) for k, v in expect.items()}
+
+
+def test_hash_features_score_python_recompute(spark):
+    """Hashed-bigram linear scorer vs a python recompute of the full
+    pipeline: seeded-md5 bucket, Knuth-multiplicative integer weight,
+    sparse dot, and the keep decision."""
+    import hashlib
+    from collections import Counter
+
+    import duckdb
+
+    from hive_server_spark.plans.text_pack import (
+        _HASHFEAT_BUCKETS,
+        _HASHFEAT_KNUTH,
+        text_hash_features_score,
+    )
+
+    rows = duckdb.execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    ).fetchall()
+
+    def bucket(bigram):
+        h = int(hashlib.md5(f"feat:{bigram}".encode()).hexdigest()[:8], 16)
+        return h % _HASHFEAT_BUCKETS
+
+    expect = {}
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        cnt = Counter(f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1))
+        if not cnt:
+            continue
+        score = sum(
+            m * ((bucket(g) * _HASHFEAT_KNUTH) % 2001 - 1000)
+            for g, m in cnt.items()
+        )
+        expect[doc_id] = (
+            sum(cnt.values()),
+            len({bucket(g) for g in cnt}),
+            score,
+            score > 0,
+        )
+    got = {
+        r.doc_id: (r.n_feature_instances, r.n_buckets_hit, r.score_units, r.kept)
+        for r in text_hash_features_score(spark, SF_SMALL).collect()
+    }
+    assert got == expect
