@@ -3782,13 +3782,32 @@ def text_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_TRAIN_STEPS = 10
 
 
+_BPE_CHAR_MAP = (
+    # GPT-2-style whitespace remap so ' ' can separate symbols — plus
+    # every character Java regex '.' excludes but RE2 '.' does not
+    # (\x0B \x0C \u0085 \u2028 \u2029): without the remap the two
+    # engines would split initial symbols differently on such input
+    # (latent parity break; the test corpus is ASCII so it never fired).
+    (" ", "Ġ"),
+    ("chr(10)", "Ċ"),
+    ("chr(9)", "ĉ"),
+    ("chr(13)", "č"),
+    ("chr(11)", "ċ"),
+    ("chr(12)", "Č"),
+    ("chr(133)", "Ė"),
+    ("chr(8232)", "Ĺ"),
+    ("chr(8233)", "Ľ"),
+)
+
+
 def _bpe_ws_map(col: str) -> str:
-    """GPT-2-style whitespace remap so ' ' can separate symbols; the
-    spelling is identical in both dialects."""
-    return (
-        "replace(replace(replace(replace({c}, ' ', 'Ġ'), chr(10), 'Ċ'), "
-        "chr(9), 'ĉ'), chr(13), 'č')"
-    ).format(c=col)
+    """Separator-safety remap (see _BPE_CHAR_MAP); identical spelling in
+    both dialects."""
+    expr = col
+    for raw, marker in _BPE_CHAR_MAP:
+        raw_sql = f"'{raw}'" if not raw.startswith("chr") else raw
+        expr = f"replace({expr}, {raw_sql}, '{marker}')"
+    return expr
 
 
 def _bpe_sym_init(col: str, d: str) -> str:
@@ -3800,13 +3819,49 @@ def _bpe_sym_init(col: str, d: str) -> str:
     return f"trim(regexp_replace({_bpe_ws_map(col)}, '(.)', '\\1 ', 'g'))"
 
 
-def _bpe_apply_merge(seq: str, a: str, b: str) -> str:
-    """Apply one learned merge to a space-joined symbol sequence."""
+def _bpe_apply_fold_sql(seq: str, a: str, b: str) -> str:
+    """Apply one learned merge to a space-joined symbol sequence — DuckDB
+    spelling of the greedy left-to-right fold. A plain string replace is
+    WRONG here (found by review, verified empirically): back-to-back
+    occurrences share the separator space, so replace(' a n a n ') merges
+    only the first pair ('b an a n a' instead of BPE's 'b an an a'), and
+    a run like 'a a a a' becomes 'aa a aa' instead of 'aa aa'. The fold
+    consumes one ORIGINAL symbol at a time and merges when the
+    accumulator's last element is `a` and the incoming symbol is `b` —
+    merged tokens (a||b) can never re-match `a` in the same pass, which
+    is exactly BPE's non-overlapping greedy application. Accumulator
+    lists ride list_reduce's seed-is-first-element form (the _cusum_fold
+    trick, lifted to VARCHAR[])."""
+    ls = f"string_split({seq}, ' ')"
     return (
-        f"trim(replace(' ' || {seq} || ' ', "
-        f"' ' || {a} || ' ' || {b} || ' ', "
-        f"' ' || {a} || {b} || ' '))"
+        "array_to_string(list_reduce("
+        f"list_prepend([{ls}[1]], list_transform({ls}[2:], s -> [s])), "
+        f"(acc, e) -> CASE WHEN acc[len(acc)] = {a} AND e[1] = {b} "
+        f"THEN list_append(acc[1:len(acc)-1], {a} || {b}) "
+        "ELSE list_append(acc, e[1]) END"
+        "), ' ')"
     )
+
+
+def bpe_apply_merge_col(col, a: str, b: str):
+    """Spark twin of _bpe_apply_fold_sql over literal merge (a, b):
+    aggregate() over the symbol tail with the head as seed — verified
+    element-wise identical to the DuckDB fold and to a python greedy
+    reference on back-to-back/run-of-k cases (tests/test_text_ops.py)."""
+    syms = F.split(col, " ")
+    head = F.slice(syms, 1, 1)
+    tail = F.slice(syms, 2, F.size(syms) - 1)
+    folded = F.aggregate(
+        tail,
+        head,
+        lambda acc, s: F.when(
+            (F.element_at(acc, -1) == F.lit(a)) & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+    return F.array_join(folded, " ")
 
 
 def _bpe_chain_ctes(steps: int) -> list[str]:
@@ -3839,10 +3894,15 @@ def _bpe_chain_ctes(steps: int) -> list[str]:
             f"sym_a, sym_b, pair_count FROM p{k} "
             "ORDER BY pair_count DESC, sym_a ASC, sym_b ASC LIMIT 1)"
         )
+        # LEFT JOIN ON TRUE: on a degenerate corpus a later m{k} is
+        # EMPTY (no pairs left to merge); a cross join would empty every
+        # following v{k} while the Spark loop break keeps its final vocab
+        # — the NULL-guarded left join carries symseq through unchanged
         parts.append(
             f"v{k} AS MATERIALIZED (SELECT token, "
-            f"{_bpe_apply_merge('symseq', 'm.sym_a', 'm.sym_b')} AS symseq, "
-            f"cnt FROM v{k - 1}, m{k} m)"
+            "CASE WHEN m.sym_a IS NULL THEN symseq ELSE "
+            f"{_bpe_apply_fold_sql('symseq', 'm.sym_a', 'm.sym_b')} END "
+            f"AS symseq, cnt FROM v{k - 1} LEFT JOIN m{k} m ON TRUE)"
         )
     return parts
 
@@ -3858,11 +3918,14 @@ def _bpe_train(spark: SparkSession, sf_dir: str, steps: int = _BPE_TRAIN_STEPS):
     the learned merge rule is bounded trainer METADATA (K × 3 strings),
     exactly the object a real distributed-BPE trainer holds and
     broadcasts every round; corpus- and vocab-sized data never leaves
-    executors. Driver-held literals keep each applied merge a PURE
-    PROJECTION (no per-step join), so lineage grows linearly in K — one
-    localCheckpoint of the initial vocab suffices; per-step checkpoints
-    would only add K materialization jobs (the MMR 2^K hazard needs a
-    plan that references earlier PICKS, which literals avoid). Shuffle
+    executors. The vocab is localCheckpoint-ed EVERY step (the MMR
+    bounded-iteration discipline): the greedy-fold application references
+    the previous step's symseq several times (head/tail/size of the
+    split), and Catalyst's CollapseProject inlines the referenced
+    expression at every use — without the per-step truncation the
+    expression tree grows ~4^K and a 10-step chain OOMs the driver during
+    task serialization (observed on the vanilla 1g-heap session). The
+    checkpointed table is vocab-sized, never corpus-sized. Shuffle
     partitions are pinned for the loop (vocab-sized aggregates; on a
     real cluster size this to the live vocab)."""
 
@@ -3883,7 +3946,6 @@ def _bpe_train(spark: SparkSession, sf_dir: str, steps: int = _BPE_TRAIN_STEPS):
                 .localCheckpoint()
             )
             rows = []
-            sep = F.lit(" ")
             for k in range(1, steps + 1):
                 # size >= 2 filter is load-bearing on the Spark side:
                 # sequence(1, 0) DESCENDS ([1, 0]) instead of being empty
@@ -3914,20 +3976,14 @@ def _bpe_train(spark: SparkSession, sf_dir: str, steps: int = _BPE_TRAIN_STEPS):
                     break
                 a, b, cnt = top[0]["sym_a"], top[0]["sym_b"], top[0]["pair_count"]
                 rows.append((k, a, b, cnt))
-                # column-function replace (not an F.expr string): symbols
+                # column-function fold (not an F.expr string): symbols
                 # may contain quotes/regex metachars; literals need no
                 # escaping here
                 vocab = vocab.select(
                     "token",
-                    F.trim(
-                        F.replace(
-                            F.concat(sep, F.col("symseq"), sep),
-                            F.concat(sep, F.lit(a), sep, F.lit(b), sep),
-                            F.concat(sep, F.lit(a + b), sep),
-                        )
-                    ).alias("symseq"),
+                    bpe_apply_merge_col(F.col("symseq"), a, b).alias("symseq"),
                     "cnt",
-                )
+                ).localCheckpoint()
         merges = spark.createDataFrame(
             rows, "step long, sym_a string, sym_b string, pair_count long"
         )

@@ -196,10 +196,38 @@ class ParquetStateStore:
             shutil.rmtree(os.path.join(self.root, f"v{v}"))
         return removed
 
+    def _check_lineage(self, action: str) -> None:
+        """Raise if this bound handle and a COMMITTED store disagree on
+        lineage. Only the pointer makes a store owned: a torn first
+        commit (v0 + RUN_ID written, LATEST never flipped) is logically
+        empty and a new lineage may take it over."""
+        recorded = self._recorded_run_id()
+        if (
+            self.run_id is not None
+            and recorded is not None
+            and recorded != self.run_id
+            and self.committed_version() is not None
+        ):
+            raise RuntimeError(
+                f"state store {self.root} was committed under a different "
+                f"streaming checkpoint ({recorded!r} != {self.run_id!r}); "
+                f"refusing to {action} across lineages — batch ids are "
+                "only monotonic within one checkpoint. Use a new state_dir "
+                "or resume the original checkpoint."
+            )
+
     def commit(self, df: DataFrame, batch_id: int) -> None:
+        # a bound handle never merges onto a foreign lineage's committed
+        # state — without this, a mis-pointed stream whose batch ids run
+        # AHEAD of the pointer would silently corrupt the store (the
+        # already_applied guard alone only catches ids at-or-behind it)
+        self._check_lineage("commit")
         version = f"v{batch_id}"
         df.write.mode("overwrite").parquet(os.path.join(self.root, version))
-        if self.run_id is not None and self._recorded_run_id() is None:
+        if self.run_id is not None and (
+            self._recorded_run_id() is None or self.committed_version() is None
+        ):
+            # claim (or re-claim after a torn first commit) the store
             rtmp = self._run_file + ".tmp"
             with open(rtmp, "w") as fh:
                 fh.write(self.run_id)
@@ -234,25 +262,14 @@ class ParquetStateStore:
         checkpoint lineage: a FRESH checkpoint restarts batch ids at 0, so
         a committed store fed by a new stream would read every batch as a
         replay and silently return stale state. When both this handle and
-        the store on disk carry a run id (see __init__) and they disagree
-        while the pointer is ahead, raise instead of skipping."""
+        a COMMITTED store carry a run id (see __init__) and they disagree,
+        raise instead of proceeding — regardless of whether the incoming
+        batch id is behind the pointer (would silently skip) or ahead of
+        it (commit would silently merge across lineages; the commit path
+        re-checks too)."""
+        self._check_lineage("touch")
         last = self.committed_version()
-        if last is None or last < batch_id:
-            return False
-        recorded = self._recorded_run_id()
-        if (
-            self.run_id is not None
-            and recorded is not None
-            and recorded != self.run_id
-        ):
-            raise RuntimeError(
-                f"state store {self.root} is at v{last} (>= batch {batch_id}) "
-                f"but was committed under a different streaming checkpoint "
-                f"({recorded!r} != {self.run_id!r}); a fresh checkpoint over "
-                "existing state would silently skip every batch — use a new "
-                "state_dir or resume the original checkpoint"
-            )
-        return True
+        return last is not None and last >= batch_id
 
 
 def make_fold_on_batch(store: ParquetStateStore, retain_versions: int | None = None):

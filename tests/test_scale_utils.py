@@ -250,7 +250,6 @@ def test_manifest_diff_python_recompute(spark):
 
     from hive_server_spark.plans.sources_pack import (
         _DV_PRED,
-        _MD_QUAR_BASE,
         _ZM_FILE_ROWS,
         layout_manifest_diff,
     )
@@ -266,7 +265,7 @@ def test_manifest_diff_python_recompute(spark):
         v1.setdefault(f, []).append(eid)
         if f % 17 == 3:
             continue  # whole-file drop
-        f2 = _MD_QUAR_BASE + f if deleted else f
+        f2 = -(1 + f) if deleted else f  # quarantine: disjoint keyspace
         v2.setdefault(f2, []).append(eid)
 
     def key(ids):

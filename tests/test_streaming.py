@@ -453,12 +453,14 @@ def test_cusum_stream_equals_batch_drift(spark, chunks):
 
 
 def test_state_store_run_id_guard(spark):
-    """ADVICE r07: batch ids are monotonic only within ONE checkpoint
-    lineage. A store committed under checkpoint A and then driven by a
-    FRESH checkpoint B (batch ids restart at 0) must raise from
-    already_applied — silently treating every batch as a replay would
-    return stale state as the result. Unbound handles (no run_id) keep
-    the legacy within-lineage behavior."""
+    """ADVICE r07 + review r08: batch ids are monotonic only within ONE
+    checkpoint lineage. A COMMITTED store touched by a different-lineage
+    handle must raise — on ids behind the pointer (silent skip) AND on
+    ids ahead of it (commit would silently merge foreign partials onto
+    the state). A torn FIRST commit (RUN_ID written, pointer never
+    flipped) leaves the store logically empty and reclaimable. Unbound
+    handles (no run_id) keep the legacy within-lineage behavior."""
+    import os
     import tempfile
 
     from hive_server_spark.streaming.incremental import ParquetStateStore
@@ -476,13 +478,32 @@ def test_state_store_run_id_guard(spark):
     s1b = ParquetStateStore(root, run_id="/ckpt/run-A")
     assert s1b.already_applied(0)
 
-    # same state dir under a DIFFERENT checkpoint, batch ids restarting
+    # same state dir under a DIFFERENT checkpoint: every touch raises —
+    # behind the pointer (skip hazard) and ahead of it (merge hazard)
     s2 = ParquetStateStore(root, run_id="/ckpt/run-B")
     with pytest.raises(RuntimeError, match="different streaming checkpoint"):
         s2.already_applied(0)
-    # a batch id AHEAD of the pointer is new work either way
-    assert not s2.already_applied(5)
+    with pytest.raises(RuntimeError, match="different streaming checkpoint"):
+        s2.already_applied(5)
+    with pytest.raises(RuntimeError, match="different streaming checkpoint"):
+        s2.commit(df, 5)
 
     # unbound handle: legacy behavior (no identity to compare)
     s3 = ParquetStateStore(root)
     assert s3.already_applied(0)
+
+    # torn FIRST commit: RUN_ID recorded but LATEST never flipped — the
+    # store is logically empty, so a new lineage may claim it (and its
+    # own restart then replays normally instead of false-raising)
+    root2 = tempfile.mkdtemp(prefix="hss_runid_torn_")
+    t1 = ParquetStateStore(root2, run_id="/ckpt/run-A")
+    with open(t1._run_file, "w") as fh:  # simulate the torn claim
+        fh.write("/ckpt/run-A")
+    assert t1.committed_version() is None
+    t2 = ParquetStateStore(root2, run_id="/ckpt/run-B")
+    assert not t2.already_applied(0)  # no raise: nothing committed
+    t2.commit(df, 0)
+    assert t2._recorded_run_id() == "/ckpt/run-B"  # re-claimed
+    t2b = ParquetStateStore(root2, run_id="/ckpt/run-B")
+    assert t2b.already_applied(0)
+    assert os.path.exists(t2._ptr)

@@ -1243,3 +1243,53 @@ def test_hash_features_score_python_recompute(spark):
         for r in text_hash_features_score(spark, SF_SMALL).collect()
     }
     assert got == expect
+
+
+def test_bpe_apply_merge_edge_cases(spark):
+    """The merge-application fold on adversarial symbol sequences — the
+    exact cases a plain string replace gets wrong (separator sharing on
+    back-to-back pairs; review finding r08): Spark column, DuckDB SQL,
+    and a python greedy reference must agree element-wise."""
+    import duckdb
+
+    from hive_server_spark.plans.text_pack import (
+        _bpe_apply_fold_sql,
+        bpe_apply_merge_col,
+    )
+    import pyspark.sql.functions as F
+
+    cases = [
+        ("b a n a n a", "a", "n", "b an an a"),   # back-to-back distinct pair
+        ("a a a a a a a a", "a", "a", "aa aa aa aa"),  # run of 8, greedy pairs
+        ("a a a", "a", "a", "aa a"),              # odd run: trailing single
+        ("a n", "a", "n", "an"),                  # whole word merges
+        ("x", "a", "n", "x"),                     # single symbol untouched
+        ("n a", "a", "n", "n a"),                 # reversed order: no match
+        ("an a n", "an", "a", "ana n"),           # multi-char left symbol
+    ]
+
+    def py_apply(seq, a, b):
+        toks, out, i = seq.split(" "), [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return " ".join(out)
+
+    con = duckdb.connect()
+    for seq, a, b, want in cases:
+        assert py_apply(seq, a, b) == want, (seq, a, b)
+        got_d = con.execute(
+            f"SELECT {_bpe_apply_fold_sql('s', repr(a), repr(b))} "
+            f"FROM (SELECT '{seq}' AS s)"
+        ).fetchone()[0]
+        assert got_d == want, ("duckdb", seq, a, b, got_d)
+        got_s = (
+            spark.createDataFrame([(seq,)], "s string")
+            .select(bpe_apply_merge_col(F.col("s"), a, b).alias("o"))
+            .collect()[0][0]
+        )
+        assert got_s == want, ("spark", seq, a, b, got_s)
