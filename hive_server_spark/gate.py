@@ -1042,10 +1042,11 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # The correctness driver hash-checks the FIRST 50 queries per round. This
 # window executes the rotation plan written in round 7 (and echoed by
-# VERDICT r07 item 1) exactly: (a) the 7 round-8 registrations (the BPE
+# VERDICT r07 item 1) exactly: (a) the 8 round-8 registrations (the BPE
 # train/encode pair, the streaming CUSUM twin, the schema-evolution
 # round trip, the snapshot manifest diff, the CCNet perplexity buckets,
-# and the hashed-feature linear scorer), (b) the 6 queries whose
+# the hashed-feature linear scorer, and the HLL set-algebra audit),
+# (b) the 6 queries whose
 # implementation changed this round (deletion-vector file_id now integer
 # DIV; the CMS/HLL sketch streams now retry on a pinned checkpoint+state
 # dir and their stores are run-id-bound, as is the orders fold behind
@@ -1053,13 +1054,13 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 # cusum_from_hourly; asof_nearest_price's operator gained the
 # integral-order contract), (c) ALL 33 r04-green names displaced by the
 # round-7 registrations — this clears the three-round-deep freshness
-# backlog — and (d) the 4 oldest r05-green names by registration order.
+# backlog — and (d) the 3 oldest r05-green names by registration order.
 # ROUND-9 ROTATION NOTE: after this window goes green the staleness order
 # is (1) any round-9 registrations / modified queries, (2) the remaining
-# 45 r05-green names (rel_null_handling, rel_unpivot_measures,
-# rel_bitwise_functions, rel_lateral_top_orders, then emb_cosine_topk
-# onward in registration order), (3) the 46 r06-green names by
-# registration order, (4) r07-green.
+# 46 r05-green names (rel_string_functions, rel_null_handling,
+# rel_unpivot_measures, rel_bitwise_functions, rel_lateral_top_orders,
+# then emb_cosine_topk onward in registration order), (3) the 46
+# r06-green names by registration order, (4) r07-green.
 from hive_server_spark.registry import set_driver_priority  # noqa: E402
 
 DRIVER_PRIORITY_R8 = [
@@ -1071,6 +1072,7 @@ DRIVER_PRIORITY_R8 = [
     "layout_manifest_diff",
     "text_ccnet_buckets",
     "text_hash_features_score",
+    "evt_hll_set_algebra",
     # -- (b) round-8-modified queries ---------------------------------------
     "layout_deletion_vectors",
     "evt_cms_streaming",
@@ -1112,11 +1114,10 @@ DRIVER_PRIORITY_R8 = [
     "rel_window_order_gaps",
     "rel_window_running_total",
     "rel_window_top_customers",
-    # -- (d) the 4 oldest r05-green names by registration order -------------
+    # -- (d) the 3 oldest r05-green names by registration order -------------
     "rel_scalar_functions",
     "rel_datetime_functions",
     "rel_array_functions",
-    "rel_string_functions",
 ]
 assert len(DRIVER_PRIORITY_R8) == 50, len(DRIVER_PRIORITY_R8)
 # A typo'd or renamed name would silently shrink the checked window

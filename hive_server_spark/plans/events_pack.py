@@ -984,3 +984,200 @@ def evt_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("double").alias("cnt"))
     )
     return cusum_from_hourly(hourly)
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra (round 8): the property that makes HLL registers the
+# exchange format of distributed analytics — registers of DIFFERENT sets
+# compose. Union is exact on sketches (cell-wise MAX is the semilattice
+# join, same merge the streaming twin uses across micro-batches);
+# intersection has no register form, so engines estimate it by
+# inclusion-exclusion over three estimates: |A∩B| ≈ est(A) + est(B) −
+# est(A∪B) — the audience-overlap op every analytics store ships
+# (Druid/ClickHouse/DataSketches). Per unordered event-type pair, the
+# audit reports exact union/intersection beside the micro-rounded
+# estimates. Scale shape: register tables are BOUNDED (types × m cells)
+# — the pair join touches ≤ C(|types|,2) × m rows regardless of corpus
+# size; the exact check is one distinct pass + a user_id co-partitioned
+# self-join (linear, and only needed because this is an audit). The
+# estimate arithmetic (one ln() per estimate, micro-rounded once at the
+# end) follows the evt_hll_cardinality float discipline.
+# ---------------------------------------------------------------------------
+def _hll_est_sql(scaled: str, nzero: str) -> str:
+    """Register-sum → HLL estimate (alpha-corrected with the small-range
+    linear-counting branch) — identical arithmetic in both dialects."""
+    raw = (
+        f"CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M}.0 * "
+        f"4294967296.0 / CAST({scaled} AS DOUBLE)"
+    )
+    return (
+        f"CASE WHEN {raw} <= {2.5 * _HLL_M} AND {nzero} > 0 "
+        f"THEN {_HLL_M}.0 * ln({_HLL_M}.0 / CAST({nzero} AS DOUBLE)) "
+        f"ELSE {raw} END"
+    )
+
+
+_HLL_SET_ORACLE = f"""
+WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type,
+         ('0x'||substr(md5(concat('hll:', CAST(user_id AS VARCHAR))),1,8))::BIGINT AS hv
+  FROM u
+),
+ranks AS (
+  SELECT event_type, hv % {_HLL_M} AS bucket,
+         {_hll_rank(f'hv // {_HLL_M}', 'd')} AS rank
+  FROM h
+),
+grid AS (
+  SELECT t.event_type, g.bucket FROM
+  (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(range(0, {_HLL_M})) AS bucket) g
+),
+regs AS (
+  SELECT grid.event_type, grid.bucket,
+         COALESCE(MAX(ranks.rank), 0) AS reg
+  FROM grid LEFT JOIN ranks
+    ON grid.event_type = ranks.event_type AND grid.bucket = ranks.bucket
+  GROUP BY grid.event_type, grid.bucket
+),
+cells AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.reg AS reg_a, b.reg AS reg_b,
+         greatest(a.reg, b.reg) AS reg_u
+  FROM regs a JOIN regs b
+    ON a.bucket = b.bucket AND a.event_type < b.event_type
+),
+sums AS (
+  SELECT type_a, type_b,
+         CAST(SUM(CAST(1 AS BIGINT) << (32 - reg_a)) AS BIGINT) AS sc_a,
+         CAST(SUM(CASE WHEN reg_a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nz_a,
+         CAST(SUM(CAST(1 AS BIGINT) << (32 - reg_b)) AS BIGINT) AS sc_b,
+         CAST(SUM(CASE WHEN reg_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nz_b,
+         CAST(SUM(CAST(1 AS BIGINT) << (32 - reg_u)) AS BIGINT) AS sc_u,
+         CAST(SUM(CASE WHEN reg_u = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nz_u
+  FROM cells GROUP BY type_a, type_b
+),
+ests AS (
+  SELECT type_a, type_b,
+         {_hll_est_sql('sc_a', 'nz_a')} AS est_a,
+         {_hll_est_sql('sc_b', 'nz_b')} AS est_b,
+         {_hll_est_sql('sc_u', 'nz_u')} AS est_u
+  FROM sums
+),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS exact_intersection
+  FROM u a JOIN u b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+),
+ex AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY event_type)
+SELECT e.type_a, e.type_b,
+       xa.n + xb.n - i.exact_intersection AS exact_union,
+       i.exact_intersection,
+       CAST(ROUND(e.est_u * 1000000.0) AS BIGINT) AS union_est_micro,
+       CAST(ROUND((e.est_a + e.est_b - e.est_u) * 1000000.0) AS BIGINT)
+         AS intersection_est_micro
+FROM ests e
+JOIN inter i ON e.type_a = i.type_a AND e.type_b = i.type_b
+JOIN ex xa ON e.type_a = xa.event_type
+JOIN ex xb ON e.type_b = xb.event_type
+"""
+
+
+def hll_set_algebra(events: DataFrame) -> DataFrame:
+    """Per event-type pair: exact union/intersection of user sets beside
+    the sketch-composed estimates — MAX-merged union registers,
+    inclusion-exclusion intersection (see block comment)."""
+    from hive_server_spark.functions.text import hash_expr
+
+    u = events.select("event_type", "user_id").distinct()
+    ranks = u.select(
+        "event_type",
+        F.expr(hash_expr("CAST(user_id AS STRING)", "hll", "s")).alias("hv"),
+    ).select(
+        "event_type",
+        (F.col("hv") % _HLL_M).alias("bucket"),
+        F.expr(_hll_rank(f"(hv DIV {_HLL_M})", "s")).alias("rank"),
+    )
+    grid = (
+        events.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.expr(f"sequence(0, {_HLL_M - 1})")).alias("bucket"),
+        )
+    )
+    regs = (
+        grid.join(ranks, ["event_type", "bucket"], "left")
+        .groupBy("event_type", "bucket")
+        .agg(F.coalesce(F.max("rank"), F.lit(0)).alias("reg"))
+    )
+    a = regs.select(
+        F.col("event_type").alias("type_a"),
+        "bucket",
+        F.col("reg").alias("reg_a"),
+    )
+    b = regs.select(
+        F.col("event_type").alias("type_b"),
+        "bucket",
+        F.col("reg").alias("reg_b"),
+    )
+    cells = a.join(b, "bucket").where(F.col("type_a") < F.col("type_b"))
+    scaled = lambda r: F.sum(  # noqa: E731
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(32 - {r} AS INT))")
+    ).cast("bigint")
+    nzero = lambda r: F.sum(  # noqa: E731
+        F.expr(f"CASE WHEN {r} = 0 THEN 1 ELSE 0 END")
+    ).cast("bigint")
+    sums = cells.withColumn(
+        "reg_u", F.greatest("reg_a", "reg_b")
+    ).groupBy("type_a", "type_b").agg(
+        scaled("reg_a").alias("sc_a"),
+        nzero("reg_a").alias("nz_a"),
+        scaled("reg_b").alias("sc_b"),
+        nzero("reg_b").alias("nz_b"),
+        scaled("reg_u").alias("sc_u"),
+        nzero("reg_u").alias("nz_u"),
+    )
+    ests = sums.select(
+        "type_a",
+        "type_b",
+        F.expr(_hll_est_sql("sc_a", "nz_a")).alias("est_a"),
+        F.expr(_hll_est_sql("sc_b", "nz_b")).alias("est_b"),
+        F.expr(_hll_est_sql("sc_u", "nz_u")).alias("est_u"),
+    )
+    ua = u.select(F.col("event_type").alias("type_a"), "user_id")
+    ub = u.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        ua.join(ub, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("exact_intersection"))
+    )
+    ex = u.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        ests.join(inter, ["type_a", "type_b"])
+        .join(ex.select(F.col("event_type").alias("type_a"), F.col("n").alias("na")), "type_a")
+        .join(ex.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb")), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            (F.col("na") + F.col("nb") - F.col("exact_intersection")).alias(
+                "exact_union"
+            ),
+            "exact_intersection",
+            F.expr("CAST(ROUND(est_u * 1000000.0) AS BIGINT)").alias(
+                "union_est_micro"
+            ),
+            F.expr(
+                "CAST(ROUND((est_a + est_b - est_u) * 1000000.0) AS BIGINT)"
+            ).alias("intersection_est_micro"),
+        )
+    )
+
+
+@register("evt_hll_set_algebra", _HLL_SET_ORACLE)
+def evt_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hll_set_algebra(_events(spark, sf_dir))

@@ -189,9 +189,13 @@ DEFAULT_QUERIES = [
     # the hashed scorer is map + one doc-keyed agg. Both stay at 10x for
     # 100x purposes: their corpus-sized halves are the gram explode+join
     # family already probed at 100x (text_tfidf_terms, text_dsir_weights,
-    # text_gopher_rules).
+    # text_gopher_rules). HLL set algebra: register pair-join bounded by
+    # construction; the corpus-sized parts (distinct pass + user-keyed
+    # exact self-join) stay at 10x — evt_hll_cardinality covers the
+    # register build at 100x.
     "text_ccnet_buckets",
     "text_hash_features_score",
+    "evt_hll_set_algebra",
     # excluded: udtf_char_ngram_census (a deliberate Python-slow-path API
     # showcase on a corpus slice; the declarative twin IS the production
     # plan — see SCALE.md §5); evt_cusum_streaming (availableNow harness

@@ -411,3 +411,56 @@ def test_cusum_drift_python_recompute(spark):
         assert r.mean_rate == mean
         assert (r.max_cusum_up, r.max_cusum_dn) == (m_up, m_dn), et
         assert r.max_cusum_up > 0.0 or r.max_cusum_dn > 0.0
+
+
+def test_hll_set_algebra_hand_computed(spark):
+    """Python recompute of the sketch set algebra on a crafted two-type
+    overlap: per-type registers, cell-wise MAX union, alpha/linear-count
+    estimates, inclusion-exclusion intersection, and the exact counts."""
+    import hashlib
+    import math
+
+    from hive_server_spark.plans.events_pack import (
+        _HLL_ALPHA,
+        _HLL_M,
+        _HLL_WBITS,
+        hll_set_algebra,
+    )
+
+    # type a: users 0..59; type b: users 40..119 → overlap 20, union 120
+    rows = [(i, "a", i % 60) for i in range(300)]
+    rows += [(1000 + i, "b", 40 + (i % 80)) for i in range(300)]
+    events = spark.createDataFrame(rows, ["event_id", "event_type", "user_id"])
+
+    def regs_of(users):
+        regs = [0] * _HLL_M
+        for uid in users:
+            hv = int(hashlib.md5(f"hll:{uid}".encode()).hexdigest()[:8], 16)
+            bucket, w = hv % _HLL_M, hv // _HLL_M
+            rank = (_HLL_WBITS + 1) if w == 0 else _HLL_WBITS - w.bit_length() + 1
+            regs[bucket] = max(regs[bucket], rank)
+        return regs
+
+    def est_of(regs):
+        scaled = sum(1 << (32 - r) for r in regs)
+        n_zero = regs.count(0)
+        raw = _HLL_ALPHA * (_HLL_M * _HLL_M) * 4294967296.0 / float(scaled)
+        if raw <= 2.5 * _HLL_M and n_zero > 0:
+            return _HLL_M * math.log(_HLL_M / n_zero)
+        return raw
+
+    ua, ub = set(range(60)), set(range(40, 120))
+    ra, rb = regs_of(ua), regs_of(ub)
+    ru = [max(x, y) for x, y in zip(ra, rb)]
+    # register-level identity: union registers ARE the union set's registers
+    assert ru == regs_of(ua | ub)
+    ea, eb, eu = est_of(ra), est_of(rb), est_of(ru)
+
+    [r] = hll_set_algebra(events).collect()
+    assert (r.type_a, r.type_b) == ("a", "b")
+    assert r.exact_union == len(ua | ub) == 120
+    assert r.exact_intersection == len(ua & ub) == 20
+    assert r.union_est_micro == round(eu * 1_000_000)
+    assert r.intersection_est_micro == round((ea + eb - eu) * 1_000_000)
+    # sanity: estimates land near truth at m=64
+    assert abs(r.union_est_micro / 1e6 - 120) / 120 < 0.5

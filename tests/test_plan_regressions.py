@@ -99,6 +99,12 @@ def test_no_sort_merge_join_anywhere_in_gate(spark):
         # sized, unbounded for whitespace tokens on web text — plain
         # equi-join on the head token, stats decide the strategy
         "rel_full_outer_nation_activity",
+        "evt_hll_set_algebra",  # the exact-intersection audit self-join:
+        # two corpus-derived distinct (type, user) sets joined on user_id
+        # — both sides are data-dependent and user-cardinality-sized
+        # (unbounded at scale), so the co-partitioned sort-merge is the
+        # correct plan; the sketch half of the query touches only the
+        # bounded register tables
         "layout_manifest_diff",  # manifest ⋈ manifest FULL OUTER on
         # file_id: both sides are file-count-sized (millions of rows on a
         # large table, and full outer cannot one-side-broadcast anyway) —
