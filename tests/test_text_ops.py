@@ -1293,3 +1293,58 @@ def test_bpe_apply_merge_edge_cases(spark):
             .collect()[0][0]
         )
         assert got_s == want, ("spark", seq, a, b, got_s)
+
+
+def test_bpe_apply_merge_property_random(spark):
+    """Randomized property check of the merge-application fold: 240
+    random symbol sequences (small alphabet, high repeat density to force
+    back-to-back and overlapping pair occurrences) × 4 merge rules,
+    evaluated in ONE Spark pass and one DuckDB pass each, must match the
+    python greedy reference element-wise."""
+    import random
+
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from hive_server_spark.plans.text_pack import (
+        _bpe_apply_fold_sql,
+        bpe_apply_merge_col,
+    )
+
+    def py_apply(seq, a, b):
+        toks, out, i = seq.split(" "), [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return " ".join(out)
+
+    rng = random.Random(8008)
+    alphabet = ["a", "n", "x", "an"]  # incl. a multi-char symbol
+    rules = [("a", "n"), ("a", "a"), ("an", "a"), ("n", "x")]
+    seqs = [
+        " ".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 12)))
+        for _ in range(240)
+    ]
+    con = duckdb.connect()
+    df = spark.createDataFrame([(s,) for s in seqs], "s string")
+    for a, b in rules:
+        want = [py_apply(s, a, b) for s in seqs]
+        # keyed by input (collect order is not the createDataFrame order)
+        got_s_map = {}
+        for r in df.select("s", bpe_apply_merge_col(F.col("s"), a, b).alias("o")).collect():
+            got_s_map.setdefault(r.s, set()).add(r.o)
+        for s, w in zip(seqs, want):
+            assert got_s_map[s] == {w}, ("spark", s, a, b)
+        placeholders = ", ".join(f"('{s}')" for s in set(seqs))
+        got_d = dict(
+            con.execute(
+                f"SELECT s, {_bpe_apply_fold_sql('s', repr(a), repr(b))} "
+                f"FROM (VALUES {placeholders}) t(s)"
+            ).fetchall()
+        )
+        for s, w in zip(seqs, want):
+            assert got_d[s] == w, ("duckdb", s, a, b)
