@@ -75,26 +75,30 @@ def run_rep(sf_dir: str) -> dict:
     from hive_server_spark import gate
 
     spark = _fresh_spark()
-    load0 = os.getloadavg()
-    t_rep = time.perf_counter()
-    _warm_up(spark, sf_dir)
-    waves = _time_streaming_waves(spark, sf_dir)
-    timings: dict[str, float] = {}
-    for name, fn in sorted(gate.spark_queries().items()):
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-    rec = {
-        "queries": timings,
-        "streaming_waves": waves,
-        "queries_sum": round(sum(timings.values()), 4),
-        "total": round(sum(timings.values()) + sum(waves.values()), 4),
-        "wall": round(time.perf_counter() - t_rep, 4),
-        "loadavg_before": [round(x, 2) for x in load0],
-        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
-    }
-    spark.stop()
-    return rec
+    # try/finally so a mid-rep query failure still stops the session —
+    # otherwise the next rep's getOrCreate would silently reuse this warm
+    # JVM and violate the documented cold-session-per-rep contract.
+    try:
+        load0 = os.getloadavg()
+        t_rep = time.perf_counter()
+        _warm_up(spark, sf_dir)
+        waves = _time_streaming_waves(spark, sf_dir)
+        timings: dict[str, float] = {}
+        for name, fn in sorted(gate.spark_queries().items()):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        return {
+            "queries": timings,
+            "streaming_waves": waves,
+            "queries_sum": round(sum(timings.values()), 4),
+            "total": round(sum(timings.values()) + sum(waves.values()), 4),
+            "wall": round(time.perf_counter() - t_rep, 4),
+            "loadavg_before": [round(x, 2) for x in load0],
+            "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        }
+    finally:
+        spark.stop()
 
 
 def main() -> None:

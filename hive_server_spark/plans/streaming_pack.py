@@ -783,6 +783,27 @@ _EVT_STREAM_BUILDERS = {
 _EVT_RESULTS: SessionCache[dict] = SessionCache()
 
 
+def _run_sketch_stream(spark: SparkSession, starter, sf_dir: str, prefix: str):
+    """Start + await one foreachBatch sketch stream (CMS/HLL/CUSUM) with
+    the initial start INSIDE the transient-py4j retry — starting a
+    foreachBatch stream is itself a py4j round-trip (ADVICE r8). The work
+    dir is minted once and pinned across attempts, so a retry resumes the
+    SAME checkpoint + state exactly-once; returns the state store every
+    attempt wrote through (same pinned dir → same store)."""
+    from hive_server_spark.streaming.incremental import await_stream_with_retry
+
+    work = tempfile.mkdtemp(prefix=prefix)
+    stores: list = []
+
+    def thunk():
+        q, store = starter(spark, sf_dir, work=work)
+        stores.append(store)
+        return q
+
+    await_stream_with_retry(thunk, attempts=3)
+    return stores[-1]
+
+
 def _evt_streaming_results(spark: SparkSession, sf_dir: str) -> dict:
     """Run the whole evt_* streaming family concurrently once per
     (session, sf_dir); returns {query name: result DataFrame}."""
@@ -803,57 +824,28 @@ def _evt_streaming_results(spark: SparkSession, sf_dir: str) -> dict:
             # append wave, hll starts after cms terminates), and each is
             # awaited through the checkpoint-resuming retry — the replay
             # guard makes re-delivered batches exactly-once.
-            from hive_server_spark.streaming.incremental import (
-                await_stream_with_retry,
-                is_transient_py4j,
-            )
-
             # Pinned work dirs: a transient py4j failure retries the SAME
             # checkpoint + state dir, so the resumed stream keeps committed
             # progress and the store handle the results are built from IS
             # the store the retry wrote to (a fresh dir per attempt would
             # leave the original store holding only pre-crash batches).
-            cms_work = tempfile.mkdtemp(prefix="hss_cms_")
-            cms_q, cms_store = start_cms_stream(spark, sf_dir, work=cms_work)
+            # The INITIAL start call sits inside the retry too (ADVICE r8):
+            # starting a foreachBatch stream is itself a py4j round-trip
+            # and can fail just as transiently as a mid-stream batch.
+            # CMS still rides the append wave: its start+await runs first,
+            # while the memory-sink streams (already started above) drain
+            # concurrently in the background.
             results = {}
+            cms_store = _run_sketch_stream(spark, start_cms_stream, sf_dir, "hss_cms_")
             for name, q, sink in running:
                 q.awaitTermination()
                 results[name] = spark.table(sink)
-            try:
-                cms_q.awaitTermination()
-            except Exception as e:
-                if not is_transient_py4j(e):
-                    raise
-                await_stream_with_retry(
-                    lambda: start_cms_stream(spark, sf_dir, work=cms_work)[0],
-                    attempts=2,
-                )
             results["evt_cms_streaming"] = _cms_final(spark, cms_store)
-            hll_work = tempfile.mkdtemp(prefix="hss_hll_")
-            hll_q, hll_store = start_hll_stream(spark, sf_dir, work=hll_work)
-            try:
-                hll_q.awaitTermination()
-            except Exception as e:
-                if not is_transient_py4j(e):
-                    raise
-                await_stream_with_retry(
-                    lambda: start_hll_stream(spark, sf_dir, work=hll_work)[0],
-                    attempts=2,
-                )
+            hll_store = _run_sketch_stream(spark, start_hll_stream, sf_dir, "hss_hll_")
             results["evt_hll_streaming"] = _hll_final(spark, hll_store)
-            cusum_work = tempfile.mkdtemp(prefix="hss_cusum_")
-            cusum_q, cusum_store = start_cusum_stream(
-                spark, sf_dir, work=cusum_work
+            cusum_store = _run_sketch_stream(
+                spark, start_cusum_stream, sf_dir, "hss_cusum_"
             )
-            try:
-                cusum_q.awaitTermination()
-            except Exception as e:
-                if not is_transient_py4j(e):
-                    raise
-                await_stream_with_retry(
-                    lambda: start_cusum_stream(spark, sf_dir, work=cusum_work)[0],
-                    attempts=2,
-                )
             results["evt_cusum_streaming"] = _cusum_final(spark, cusum_store)
         return results
 

@@ -1139,15 +1139,22 @@ def test_bpe_train_matches_python_reference(spark):
 
 def test_ccnet_buckets_python_recompute(spark):
     """Per-source tercile bucketing vs a pure-python recompute: per-doc
-    mean micro-NLL from the python bigram LM, numpy-free linear-interp
-    quantiles (the quantile_cont/percentile definition), strict-< bucket
-    edges, and the per-bucket rollups."""
+    mean micro-NLL from the python bigram LM, the capped held-out
+    threshold slice (hash-mod predicate, md5 draw-key cap, global
+    fallback), numpy-free linear-interp quantiles (the
+    quantile_cont/percentile definition), strict-< bucket edges, and the
+    per-bucket rollups."""
+    import hashlib
     import math
     from collections import Counter, defaultdict
 
     import duckdb
 
-    from hive_server_spark.plans.text_pack import text_ccnet_buckets
+    from hive_server_spark.plans.text_pack import (
+        _CCNET_HELDOUT_CAP,
+        _CCNET_HELDOUT_MOD,
+        text_ccnet_buckets,
+    )
 
     rows = duckdb.execute(
         f"SELECT doc_id, source, text FROM "
@@ -1179,14 +1186,32 @@ def test_ccnet_buckets_python_recompute(spark):
         return s[lo] + (s[hi] - s[lo]) * (pos - lo)
 
     src_of = {doc_id: src for doc_id, src, _ in rows}
-    by_src = defaultdict(list)
-    for doc_id, (_n, mean) in per_doc.items():
-        by_src[src_of[doc_id]].append(mean)
+
+    # held-out threshold slice: hash-mod predicate, then the first
+    # _CCNET_HELDOUT_CAP docs per source by (md5 draw key, doc_id)
+    def heldout(doc_id):
+        h = int(
+            hashlib.md5(f"ccnet42:{doc_id}".encode()).hexdigest()[:8], 16
+        )
+        return h % _CCNET_HELDOUT_MOD == 0
+
+    by_src_held = defaultdict(list)
+    for doc_id in per_doc:
+        if heldout(doc_id):
+            dk = hashlib.md5(str(doc_id).encode()).hexdigest()
+            by_src_held[src_of[doc_id]].append((dk, doc_id))
+    held_means = defaultdict(list)
+    all_held = []
+    for s, lst in by_src_held.items():
+        for _dk, doc_id in sorted(lst)[:_CCNET_HELDOUT_CAP]:
+            held_means[s].append(per_doc[doc_id][1])
+            all_held.append(per_doc[doc_id][1])
+    g33, g66 = quantile_cont(all_held, 0.33), quantile_cont(all_held, 0.66)
     expect = defaultdict(lambda: [0, 0, 0])
     for doc_id, (n_bg, mean) in per_doc.items():
         s = src_of[doc_id]
-        t33 = quantile_cont(by_src[s], 0.33)
-        t66 = quantile_cont(by_src[s], 0.66)
+        t33 = quantile_cont(held_means[s], 0.33) if held_means[s] else g33
+        t66 = quantile_cont(held_means[s], 0.66) if held_means[s] else g66
         b = "head" if mean < t33 else ("middle" if mean < t66 else "tail")
         agg = expect[(s, b)]
         agg[0] += 1
@@ -1348,3 +1373,145 @@ def test_bpe_apply_merge_property_random(spark):
         )
         for s, w in zip(seqs, want):
             assert got_d[s] == w, ("duckdb", s, a, b)
+
+
+def test_bpe_separator_chars_full_parity(spark, tmp_path):
+    """ADVICE-r8 high: parens and the Java-'.'-excluded line separators
+    (U+2028 / U+2029 / U+0085 / \\x0b / \\x0c) through the FULL BPE
+    train + encode pipeline, Spark vs the registered DuckDB oracle.
+
+    Spark's chr() wraps its argument at 256 (chr(8232) = '(' and
+    chr(8233) = ')'), so the previously-shared chr(N) remap spelling
+    rewrote every paren to the U+2028/U+2029 markers on the Spark side
+    while never remapping the actual separators. The sf corpora contain
+    zero parens, so the gate stayed green coincidentally; this corpus
+    makes the break non-latent."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_server_spark import gate
+    from hive_server_spark.plans.text_pack import _bpe_ws_map
+    from tests.test_gate_parity import _rowset
+
+    # direct unit check on the remap expression itself: parens untouched,
+    # real U+2028/U+2029 mapped to their markers, in BOTH dialects
+    probe = "(" + chr(8232) + ")" + chr(8233) + "x" + chr(133)
+    want = "(Ĺ)Ľx" + "Ė"
+    got_s = (
+        spark.createDataFrame([(probe,)], "t string")
+        .selectExpr(f"{_bpe_ws_map('t', 's')} AS r")
+        .collect()[0].r
+    )
+    got_d = duckdb.execute(
+        f"SELECT {_bpe_ws_map('t', 'd')} FROM (VALUES ($1)) x(t)", [probe]
+    ).fetchone()[0]
+    assert got_s == want, got_s
+    assert got_d == want, got_d
+
+    texts = [
+        "call(me) now (please) (((",
+        "a)n a)n a)n an an",  # back-to-back merge pairs built from parens
+        "line one" + chr(8232) + "line two" + chr(8233) + "end",
+        "mix (x)" + chr(8232) + "(y)" + chr(133) + "z" + chr(11) + chr(12),
+        "an an an an (an) a n a n",
+        "plain text with no separators at all",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array([f"s{i % 2}" for i in range(len(texts))], pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    for name in ("text_bpe_train", "text_bpe_encode"):
+        oracle = con.execute(gate.oracle_sql()[name])
+        o_cols = [d[0] for d in oracle.description]
+        o_rows = oracle.fetchall()
+        sdf = gate.spark_queries()[name](spark, str(tmp_path))
+        s_rows = [tuple(r) for r in sdf.collect()]
+        assert len(s_rows) == len(o_rows) > 0, name
+        assert sorted(sdf.columns) == sorted(o_cols), name
+        assert _rowset(sdf.columns, s_rows) == _rowset(o_cols, o_rows), name
+
+
+def test_heldout_threshold_fallback_and_cap_parity(spark, tmp_path):
+    """The two bounded-threshold paths the sf corpora never exercise:
+    (a) a source/lang with NO held-out docs → global-threshold fallback;
+    (b) a source/lang with more held-out docs than the cap → the
+    (draw_key, doc_id) cap binds. Full Spark-vs-DuckDB parity of
+    text_ccnet_buckets and text_quality_filter over a crafted corpus."""
+    import hashlib
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_server_spark import gate
+    from hive_server_spark.plans.text_pack import (
+        _CCNET_HELDOUT_CAP,
+        _CCNET_HELDOUT_MOD,
+    )
+    from tests.test_gate_parity import _rowset
+
+    def held(doc_id, seed):
+        h = int(hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:8], 16)
+        return h % _CCNET_HELDOUT_MOD == 0
+
+    # source "lonely": 6 doc_ids outside BOTH held-out slices
+    lonely_ids = [
+        i for i in range(100_000, 110_000)
+        if not held(i, "ccnet42") and not held(i, "qmed42")
+    ][:6]
+    # source "big": 1200 ids → ~400 held-out (> cap of 256), cap binds
+    big_ids = list(range(1200))
+    n_big_held = sum(held(i, "ccnet42") for i in big_ids)
+    assert n_big_held > _CCNET_HELDOUT_CAP
+
+    words = ["the", "cat", "sat", "on", "a", "mat", "dog", "ran", "far", "up"]
+    rows = []
+    for j, i in enumerate(big_ids):
+        txt = " ".join(words[(i + k) % 10] for k in range(3 + i % 7))
+        rows.append((i, txt, "aa" if j % 2 else "bb", "big"))
+    for i in lonely_ids:
+        txt = " ".join(words[(i + k) % 10] for k in range(4 + i % 5))
+        rows.append((i, txt, "zz", "lonely"))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    for name in ("text_ccnet_buckets", "text_quality_filter"):
+        oracle = con.execute(gate.oracle_sql()[name])
+        o_cols = [d[0] for d in oracle.description]
+        o_rows = oracle.fetchall()
+        sdf = gate.spark_queries()[name](spark, str(tmp_path))
+        s_rows = [tuple(r) for r in sdf.collect()]
+        assert len(s_rows) == len(o_rows) > 0, name
+        assert _rowset(sdf.columns, s_rows) == _rowset(o_cols, o_rows), name
+    # the fallback really fired: 'lonely' docs got bucketed/filtered
+    ccnet = {
+        r.source
+        for r in gate.spark_queries()["text_ccnet_buckets"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert "lonely" in ccnet
