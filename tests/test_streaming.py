@@ -507,3 +507,41 @@ def test_state_store_run_id_guard(spark):
     t2b = ParquetStateStore(root2, run_id="/ckpt/run-B")
     assert t2b.already_applied(0)
     assert os.path.exists(t2._ptr)
+
+
+def test_docs_neardup_chunk_invariance_and_oracle(spark):
+    """The streaming near-dup band index must be micro-batch-boundary
+    invariant (1 vs 3 doc_id-ordered chunks) and equal the batch LSH
+    occupied-band rule computed directly on the corpus."""
+    from pyspark.sql import functions as F
+
+    from hive_server_spark.plans.streaming_pack import (
+        _doc_bands,
+        streamed_docs_neardup,
+    )
+    from hive_server_spark.catalog import load_table
+    from tests.conftest import SF_SMALL
+
+    one = sorted(
+        tuple(r) for r in streamed_docs_neardup(spark, SF_SMALL, chunks=1).collect()
+    )
+    three = sorted(
+        tuple(r) for r in streamed_docs_neardup(spark, SF_SMALL, chunks=3).collect()
+    )
+    assert one == three and len(one) > 0
+
+    # batch recompute of the occupied-band rule from the same band keys
+    bands = _doc_bands(load_table(spark, SF_SMALL, "documents"))
+    bmin = bands.groupBy("band_key").agg(F.min("doc_id").alias("min_id"))
+    want = sorted(
+        tuple(r)
+        for r in bands.join(bmin, "band_key")
+        .where(F.col("min_id") < F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occupied_bands"),
+            F.min("min_id").cast("bigint").alias("partner_doc_id"),
+        )
+        .collect()
+    )
+    assert one == want
