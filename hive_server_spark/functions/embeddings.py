@@ -1032,6 +1032,223 @@ FROM top JOIN cand ON top.vec_id = cand.vec_id
 
 
 # ---------------------------------------------------------------------------
+# Batch IVF-PQ search (round 9, VERDICT r8 item 4): the read path above
+# serves ONE query vector; real retrieval serves a query TABLE (a batch
+# of user queries, a bitext-mining shard, a hard-negative pass). This
+# generalizes emb_ivfpq_topk to a bounded query set (vec_id <
+# n_queries — the hard_negatives bounded-anchor convention):
+#   1. corpus → cell assignment: one scan, bounded coarse-codebook
+#      broadcast, map-side-combined argmin (shared with the single-query
+#      path — at scale this is the STORED layout, not a per-query job);
+#   2. query routing: each query scores the nlist coarse cells and keeps
+#      its nprobe nearest via grouped_topk — the routing table is
+#      n_queries × nprobe rows, bounded by construction, so it
+#      broadcasts and the candidate restriction is a MAP-SIDE join
+#      against the assignment (no corpus shuffle to route);
+#   3. PQ decode once per DISTINCT candidate vector (a vector probed by
+#      many queries decodes once), ADC via a broadcast per-query LUT
+#      (n_queries × m × ksub rows), per-(query, vector) SUM;
+#   4. per-query top-k via the two-level grouped_topk, exact re-rank of
+#      the ≤ n_queries × k survivors.
+# Corpus-sized work is ~n_queries × nprobe/nlist of a full scan — the
+# batch amortization a deployed index gives a query stream.
+# ---------------------------------------------------------------------------
+def ivfpq_batch_topk(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 3,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    from hive_server_spark.operators.topk import grouped_topk
+
+    vec = _vecs(emb).select("vec_id", "v")
+    coarse = vec.where(F.col("vec_id") < nlist).select(
+        F.col("vec_id").alias("ccid"), F.col("v").alias("ccv")
+    )
+    q = vec.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    assign = (
+        vec.crossJoin(F.broadcast(coarse))
+        .withColumn("cd2", F.expr(sqdist_expr("v", "ccv", "s")))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("cd2", "ccid")).alias("b"))
+        .select("vec_id", F.col("b.ccid").cast("bigint").alias("cell"))
+    )
+    probe = grouped_topk(
+        q.crossJoin(F.broadcast(coarse)).select(
+            "qid",
+            F.expr(sqdist_expr("qv", "ccv", "s")).alias("qd2"),
+            F.col("ccid").cast("bigint").alias("cell"),
+        ),
+        group_cols=["qid"],
+        sort_cols=["qd2", "cell"],
+        payload_cols=[],
+        k=nprobe,
+    ).select("qid", "cell")
+    # routing table is ≤ n_queries × nprobe rows — bounded by
+    # construction, so the candidate restriction broadcasts (the
+    # hard_negatives bounded-side rule) instead of shuffling the corpus
+    cand = assign.join(F.broadcast(probe), "cell").where(
+        F.col("vec_id") != F.col("qid")
+    )
+    bits = (ksub - 1).bit_length()
+    mask = ksub - 1
+    decoded = (
+        pq_codes(emb, m=m, ksub=ksub, micro=micro)
+        .join(cand.select("vec_id").distinct(), "vec_id")
+        .select(
+            "vec_id",
+            F.explode(F.expr(f"sequence(0, {m - 1})")).alias("m"),
+            "pq_code",
+        )
+        .withColumn(
+            "cid",
+            F.expr(
+                f"CAST(shiftright(pq_code, CAST({bits} * m AS INT)) & {mask} AS BIGINT)"
+            ),
+        )
+        .select("vec_id", "m", "cid")
+    )
+    dsub = 64 // m
+    sub_cent = vec.where(F.col("vec_id") < ksub).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    lut = (
+        q.select("qid", F.explode(F.expr(f"sequence(0, {m - 1})")).alias("m"), "qv")
+        .crossJoin(F.broadcast(sub_cent))
+        .select(
+            "qid",
+            "m",
+            "cid",
+            F.expr(
+                f"CAST(floor({sqdist_expr(f'slice(qv, m * {dsub} + 1, {dsub})', f'slice(cv, m * {dsub} + 1, {dsub})', 's')} * {micro}) AS BIGINT)"
+            ).alias("lut_micro"),
+        )
+    )
+    adc = (
+        cand.join(decoded, "vec_id")
+        .join(F.broadcast(lut), ["qid", "m", "cid"])
+        .groupBy("qid", "vec_id", "cell")
+        .agg(F.sum("lut_micro").cast("bigint").alias("adc_micro"))
+    )
+    top = grouped_topk(
+        adc,
+        group_cols=["qid"],
+        sort_cols=["adc_micro", "vec_id"],
+        payload_cols=["cell"],
+        k=k,
+        rank_col="rank",
+    )
+    return (
+        top.join(vec, "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            "rank",
+            "vec_id",
+            "cell",
+            "adc_micro",
+            F.expr(
+                f"CAST(floor({sqdist_expr('v', 'qv', 's')} * {micro}) AS BIGINT)"
+            ).alias("exact_micro"),
+        )
+    )
+
+
+def ivfpq_batch_topk_oracle(
+    n_queries: int = 8,
+    k: int = 3,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    micro: int = 1_000_000,
+) -> str:
+    dsub = 64 // m
+    cd2 = sqdist_expr("vec.v", "cc.ccv", "d")
+    qd2 = sqdist_expr("q.qv", "cc.ccv", "d")
+    d2 = sqdist_expr(
+        f"list_slice(vec.v, s.m * {dsub} + 1, s.m * {dsub} + {dsub})",
+        f"list_slice(c.cv, s.m * {dsub} + 1, s.m * {dsub} + {dsub})",
+        "d",
+    )
+    lut_d2 = sqdist_expr(
+        f"list_slice(q.qv, s.m * {dsub} + 1, s.m * {dsub} + {dsub})",
+        f"list_slice(c.cv, s.m * {dsub} + 1, s.m * {dsub} + {dsub})",
+        "d",
+    )
+    exact_d2 = sqdist_expr("vec.v", "q.qv", "d")
+    return f"""
+WITH vec AS (SELECT vec_id, {vec_expr('embedding', 'd')} AS v FROM embeddings),
+cc AS (SELECT vec_id AS ccid, v AS ccv FROM vec WHERE vec_id < {nlist}),
+q AS (SELECT vec_id AS qid, v AS qv FROM vec WHERE vec_id < {n_queries}),
+ad AS (
+  SELECT vec.vec_id, cc.ccid, {cd2} AS cd2
+  FROM vec CROSS JOIN cc
+),
+assign AS (
+  SELECT vec_id, CAST(ccid AS BIGINT) AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd2, ccid) AS rn
+    FROM ad
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT qid, cell FROM (
+    SELECT q.qid, CAST(cc.ccid AS BIGINT) AS cell,
+           row_number() OVER (PARTITION BY q.qid ORDER BY {qd2}, cc.ccid) AS rn
+    FROM q CROSS JOIN cc
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT p.qid, a.vec_id, a.cell
+  FROM assign a JOIN probe p ON a.cell = p.cell
+  WHERE a.vec_id <> p.qid
+),
+cv AS (SELECT DISTINCT vec_id FROM cand),
+c AS (SELECT vec_id AS cid, v AS cv FROM vec WHERE vec_id < {ksub}),
+s AS (SELECT unnest(range(0, {m})) AS m),
+d AS (
+  SELECT vec.vec_id, s.m, c.cid, {d2} AS d2
+  FROM vec JOIN cv ON vec.vec_id = cv.vec_id CROSS JOIN s CROSS JOIN c
+),
+a AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.qid, s.m, c.cid,
+         CAST(floor({lut_d2} * {micro}) AS BIGINT) AS lut_micro
+  FROM q CROSS JOIN s CROSS JOIN c
+),
+adc AS (
+  SELECT cand.qid, cand.vec_id, cand.cell,
+         CAST(SUM(lut.lut_micro) AS BIGINT) AS adc_micro
+  FROM cand JOIN a ON cand.vec_id = a.vec_id
+            JOIN lut ON cand.qid = lut.qid AND a.m = lut.m AND a.cid = lut.cid
+  GROUP BY cand.qid, cand.vec_id, cand.cell
+),
+top AS (
+  SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cell, adc_micro FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY adc_micro ASC, vec_id ASC) AS rank
+    FROM adc
+  ) WHERE rank <= {k}
+)
+SELECT top.qid, top.rank, top.vec_id, top.cell, top.adc_micro,
+       CAST(floor({exact_d2} * {micro}) AS BIGINT) AS exact_micro
+FROM top JOIN vec ON top.vec_id = vec.vec_id
+         JOIN q ON top.qid = q.qid
+"""
+
+
+# ---------------------------------------------------------------------------
 # Hard-negative mining (round 7): for each anchor vector, the most
 # cosine-similar vectors with a DIFFERENT label — the contrastive-training
 # curation step (high-similarity cross-label neighbors are the negatives

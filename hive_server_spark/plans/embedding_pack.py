@@ -435,6 +435,18 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.ivfpq_topk(_emb(spark, sf_dir))
 
 
+@register("emb_ivfpq_batch_topk", E.ivfpq_batch_topk_oracle(n_queries=8, k=3))
+def emb_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF-PQ retrieval: a query TABLE (8 bounded queries) routes
+    to its nprobe cells, candidates restrict via the broadcast routing
+    table (map-side — no corpus shuffle to route), PQ codes decode once
+    per DISTINCT candidate, ADC sums against a broadcast per-query LUT,
+    and per-query top-3 comes from the two-level grouped_topk — the
+    batch-amortized read path a deployed index serves a query stream
+    with (see functions/embeddings.py block comment)."""
+    return E.ivfpq_batch_topk(_emb(spark, sf_dir), n_queries=8, k=3)
+
+
 @register("emb_hard_negatives", E.hard_negatives_oracle(n_anchors=8, k=3))
 def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining: top-3 most-similar DIFFERENT-label

@@ -657,3 +657,97 @@ def test_semantic_decontaminate_numpy_recompute(spark):
         if vid >= E._SEMDECON_CLONE_SHIFT:
             assert r.contaminated and r.max_bench_cos == 1.0, vid
     assert n_flagged >= 1  # the injected clones keep the positive path live
+
+
+def test_ivfpq_batch_topk_vs_numpy(spark):
+    """Batch IVF-PQ vs a full numpy recompute over every query: per-query
+    nprobe routing, candidate restriction (self excluded), micro-floored
+    per-query LUT, ADC sums, per-query top-k with (adc, vec_id)
+    tie-break, and the exact re-rank column."""
+    import math
+
+    import numpy as np
+
+    from hive_server_spark.functions.embeddings import (
+        IVF_NLIST,
+        IVF_NPROBE,
+        PQ_KSUB,
+        PQ_M,
+        ivfpq_batch_topk,
+    )
+
+    rng = np.random.default_rng(47)
+    n, n_queries, k = 48, 5, 3
+    vecs = rng.normal(size=(n, 64)).astype("float32")
+    rows = [(int(i), int(i % 3), [float(x) for x in vecs[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    got = {
+        (r.qid, r.rank): r
+        for r in ivfpq_batch_topk(emb, n_queries=n_queries, k=k).collect()
+    }
+
+    v64 = vecs.astype("float64")
+    dsub = 64 // PQ_M
+
+    def fold_d2(a, b):
+        d2 = 0.0
+        for x, y in zip(a, b):  # in-order fold, matches the engines
+            d2 += (x - y) * (x - y)
+        return d2
+
+    def subcode(i, m):
+        sv = v64[i, m * dsub:(m + 1) * dsub]
+        return min(
+            range(PQ_KSUB),
+            key=lambda cid: (fold_d2(sv, v64[cid, m * dsub:(m + 1) * dsub]), cid),
+        )
+
+    cell_of = {
+        i: min(range(IVF_NLIST), key=lambda c: (fold_d2(v64[i], v64[c]), c))
+        for i in range(n)
+    }
+    expect = {}
+    for qid in range(n_queries):
+        probed = set(
+            sorted(range(IVF_NLIST), key=lambda c: (fold_d2(v64[qid], v64[c]), c))[
+                :IVF_NPROBE
+            ]
+        )
+        lut = {
+            (m, cid): int(
+                math.floor(
+                    fold_d2(
+                        v64[qid, m * dsub:(m + 1) * dsub],
+                        v64[cid, m * dsub:(m + 1) * dsub],
+                    )
+                    * 1e6
+                )
+            )
+            for m in range(PQ_M)
+            for cid in range(PQ_KSUB)
+        }
+        adc = sorted(
+            (
+                sum(lut[(m, subcode(i, m))] for m in range(PQ_M)),
+                i,
+                cell_of[i],
+            )
+            for i in range(n)
+            if i != qid and cell_of[i] in probed
+        )
+        for rank, (total, i, cell) in enumerate(adc[:k], start=1):
+            expect[(qid, rank)] = (
+                i,
+                cell,
+                total,
+                int(math.floor(fold_d2(v64[i], v64[qid]) * 1e6)),
+            )
+    assert set(got) == set(expect)
+    for key, (i, cell, total, exact) in expect.items():
+        r = got[key]
+        assert (r.vec_id, r.cell, r.adc_micro, r.exact_micro) == (
+            i,
+            cell,
+            total,
+            exact,
+        ), key
