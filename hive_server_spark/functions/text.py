@@ -365,6 +365,25 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return out
 
 
+def band_keys(sigs: DataFrame) -> DataFrame:
+    """Explode a minhash_signatures frame to (doc_id, band_key) — one row
+    per band, band_key = '<band idx>#<sig>_<sig>'. The ONE Spark spelling
+    of the LSH bucket key (shared by the batch candidate join and the
+    streaming near-dup index; the oracle twin is text_pack's
+    _band_union_d)."""
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws("#", F.lit(b), F.col(f"band_{b}"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band_key"),
+    )
+
+
 def minhash_candidates(docs: DataFrame, max_bucket: int | None = None) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one band bucket. Shuffle is
     on band keys (fine-grained); output is O(near-dups), never O(n²) — the
@@ -377,13 +396,7 @@ def minhash_candidates(docs: DataFrame, max_bucket: int | None = None) -> DataFr
     dropped from candidate generation; their members are (near-)identical by
     construction and belong to `exact_dedup`'s hash-group path instead, which
     handles them in O(b). None = uncapped (the parity-gate configuration)."""
-    sigs = minhash_signatures(docs)
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(*[F.concat_ws("#", F.lit(b), F.col(f"band_{b}")) for b in range(N_BANDS)])
-        ).alias("band_key"),
-    )
+    bands = band_keys(minhash_signatures(docs))
     if max_bucket is not None:
         small = (
             bands.groupBy("band_key")

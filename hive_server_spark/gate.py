@@ -1038,92 +1038,98 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 )
 
 # ---------------------------------------------------------------------------
-# Driver-visible ordering (round-8 rotation)
+# Driver-visible ordering (round-9 rotation)
 # ---------------------------------------------------------------------------
 # The correctness driver hash-checks the FIRST 50 queries per round. This
-# window executes the rotation plan written in round 7 (and echoed by
-# VERDICT r07 item 1) exactly: (a) the 8 round-8 registrations (the BPE
-# train/encode pair, the streaming CUSUM twin, the schema-evolution
-# round trip, the snapshot manifest diff, the CCNet perplexity buckets,
-# the hashed-feature linear scorer, and the HLL set-algebra audit),
-# (b) the 6 queries whose
-# implementation changed this round (deletion-vector file_id now integer
-# DIV; the CMS/HLL sketch streams now retry on a pinned checkpoint+state
-# dir and their stores are run-id-bound, as is the orders fold behind
-# orders_state_streaming; evt_cusum_drift refactored through the shared
-# cusum_from_hourly; asof_nearest_price's operator gained the
-# integral-order contract), (c) ALL 33 r04-green names displaced by the
-# round-7 registrations — this clears the three-round-deep freshness
-# backlog — and (d) the 3 oldest r05-green names by registration order.
-# ROUND-9 ROTATION NOTE: after this window goes green the staleness order
-# is (1) any round-9 registrations / modified queries, (2) the remaining
-# 46 r05-green names (rel_string_functions, rel_null_handling,
-# rel_unpivot_measures, rel_bitwise_functions, rel_lateral_top_orders,
-# then emb_cosine_topk onward in registration order), (3) the 46
-# r06-green names by registration order, (4) r07-green.
+# window executes the rotation plan written in round 8 (and echoed by
+# VERDICT r08 item 2) exactly: (a) the 2 round-9 registrations (the
+# streaming MinHash near-dup index and the batch IVF-PQ read path),
+# (b) the 4 queries whose PLAN changed this round (the BPE pair's
+# dialect-aware separator remap; the CCNet buckets' and quality filter's
+# bounded held-out-slice thresholds), and (c) ALL remaining 44 r05-green
+# names in registration order (rel_string_functions .. orders_state_
+# changelog; text_quality_filter is the 45th r05 name and sits in (b)).
+# 2 + 4 + 44 = 50: the r05 tail clears completely and nothing older than
+# r06 remains — exactly the VERDICT r08 item 2 done condition, which is
+# also why round 9 registers exactly two queries (headroom note,
+# VERDICT r08 item 7: each extra registration would have left one r05
+# name 4 rounds stale).
+# NOT in the window, deliberately: docs_ingest_streaming (the shared
+# document-landing helper gained ascending part-file mtimes for delivery
+# ORDER — its (min,sum,sum) merge is a commutative monoid, so order
+# cannot change its result; re-proven by gate parity + the chunk-
+# invariance test this round) and the CMS/HLL/CUSUM sketch streams
+# (their initial start call moved inside the transient-py4j retry —
+# control path only, no expression/state/plan change; all three re-proven
+# by gate parity this round). Both facts are pytest-pinned every run by
+# tests/test_gate_parity.py.
+# ROUND-10 ROTATION NOTE: after this window goes green the staleness
+# order is (1) any round-10 registrations / modified queries, (2) the 46
+# r06-green names in registration order (docs_ingest_streaming,
+# evt_hourly_rollup_streaming, ... then the sources/multimodal r06
+# cohort), (3) the 45 r07-green names, (4) r08.
 from hive_server_spark.registry import set_driver_priority  # noqa: E402
 
-DRIVER_PRIORITY_R8 = [
-    # -- (a) round-8 registrations ------------------------------------------
+DRIVER_PRIORITY_R9 = [
+    # -- (a) round-9 registrations ------------------------------------------
+    "docs_neardup_streaming",
+    "emb_ivfpq_batch_topk",
+    # -- (b) round-9-modified queries ---------------------------------------
     "text_bpe_train",
     "text_bpe_encode",
-    "evt_cusum_streaming",
-    "src_schema_evolution_roundtrip",
-    "layout_manifest_diff",
     "text_ccnet_buckets",
-    "text_hash_features_score",
-    "evt_hll_set_algebra",
-    # -- (b) round-8-modified queries ---------------------------------------
-    "layout_deletion_vectors",
-    "evt_cms_streaming",
-    "evt_hll_streaming",
-    "evt_cusum_drift",
-    "asof_nearest_price",
-    "orders_state_streaming",
-    # -- (c) the 33 r04-green names: the deferred rotation backlog ----------
-    "amount_out_capped",
-    "amount_out_prices",
-    "asof_trade_price",
-    "evt_sessions",
-    "evt_trailing_hour_value",
-    "price_hourly_gapfill",
-    "range_price_activity",
-    "scale_salted_cohort_rollup",
-    "rel_pricing_summary",
-    "rel_revenue_by_nation",
-    "rel_cheapest_line_per_part",
-    "rel_conditional_distinct",
-    "rel_cube_status_priority",
-    "rel_disjunctive_bands",
-    "rel_distinct_suppliers_per_nation",
-    "rel_exact_percentiles",
-    "rel_full_outer_nation_activity",
-    "rel_grouping_sets",
-    "rel_nation_trade_flows",
-    "rel_nations_except",
-    "rel_nations_intersect",
-    "rel_order_priority_exists",
-    "rel_orders_above_cust_avg",
-    "rel_parts_never_ordered",
-    "rel_promo_revenue_ratio",
-    "rel_rich_idle_customers",
-    "rel_rollup_revenue",
-    "rel_top_revenue_orders",
-    "rel_union_all_parties",
-    "rel_window_analytics",
-    "rel_window_order_gaps",
-    "rel_window_running_total",
-    "rel_window_top_customers",
-    # -- (d) the 3 oldest r05-green names by registration order -------------
-    "rel_scalar_functions",
-    "rel_datetime_functions",
-    "rel_array_functions",
+    "text_quality_filter",
+    # -- (c) ALL remaining 44 r05-green names, registration order ----------
+    "rel_string_functions",
+    "rel_null_handling",
+    "rel_unpivot_measures",
+    "rel_bitwise_functions",
+    "rel_lateral_top_orders",
+    "emb_cosine_topk",
+    "emb_ivf_topk",
+    "emb_lsh_buckets",
+    "emb_lsh_neardup_topk",
+    "emb_int8_quantization",
+    "text_profile",
+    "text_exact_dedup",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_sigs",
+    "dedup_minhash_candidates",
+    "dedup_simhash",
+    "text_corpus_stats",
+    "text_top_ngrams",
+    "dedup_clusters",
+    "text_quality_histogram",
+    "text_deterministic_sample",
+    "text_sample_rates",
+    "text_token_shards",
+    "dedup_reachability_recursive",
+    "text_mixture_sample",
+    "text_bigram_lm",
+    "text_pack_windows",
+    "text_decontaminate",
+    "text_leakage_safe_splits",
+    "text_repetition_profile",
+    "text_source_overlap",
+    "text_pretrain_keep",
+    "src_jsonl_roundtrip",
+    "src_csv_roundtrip",
+    "src_orc_roundtrip",
+    "multimodal_inventory",
+    "multimodal_frame_inventory",
+    "orders_state_stateful",
+    "orders_state_time_travel",
+    "evt_sliding_rollup_streaming",
+    "serving_pool_info_json",
+    "serving_user_orders_json",
+    "cdc_book_snapshots",
+    "orders_state_changelog",
 ]
-assert len(DRIVER_PRIORITY_R8) == 50, len(DRIVER_PRIORITY_R8)
+assert len(DRIVER_PRIORITY_R9) == 50, len(DRIVER_PRIORITY_R9)
 # A typo'd or renamed name would silently shrink the checked window
 # (registry._ordered drops unknown names); fail loudly instead.
 from hive_server_spark.registry import _SPARK_QUERIES as _REG  # noqa: E402
 
-_missing = [n for n in DRIVER_PRIORITY_R8 if n not in _REG]
-assert not _missing, f"DRIVER_PRIORITY_R8 names not registered: {_missing}"
-set_driver_priority(DRIVER_PRIORITY_R8)
+_missing = [n for n in DRIVER_PRIORITY_R9 if n not in _REG]
+assert not _missing, f"DRIVER_PRIORITY_R9 names not registered: {_missing}"
+set_driver_priority(DRIVER_PRIORITY_R9)

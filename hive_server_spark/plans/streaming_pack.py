@@ -123,6 +123,17 @@ _LANDED: SessionCache[str] = SessionCache(
 )
 
 
+def _stamp_ascending_mtimes(paths: list[str]) -> None:
+    """Ascending mtimes over `paths`, the ONE ordering contract every
+    landing shares: the file stream source replays files in
+    modification-time order, and files written by one job share an mtime,
+    making delivery order arbitrary without the stamp (ts-ordered event
+    streams, the seq-slice version numbering, doc_id-ordered ingest)."""
+    base = time.time() - 1_000
+    for i, p in enumerate(paths):
+        os.utime(p, (base + 10 * i, base + 10 * i))
+
+
 def _land_events_ts_ordered(spark: SparkSession, sf_dir: str, chunks: int) -> str:
     def land() -> str:
         ev_dir = os.path.join(tempfile.mkdtemp(prefix="hss_land_"), "events")
@@ -130,10 +141,7 @@ def _land_events_ts_ordered(spark: SparkSession, sf_dir: str, chunks: int) -> st
             "event_id", "ts", "user_id", "event_type", "value"
         )
         ev.repartitionByRange(chunks, "ts").write.parquet(ev_dir)
-        base = time.time() - 1_000
-        parts = sorted(glob.glob(os.path.join(ev_dir, "part-*.parquet")))
-        for i, p in enumerate(parts):
-            os.utime(p, (base + 10 * i, base + 10 * i))
+        _stamp_ascending_mtimes(sorted(glob.glob(os.path.join(ev_dir, "part-*.parquet"))))
         return ev_dir
 
     return _LANDED.get_or_create(spark, ("events_ts", sf_dir, chunks), land)
@@ -379,9 +387,7 @@ def _land_duplicated_events(spark: SparkSession, sf_dir: str, chunks: int) -> st
         # copies share a ts, so range partitioning keeps them in one micro-batch
         dup = ev.unionAll(ev).unionAll(ev.where(F.col("event_id") % 3 == 0))
         dup.repartitionByRange(chunks, "ts").write.parquet(ev_dir)
-        base = time.time() - 1_000
-        for i, p in enumerate(sorted(glob.glob(os.path.join(ev_dir, "part-*.parquet")))):
-            os.utime(p, (base + 10 * i, base + 10 * i))
+        _stamp_ascending_mtimes(sorted(glob.glob(os.path.join(ev_dir, "part-*.parquet"))))
         return ev_dir
 
     return _LANDED.get_or_create(spark, ("events_dup", sf_dir, chunks), land)
@@ -545,7 +551,7 @@ def _land_seq_slices(spark: SparkSession, sf_dir: str) -> str:
         )
         ev_dir = os.path.join(land_root, "events")
         os.makedirs(ev_dir)
-        base = time.time() - 1_000
+        dsts = []
         for i in range(3):
             parts = glob.glob(os.path.join(tmp, f"slice={i}", "part-*.parquet"))
             # the three-file mtime layout (batch ids 0/1/2) is what the
@@ -558,7 +564,8 @@ def _land_seq_slices(spark: SparkSession, sf_dir: str) -> str:
             )
             dst = os.path.join(ev_dir, f"{i:02d}.parquet")
             os.replace(parts[0], dst)
-            os.utime(dst, (base + 10 * i, base + 10 * i))
+            dsts.append(dst)
+        _stamp_ascending_mtimes(dsts)
         return ev_dir
 
     return _LANDED.get_or_create(spark, ("order_events_slices", sf_dir), land)
@@ -909,9 +916,7 @@ def _land_documents(spark: SparkSession, sf_dir: str, chunks: int) -> str:
         load_table(spark, sf_dir, "documents").repartitionByRange(
             chunks, "doc_id"
         ).write.parquet(d)
-        base = time.time() - 1_000
-        for i, p in enumerate(sorted(glob.glob(os.path.join(d, "part-*.parquet")))):
-            os.utime(p, (base + 10 * i, base + 10 * i))
+        _stamp_ascending_mtimes(sorted(glob.glob(os.path.join(d, "part-*.parquet"))))
         return d
 
     return _LANDED.get_or_create(spark, ("documents", sf_dir, chunks), land)
@@ -1002,15 +1007,11 @@ def docs_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 from hive_server_spark.plans.text_pack import (  # noqa: E402
     _SHINGLES_CTE_D,
     _TOKS_CTE_D,
+    _band_cols_d,
+    _band_union_d,
     _mh_cols_d,
 )
 from hive_server_spark.functions import text as _T  # noqa: E402
-
-_NEARDUP_BAND_UNION_D = "\nUNION ALL\n".join(
-    f"SELECT doc_id, concat('{b}', '#', mh_{2*b}, '_', mh_{2*b+1}) AS band_key "
-    "FROM sigs"
-    for b in range(_T.N_BANDS)
-)
 
 _DOCS_NEARDUP_ORACLE = f"""
 WITH {_TOKS_CTE_D},
@@ -1020,7 +1021,11 @@ sigs AS (
        {_mh_cols_d}
   FROM shingled
 ),
-bands AS ({_NEARDUP_BAND_UNION_D}),
+sigs_b AS (
+  SELECT doc_id, {_band_cols_d}
+  FROM sigs
+),
+bands AS ({_band_union_d}),
 bmin AS (SELECT band_key, MIN(doc_id) AS min_id FROM bands GROUP BY band_key),
 j AS (
   SELECT b.doc_id, m.min_id
@@ -1036,13 +1041,9 @@ FROM j GROUP BY doc_id
 
 def _doc_bands(docs_df: DataFrame) -> DataFrame:
     """doc_id → 4 prefixed LSH band keys ('{band}#mh_mh'), one row each —
-    the same signatures dedup_minhash_sigs emits, exploded for keying."""
-    sigs = _T.minhash_signatures(docs_df)
-    bands = [
-        F.concat_ws("#", F.lit(str(b)), F.col(f"band_{b}"))
-        for b in range(_T.N_BANDS)
-    ]
-    return sigs.select("doc_id", F.explode(F.array(*bands)).alias("band_key"))
+    the same signatures dedup_minhash_sigs emits, exploded through the
+    shared band_keys spelling (functions/text.py)."""
+    return _T.band_keys(_T.minhash_signatures(docs_df))
 
 
 def streamed_docs_neardup(

@@ -491,13 +491,48 @@ def text_sample_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QF_HELDOUT_MOD = 3
 _QF_HELDOUT_CAP = 256
 
-_QF_HELD_PRED_D = (
-    f"(({T.hash_expr('doc_id', 'qmed42', 'd')}) % {_QF_HELDOUT_MOD} "
-    f"+ {_QF_HELDOUT_MOD}) % {_QF_HELDOUT_MOD} = 0"
-)
-_QF_HELD_PRED_S = (
-    f"pmod({T.hash_expr('doc_id', 'qmed42', 's')}, {_QF_HELDOUT_MOD}) = 0"
-)
+
+def _held_cte_d(src: str, group: str, value: str, seed: str,
+                mod: int, cap: int) -> str:
+    """DuckDB `held` CTE: the capped held-out threshold slice — seeded
+    hash-mod predicate, then the first `cap` docs per `group` by
+    (md5 draw key, doc_id). ONE spelling for every bounded-threshold
+    query (text_quality_filter, text_ccnet_buckets) so the round-9
+    policy is one mechanism, not per-query copies."""
+    pred = (
+        f"(({T.hash_expr('doc_id', seed, 'd')}) % {mod} + {mod}) % {mod} = 0"
+    )
+    return (
+        f"held AS (\n"
+        f"  SELECT {group}, {value}, md5(CAST(doc_id AS VARCHAR)) AS draw_key,"
+        f" doc_id\n"
+        f"  FROM {src} WHERE {pred}\n"
+        f"  QUALIFY row_number() OVER (PARTITION BY {group}"
+        f" ORDER BY draw_key, doc_id) <= {cap}\n"
+        f")"
+    )
+
+
+def _capped_heldout(df: DataFrame, group: str, value: str, seed: str,
+                    mod: int, cap: int) -> DataFrame:
+    """Spark twin of _held_cte_d: hash-mod slice (map-side predicate) +
+    per-group cap via the two-level grouped_topk — the percentile buffer
+    downstream holds ≤ cap rows per group at any corpus size."""
+    from hive_server_spark.operators.topk import grouped_topk
+
+    pred = f"pmod({T.hash_expr('doc_id', seed, 's')}, {mod}) = 0"
+    return grouped_topk(
+        df.where(F.expr(pred)).select(
+            group,
+            F.md5(F.col("doc_id").cast("string")).alias("draw_key"),
+            "doc_id",
+            value,
+        ),
+        group_cols=[group],
+        sort_cols=["draw_key", "doc_id"],
+        payload_cols=[value],
+        k=cap,
+    )
 _SCORED_CTE_D = """
 scored AS (
   SELECT doc_id, lang,
@@ -519,12 +554,8 @@ scored AS (
     f"""
 WITH {_TOKS_CTE_D},
 {_SCORED_CTE_D},
-held AS (
-  SELECT lang, quality, md5(CAST(doc_id AS VARCHAR)) AS draw_key, doc_id
-  FROM scored WHERE {_QF_HELD_PRED_D}
-  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY draw_key, doc_id)
-          <= {_QF_HELDOUT_CAP}
-),
+{_held_cte_d('scored', 'lang', 'quality', 'qmed42',
+             _QF_HELDOUT_MOD, _QF_HELDOUT_CAP)},
 med AS (
   SELECT lang, quantile_cont(quality, 0.5) AS med FROM held GROUP BY lang
 ),
@@ -532,37 +563,32 @@ gmed AS (SELECT quantile_cont(quality, 0.5) AS gmed FROM held)
 SELECT s.doc_id, s.lang, s.quality,
        COALESCE(m.med, g.gmed) AS lang_median
 FROM scored s LEFT JOIN med m ON s.lang = m.lang CROSS JOIN gmed g
-WHERE s.quality >= COALESCE(m.med, g.gmed)
+WHERE s.quality >= COALESCE(m.med, g.gmed, s.quality)
 """,
 )
 def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language median-quality cut, median estimated on a capped
     held-out slice (≤ _QF_HELDOUT_CAP docs/lang — see block comment for
     the buffer bound): one bounded aggregate for the thresholds (|langs|
-    rows — broadcast back), one map-side filter over the corpus."""
-    from hive_server_spark.operators.topk import grouped_topk
+    rows — broadcast back), one map-side filter over the corpus.
 
+    Degenerate floor: if the ENTIRE held-out slice is empty (possible
+    only on tiny corpora — P ≈ (1 - 1/mod)^n), both medians are NULL and
+    a bare >= would drop every document silently; the final COALESCE arm
+    falls back to the doc's own quality, keeping the whole corpus (no
+    threshold evidence → no cut) with lang_median reported as NULL."""
     prof = _profile(spark, sf_dir).select(
         "doc_id", "lang", F.col("quality_score").alias("quality")
     )
-    held = grouped_topk(
-        prof.where(F.expr(_QF_HELD_PRED_S)).select(
-            "lang",
-            F.md5(F.col("doc_id").cast("string")).alias("draw_key"),
-            "doc_id",
-            "quality",
-        ),
-        group_cols=["lang"],
-        sort_cols=["draw_key", "doc_id"],
-        payload_cols=["quality"],
-        k=_QF_HELDOUT_CAP,
+    held = _capped_heldout(
+        prof, "lang", "quality", "qmed42", _QF_HELDOUT_MOD, _QF_HELDOUT_CAP
     )
     med = held.groupBy("lang").agg(F.percentile("quality", 0.5).alias("med"))
     gmed = held.agg(F.percentile("quality", 0.5).alias("gmed"))
     return (
         prof.join(F.broadcast(med), "lang", "left")
         .crossJoin(F.broadcast(gmed))
-        .where(F.col("quality") >= F.coalesce("med", "gmed"))
+        .where(F.col("quality") >= F.coalesce("med", "gmed", "quality"))
         .select(
             "doc_id",
             "lang",
@@ -4177,14 +4203,11 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CCNET_HELDOUT_MOD = 3  # ~1/3 of docs reach the capped draw; raise at scale
 _CCNET_HELDOUT_CAP = 256  # exact-percentile buffer bound, per source
 
-_CCNET_HELD_PRED_D = (
-    f"(({T.hash_expr('doc_id', 'ccnet42', 'd')}) % {_CCNET_HELDOUT_MOD} "
-    f"+ {_CCNET_HELDOUT_MOD}) % {_CCNET_HELDOUT_MOD} = 0"
-)
-_CCNET_HELD_PRED_S = (
-    f"pmod({T.hash_expr('doc_id', 'ccnet42', 's')}, {_CCNET_HELDOUT_MOD}) = 0"
-)
-
+# Degenerate floor: if the whole held-out slice is empty (tiny corpora
+# only), every threshold is NULL, both CASE comparisons are NULL, and
+# every doc lands in ELSE 'tail' — the honest degenerate answer (no
+# threshold evidence → nothing is distinguishably head/middle), output
+# still corpus-complete, identical in both engines.
 _CCNET_ORACLE = f"""
 WITH nll AS ({_NLL_PER_DOC_ORACLE}),
 per_doc AS (
@@ -4192,13 +4215,8 @@ per_doc AS (
          n.nll_micro_total // n.n_bigrams AS mean_micro
   FROM nll n JOIN documents d ON n.doc_id = d.doc_id
 ),
-held AS (
-  SELECT source, doc_id, mean_micro,
-         md5(CAST(doc_id AS VARCHAR)) AS draw_key
-  FROM per_doc WHERE {_CCNET_HELD_PRED_D}
-  QUALIFY row_number() OVER (PARTITION BY source ORDER BY draw_key, doc_id)
-          <= {_CCNET_HELDOUT_CAP}
-),
+{_held_cte_d('per_doc', 'source', 'mean_micro', 'ccnet42',
+             _CCNET_HELDOUT_MOD, _CCNET_HELDOUT_CAP)},
 thr AS (
   SELECT source,
          quantile_cont(CAST(mean_micro AS DOUBLE), 0.33) AS t33,
@@ -4234,25 +4252,15 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentiles of the mean bigram-NLL score, thresholds estimated on a
     capped held-out slice (see block comment: CCNet's own method, and the
     only shape whose percentile buffer is bounded at 100 TB)."""
-    from hive_server_spark.operators.topk import grouped_topk
-
     nll = text_bigram_nll(spark, sf_dir)
     per_doc = nll.select(
         "doc_id",
         "n_bigrams",
         F.expr("nll_micro_total DIV n_bigrams").alias("mean_micro"),
     ).join(_docs(spark, sf_dir).select("doc_id", "source"), "doc_id")
-    held = grouped_topk(
-        per_doc.where(F.expr(_CCNET_HELD_PRED_S)).select(
-            "source",
-            F.md5(F.col("doc_id").cast("string")).alias("draw_key"),
-            "doc_id",
-            "mean_micro",
-        ),
-        group_cols=["source"],
-        sort_cols=["draw_key", "doc_id"],
-        payload_cols=["mean_micro"],
-        k=_CCNET_HELDOUT_CAP,
+    held = _capped_heldout(
+        per_doc, "source", "mean_micro", "ccnet42",
+        _CCNET_HELDOUT_MOD, _CCNET_HELDOUT_CAP,
     )
     thr = held.groupBy("source").agg(
         F.percentile(F.col("mean_micro").cast("double"), 0.33).alias("t33"),

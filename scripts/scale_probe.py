@@ -196,12 +196,22 @@ DEFAULT_QUERIES = [
     "text_ccnet_buckets",
     "text_hash_features_score",
     "evt_hll_set_algebra",
+    # round-9: the bounded-threshold quality cut (held-out slice + capped
+    # per-group percentile — the probe verifies the NEW plan still rides
+    # the profile scan linearly) and the batch IVF-PQ read path (per-query
+    # routing via a bounded broadcast table; ratio should track the
+    # single-query path since corpus-sized work is shared across queries).
+    "text_quality_filter",
+    "emb_ivfpq_batch_topk",
     # excluded: udtf_char_ngram_census (a deliberate Python-slow-path API
     # showcase on a corpus slice; the declarative twin IS the production
     # plan — see SCALE.md §5); evt_cusum_streaming (availableNow harness
     # replays the replicated log through fixed-cost micro-batch landings,
     # like evt_cms_streaming/evt_hll_streaming below — the maintained
-    # hourly-agg math is evt_cusum_drift, probed above).
+    # hourly-agg math is evt_cusum_drift, probed above);
+    # docs_neardup_streaming (same harness exclusion — its per-batch math
+    # is the dedup_minhash_sigs signature scan, probed at 10x/100x, plus a
+    # band-keyed agg/join against the bounded band index).
 ]
 
 # --mult 100 list (VERDICT r05 item 4): the cheap-per-row families where a
@@ -280,6 +290,10 @@ HUNDREDX_QUERIES = [
     # after its first linear vocab-build agg the K iterations are
     # vocab-sized, so 100x would re-time one agg plus constants.
     "emb_ivfpq_topk",
+    # round-9 (VERDICT r8 item 4): the batch generalization at 100x — the
+    # corpus-sized halves (assignment scan, candidate ADC) are shared
+    # across the 8 queries, so the ratio should sit near emb_ivfpq_topk's.
+    "emb_ivfpq_batch_topk",
     "text_bpe_encode",
     "layout_manifest_diff",
     # round-7 fifth batch, the corpus-scaling members: map-only Gopher

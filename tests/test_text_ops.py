@@ -1459,21 +1459,26 @@ def test_heldout_threshold_fallback_and_cap_parity(spark, tmp_path):
     from hive_server_spark.plans.text_pack import (
         _CCNET_HELDOUT_CAP,
         _CCNET_HELDOUT_MOD,
+        _QF_HELDOUT_MOD,
     )
     from tests.test_gate_parity import _rowset
 
-    def held(doc_id, seed):
+    # each predicate checked under ITS OWN modulus — the two constants are
+    # independently tunable, and sharing one here would silently stop
+    # exercising a fallback path if they ever diverge
+    def held(doc_id, seed, mod):
         h = int(hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:8], 16)
-        return h % _CCNET_HELDOUT_MOD == 0
+        return h % mod == 0
 
     # source "lonely": 6 doc_ids outside BOTH held-out slices
     lonely_ids = [
         i for i in range(100_000, 110_000)
-        if not held(i, "ccnet42") and not held(i, "qmed42")
+        if not held(i, "ccnet42", _CCNET_HELDOUT_MOD)
+        and not held(i, "qmed42", _QF_HELDOUT_MOD)
     ][:6]
     # source "big": 1200 ids → ~400 held-out (> cap of 256), cap binds
     big_ids = list(range(1200))
-    n_big_held = sum(held(i, "ccnet42") for i in big_ids)
+    n_big_held = sum(held(i, "ccnet42", _CCNET_HELDOUT_MOD) for i in big_ids)
     assert n_big_held > _CCNET_HELDOUT_CAP
 
     words = ["the", "cat", "sat", "on", "a", "mat", "dog", "ran", "far", "up"]
@@ -1515,3 +1520,69 @@ def test_heldout_threshold_fallback_and_cap_parity(spark, tmp_path):
         ).collect()
     }
     assert "lonely" in ccnet
+
+
+def test_heldout_threshold_empty_slice_floor(spark, tmp_path):
+    """When the ENTIRE held-out slice is empty (constructible on tiny
+    corpora), text_quality_filter must keep every document (the
+    doc's-own-quality COALESCE floor — a bare >= NULL would silently drop
+    the whole corpus) with lang_median NULL, and text_ccnet_buckets must
+    bucket everything 'tail'. Both mirrored in the oracles."""
+    import hashlib
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_server_spark import gate
+    from hive_server_spark.plans.text_pack import (
+        _CCNET_HELDOUT_MOD,
+        _QF_HELDOUT_MOD,
+    )
+    from tests.test_gate_parity import _rowset
+
+    def held(doc_id, seed, mod):
+        h = int(hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:8], 16)
+        return h % mod == 0
+
+    ids = [
+        i for i in range(200_000, 240_000)
+        if not held(i, "ccnet42", _CCNET_HELDOUT_MOD)
+        and not held(i, "qmed42", _QF_HELDOUT_MOD)
+    ][:8]
+    words = ["the", "cat", "sat", "on", "a", "mat", "dog", "ran"]
+    texts = [
+        " ".join(words[(i + k) % 8] for k in range(4 + i % 4)) for i in ids
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en", "de"] * 4, pa.string()),
+            "source": pa.array(["s0", "s1"] * 4, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+
+    qf = gate.spark_queries()["text_quality_filter"](spark, str(tmp_path))
+    rows = qf.collect()
+    assert len(rows) == len(ids)  # nothing dropped
+    assert all(r.lang_median is None for r in rows)
+    oracle = con.execute(gate.oracle_sql()["text_quality_filter"])
+    o_rows = oracle.fetchall()
+    assert _rowset(qf.columns, [tuple(r) for r in rows]) == _rowset(
+        [d[0] for d in oracle.description], o_rows
+    )
+
+    cc = gate.spark_queries()["text_ccnet_buckets"](spark, str(tmp_path))
+    cc_rows = cc.collect()
+    assert cc_rows and all(r.bucket == "tail" for r in cc_rows)
+    oracle = con.execute(gate.oracle_sql()["text_ccnet_buckets"])
+    assert _rowset(cc.columns, [tuple(r) for r in cc_rows]) == _rowset(
+        [d[0] for d in oracle.description], oracle.fetchall()
+    )
