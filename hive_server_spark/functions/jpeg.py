@@ -17,9 +17,13 @@ deterministic fake. This module closes it the same way PNG did:
   real: multi-scan coefficient accumulation with spectral selection and
   successive approximation — DC first/refinement scans, AC first scans
   with EOB runs, and the AC correction-bit refinement algorithm (T.81
-  G.2) — reconstructed at EOI. Arithmetic coding, 12-bit precision,
-  fractional-ratio sampling and progressive-with-subsampling raise a
-  clear ValueError instead of mis-decoding (the PPM maxval>255 stance).
+  G.2) — reconstructed at EOI. (Round 9) progressive WITH subsampled
+  chroma decodes for real too: interleaved DC scans walk the MCU-padded
+  per-component block clusters while non-interleaved AC scans walk each
+  component's true (unpadded) block grid, and reconstruction shares the
+  baseline path's crop/replicate tail. Arithmetic coding, 12-bit
+  precision, and fractional-ratio sampling raise a clear ValueError
+  instead of mis-decoding (the PPM maxval>255 stance).
 - ``encode_jpeg_gray_blocks`` is a FIXTURE encoder in the spirit of
   ``encode_png``: it emits a spec-valid grayscale baseline JPEG whose 8×8
   blocks are each a constant value. For constant blocks the forward DCT is
@@ -288,21 +292,47 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
     raise ValueError("JPEG has no SOS marker")
 
 
+def _frame_geometry(frame):
+    """Sampling geometry shared by the progressive scan decoder and the
+    reconstruction (T.81 A.1.1): (hmax, vmax, MCU grid, and per component
+    its TRUE block grid ceil(comp_dim/8) — the data-unit count of a
+    NON-interleaved scan, which has no MCU padding)."""
+    height, width, comps = frame
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    for _, hs, vs, _ in comps:
+        if not (1 <= hs <= 4 and 1 <= vs <= 4):
+            raise ValueError(f"JPEG sampling factor {hs}x{vs} out of range")
+        if hmax % hs or vmax % vs:
+            raise ValueError(
+                f"JPEG fractional-ratio chroma sampling unsupported "
+                f"({hs}x{vs} against max {hmax}x{vmax})"
+            )
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    dims = []
+    for _, hs, vs, _ in comps:
+        cw = -(-width * hs // hmax)
+        ch = -(-height * vs // vmax)
+        dims.append(((ch + 7) // 8, (cw + 7) // 8))
+    return hmax, vmax, mcux, mcuy, dims
+
+
 def _init_coef(frame):
-    """Per-component quantized-coefficient store for progressive decode:
-    (blocks_h, blocks_w, 8, 8) int32 per component, zero-initialized —
-    scans accumulate into it and reconstruction happens at EOI."""
+    """Per-component quantized-coefficient store for progressive decode,
+    zero-initialized — scans accumulate into it and reconstruction
+    happens at EOI. Allocated on the MCU-padded grid (mcuy*vs, mcux*hs)
+    because interleaved DC scans code every MCU's full hs x vs block
+    cluster including edge padding blocks; non-interleaved scans touch
+    only the true ceil(comp/8) prefix (see _frame_geometry)."""
     height, width, comps = frame
     if width <= 0 or height <= 0:
         raise ValueError("JPEG frame has empty dimensions")
-    for _, hs, vs, _ in comps:
-        if hs != 1 or vs != 1:
-            raise ValueError(
-                "progressive JPEG with subsampled chroma unsupported; "
-                "progressive decode handles 1x1 sampling only"
-            )
-    bw, bh = (width + 7) // 8, (height + 7) // 8
-    return [np.zeros((bh, bw, 8, 8), dtype=np.int64) for _ in comps]
+    _hmax, _vmax, mcux, mcuy, _dims = _frame_geometry(frame)
+    return [
+        np.zeros((mcuy * vs, mcux * hs, 8, 8), dtype=np.int64)
+        for _, hs, vs, _ in comps
+    ]
 
 
 def _decode_progressive_scan(
@@ -329,31 +359,53 @@ def _decode_progressive_scan(
     if len(scan_comps) != ncomp_scan:
         raise ValueError("JPEG progressive scan names unknown component")
     br = _BitReader(b, pos)
-    bh, bw = coef[0].shape[0], coef[0].shape[1]
-    nblocks = bh * bw
+    _hmax, _vmax, mcux, mcuy, dims = _frame_geometry(frame)
 
     if ss == 0:  # DC scan (Se must be 0 per spec)
         if se != 0:
             raise ValueError("JPEG progressive DC scan with Se != 0")
         preds = {ci: 0 for ci, _td, _ta in scan_comps}
-        unit = 0
-        for by in range(bh):
-            for bx in range(bw):
-                if restart_interval and unit and unit % restart_interval == 0:
-                    br.restart()
-                    preds = {ci: 0 for ci, _td, _ta in scan_comps}
-                for ci, td, _ta in scan_comps:
-                    if ah == 0:  # first DC scan: Huffman diff, shifted by Al
-                        if td not in huff_dc:
-                            raise ValueError("JPEG scan references missing Huffman table")
-                        s = huff_dc[td].decode(br)
-                        diff = _extend(br.receive(s), s)
-                        preds[ci] += diff
-                        coef[ci][by, bx, 0, 0] = preds[ci] << al
-                    else:  # DC refinement: one raw bit per block
-                        if br.read_bit():
-                            coef[ci][by, bx, 0, 0] |= 1 << al
-                unit += 1
+
+        def dc_unit(ci: int, td: int, by: int, bx: int) -> None:
+            if ah == 0:  # first DC scan: Huffman diff, shifted by Al
+                if td not in huff_dc:
+                    raise ValueError("JPEG scan references missing Huffman table")
+                s = huff_dc[td].decode(br)
+                diff = _extend(br.receive(s), s)
+                preds[ci] += diff
+                coef[ci][by, bx, 0, 0] = preds[ci] << al
+            else:  # DC refinement: one raw bit per block
+                if br.read_bit():
+                    coef[ci][by, bx, 0, 0] |= 1 << al
+
+        if ncomp_scan > 1:
+            # interleaved: MCU order, each component its hs x vs cluster
+            # (incl. edge padding blocks); restart counts MCUs (T.81 G.2)
+            unit = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        br.restart()
+                        preds.update({ci: 0 for ci, _td, _ta in scan_comps})
+                    for ci, td, _ta in scan_comps:
+                        _cid, hs, vs, _tq = frame[2][ci]
+                        for v in range(vs):
+                            for h2 in range(hs):
+                                dc_unit(ci, td, my * vs + v, mx * hs + h2)
+                    unit += 1
+        else:
+            # non-interleaved single-component DC scan: raster order over
+            # the component's TRUE block grid, no MCU padding
+            ci, td, _ta = scan_comps[0]
+            bh_c, bw_c = dims[ci]
+            unit = 0
+            for by in range(bh_c):
+                for bx in range(bw_c):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        br.restart()
+                        preds.update({ci: 0 for ci, _td2, _ta2 in scan_comps})
+                    dc_unit(ci, td, by, bx)
+                    unit += 1
     else:  # AC scan: exactly one component (T.81 G.1.1.1.1)
         if ncomp_scan != 1:
             raise ValueError("JPEG progressive AC scan must be single-component")
@@ -361,12 +413,16 @@ def _decode_progressive_scan(
         if ta not in huff_ac:
             raise ValueError("JPEG scan references missing Huffman table")
         table = huff_ac[ta]
+        # raster order over the component's TRUE block grid (ceil(comp/8),
+        # never MCU-padded — non-interleaved scans have no pad data units)
+        bh_c, bw_c = dims[ci]
+        nblocks = bh_c * bw_c
         eobrun = 0
         for blk in range(nblocks):
             if restart_interval and blk and blk % restart_interval == 0:
                 br.restart()
                 eobrun = 0
-            by, bx = blk // bw, blk % bw
+            by, bx = blk // bw_c, blk % bw_c
             block = coef[ci][by, bx]
             if ah == 0:  # AC first scan
                 if eobrun > 0:
@@ -459,10 +515,13 @@ def _decode_progressive_scan(
 
 def _reconstruct_progressive(frame, qt, coef):
     """Dequantize + IDCT the accumulated progressive coefficients (EOI
-    reached) — same math as the baseline path, same output contract."""
+    reached) — same math and subsampling tail as the baseline path (crop
+    each plane to its component resolution, pixel-replicate up to frame
+    resolution, crop to the frame), same output contract."""
     height, width, comps = frame
+    hmax, vmax, _mcux, _mcuy, _dims = _frame_geometry(frame)
     out = []
-    for (cid, _hs, _vs, tq), c in zip(comps, coef):
+    for (cid, hs, vs, tq), c in zip(comps, coef):
         if tq not in qt:
             raise ValueError(f"JPEG references missing quant table {tq}")
         bh, bw = c.shape[0], c.shape[1]
@@ -472,7 +531,13 @@ def _reconstruct_progressive(frame, qt, coef):
             for bx in range(bw):
                 block = _DCT_M.T @ (c[by, bx].astype(np.float64) * q) @ _DCT_M
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-        out.append(plane[:height, :width] + 128.0)
+        cw = -(-width * hs // hmax)
+        ch = -(-height * vs // vmax)
+        plane = plane[:ch, :cw] + 128.0
+        ry, rx = vmax // vs, hmax // hs
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out.append(plane[:height, :width])
     if len(out) == 3:  # BT.601 full-range YCbCr → RGB
         y, cb, cr = out
         r = y + 1.402 * (cr - 128.0)
@@ -749,9 +814,10 @@ def _write_dc_diff(bw_: _BitWriter, diff: int) -> None:
 
 
 def encode_jpeg_progressive_blocks(
-    planes, blocks_w: int, blocks_h: int
+    planes, blocks_w: int, blocks_h: int, sampling=None,
+    width: int | None = None, height: int | None = None,
 ) -> bytes:
-    """Spec-valid PROGRESSIVE (SOF2) fixture: 1 (gray) or 3 (YCbCr, 1x1)
+    """Spec-valid PROGRESSIVE (SOF2) fixture: 1 (gray) or 3 (YCbCr)
     components of constant DC-only 8x8 blocks, coded in four-plus scans
     that exercise the real progressive machinery:
 
@@ -763,21 +829,41 @@ def encode_jpeg_progressive_blocks(
 
     d = ((d >> 1) << 1) | (d & 1) holds for every signed integer, so the
     reconstruction is EXACT: decode returns precisely the block constants,
-    keeping the closed-form pixel-sum oracle of the baseline fixtures."""
+    keeping the closed-form pixel-sum oracle of the baseline fixtures.
+
+    `sampling` (round 9) gives each component's (hs, vs) factors —
+    blocks_w/blocks_h are then MCU-grid dims and plane ci is row-major
+    over its (blocks_w*hs) x (blocks_h*vs) MCU-padded block grid; the DC
+    scans interleave per T.81 MCU order while each AC scan walks the
+    component's TRUE (unpadded) block grid, exactly the asymmetry a real
+    subsampled progressive stream has. `width`/`height` override the
+    frame dims (≤ the MCU-grid pixel size) so partial-MCU frames — where
+    the interleaved DC grid has padding blocks the AC scans must NOT
+    visit — are constructible."""
     ncomp = len(planes)
-    nblocks = blocks_w * blocks_h
-    for p in planes:
-        if len(p) != nblocks:
-            raise ValueError("block value count != blocks_w * blocks_h")
+    if sampling is None:
+        sampling = [(1, 1)] * ncomp
+    hmax = max(hs for hs, _ in sampling)
+    vmax = max(vs for _, vs in sampling)
+    grids = []  # per component: MCU-padded (gw, gh) block grid
+    for p, (hs, vs) in zip(planes, sampling):
+        gw, gh = blocks_w * hs, blocks_h * vs
+        grids.append((gw, gh))
+        if len(p) != gw * gh:
+            raise ValueError("block value count != component block grid")
         for v in p:
             if not 0 <= int(v) <= 255:
                 raise ValueError(f"block value {v} outside 0..255")
-    w, h = 8 * blocks_w, 8 * blocks_h
+    w = width if width is not None else 8 * blocks_w * hmax
+    h = height if height is not None else 8 * blocks_h * vmax
+    if not (0 < w <= 8 * blocks_w * hmax and 0 < h <= 8 * blocks_h * vmax):
+        raise ValueError("frame dims exceed the MCU grid")
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + _ENC_QUANT_ZIGZAG
     out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for ci in range(ncomp):
-        out += bytes([ci + 1, 0x11, 0])
+        hs, vs = sampling[ci]
+        out += bytes([ci + 1, (hs << 4) | vs, 0])
     dht = bytes([0x00]) + bytes(_ENC_DC_COUNTS) + _ENC_DC_SYMBOLS
     dht += bytes([0x10]) + bytes(_ENC_AC_COUNTS) + _ENC_AC_SYMBOLS
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
@@ -789,28 +875,42 @@ def encode_jpeg_progressive_blocks(
         body += bytes([ss, se, (ah << 4) | al])
         return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + bytes(body)
 
+    def dc_block_order():
+        """(ci, grid index) pairs in interleaved MCU order."""
+        for my in range(blocks_h):
+            for mx in range(blocks_w):
+                for ci in range(ncomp):
+                    hs, vs = sampling[ci]
+                    gw, _gh = grids[ci]
+                    for v in range(vs):
+                        for h2 in range(hs):
+                            yield ci, (my * vs + v) * gw + (mx * hs + h2)
+
     # scan 1: DC first, all components interleaved, Al=1
     out += sos(list(range(1, ncomp + 1)), 0, 0, 0, 1)
     bw_ = _BitWriter()
     preds = [0] * ncomp
-    for k in range(nblocks):
-        for ci in range(ncomp):
-            shifted = (int(planes[ci][k]) - 128) >> 1  # arithmetic shift
-            _write_dc_diff(bw_, shifted - preds[ci])
-            preds[ci] = shifted
+    for ci, k in dc_block_order():
+        shifted = (int(planes[ci][k]) - 128) >> 1  # arithmetic shift
+        _write_dc_diff(bw_, shifted - preds[ci])
+        preds[ci] = shifted
     out += bw_.flush()
     # scan 2: DC refinement, Ah=1 -> Al=0: low bit of each block's DC
     out += sos(list(range(1, ncomp + 1)), 0, 0, 1, 0)
     bw_ = _BitWriter()
-    for k in range(nblocks):
-        for ci in range(ncomp):
-            bw_.write((int(planes[ci][k]) - 128) & 1, 1)
+    for ci, k in dc_block_order():
+        bw_.write((int(planes[ci][k]) - 128) & 1, 1)
     out += bw_.flush()
-    # per-component AC scans: every block all-zero AC -> one EOB0 each
+    # per-component AC scans over the TRUE (unpadded) block grid: every
+    # block all-zero AC -> one EOB0 each
     for ci in range(ncomp):
+        hs, vs = sampling[ci]
+        cw = -(-w * hs // hmax)
+        ch = -(-h * vs // vmax)
+        n_true = ((cw + 7) // 8) * ((ch + 7) // 8)
         out += sos([ci + 1], 1, 63, 0, 0)
         bw_ = _BitWriter()
-        for _ in range(nblocks):
+        for _ in range(n_true):
             bw_.write(0b00, 2)  # EOB0
         out += bw_.flush()
     out += b"\xff\xd9"  # EOI

@@ -129,14 +129,50 @@ def test_progressive_ac_successive_approximation_hand_crafted():
     assert mean == pytest.approx(100 / 255.0, abs=1e-12)
 
 
-def test_progressive_with_subsampling_refused():
-    from hive_server_spark.functions.jpeg import encode_jpeg_ycbcr_420_blocks
+def test_progressive_420_roundtrip_exact():
+    """Progressive WITH subsampled chroma (round 9): interleaved DC
+    scans over the 2x2 luma clusters + per-component AC scans over each
+    component's own block grid must reconstruct the constant blocks
+    exactly (neutral chroma -> decoded RGB == replicated luma)."""
+    from hive_server_spark.functions.jpeg import encode_jpeg_progressive_blocks
 
-    p = bytearray(encode_jpeg_ycbcr_420_blocks([1, 2, 3, 4], [128], [128], 1, 1))
-    idx = p.index(b"\xff\xc0")
-    p[idx + 1] = 0xC2  # SOF0 -> SOF2 on a subsampled frame
-    with pytest.raises(ValueError, match="progressive"):
-        decode_jpeg(bytes(p))
+    # 2x1 MCUs of 16x16 px: luma 4x2 blocks, chroma 2x1, neutral chroma
+    y = [10, 251, 0, 255, 128, 1, 127, 129]
+    flat = [128, 128]
+    payload = encode_jpeg_progressive_blocks(
+        [y, flat, flat], 2, 1, sampling=[(2, 2), (1, 1), (1, 1)]
+    )
+    w, h, mean = decode_jpeg(payload)
+    assert (w, h) == (32, 16)
+    assert mean == pytest.approx(sum(y) / len(y) / 255.0, abs=1e-12)
+    # 4:2:2 variant: luma 2x1 per MCU, chroma 1x1
+    y22 = [40, 220, 5, 99]
+    payload = encode_jpeg_progressive_blocks(
+        [y22, flat, flat], 2, 1, sampling=[(2, 1), (1, 1), (1, 1)]
+    )
+    w, h, mean = decode_jpeg(payload)
+    assert (w, h) == (32, 8)
+    assert mean == pytest.approx(sum(y22) / len(y22) / 255.0, abs=1e-12)
+
+
+def test_progressive_420_partial_mcu_pad_blocks():
+    """Partial-MCU progressive 4:2:0 frame: the interleaved DC scans
+    carry MCU padding blocks that the per-component AC scans must NOT
+    visit (true-grid walk), and reconstruction crops them away. Frame
+    24x16 in 16x16 MCUs -> luma true grid 3x2 inside a padded 4x2."""
+    from hive_server_spark.functions.jpeg import encode_jpeg_progressive_blocks
+
+    # luma padded grid 4x2 (row-major); column 3 is MCU padding
+    y = [11, 22, 33, 77, 44, 55, 66, 77]
+    visible = [11, 22, 33, 44, 55, 66]
+    flat = [128, 128]
+    payload = encode_jpeg_progressive_blocks(
+        [y, flat, flat], 2, 1, sampling=[(2, 2), (1, 1), (1, 1)],
+        width=24, height=16,
+    )
+    w, h, mean = decode_jpeg(payload)
+    assert (w, h) == (24, 16)
+    assert mean == pytest.approx(sum(visible) / len(visible) / 255.0, abs=1e-12)
 
 
 def test_420_subsampled_decode_exact():
