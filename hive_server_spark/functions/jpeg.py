@@ -21,9 +21,11 @@ deterministic fake. This module closes it the same way PNG did:
   chroma decodes for real too: interleaved DC scans walk the MCU-padded
   per-component block clusters while non-interleaved AC scans walk each
   component's true (unpadded) block grid, and reconstruction shares the
-  baseline path's crop/replicate tail. Arithmetic coding, 12-bit
-  precision, and fractional-ratio sampling raise a clear ValueError
-  instead of mis-decoding (the PPM maxval>255 stance).
+  baseline path's crop/replicate tail, and 12-bit samples decode via
+  SOF1 extended sequential (Pq=1 16-bit quant tables, level shift 2048,
+  mean normalized by 4095). Arithmetic coding and fractional-ratio
+  sampling raise a clear ValueError instead of mis-decoding (the PPM
+  maxval>255 stance).
 - ``encode_jpeg_gray_blocks`` is a FIXTURE encoder in the spirit of
   ``encode_png``: it emits a spec-valid grayscale baseline JPEG whose 8×8
   blocks are each a constant value. For constant blocks the forward DCT is
@@ -236,16 +238,22 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
             off = 0
             while off < len(seg):
                 pq, tq = seg[off] >> 4, seg[off] & 0x0F
-                if pq != 0:
-                    raise ValueError("16-bit JPEG quant tables unsupported")
-                if off + 65 > len(seg):
+                if pq not in (0, 1):
+                    raise ValueError(f"JPEG DQT precision {pq} invalid")
+                # Pq=0: 8-bit entries; Pq=1: 16-bit big-endian (the
+                # 12-bit-sample form, T.81 B.2.4.1)
+                esz = 1 if pq == 0 else 2
+                if off + 1 + 64 * esz > len(seg):
                     raise ValueError("truncated JPEG DQT")
                 table = np.zeros((8, 8), dtype=np.float64)
                 for k in range(64):
                     r, c = _ZIGZAG[k]
-                    table[r, c] = seg[off + 1 + k]
+                    o = off + 1 + k * esz
+                    table[r, c] = (
+                        seg[o] if pq == 0 else (seg[o] << 8) | seg[o + 1]
+                    )
                 qt[tq] = table
-                off += 65
+                off += 1 + 64 * esz
         elif marker == 0xC4:  # DHT
             off = 0
             while off < len(seg):
@@ -257,20 +265,25 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
                     raise ValueError("truncated JPEG DHT")
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(counts, symbols)
                 off += 17 + n
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential / SOF2 progressive
             prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
-            if prec != 8:
-                raise ValueError(f"JPEG precision {prec} unsupported (baseline is 8)")
+            if marker == 0xC0 and prec != 8:
+                raise ValueError(f"JPEG precision {prec} invalid for baseline")
+            if prec not in (8, 12):
+                raise ValueError(
+                    f"JPEG precision {prec} unsupported (8 and 12 decode)"
+                )
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            frame = (height, width, comps)
+            frame = (height, width, comps, prec)
             progressive = marker == 0xC2
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"JPEG SOF{marker - 0xC0} unsupported; only baseline "
-                "sequential (SOF0) and progressive (SOF2) Huffman decode "
+                f"JPEG SOF{marker - 0xC0} unsupported; only sequential "
+                "(SOF0/SOF1) and progressive (SOF2) Huffman decode "
                 "are implemented"
             )
         elif marker == 0xDD:  # DRI
@@ -297,7 +310,7 @@ def _frame_geometry(frame):
     reconstruction (T.81 A.1.1): (hmax, vmax, MCU grid, and per component
     its TRUE block grid ceil(comp_dim/8) — the data-unit count of a
     NON-interleaved scan, which has no MCU padding)."""
-    height, width, comps = frame
+    height, width, comps, _prec = frame
     hmax = max(hs for _, hs, _, _ in comps)
     vmax = max(vs for _, _, vs, _ in comps)
     for _, hs, vs, _ in comps:
@@ -325,7 +338,7 @@ def _init_coef(frame):
     because interleaved DC scans code every MCU's full hs x vs block
     cluster including edge padding blocks; non-interleaved scans touch
     only the true ceil(comp/8) prefix (see _frame_geometry)."""
-    height, width, comps = frame
+    height, width, comps, _prec = frame
     if width <= 0 or height <= 0:
         raise ValueError("JPEG frame has empty dimensions")
     _hmax, _vmax, mcux, mcuy, _dims = _frame_geometry(frame)
@@ -343,7 +356,7 @@ def _decode_progressive_scan(
     (single-component, spectral band [Ss, Se], successive approximation
     Ah→Al) accumulate into `coef`. Returns the byte offset of the next
     marker's 0xFF."""
-    height, width, comps = frame
+    height, width, comps, _prec = frame
     ncomp_scan = seg[0]
     selectors = {}
     for i in range(ncomp_scan):
@@ -518,8 +531,9 @@ def _reconstruct_progressive(frame, qt, coef):
     reached) — same math and subsampling tail as the baseline path (crop
     each plane to its component resolution, pixel-replicate up to frame
     resolution, crop to the frame), same output contract."""
-    height, width, comps = frame
+    height, width, comps, prec = frame
     hmax, vmax, _mcux, _mcuy, _dims = _frame_geometry(frame)
+    half, vmaxval = float(1 << (prec - 1)), float((1 << prec) - 1)
     out = []
     for (cid, hs, vs, tq), c in zip(comps, coef):
         if tq not in qt:
@@ -533,25 +547,27 @@ def _reconstruct_progressive(frame, qt, coef):
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
         cw = -(-width * hs // hmax)
         ch = -(-height * vs // vmax)
-        plane = plane[:ch, :cw] + 128.0
+        plane = plane[:ch, :cw] + half
         ry, rx = vmax // vs, hmax // hs
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         out.append(plane[:height, :width])
-    if len(out) == 3:  # BT.601 full-range YCbCr → RGB
+    if len(out) == 3:  # BT.601 full-range YCbCr → RGB (chroma centered
+        # at half = 2^(P-1), the 12-bit generalization of 128)
         y, cb, cr = out
-        r = y + 1.402 * (cr - 128.0)
-        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        bch = y + 1.772 * (cb - 128.0)
+        r = y + 1.402 * (cr - half)
+        g = y - 0.344136 * (cb - half) - 0.714136 * (cr - half)
+        bch = y + 1.772 * (cb - half)
         samples = np.stack([r, g, bch], axis=-1)
     else:
         samples = out[0]
-    samples = np.clip(np.rint(samples), 0, 255)
-    return width, height, float(samples.mean()) / 255.0
+    samples = np.clip(np.rint(samples), 0, vmaxval)
+    return width, height, float(samples.mean()) / vmaxval
 
 
 def _decode_scan(b, pos, seg, frame, qt, huff_dc, huff_ac, restart_interval):
-    height, width, comps = frame
+    height, width, comps, prec = frame
+    half, vmaxval = float(1 << (prec - 1)), float((1 << prec) - 1)
     ncomp_scan = seg[0]
     if ncomp_scan != len(comps):
         raise ValueError("JPEG non-interleaved multi-scan unsupported")
@@ -633,21 +649,22 @@ def _decode_scan(b, pos, seg, frame, qt, huff_dc, huff_ac, restart_interval):
     for (cid, hs, vs, tq), p in zip(comps, planes):
         cw = -(-width * hs // hmax)
         ch = -(-height * vs // vmax)
-        p = p[:ch, :cw] + 128.0
+        p = p[:ch, :cw] + half
         ry, rx = vmax // vs, hmax // hs
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         out.append(p[:height, :width])
-    if len(out) == 3:  # BT.601 full-range YCbCr → RGB
+    if len(out) == 3:  # BT.601 full-range YCbCr → RGB (chroma centered
+        # at half = 2^(P-1), the 12-bit generalization of 128)
         y, cb, cr = out
-        r = y + 1.402 * (cr - 128.0)
-        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        bch = y + 1.772 * (cb - 128.0)
+        r = y + 1.402 * (cr - half)
+        g = y - 0.344136 * (cb - half) - 0.714136 * (cr - half)
+        bch = y + 1.772 * (cb - half)
         samples = np.stack([r, g, bch], axis=-1)
     else:
         samples = out[0]
-    samples = np.clip(np.rint(samples), 0, 255)
-    return width, height, float(samples.mean()) / 255.0
+    samples = np.clip(np.rint(samples), 0, vmaxval)
+    return width, height, float(samples.mean()) / vmaxval
 
 
 # ---------------------------------------------------------------------------
@@ -800,6 +817,58 @@ def encode_jpeg_ycbcr_420_blocks(
         chroma_bw, chroma_bh, restart_interval,
         sampling=[(2, 2), (1, 1), (1, 1)],
     )
+
+
+# 12-bit fixture tables (SEPARATE from the 8-bit ones so existing fixture
+# streams are byte-stable): DC categories 0..12 at code length 4 — a
+# 12-bit DC sits in [-2048, 2047] and consecutive-block diffs reach
+# category 12; canonical codes 0000..1100, so code(s) == s still holds.
+_ENC12_DC_COUNTS = [0, 0, 0, 13] + [0] * 12
+_ENC12_DC_SYMBOLS = bytes(range(13))
+# DC quantizer 8 as a 16-bit (Pq=1) table entry stream
+_ENC12_QUANT_ZIGZAG = struct.pack(">64H", 8, *([16] * 63))
+
+
+def encode_jpeg_12bit_gray_blocks(
+    block_values, blocks_w: int, blocks_h: int
+) -> bytes:
+    """Spec-valid 12-bit EXTENDED SEQUENTIAL (SOF1) grayscale fixture:
+    constant 8x8 blocks of values 0..4095. Same exactness argument as the
+    8-bit fixtures — DC = 8*(v - 2048), quantizer 8 (declared via a
+    16-bit Pq=1 DQT), so the quantized DC is exactly v - 2048 and decode
+    reconstructs every sample; the mean contract normalizes by 4095."""
+    vals = [int(v) for v in block_values]
+    if len(vals) != blocks_w * blocks_h:
+        raise ValueError("block value count != blocks_w * blocks_h")
+    for v in vals:
+        if not 0 <= v <= 4095:
+            raise ValueError(f"block value {v} outside 0..4095")
+    w, h = 8 * blocks_w, 8 * blocks_h
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (
+        b"\xff\xdb" + struct.pack(">H", 2 + 1 + 128)
+        + b"\x10" + _ENC12_QUANT_ZIGZAG  # Pq=1, Tq=0
+    )
+    out += b"\xff\xc1" + struct.pack(">HBHHB", 8 + 3, 12, h, w, 1)  # SOF1
+    out += bytes([1, 0x11, 0])
+    dht = bytes([0x00]) + bytes(_ENC12_DC_COUNTS) + _ENC12_DC_SYMBOLS
+    dht += bytes([0x10]) + bytes(_ENC_AC_COUNTS) + _ENC_AC_SYMBOLS
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    bw_ = _BitWriter()
+    pred = 0
+    for v in vals:
+        dc = v - 2048  # quantized DC: 8*(v-2048) / qDC=8, exact
+        diff = dc - pred
+        pred = dc
+        s = abs(diff).bit_length()
+        bw_.write(s, 4)
+        if s:
+            bw_.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        bw_.write(0b00, 2)  # EOB
+    out += bw_.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
 
 
 def _write_dc_diff(bw_: _BitWriter, diff: int) -> None:

@@ -15,9 +15,10 @@ grayscale and 4:4:4 color — functions/jpeg.py) — doing real header parsing
 and numpy pixel math in the Arrow worker. strict=True requires every
 payload to be one of those formats (ValueError otherwise); strict=False
 falls back to a clearly-marked deterministic fake for payloads in formats
-that would need external codecs (video; arithmetic-coded or 12-bit JPEG —
-progressive decodes for real since round 7, subsampled progressive since
-round 9), keeping the full pipeline testable. `synthesize_ppm_media` builds REAL P6
+that would need external codecs (video; arithmetic-coded JPEG —
+progressive decodes for real since round 7, subsampled progressive and
+12-bit SOF1 since round 9), keeping the full pipeline testable.
+`synthesize_ppm_media` builds REAL P6
 payloads with pure column expressions, `synthesize_png_media` builds REAL
 zlib-compressed PNGs of the same pixels, and `synthesize_jpeg_media`
 builds REAL entropy-coded baseline JPEGs whose constant 8×8 blocks make

@@ -264,3 +264,27 @@ def test_strict_dispatch_reports_jpeg_decoder():
     assert decoder == "jpeg"
     assert (w, h) == (8, 8)
     assert luma == pytest.approx(70 / 255.0, abs=1e-12)
+
+
+def test_12bit_extended_sequential_roundtrip_exact():
+    """12-bit SOF1 decode (round 9): Pq=1 16-bit quant table, level shift
+    2048, clamp to 0..4095, mean normalized by 4095 — exact for the
+    constant-block fixture, including DC diffs spanning category 12."""
+    from hive_server_spark.functions.jpeg import encode_jpeg_12bit_gray_blocks
+
+    vals = [0, 4095, 2048, 1, 4094, 2047]  # extreme swings -> category 12
+    w, h, mean = decode_jpeg(encode_jpeg_12bit_gray_blocks(vals, 3, 2))
+    assert (w, h) == (24, 16)
+    assert mean == pytest.approx(sum(vals) / len(vals) / 4095.0, abs=1e-12)
+
+
+def test_12bit_baseline_sof0_still_refused():
+    """Precision 12 under SOF0 stays invalid (T.81: baseline is 8-bit) —
+    the 12-bit path is the SOF1 extended-sequential one."""
+    from hive_server_spark.functions.jpeg import encode_jpeg_12bit_gray_blocks
+
+    p = bytearray(encode_jpeg_12bit_gray_blocks([100], 1, 1))
+    idx = p.index(b"\xff\xc1")
+    p[idx + 1] = 0xC0  # SOF1 -> SOF0 while keeping precision 12
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(p))
