@@ -23,9 +23,12 @@ deterministic fake. This module closes it the same way PNG did:
   component's true (unpadded) block grid, and reconstruction shares the
   baseline path's crop/replicate tail, and 12-bit samples decode via
   SOF1 extended sequential (Pq=1 16-bit quant tables, level shift 2048,
-  mean normalized by 4095). Arithmetic coding and fractional-ratio
-  sampling raise a clear ValueError instead of mis-decoding (the PPM
-  maxval>255 stance).
+  mean normalized by 4095), and fractional-ratio sampling (e.g. 3x1 luma
+  against 2x1 chroma) decodes via the nearest-sample upsampling gather
+  x -> floor(x*hs/hmax) — T.81 leaves the upsampling filter to the
+  decoder, and the gather degenerates to exact pixel replication at
+  integer ratios. Arithmetic coding raises a clear ValueError instead of
+  mis-decoding (the PPM maxval>255 stance).
 - ``encode_jpeg_gray_blocks`` is a FIXTURE encoder in the spirit of
   ``encode_png``: it emits a spec-valid grayscale baseline JPEG whose 8×8
   blocks are each a constant value. For constant blocks the forward DCT is
@@ -316,11 +319,6 @@ def _frame_geometry(frame):
     for _, hs, vs, _ in comps:
         if not (1 <= hs <= 4 and 1 <= vs <= 4):
             raise ValueError(f"JPEG sampling factor {hs}x{vs} out of range")
-        if hmax % hs or vmax % vs:
-            raise ValueError(
-                f"JPEG fractional-ratio chroma sampling unsupported "
-                f"({hs}x{vs} against max {hmax}x{vmax})"
-            )
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
     dims = []
@@ -548,10 +546,14 @@ def _reconstruct_progressive(frame, qt, coef):
         cw = -(-width * hs // hmax)
         ch = -(-height * vs // vmax)
         plane = plane[:ch, :cw] + half
-        ry, rx = vmax // vs, hmax // hs
-        if ry > 1 or rx > 1:
-            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
-        out.append(plane[:height, :width])
+        # nearest-sample upsampling gather: frame pixel (x, y) reads
+        # component sample (floor(x*hs/hmax), floor(y*vs/vmax)) — exact
+        # pixel replication for integer ratios, well-defined for
+        # fractional ones (max index = floor((dim-1)*s/smax) <= ceil(
+        # dim*s/smax)-1, always inside the cropped plane)
+        iy = (np.arange(height) * vs) // vmax
+        ix = (np.arange(width) * hs) // hmax
+        out.append(plane[np.ix_(iy, ix)])
     if len(out) == 3:  # BT.601 full-range YCbCr → RGB (chroma centered
         # at half = 2^(P-1), the 12-bit generalization of 128)
         y, cb, cr = out
@@ -574,20 +576,17 @@ def _decode_scan(b, pos, seg, frame, qt, huff_dc, huff_ac, restart_interval):
     if len(comps) not in (1, 3):
         raise ValueError(f"JPEG with {len(comps)} components unsupported")
     # sampling factors (T.81 A.1.1): the MCU is Hmax*8 x Vmax*8 pixels and
-    # component i contributes hs*vs blocks per MCU. Any integer-ratio
-    # subsampling decodes (4:4:4, 4:2:2, 4:2:0, 4:1:1); a fractional
-    # replication ratio (e.g. 3:2) would need true resampling and is
-    # refused rather than approximated.
+    # component i contributes hs*vs blocks per MCU. ANY factors in 1..4
+    # decode — integer ratios (4:4:4, 4:2:2, 4:2:0, 4:1:1) AND fractional
+    # ratios (e.g. 3x1 luma against 2x1 chroma = 3/2): upsampling is the
+    # nearest-sample gather x -> floor(x*hs/hmax), which degenerates to
+    # pixel replication exactly when the ratio is an integer (round 9;
+    # T.81 leaves the upsampling filter to the decoder).
     hmax = max(hs for _, hs, _, _ in comps)
     vmax = max(vs for _, _, vs, _ in comps)
     for _, hs, vs, _ in comps:
         if not (1 <= hs <= 4 and 1 <= vs <= 4):
             raise ValueError(f"JPEG sampling factor {hs}x{vs} out of range")
-        if hmax % hs or vmax % vs:
-            raise ValueError(
-                f"JPEG fractional-ratio chroma sampling unsupported "
-                f"({hs}x{vs} against max {hmax}x{vmax})"
-            )
     # per-scan-component entropy table selectors, in scan order
     selectors = {}
     for i in range(ncomp_scan):
@@ -650,10 +649,10 @@ def _decode_scan(b, pos, seg, frame, qt, huff_dc, huff_ac, restart_interval):
         cw = -(-width * hs // hmax)
         ch = -(-height * vs // vmax)
         p = p[:ch, :cw] + half
-        ry, rx = vmax // vs, hmax // hs
-        if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        out.append(p[:height, :width])
+        # nearest-sample upsampling gather (see _reconstruct_progressive)
+        iy = (np.arange(height) * vs) // vmax
+        ix = (np.arange(width) * hs) // hmax
+        out.append(p[np.ix_(iy, ix)])
     if len(out) == 3:  # BT.601 full-range YCbCr → RGB (chroma centered
         # at half = 2^(P-1), the 12-bit generalization of 128)
         y, cb, cr = out

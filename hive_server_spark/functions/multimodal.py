@@ -568,10 +568,10 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, float] | None:
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, float]:
-    """Deterministic stand-in for formats needing external codecs (video,
-    JPEG variants beyond baseline integer-ratio-sampled — progressive,
-    arithmetic, 12-bit): dimensions and mean luminance derived from the
-    bytes themselves. Only reachable with strict=False."""
+    """Deterministic stand-in for formats needing external codecs (video;
+    arithmetic-coded JPEG — progressive, 12-bit, and fractional-ratio
+    sampling all decode for real now): dimensions and mean luminance
+    derived from the bytes themselves. Only reachable with strict=False."""
     n = len(payload)
     width = 16 + (payload[0] if n else 0) % 240
     height = 16 + (payload[-1] if n else 0) % 240

@@ -201,18 +201,69 @@ def test_422_subsampled_decode_exact():
     assert mean == pytest.approx(sum(y) / len(y) / 255.0, abs=1e-12)
 
 
-def test_fractional_ratio_sampling_refused():
-    """Integer replication ratios only: a 3x1 luma against a 2x1 chroma
-    (ratio 1.5) must refuse, not resample approximately."""
-    p = bytearray(encode_jpeg_ycbcr_blocks([100], [128], [128], 1, 1))
-    idx = p.index(b"\xff\xc0")
-    # SOF0 payload = len(2) P(1) Y(2) X(2) Nf(1), then [id, HV, Tq] per
-    # component: comp 1 HV at idx+2+8+1, comp 2 HV at idx+2+11+1
-    assert p[idx + 2 + 8 + 1] == 0x11
-    p[idx + 2 + 8 + 1] = 0x31  # luma 3x1
-    p[idx + 2 + 11 + 1] = 0x21  # cb 2x1 -> 3 % 2 != 0
-    with pytest.raises(ValueError, match="fractional"):
-        decode_jpeg(bytes(p))
+def _upsample_model(vals, grid_w, grid_h, hs, vs, hmax, vmax, width, height):
+    """Independent nearest-sample upsampling model: frame pixel (x, y) of a
+    component with constant 8x8 blocks reads block (floor(y*vs/vmax)//8,
+    floor(x*hs/hmax)//8) — the decoder's documented resampling contract,
+    recomputed here from the block-value list without numpy gathers."""
+    plane = []
+    for y in range(height):
+        sy = (y * vs) // vmax
+        row = []
+        for x in range(width):
+            sx = (x * hs) // hmax
+            row.append(vals[(sy // 8) * grid_w + (sx // 8)])
+        plane.append(row)
+    return plane
+
+
+def test_fractional_ratio_sampling_decodes():
+    """Fractional replication ratio (3x3 luma, 2x2 Cb -> ratio 3/2, 1x1 Cr
+    -> ratio 3) decodes via the nearest-sample gather; with neutral chroma
+    the decoded mean equals the luma model's mean exactly."""
+    from hive_server_spark.functions.jpeg import _encode_baseline
+
+    # 2x1 MCUs: luma grid 6x3 (18 blocks), cb grid 4x2 (8), cr grid 2x1 (2)
+    y = [40 + 11 * i for i in range(18)]
+    p = _encode_baseline(
+        [y, [128] * 8, [128] * 2], 2, 1, 0,
+        sampling=[(3, 3), (2, 2), (1, 1)],
+    )
+    w, h, mean = decode_jpeg(p)
+    assert (w, h) == (48, 24)
+    model = _upsample_model(y, 6, 3, 3, 3, 3, 3, 48, 24)
+    expect = sum(sum(r) for r in model) / (48 * 24) / 255.0
+    assert mean == pytest.approx(expect, abs=1e-12)
+
+
+def test_fractional_ratio_chroma_resampling_exact():
+    """Non-neutral Cb at ratio 3/2 exercises the fractional gather in the
+    color math: per-pixel RGB is recomputed from the upsampled Y/Cb/Cr
+    models with the same BT.601 + round + clip contract."""
+    from hive_server_spark.functions.jpeg import _encode_baseline
+
+    y = [90, 120, 150, 60, 200, 30, 140, 80, 110,
+         95, 125, 155, 65, 205, 35, 145, 85, 115]
+    cb = [128, 140, 116, 150, 128, 106, 134, 122]
+    cr = [128, 136]
+    p = _encode_baseline([y, cb, cr], 2, 1, 0,
+                         sampling=[(3, 3), (2, 2), (1, 1)])
+    w, h, mean = decode_jpeg(p)
+    assert (w, h) == (48, 24)
+    ym = _upsample_model(y, 6, 3, 3, 3, 3, 3, 48, 24)
+    cbm = _upsample_model(cb, 4, 2, 2, 2, 3, 3, 48, 24)
+    crm = _upsample_model(cr, 2, 1, 1, 1, 3, 3, 48, 24)
+    total = 0.0
+    for yy in range(24):
+        for xx in range(48):
+            lv, cbv, crv = ym[yy][xx], cbm[yy][xx] - 128, crm[yy][xx] - 128
+            for ch in (
+                lv + 1.402 * crv,
+                lv - 0.344136 * cbv - 0.714136 * crv,
+                lv + 1.772 * cbv,
+            ):
+                total += min(255.0, max(0.0, round(ch)))
+    assert mean == pytest.approx(total / (48 * 24 * 3) / 255.0, abs=1e-12)
 
 
 def test_16bit_quant_table_refused():

@@ -115,6 +115,13 @@ def test_no_sort_merge_join_anywhere_in_gate(spark):
         # shuffle join that reuses the aggregate partitioning is the
         # correct 100 TB strategy; in a deployed index the codes are
         # stored partitioned by cell and the join disappears
+        "emb_ivfpq_batch_topk",  # the batch read path inherits exactly
+        # the emb_ivfpq_topk shape: codes ⋈ candidate restriction and
+        # candidates ⋈ decoded sub-codes, all vec_id-keyed and corpus-
+        # derived (candidates are the union of every query's probed
+        # cells, which GROWS with the query batch — even less
+        # broadcastable than the single-query case); only the per-query
+        # routing table and LUT broadcast
     }
     offenders = []
     for name in sorted(gate.spark_queries()):
