@@ -27,8 +27,13 @@ deterministic fake. This module closes it the same way PNG did:
   against 2x1 chroma) decodes via the nearest-sample upsampling gather
   x -> floor(x*hs/hmax) — T.81 leaves the upsampling filter to the
   decoder, and the gather degenerates to exact pixel replication at
-  integer ratios. Arithmetic coding raises a clear ValueError instead of
-  mis-decoding (the PPM maxval>255 stance).
+  integer ratios. (Round 9, second pass) ARITHMETIC-coded sequential
+  JPEG (SOF9 + DAC) decodes for real: the T.81 Annex D QM coder and the
+  F.1.4.4.1 DC/AC statistical models live in functions/jpeg_arith.py,
+  conformance pinned by the T.81 §K.4 test sequence byte-for-byte.
+  Progressive-arithmetic (SOF10), hierarchical and lossless SOFs raise
+  a clear ValueError instead of mis-decoding (the PPM maxval>255
+  stance).
 - ``encode_jpeg_gray_blocks`` is a FIXTURE encoder in the spirit of
   ``encode_png``: it emits a spec-valid grayscale baseline JPEG whose 8×8
   blocks are each a constant value. For constant blocks the forward DCT is
@@ -207,9 +212,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
+    dac_dc: dict[int, tuple[int, int]] = {}  # DAC: table id -> (L, U)
+    dac_ac: dict[int, int] = {}  # DAC: table id -> Kx
     restart_interval = 0
     frame = None  # (h, w, comps) ; comps = [(cid, hq, vq, tq)]
     progressive = False
+    arith = False
     coef = None  # progressive coefficient store, created at first SOS
     pos = 2
     while pos < len(b):
@@ -268,8 +276,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
                     raise ValueError("truncated JPEG DHT")
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(counts, symbols)
                 off += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
             # SOF0 baseline / SOF1 extended sequential / SOF2 progressive
+            # (Huffman) / SOF9 extended sequential (arithmetic, round 9)
             prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
             if marker == 0xC0 and prec != 8:
                 raise ValueError(f"JPEG precision {prec} invalid for baseline")
@@ -283,17 +292,35 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (height, width, comps, prec)
             progressive = marker == 0xC2
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            arith = marker == 0xC9
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"JPEG SOF{marker - 0xC0} unsupported; only sequential "
-                "(SOF0/SOF1) and progressive (SOF2) Huffman decode "
+                f"JPEG SOF{marker - 0xC0} unsupported; sequential "
+                "(SOF0/SOF1/SOF9) and Huffman progressive (SOF2) decode "
                 "are implemented"
             )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (T.81 B.2.4.3)
+            off = 0
+            while off + 1 < len(seg):
+                tc, tb = seg[off] >> 4, seg[off] & 0x0F
+                val = seg[off + 1]
+                if tc == 0:
+                    dac_dc[tb] = (val & 0x0F, val >> 4)  # (L, U)
+                elif tc == 1:
+                    dac_ac[tb] = val  # Kx
+                else:
+                    raise ValueError(f"JPEG DAC class {tc} invalid")
+                off += 2
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if arith:
+                return _decode_scan_arith(
+                    b, pos + seglen, seg, frame, qt, dac_dc, dac_ac,
+                    restart_interval,
+                )
             if not progressive:
                 return _decode_scan(b, pos + seglen, seg, frame, qt, huff_dc, huff_ac, restart_interval)
             if coef is None:
@@ -524,38 +551,45 @@ def _decode_progressive_scan(
     raise ValueError("JPEG progressive scan not followed by a marker")
 
 
-def _reconstruct_progressive(frame, qt, coef):
-    """Dequantize + IDCT the accumulated progressive coefficients (EOI
-    reached) — same math and subsampling tail as the baseline path (crop
-    each plane to its component resolution, pixel-replicate up to frame
-    resolution, crop to the frame), same output contract."""
+def _upsample_to_frame(plane, hs, vs, hmax, vmax, width, height):
+    """Nearest-sample upsampling of a cropped component plane to frame
+    resolution: frame pixel (x, y) reads component sample
+    (floor(x*hs/hmax), floor(y*vs/vmax)) — T.81 leaves the upsampling
+    filter to the decoder. Full-resolution components return a VIEW and
+    integer ratios use np.repeat (exact pixel replication, same result as
+    the general gather but ~2x cheaper on the small fixtures the gate
+    corpus decodes per Arrow batch); the arange gather runs only for
+    genuinely fractional ratios (e.g. 3x1 luma against 2x1 chroma), where
+    max index = floor((dim-1)*s/smax) <= ceil(dim*s/smax)-1 stays inside
+    the cropped plane."""
+    if hs == hmax and vs == vmax:
+        return plane[:height, :width]
+    if hmax % hs == 0 and vmax % vs == 0:
+        p = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
+        return p[:height, :width]
+    iy = (np.arange(height) * vs) // vmax
+    ix = (np.arange(width) * hs) // hmax
+    return plane[np.ix_(iy, ix)]
+
+
+def _finish_planes(planes, frame):
+    """Shared reconstruction tail for every decode path (baseline Huffman,
+    progressive, arithmetic): crop each MCU-padded component plane to its
+    true resolution (T.81 A.1.1), level-shift, upsample to frame
+    resolution, BT.601 color-convert 3-component scans (chroma centered at
+    half = 2^(P-1), the 12-bit generalization of 128), clip, and return
+    the (width, height, mean/maxval) contract."""
     height, width, comps, prec = frame
-    hmax, vmax, _mcux, _mcuy, _dims = _frame_geometry(frame)
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
     half, vmaxval = float(1 << (prec - 1)), float((1 << prec) - 1)
     out = []
-    for (cid, hs, vs, tq), c in zip(comps, coef):
-        if tq not in qt:
-            raise ValueError(f"JPEG references missing quant table {tq}")
-        bh, bw = c.shape[0], c.shape[1]
-        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-        q = qt[tq]
-        for by in range(bh):
-            for bx in range(bw):
-                block = _DCT_M.T @ (c[by, bx].astype(np.float64) * q) @ _DCT_M
-                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    for (cid, hs, vs, tq), p in zip(comps, planes):
         cw = -(-width * hs // hmax)
         ch = -(-height * vs // vmax)
-        plane = plane[:ch, :cw] + half
-        # nearest-sample upsampling gather: frame pixel (x, y) reads
-        # component sample (floor(x*hs/hmax), floor(y*vs/vmax)) — exact
-        # pixel replication for integer ratios, well-defined for
-        # fractional ones (max index = floor((dim-1)*s/smax) <= ceil(
-        # dim*s/smax)-1, always inside the cropped plane)
-        iy = (np.arange(height) * vs) // vmax
-        ix = (np.arange(width) * hs) // hmax
-        out.append(plane[np.ix_(iy, ix)])
-    if len(out) == 3:  # BT.601 full-range YCbCr → RGB (chroma centered
-        # at half = 2^(P-1), the 12-bit generalization of 128)
+        p = p[:ch, :cw] + half
+        out.append(_upsample_to_frame(p, hs, vs, hmax, vmax, width, height))
+    if len(out) == 3:
         y, cb, cr = out
         r = y + 1.402 * (cr - half)
         g = y - 0.344136 * (cb - half) - 0.714136 * (cr - half)
@@ -567,9 +601,27 @@ def _reconstruct_progressive(frame, qt, coef):
     return width, height, float(samples.mean()) / vmaxval
 
 
+def _reconstruct_progressive(frame, qt, coef):
+    """Dequantize + IDCT the accumulated progressive coefficients (EOI
+    reached) — same math and subsampling tail as the baseline path."""
+    height, width, comps, prec = frame
+    planes = []
+    for (cid, hs, vs, tq), c in zip(comps, coef):
+        if tq not in qt:
+            raise ValueError(f"JPEG references missing quant table {tq}")
+        bh, bw = c.shape[0], c.shape[1]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        q = qt[tq]
+        for by in range(bh):
+            for bx in range(bw):
+                block = _DCT_M.T @ (c[by, bx].astype(np.float64) * q) @ _DCT_M
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+        planes.append(plane)
+    return _finish_planes(planes, frame)
+
+
 def _decode_scan(b, pos, seg, frame, qt, huff_dc, huff_ac, restart_interval):
     height, width, comps, prec = frame
-    half, vmaxval = float(1 << (prec - 1)), float((1 << prec) - 1)
     ncomp_scan = seg[0]
     if ncomp_scan != len(comps):
         raise ValueError("JPEG non-interleaved multi-scan unsupported")
@@ -642,28 +694,84 @@ def _decode_scan(b, pos, seg, frame, qt, huff_dc, huff_ac, restart_interval):
                         by, bx = my * vs + v, mx * hs + h2
                         planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
             mcu += 1
-    # crop each plane to its component resolution (ceil(dim * s / smax),
-    # T.81 A.1.1), replicate up to frame resolution, crop to the frame
-    out = []
-    for (cid, hs, vs, tq), p in zip(comps, planes):
-        cw = -(-width * hs // hmax)
-        ch = -(-height * vs // vmax)
-        p = p[:ch, :cw] + half
-        # nearest-sample upsampling gather (see _reconstruct_progressive)
-        iy = (np.arange(height) * vs) // vmax
-        ix = (np.arange(width) * hs) // hmax
-        out.append(p[np.ix_(iy, ix)])
-    if len(out) == 3:  # BT.601 full-range YCbCr → RGB (chroma centered
-        # at half = 2^(P-1), the 12-bit generalization of 128)
-        y, cb, cr = out
-        r = y + 1.402 * (cr - half)
-        g = y - 0.344136 * (cb - half) - 0.714136 * (cr - half)
-        bch = y + 1.772 * (cb - half)
-        samples = np.stack([r, g, bch], axis=-1)
-    else:
-        samples = out[0]
-    samples = np.clip(np.rint(samples), 0, vmaxval)
-    return width, height, float(samples.mean()) / vmaxval
+    return _finish_planes(planes, frame)
+
+
+def _decode_scan_arith(b, pos, seg, frame, qt, dac_dc, dac_ac, restart_interval):
+    """Sequential arithmetic (SOF9) scan decode — the same interleaved
+    MCU walk as the Huffman path, with entropy decisions drawn from the
+    T.81 QM coder + the F.1.4.4.1 DC/AC statistical models
+    (functions/jpeg_arith.py). DAC conditioning defaults per F.1.4.4.1.4:
+    DC (L, U) = (0, 1), AC Kx = 5. RSTn resets the coder, every
+    statistics area, the DC predictions AND the DC contexts (E.2.4)."""
+    from hive_server_spark.functions import jpeg_arith as ja
+
+    height, width, comps, prec = frame
+    ncomp_scan = seg[0]
+    if ncomp_scan != len(comps):
+        raise ValueError("JPEG non-interleaved multi-scan unsupported")
+    if len(comps) not in (1, 3):
+        raise ValueError(f"JPEG with {len(comps)} components unsupported")
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    for _, hs, vs, _ in comps:
+        if not (1 <= hs <= 4 and 1 <= vs <= 4):
+            raise ValueError(f"JPEG sampling factor {hs}x{vs} out of range")
+    selectors = {}
+    for i in range(ncomp_scan):
+        cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+        selectors[cs] = (tdta >> 4, tdta & 0x0F)
+    if width <= 0 or height <= 0:
+        raise ValueError("JPEG frame has empty dimensions")
+    for _, _, _, tq in comps:
+        if tq not in qt:
+            raise ValueError(f"JPEG references missing quant table {tq}")
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)
+        for _, hs, vs, _ in comps
+    ]
+    # statistics areas are per CONDITIONING TABLE id (shared by
+    # components selecting the same id, F.1.4.4.1.3)
+    dc_stats = {
+        td: ja.DCStats(*dac_dc.get(td, (0, 1)))
+        for td, _ in selectors.values()
+    }
+    ac_stats = {ta: ja.ACStats(dac_ac.get(ta, 5)) for _, ta in selectors.values()}
+
+    dec = ja.ArithDecoder(b, pos)
+    preds = [0] * len(comps)
+    contexts = [0] * len(comps)
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                dec.restart()
+                for st in dc_stats.values():
+                    st.reset()
+                for st in ac_stats.values():
+                    st.reset()
+                preds = [0] * len(comps)
+                contexts = [0] * len(comps)
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                if cid not in selectors:
+                    raise ValueError(f"JPEG scan omits frame component {cid}")
+                td, ta = selectors[cid]
+                for v in range(vs):
+                    for h2 in range(hs):
+                        coeffs = np.zeros((8, 8), dtype=np.float64)
+                        diff, contexts[ci] = ja.decode_dc_diff(
+                            dec, dc_stats[td], contexts[ci]
+                        )
+                        preds[ci] += diff
+                        coeffs[0, 0] = preds[ci]
+                        ja.decode_ac_block(dec, ac_stats[ta], coeffs, _ZIGZAG)
+                        block = _DCT_M.T @ (coeffs * qt[tq]) @ _DCT_M
+                        by, bx = my * vs + v, mx * hs + h2
+                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+            mcu += 1
+    return _finish_planes(planes, frame)
 
 
 # ---------------------------------------------------------------------------
@@ -982,4 +1090,154 @@ def encode_jpeg_progressive_blocks(
             bw_.write(0b00, 2)  # EOB0
         out += bw_.flush()
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# arithmetic (SOF9) fixture encoders — same constant-block decode-exact
+# contract as the Huffman fixtures, entropy-coded with the T.81 QM coder
+# (functions/jpeg_arith.py). Emitting an explicit DAC segment with the
+# default conditioning exercises the DAC parse path.
+# ---------------------------------------------------------------------------
+
+
+def _arith_headers(
+    w: int, h: int, ncomp: int, sampling, prec: int = 8,
+    dc_cond: tuple[int, int] = (0, 1), ac_kx: int = 5,
+) -> bytearray:
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + _ENC_QUANT_ZIGZAG
+    out += b"\xff\xc9" + struct.pack(">HBHHB", 8 + 3 * ncomp, prec, h, w, ncomp)
+    for ci in range(ncomp):
+        hs, vs = sampling[ci]
+        out += bytes([ci + 1, (hs << 4) | vs, 0])
+    # DAC for DC table 0 (class 0) + AC table 0 (class 1) — defaults
+    # (L=0, U=1, Kx=5) unless a test overrides the conditioning, so the
+    # parse path is always exercised
+    lo, hi = dc_cond
+    out += b"\xff\xcc" + struct.pack(">H", 6) + bytes(
+        [0x00, (hi << 4) | lo, 0x10, ac_kx]
+    )
+    return out
+
+
+def encode_jpeg_arith_gray_blocks(
+    block_values, blocks_w: int, blocks_h: int, restart_interval: int = 0
+) -> bytes:
+    """Spec-valid grayscale SOF9 (extended sequential, arithmetic) JPEG
+    mirroring ``encode_jpeg_gray_blocks``: block k (row-major) is the
+    constant ``block_values[k]`` (0..255); with the DC quantizer pinned
+    to 8 the decode is exact, so the closed-form byte-level oracle works
+    unchanged. A nonzero ``restart_interval`` terminates the arithmetic
+    segment (flush), emits RSTn, and restarts coder + statistics +
+    predictions per T.81 E.2.4."""
+    from hive_server_spark.functions import jpeg_arith as ja
+
+    values = list(block_values)
+    if len(values) != blocks_w * blocks_h:
+        raise ValueError("block value count != block grid")
+    out = _arith_headers(8 * blocks_w, 8 * blocks_h, 1, [(1, 1)])
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    enc = ja.ArithEncoder()
+    dc_st, ac_st = ja.DCStats(), ja.ACStats()
+    pred = context = 0
+    zero_ac = [0] * 64
+    for mcu, v in enumerate(values):
+        if not 0 <= int(v) <= 255:
+            raise ValueError(f"block value {v} outside 0..255")
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            out += enc.flush()
+            out += bytes([0xFF, 0xD0 + ((mcu // restart_interval) - 1) % 8])
+            enc = ja.ArithEncoder()
+            dc_st.reset()
+            ac_st.reset()
+            pred = context = 0
+        dc = int(v) - 128  # quantized DC: 8*(v-128) / qDC=8, exact
+        context = ja.encode_dc_diff(enc, dc_st, context, dc - pred)
+        pred = dc
+        ja.encode_ac_block(enc, ac_st, zero_ac)
+    out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_arith_gray_coeffs(
+    coeff_blocks, blocks_w: int, blocks_h: int,
+    dc_cond: tuple[int, int] = (0, 1), ac_kx: int = 5,
+) -> bytes:
+    """Grayscale SOF9 fixture from FULL quantized coefficient blocks:
+    ``coeff_blocks[k]`` is a 64-list in zig-zag order (index 0 = the
+    block's absolute quantized DC; 1..63 quantized AC) — exercises the
+    AC model's run/EOB/magnitude ladders, which the constant-block
+    fixture never touches. ``dc_cond``/``ac_kx`` set non-default DAC
+    conditioning (both coder directions derive their contexts from it)."""
+    from hive_server_spark.functions import jpeg_arith as ja
+
+    blocks = [list(cb) for cb in coeff_blocks]
+    if len(blocks) != blocks_w * blocks_h:
+        raise ValueError("coefficient block count != block grid")
+    out = _arith_headers(
+        8 * blocks_w, 8 * blocks_h, 1, [(1, 1)], dc_cond=dc_cond, ac_kx=ac_kx
+    )
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    enc = ja.ArithEncoder()
+    dc_st, ac_st = ja.DCStats(*dc_cond), ja.ACStats(ac_kx)
+    pred = context = 0
+    for cb in blocks:
+        if len(cb) != 64:
+            raise ValueError("coefficient block must be 64 zig-zag values")
+        context = ja.encode_dc_diff(enc, dc_st, context, int(cb[0]) - pred)
+        pred = int(cb[0])
+        ja.encode_ac_block(enc, ac_st, [int(x) for x in cb])
+    out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_arith_ycbcr_420_blocks(
+    y_values, cb_values, cr_values, chroma_bw: int, chroma_bh: int
+) -> bytes:
+    """3-component 4:2:0 SOF9 arithmetic JPEG mirroring
+    ``encode_jpeg_ycbcr_420_blocks``: luma 2x2 / chroma 1x1, constant
+    per-block values, MCU-interleaved — exercises the arithmetic path's
+    component interleaving, per-component DC contexts, and SHARED
+    conditioning-table statistics (all components select table 0, so one
+    statistics area adapts across all three, F.1.4.4.1.3)."""
+    from hive_server_spark.functions import jpeg_arith as ja
+
+    planes = [list(y_values), list(cb_values), list(cr_values)]
+    sampling = [(2, 2), (1, 1), (1, 1)]
+    for p, (hs, vs) in zip(planes, sampling):
+        if len(p) != chroma_bw * hs * chroma_bh * vs:
+            raise ValueError("block value count != component block grid")
+    out = _arith_headers(16 * chroma_bw, 16 * chroma_bh, 3, sampling)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    for ci in range(3):
+        out += bytes([ci + 1, 0x00])
+    out += bytes([0, 63, 0])
+    enc = ja.ArithEncoder()
+    dc_st, ac_st = ja.DCStats(), ja.ACStats()  # shared: one table id
+    preds = [0, 0, 0]
+    contexts = [0, 0, 0]
+    zero_ac = [0] * 64
+    for my in range(chroma_bh):
+        for mx in range(chroma_bw):
+            for ci in range(3):
+                hs, vs = sampling[ci]
+                for v in range(vs):
+                    for h2 in range(hs):
+                        k = (my * vs + v) * (chroma_bw * hs) + (mx * hs + h2)
+                        val = int(planes[ci][k])
+                        if not 0 <= val <= 255:
+                            raise ValueError(f"block value {val} outside 0..255")
+                        dc = val - 128
+                        contexts[ci] = ja.encode_dc_diff(
+                            enc, dc_st, contexts[ci], dc - preds[ci]
+                        )
+                        preds[ci] = dc
+                        ja.encode_ac_block(enc, ac_st, zero_ac)
+    out += enc.flush()
+    out += b"\xff\xd9"
     return bytes(out)

@@ -1059,10 +1059,12 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 # ORDER — its (min,sum,sum) merge is a commutative monoid, so order
 # cannot change its result; re-proven by gate parity + the chunk-
 # invariance test this round) and the CMS/HLL/CUSUM sketch streams
-# (their initial start call moved inside the transient-py4j retry —
-# control path only, no expression/state/plan change; all three re-proven
-# by gate parity this round). Both facts are pytest-pinned every run by
-# tests/test_gate_parity.py.
+# (their initial start call moved inside the transient-py4j retry, and
+# the await itself gained a stall window: a silently-wedged callback
+# channel is stopped and checkpoint-resumed instead of blocking forever
+# — control path only, no expression/state/plan change; all foreachBatch
+# queries re-proven by gate parity this round). Both facts are
+# pytest-pinned every run by tests/test_gate_parity.py.
 # ROUND-10 ROTATION NOTE: after this window goes green the staleness
 # order is (1) any round-10 registrations / modified queries, (2) the 46
 # r06-green names in registration order (docs_ingest_streaming,

@@ -313,11 +313,55 @@ def is_transient_py4j(exc: BaseException) -> bool:
     return any(t in msg for t in _TRANSIENT_PY4J)
 
 
+class StreamStalled(RuntimeError):
+    """An active stream made no progress for the stall window — the
+    silent twin of the transient py4j flake: the callback channel can
+    also WEDGE (no exception, the JVM-side batch blocks on a Python
+    invocation that never answers), which a bare awaitTermination() waits
+    on forever. Raised after q.stop() so the checkpoint-resuming retry
+    path treats it exactly like the noisy flake."""
+
+
+_STALL_WINDOW_S = 180.0  # generous: the whole sketch family runs in <30 s
+
+
+def _await_bounded(q, stall_s: float = _STALL_WINDOW_S) -> None:
+    """awaitTermination with liveness: poll in 5 s slices and track the
+    last committed batchId via lastProgress. An ACTIVE query whose
+    progress is frozen for `stall_s` is stopped and reported as
+    StreamStalled (the retry resumes its checkpoint). A query exception
+    still surfaces through awaitTermination's own raise."""
+    import time as _time
+
+    last_mark = None  # (batchId, runId) of the newest progress seen
+    last_change = _time.monotonic()
+    while True:
+        if q.awaitTermination(5):
+            return
+        prog = q.lastProgress
+        mark = (prog.get("batchId"), prog.get("runId")) if prog else None
+        if mark != last_mark:
+            last_mark = mark
+            last_change = _time.monotonic()
+        elif _time.monotonic() - last_change > stall_s:
+            try:
+                q.stop()
+            except Exception:
+                pass  # the retry's fresh start supersedes a wedged stop
+            raise StreamStalled(
+                f"stream made no progress for {stall_s:.0f}s "
+                f"(last batch mark {last_mark}); stopped for retry"
+            )
+
+
 def await_stream_with_retry(start_query, attempts: int = 3, backoff_s: float = 2.0):
     """Start + await an availableNow stream via `start_query()` (a thunk
     returning a started StreamingQuery), retrying on the transient py4j
-    callback-channel failure documented above. Starting the stream is
-    itself a py4j round-trip, so the start call sits INSIDE the retry.
+    callback-channel failure documented above — in BOTH its forms: the
+    noisy one (socket reset surfaces as an exception) and the silent one
+    (the channel wedges and the stream freezes mid-batch; detected by the
+    bounded await's stall window). Starting the stream is itself a py4j
+    round-trip, so the start call sits INSIDE the retry.
 
     Exactly-once across retries holds only if the thunk re-uses the SAME
     checkpoint (and state) directory on every call — writer.start-style
@@ -330,8 +374,11 @@ def await_stream_with_retry(start_query, attempts: int = 3, backoff_s: float = 2
     for _ in range(attempts):
         try:
             q = start_query()
-            q.awaitTermination()
+            _await_bounded(q)
             return
+        except StreamStalled as e:
+            last = e
+            _time.sleep(backoff_s)
         except Exception as e:
             if not is_transient_py4j(e):
                 raise

@@ -74,11 +74,33 @@ def main() -> int:
     assert n >= 0
 
     # --- parity ---
-    con = duckdb.connect()
-    for t in TABLES:
-        p = os.path.join(PARITY_DIR, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    def fresh_con():
+        # memory_limit bounds the buffer manager: an unbounded DuckDB next
+        # to a live Spark JVM has flaked with a transient bad_alloc on
+        # this host (observed round 9) — 16 GB is ~100x what any sf0.01
+        # oracle needs
+        c = duckdb.connect()
+        c.execute("SET memory_limit='16GB'")
+        for t in TABLES:
+            p = os.path.join(PARITY_DIR, f"{t}.parquet")
+            if os.path.exists(p):
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        return c
+
+    con = fresh_con()
+
+    def run_oracle(sql):
+        nonlocal con
+        try:
+            cur = con.execute(sql)
+            return [d[0] for d in cur.description], cur.fetchall()
+        except duckdb.OutOfMemoryException:
+            # transient host-pressure flake: rebuild the connection (drops
+            # any accumulated buffers) and retry once
+            con.close()
+            con = fresh_con()
+            cur = con.execute(sql)
+            return [d[0] for d in cur.description], cur.fetchall()
 
     queries = mod.queries()
     oracles = mod.oracle_sql()
@@ -103,9 +125,7 @@ def main() -> int:
             print(f"{name}: rows-only check, {len(srows)} rows "
                   f"({time.perf_counter()-t0:.1f}s)")
             continue
-        cur = con.execute(oracles[name])
-        ocols = [d[0] for d in cur.description]
-        orows = cur.fetchall()
+        ocols, orows = run_oracle(oracles[name])
         problems = []
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")

@@ -1,0 +1,231 @@
+"""JPEG arithmetic coding (T.81 Annexes D/F — functions/jpeg_arith.py,
+SOF9 integration in functions/jpeg.py).
+
+Conformance strategy: the QM coder + Table D.3 state machine are pinned
+BYTE-FOR-BYTE by the T.81 §K.4 test sequence (a misremembered table entry
+or a coder-mechanics slip cannot reproduce 29 consecutive bytes including
+mid-stream 0xFF00 stuffing and carry events); everything above the raw
+coder is pinned by encoder/decoder mirroring (round-trip over adversarial
+random inputs) plus cross-coder equality — the same pixel content coded
+as Huffman baseline and as SOF9 arithmetic must decode bit-identically.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from hive_server_spark.functions import jpeg
+from hive_server_spark.functions import jpeg_arith as ja
+
+# T.81 §K.4: 256-bit test input and the spec's coded sequence (the code
+# string body; the spec then discards trailing zero bytes and appends EOI)
+_K4_INPUT = bytes.fromhex(
+    "00020051" "000000C0" "0352872A" "AAAAAAAA"
+    "82C02000" "FCD79EF6" "74EAABF7" "697EE74C"
+)
+_K4_CODED = bytes.fromhex(
+    "655B5144" "F7969D51" "7855BFFF" "00FC5184" "C7CEF939" "00287D46" "708ECBC0" "F6"
+)
+
+
+def test_k4_conformance_encode():
+    enc = ja.ArithEncoder()
+    st = bytearray(1)  # single adaptive bin, state 0, MPS 0
+    for byte in _K4_INPUT:
+        for i in range(7, -1, -1):
+            enc.encode((byte >> i) & 1, st, 0)
+    assert enc.flush() == _K4_CODED
+
+
+def test_k4_conformance_decode():
+    dec = ja.ArithDecoder(_K4_CODED + b"\xff\xd9", 0)
+    st = bytearray(1)
+    bits = [dec.decode(st, 0) for _ in range(256)]
+    want = [(byte >> i) & 1 for byte in _K4_INPUT for i in range(7, -1, -1)]
+    assert bits == want
+
+
+def test_raw_coder_round_trip_random():
+    rng = random.Random(42)
+    for trial in range(120):
+        n = rng.randrange(1, 400)
+        nbins = rng.randrange(1, 8)
+        p = rng.choice([0.05, 0.3, 0.5, 0.9])
+        bits = [1 if rng.random() < p else 0 for _ in range(n)]
+        ctxs = [rng.randrange(nbins) for _ in range(n)]
+        enc = ja.ArithEncoder()
+        st_e = bytearray(nbins)
+        for b, c in zip(bits, ctxs):
+            enc.encode(b, st_e, c)
+        dec = ja.ArithDecoder(enc.flush() + b"\xff\xd9", 0)
+        st_d = bytearray(nbins)
+        assert [dec.decode(st_d, c) for c in ctxs] == bits, f"trial {trial}"
+
+
+def test_dc_model_round_trip_all_conditionings():
+    rng = random.Random(3)
+    for lo, hi in [(0, 1), (1, 3), (0, 0), (2, 8), (4, 4), (0, 15)]:
+        diffs = [rng.randrange(-2000, 2000) for _ in range(300)]
+        enc = ja.ArithEncoder()
+        st = ja.DCStats(lo, hi)
+        ctx = 0
+        for d in diffs:
+            ctx = ja.encode_dc_diff(enc, st, ctx, d)
+        dec = ja.ArithDecoder(enc.flush() + b"\xff\xd9", 0)
+        st2 = ja.DCStats(lo, hi)
+        ctx = 0
+        out = []
+        for _ in diffs:
+            d, ctx = ja.decode_dc_diff(dec, st2, ctx)
+            out.append(d)
+        assert out == diffs, (lo, hi)
+
+
+def test_ac_model_round_trip_all_kx():
+    rng = random.Random(5)
+    for kx in [1, 5, 16, 63]:
+        blocks = []
+        for _ in range(60):
+            vals = [0] * 64
+            for _ in range(rng.randrange(0, 20)):
+                vals[rng.randrange(1, 64)] = rng.randrange(-900, 900) or 7
+            blocks.append(vals)
+        enc = ja.ArithEncoder()
+        st = ja.ACStats(kx)
+        for vals in blocks:
+            ja.encode_ac_block(enc, st, vals)
+        dec = ja.ArithDecoder(enc.flush() + b"\xff\xd9", 0)
+        st2 = ja.ACStats(kx)
+        for bi, vals in enumerate(blocks):
+            co = np.zeros((8, 8), dtype=np.int64)
+            ja.decode_ac_block(dec, st2, co, jpeg._ZIGZAG)
+            got = [int(co[jpeg._ZIGZAG[k]]) if k else 0 for k in range(64)]
+            want = vals[:]
+            want[0] = 0
+            assert got == want, (kx, bi)
+
+
+def test_cross_coder_gray_equality():
+    """Same blocks, Huffman baseline vs SOF9 arithmetic: identical
+    (width, height, mean) — including restart intervals, whose arithmetic
+    semantics (flush + full coder/statistics/prediction reset) differ
+    from Huffman's bit-padding resync."""
+    rng = random.Random(7)
+    for trial in range(25):
+        bw, bh = rng.randrange(1, 6), rng.randrange(1, 6)
+        vals = [rng.randrange(256) for _ in range(bw * bh)]
+        ri = rng.choice([0, 0, 1, 2, 3])
+        h = jpeg.decode_jpeg(jpeg.encode_jpeg_gray_blocks(vals, bw, bh, ri))
+        a = jpeg.decode_jpeg(jpeg.encode_jpeg_arith_gray_blocks(vals, bw, bh, ri))
+        assert h == a, (trial, bw, bh, ri)
+
+
+def test_cross_coder_ycbcr_420_equality():
+    """Interleaved 3-component 4:2:0 with SHARED conditioning-table
+    statistics but per-component DC contexts/predictions."""
+    rng = random.Random(11)
+    for trial in range(12):
+        cbw, cbh = rng.randrange(1, 4), rng.randrange(1, 4)
+        y = [rng.randrange(256) for _ in range(4 * cbw * cbh)]
+        cb = [rng.randrange(256) for _ in range(cbw * cbh)]
+        cr = [rng.randrange(256) for _ in range(cbw * cbh)]
+        h = jpeg.decode_jpeg(jpeg.encode_jpeg_ycbcr_420_blocks(y, cb, cr, cbw, cbh))
+        a = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_arith_ycbcr_420_blocks(y, cb, cr, cbw, cbh)
+        )
+        assert h == a, trial
+
+
+def _expected_mean_from_coeffs(blocks, bw, bh):
+    q = np.zeros((8, 8))
+    for k in range(64):
+        q[jpeg._ZIGZAG[k]] = 8 if k == 0 else 16
+    planes = np.zeros((bh * 8, bw * 8))
+    for i, cbk in enumerate(blocks):
+        coeffs = np.zeros((8, 8))
+        for k in range(64):
+            coeffs[jpeg._ZIGZAG[k]] = cbk[k]
+        blk = jpeg._DCT_M.T @ (coeffs * q) @ jpeg._DCT_M
+        by, bx = divmod(i, bw)
+        planes[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+    return float(np.clip(np.rint(planes + 128.0), 0, 255).mean()) / 255.0
+
+
+def test_coeff_fixture_exercises_ac_ladders():
+    """General quantized-coefficient SOF9 fixtures (runs, EOBs, deep
+    magnitude ladders) against an independent IDCT expectation — proves
+    the entropy layer reproduces every coefficient exactly."""
+    rng = random.Random(13)
+    for trial in range(15):
+        bw, bh = rng.randrange(1, 5), rng.randrange(1, 5)
+        blocks = []
+        for _ in range(bw * bh):
+            cbk = [0] * 64
+            cbk[0] = rng.randrange(-128, 128)
+            for _ in range(rng.randrange(0, 12)):
+                cbk[rng.randrange(1, 64)] = rng.randrange(-255, 256) or 1
+            blocks.append(cbk)
+        w, hgt, mean = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_arith_gray_coeffs(blocks, bw, bh)
+        )
+        assert (w, hgt) == (bw * 8, bh * 8)
+        assert mean == _expected_mean_from_coeffs(blocks, bw, bh), trial
+
+
+def test_nondefault_dac_conditioning_end_to_end():
+    """Non-default DAC conditioning (L/U/Kx) must flow from the DAC
+    segment into the decoder's statistical models — pinned because a
+    table-id or nibble-packing slip decodes garbage only on NON-default
+    parameters (the regression this test caught during development)."""
+    rng = random.Random(17)
+    for dc_cond, kx in [((1, 3), 1), ((0, 0), 63), ((2, 8), 16), ((4, 12), 30)]:
+        blocks = []
+        for _ in range(6):
+            cbk = [0] * 64
+            cbk[0] = rng.randrange(-200, 200)
+            for _ in range(10):
+                cbk[rng.randrange(1, 64)] = rng.randrange(-300, 300) or 3
+            blocks.append(cbk)
+        payload = jpeg.encode_jpeg_arith_gray_coeffs(
+            blocks, 3, 2, dc_cond=dc_cond, ac_kx=kx
+        )
+        w, hgt, mean = jpeg.decode_jpeg(payload)
+        assert (w, hgt) == (24, 16)
+        assert mean == _expected_mean_from_coeffs(blocks, 3, 2), (dc_cond, kx)
+
+
+def test_fixed_bin_never_adapts():
+    st = bytearray([ja.FIXED_BIN_STATE])
+    enc = ja.ArithEncoder()
+    for b in [0, 1, 1, 0, 1, 0, 0, 1] * 20:
+        enc.encode(b, st, 0)
+        assert st[0] == ja.FIXED_BIN_STATE
+    dec = ja.ArithDecoder(enc.flush() + b"\xff\xd9", 0)
+    st2 = bytearray([ja.FIXED_BIN_STATE])
+    out = [dec.decode(st2, 0) for _ in range(160)]
+    assert st2[0] == ja.FIXED_BIN_STATE
+    assert out == [0, 1, 1, 0, 1, 0, 0, 1] * 20
+
+
+def test_progressive_arithmetic_still_refused():
+    # SOF10 (progressive arithmetic) keeps the strict-refusal stance
+    payload = bytearray(jpeg.encode_jpeg_arith_gray_blocks([100], 1, 1))
+    idx = payload.find(b"\xff\xc9")
+    payload[idx + 1] = 0xCA
+    with pytest.raises(ValueError, match="SOF10 unsupported"):
+        jpeg.decode_jpeg(bytes(payload))
+
+
+def test_truncated_arith_stream_is_deterministic():
+    """Truncation mid-scan zero-feeds (T.81 F.2.2.3) rather than raising:
+    arithmetic scans have no codeword boundary to detect truncation at —
+    but the result must be deterministic, not garbage-read."""
+    full = jpeg.encode_jpeg_arith_gray_blocks(list(range(0, 256, 16)), 4, 4)
+    # chop entropy bytes just before EOI
+    cut = full[:-6] + b"\xff\xd9"
+    r1 = jpeg.decode_jpeg(cut)
+    r2 = jpeg.decode_jpeg(cut)
+    assert r1 == r2 and r1[0] == 32 and r1[1] == 32
