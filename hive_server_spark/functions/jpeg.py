@@ -27,13 +27,14 @@ deterministic fake. This module closes it the same way PNG did:
   against 2x1 chroma) decodes via the nearest-sample upsampling gather
   x -> floor(x*hs/hmax) — T.81 leaves the upsampling filter to the
   decoder, and the gather degenerates to exact pixel replication at
-  integer ratios. (Round 9, second pass) ARITHMETIC-coded sequential
-  JPEG (SOF9 + DAC) decodes for real: the T.81 Annex D QM coder and the
-  F.1.4.4.1 DC/AC statistical models live in functions/jpeg_arith.py,
-  conformance pinned by the T.81 §K.4 test sequence byte-for-byte.
-  Progressive-arithmetic (SOF10), hierarchical and lossless SOFs raise
-  a clear ValueError instead of mis-decoding (the PPM maxval>255
-  stance).
+  integer ratios. (Round 9, second pass) ARITHMETIC-coded JPEG decodes
+  for real — both sequential SOF9 and progressive SOF10 (+ DAC
+  conditioning): the T.81 Annex D QM coder and the F.1.4.4.1 / G.2
+  statistical models live in functions/jpeg_arith.py, conformance
+  pinned by the T.81 §K.4 test sequence byte-for-byte and by
+  cross-coder decode equality against the Huffman fixtures.
+  Hierarchical and lossless SOFs raise a clear ValueError instead of
+  mis-decoding (the PPM maxval>255 stance).
 - ``encode_jpeg_gray_blocks`` is a FIXTURE encoder in the spirit of
   ``encode_png``: it emits a spec-valid grayscale baseline JPEG whose 8×8
   blocks are each a constant value. For constant blocks the forward DCT is
@@ -276,9 +277,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
                     raise ValueError("truncated JPEG DHT")
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(counts, symbols)
                 off += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
             # SOF0 baseline / SOF1 extended sequential / SOF2 progressive
-            # (Huffman) / SOF9 extended sequential (arithmetic, round 9)
+            # (Huffman) / SOF9 extended sequential / SOF10 progressive
+            # (arithmetic, round 9)
             prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
             if marker == 0xC0 and prec != 8:
                 raise ValueError(f"JPEG precision {prec} invalid for baseline")
@@ -291,12 +293,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (height, width, comps, prec)
-            progressive = marker == 0xC2
-            arith = marker == 0xC9
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"JPEG SOF{marker - 0xC0} unsupported; sequential "
-                "(SOF0/SOF1/SOF9) and Huffman progressive (SOF2) decode "
+                "(SOF0/SOF1/SOF9) and progressive (SOF2/SOF10) decode "
                 "are implemented"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning (T.81 B.2.4.3)
@@ -316,19 +318,25 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
-            if arith:
-                return _decode_scan_arith(
-                    b, pos + seglen, seg, frame, qt, dac_dc, dac_ac,
-                    restart_interval,
-                )
             if not progressive:
+                if arith:
+                    return _decode_scan_arith(
+                        b, pos + seglen, seg, frame, qt, dac_dc, dac_ac,
+                        restart_interval,
+                    )
                 return _decode_scan(b, pos + seglen, seg, frame, qt, huff_dc, huff_ac, restart_interval)
             if coef is None:
                 coef = _init_coef(frame)
-            pos = _decode_progressive_scan(
-                b, pos + seglen, seg, frame, huff_dc, huff_ac,
-                restart_interval, coef,
-            )
+            if arith:
+                pos = _decode_progressive_scan_arith(
+                    b, pos + seglen, seg, frame, dac_dc, dac_ac,
+                    restart_interval, coef,
+                )
+            else:
+                pos = _decode_progressive_scan(
+                    b, pos + seglen, seg, frame, huff_dc, huff_ac,
+                    restart_interval, coef,
+                )
             continue  # pos now points at the next marker's 0xFF
         # APPn / COM / anything else: skip
         pos += seglen
@@ -544,6 +552,121 @@ def _decode_progressive_scan(
     if br.seen_marker is not None:
         return br.pos - 2
     p = br.pos
+    while p + 1 < len(b):
+        if b[p] == 0xFF and b[p + 1] != 0x00:
+            return p
+        p += 1
+    raise ValueError("JPEG progressive scan not followed by a marker")
+
+
+def _decode_progressive_scan_arith(
+    b, pos, seg, frame, dac_dc, dac_ac, restart_interval, coef
+):
+    """One progressive ARITHMETIC (SOF10) scan per T.81 G.2: the same
+    scan taxonomy as the Huffman path (_decode_progressive_scan) with the
+    QM coder drawing every decision — DC first scans run the F.1.4.4.1.1
+    DC model on the Al-shifted differences, DC refinement codes one
+    FIXED-bin decision per block, AC first scans are the sequential AC
+    model over [Ss, Se] with values stored << Al, and AC refinement uses
+    the kex/EOB-decision walk (jpeg_arith.decode_ac_refine). Statistics
+    areas, predictions and contexts are per-scan (each scan is its own
+    entropy segment with its own INITDEC). Returns the byte offset of the
+    next marker's 0xFF."""
+    from hive_server_spark.functions import jpeg_arith as ja
+
+    height, width, comps, _prec = frame
+    ncomp_scan = seg[0]
+    selectors = {}
+    for i in range(ncomp_scan):
+        cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+        selectors[cs] = (tdta >> 4, tdta & 0x0F)
+    ss, se = seg[1 + 2 * ncomp_scan], seg[2 + 2 * ncomp_scan]
+    ahal = seg[3 + 2 * ncomp_scan]
+    ah, al = ahal >> 4, ahal & 0x0F
+    scan_comps = []  # (comp index, td, ta)
+    for ci, (cid, _hs, _vs, _tq) in enumerate(comps):
+        if cid in selectors:
+            scan_comps.append((ci, *selectors[cid]))
+    if len(scan_comps) != ncomp_scan:
+        raise ValueError("JPEG progressive scan names unknown component")
+    _hmax, _vmax, mcux, mcuy, dims = _frame_geometry(frame)
+
+    dec = ja.ArithDecoder(b, pos)
+    dc_stats = {
+        td: ja.DCStats(*dac_dc.get(td, (0, 1))) for _, td, _ in scan_comps
+    }
+    ac_stats = {ta: ja.ACStats(dac_ac.get(ta, 5)) for _, _, ta in scan_comps}
+
+    if ss == 0:  # DC scan (Se must be 0 per spec)
+        if se != 0:
+            raise ValueError("JPEG progressive DC scan with Se != 0")
+        preds = {ci: 0 for ci, _td, _ta in scan_comps}
+        contexts = {ci: 0 for ci, _td, _ta in scan_comps}
+        fixed = bytearray([ja.FIXED_BIN_STATE])  # DC refinement bin (G.2)
+
+        def reset_segment():
+            for st in dc_stats.values():
+                st.reset()
+            for st in ac_stats.values():
+                st.reset()
+            preds.update({ci: 0 for ci, _td, _ta in scan_comps})
+            contexts.update({ci: 0 for ci, _td, _ta in scan_comps})
+
+        def dc_unit(ci: int, td: int, by: int, bx: int) -> None:
+            if ah == 0:  # first DC scan: arithmetic diff in Al-shifted units
+                diff, contexts[ci] = ja.decode_dc_diff(
+                    dec, dc_stats[td], contexts[ci]
+                )
+                preds[ci] += diff
+                coef[ci][by, bx, 0, 0] = preds[ci] << al
+            else:  # DC refinement: one fixed-bin decision per block (G.2)
+                if dec.decode(fixed, 0):
+                    coef[ci][by, bx, 0, 0] |= 1 << al
+
+        if ncomp_scan > 1:
+            unit = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        dec.restart()
+                        reset_segment()
+                    for ci, td, _ta in scan_comps:
+                        _cid, hs, vs, _tq = comps[ci]
+                        for v in range(vs):
+                            for h2 in range(hs):
+                                dc_unit(ci, td, my * vs + v, mx * hs + h2)
+                    unit += 1
+        else:
+            ci, td, _ta = scan_comps[0]
+            bh_c, bw_c = dims[ci]
+            unit = 0
+            for by in range(bh_c):
+                for bx in range(bw_c):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        dec.restart()
+                        reset_segment()
+                    dc_unit(ci, td, by, bx)
+                    unit += 1
+    else:  # AC scan: exactly one component
+        if ncomp_scan != 1:
+            raise ValueError("JPEG progressive AC scan must be single-component")
+        ci, _td, ta = scan_comps[0]
+        st = ac_stats[ta]
+        bh_c, bw_c = dims[ci]
+        for blk in range(bh_c * bw_c):
+            if restart_interval and blk and blk % restart_interval == 0:
+                dec.restart()
+                st.reset()
+            by, bx = blk // bw_c, blk % bw_c
+            block = coef[ci][by, bx]
+            if ah == 0:
+                ja.decode_ac_block(dec, st, block, _ZIGZAG, ss, se, al)
+            else:
+                ja.decode_ac_refine(dec, st, block, _ZIGZAG, ss, se, al)
+
+    if dec.marker is not None:
+        return dec.pos - 2
+    p = dec.pos
     while p + 1 < len(b):
         if b[p] == 0xFF and b[p + 1] != 0x00:
             return p
@@ -1103,11 +1226,11 @@ def encode_jpeg_progressive_blocks(
 
 def _arith_headers(
     w: int, h: int, ncomp: int, sampling, prec: int = 8,
-    dc_cond: tuple[int, int] = (0, 1), ac_kx: int = 5,
+    dc_cond: tuple[int, int] = (0, 1), ac_kx: int = 5, sof: int = 0xC9,
 ) -> bytearray:
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + _ENC_QUANT_ZIGZAG
-    out += b"\xff\xc9" + struct.pack(">HBHHB", 8 + 3 * ncomp, prec, h, w, ncomp)
+    out += bytes([0xFF, sof]) + struct.pack(">HBHHB", 8 + 3 * ncomp, prec, h, w, ncomp)
     for ci in range(ncomp):
         hs, vs = sampling[ci]
         out += bytes([ci + 1, (hs << 4) | vs, 0])
@@ -1238,6 +1361,154 @@ def encode_jpeg_arith_ycbcr_420_blocks(
                         )
                         preds[ci] = dc
                         ja.encode_ac_block(enc, ac_st, zero_ac)
+    out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _arith_sos(comp_ids, ss: int, se: int, ah: int, al: int) -> bytes:
+    body = bytearray([len(comp_ids)])
+    for cid in comp_ids:
+        body += bytes([cid, 0x00])
+    body += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + bytes(body)
+
+
+def encode_jpeg_arith_progressive_blocks(
+    planes, blocks_w: int, blocks_h: int, sampling=None,
+    width: int | None = None, height: int | None = None,
+) -> bytes:
+    """PROGRESSIVE ARITHMETIC (SOF10) fixture mirroring
+    ``encode_jpeg_progressive_blocks`` scan-for-scan: interleaved DC first
+    scan at Al=1 (the F.1.4.4.1.1 DC model on the shifted diffs), DC
+    refinement (one fixed-bin decision per block — the low bit), then one
+    all-EOB AC scan per component over its TRUE block grid. Constant
+    DC-only blocks keep the exact-reconstruction contract, so decode must
+    equal the Huffman progressive fixture bit-for-bit."""
+    from hive_server_spark.functions import jpeg_arith as ja
+
+    ncomp = len(planes)
+    if sampling is None:
+        sampling = [(1, 1)] * ncomp
+    planes = [list(p) for p in planes]
+    hmax = max(hs for hs, _ in sampling)
+    vmax = max(vs for _, vs in sampling)
+    grids = []
+    for p, (hs, vs) in zip(planes, sampling):
+        gw, gh = blocks_w * hs, blocks_h * vs
+        grids.append((gw, gh))
+        if len(p) != gw * gh:
+            raise ValueError("block value count != component block grid")
+        for v in p:
+            if not 0 <= int(v) <= 255:
+                raise ValueError(f"block value {v} outside 0..255")
+    w = width if width is not None else 8 * blocks_w * hmax
+    h = height if height is not None else 8 * blocks_h * vmax
+    if not (0 < w <= 8 * blocks_w * hmax and 0 < h <= 8 * blocks_h * vmax):
+        raise ValueError("frame dims exceed the MCU grid")
+    out = _arith_headers(w, h, ncomp, sampling, sof=0xCA)
+
+    def dc_block_order():
+        for my in range(blocks_h):
+            for mx in range(blocks_w):
+                for ci in range(ncomp):
+                    hs, vs = sampling[ci]
+                    gw, _gh = grids[ci]
+                    for v in range(vs):
+                        for h2 in range(hs):
+                            yield ci, (my * vs + v) * gw + (mx * hs + h2)
+
+    # scan 1: DC first, interleaved, Al=1 — arithmetic diffs in shifted units
+    out += _arith_sos(list(range(1, ncomp + 1)), 0, 0, 0, 1)
+    enc = ja.ArithEncoder()
+    dc_st = ja.DCStats()
+    preds = [0] * ncomp
+    contexts = [0] * ncomp
+    for ci, k in dc_block_order():
+        shifted = (int(planes[ci][k]) - 128) >> 1  # arithmetic shift
+        contexts[ci] = ja.encode_dc_diff(enc, dc_st, contexts[ci], shifted - preds[ci])
+        preds[ci] = shifted
+    out += enc.flush()
+    # scan 2: DC refinement (Ah=1 -> Al=0): fixed-bin low bit per block
+    out += _arith_sos(list(range(1, ncomp + 1)), 0, 0, 1, 0)
+    enc = ja.ArithEncoder()
+    fixed = bytearray([ja.FIXED_BIN_STATE])
+    for ci, k in dc_block_order():
+        enc.encode((int(planes[ci][k]) - 128) & 1, fixed, 0)
+    out += enc.flush()
+    # per-component all-zero AC scans over the TRUE (unpadded) block grid
+    zero_ac = [0] * 64
+    for ci in range(ncomp):
+        hs, vs = sampling[ci]
+        cw = -(-w * hs // hmax)
+        ch = -(-h * vs // vmax)
+        n_true = ((cw + 7) // 8) * ((ch + 7) // 8)
+        out += _arith_sos([ci + 1], 1, 63, 0, 0)
+        enc = ja.ArithEncoder()
+        ac_st = ja.ACStats()
+        for _ in range(n_true):
+            ja.encode_ac_block(enc, ac_st, zero_ac)
+        out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_arith_progressive_coeffs(coeff_blocks, blocks_w: int, blocks_h: int) -> bytes:
+    """Grayscale SOF10 fixture from FULL quantized coefficient blocks in
+    FOUR scans — DC first (Al=1), DC refinement, AC first (Al=1, coding
+    the point-transformed sign(v)*(|v|>>1)), AC refinement (Al=0:
+    correction bits widen surviving magnitudes, |v|==1 coefficients enter
+    as newly-significant) — exercising decode_ac_refine's kex/EOB walk,
+    which the constant-block fixture never touches. Reconstruction is
+    exact: |v| = (|v|>>1)*2 + (|v|&1)."""
+    from hive_server_spark.functions import jpeg_arith as ja
+
+    blocks = [list(cb) for cb in coeff_blocks]
+    if len(blocks) != blocks_w * blocks_h:
+        raise ValueError("coefficient block count != block grid")
+    out = _arith_headers(8 * blocks_w, 8 * blocks_h, 1, [(1, 1)], sof=0xCA)
+
+    # scan 1: DC first, Al=1
+    out += _arith_sos([1], 0, 0, 0, 1)
+    enc = ja.ArithEncoder()
+    dc_st = ja.DCStats()
+    pred = context = 0
+    for cb in blocks:
+        if len(cb) != 64:
+            raise ValueError("coefficient block must be 64 zig-zag values")
+        shifted = int(cb[0]) >> 1
+        context = ja.encode_dc_diff(enc, dc_st, context, shifted - pred)
+        pred = shifted
+    out += enc.flush()
+    # scan 2: DC refinement
+    out += _arith_sos([1], 0, 0, 1, 0)
+    enc = ja.ArithEncoder()
+    fixed = bytearray([ja.FIXED_BIN_STATE])
+    for cb in blocks:
+        enc.encode(int(cb[0]) & 1, fixed, 0)
+    out += enc.flush()
+    # scan 3: AC first, Al=1 — the AC point transform truncates toward zero
+    def pt(v: int) -> int:
+        return (abs(v) >> 1) * (1 if v > 0 else -1)
+
+    out += _arith_sos([1], 1, 63, 0, 1)
+    enc = ja.ArithEncoder()
+    ac_st = ja.ACStats()
+    for cb in blocks:
+        ja.encode_ac_block(enc, ac_st, [pt(int(v)) for v in cb])
+    out += enc.flush()
+    # scan 4: AC refinement, Ah=1 -> Al=0
+    out += _arith_sos([1], 1, 63, 1, 0)
+    enc = ja.ArithEncoder()
+    ac_st = ja.ACStats()
+    for cb in blocks:
+        prev = np.zeros((8, 8), dtype=np.int64)
+        target = np.zeros((8, 8), dtype=np.int64)
+        for k in range(1, 64):
+            v = int(cb[k])
+            prev[_ZIGZAG[k]] = pt(v) << 1
+            target[_ZIGZAG[k]] = v
+        ja.encode_ac_refine(enc, ac_st, prev, target, _ZIGZAG, 1, 63, 0)
     out += enc.flush()
     out += b"\xff\xd9"
     return bytes(out)

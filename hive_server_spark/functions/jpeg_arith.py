@@ -2,8 +2,9 @@
 coder plus the DC/AC statistical models, pure Python, no external codecs.
 
 This closes the last format boundary VERDICT r08 listed for the JPEG
-surface: SOF9 (extended sequential, arithmetic) now DECODES for real
-instead of raising. Everything here is public T.81 knowledge:
+surface: SOF9 (extended sequential, arithmetic) AND SOF10 (progressive,
+arithmetic) now DECODE for real instead of raising. Everything here is
+public T.81 knowledge:
 
 - ``ArithDecoder`` / ``ArithEncoder`` implement the QM binary arithmetic
   coder of T.81 Annex D: 16-bit interval register A kept in
@@ -59,8 +60,10 @@ __all__ = [
     "ACStats",
     "decode_dc_diff",
     "decode_ac_block",
+    "decode_ac_refine",
     "encode_dc_diff",
     "encode_ac_block",
+    "encode_ac_refine",
 ]
 
 # T.81 Table D.3 — Qe values and probability estimation state machine.
@@ -515,10 +518,14 @@ def encode_dc_diff(enc: ArithEncoder, st: DCStats, context: int, diff: int) -> i
 
 
 def decode_ac_block(
-    dec: ArithDecoder, st: ACStats, coeffs, zigzag, ss: int = 1, se: int = 63
+    dec: ArithDecoder, st: ACStats, coeffs, zigzag,
+    ss: int = 1, se: int = 63, al: int = 0,
 ) -> None:
     """Decode the AC coefficients of one block into ``coeffs`` (an 8x8
-    array indexed via ``zigzag``), per F.2.4.2.2 / Figure F.20."""
+    array indexed via ``zigzag``), per F.2.4.2.2 / Figure F.20. With a
+    spectral band [ss, se] and a nonzero ``al`` this is also the
+    progressive AC FIRST scan (G.2.x): identical decisions, values stored
+    shifted by the successive-approximation low bit."""
     bins = st.bins
     k = ss
     while k <= se:
@@ -548,7 +555,96 @@ def decode_ac_block(
             if dec.decode(bins, i):
                 v |= m
         v += 1
-        coeffs[zigzag[k]] = -v if sign else v
+        coeffs[zigzag[k]] = (-v if sign else v) << al
+        k += 1
+
+
+def decode_ac_refine(
+    dec: ArithDecoder, st: ACStats, block, zigzag, ss: int, se: int, al: int
+) -> None:
+    """Progressive AC REFINEMENT scan for one block (T.81 G.2, arithmetic
+    form): per coefficient exactly one decision — a correction bit
+    (bin S0+2) for previously-nonzero history, or a newly-significant
+    decision (bin S0+1, sign via the fixed bin) for zero history — with
+    the end-of-block decision (bin S0) coded only past EOBx, the previous
+    stages' last significant index. After EOB fires, NOTHING further is
+    coded for the block (unlike the Huffman refinement's EOB band, which
+    still carries correction bits)."""
+    bins = st.bins
+    p1, m1 = 1 << al, -1 << al
+    kex = 0
+    for k in range(se, 0, -1):
+        if block[zigzag[k]]:
+            kex = k
+            break
+    k = ss
+    while k <= se:
+        s0 = 3 * (k - 1)
+        if k > kex and dec.decode(bins, s0):
+            return  # EOB: no more corrections or significances
+        while True:
+            z = zigzag[k]
+            if block[z]:
+                if dec.decode(bins, s0 + 2):
+                    block[z] += m1 if block[z] < 0 else p1
+                break
+            if dec.decode(bins, s0 + 1):
+                block[z] = m1 if dec.decode(st.fixed, 0) else p1
+                break
+            s0 += 3
+            k += 1
+            if k > se:
+                raise ValueError("JPEG arithmetic AC refinement past band end")
+        k += 1
+
+
+def encode_ac_refine(
+    enc: ArithEncoder, st: ACStats, prev, target, zigzag, ss: int, se: int, al: int
+) -> None:
+    """Mirror of decode_ac_refine: codes the transition of one block from
+    ``prev`` (the coefficient state after earlier scans) to ``target``
+    (state after this scan; both indexed via ``zigzag``). Per successive
+    approximation, target may only add the 1<<al bit to existing values
+    (widening magnitude) or introduce new ±1<<al coefficients."""
+    bins = st.bins
+    p1, m1 = 1 << al, -1 << al
+    kex = 0
+    for k in range(se, 0, -1):
+        if prev[zigzag[k]]:
+            kex = k
+            break
+
+    def event(k: int) -> bool:
+        z = zigzag[k]
+        return target[z] != prev[z]
+
+    k = ss
+    while k <= se:
+        s0 = 3 * (k - 1)
+        if k > kex:
+            if not any(event(j) for j in range(k, se + 1)):
+                enc.encode(1, bins, s0)  # EOB
+                return
+            enc.encode(0, bins, s0)
+        while True:
+            z = zigzag[k]
+            if prev[z]:
+                bit = 1 if target[z] != prev[z] else 0
+                enc.encode(bit, bins, s0 + 2)
+                break
+            if target[z]:
+                if target[z] not in (p1, m1):
+                    raise ValueError(
+                        "refinement may only introduce +-1<<al coefficients"
+                    )
+                enc.encode(1, bins, s0 + 1)
+                enc.encode(1 if target[z] == m1 else 0, st.fixed, 0)
+                break
+            enc.encode(0, bins, s0 + 1)
+            s0 += 3
+            k += 1
+            if k > se:
+                raise ValueError("refinement encoder ran past the band")
         k += 1
 
 

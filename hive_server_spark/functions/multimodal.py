@@ -15,10 +15,10 @@ grayscale and 4:4:4 color — functions/jpeg.py) — doing real header parsing
 and numpy pixel math in the Arrow worker. strict=True requires every
 payload to be one of those formats (ValueError otherwise); strict=False
 falls back to a clearly-marked deterministic fake for payloads in formats
-that would need external codecs (video; progressive-arithmetic and
-hierarchical JPEG — Huffman progressive decodes for real since round 7,
-subsampled progressive / 12-bit SOF1 / sequential-arithmetic SOF9 since
-round 9), keeping the full pipeline testable.
+that would need external codecs (video; hierarchical/lossless JPEG —
+Huffman progressive decodes for real since round 7, subsampled
+progressive / 12-bit SOF1 / arithmetic SOF9+SOF10 since round 9),
+keeping the full pipeline testable.
 `synthesize_ppm_media` builds REAL P6
 payloads with pure column expressions, `synthesize_png_media` builds REAL
 zlib-compressed PNGs of the same pixels, and `synthesize_jpeg_media`
@@ -570,10 +570,10 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, float] | None:
 
 def _fake_decode(payload: bytes) -> tuple[int, int, float]:
     """Deterministic stand-in for formats needing external codecs (video;
-    progressive-arithmetic/hierarchical JPEG — Huffman progressive,
-    12-bit, fractional-ratio sampling AND sequential-arithmetic SOF9 all
-    decode for real now): dimensions and mean luminance derived from the
-    bytes themselves. Only reachable with strict=False."""
+    hierarchical/lossless JPEG — progressive, 12-bit, fractional-ratio
+    sampling AND arithmetic SOF9/SOF10 all decode for real now):
+    dimensions and mean luminance derived from the bytes themselves.
+    Only reachable with strict=False."""
     n = len(payload)
     width = 16 + (payload[0] if n else 0) % 240
     height = 16 + (payload[-1] if n else 0) % 240

@@ -210,12 +210,70 @@ def test_fixed_bin_never_adapts():
     assert out == [0, 1, 1, 0, 1, 0, 0, 1] * 20
 
 
-def test_progressive_arithmetic_still_refused():
-    # SOF10 (progressive arithmetic) keeps the strict-refusal stance
+def test_cross_coder_progressive_equality():
+    """SOF10 constant-block fixtures (DC first Al=1 + fixed-bin DC
+    refinement + all-EOB AC scans) decode identically to the Huffman
+    progressive fixtures — gray, 4:2:0, and partial-MCU frames where the
+    interleaved DC scans visit padding blocks the AC scans must not."""
+    rng = random.Random(21)
+    for trial in range(12):
+        bw, bh = rng.randrange(1, 4), rng.randrange(1, 4)
+        if trial % 2 == 0:
+            planes = [[rng.randrange(256) for _ in range(bw * bh)]]
+            sampling = None
+            kw = {}
+        else:
+            planes = [
+                [rng.randrange(256) for _ in range(4 * bw * bh)],
+                [rng.randrange(256) for _ in range(bw * bh)],
+                [rng.randrange(256) for _ in range(bw * bh)],
+            ]
+            sampling = [(2, 2), (1, 1), (1, 1)]
+            kw = (
+                {"width": 16 * bw - 5, "height": 16 * bh - 9}
+                if trial % 4 == 1
+                else {}
+            )
+        h = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_progressive_blocks(planes, bw, bh, sampling, **kw)
+        )
+        a = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_arith_progressive_blocks(planes, bw, bh, sampling, **kw)
+        )
+        assert h == a, trial
+
+
+def test_progressive_arith_four_scan_refinement():
+    """Four-scan SOF10 coefficient fixture (DC first/refine + AC first at
+    Al=1 + AC refinement at Al=0) against the independent IDCT
+    expectation — drives decode_ac_refine's kex/EOB walk: correction bits
+    on surviving magnitudes, |v|==1 coefficients entering as
+    newly-significant, EOB terminating blocks early."""
+    rng = random.Random(13)
+    for trial in range(12):
+        bw, bh = rng.randrange(1, 5), rng.randrange(1, 5)
+        blocks = []
+        for _ in range(bw * bh):
+            cbk = [0] * 64
+            cbk[0] = rng.randrange(-128, 128)
+            for _ in range(rng.randrange(0, 14)):
+                cbk[rng.randrange(1, 64)] = rng.choice(
+                    [1, -1, 2, -2, 3, -3, rng.randrange(-255, 256) or 1]
+                )
+            blocks.append(cbk)
+        w, hgt, mean = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_arith_progressive_coeffs(blocks, bw, bh)
+        )
+        assert (w, hgt) == (bw * 8, bh * 8)
+        assert mean == _expected_mean_from_coeffs(blocks, bw, bh), trial
+
+
+def test_lossless_sof_still_refused():
+    # hierarchical/lossless SOFs keep the strict-refusal stance
     payload = bytearray(jpeg.encode_jpeg_arith_gray_blocks([100], 1, 1))
     idx = payload.find(b"\xff\xc9")
-    payload[idx + 1] = 0xCA
-    with pytest.raises(ValueError, match="SOF10 unsupported"):
+    payload[idx + 1] = 0xCB  # SOF11: lossless arithmetic
+    with pytest.raises(ValueError, match="SOF11 unsupported"):
         jpeg.decode_jpeg(bytes(payload))
 
 
