@@ -1229,7 +1229,13 @@ def _arith_headers(
     dc_cond: tuple[int, int] = (0, 1), ac_kx: int = 5, sof: int = 0xC9,
 ) -> bytearray:
     out = bytearray(b"\xff\xd8")
-    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + _ENC_QUANT_ZIGZAG
+    if prec == 12:  # 16-bit Pq=1 quant table, the 12-bit-sample form
+        out += (
+            b"\xff\xdb" + struct.pack(">H", 2 + 1 + 128)
+            + b"\x10" + _ENC12_QUANT_ZIGZAG
+        )
+    else:
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + _ENC_QUANT_ZIGZAG
     out += bytes([0xFF, sof]) + struct.pack(">HBHHB", 8 + 3 * ncomp, prec, h, w, ncomp)
     for ci in range(ncomp):
         hs, vs = sampling[ci]
@@ -1509,6 +1515,39 @@ def encode_jpeg_arith_progressive_coeffs(coeff_blocks, blocks_w: int, blocks_h: 
             prev[_ZIGZAG[k]] = pt(v) << 1
             target[_ZIGZAG[k]] = v
         ja.encode_ac_refine(enc, ac_st, prev, target, _ZIGZAG, 1, 63, 0)
+    out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_arith_12bit_gray_blocks(
+    block_values, blocks_w: int, blocks_h: int
+) -> bytes:
+    """12-bit SOF9 (extended sequential, arithmetic) grayscale fixture
+    mirroring ``encode_jpeg_12bit_gray_blocks``: constant blocks of
+    0..4095, DC = v - 2048 with quantizer 8 (Pq=1 16-bit DQT) — decode is
+    exact and the mean normalizes by 4095. The DC magnitude ladder covers
+    the full 12-bit diff range (category up to X12), which the 8-bit
+    fixtures never reach."""
+    from hive_server_spark.functions import jpeg_arith as ja
+
+    vals = [int(v) for v in block_values]
+    if len(vals) != blocks_w * blocks_h:
+        raise ValueError("block value count != blocks_w * blocks_h")
+    for v in vals:
+        if not 0 <= v <= 4095:
+            raise ValueError(f"block value {v} outside 0..4095")
+    out = _arith_headers(8 * blocks_w, 8 * blocks_h, 1, [(1, 1)], prec=12)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    enc = ja.ArithEncoder()
+    dc_st, ac_st = ja.DCStats(), ja.ACStats()
+    pred = context = 0
+    zero_ac = [0] * 64
+    for v in vals:
+        dc = v - 2048  # quantized DC: 8*(v-2048) / qDC=8, exact
+        context = ja.encode_dc_diff(enc, dc_st, context, dc - pred)
+        pred = dc
+        ja.encode_ac_block(enc, ac_st, zero_ac)
     out += enc.flush()
     out += b"\xff\xd9"
     return bytes(out)

@@ -268,6 +268,49 @@ def test_progressive_arith_four_scan_refinement():
         assert mean == _expected_mean_from_coeffs(blocks, bw, bh), trial
 
 
+def test_cross_coder_12bit_equality():
+    """12-bit SOF9 vs 12-bit SOF1 Huffman: identical exact decode — the
+    DC magnitude ladder runs to category X12 here, beyond anything the
+    8-bit fixtures reach."""
+    rng = random.Random(77)
+    for trial in range(15):
+        bw, bh = rng.randrange(1, 6), rng.randrange(1, 6)
+        vals = [rng.randrange(4096) for _ in range(bw * bh)]
+        h = jpeg.decode_jpeg(jpeg.encode_jpeg_12bit_gray_blocks(vals, bw, bh))
+        a = jpeg.decode_jpeg(jpeg.encode_jpeg_arith_12bit_gray_blocks(vals, bw, bh))
+        assert h == a, trial
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st_h
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st_h.lists(
+            st_h.tuples(st_h.booleans(), st_h.integers(0, 5)),
+            min_size=1,
+            max_size=600,
+        )
+    )
+    def test_raw_coder_round_trip_property(seq):
+        """Property form of the round-trip: ANY decision sequence over
+        any context assignment survives encode->flush->decode exactly
+        (hypothesis shrinks failures to minimal sequences)."""
+        enc = ja.ArithEncoder()
+        st_e = bytearray(6)
+        for bit, ctx in seq:
+            enc.encode(int(bit), st_e, ctx)
+        dec = ja.ArithDecoder(enc.flush() + b"\xff\xd9", 0)
+        st_d = bytearray(6)
+        assert [dec.decode(st_d, ctx) for _, ctx in seq] == [
+            int(b) for b, _ in seq
+        ]
+
+except ImportError:  # pragma: no cover - hypothesis is baked in normally
+    pass
+
+
 def test_lossless_sof_still_refused():
     # hierarchical/lossless SOFs keep the strict-refusal stance
     payload = bytearray(jpeg.encode_jpeg_arith_gray_blocks([100], 1, 1))
