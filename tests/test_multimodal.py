@@ -550,3 +550,33 @@ def test_image_value_histogram_and_entropy_recompute(spark):
             for c, n_ in got[doc_id].values()
         )
         assert actual == expected
+
+
+def test_strict_decode_arithmetic_jpeg_via_spark(spark):
+    """SOF9/SOF10 arithmetic payloads decode under strict=True inside
+    mapInPandas — the round-9 QM-coder path wired through the actual
+    Arrow-worker pipeline, values matching the local decoder exactly."""
+    from hive_server_spark.functions import jpeg
+
+    payloads = []
+    for i in range(8):
+        vals = [(i * 37 + k * 11) % 256 for k in range(4)]
+        if i % 2 == 0:
+            payloads.append(jpeg.encode_jpeg_arith_gray_blocks(vals, 2, 2))
+        else:
+            payloads.append(
+                jpeg.encode_jpeg_arith_progressive_blocks([vals], 2, 2)
+            )
+    rows = [
+        (i, "image", p, {"declared_format": "image/jpeg", "n_bytes": len(p)})
+        for i, p in enumerate(payloads)
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in M.decode_media(media, strict=True).collect()}
+    assert len(got) == 8
+    for i, p in enumerate(payloads):
+        w, h, mean = jpeg.decode_jpeg(p)
+        r = got[i]
+        assert r.decoder == "jpeg"
+        assert (r.width, r.height) == (w, h)
+        assert abs(r.mean_luma - mean) < 1e-6  # FloatType carries ~7 digits
