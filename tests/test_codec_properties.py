@@ -75,3 +75,73 @@ def test_png_and_ppm_agree_on_mean(pixels):
     )
     assert png is not None and ppm is not None
     assert float(png[2].mean()) == float(np.asarray(ppm[3]).mean())
+
+
+@st.composite
+def wav_payloads(draw):
+    """A spec-valid RIFF/WAVE container with random PCM content, random
+    unknown chunks before/after fmt/data, and odd-sized chunks exercising
+    the word-alignment padding rule."""
+    import struct
+
+    bits = draw(st.integers(0, 1)) * 8 + 8  # 8 or 16
+    n_channels = draw(st.integers(1, 3))
+    rate = draw(st.sampled_from([8000, 16000, 44100]))
+    n_frames = draw(st.integers(0, 40))
+    if bits == 8:
+        samples = draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=n_frames * n_channels,
+                max_size=n_frames * n_channels,
+            )
+        )
+        data = bytes(samples)
+        expect_mean = (sum(samples) / len(samples)) if samples else 0.0
+    else:
+        samples = draw(
+            st.lists(
+                st.integers(-32768, 32767),
+                min_size=n_frames * n_channels,
+                max_size=n_frames * n_channels,
+            )
+        )
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        expect_mean = (
+            sum(abs(s) for s in samples) / len(samples) if samples else 0.0
+        )
+    block_align = n_channels * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, rate, rate * block_align, block_align, bits
+    )
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        # odd-sized chunks carry one pad byte NOT counted in the size
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    pieces = []
+    if draw(st.booleans()):  # unknown chunk before fmt, odd size allowed
+        junk = draw(st.binary(min_size=1, max_size=9))
+        pieces.append(chunk(b"JUNK", junk))
+    pieces.append(chunk(b"fmt ", fmt))
+    if draw(st.booleans()):  # unknown chunk between fmt and data
+        pieces.append(chunk(b"LIST", draw(st.binary(min_size=0, max_size=7))))
+    pieces.append(chunk(b"data", data))
+    body = b"".join(pieces)
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    return payload, (rate, n_channels, bits, n_frames, expect_mean)
+
+
+@settings(max_examples=40, deadline=None)
+@given(wav_payloads())
+def test_wav_roundtrip_exact(case):
+    from hive_server_spark.functions.multimodal import _decode_wav
+
+    payload, (rate, n_channels, bits, n_frames, expect_mean) = case
+    got = _decode_wav(payload)
+    assert got is not None
+    grate, gch, gbits, gframes, gmean = got
+    assert (grate, gch, gbits, gframes) == (rate, n_channels, bits, n_frames)
+    assert abs(gmean - expect_mean) < 1e-9
