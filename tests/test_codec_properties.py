@@ -145,3 +145,35 @@ def test_wav_roundtrip_exact(case):
     grate, gch, gbits, gframes, gmean = got
     assert (grate, gch, gbits, gframes) == (rate, n_channels, bits, n_frames)
     assert abs(gmean - expect_mean) < 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(rgb_images(max_dim=9), st.booleans())
+def test_bmp_roundtrip_mean_exact(pixels, top_down):
+    """24-bit BI_RGB BMPs with random dims — widths that force 4-byte row
+    stride padding are the interesting cases: a decoder that lets pad
+    bytes leak into the pixel window shifts the mean."""
+    import struct
+
+    from hive_server_spark.functions.multimodal import _decode_bmp
+
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    row_iter = range(h) if top_down else range(h - 1, -1, -1)
+    for y in row_iter:
+        row = pixels[y].reshape(-1).tobytes()
+        rows.append(row + b"\xAA" * (stride - len(row)))  # non-zero pad
+    data = b"".join(rows)
+    height_field = -h if top_down else h
+    info = struct.pack("<IiiHHIIiiII", 40, w, height_field, 1, 24, 0,
+                       len(data), 2835, 2835, 0, 0)
+    payload = (
+        b"BM" + struct.pack("<IHHI", 14 + 40 + len(data), 0, 0, 54)
+        + info + data
+    )
+    got = _decode_bmp(payload)
+    assert got is not None
+    gw, gh, gmean = got
+    assert (gw, gh) == (w, h)
+    assert gmean == float(pixels.mean()) / 255.0
