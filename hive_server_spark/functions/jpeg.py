@@ -32,9 +32,12 @@ deterministic fake. This module closes it the same way PNG did:
   conditioning): the T.81 Annex D QM coder and the F.1.4.4.1 / G.2
   statistical models live in functions/jpeg_arith.py, conformance
   pinned by the T.81 §K.4 test sequence byte-for-byte and by
-  cross-coder decode equality against the Huffman fixtures.
-  Hierarchical and lossless SOFs raise a clear ValueError instead of
-  mis-decoding (the PPM maxval>255 stance).
+  cross-coder decode equality against the Huffman fixtures. LOSSLESS
+  (SOF3, Annex H) decodes too: per-sample Huffman-coded prediction
+  differences, all seven predictors, precision 2..16, point transform,
+  modulo-65536 reconstruction — exact by construction, property-tested
+  over random grids. Hierarchical and arithmetic-lossless SOFs raise a
+  clear ValueError instead of mis-decoding (the PPM maxval>255 stance).
 - ``encode_jpeg_gray_blocks`` is a FIXTURE encoder in the spirit of
   ``encode_png``: it emits a spec-valid grayscale baseline JPEG whose 8×8
   blocks are each a constant value. For constant blocks the forward DCT is
@@ -219,6 +222,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
     frame = None  # (h, w, comps) ; comps = [(cid, hq, vq, tq)]
     progressive = False
     arith = False
+    lossless = False
     coef = None  # progressive coefficient store, created at first SOS
     pos = 2
     while pos < len(b):
@@ -277,14 +281,19 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
                     raise ValueError("truncated JPEG DHT")
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(counts, symbols)
                 off += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
-            # SOF0 baseline / SOF1 extended sequential / SOF2 progressive
-            # (Huffman) / SOF9 extended sequential / SOF10 progressive
-            # (arithmetic, round 9)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            # SOF0 baseline / SOF1 extended sequential / SOF2 progressive /
+            # SOF3 lossless (Huffman) / SOF9 extended sequential / SOF10
+            # progressive (arithmetic, round 9)
             prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
             if marker == 0xC0 and prec != 8:
                 raise ValueError(f"JPEG precision {prec} invalid for baseline")
-            if prec not in (8, 12):
+            if marker == 0xC3:
+                if not 2 <= prec <= 16:  # lossless allows 2..16 (B.2.2)
+                    raise ValueError(
+                        f"JPEG precision {prec} invalid for lossless"
+                    )
+            elif prec not in (8, 12):
                 raise ValueError(
                     f"JPEG precision {prec} unsupported (8 and 12 decode)"
                 )
@@ -295,11 +304,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
             frame = (height, width, comps, prec)
             progressive = marker in (0xC2, 0xCA)
             arith = marker in (0xC9, 0xCA)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+            lossless = marker == 0xC3
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"JPEG SOF{marker - 0xC0} unsupported; sequential "
-                "(SOF0/SOF1/SOF9) and progressive (SOF2/SOF10) decode "
-                "are implemented"
+                "(SOF0/SOF1/SOF9), progressive (SOF2/SOF10) and lossless "
+                "(SOF3) decode are implemented"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning (T.81 B.2.4.3)
             off = 0
@@ -318,6 +328,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if lossless:
+                return _decode_scan_lossless(
+                    b, pos + seglen, seg, frame, huff_dc, restart_interval
+                )
             if not progressive:
                 if arith:
                     return _decode_scan_arith(
@@ -818,6 +832,107 @@ def _decode_scan(b, pos, seg, frame, qt, huff_dc, huff_ac, restart_interval):
                         planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
             mcu += 1
     return _finish_planes(planes, frame)
+
+
+def _decode_scan_lossless(b, pos, seg, frame, huff_dc, restart_interval):
+    """LOSSLESS (SOF3) scan decode per T.81 Annex H: no DCT, no quant —
+    each sample is a Huffman-coded difference (DC-table categories 0..16)
+    from one of the seven spatial predictors selected by Ss, reconstructed
+    modulo 65536, with the point transform Al=Pt shifting the coded domain
+    down and the output back up. Prediction edges (H.1.2.1): the very
+    first sample predicts 2^(P-1-Pt); the rest of the first line predicts
+    from the LEFT neighbor; the first sample of every other line predicts
+    from ABOVE; restart markers reset prediction to the initial state.
+    Components decode interleaved in MCU order; only 1x1 sampling is
+    supported (the overwhelmingly common lossless shape — T.81 allows
+    subsampled lossless MCUs, refused rather than mis-decoded).
+
+    Output contract: (width, height, mean_sample / (2^P - 1)) with the
+    mean over RAW component samples — T.81 defines no color transform for
+    lossless mode (YCbCr is a JFIF convention for the DCT modes), so a
+    3-component lossless image is treated as colorspace-agnostic planes."""
+    height, width, comps, prec = frame
+    ncomp_scan = seg[0]
+    if ncomp_scan != len(comps):
+        raise ValueError("JPEG non-interleaved multi-scan unsupported")
+    for _, hs, vs, _ in comps:
+        if hs != 1 or vs != 1:
+            raise ValueError(
+                "lossless JPEG with subsampled components unsupported"
+            )
+    selectors = {}
+    for i in range(ncomp_scan):
+        cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+        selectors[cs] = tdta >> 4  # DC table only; Ta must be 0 in lossless
+    predictor = seg[1 + 2 * ncomp_scan]  # Ss = predictor selector
+    pt = seg[3 + 2 * ncomp_scan] & 0x0F  # Al = point transform
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"JPEG lossless predictor {predictor} invalid")
+    if width <= 0 or height <= 0:
+        raise ValueError("JPEG frame has empty dimensions")
+    tables = []
+    for cid, _hs, _vs, _tq in comps:
+        if cid not in selectors:
+            raise ValueError(f"JPEG scan omits frame component {cid}")
+        td = selectors[cid]
+        if td not in huff_dc:
+            raise ValueError("JPEG scan references missing Huffman table")
+        tables.append(huff_dc[td])
+    default_pred = 1 << (prec - 1 - pt)
+    planes = [
+        np.zeros((height, width), dtype=np.int64) for _ in comps
+    ]
+    br = _BitReader(b, pos)
+    mcu = 0
+    fresh = True  # first sample of the scan / of a restart interval
+    for y in range(height):
+        for x in range(width):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.restart()
+                fresh = True
+            for ci, table in enumerate(tables):
+                p = planes[ci]
+                if fresh:
+                    # H.1.2.1: prediction initialized to 2^(P-1-Pt) at scan
+                    # start and at each restart; the position rules below
+                    # stay global otherwise (restart resyncs the entropy
+                    # stream and the first prediction — the reconstructed
+                    # neighbor samples remain valid data)
+                    px = default_pred
+                elif y == 0:
+                    px = int(p[0, x - 1])  # first line: from the left
+                elif x == 0:
+                    px = int(p[y - 1, 0])  # first column: from above
+                else:
+                    a = int(p[y, x - 1])
+                    bb = int(p[y - 1, x])
+                    c = int(p[y - 1, x - 1])
+                    if predictor == 1:
+                        px = a
+                    elif predictor == 2:
+                        px = bb
+                    elif predictor == 3:
+                        px = c
+                    elif predictor == 4:
+                        px = a + bb - c
+                    elif predictor == 5:
+                        px = a + ((bb - c) >> 1)
+                    elif predictor == 6:
+                        px = bb + ((a - c) >> 1)
+                    else:
+                        px = (a + bb) >> 1
+                s = table.decode(br)
+                if s == 16:  # H.1.2.2: category 16 codes diff 32768 directly
+                    diff = 32768
+                else:
+                    diff = _extend(br.receive(s), s)
+                p[y, x] = (px + diff) & 0xFFFF  # modulo 65536 (H.1.2.1)
+            fresh = False
+            mcu += 1
+    vmaxval = float((1 << prec) - 1)
+    samples = np.stack([(p << pt).astype(np.float64) for p in planes])
+    samples = np.clip(samples, 0, vmaxval)
+    return width, height, float(samples.mean()) / vmaxval
 
 
 def _decode_scan_arith(b, pos, seg, frame, qt, dac_dc, dac_ac, restart_interval):
@@ -1549,5 +1664,110 @@ def encode_jpeg_arith_12bit_gray_blocks(
         pred = dc
         ja.encode_ac_block(enc, ac_st, zero_ac)
     out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# lossless (SOF3) fixture encoder — arbitrary sample grids, EXACT
+# reconstruction by construction (no quantization anywhere in the mode),
+# so tests can drive random images through every predictor and precision.
+# ---------------------------------------------------------------------------
+
+# lossless DC-difference categories 0..16, all at code length 5
+# (canonical codes 0..16 of 5 bits; 0b11111 unused so no all-ones code)
+_ENC_LL_COUNTS = [0, 0, 0, 0, 17] + [0] * 11
+_ENC_LL_SYMBOLS = bytes(range(17))
+
+
+def encode_jpeg_lossless(
+    planes, predictor: int = 4, precision: int = 8, pt: int = 0,
+    restart_interval: int = 0,
+) -> bytes:
+    """Spec-valid LOSSLESS (SOF3) JPEG from 1 or 3 full-resolution sample
+    grids (list of (h, w) integer arrays in [0, 2^P - 1]): per-sample
+    Huffman-coded prediction differences, any predictor 1..7, precision
+    2..16, optional point transform Pt (coding v >> pt) and restart
+    interval (entropy resync + default first prediction). Mirrors
+    _decode_scan_lossless exactly — decode is bit-exact for pt=0."""
+    planes = [np.asarray(p, dtype=np.int64) for p in planes]
+    if len(planes) not in (1, 3):
+        raise ValueError("lossless fixture supports 1 or 3 components")
+    h, w = planes[0].shape
+    if any(p.shape != (h, w) for p in planes):
+        raise ValueError("all components must share the frame dims (1x1)")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"predictor {predictor} invalid")
+    if not 2 <= precision <= 16:
+        raise ValueError(f"precision {precision} invalid for lossless")
+    vmax = (1 << precision) - 1
+    for p in planes:
+        if p.min() < 0 or p.max() > vmax:
+            raise ValueError("sample outside precision range")
+    ncomp = len(planes)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xc3" + struct.pack(
+        ">HBHHB", 8 + 3 * ncomp, precision, h, w, ncomp
+    )
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x11, 0])  # 1x1 sampling, no quant table
+    dht = bytes([0x00]) + bytes(_ENC_LL_COUNTS) + _ENC_LL_SYMBOLS
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x00])
+    out += bytes([predictor, 0, pt & 0x0F])
+
+    shifted = [p >> pt for p in planes]
+    default_pred = 1 << (precision - 1 - pt)
+    bw_ = _BitWriter()
+    mcu = 0
+    fresh = True
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                out += bw_.flush()
+                out += bytes([0xFF, 0xD0 + ((mcu // restart_interval) - 1) % 8])
+                bw_ = _BitWriter()
+                fresh = True
+            for p in shifted:
+                if fresh:
+                    px = default_pred
+                elif y == 0:
+                    px = int(p[0, x - 1])
+                elif x == 0:
+                    px = int(p[y - 1, 0])
+                else:
+                    a = int(p[y, x - 1])
+                    bb = int(p[y - 1, x])
+                    c = int(p[y - 1, x - 1])
+                    if predictor == 1:
+                        px = a
+                    elif predictor == 2:
+                        px = bb
+                    elif predictor == 3:
+                        px = c
+                    elif predictor == 4:
+                        px = a + bb - c
+                    elif predictor == 5:
+                        px = a + ((bb - c) >> 1)
+                    elif predictor == 6:
+                        px = bb + ((a - c) >> 1)
+                    else:
+                        px = (a + bb) >> 1
+                # signed residue of (sample - prediction) mod 65536
+                diff = ((int(p[y, x]) - px + 0x8000) & 0xFFFF) - 0x8000
+                if diff == -0x8000:  # category 16: coded with no extra bits
+                    bw_.write(16, 5)
+                else:
+                    s = abs(diff).bit_length()
+                    bw_.write(s, 5)
+                    if s:
+                        bw_.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            fresh = False
+            mcu += 1
+    out += bw_.flush()
     out += b"\xff\xd9"
     return bytes(out)

@@ -15,9 +15,9 @@ grayscale and 4:4:4 color — functions/jpeg.py) — doing real header parsing
 and numpy pixel math in the Arrow worker. strict=True requires every
 payload to be one of those formats (ValueError otherwise); strict=False
 falls back to a clearly-marked deterministic fake for payloads in formats
-that would need external codecs (video; hierarchical/lossless JPEG —
-Huffman progressive decodes for real since round 7, subsampled
-progressive / 12-bit SOF1 / arithmetic SOF9+SOF10 since round 9),
+that would need external codecs (video; hierarchical JPEG — Huffman
+progressive decodes for real since round 7, subsampled progressive /
+12-bit SOF1 / arithmetic SOF9+SOF10 / lossless SOF3 since round 9),
 keeping the full pipeline testable.
 `synthesize_ppm_media` builds REAL P6
 payloads with pure column expressions, `synthesize_png_media` builds REAL
@@ -570,8 +570,8 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, float] | None:
 
 def _fake_decode(payload: bytes) -> tuple[int, int, float]:
     """Deterministic stand-in for formats needing external codecs (video;
-    hierarchical/lossless JPEG — progressive, 12-bit, fractional-ratio
-    sampling AND arithmetic SOF9/SOF10 all decode for real now):
+    hierarchical JPEG — progressive, 12-bit, fractional-ratio sampling,
+    arithmetic SOF9/SOF10 AND lossless SOF3 all decode for real now):
     dimensions and mean luminance derived from the bytes themselves.
     Only reachable with strict=False."""
     n = len(payload)
@@ -616,7 +616,8 @@ def _decode_one(payload: bytes, strict: bool) -> tuple[int, int, float, str]:
         raise ValueError(
             f"unsupported media format (magic {b[:2]!r}); strict decode "
             "handles PNG (8-bit RGB/gray), PPM (P6/P3), uncompressed "
-            "24-bit BMP and baseline JPEG (grayscale / 4:4:4)"
+            "24-bit BMP and JPEG (sequential/progressive/lossless, "
+            "Huffman or arithmetic)"
         )
     return (*_fake_decode(b), "fake-deterministic")
 

@@ -10,7 +10,10 @@ from __future__ import annotations
 
 import struct
 
+import numpy as np
 import pytest
+
+from hive_server_spark.functions import jpeg
 
 from hive_server_spark.functions.jpeg import (
     decode_jpeg,
@@ -339,3 +342,64 @@ def test_12bit_baseline_sof0_still_refused():
     p[idx + 1] = 0xC0  # SOF1 -> SOF0 while keeping precision 12
     with pytest.raises(ValueError, match="baseline"):
         decode_jpeg(bytes(p))
+
+
+def test_lossless_roundtrip_all_predictors_and_precisions():
+    """SOF3 lossless: random sample grids through every predictor (1-7),
+    precisions 2..16, restart intervals, and 1/3 components — decode must
+    reproduce the exact sample mean (the mode has no quantization)."""
+    import random
+
+    rng = random.Random(5)
+    for trial in range(60):
+        h, w = rng.randrange(1, 12), rng.randrange(1, 12)
+        prec = rng.choice([2, 4, 8, 12, 16])
+        pred = rng.randrange(1, 8)
+        ri = rng.choice([0, 0, 0, 1, 3, 7])
+        ncomp = rng.choice([1, 3])
+        vmax = (1 << prec) - 1
+        planes = [
+            np.array(
+                [[rng.randrange(vmax + 1) for _ in range(w)] for _ in range(h)]
+            )
+            for _ in range(ncomp)
+        ]
+        payload = jpeg.encode_jpeg_lossless(
+            planes, predictor=pred, precision=prec, restart_interval=ri
+        )
+        gw, gh, mean = jpeg.decode_jpeg(payload)
+        assert (gw, gh) == (w, h)
+        assert mean == float(np.stack(planes).mean()) / vmax, trial
+
+
+def test_lossless_point_transform():
+    """Pt > 0 codes v >> Pt and the decoder shifts back: output samples
+    are the Pt-truncated values, exactly."""
+    samples = np.arange(64).reshape(8, 8) * 4 + 3  # low bits nonzero
+    payload = jpeg.encode_jpeg_lossless([samples], precision=8, pt=2)
+    _, _, mean = jpeg.decode_jpeg(payload)
+    assert mean == float(((samples >> 2) << 2).mean()) / 255.0
+
+
+def test_lossless_category_16_wraparound():
+    """diff == -32768 (mod-65536 wraparound) is category 16, coded with
+    NO extra magnitude bits (T.81 H.1.2.2) — only reachable at 16-bit
+    precision."""
+    samples = np.array([[0, 32768, 0, 32768]])
+    payload = jpeg.encode_jpeg_lossless([samples], predictor=1, precision=16)
+    _, _, mean = jpeg.decode_jpeg(payload)
+    assert mean == float(samples.mean()) / 65535.0
+
+
+def test_lossless_rejects_subsampled_and_bad_predictor():
+    with pytest.raises(ValueError, match="predictor"):
+        jpeg.encode_jpeg_lossless([np.zeros((2, 2), dtype=int)], predictor=0)
+    # hand-build a subsampled SOF3 header: decoder must refuse
+    payload = bytearray(
+        jpeg.encode_jpeg_lossless([np.zeros((2, 2), dtype=int)])
+    )
+    # SOF3 layout: FF C3 len(2) prec(1) H(2) W(2) Ncomp(1) cid hv tq
+    idx = payload.find(b"\xff\xc3")
+    payload[idx + 11] = 0x21  # component 1 sampling 2x1
+    with pytest.raises(ValueError, match="subsampled"):
+        jpeg.decode_jpeg(bytes(payload))
