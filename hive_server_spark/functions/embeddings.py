@@ -255,6 +255,28 @@ def sqdist_expr(a: str, b: str, dialect: str) -> str:
     )
 
 
+def pq_subcode_expr(ksub: int) -> str:
+    """Sub-quantizer code m unpacked from the packed `pq_code` word —
+    ONE spelling shared by every PQ read path (adc, ivfpq, batch ivfpq),
+    so a change to the code packing can never drift between them."""
+    bits = (ksub - 1).bit_length()
+    mask = ksub - 1
+    return f"CAST(shiftright(pq_code, CAST({bits} * m AS INT)) & {mask} AS BIGINT)"
+
+
+def pq_lut_micro_expr(m: int, micro: int) -> str:
+    """Per-(sub-quantizer m, centroid cid) ADC lookup-table entry: the
+    fixed-point squared distance between the query's m-th subvector (`qv`)
+    and the centroid's (`cv`) — the same floor/micro convention as every
+    other fixed-point distance in this module. Shared by all PQ search
+    variants for the same no-drift reason as pq_subcode_expr."""
+    dsub = 64 // m
+    return (
+        f"CAST(floor({sqdist_expr(f'slice(qv, m * {dsub} + 1, {dsub})', f'slice(cv, m * {dsub} + 1, {dsub})', 's')}"
+        f" * {micro}) AS BIGINT)"
+    )
+
+
 def kmeans_update(emb: DataFrame, k: int = 8, micro: int = 1_000_000) -> DataFrame:
     """One exact-checkable Lloyd iteration: assign every vector to the
     nearest of the k seed centroids (the embeddings of vec_id 0..k-1 — the
@@ -735,20 +757,15 @@ def pq_adc_topk(
     q = vec.where(F.col("vec_id") == query_vec_id).select(
         F.col("v").alias("qv"), F.col("vec_id").alias("q_vec_id")
     )
-    dsub = 64 // m
     lut = (
         q.select(F.explode(F.expr(f"sequence(0, {m - 1})")).alias("m"), "qv")
         .crossJoin(F.broadcast(cent))
         .select(
             "m",
             "cid",
-            F.expr(
-                f"CAST(floor({sqdist_expr(f'slice(qv, m * {dsub} + 1, {dsub})', f'slice(cv, m * {dsub} + 1, {dsub})', 's')} * {micro}) AS BIGINT)"
-            ).alias("lut_micro"),
+            F.expr(pq_lut_micro_expr(m, micro)).alias("lut_micro"),
         )
     )
-    bits = (ksub - 1).bit_length()
-    mask = ksub - 1
     decoded = (
         pq_codes(emb, m=m, ksub=ksub, micro=micro)
         .where(F.col("vec_id") != query_vec_id)
@@ -759,9 +776,7 @@ def pq_adc_topk(
         )
         .withColumn(
             "cid",
-            F.expr(
-                f"CAST(shiftright(pq_code, CAST({bits} * m AS INT)) & {mask} AS BIGINT)"
-            ),
+            F.expr(pq_subcode_expr(ksub)),
         )
     )
     adc = (
@@ -897,8 +912,6 @@ def ivfpq_topk(
     cand = assign.join(F.broadcast(probe), "cell").where(
         F.col("vec_id") != query_vec_id
     )
-    bits = (ksub - 1).bit_length()
-    mask = ksub - 1
     decoded = (
         pq_codes(emb, m=m, ksub=ksub, micro=micro)
         .join(cand.select("vec_id", "cell"), "vec_id")
@@ -910,12 +923,9 @@ def ivfpq_topk(
         )
         .withColumn(
             "cid",
-            F.expr(
-                f"CAST(shiftright(pq_code, CAST({bits} * m AS INT)) & {mask} AS BIGINT)"
-            ),
+            F.expr(pq_subcode_expr(ksub)),
         )
     )
-    dsub = 64 // m
     sub_cent = vec.where(F.col("vec_id") < ksub).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
@@ -925,9 +935,7 @@ def ivfpq_topk(
         .select(
             "m",
             "cid",
-            F.expr(
-                f"CAST(floor({sqdist_expr(f'slice(qv, m * {dsub} + 1, {dsub})', f'slice(cv, m * {dsub} + 1, {dsub})', 's')} * {micro}) AS BIGINT)"
-            ).alias("lut_micro"),
+            F.expr(pq_lut_micro_expr(m, micro)).alias("lut_micro"),
         )
     )
     adc = (
@@ -1096,8 +1104,6 @@ def ivfpq_batch_topk(
     cand = assign.join(F.broadcast(probe), "cell").where(
         F.col("vec_id") != F.col("qid")
     )
-    bits = (ksub - 1).bit_length()
-    mask = ksub - 1
     decoded = (
         pq_codes(emb, m=m, ksub=ksub, micro=micro)
         .join(cand.select("vec_id").distinct(), "vec_id")
@@ -1108,13 +1114,10 @@ def ivfpq_batch_topk(
         )
         .withColumn(
             "cid",
-            F.expr(
-                f"CAST(shiftright(pq_code, CAST({bits} * m AS INT)) & {mask} AS BIGINT)"
-            ),
+            F.expr(pq_subcode_expr(ksub)),
         )
         .select("vec_id", "m", "cid")
     )
-    dsub = 64 // m
     sub_cent = vec.where(F.col("vec_id") < ksub).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
@@ -1125,9 +1128,7 @@ def ivfpq_batch_topk(
             "qid",
             "m",
             "cid",
-            F.expr(
-                f"CAST(floor({sqdist_expr(f'slice(qv, m * {dsub} + 1, {dsub})', f'slice(cv, m * {dsub} + 1, {dsub})', 's')} * {micro}) AS BIGINT)"
-            ).alias("lut_micro"),
+            F.expr(pq_lut_micro_expr(m, micro)).alias("lut_micro"),
         )
     )
     adc = (

@@ -404,20 +404,7 @@ def _decode_progressive_scan(
     Ah→Al) accumulate into `coef`. Returns the byte offset of the next
     marker's 0xFF."""
     height, width, comps, _prec = frame
-    ncomp_scan = seg[0]
-    selectors = {}
-    for i in range(ncomp_scan):
-        cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
-        selectors[cs] = (tdta >> 4, tdta & 0x0F)
-    ss, se = seg[1 + 2 * ncomp_scan], seg[2 + 2 * ncomp_scan]
-    ahal = seg[3 + 2 * ncomp_scan]
-    ah, al = ahal >> 4, ahal & 0x0F
-    scan_comps = []  # (comp index, td, ta)
-    for ci, (cid, _hs, _vs, _tq) in enumerate(comps):
-        if cid in selectors:
-            scan_comps.append((ci, *selectors[cid]))
-    if len(scan_comps) != ncomp_scan:
-        raise ValueError("JPEG progressive scan names unknown component")
+    ncomp_scan, ss, se, ah, al, scan_comps = _parse_scan_header(seg, comps)
     br = _BitReader(b, pos)
     _hmax, _vmax, mcux, mcuy, dims = _frame_geometry(frame)
 
@@ -589,20 +576,7 @@ def _decode_progressive_scan_arith(
     from hive_server_spark.functions import jpeg_arith as ja
 
     height, width, comps, _prec = frame
-    ncomp_scan = seg[0]
-    selectors = {}
-    for i in range(ncomp_scan):
-        cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
-        selectors[cs] = (tdta >> 4, tdta & 0x0F)
-    ss, se = seg[1 + 2 * ncomp_scan], seg[2 + 2 * ncomp_scan]
-    ahal = seg[3 + 2 * ncomp_scan]
-    ah, al = ahal >> 4, ahal & 0x0F
-    scan_comps = []  # (comp index, td, ta)
-    for ci, (cid, _hs, _vs, _tq) in enumerate(comps):
-        if cid in selectors:
-            scan_comps.append((ci, *selectors[cid]))
-    if len(scan_comps) != ncomp_scan:
-        raise ValueError("JPEG progressive scan names unknown component")
+    ncomp_scan, ss, se, ah, al, scan_comps = _parse_scan_header(seg, comps)
     _hmax, _vmax, mcux, mcuy, dims = _frame_geometry(frame)
 
     dec = ja.ArithDecoder(b, pos)
@@ -834,15 +808,40 @@ def _decode_scan(b, pos, seg, frame, qt, huff_dc, huff_ac, restart_interval):
     return _finish_planes(planes, frame)
 
 
+def _parse_scan_header(seg, comps):
+    """SOS scan-header fields shared by BOTH progressive scan decoders
+    (Huffman and arithmetic): per-component entropy-table selectors, the
+    spectral band [Ss, Se], the successive-approximation nibbles Ah/Al,
+    and the resolved (component index, Td, Ta) list — with the
+    unknown-component check, so malformed headers fail identically on
+    either entropy path."""
+    ncomp_scan = seg[0]
+    selectors = {}
+    for i in range(ncomp_scan):
+        cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+        selectors[cs] = (tdta >> 4, tdta & 0x0F)
+    ss, se = seg[1 + 2 * ncomp_scan], seg[2 + 2 * ncomp_scan]
+    ahal = seg[3 + 2 * ncomp_scan]
+    ah, al = ahal >> 4, ahal & 0x0F
+    scan_comps = []  # (comp index, td, ta)
+    for ci, (cid, _hs, _vs, _tq) in enumerate(comps):
+        if cid in selectors:
+            scan_comps.append((ci, *selectors[cid]))
+    if len(scan_comps) != ncomp_scan:
+        raise ValueError("JPEG progressive scan names unknown component")
+    return ncomp_scan, ss, se, ah, al, scan_comps
+
+
 def _decode_scan_lossless(b, pos, seg, frame, huff_dc, restart_interval):
     """LOSSLESS (SOF3) scan decode per T.81 Annex H: no DCT, no quant —
     each sample is a Huffman-coded difference (DC-table categories 0..16)
     from one of the seven spatial predictors selected by Ss, reconstructed
     modulo 65536, with the point transform Al=Pt shifting the coded domain
     down and the output back up. Prediction edges (H.1.2.1): the very
-    first sample predicts 2^(P-1-Pt); the rest of the first line predicts
-    from the LEFT neighbor; the first sample of every other line predicts
-    from ABOVE; restart markers reset prediction to the initial state.
+    first sample of the scan AND of each restart interval predicts
+    2^(P-1-Pt); the rest of the interval's FIRST LINE uses the
+    one-dimensional predictor (Ra, the left neighbor) regardless of Ss;
+    the first sample of every other line predicts from ABOVE.
     Components decode interleaved in MCU order; only 1x1 sampling is
     supported (the overwhelmingly common lossless shape — T.81 allows
     subsampled lossless MCUs, refused rather than mis-decoded).
@@ -885,22 +884,26 @@ def _decode_scan_lossless(b, pos, seg, frame, huff_dc, restart_interval):
     br = _BitReader(b, pos)
     mcu = 0
     fresh = True  # first sample of the scan / of a restart interval
+    first_line = 0  # row where the current restart interval began
     for y in range(height):
         for x in range(width):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 br.restart()
                 fresh = True
+                first_line = y
             for ci, table in enumerate(tables):
                 p = planes[ci]
                 if fresh:
                     # H.1.2.1: prediction initialized to 2^(P-1-Pt) at scan
-                    # start and at each restart; the position rules below
-                    # stay global otherwise (restart resyncs the entropy
-                    # stream and the first prediction — the reconstructed
-                    # neighbor samples remain valid data)
+                    # start and at the beginning of each restart interval
                     px = default_pred
-                elif y == 0:
-                    px = int(p[0, x - 1])  # first line: from the left
+                elif y == first_line:
+                    # H.1.2.1: the one-dimensional predictor (Ra) is used
+                    # for the FIRST LINE of the scan AND of every restart
+                    # interval — not just the first sample (conforming
+                    # encoders like the DNG/Cornell codec restart this
+                    # way, so a first-sample-only reset mis-decodes them)
+                    px = int(p[y, x - 1])
                 elif x == 0:
                     px = int(p[y - 1, 0])  # first column: from above
                 else:
@@ -1227,6 +1230,46 @@ def _write_dc_diff(bw_: _BitWriter, diff: int) -> None:
         bw_.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
 
 
+def _progressive_fixture_layout(planes, blocks_w, blocks_h, sampling, width, height):
+    """Shared prologue of the progressive fixture encoders (Huffman SOF2
+    and arithmetic SOF10): per-component MCU-padded block grids, value
+    validation, and the frame-dimension override bound — one copy, so the
+    two entropy variants can never disagree on layout rules (the
+    cross-coder equality tests depend on that)."""
+    ncomp = len(planes)
+    if sampling is None:
+        sampling = [(1, 1)] * ncomp
+    planes = [list(p) for p in planes]
+    hmax = max(hs for hs, _ in sampling)
+    vmax = max(vs for _, vs in sampling)
+    grids = []  # per component: MCU-padded (gw, gh) block grid
+    for p, (hs, vs) in zip(planes, sampling):
+        gw, gh = blocks_w * hs, blocks_h * vs
+        grids.append((gw, gh))
+        if len(p) != gw * gh:
+            raise ValueError("block value count != component block grid")
+        for v in p:
+            if not 0 <= int(v) <= 255:
+                raise ValueError(f"block value {v} outside 0..255")
+    w = width if width is not None else 8 * blocks_w * hmax
+    h = height if height is not None else 8 * blocks_h * vmax
+    if not (0 < w <= 8 * blocks_w * hmax and 0 < h <= 8 * blocks_h * vmax):
+        raise ValueError("frame dims exceed the MCU grid")
+    return ncomp, sampling, planes, grids, hmax, vmax, w, h
+
+
+def _mcu_dc_order(sampling, grids, blocks_w, blocks_h):
+    """(component index, grid index) pairs in T.81 interleaved MCU order —
+    the walk both progressive DC scans (and their decoders) share."""
+    for my in range(blocks_h):
+        for mx in range(blocks_w):
+            for ci, (hs, vs) in enumerate(sampling):
+                gw, _gh = grids[ci]
+                for v in range(vs):
+                    for h2 in range(hs):
+                        yield ci, (my * vs + v) * gw + (mx * hs + h2)
+
+
 def encode_jpeg_progressive_blocks(
     planes, blocks_w: int, blocks_h: int, sampling=None,
     width: int | None = None, height: int | None = None,
@@ -1254,24 +1297,10 @@ def encode_jpeg_progressive_blocks(
     frame dims (≤ the MCU-grid pixel size) so partial-MCU frames — where
     the interleaved DC grid has padding blocks the AC scans must NOT
     visit — are constructible."""
-    ncomp = len(planes)
-    if sampling is None:
-        sampling = [(1, 1)] * ncomp
-    hmax = max(hs for hs, _ in sampling)
-    vmax = max(vs for _, vs in sampling)
-    grids = []  # per component: MCU-padded (gw, gh) block grid
-    for p, (hs, vs) in zip(planes, sampling):
-        gw, gh = blocks_w * hs, blocks_h * vs
-        grids.append((gw, gh))
-        if len(p) != gw * gh:
-            raise ValueError("block value count != component block grid")
-        for v in p:
-            if not 0 <= int(v) <= 255:
-                raise ValueError(f"block value {v} outside 0..255")
-    w = width if width is not None else 8 * blocks_w * hmax
-    h = height if height is not None else 8 * blocks_h * vmax
-    if not (0 < w <= 8 * blocks_w * hmax and 0 < h <= 8 * blocks_h * vmax):
-        raise ValueError("frame dims exceed the MCU grid")
+    ncomp, sampling, planes, grids, hmax, vmax, w, h = (
+        _progressive_fixture_layout(planes, blocks_w, blocks_h, sampling,
+                                    width, height)
+    )
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + _ENC_QUANT_ZIGZAG
     out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
@@ -1282,23 +1311,10 @@ def encode_jpeg_progressive_blocks(
     dht += bytes([0x10]) + bytes(_ENC_AC_COUNTS) + _ENC_AC_SYMBOLS
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
 
-    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
-        body = bytearray([len(comp_ids)])
-        for cid in comp_ids:
-            body += bytes([cid, 0x00])
-        body += bytes([ss, se, (ah << 4) | al])
-        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + bytes(body)
+    sos = _sos_segment  # identical SOS spelling for both entropy variants
 
     def dc_block_order():
-        """(ci, grid index) pairs in interleaved MCU order."""
-        for my in range(blocks_h):
-            for mx in range(blocks_w):
-                for ci in range(ncomp):
-                    hs, vs = sampling[ci]
-                    gw, _gh = grids[ci]
-                    for v in range(vs):
-                        for h2 in range(hs):
-                            yield ci, (my * vs + v) * gw + (mx * hs + h2)
+        return _mcu_dc_order(sampling, grids, blocks_w, blocks_h)
 
     # scan 1: DC first, all components interleaved, Al=1
     out += sos(list(range(1, ncomp + 1)), 0, 0, 0, 1)
@@ -1487,7 +1503,7 @@ def encode_jpeg_arith_ycbcr_420_blocks(
     return bytes(out)
 
 
-def _arith_sos(comp_ids, ss: int, se: int, ah: int, al: int) -> bytes:
+def _sos_segment(comp_ids, ss: int, se: int, ah: int, al: int) -> bytes:
     body = bytearray([len(comp_ids)])
     for cid in comp_ids:
         body += bytes([cid, 0x00])
@@ -1508,39 +1524,17 @@ def encode_jpeg_arith_progressive_blocks(
     equal the Huffman progressive fixture bit-for-bit."""
     from hive_server_spark.functions import jpeg_arith as ja
 
-    ncomp = len(planes)
-    if sampling is None:
-        sampling = [(1, 1)] * ncomp
-    planes = [list(p) for p in planes]
-    hmax = max(hs for hs, _ in sampling)
-    vmax = max(vs for _, vs in sampling)
-    grids = []
-    for p, (hs, vs) in zip(planes, sampling):
-        gw, gh = blocks_w * hs, blocks_h * vs
-        grids.append((gw, gh))
-        if len(p) != gw * gh:
-            raise ValueError("block value count != component block grid")
-        for v in p:
-            if not 0 <= int(v) <= 255:
-                raise ValueError(f"block value {v} outside 0..255")
-    w = width if width is not None else 8 * blocks_w * hmax
-    h = height if height is not None else 8 * blocks_h * vmax
-    if not (0 < w <= 8 * blocks_w * hmax and 0 < h <= 8 * blocks_h * vmax):
-        raise ValueError("frame dims exceed the MCU grid")
+    ncomp, sampling, planes, grids, hmax, vmax, w, h = (
+        _progressive_fixture_layout(planes, blocks_w, blocks_h, sampling,
+                                    width, height)
+    )
     out = _arith_headers(w, h, ncomp, sampling, sof=0xCA)
 
     def dc_block_order():
-        for my in range(blocks_h):
-            for mx in range(blocks_w):
-                for ci in range(ncomp):
-                    hs, vs = sampling[ci]
-                    gw, _gh = grids[ci]
-                    for v in range(vs):
-                        for h2 in range(hs):
-                            yield ci, (my * vs + v) * gw + (mx * hs + h2)
+        return _mcu_dc_order(sampling, grids, blocks_w, blocks_h)
 
     # scan 1: DC first, interleaved, Al=1 — arithmetic diffs in shifted units
-    out += _arith_sos(list(range(1, ncomp + 1)), 0, 0, 0, 1)
+    out += _sos_segment(list(range(1, ncomp + 1)), 0, 0, 0, 1)
     enc = ja.ArithEncoder()
     dc_st = ja.DCStats()
     preds = [0] * ncomp
@@ -1551,7 +1545,7 @@ def encode_jpeg_arith_progressive_blocks(
         preds[ci] = shifted
     out += enc.flush()
     # scan 2: DC refinement (Ah=1 -> Al=0): fixed-bin low bit per block
-    out += _arith_sos(list(range(1, ncomp + 1)), 0, 0, 1, 0)
+    out += _sos_segment(list(range(1, ncomp + 1)), 0, 0, 1, 0)
     enc = ja.ArithEncoder()
     fixed = bytearray([ja.FIXED_BIN_STATE])
     for ci, k in dc_block_order():
@@ -1564,7 +1558,7 @@ def encode_jpeg_arith_progressive_blocks(
         cw = -(-w * hs // hmax)
         ch = -(-h * vs // vmax)
         n_true = ((cw + 7) // 8) * ((ch + 7) // 8)
-        out += _arith_sos([ci + 1], 1, 63, 0, 0)
+        out += _sos_segment([ci + 1], 1, 63, 0, 0)
         enc = ja.ArithEncoder()
         ac_st = ja.ACStats()
         for _ in range(n_true):
@@ -1590,7 +1584,7 @@ def encode_jpeg_arith_progressive_coeffs(coeff_blocks, blocks_w: int, blocks_h: 
     out = _arith_headers(8 * blocks_w, 8 * blocks_h, 1, [(1, 1)], sof=0xCA)
 
     # scan 1: DC first, Al=1
-    out += _arith_sos([1], 0, 0, 0, 1)
+    out += _sos_segment([1], 0, 0, 0, 1)
     enc = ja.ArithEncoder()
     dc_st = ja.DCStats()
     pred = context = 0
@@ -1602,7 +1596,7 @@ def encode_jpeg_arith_progressive_coeffs(coeff_blocks, blocks_w: int, blocks_h: 
         pred = shifted
     out += enc.flush()
     # scan 2: DC refinement
-    out += _arith_sos([1], 0, 0, 1, 0)
+    out += _sos_segment([1], 0, 0, 1, 0)
     enc = ja.ArithEncoder()
     fixed = bytearray([ja.FIXED_BIN_STATE])
     for cb in blocks:
@@ -1612,14 +1606,14 @@ def encode_jpeg_arith_progressive_coeffs(coeff_blocks, blocks_w: int, blocks_h: 
     def pt(v: int) -> int:
         return (abs(v) >> 1) * (1 if v > 0 else -1)
 
-    out += _arith_sos([1], 1, 63, 0, 1)
+    out += _sos_segment([1], 1, 63, 0, 1)
     enc = ja.ArithEncoder()
     ac_st = ja.ACStats()
     for cb in blocks:
         ja.encode_ac_block(enc, ac_st, [pt(int(v)) for v in cb])
     out += enc.flush()
     # scan 4: AC refinement, Ah=1 -> Al=0
-    out += _arith_sos([1], 1, 63, 1, 0)
+    out += _sos_segment([1], 1, 63, 1, 0)
     enc = ja.ArithEncoder()
     ac_st = ja.ACStats()
     for cb in blocks:
@@ -1725,6 +1719,7 @@ def encode_jpeg_lossless(
     bw_ = _BitWriter()
     mcu = 0
     fresh = True
+    first_line = 0  # row where the current restart interval began (H.1.2.1)
     for y in range(h):
         for x in range(w):
             if restart_interval and mcu and mcu % restart_interval == 0:
@@ -1732,11 +1727,12 @@ def encode_jpeg_lossless(
                 out += bytes([0xFF, 0xD0 + ((mcu // restart_interval) - 1) % 8])
                 bw_ = _BitWriter()
                 fresh = True
+                first_line = y
             for p in shifted:
                 if fresh:
                     px = default_pred
-                elif y == 0:
-                    px = int(p[0, x - 1])
+                elif y == first_line:
+                    px = int(p[y, x - 1])  # interval's first line: Ra
                 elif x == 0:
                     px = int(p[y - 1, 0])
                 else:

@@ -76,6 +76,12 @@ def get_spark(app_name: str = "hive-server-spark", *, shuffle_partitions: int | 
         # dims (pools/tokens/nation/region) are tiny; broadcast eagerly
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # bound StreamingQuery.stop(): the default waits indefinitely, so
+        # stopping a WEDGED stream (the silent py4j-callback failure the
+        # stall window in streaming/incremental.py detects) would itself
+        # hang; with a timeout, stop() raises, the stall path still fires,
+        # and the retry resumes the checkpoint
+        .config("spark.sql.streaming.stopTimeout", "30000")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -322,7 +322,13 @@ class StreamStalled(RuntimeError):
     path treats it exactly like the noisy flake."""
 
 
-_STALL_WINDOW_S = 180.0  # generous: the whole sketch family runs in <30 s
+# Generous: the whole sketch family runs in <30 s, so 300 s is a 10x
+# margin — sized against the false-positive cost, because lastProgress
+# only advances at BATCH completion: a healthy batch that simply runs
+# long looks identical to a wedge, and stopping it re-does its work from
+# the checkpoint on every retry. The wedge case stays bounded at
+# attempts x window instead of infinite.
+_STALL_WINDOW_S = 300.0
 
 
 def _await_bounded(q, stall_s: float = _STALL_WINDOW_S) -> None:
