@@ -280,6 +280,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
             while off < len(seg):
                 tc, th = seg[off] >> 4, seg[off] & 0x0F
                 counts = list(seg[off + 1 : off + 17])
+                if len(counts) != 16:  # short slice, not an exception —
+                    raise ValueError("truncated JPEG DHT")  # keep the
+                    # ValueError contract the quarantine audit sorts on
                 n = sum(counts)
                 symbols = seg[off + 17 : off + 17 + n]
                 if len(symbols) != n:
@@ -290,7 +293,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
             # SOF0 baseline / SOF1 extended sequential / SOF2 progressive /
             # SOF3 lossless (Huffman) / SOF9 extended sequential / SOF10
             # progressive (arithmetic, round 9)
+            if len(seg) < 6:
+                raise ValueError("truncated JPEG SOF header")
             prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
+            if len(seg) < 6 + 3 * ncomp:
+                raise ValueError("truncated JPEG SOF component list")
             if marker == 0xC0 and prec != 8:
                 raise ValueError(f"JPEG precision {prec} invalid for baseline")
             if marker == 0xC3:
@@ -329,10 +336,16 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
                     raise ValueError(f"JPEG DAC class {tc} invalid")
                 off += 2
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("truncated JPEG DRI")
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            # header = Ns + 2*Ns selector bytes + Ss + Se + AhAl; a short
+            # seg must be a ValueError, never an IndexError in a parser
+            if len(seg) < 1 or len(seg) < 4 + 2 * seg[0]:
+                raise ValueError("truncated JPEG SOS header")
             if lossless:
                 return _decode_scan_lossless(
                     b, pos + seglen, seg, frame, huff_dc, restart_interval
@@ -826,6 +839,9 @@ def _parse_scan_header(seg, comps):
         cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
         selectors[cs] = (tdta >> 4, tdta & 0x0F)
     ss, se = seg[1 + 2 * ncomp_scan], seg[2 + 2 * ncomp_scan]
+    if not ss <= se <= 63:  # B.2.3: the band must sit inside 0..63 — a
+        # corrupted Se would otherwise index past the zig-zag table
+        raise ValueError(f"JPEG spectral band [{ss}, {se}] invalid")
     ahal = seg[3 + 2 * ncomp_scan]
     ah, al = ahal >> 4, ahal & 0x0F
     scan_comps = []  # (comp index, td, ta)

@@ -177,3 +177,57 @@ def test_bmp_roundtrip_mean_exact(pixels, top_down):
     gw, gh, gmean = got
     assert (gw, gh) == (w, h)
     assert gmean == float(pixels.mean()) / 255.0
+
+
+def test_all_decoders_error_contract_under_mutation():
+    """Every codec must answer malformed input with a result, None, or
+    ValueError — never IndexError/struct.error — because the quarantine
+    audit classifies payloads BY error behavior (decode_jpeg has its own
+    deeper fuzz in test_jpeg.py; this pins the PNG/PPM/BMP/WAV parsers)."""
+    import random
+    import struct
+
+    from hive_server_spark.functions import multimodal as M
+
+    rng = random.Random(7)
+
+    def check(fn, payload):
+        try:
+            r = fn(payload)
+            assert r is None or isinstance(r, tuple)
+        except ValueError:
+            pass
+
+    png = encode_png(np.arange(75, dtype=np.uint8).reshape(5, 5, 3))
+    ppm6 = b"P6\n5 5\n255\n" + bytes(range(75))
+    ppm3 = ("P3\n5 5\n255\n" + " ".join(str(i) for i in range(75))).encode()
+    data = bytes(range(16)) * 10
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 5, 5, 1, 24, 0, len(data), 0, 0, 0, 0)
+        + data
+    )
+    body = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, 1, 8000, 8000, 1, 8
+    )
+    body += b"data" + struct.pack("<I", 10) + bytes(range(10))
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    for fn, seed in [
+        (M._png_samples, png),
+        (M._ppm_samples, ppm6),
+        (M._ppm_samples, ppm3),
+        (M._decode_bmp, bmp),
+        (M._decode_wav, wav),
+    ]:
+        for pos in range(len(seed)):
+            m = bytearray(seed)
+            m[pos] ^= 0x80
+            check(fn, bytes(m))
+        for i in range(0, len(seed), 3):
+            check(fn, seed[:i])
+        for _ in range(200):
+            m = bytearray(seed)
+            for _ in range(3):
+                m[rng.randrange(0, len(m))] = rng.randrange(256)
+            check(fn, bytes(m))

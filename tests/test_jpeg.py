@@ -403,3 +403,44 @@ def test_lossless_rejects_subsampled_and_bad_predictor():
     payload[idx + 11] = 0x21  # component 1 sampling 2x1
     with pytest.raises(ValueError, match="subsampled"):
         jpeg.decode_jpeg(bytes(payload))
+
+
+def test_decode_error_contract_under_mutation():
+    """The corrupt-payload quarantine sorts decoders' failures by ERROR
+    TYPE, so decode_jpeg must answer every malformed stream with a tuple,
+    None, or ValueError — never IndexError/struct.error/KeyError (the
+    fuzz that pinned this found a truncated-DHT short slice, a corrupted
+    Se byte indexing past the zig-zag table, and short SOF/SOS/DRI
+    segments hitting struct.unpack)."""
+    import random
+
+    rng = random.Random(99)
+
+    def check(payload):
+        try:
+            r = jpeg.decode_jpeg(payload)
+            assert r is None or (isinstance(r, tuple) and len(r) == 3)
+        except ValueError:
+            pass
+
+    seeds = [
+        jpeg.encode_jpeg_gray_blocks([10, 200, 30, 99], 2, 2),
+        jpeg.encode_jpeg_arith_gray_blocks([10, 200, 30, 99], 2, 2, 2),
+        jpeg.encode_jpeg_progressive_blocks([[10, 200, 30, 99]], 2, 2),
+        jpeg.encode_jpeg_arith_progressive_blocks([[10, 200, 30, 99]], 2, 2),
+        jpeg.encode_jpeg_lossless([[[1, 2], [3, 4]]], restart_interval=1),
+        jpeg.encode_jpeg_12bit_gray_blocks([1000, 3000], 2, 1),
+    ]
+    for seed in seeds:
+        # every single-byte mutation at a few adversarial values
+        for pos in range(2, len(seed)):
+            for val in (0x00, 0xFF, seed[pos] ^ 0x80):
+                m = bytearray(seed)
+                m[pos] = val
+                check(bytes(m))
+        # every truncation point
+        for i in range(2, len(seed)):
+            check(seed[:i])
+    # random garbage after SOI
+    for _ in range(1500):
+        check(b"\xff\xd8" + bytes(rng.randrange(256) for _ in range(rng.randrange(0, 120))))
