@@ -330,3 +330,28 @@ def test_truncated_arith_stream_is_deterministic():
     r1 = jpeg.decode_jpeg(cut)
     r2 = jpeg.decode_jpeg(cut)
     assert r1 == r2 and r1[0] == 32 and r1[1] == 32
+
+
+def test_restart_skips_unread_tail_to_marker():
+    """The decoder reads lazily, so up to ~2 flush-tail bytes of a
+    segment can be unread when its last MCU completes; restart() must
+    skip forward over them — including FF00 stuffed pairs, which are
+    data, not markers — to the RSTn and re-init (T.81 E.2.4)."""
+    enc = ja.ArithEncoder()
+    st = bytearray(1)
+    bits = [1, 0, 1, 1, 0, 0, 1, 0] * 4
+    for b in bits:
+        enc.encode(b, st, 0)
+    seg_b = enc.flush()
+    # segment A: arbitrary unread bytes incl. a stuffed FF00 pair
+    data = b"\x12\x34\xff\x00\x56" + b"\xff\xd0" + seg_b + b"\xff\xd9"
+    dec = ja.ArithDecoder(data, 0)  # INITDEC consumes only 2 bytes of A
+    dec.restart()
+    st2 = bytearray(1)
+    assert [dec.decode(st2, 0) for _ in bits] == bits
+
+
+def test_restart_refuses_non_restart_marker():
+    dec = ja.ArithDecoder(b"\x00\x00\xff\xd9", 0)
+    with pytest.raises(ValueError, match="restart marker"):
+        dec.restart()
