@@ -9,10 +9,11 @@ size bounded by spark.sql.execution.arrow.maxRecordsPerBatch.
 The codec: this container has no image/audio libs, so the decode step ships
 its own pure-Python decoders — PNG (non-interlaced 8-bit RGB/grayscale via
 stdlib zlib, with full None/Sub/Up/Average/Paeth filter reconstruction),
-PPM (P6 binary and P3 ascii), BMP (24-bit uncompressed BI_RGB), and
-baseline JPEG (ITU-T T.81 marker walk + Huffman entropy decode + IDCT,
-grayscale and 4:4:4 color — functions/jpeg.py) — doing real header parsing
-and numpy pixel math in the Arrow worker. strict=True requires every
+PPM (P6 binary and P3 ascii), BMP (24-bit uncompressed BI_RGB), and JPEG
+(ITU-T T.81: sequential/progressive/lossless modes, Huffman AND QM
+arithmetic entropy coding, any 1..4 sampling, 8/12-bit —
+functions/jpeg.py, format matrix in its docstring) — doing real header
+parsing and numpy pixel math in the Arrow worker. strict=True requires every
 payload to be one of those formats (ValueError otherwise); strict=False
 falls back to a clearly-marked deterministic fake for payloads in formats
 that would need external codecs (video; hierarchical JPEG — Huffman
