@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_server_spark.catalog import load_table
+from hive_server_spark.operators.heldout import capped_heldout, held_cte_d
 from hive_server_spark.registry import register
 
 _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
@@ -367,61 +368,89 @@ def evt_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# MAD-based anomaly report (round 6): the robust outlier detector a feature
-# pipeline runs where winsorization (evt_winsor_stats) would clip — flag
-# values beyond median ± 3·MAD per event type. Median and MAD are exact
-# interpolated percentiles (bit-identical cross-engine, the
-# rel_mad_by_priority discipline); the 3·MAD threshold and |value − med|
-# comparisons are single IEEE ops on those identical doubles, so even the
-# boolean flag counts are hash-stable. Scale: two tiny per-type percentile
-# aggregates broadcast back over one scan.
+# MAD-based anomaly report (round 6; thresholds bounded round 10): the
+# robust outlier detector a feature pipeline runs where winsorization
+# (evt_winsor_stats) would clip — flag values beyond median ± 3·MAD per
+# event type. Median and MAD are estimated on the shared capped held-out
+# slice (operators/heldout.py — an exact percentile over every event of a
+# type buffers the whole group, unbounded at 100 TB; SCALE.md "Exact
+# percentiles"): median over the ≤cap-per-type slice, MAD as the median
+# of |value − med| over the SAME slice, event types absent from the
+# slice falling back to the global held-out (med, mad) pair. The fence
+# compare and |value − med| are single IEEE ops on estimates both
+# engines compute identically, so the flag counts stay hash-stable.
+# Scale: one map-side slice + two ≤cap-per-group percentile aggregates
+# (|types| rows, broadcast back) over one full scan.
 # ---------------------------------------------------------------------------
+_MAD_HELDOUT_MOD = 3
+_MAD_HELDOUT_CAP = 256
+
+
 @register(
     "evt_mad_outliers",
-    """
-WITH med AS (
+    f"""
+WITH {held_cte_d('events', 'event_type', 'value', 'madevt42',
+                 _MAD_HELDOUT_MOD, _MAD_HELDOUT_CAP, key='event_id')},
+med AS (
   SELECT event_type, quantile_cont(value, 0.5) AS med
-  FROM events GROUP BY event_type
+  FROM held GROUP BY event_type
 ),
-d AS (
-  SELECT e.event_type, any_value(m.med) AS med,
-         quantile_cont(abs(e.value - m.med), 0.5) AS mad
-  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
-)
+gmed AS (SELECT quantile_cont(value, 0.5) AS gmed FROM held),
+hdev AS (
+  SELECT h.event_type, abs(h.value - m.med) AS dev
+  FROM held h JOIN med m USING (event_type)
+),
+mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM hdev GROUP BY event_type),
+gmad AS (SELECT quantile_cont(dev, 0.5) AS gmad FROM hdev)
 SELECT e.event_type,
-       any_value(d.med) AS median_value,
-       any_value(d.mad) AS mad,
+       any_value(COALESCE(m.med, g.gmed)) AS median_value,
+       any_value(COALESCE(d.mad, gm.gmad)) AS mad,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(CASE WHEN abs(e.value - d.med) > 3 * d.mad
+       CAST(SUM(CASE WHEN abs(e.value - COALESCE(m.med, g.gmed))
+                          > 3 * COALESCE(d.mad, gm.gmad)
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-       MAX(CASE WHEN abs(e.value - d.med) > 3 * d.mad
-                THEN abs(e.value - d.med) END) AS max_outlier_dev
-FROM events e JOIN d USING (event_type)
+       MAX(CASE WHEN abs(e.value - COALESCE(m.med, g.gmed))
+                     > 3 * COALESCE(d.mad, gm.gmad)
+                THEN abs(e.value - COALESCE(m.med, g.gmed)) END)
+         AS max_outlier_dev
+FROM events e
+LEFT JOIN med m USING (event_type)
+LEFT JOIN mad d USING (event_type)
+CROSS JOIN gmed g CROSS JOIN gmad gm
 GROUP BY e.event_type
 """,
 )
 def evt_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per event type: exact median/MAD, total and outlier counts beyond
-    the 3-MAD fence, and the largest outlying deviation."""
+    """Per event type: held-out-estimated median/MAD (bounded slice, see
+    block comment), total and outlier counts beyond the 3-MAD fence, and
+    the largest outlying deviation."""
     e = _events(spark, sf_dir)
-    med = e.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
-    d = (
-        e.join(F.broadcast(med), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.any_value("med").alias("med"),
-            F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad"),
-        )
+    held = capped_heldout(
+        e, "event_type", "value", "madevt42",
+        _MAD_HELDOUT_MOD, _MAD_HELDOUT_CAP, key="event_id",
     )
-    dev = F.abs(F.col("value") - F.col("med"))
-    out = F.col("dev") > 3 * F.col("mad")
+    med = held.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    gmed = held.agg(F.percentile("value", 0.5).alias("gmed"))
+    hdev = held.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("hdev")
+    )
+    mad = hdev.groupBy("event_type").agg(F.percentile("hdev", 0.5).alias("mad"))
+    gmad = hdev.agg(F.percentile("hdev", 0.5).alias("gmad"))
+    eff_med = F.coalesce("med", "gmed")
+    eff_mad = F.coalesce("mad", "gmad")
+    out = F.col("dev") > 3 * F.col("eff_mad")
     return (
-        e.join(F.broadcast(d), "event_type")
-        .withColumn("dev", dev)
+        e.join(F.broadcast(med), "event_type", "left")
+        .join(F.broadcast(mad), "event_type", "left")
+        .crossJoin(F.broadcast(gmed))
+        .crossJoin(F.broadcast(gmad))
+        .withColumn("eff_med", eff_med)
+        .withColumn("eff_mad", eff_mad)
+        .withColumn("dev", F.abs(F.col("value") - F.col("eff_med")))
         .groupBy("event_type")
         .agg(
-            F.any_value("med").alias("median_value"),
-            F.any_value("mad").alias("mad"),
+            F.any_value("eff_med").alias("median_value"),
+            F.any_value("eff_mad").alias("mad"),
             F.count("*").cast("bigint").alias("n_events"),
             F.sum(F.when(out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
             F.max(F.when(out, F.col("dev"))).alias("max_outlier_dev"),

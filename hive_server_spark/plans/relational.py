@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_server_spark.catalog import load_table
+from hive_server_spark.operators.heldout import capped_heldout, held_cte_d
 from hive_server_spark.registry import register
 
 _D182 = "decimal(18,2)"
@@ -771,6 +772,22 @@ def rel_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # values with constant TRUE. A sketch drifting outside its bound therefore
 # fails the hash gate — a real correctness check, not rows-only.
 # ---------------------------------------------------------------------------
+_SKETCH_AUDIT_MOD = 3
+# The audit-band slice cap is wider than the 256 the threshold estimators
+# use because here the slice percentiles sit on the FAILING side of a hash
+# -gated boolean: the band must bracket the population median (which the
+# t-digest nails to rank ±1e-4) against the slice's own sampling noise.
+# Slice p25/p75 fail to bracket the median only if the slice's below-median
+# count deviates ≥ 0.25·n from n/2 — at n=cap=4096 that is 0.25n/(0.5√n)
+# = 0.5·√n = 32σ; even a 240-row group at sf0.001 (held slice ~80) gives
+# ~4.5σ. A p45/p55 band, by contrast, is 0.1·√n ≈ 1.8σ at n=80 — flaky by
+# construction, which is why bounding this query also widens the band.
+_SKETCH_AUDIT_CAP = 4096
+_SKETCH_AUDIT_KEY = (
+    "concat(CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING))"
+)
+
+
 @register(
     "rel_approx_sketches",
     """
@@ -787,24 +804,51 @@ def rel_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct counts and approximate percentiles per nation:
     the constant-memory sketch path for 100 TB cardinality/quantile work
     (exact distinct shuffles every key; the sketch ships fixed-size state).
-    HLL bound: 5×rsd relative error (rsd=0.02 → ±10%, ~5σ). Quantile bound:
-    accuracy=10000 ⇒ rank error n/10000, far inside the exact p45..p55 band
-    used here. Tighter accuracy assertions live in tests/test_relational_ops.py."""
-    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    HLL bound: 5×rsd relative error (rsd=0.02 → ±10%, ~5σ) against the
+    exact distinct count (bounded state — constant per group after the
+    distinct expand). Quantile bound (bounded round 10): accuracy=10000 ⇒
+    rank error n/10000; the audit band is the p25/p75 of the shared capped
+    held-out slice (operators/heldout.py) — the previous whole-population
+    exact p45/p55 was the one unbounded percentile buffer left after the
+    round-9 policy (see _SKETCH_AUDIT_CAP for the band-width statistics;
+    nations absent from the slice fall back to the global band, and a
+    fully empty slice yields no audit claim → TRUE). Tighter accuracy
+    assertions live in tests/test_relational_ops.py, which runs at
+    fixture scale where the exact form is legitimate."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice"
+    )
     s = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    joined = li.join(s, li.l_suppkey == s.s_suppkey)
+    # the hash-mod slice predicate references only lineitem columns, so
+    # Catalyst pushes it below the broadcast join: the slice is map-side
+    # on the fact scan, and only ≤cap rows per nation reach the percentile
+    held = capped_heldout(
+        joined, "s_nationkey", "l_extendedprice", "sketchband42",
+        _SKETCH_AUDIT_MOD, _SKETCH_AUDIT_CAP, key=_SKETCH_AUDIT_KEY,
+    )
+    band = held.groupBy("s_nationkey").agg(
+        F.percentile("l_extendedprice", 0.25).alias("_b_lo"),
+        F.percentile("l_extendedprice", 0.75).alias("_b_hi"),
+    )
+    gband = held.agg(
+        F.percentile("l_extendedprice", 0.25).alias("_g_lo"),
+        F.percentile("l_extendedprice", 0.75).alias("_g_hi"),
+    )
     agg = (
-        li.join(s, li.l_suppkey == s.s_suppkey)
-        .groupBy("s_nationkey")
+        joined.groupBy("s_nationkey")
         .agg(
             F.approx_count_distinct("l_suppkey", rsd=0.02).alias("_approx_nd"),
             F.count_distinct("l_suppkey").alias("_exact_nd"),
             F.percentile_approx("l_extendedprice", 0.5, 10000)
             .cast("double")
             .alias("_approx_med"),
-            F.percentile("l_extendedprice", 0.45).alias("_p45"),
-            F.percentile("l_extendedprice", 0.55).alias("_p55"),
             F.count("*").cast("bigint").alias("n_rows"),
         )
+        .join(F.broadcast(band), "s_nationkey", "left")
+        .crossJoin(F.broadcast(gband))
+        .withColumn("_lo", F.coalesce("_b_lo", "_g_lo"))
+        .withColumn("_hi", F.coalesce("_b_hi", "_g_hi"))
     )
     return agg.select(
         "s_nationkey",
@@ -814,9 +858,10 @@ def rel_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("_approx_nd") - F.col("_exact_nd"))
             <= F.lit(0.10) * F.col("_exact_nd")
         ).alias("hll_within_bound"),
-        (
-            (F.col("_approx_med") >= F.col("_p45"))
-            & (F.col("_approx_med") <= F.col("_p55"))
+        F.coalesce(
+            (F.col("_approx_med") >= F.col("_lo"))
+            & (F.col("_approx_med") <= F.col("_hi")),
+            F.lit(True),
         ).alias("pctl_within_bound"),
     )
 
@@ -1382,43 +1427,75 @@ def dq_lineitem_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Winsorization bounds: per-group p05/p95 clipping thresholds + clip counts
+# Winsorization bounds: per-group p05/p95 clipping thresholds + clip counts.
+# Thresholds bounded round 10: estimated on the shared capped held-out
+# slice (operators/heldout.py), types absent from the slice falling back to
+# the global held-out bounds — an exact percentile over every event of a
+# type buffers the whole group (SCALE.md "Exact percentiles").
 # ---------------------------------------------------------------------------
+_WINSOR_HELDOUT_MOD = 3
+_WINSOR_HELDOUT_CAP = 256
+
+
 @register(
     "evt_winsor_stats",
-    """
-WITH b AS (
+    f"""
+WITH {held_cte_d('events', 'event_type', 'value', 'winsor42',
+                 _WINSOR_HELDOUT_MOD, _WINSOR_HELDOUT_CAP, key='event_id')},
+b AS (
   SELECT event_type,
          quantile_cont(value, 0.05) AS p05,
          quantile_cont(value, 0.95) AS p95
-  FROM events GROUP BY event_type
+  FROM held GROUP BY event_type
+),
+gb AS (
+  SELECT quantile_cont(value, 0.05) AS gp05,
+         quantile_cont(value, 0.95) AS gp95
+  FROM held
 )
-SELECT e.event_type, b.p05, b.p95,
-       CAST(SUM(CASE WHEN e.value < b.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
-       CAST(SUM(CASE WHEN e.value > b.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+SELECT e.event_type,
+       any_value(COALESCE(b.p05, g.gp05)) AS p05,
+       any_value(COALESCE(b.p95, g.gp95)) AS p95,
+       CAST(SUM(CASE WHEN e.value < COALESCE(b.p05, g.gp05)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+       CAST(SUM(CASE WHEN e.value > COALESCE(b.p95, g.gp95)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
        CAST(COUNT(*) AS BIGINT) AS n_total
-FROM events e JOIN b USING (event_type)
-GROUP BY e.event_type, b.p05, b.p95
+FROM events e LEFT JOIN b USING (event_type) CROSS JOIN gb g
+GROUP BY e.event_type
 """,
 )
 def evt_winsor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Outlier-clipping prep: exact interpolated p05/p95 per event type
-    (bit-identical cross-engine) broadcast back onto the events, counting
-    rows each side of the clip — the winsorization report a feature
-    pipeline reviews before applying least/greatest clipping."""
+    """Outlier-clipping prep: held-out-estimated p05/p95 per event type
+    (bounded slice, identical in both engines) broadcast back onto the
+    events, counting rows each side of the clip — the winsorization
+    report a feature pipeline reviews before least/greatest clipping."""
     e = _t(spark, sf_dir, "events")
-    b = e.groupBy("event_type").agg(
-        F.percentile("value", 0.05).alias("p05"),
-        F.percentile("value", 0.95).alias("p95"),
+    held = capped_heldout(
+        e, "event_type", "value", "winsor42",
+        _WINSOR_HELDOUT_MOD, _WINSOR_HELDOUT_CAP, key="event_id",
+    )
+    b = held.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("_p05"),
+        F.percentile("value", 0.95).alias("_p95"),
+    )
+    gb = held.agg(
+        F.percentile("value", 0.05).alias("gp05"),
+        F.percentile("value", 0.95).alias("gp95"),
     )
     return (
-        e.join(F.broadcast(b), "event_type")
-        .groupBy("event_type", "p05", "p95")
+        e.join(F.broadcast(b), "event_type", "left")
+        .crossJoin(F.broadcast(gb))
+        .withColumn("eff05", F.coalesce("_p05", "gp05"))
+        .withColumn("eff95", F.coalesce("_p95", "gp95"))
+        .groupBy("event_type")
         .agg(
-            F.sum(F.when(F.col("value") < F.col("p05"), 1).otherwise(0))
+            F.any_value("eff05").alias("p05"),
+            F.any_value("eff95").alias("p95"),
+            F.sum(F.when(F.col("value") < F.col("eff05"), 1).otherwise(0))
             .cast("bigint")
             .alias("n_below"),
-            F.sum(F.when(F.col("value") > F.col("p95"), 1).otherwise(0))
+            F.sum(F.when(F.col("value") > F.col("eff95"), 1).otherwise(0))
             .cast("bigint")
             .alias("n_above"),
             F.count("*").cast("bigint").alias("n_total"),
@@ -1461,38 +1538,77 @@ def rel_conditional_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Median absolute deviation — robust dispersion via two exact percentiles
+# Median absolute deviation — robust dispersion, both percentiles estimated
+# on the shared capped held-out slice (bounded round 10: the exact form
+# buffers every order of a priority twice — SCALE.md "Exact percentiles").
 # ---------------------------------------------------------------------------
+_MADPRI_HELDOUT_MOD = 3
+_MADPRI_HELDOUT_CAP = 256
+
+
 @register(
     "rel_mad_by_priority",
-    """
-WITH med AS (
+    f"""
+WITH {held_cte_d('orders', 'o_orderpriority', 'o_totalprice', 'madpri42',
+                 _MADPRI_HELDOUT_MOD, _MADPRI_HELDOUT_CAP, key='o_orderkey')},
+med AS (
   SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
-  FROM orders GROUP BY o_orderpriority
-)
+  FROM held GROUP BY o_orderpriority
+),
+gmed AS (SELECT quantile_cont(o_totalprice, 0.5) AS gmed FROM held),
+hdev AS (
+  SELECT h.o_orderpriority, abs(h.o_totalprice - m.med) AS dev
+  FROM held h JOIN med m USING (o_orderpriority)
+),
+mad AS (
+  SELECT o_orderpriority, quantile_cont(dev, 0.5) AS mad
+  FROM hdev GROUP BY o_orderpriority
+),
+gmad AS (SELECT quantile_cont(dev, 0.5) AS gmad FROM hdev)
 SELECT o.o_orderpriority,
-       any_value(m.med) AS median_price,
-       quantile_cont(abs(o.o_totalprice - m.med), 0.5) AS mad,
+       any_value(COALESCE(m.med, g.gmed)) AS median_price,
+       any_value(COALESCE(d.mad, gm.gmad)) AS mad,
        CAST(COUNT(*) AS BIGINT) AS n_orders
-FROM orders o JOIN med m USING (o_orderpriority)
+FROM orders o
+LEFT JOIN med m USING (o_orderpriority)
+LEFT JOIN mad d USING (o_orderpriority)
+CROSS JOIN gmed g CROSS JOIN gmad gm
 GROUP BY o.o_orderpriority
 """,
 )
 def rel_mad_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Median absolute deviation per priority: median via exact interpolated
-    percentile, |x − med| is one subtraction + abs (bit-deterministic), and
-    the outer median is again the exact percentile — a fully hash-gated
-    robust statistic, where stddev would be order-dependent float folding."""
+    """Median absolute deviation per priority, both levels estimated on the
+    capped held-out slice: median over ≤cap orders per priority, MAD as
+    the median of |x − med| over the SAME slice (|x − med| is one
+    subtraction + abs on identical doubles, so the statistic stays fully
+    hash-gated), priorities absent from the slice falling back to the
+    global held-out pair."""
     o = _t(spark, sf_dir, "orders")
-    med = o.groupBy("o_orderpriority").agg(
+    held = capped_heldout(
+        o, "o_orderpriority", "o_totalprice", "madpri42",
+        _MADPRI_HELDOUT_MOD, _MADPRI_HELDOUT_CAP, key="o_orderkey",
+    )
+    med = held.groupBy("o_orderpriority").agg(
         F.percentile("o_totalprice", 0.5).alias("med")
     )
+    gmed = held.agg(F.percentile("o_totalprice", 0.5).alias("gmed"))
+    hdev = held.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("hdev"),
+    )
+    mad = hdev.groupBy("o_orderpriority").agg(
+        F.percentile("hdev", 0.5).alias("mad")
+    )
+    gmad = hdev.agg(F.percentile("hdev", 0.5).alias("gmad"))
     return (
-        o.join(F.broadcast(med), "o_orderpriority")
+        o.join(F.broadcast(med), "o_orderpriority", "left")
+        .join(F.broadcast(mad), "o_orderpriority", "left")
+        .crossJoin(F.broadcast(gmed))
+        .crossJoin(F.broadcast(gmad))
         .groupBy("o_orderpriority")
         .agg(
-            F.any_value("med").alias("median_price"),
-            F.percentile(F.abs(F.col("o_totalprice") - F.col("med")), 0.5).alias("mad"),
+            F.any_value(F.coalesce("med", "gmed")).alias("median_price"),
+            F.any_value(F.coalesce("mad", "gmad")).alias("mad"),
             F.count("*").cast("bigint").alias("n_orders"),
         )
     )

@@ -492,47 +492,15 @@ _QF_HELDOUT_MOD = 3
 _QF_HELDOUT_CAP = 256
 
 
-def _held_cte_d(src: str, group: str, value: str, seed: str,
-                mod: int, cap: int) -> str:
-    """DuckDB `held` CTE: the capped held-out threshold slice — seeded
-    hash-mod predicate, then the first `cap` docs per `group` by
-    (md5 draw key, doc_id). ONE spelling for every bounded-threshold
-    query (text_quality_filter, text_ccnet_buckets) so the round-9
-    policy is one mechanism, not per-query copies."""
-    pred = (
-        f"(({T.hash_expr('doc_id', seed, 'd')}) % {mod} + {mod}) % {mod} = 0"
-    )
-    return (
-        f"held AS (\n"
-        f"  SELECT {group}, {value}, md5(CAST(doc_id AS VARCHAR)) AS draw_key,"
-        f" doc_id\n"
-        f"  FROM {src} WHERE {pred}\n"
-        f"  QUALIFY row_number() OVER (PARTITION BY {group}"
-        f" ORDER BY draw_key, doc_id) <= {cap}\n"
-        f")"
-    )
-
-
-def _capped_heldout(df: DataFrame, group: str, value: str, seed: str,
-                    mod: int, cap: int) -> DataFrame:
-    """Spark twin of _held_cte_d: hash-mod slice (map-side predicate) +
-    per-group cap via the two-level grouped_topk — the percentile buffer
-    downstream holds ≤ cap rows per group at any corpus size."""
-    from hive_server_spark.operators.topk import grouped_topk
-
-    pred = f"pmod({T.hash_expr('doc_id', seed, 's')}, {mod}) = 0"
-    return grouped_topk(
-        df.where(F.expr(pred)).select(
-            group,
-            F.md5(F.col("doc_id").cast("string")).alias("draw_key"),
-            "doc_id",
-            value,
-        ),
-        group_cols=[group],
-        sort_cols=["draw_key", "doc_id"],
-        payload_cols=[value],
-        k=cap,
-    )
+# The slice/cap mechanism itself is shared repo-wide (round 10 moved it
+# to operators/heldout.py so the events and relational packs route their
+# thresholds through the IDENTICAL code path): these aliases keep this
+# pack's call sites and the dedicated cap/fallback parity tests reading
+# at the policy's original home.
+from hive_server_spark.operators.heldout import (  # noqa: E402
+    capped_heldout as _capped_heldout,
+    held_cte_d as _held_cte_d,
+)
 _SCORED_CTE_D = """
 scored AS (
   SELECT doc_id, lang,
