@@ -80,7 +80,10 @@ def get_spark(app_name: str = "hive-server-spark", *, shuffle_partitions: int | 
         # stopping a WEDGED stream (the silent py4j-callback failure the
         # stall window in streaming/incremental.py detects) would itself
         # hang; with a timeout, stop() raises, the stall path still fires,
-        # and the retry resumes the checkpoint
+        # and the retry resumes the checkpoint (a timed-out stop can leave
+        # the query briefly ACTIVE — the stall path waits for isActive to
+        # clear, and the retry also treats CONCURRENT_QUERY/'already
+        # active' start failures as retryable, so the resume still holds)
         .config("spark.sql.streaming.stopTimeout", "30000")
         .config("spark.ui.enabled", "false")
     )

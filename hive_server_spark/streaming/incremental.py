@@ -313,6 +313,23 @@ def is_transient_py4j(exc: BaseException) -> bool:
     return any(t in msg for t in _TRANSIENT_PY4J)
 
 
+# Raised by start_query() when a stalled predecessor's stop() failed or
+# exceeded its stopTimeout and the JVM-side query is still winding down:
+# starting on the same checkpoint reports the query as already active.
+# Retryable by construction — the stall path above already waited
+# (bounded) for isActive to clear, so by the next attempt the handle has
+# normally been released.
+_RETRYABLE_START = (
+    "already active",
+    "CONCURRENT_QUERY",
+)
+
+
+def is_retryable_start(exc: BaseException) -> bool:
+    msg = str(exc)
+    return any(t in msg for t in _RETRYABLE_START)
+
+
 class StreamStalled(RuntimeError):
     """An active stream made no progress for the stall window — the
     silent twin of the transient py4j flake: the callback channel can
@@ -331,7 +348,9 @@ class StreamStalled(RuntimeError):
 _STALL_WINDOW_S = 300.0
 
 
-def _await_bounded(q, stall_s: float = _STALL_WINDOW_S) -> None:
+def _await_bounded(
+    q, stall_s: float = _STALL_WINDOW_S, settle_s: float = 30.0
+) -> None:
     """awaitTermination with liveness: poll in 5 s slices and track the
     last committed batchId via lastProgress. An ACTIVE query whose
     progress is frozen for `stall_s` is stopped and reported as
@@ -354,6 +373,20 @@ def _await_bounded(q, stall_s: float = _STALL_WINDOW_S) -> None:
                 q.stop()
             except Exception:
                 pass  # the retry's fresh start supersedes a wedged stop
+            # A failed or timed-out stop() can leave the query ACTIVE, and
+            # the retry's start on the same checkpoint would then fail with
+            # the non-transient CONCURRENT_QUERY error instead of resuming.
+            # Wait (bounded by settle_s) for the handle to clear before
+            # handing control to the retry; if it never clears, the retry's
+            # start-side 'already active' match keeps the remaining attempts.
+            deadline = _time.monotonic() + settle_s
+            while _time.monotonic() < deadline:
+                try:
+                    if not q.isActive:
+                        break
+                except Exception:
+                    break  # dead handle == not active
+                _time.sleep(min(1.0, settle_s / 4))
             raise StreamStalled(
                 f"stream made no progress for {stall_s:.0f}s "
                 f"(last batch mark {last_mark}); stopped for retry"
@@ -386,7 +419,7 @@ def await_stream_with_retry(start_query, attempts: int = 3, backoff_s: float = 2
             last = e
             _time.sleep(backoff_s)
         except Exception as e:
-            if not is_transient_py4j(e):
+            if not (is_transient_py4j(e) or is_retryable_start(e)):
                 raise
             last = e
             _time.sleep(backoff_s)

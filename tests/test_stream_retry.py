@@ -99,3 +99,57 @@ def test_retry_gives_up_after_attempts():
     with pytest.raises(RuntimeError, match="Connection reset"):
         await_stream_with_retry(thunk, attempts=3, backoff_s=0.0)
     assert len(calls) == 3
+
+
+def test_stall_path_waits_for_failed_stop_to_settle():
+    """ADVICE r9: a stop() that raises (or exceeds stopTimeout) can leave
+    the query ACTIVE; the stall path must wait (bounded) for isActive to
+    clear so the retry's start on the same checkpoint doesn't collide."""
+
+    class StickyQuery(FakeQuery):
+        def __init__(self, *a, clears_after=2, **kw):
+            super().__init__(*a, **kw)
+            self._active_polls = 0
+            self._clears_after = clears_after
+
+        def stop(self):
+            self.stopped = True
+            raise RuntimeError("Timeout waiting for stream to stop")
+
+        @property
+        def isActive(self):
+            self._active_polls += 1
+            return self._active_polls < self._clears_after
+
+    q = StickyQuery([(False, 3)] * 1000, poll_sleep=0.02)
+    with pytest.raises(StreamStalled):
+        _await_bounded(q, stall_s=0.05, settle_s=0.5)
+    assert q.stopped
+    assert q._active_polls >= 2  # waited until the handle cleared
+
+
+def test_retry_treats_concurrent_start_as_retryable():
+    """ADVICE r9: if the wedged predecessor never released the checkpoint,
+    the next start fails with CONCURRENT_QUERY / 'already active' — that
+    must consume a retry attempt, not abort the remaining ones."""
+    calls = []
+
+    def thunk():
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError(
+                "[CONCURRENT_QUERY] Another instance of this query was just "
+                "started... checkpoint is already active"
+            )
+        return FakeQuery([(True, 0)])
+
+    await_stream_with_retry(thunk, attempts=3, backoff_s=0.0)
+    assert len(calls) == 2
+
+
+def test_retry_still_raises_non_retryable_start_errors():
+    def thunk():
+        raise RuntimeError("AnalysisException: column does not exist")
+
+    with pytest.raises(RuntimeError, match="does not exist"):
+        await_stream_with_retry(thunk, attempts=3, backoff_s=0.0)
