@@ -43,15 +43,6 @@ modulo-65536 reconstruction — exact by construction.
   oracle even though the container is an entropy-coded lossy format. The
   lossless round-trip is a property of these fixtures, not a claim about
   DCT JPEG (SOF3 excepted, where the MODE is lossless).
-- ``encode_jpeg_gray_blocks`` is a FIXTURE encoder in the spirit of
-  ``encode_png``: it emits a spec-valid grayscale baseline JPEG whose 8×8
-  blocks are each a constant value. For constant blocks the forward DCT is
-  exactly one DC coefficient (8·(v−128)) and every AC is exactly 0, and
-  with the DC quantizer pinned to 8 the quantized coefficient is the
-  integer v−128 — so decode reconstructs every pixel EXACTLY and the decode
-  profile keeps a closed-form byte-level DuckDB oracle even though the
-  container is an entropy-coded lossy format. The lossless round-trip is
-  a property of these fixtures, not a claim about JPEG.
 
 Reference parity: the reference server stores media only as opaque blobs
 (no codec surface); this belongs to the repo's training-data-pipeline
@@ -61,12 +52,28 @@ decodable inside the Arrow worker without container-level dependencies.
 
 from __future__ import annotations
 
+import contextvars
 import math
 import struct
 
 import numpy as np
 
-__all__ = ["decode_jpeg", "encode_jpeg_gray_blocks"]
+__all__ = ["decode_jpeg", "decode_jpeg_samples", "encode_jpeg_gray_blocks"]
+
+# Sample tap for decode_jpeg_samples: when set (a list), every decode tail
+# appends its final clipped sample array before reducing to the scalar
+# (width, height, mean) contract. A ContextVar so concurrent decodes in
+# different contexts/threads can't cross-capture; the default None makes
+# the capture a no-op on the normal decode path.
+_SAMPLE_TAP: contextvars.ContextVar[list | None] = contextvars.ContextVar(
+    "jpeg_sample_tap", default=None
+)
+
+
+def _maybe_capture(samples) -> None:
+    tap = _SAMPLE_TAP.get()
+    if tap is not None:
+        tap.append(samples)
 
 # orthonormal 8×8 DCT-II basis: M[u, x] = c(u)/2 · cos((2x+1)uπ/16);
 # forward F = M f Mᵀ, inverse f = Mᵀ F M. DC-only block d → every pixel d/8.
@@ -324,6 +331,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
                 "(SOF3) decode are implemented"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning (T.81 B.2.4.3)
+            if len(seg) % 2:  # 2-byte (Tc/Tb, Cs) pairs only
+                raise ValueError("truncated JPEG DAC")
             off = 0
             while off + 1 < len(seg):
                 tc, tb = seg[off] >> 4, seg[off] & 0x0F
@@ -373,6 +382,26 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
         # APPn / COM / anything else: skip
         pos += seglen
     raise ValueError("JPEG has no SOS marker")
+
+
+def decode_jpeg_samples(payload: bytes):
+    """Decode a JPEG and return (width, height, samples) where `samples`
+    is the final clipped sample array the decode tail produced — (h, w)
+    for grayscale, (h, w, 3) for color-converted 3-component scans,
+    (ncomp, h, w) for lossless. Same error contract as decode_jpeg (None
+    for non-JPEG, ValueError for malformed); the per-pixel plane feeds
+    perceptual hashing (functions/multimodal.py dhash_bands), where the
+    scalar mean contract is not enough."""
+    tap: list = []
+    token = _SAMPLE_TAP.set(tap)
+    try:
+        r = decode_jpeg(payload)
+    finally:
+        _SAMPLE_TAP.reset(token)
+    if r is None:
+        return None
+    width, height, _mean = r
+    return width, height, tap[-1]
 
 
 def _frame_geometry(frame):
@@ -727,6 +756,7 @@ def _finish_planes(planes, frame):
     else:
         samples = out[0]
     samples = np.clip(np.rint(samples), 0, vmaxval)
+    _maybe_capture(samples)
     return width, height, float(samples.mean()) / vmaxval
 
 
@@ -956,6 +986,7 @@ def _decode_scan_lossless(b, pos, seg, frame, huff_dc, restart_interval):
     vmaxval = float((1 << prec) - 1)
     samples = np.stack([(p << pt).astype(np.float64) for p in planes])
     samples = np.clip(samples, 0, vmaxval)
+    _maybe_capture(samples)
     return width, height, float(samples.mean()) / vmaxval
 
 

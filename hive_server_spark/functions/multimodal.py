@@ -316,6 +316,126 @@ def synthesize_progressive_jpeg_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(build, schema=MEDIA_SCHEMA)
 
 
+# dHash geometry: a 9x8 cell grid gives 8 row-wise adjacent comparisons per
+# row x 8 rows = 64 bits, carried as four 16-bit band values (band i = bit
+# rows 2i..2i+1) — the SimHash posture (functions/text.py): band values ARE
+# the LSH bucket keys, and the full hash is the band tuple, so no signed
+# 64-bit edge cases enter either engine.
+DHASH_GRID_W, DHASH_GRID_H = 9, 8
+DHASH_PREFIX_LEN = 16
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("band0", LongType(), False),
+        StructField("band1", LongType(), False),
+        StructField("band2", LongType(), False),
+        StructField("band3", LongType(), False),
+    ]
+)
+
+
+def dhash_cell_value(prefix: str, k: int, doc_id: int) -> int:
+    """Cell k's constant block value for the dHash fixtures — shared by the
+    Spark synthesizer and the planted-duplicate tests; the DuckDB oracle
+    spells the identical derivation in SQL. Cells 2.. are md5-derived
+    bytes (uniform bits, the statistics real dHash has on distinct
+    photos); cell 0 encodes doc parity against fixed cell 1 = 50, so two
+    docs sharing a prefix but differing in parity decode to images at
+    EXACTLY Hamming distance 1 — planted near-duplicates that are not
+    exact duplicates."""
+    import hashlib
+
+    if k == 0:
+        return 40 + 20 * (doc_id % 2)
+    if k == 1:
+        return 50
+    return int(hashlib.md5(f"{prefix}:{k}".encode()).hexdigest()[:2], 16)
+
+
+def synthesize_dhash_jpeg_media(docs: DataFrame) -> DataFrame:
+    """REAL baseline-JPEG 'thumbnail' fixtures for perceptual-hash dedup:
+    each document yields a 72x64 grayscale JPEG of 9x8 constant blocks
+    keyed on the first DHASH_PREFIX_LEN characters of its text (a
+    doc-header thumbnail: documents sharing a header render the same
+    image). Constant blocks decode exactly (see functions/jpeg.py), so
+    the grid means — and therefore the dHash — have a closed-form DuckDB
+    oracle."""
+    from hive_server_spark.functions.jpeg import encode_jpeg_gray_blocks
+
+    nblk = DHASH_GRID_W * DHASH_GRID_H
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                prefix = (text or "")[:DHASH_PREFIX_LEN]
+                vals = [dhash_cell_value(prefix, k, doc_id) for k in range(nblk)]
+                ids.append(doc_id)
+                payloads.append(
+                    encode_jpeg_gray_blocks(vals, DHASH_GRID_W, DHASH_GRID_H)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "payload": payloads,
+                    "meta": [
+                        {"declared_format": "image/jpeg;gray", "n_bytes": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def dhash_bands(media: DataFrame) -> DataFrame:
+    """Per-image 64-bit difference hash over DECODED pixels, as four
+    16-bit bands: real JPEG decode (functions/jpeg.py decode_jpeg_samples)
+    in the Arrow worker, 8x8-pixel tile means to the 9x8 cell grid, bit
+    (r, c) = cell[r][c] < cell[r][c+1], band i = bits 16i..16i+15 (local
+    shift bit%16). Partition-preserving mapInPandas: payload bytes never
+    shuffle; the hash table downstream is 5 small integers per image."""
+    import numpy as np
+
+    from hive_server_spark.functions.jpeg import decode_jpeg_samples
+
+    gw, gh = DHASH_GRID_W, DHASH_GRID_H
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bands = [], [[], [], [], []]
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                r = decode_jpeg_samples(bytes(payload))
+                if r is None:
+                    raise ValueError(f"media {media_id}: not a JPEG payload")
+                w, h, samples = r
+                if samples.ndim == 3:  # color: average channels to luma-ish
+                    samples = samples.mean(axis=-1)
+                cells = samples.reshape(gh, h // gh, gw, w // gw).mean(axis=(1, 3))
+                bits = (cells[:, :-1] < cells[:, 1:]).reshape(-1)  # 64 row-major
+                vals = [0, 0, 0, 0]
+                for g in np.nonzero(bits)[0]:
+                    vals[g // 16] |= 1 << int(g % 16)
+                ids.append(media_id)
+                for i in range(4):
+                    bands[i].append(vals[i])
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "band0": bands[0],
+                    "band1": bands[1],
+                    "band2": bands[2],
+                    "band3": bands[3],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        hash_batch, schema=DHASH_SCHEMA
+    )
+
+
 def _decode_ppm(payload: bytes) -> tuple[int, int, float] | None:
     """Pure-Python PPM decode: P6 (binary) and P3 (ascii) headers, real
     pixel math. Returns (width, height, mean_luma) or None if not PPM."""

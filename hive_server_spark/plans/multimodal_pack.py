@@ -706,3 +706,159 @@ def multimodal_jpeg_progressive_profile(spark: SparkSession, sf_dir: str) -> Dat
         F.sum("height").cast("bigint").alias("sum_height"),
         F.sum("pixel_sum").cast("bigint").alias("sum_pixel_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup (round 10, VERDICT r9 item 3): dHash over
+# REAL decoded JPEG pixels, banded-LSH candidate generation, Hamming
+# verification ONLY on co-bucketed candidates — never all-pairs. The image
+# twin of dedup_minhash_candidates: band values are the bucket keys
+# (functions/text.py simhash posture), the bucket self-join shuffles on the
+# band key, and verification joins the candidate list back to the 5-integer
+# hash table — O(near-dups), not O(n²). The fixtures are doc-header
+# thumbnails (synthesize_dhash_jpeg_media): constant 8x8 blocks decode
+# exactly, so the full decode→grid-mean→bit→band chain has a closed-form
+# DuckDB oracle, and cell 0's parity encoding plants Hamming-distance-1
+# near-duplicates between same-header docs of opposite parity.
+# Adversarial-bucket guard at scale: a bucket of b identical images costs
+# C(b,2) candidate rows — the minhash max_bucket cap applies verbatim
+# (route byte-identical payloads through exact hash-dedup first); the gate
+# configuration runs uncapped, like the text LSH parity queries.
+# ---------------------------------------------------------------------------
+from hive_server_spark.session_cache import (  # noqa: E402
+    SessionCache,
+    unpersist_df,
+)
+
+_DHASH_CACHE: SessionCache[DataFrame] = SessionCache(on_evict=unpersist_df)
+
+
+_PHASH_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, COALESCE(substr(text, 1, {M.DHASH_PREFIX_LEN}), '') AS p
+  FROM documents
+),
+cellk AS (
+  SELECT doc_id, p, unnest(range(0, {M.DHASH_GRID_W * M.DHASH_GRID_H})) AS k
+  FROM d
+),
+cell AS (
+  SELECT doc_id, k,
+         CASE WHEN k = 0 THEN 40 + 20 * (doc_id % 2)
+              WHEN k = 1 THEN 50
+              ELSE ('0x' || substr(md5(p || ':' || CAST(k AS VARCHAR)), 1, 2))::BIGINT
+         END AS v
+  FROM cellk
+),
+bit AS (
+  SELECT a.doc_id,
+         (a.k // {M.DHASH_GRID_W}) * 8 + (a.k % {M.DHASH_GRID_W}) AS g
+  FROM cell a JOIN cell b ON a.doc_id = b.doc_id AND b.k = a.k + 1
+  WHERE a.k % {M.DHASH_GRID_W} < 8 AND a.v < b.v
+),
+bgrid AS (SELECT doc_id, unnest(range(0, 4)) AS band_idx FROM d),
+bsum AS (
+  SELECT doc_id, g // 16 AS band_idx,
+         CAST(SUM(1 << CAST(g % 16 AS INTEGER)) AS BIGINT) AS band_val
+  FROM bit GROUP BY doc_id, g // 16
+),
+bands AS (
+  SELECT bg.doc_id, bg.band_idx, COALESCE(bs.band_val, 0) AS band_val
+  FROM bgrid bg LEFT JOIN bsum bs USING (doc_id, band_idx)
+),
+wide AS (
+  SELECT doc_id,
+         MAX(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+         MAX(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+         MAX(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+         MAX(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+  FROM bands GROUP BY doc_id
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT c.id1, c.id2,
+         bit_count(xor(w1.b0, w2.b0)) + bit_count(xor(w1.b1, w2.b1))
+       + bit_count(xor(w1.b2, w2.b2)) + bit_count(xor(w1.b3, w2.b3)) AS hd
+  FROM cand c
+  JOIN wide w1 ON c.id1 = w1.doc_id
+  JOIN wide w2 ON c.id2 = w2.doc_id
+)
+SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_images,
+       CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+       CAST(COALESCE(SUM(CASE WHEN hd = 0 THEN 1 END), 0) AS BIGINT)
+         AS n_exact_pairs,
+       CAST(COALESCE(SUM(CASE WHEN hd BETWEEN 1 AND 2 THEN 1 END), 0) AS BIGINT)
+         AS n_neardup_pairs,
+       CAST(COALESCE(SUM(hd), 0) AS BIGINT) AS sum_hamming
+FROM ham
+"""
+
+
+def _dhash_band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-image band table (media_id, band0..band3) — synthesized,
+    decoded, and hashed ONCE per (session, sf_dir): the candidate self-join
+    reads it twice and the Hamming verify twice more, and the decode is the
+    expensive leg."""
+    return _DHASH_CACHE.get_or_create(
+        spark,
+        (sf_dir,),
+        lambda: M.dhash_bands(
+            M.synthesize_dhash_jpeg_media(_docs_wide(spark, sf_dir))
+        ).persist(),
+    )
+
+
+@register("multimodal_phash_neardup", _PHASH_ORACLE)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup report: decode → dHash bands → banded LSH candidates
+    → Hamming verify on candidates only. Single summary row, fully
+    value-gated against the closed-form oracle (exact decode ⇒ exact
+    expected hashes)."""
+    bands_wide = _dhash_band_table(spark, sf_dir)
+    long = bands_wide.selectExpr(
+        "media_id",
+        "stack(4, 0L, band0, 1L, band1, 2L, band2, 3L, band3)"
+        " AS (band_idx, band_val)",
+    )
+    a, b = long.alias("a"), long.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id1"), F.col("b.media_id").alias("id2")
+        )
+        .distinct()
+    )
+    w1 = bands_wide.select(
+        F.col("media_id").alias("id1"),
+        *[F.col(f"band{i}").alias(f"a{i}") for i in range(4)],
+    )
+    w2 = bands_wide.select(
+        F.col("media_id").alias("id2"),
+        *[F.col(f"band{i}").alias(f"b{i}") for i in range(4)],
+    )
+    hd = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}"))) for i in range(4)
+    )
+    ham = cand.join(w1, "id1").join(w2, "id2").withColumn("hd", hd)
+    imgs = bands_wide.agg(F.count("*").cast("bigint").alias("n_images"))
+    pairs = ham.agg(
+        F.count("*").cast("bigint").alias("n_candidate_pairs"),
+        F.coalesce(F.sum(F.when(F.col("hd") == 0, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n_exact_pairs"),
+        F.coalesce(F.sum(F.when(F.col("hd").between(1, 2), 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n_neardup_pairs"),
+        F.coalesce(F.sum("hd"), F.lit(0)).cast("bigint").alias("sum_hamming"),
+    )
+    return imgs.crossJoin(pairs)

@@ -444,3 +444,18 @@ def test_decode_error_contract_under_mutation():
     # random garbage after SOI
     for _ in range(1500):
         check(b"\xff\xd8" + bytes(rng.randrange(256) for _ in range(rng.randrange(0, 120))))
+
+
+def test_odd_length_dac_segment_raises():
+    """ADVICE r9: an odd-length DAC payload (the segment is 2-byte
+    (Tc/Tb, Cs) pairs by construction, T.81 B.2.4.3) must raise the
+    malformed-stream ValueError, not silently drop its trailing byte."""
+    p = encode_jpeg_gray_blocks([100], 1, 1)
+    assert p[:2] == b"\xff\xd8"
+    # splice a DAC segment with a 3-byte payload right after SOI
+    odd_dac = b"\xff\xcc\x00\x05\x00\x0a\x03"
+    with pytest.raises(ValueError, match="DAC"):
+        decode_jpeg(p[:2] + odd_dac + p[2:])
+    # the even twin parses fine (valid (Tc/Tb, Cs) pair)
+    even_dac = b"\xff\xcc\x00\x04\x00\x0a"
+    assert decode_jpeg(p[:2] + even_dac + p[2:]) is not None

@@ -580,3 +580,67 @@ def test_strict_decode_arithmetic_jpeg_via_spark(spark):
         assert r.decoder == "jpeg"
         assert (r.width, r.height) == (w, h)
         assert abs(r.mean_luma - mean) < 1e-6  # FloatType carries ~7 digits
+
+
+def test_phash_neardup_planted_duplicates(spark, tmp_path):
+    """Planted-duplicate contract of multimodal_phash_neardup on a crafted
+    corpus: same header + same parity -> exact dup (Hamming 0); same
+    header + opposite parity -> near-dup at EXACTLY Hamming 1 (cell 0's
+    parity encoding); distinct headers -> no candidate pair. Verified
+    end-to-end through the REAL JPEG decode (dhash_bands), not the
+    closed form."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_server_spark import gate
+    from hive_server_spark.functions.multimodal import (
+        dhash_bands,
+        synthesize_dhash_jpeg_media,
+    )
+
+    # headers chosen so md5-derived cells differ wildly between groups
+    rows = [
+        (10, "alpha header shared by a trio of docs"),   # group A, even
+        (12, "alpha header shared by a trio of docs"),   # group A, even: d=0
+        (13, "alpha header shared by a trio of docs"),   # group A, odd:  d=1
+        (20, "a completely different beta header text"), # group B, even
+        (31, "gamma, a third unrelated header string"),  # group C, odd
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["t"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    bands = {
+        r.media_id: (r.band0, r.band1, r.band2, r.band3)
+        for r in dhash_bands(
+            synthesize_dhash_jpeg_media(
+                spark.read.parquet(str(tmp_path / "documents.parquet"))
+            )
+        ).collect()
+    }
+    assert bands[10] == bands[12]  # exact dup
+    hd = sum(bin(a ^ b).count("1") for a, b in zip(bands[10], bands[13]))
+    assert hd == 1  # planted near-dup: exactly the parity bit
+    assert bands[10] != bands[20] and bands[20] != bands[31]
+
+    out = gate.spark_queries()["multimodal_phash_neardup"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_images == 5
+    # group A contributes all 3 pairs (10,12) d=0, (10,13) d=1, (12,13) d=1;
+    # B and C are singletons with uniform md5 bands — no random 16-bit
+    # collision among 2 other images
+    assert r.n_candidate_pairs == 3
+    assert r.n_exact_pairs == 1
+    assert r.n_neardup_pairs == 2
+    assert r.sum_hamming == 2
