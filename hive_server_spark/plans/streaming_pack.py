@@ -25,6 +25,7 @@ from hive_server_spark.sources.synthetic import (
     order_events,
 )
 from hive_server_spark.streaming.incremental import (
+    _await_bounded,
     materialize_orders,
     run_incremental_fold,
 )
@@ -196,7 +197,12 @@ def _run_append_stream(spark: SparkSession, out: DataFrame, work: str) -> DataFr
     into a memory sink."""
     with _scoped_shuffle_partitions(spark):
         q, sink = _start_append_stream(spark, out, work)
-        q.awaitTermination()
+        # bounded await (not bare awaitTermination): memory-sink streams
+        # don't cross the py4j callback channel, but the stall window still
+        # turns any silent wedge into a loud StreamStalled instead of an
+        # unbounded block (no retry wrapper here — these availableNow
+        # drivers are deterministic re-runs, so failing fast is correct)
+        _await_bounded(q)
     return spark.table(sink)
 
 
@@ -668,7 +674,7 @@ def stateful_orders_state(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        _await_bounded(q)  # stall-windowed await (see _run_append_stream)
     tbl = spark.table(sink)
     w = Window.partitionBy("pool_address", "order_id").orderBy(F.desc("version"))
     return (
@@ -845,7 +851,7 @@ def _evt_streaming_results(spark: SparkSession, sf_dir: str) -> dict:
             results = {}
             cms_store = _run_sketch_stream(spark, start_cms_stream, sf_dir, "hss_cms_")
             for name, q, sink in running:
-                q.awaitTermination()
+                _await_bounded(q)  # stall-windowed (see _run_append_stream)
                 results[name] = spark.table(sink)
             results["evt_cms_streaming"] = _cms_final(spark, cms_store)
             hll_store = _run_sketch_stream(spark, start_hll_stream, sf_dir, "hss_hll_")
@@ -1133,6 +1139,119 @@ def docs_neardup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     which must equal the batch LSH occupied-band rule (see block
     comment)."""
     return streamed_docs_neardup(spark, sf_dir, chunks=2)
+
+
+# ---------------------------------------------------------------------------
+# Cross-snapshot incremental dedup (round 10, VERDICT r9 item 4): the BATCH
+# twin of docs_neardup_streaming — the nightly-pipeline shape, where the
+# band index is a first-class PERSISTED TABLE between corpus snapshots, not
+# in-flight stream state. A new document batch is deduped against the index
+# a prior snapshot wrote to parquet:
+#
+#   1. the prior snapshot's band_key → MIN(doc_id) index is written to and
+#      read back from parquet (here built from the id-ordered first half of
+#      the corpus; in production it's the index the previous run left);
+#   2. the NEW batch's band partials merge in (MIN semilattice — the same
+#      replay-absorbing algebra the streaming twin commits per micro-batch;
+#      production would MERGE/upsert instead of rewriting);
+#   3. the batch's bands join the post-merge index: a doc is flagged iff
+#      some band's min is a smaller doc_id — catching dups against the
+#      prior corpus AND within the batch itself with ONE rule.
+#
+# Because the snapshot split is doc_id-ordered, the post-merge index equals
+# the full-corpus band index, so the flags are EXACTLY the batch LSH
+# occupied-band rule restricted to the new batch — the oracle below (the
+# docs_neardup_streaming oracle + the threshold filter). Scale: per
+# snapshot the prior corpus is NEVER rescanned — cost is O(batch bands) +
+# one band-keyed merge against the index (both sides already partitioned
+# by band_key from their aggs, so the merge and the flag join reuse the
+# same partitioning); flags are O(near-dups). Nothing all-pairs.
+# ---------------------------------------------------------------------------
+_DOCS_NEARDUP_INCR_ORACLE = f"""
+WITH {_TOKS_CTE_D},
+{_SHINGLES_CTE_D},
+sigs AS (
+  SELECT doc_id,
+       {_mh_cols_d}
+  FROM shingled
+),
+sigs_b AS (
+  SELECT doc_id, {_band_cols_d}
+  FROM sigs
+),
+bands AS ({_band_union_d}),
+bmin AS (SELECT band_key, MIN(doc_id) AS min_id FROM bands GROUP BY band_key),
+j AS (
+  SELECT b.doc_id, m.min_id
+  FROM bands b JOIN bmin m ON b.band_key = m.band_key
+  WHERE m.min_id < b.doc_id
+),
+thr AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS t FROM documents)
+SELECT j.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_occupied_bands,
+       CAST(MIN(j.min_id) AS BIGINT) AS partner_doc_id
+FROM j CROSS JOIN thr WHERE j.doc_id >= thr.t
+GROUP BY j.doc_id
+"""
+
+
+def incremental_docs_neardup(
+    spark: SparkSession, docs: DataFrame, index_path: str, batch: DataFrame
+) -> DataFrame:
+    """Dedup `batch` against the persisted band index at `index_path`
+    (band_key, min_doc_id parquet), merging the batch's own bands in
+    first. Returns the flags table (doc_id, n_occupied_bands,
+    partner_doc_id). `docs` is unused except to share the caller's session
+    conventions; kept for signature symmetry with the streaming twin."""
+    batch_bands = _doc_bands(batch)
+    prior_index = spark.read.parquet(index_path)
+    batch_part = batch_bands.groupBy("band_key").agg(
+        F.min("doc_id").alias("min_doc_id")
+    )
+    merged = (
+        prior_index.unionByName(batch_part)
+        .groupBy("band_key")
+        .agg(F.min("min_doc_id").alias("min_doc_id"))
+    )
+    return (
+        batch_bands.join(merged, "band_key")
+        .where(F.col("min_doc_id") < F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occupied_bands"),
+            F.min("min_doc_id").cast("bigint").alias("partner_doc_id"),
+        )
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "n_occupied_bands",
+            "partner_doc_id",
+        )
+    )
+
+
+@register("docs_neardup_incremental", _DOCS_NEARDUP_INCR_ORACLE)
+def docs_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the prior snapshot's band index to parquet (id-ordered first
+    half of the corpus), then dedup the second half as a new batch against
+    the persisted index — must equal the full-corpus batch LSH
+    occupied-band rule restricted to the batch (see block comment)."""
+    from hive_server_spark.plans.text_pack import _docs as _text_docs
+
+    docs = _text_docs(spark, sf_dir)
+    mn, mx = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    thr = (mn + mx) // 2  # == the oracle's integer-division threshold
+    work = tempfile.mkdtemp(prefix="hss_neardup_incr_")
+    index_path = os.path.join(work, "band_index")
+    (
+        _doc_bands(docs.where(F.col("doc_id") < thr))
+        .groupBy("band_key")
+        .agg(F.min("doc_id").alias("min_doc_id"))
+        .write.mode("overwrite")
+        .parquet(index_path)
+    )
+    return incremental_docs_neardup(
+        spark, docs, index_path, docs.where(F.col("doc_id") >= thr)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -545,3 +545,82 @@ def test_docs_neardup_chunk_invariance_and_oracle(spark):
         .collect()
     )
     assert one == want
+
+
+def test_incremental_neardup_cross_snapshot_and_intra_batch(spark, tmp_path):
+    """docs_neardup_incremental must flag (a) a batch doc near-dupping a
+    PRIOR-snapshot doc through the persisted parquet index, and (b) a
+    batch doc near-dupping another doc of the SAME batch (the post-merge
+    index rule) — and must equal the full-corpus batch LSH occupied-band
+    rule restricted to the batch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from hive_server_spark import gate
+    from hive_server_spark.plans.streaming_pack import _doc_bands
+
+    dup_a = "the quick brown fox jumps over the lazy dog again and again " * 4
+    dup_b = "pack my box with five dozen liquor jugs every single day now " * 4
+    uniq = [
+        "completely unrelated document number %d with its own words %s"
+        % (i, "x" * i)
+        for i in range(6)
+    ]
+    # ids 0..5 = prior snapshot (thr = (0+11)//2 = 5 -> prior < 5... use
+    # explicit ids so the id-ordered split is unambiguous:
+    # thr = (0 + 11) // 2 = 5: prior = {0..4}, batch = {5..11}
+    rows = [
+        (0, dup_a),      # prior copy of dup_a
+        (1, uniq[0]),
+        (2, uniq[1]),
+        (3, uniq[2]),
+        (4, uniq[3]),
+        (5, uniq[4]),    # batch
+        (7, dup_a),      # batch: cross-snapshot dup of doc 0
+        (9, dup_b),      # batch: intra-batch dup pair (9, 11)
+        (10, uniq[5]),
+        (11, dup_b),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["t"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    flags = {
+        r.doc_id: r
+        for r in gate.spark_queries()["docs_neardup_incremental"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert 7 in flags and flags[7].partner_doc_id == 0   # vs persisted index
+    assert 11 in flags and flags[11].partner_doc_id == 9  # intra-batch
+    assert 9 not in flags  # the batch pair's EARLIER doc is the canonical
+    # equivalence: full-corpus batch LSH rule restricted to the batch
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    bands = _doc_bands(docs)
+    bmin = bands.groupBy("band_key").agg(F.min("doc_id").alias("min_id"))
+    full = (
+        bands.join(bmin, "band_key")
+        .where(F.col("min_id") < F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occupied_bands"),
+            F.min("min_id").cast("bigint").alias("partner_doc_id"),
+        )
+        .where(F.col("doc_id") >= 5)
+    )
+    expect = {r.doc_id: r for r in full.collect()}
+    assert set(flags) == set(expect)
+    for d in flags:
+        assert (flags[d].n_occupied_bands, flags[d].partner_doc_id) == (
+            expect[d].n_occupied_bands,
+            expect[d].partner_doc_id,
+        )
