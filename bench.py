@@ -70,6 +70,20 @@ def _time_streaming_waves(spark, sf_dir: str) -> dict[str, float]:
     return waves
 
 
+def _time_shared_materializations(spark, sf_dir: str) -> dict[str, float]:
+    """Session-cached BATCH intermediates whose first consumer would
+    otherwise pay the whole build (VERDICT r9 item 5: text_bpe_train
+    swung 2.8x round-over-round purely from which of the bpe pair hit the
+    cold _BPE_TRAIN_CACHE first). Materialize them here, timed as their
+    own line, so text_bpe_train / text_bpe_encode always measure marginal
+    cost — attribution is deterministic regardless of query order."""
+    from hive_server_spark.plans import text_pack
+
+    t0 = time.perf_counter()
+    text_pack._bpe_train(spark, sf_dir)  # build() is eager (K collect steps)
+    return {"bpe_train_build": round(time.perf_counter() - t0, 4)}
+
+
 def run_rep(sf_dir: str) -> dict:
     """One full repetition on a fresh session; returns the rep record."""
     from hive_server_spark import gate
@@ -83,6 +97,7 @@ def run_rep(sf_dir: str) -> dict:
         t_rep = time.perf_counter()
         _warm_up(spark, sf_dir)
         waves = _time_streaming_waves(spark, sf_dir)
+        waves.update(_time_shared_materializations(spark, sf_dir))
         timings: dict[str, float] = {}
         for name, fn in sorted(gate.spark_queries().items()):
             t0 = time.perf_counter()

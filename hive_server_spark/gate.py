@@ -1038,100 +1038,93 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 )
 
 # ---------------------------------------------------------------------------
-# Driver-visible ordering (round-9 rotation)
+# Driver-visible ordering. The correctness driver hash-checks the FIRST 50
+# queries per round; set_driver_priority pins that window. Per-round
+# history lives in git (the r9 window cleared the r05 tail; this one
+# clears r06 — see VERDICT r08/r09 item 2 for the respective plans).
 # ---------------------------------------------------------------------------
-# The correctness driver hash-checks the FIRST 50 queries per round. This
-# window executes the rotation plan written in round 8 (and echoed by
-# VERDICT r08 item 2) exactly: (a) the 2 round-9 registrations (the
-# streaming MinHash near-dup index and the batch IVF-PQ read path),
-# (b) the 4 queries whose PLAN changed this round (the BPE pair's
-# dialect-aware separator remap; the CCNet buckets' and quality filter's
-# bounded held-out-slice thresholds), and (c) ALL remaining 44 r05-green
-# names in registration order (rel_string_functions .. orders_state_
-# changelog; text_quality_filter is the 45th r05 name and sits in (b)).
-# 2 + 4 + 44 = 50: the r05 tail clears completely and nothing older than
-# r06 remains — exactly the VERDICT r08 item 2 done condition, which is
-# also why round 9 registers exactly two queries (headroom note,
-# VERDICT r08 item 7: each extra registration would have left one r05
-# name 4 rounds stale).
-# NOT in the window, deliberately: docs_ingest_streaming (the shared
-# document-landing helper gained ascending part-file mtimes for delivery
-# ORDER — its (min,sum,sum) merge is a commutative monoid, so order
-# cannot change its result; re-proven by gate parity + the chunk-
-# invariance test this round) and the CMS/HLL/CUSUM sketch streams
-# (their initial start call moved inside the transient-py4j retry, and
-# the await itself gained a stall window: a silently-wedged callback
-# channel is stopped and checkpoint-resumed instead of blocking forever
-# — control path only, no expression/state/plan change; all foreachBatch
-# queries re-proven by gate parity this round). Both facts are
-# pytest-pinned every run by tests/test_gate_parity.py.
-# ROUND-10 ROTATION NOTE: after this window goes green the staleness
-# order is (1) any round-10 registrations / modified queries, (2) the 46
-# r06-green names in registration order (docs_ingest_streaming,
-# evt_hourly_rollup_streaming, ... then the sources/multimodal r06
-# cohort), (3) the 45 r07-green names, (4) r08.
+# Driver-visible ordering (round-10 rotation) — executes the plan written
+# here in round 9 and echoed by VERDICT r9 item 2: (a) the 2 round-10
+# registrations (perceptual-hash image near-dup; cross-snapshot incremental
+# dedup), (b) the 4 queries whose PLAN changed this round (the percentile-
+# policy closure: evt_mad_outliers / evt_winsor_stats / rel_mad_by_priority
+# thresholds moved to the shared capped held-out estimator, and
+# rel_approx_sketches' audit band moved from whole-population exact p45/p55
+# to the capped-slice p25/p75 — operators/heldout.py), and (c) ALL
+# remaining 42 r06-green names in registration order. All four (b) names
+# are themselves r06 cohort, so 2 + 4 + 42 clears the ENTIRE r06 tail in
+# one window with 2 slots left over — filled by the 2 OLDEST r07 names
+# (order_book_levels, order_book_vwap), starting the r07 drain early.
+# After this window: r10:50, r9:50, r8:47, r7:43 — nothing older than r07,
+# the VERDICT r9 item 2 done condition.
+# ROUND-11 ROTATION NOTE: (1) any round-11 registrations / modified
+# queries, (2) the remaining 43 r07-green names in registration order
+# (orders_scd2_versions, amount_out_buy, ...), (3) the 47 r08 names,
+# (4) r09. Budget registrations ≤ 7 or the r07 tail spills a round.
+# ---------------------------------------------------------------------------
 from hive_server_spark.registry import set_driver_priority  # noqa: E402
 
-DRIVER_PRIORITY_R9 = [
-    # -- (a) round-9 registrations ------------------------------------------
-    "docs_neardup_streaming",
-    "emb_ivfpq_batch_topk",
-    # -- (b) round-9-modified queries ---------------------------------------
-    "text_bpe_train",
-    "text_bpe_encode",
-    "text_ccnet_buckets",
-    "text_quality_filter",
-    # -- (c) ALL remaining 44 r05-green names, registration order ----------
-    "rel_string_functions",
-    "rel_null_handling",
-    "rel_unpivot_measures",
-    "rel_bitwise_functions",
-    "rel_lateral_top_orders",
-    "emb_cosine_topk",
-    "emb_ivf_topk",
-    "emb_lsh_buckets",
-    "emb_lsh_neardup_topk",
-    "emb_int8_quantization",
-    "text_profile",
-    "text_exact_dedup",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_sigs",
-    "dedup_minhash_candidates",
-    "dedup_simhash",
-    "text_corpus_stats",
-    "text_top_ngrams",
-    "dedup_clusters",
-    "text_quality_histogram",
-    "text_deterministic_sample",
-    "text_sample_rates",
-    "text_token_shards",
-    "dedup_reachability_recursive",
-    "text_mixture_sample",
-    "text_bigram_lm",
-    "text_pack_windows",
-    "text_decontaminate",
-    "text_leakage_safe_splits",
-    "text_repetition_profile",
-    "text_source_overlap",
-    "text_pretrain_keep",
-    "src_jsonl_roundtrip",
-    "src_csv_roundtrip",
-    "src_orc_roundtrip",
-    "multimodal_inventory",
-    "multimodal_frame_inventory",
-    "orders_state_stateful",
-    "orders_state_time_travel",
-    "evt_sliding_rollup_streaming",
-    "serving_pool_info_json",
-    "serving_user_orders_json",
-    "cdc_book_snapshots",
-    "orders_state_changelog",
+DRIVER_PRIORITY_R10 = [
+    # -- (a) round-10 registrations -----------------------------------------
+    "multimodal_phash_neardup",
+    "docs_neardup_incremental",
+    # -- (b) round-10-modified queries (percentile-policy closure) ----------
+    "evt_mad_outliers",
+    "evt_winsor_stats",
+    "rel_mad_by_priority",
+    "rel_approx_sketches",
+    # -- (c) ALL remaining 42 r06-green names, registration order -----------
+    "orders_state",
+    "latest_price",
+    "market_orders_t2",
+    "dq_lineitem_report",
+    "evt_hourly_rollup",
+    "evt_props_stats",
+    "evt_funnel_cohorts",
+    "evt_top_users",
+    "evt_type_pivot",
+    "evt_retention_matrix",
+    "emb_kmeans_update",
+    "emb_semantic_dedup",
+    "emb_pca_moments",
+    "emb_ivf_build",
+    "emb_norm_audit",
+    "text_kept_token_shards",
+    "text_bpe_token_stats",
+    "text_doc_novelty",
+    "text_pii_scrub",
+    "text_bm25_topk",
+    "text_c4_filters",
+    "text_source_mixing",
+    "text_length_buckets",
+    "dedup_minhash_accuracy",
+    "dedup_canonical_quality",
+    "text_rag_chunks",
+    "text_lang_confusion",
+    "layout_zorder_manifest",
+    "src_partitioned_roundtrip",
+    "udf_alpha_quality",
+    "udf_user_centered_values",
+    "multimodal_decode_profile",
+    "multimodal_resize_profile",
+    "multimodal_audio_profile",
+    "multimodal_corrupt_audit",
+    "multimodal_audio_features",
+    "evt_hourly_rollup_streaming",
+    "evt_sessions_streaming",
+    "evt_stream_stream_join",
+    "evt_dedup_rollup_streaming",
+    "evt_stream_static_enrich",
+    "docs_ingest_streaming",
+    # -- (d) the 2 oldest r07 names (early r07 drain) ------------------------
+    "order_book_levels",
+    "order_book_vwap",
 ]
-assert len(DRIVER_PRIORITY_R9) == 50, len(DRIVER_PRIORITY_R9)
+assert len(DRIVER_PRIORITY_R10) == 50, len(DRIVER_PRIORITY_R10)
 # A typo'd or renamed name would silently shrink the checked window
 # (registry._ordered drops unknown names); fail loudly instead.
 from hive_server_spark.registry import _SPARK_QUERIES as _REG  # noqa: E402
 
-_missing = [n for n in DRIVER_PRIORITY_R9 if n not in _REG]
-assert not _missing, f"DRIVER_PRIORITY_R9 names not registered: {_missing}"
-set_driver_priority(DRIVER_PRIORITY_R9)
+_missing = [n for n in DRIVER_PRIORITY_R10 if n not in _REG]
+assert not _missing, f"DRIVER_PRIORITY_R10 names not registered: {_missing}"
+set_driver_priority(DRIVER_PRIORITY_R10)

@@ -212,6 +212,15 @@ DEFAULT_QUERIES = [
     # docs_neardup_streaming (same harness exclusion — its per-batch math
     # is the dedup_minhash_sigs signature scan, probed at 10x/100x, plus a
     # band-keyed agg/join against the bounded band index).
+    # round-10: the perceptual-hash near-dup chain (decode + dHash is a
+    # partition-preserving linear scan; candidates are band-bucket joins —
+    # under the keyed-shuffle replication each copy's header prefix is
+    # distinct, so dup mass is the base structure replicated linearly) and
+    # the cross-snapshot incremental dedup (one band agg over each half +
+    # the band-keyed index merge/flag joins; the parquet index write/read
+    # is the operator's own persistence leg, timed as part of it).
+    "multimodal_phash_neardup",
+    "docs_neardup_incremental",
 ]
 
 # --mult 100 list (VERDICT r05 item 4): the cheap-per-row families where a
@@ -312,6 +321,12 @@ HUNDREDX_QUERIES = [
     "evt_markov_transitions",
     "text_quota_sample",
     "evt_cusum_drift",
+    # round-10: both near-dup additions are cheap-per-row (decode+dHash ~
+    # 0.2 ms/image; band joins O(near-dups)) so the 100x corpus fits the
+    # probe budget; the keyed-shuffle replication keeps header-prefix dup
+    # mass linear (distinct prefixes per copy — no C(mult,2) structure).
+    "multimodal_phash_neardup",
+    "docs_neardup_incremental",
 ]
 
 # pk stride column(s) per table; every fk shift reuses the owning pk stride.
