@@ -778,11 +778,14 @@ _SKETCH_AUDIT_MOD = 3
 # -gated boolean: the band must bracket the population median (which the
 # t-digest nails to rank ±1e-4) against the slice's own sampling noise.
 # Slice p25/p75 fail to bracket the median only if the slice's below-median
-# count deviates ≥ 0.25·n from n/2 — at n=cap=4096 that is 0.25n/(0.5√n)
-# = 0.5·√n = 32σ; even a 240-row group at sf0.001 (held slice ~80) gives
+# count deviates ≥ 0.25·n from n/2 — at n=cap=1024 that is 0.25n/(0.5√n)
+# = 0.5·√n = 16σ; even a 240-row group at sf0.001 (held slice ~80) gives
 # ~4.5σ. A p45/p55 band, by contrast, is 0.1·√n ≈ 1.8σ at n=80 — flaky by
 # construction, which is why bounding this query also widens the band.
-_SKETCH_AUDIT_CAP = 4096
+# (Cap 1024, not 4096: the grouped_topk merge step explodes ≤ cap rows per
+# (group, scan partition), so the cap is also the audit's bench cost knob —
+# 16σ is already unfalsifiable in practice.)
+_SKETCH_AUDIT_CAP = 1024
 _SKETCH_AUDIT_KEY = (
     "concat(CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING))"
 )
