@@ -1,5 +1,5 @@
 """JPEG (ITU-T T.81) codec — pure Python + numpy, no external image
-libraries. Built up rounds 6-9 (VERDICT r05 "What's missing" item 2 and
+libraries. Built up rounds 6-10 (VERDICT r05 "What's missing" item 2 and
 its successors); everything below is public T.81 knowledge.
 
 ``decode_jpeg`` format matrix (mode × entropy coding):
@@ -10,7 +10,7 @@ its successors); everything below is public T.81 knowledge.
   | extended seq. DCT, 12-bit| SOF1 — decodes (r9)  | SOF9 — decodes (r9) |
   | progressive DCT          | SOF2 — decodes (r7;  | SOF10 — decodes (r9)|
   |                          | subsampled since r9) |                     |
-  | lossless (Annex H)       | SOF3 — decodes (r9)  | SOF11 — ValueError  |
+  | lossless (Annex H)       | SOF3 — decodes (r9)  | SOF11 — decodes(r10)|
   | hierarchical             | SOF5-7/13-15 — clear ValueError, never a   |
   |                          | silent mis-decode (the PPM maxval>255 stance)|
 
@@ -27,11 +27,13 @@ selection + successive approximation incl. the G.2 AC correction-bit
 algorithm; interleaved DC scans walk MCU-padded grids, AC scans the true
 block grids). 12-bit samples ride Pq=1 16-bit quant tables, level shift
 2048, mean normalized by 4095. The QM arithmetic coder + its F.1.4.4.1 /
-G.2 statistical models live in functions/jpeg_arith.py, conformance
-pinned byte-for-byte by the T.81 §K.4 test sequence and by cross-coder
-decode equality against the Huffman fixtures. Lossless decodes all seven
-Annex H predictors at precision 2..16 with point transform and
-modulo-65536 reconstruction — exact by construction.
+G.2 / H.1.2.3 statistical models live in functions/jpeg_arith.py,
+conformance pinned byte-for-byte by the T.81 §K.4 test sequence and by
+cross-coder decode equality against the Huffman fixtures (both DCT and
+lossless modes). Lossless decodes all seven Annex H predictors at
+precision 2..16 with point transform and modulo-65536 reconstruction —
+exact by construction — under BOTH entropy layers (SOF3 Huffman, SOF11
+arithmetic with the (Da, Db)-conditioned lossless model).
 
 - ``encode_jpeg_gray_blocks`` (and the SOF-variant siblings below) are
   FIXTURE encoders in the spirit of ``encode_png``: spec-valid streams
@@ -296,10 +298,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
                     raise ValueError("truncated JPEG DHT")
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(counts, symbols)
                 off += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
             # SOF0 baseline / SOF1 extended sequential / SOF2 progressive /
             # SOF3 lossless (Huffman) / SOF9 extended sequential / SOF10
-            # progressive (arithmetic, round 9)
+            # progressive (arithmetic, round 9) / SOF11 lossless
+            # (arithmetic, round 10)
             if len(seg) < 6:
                 raise ValueError("truncated JPEG SOF header")
             prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
@@ -307,7 +310,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
                 raise ValueError("truncated JPEG SOF component list")
             if marker == 0xC0 and prec != 8:
                 raise ValueError(f"JPEG precision {prec} invalid for baseline")
-            if marker == 0xC3:
+            if marker in (0xC3, 0xCB):
                 if not 2 <= prec <= 16:  # lossless allows 2..16 (B.2.2)
                     raise ValueError(
                         f"JPEG precision {prec} invalid for lossless"
@@ -322,13 +325,14 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (height, width, comps, prec)
             progressive = marker in (0xC2, 0xCA)
-            arith = marker in (0xC9, 0xCA)
-            lossless = marker == 0xC3
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+            arith = marker in (0xC9, 0xCA, 0xCB)
+            lossless = marker in (0xC3, 0xCB)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"JPEG SOF{marker - 0xC0} unsupported; sequential "
-                "(SOF0/SOF1/SOF9), progressive (SOF2/SOF10) and lossless "
-                "(SOF3) decode are implemented"
+                f"JPEG SOF{marker - 0xC0} unsupported (hierarchical / "
+                "differential); sequential (SOF0/SOF1/SOF9), progressive "
+                "(SOF2/SOF10) and lossless (SOF3/SOF11) decode are "
+                "implemented"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning (T.81 B.2.4.3)
             if len(seg) % 2:  # 2-byte (Tc/Tb, Cs) pairs only
@@ -356,6 +360,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
             if len(seg) < 1 or len(seg) < 4 + 2 * seg[0]:
                 raise ValueError("truncated JPEG SOS header")
             if lossless:
+                if arith:
+                    return _decode_scan_lossless_arith(
+                        b, pos + seglen, seg, frame, dac_dc, restart_interval
+                    )
                 return _decode_scan_lossless(
                     b, pos + seglen, seg, frame, huff_dc, restart_interval
                 )
@@ -980,6 +988,110 @@ def _decode_scan_lossless(b, pos, seg, frame, huff_dc, restart_interval):
                     diff = 32768
                 else:
                     diff = _extend(br.receive(s), s)
+                p[y, x] = (px + diff) & 0xFFFF  # modulo 65536 (H.1.2.1)
+            fresh = False
+            mcu += 1
+    vmaxval = float((1 << prec) - 1)
+    samples = np.stack([(p << pt).astype(np.float64) for p in planes])
+    samples = np.clip(samples, 0, vmaxval)
+    _maybe_capture(samples)
+    return width, height, float(samples.mean()) / vmaxval
+
+
+def _decode_scan_lossless_arith(b, pos, seg, frame, dac_dc, restart_interval):
+    """LOSSLESS ARITHMETIC (SOF11) scan decode — the Annex H sample walk
+    of _decode_scan_lossless (same seven predictors, edge rules, point
+    transform, modulo-65536 reconstruction, restart-interval prediction
+    reset) with the entropy layer swapped for the QM coder + the H.1.2.3
+    lossless statistical model (functions/jpeg_arith.py): each difference
+    conditions on the CLASSES of both neighboring differences Da (left)
+    and Db (above), zero-classed at scan/line edges and across restart
+    boundaries (a restart resets coder, statistics, predictions AND
+    conditioning — the fixture encoder mirrors the identical rule, and
+    the exact-roundtrip property pins the pair). The scan selector's Td
+    is the DC conditioning-table id (Tc=0 DAC entries carry (L, U))."""
+    from hive_server_spark.functions import jpeg_arith as ja
+
+    height, width, comps, prec = frame
+    ncomp_scan = seg[0]
+    if ncomp_scan != len(comps):
+        raise ValueError("JPEG non-interleaved multi-scan unsupported")
+    for _, hs, vs, _ in comps:
+        if hs != 1 or vs != 1:
+            raise ValueError(
+                "lossless JPEG with subsampled components unsupported"
+            )
+    selectors = {}
+    for i in range(ncomp_scan):
+        cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+        selectors[cs] = tdta >> 4  # Td = DC conditioning table id
+    predictor = seg[1 + 2 * ncomp_scan]  # Ss = predictor selector
+    pt = seg[3 + 2 * ncomp_scan] & 0x0F  # Al = point transform
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"JPEG lossless predictor {predictor} invalid")
+    if width <= 0 or height <= 0:
+        raise ValueError("JPEG frame has empty dimensions")
+    tids = []
+    for cid, _hs, _vs, _tq in comps:
+        if cid not in selectors:
+            raise ValueError(f"JPEG scan omits frame component {cid}")
+        tids.append(selectors[cid])
+    stats = {td: ja.LosslessStats(*dac_dc.get(td, (0, 1))) for td in tids}
+    default_pred = 1 << (prec - 1 - pt)
+    planes = [np.zeros((height, width), dtype=np.int64) for _ in comps]
+    diffs = [np.zeros((height, width), dtype=np.int64) for _ in comps]
+    dec = ja.ArithDecoder(b, pos)
+    mcu = 0
+    start_mcu = 0  # first sample index of the current restart interval
+    fresh = True
+    first_line = 0
+    for y in range(height):
+        for x in range(width):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                dec.restart()
+                for st in stats.values():
+                    st.reset()
+                fresh = True
+                first_line = y
+                start_mcu = mcu
+            for ci, td in enumerate(tids):
+                p, d, st = planes[ci], diffs[ci], stats[td]
+                if fresh:
+                    px = default_pred
+                elif y == first_line:
+                    px = int(p[y, x - 1])
+                elif x == 0:
+                    px = int(p[y - 1, 0])
+                else:
+                    a = int(p[y, x - 1])
+                    bb = int(p[y - 1, x])
+                    c = int(p[y - 1, x - 1])
+                    if predictor == 1:
+                        px = a
+                    elif predictor == 2:
+                        px = bb
+                    elif predictor == 3:
+                        px = c
+                    elif predictor == 4:
+                        px = a + bb - c
+                    elif predictor == 5:
+                        px = a + ((bb - c) >> 1)
+                    elif predictor == 6:
+                        px = bb + ((a - c) >> 1)
+                    else:
+                        px = (a + bb) >> 1
+                cls_a = (
+                    st.classify5(int(d[y, x - 1]))
+                    if x > 0 and (y * width + x - 1) >= start_mcu
+                    else 0
+                )
+                cls_b = (
+                    st.classify5(int(d[y - 1, x]))
+                    if y > 0 and ((y - 1) * width + x) >= start_mcu
+                    else 0
+                )
+                diff = ja.decode_lossless_diff(dec, st, cls_a, cls_b)
+                d[y, x] = diff
                 p[y, x] = (px + diff) & 0xFFFF  # modulo 65536 (H.1.2.1)
             fresh = False
             mcu += 1
@@ -1817,5 +1929,115 @@ def encode_jpeg_lossless(
             fresh = False
             mcu += 1
     out += bw_.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_arith_lossless(
+    planes, predictor: int = 4, precision: int = 8, pt: int = 0,
+    restart_interval: int = 0, dc_cond: tuple[int, int] = (0, 1),
+) -> bytes:
+    """Spec-valid LOSSLESS ARITHMETIC (SOF11) JPEG — the
+    encode_jpeg_lossless sample walk (same predictors, edge rules, point
+    transform, mod-65536 signed residues, restart resync) with the QM
+    coder + the H.1.2.3 (Da, Db)-conditioned statistical model as the
+    entropy layer. `dc_cond` lands in the DAC segment (Tc=0 table 0), so
+    non-default conditioning bounds exercise the parse path. Mirrors
+    _decode_scan_lossless_arith exactly — decode is bit-exact for pt=0."""
+    from hive_server_spark.functions import jpeg_arith as ja
+
+    planes = [np.asarray(p, dtype=np.int64) for p in planes]
+    if len(planes) not in (1, 3):
+        raise ValueError("lossless fixture supports 1 or 3 components")
+    h, w = planes[0].shape
+    if any(p.shape != (h, w) for p in planes):
+        raise ValueError("all components must share the frame dims (1x1)")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"predictor {predictor} invalid")
+    if not 2 <= precision <= 16:
+        raise ValueError(f"precision {precision} invalid for lossless")
+    vmax = (1 << precision) - 1
+    for p in planes:
+        if p.min() < 0 or p.max() > vmax:
+            raise ValueError("sample outside precision range")
+    ncomp = len(planes)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xcb" + struct.pack(
+        ">HBHHB", 8 + 3 * ncomp, precision, h, w, ncomp
+    )
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x11, 0])  # 1x1 sampling, no quant table
+    lo, hi = dc_cond
+    out += b"\xff\xcc" + struct.pack(">H", 4) + bytes([0x00, (hi << 4) | lo])
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x00])  # Td=0 conditioning table
+    out += bytes([predictor, 0, pt & 0x0F])
+
+    shifted = [p >> pt for p in planes]
+    default_pred = 1 << (precision - 1 - pt)
+    # every component selects conditioning table 0, so they SHARE one
+    # statistics area (F.1.4.4.1.3) — matching the decoder's per-Td dict
+    st0 = ja.LosslessStats(lo, hi)
+    diffs = [np.zeros((h, w), dtype=np.int64) for _ in planes]
+    enc = ja.ArithEncoder()
+    mcu = 0
+    start_mcu = 0
+    fresh = True
+    first_line = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                out += enc.flush()
+                out += bytes([0xFF, 0xD0 + ((mcu // restart_interval) - 1) % 8])
+                enc = ja.ArithEncoder()
+                st0.reset()
+                fresh = True
+                first_line = y
+                start_mcu = mcu
+            for ci, p in enumerate(shifted):
+                d = diffs[ci]
+                if fresh:
+                    px = default_pred
+                elif y == first_line:
+                    px = int(p[y, x - 1])
+                elif x == 0:
+                    px = int(p[y - 1, 0])
+                else:
+                    a = int(p[y, x - 1])
+                    bb = int(p[y - 1, x])
+                    c = int(p[y - 1, x - 1])
+                    if predictor == 1:
+                        px = a
+                    elif predictor == 2:
+                        px = bb
+                    elif predictor == 3:
+                        px = c
+                    elif predictor == 4:
+                        px = a + bb - c
+                    elif predictor == 5:
+                        px = a + ((bb - c) >> 1)
+                    elif predictor == 6:
+                        px = bb + ((a - c) >> 1)
+                    else:
+                        px = (a + bb) >> 1
+                diff = ((int(p[y, x]) - px + 0x8000) & 0xFFFF) - 0x8000
+                cls_a = (
+                    st0.classify5(int(d[y, x - 1]))
+                    if x > 0 and (y * w + x - 1) >= start_mcu
+                    else 0
+                )
+                cls_b = (
+                    st0.classify5(int(d[y - 1, x]))
+                    if y > 0 and ((y - 1) * w + x) >= start_mcu
+                    else 0
+                )
+                ja.encode_lossless_diff(enc, st0, cls_a, cls_b, diff)
+                d[y, x] = diff
+            fresh = False
+            mcu += 1
+    out += enc.flush()
     out += b"\xff\xd9"
     return bytes(out)

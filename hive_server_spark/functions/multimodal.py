@@ -18,8 +18,9 @@ payload to be one of those formats (ValueError otherwise); strict=False
 falls back to a clearly-marked deterministic fake for payloads in formats
 that would need external codecs (video; hierarchical JPEG — Huffman
 progressive decodes for real since round 7, subsampled progressive /
-12-bit SOF1 / arithmetic SOF9+SOF10 / lossless SOF3 since round 9),
-keeping the full pipeline testable.
+12-bit SOF1 / arithmetic SOF9+SOF10 / lossless SOF3 since round 9,
+lossless-arithmetic SOF11 since round 10), keeping the full pipeline
+testable.
 `synthesize_ppm_media` builds REAL P6
 payloads with pure column expressions, `synthesize_png_media` builds REAL
 zlib-compressed PNGs of the same pixels, and `synthesize_jpeg_media`

@@ -429,6 +429,7 @@ def test_decode_error_contract_under_mutation():
         jpeg.encode_jpeg_progressive_blocks([[10, 200, 30, 99]], 2, 2),
         jpeg.encode_jpeg_arith_progressive_blocks([[10, 200, 30, 99]], 2, 2),
         jpeg.encode_jpeg_lossless([[[1, 2], [3, 4]]], restart_interval=1),
+        jpeg.encode_jpeg_arith_lossless([[[1, 2], [3, 4]]], restart_interval=1),
         jpeg.encode_jpeg_12bit_gray_blocks([1000, 3000], 2, 1),
     ]
     for seed in seeds:

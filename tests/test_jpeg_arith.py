@@ -311,13 +311,112 @@ except ImportError:  # pragma: no cover - hypothesis is baked in normally
     pass
 
 
-def test_lossless_sof_still_refused():
-    # hierarchical/lossless SOFs keep the strict-refusal stance
+def test_hierarchical_sofs_still_refused():
+    # hierarchical/differential SOFs keep the strict-refusal stance
+    # (SOF11 lossless-arithmetic decodes for real since round 10)
     payload = bytearray(jpeg.encode_jpeg_arith_gray_blocks([100], 1, 1))
     idx = payload.find(b"\xff\xc9")
-    payload[idx + 1] = 0xCB  # SOF11: lossless arithmetic
-    with pytest.raises(ValueError, match="SOF11 unsupported"):
-        jpeg.decode_jpeg(bytes(payload))
+    for sof in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
+        p = bytearray(payload)
+        p[idx + 1] = sof
+        with pytest.raises(ValueError, match=f"SOF{sof - 0xC0} unsupported"):
+            jpeg.decode_jpeg(bytes(p))
+
+
+def test_lossless_arith_roundtrip_all_predictors_and_precisions():
+    """SOF11: random sample grids through every predictor (1-7),
+    precisions 2..16, restart intervals, non-default DAC (L, U) bounds,
+    and 1/3 components — decode must reproduce the exact sample plane
+    (lossless + QM-coded residuals; the roundtrip pins encoder and
+    decoder as exact mirrors of the H.1.2.3 model)."""
+    import random
+
+    import numpy as np
+
+    from hive_server_spark.functions.jpeg import decode_jpeg_samples
+
+    rng = random.Random(11)
+    for trial in range(40):
+        h, w = rng.randrange(1, 12), rng.randrange(1, 12)
+        prec = rng.choice([2, 4, 8, 12, 16])
+        pred = rng.randrange(1, 8)
+        ri = rng.choice([0, 0, 0, 1, 3, 7])
+        cond = rng.choice([(0, 1), (0, 1), (1, 3), (0, 4)])
+        ncomp = rng.choice([1, 3])
+        vmax = (1 << prec) - 1
+        planes = [
+            np.array(
+                [[rng.randrange(vmax + 1) for _ in range(w)] for _ in range(h)]
+            )
+            for _ in range(ncomp)
+        ]
+        payload = jpeg.encode_jpeg_arith_lossless(
+            planes, predictor=pred, precision=prec, restart_interval=ri,
+            dc_cond=cond,
+        )
+        gw, gh, samples = decode_jpeg_samples(payload)
+        assert (gw, gh) == (w, h), trial
+        assert np.array_equal(samples, np.stack(planes).astype(float)), trial
+
+
+def test_lossless_arith_matches_huffman_lossless():
+    """Cross-mode equality: the same planes through SOF3 (Huffman) and
+    SOF11 (arithmetic) must decode to IDENTICAL sample planes — the
+    entropy layer cannot change a lossless reconstruction."""
+    import random
+
+    import numpy as np
+
+    from hive_server_spark.functions.jpeg import decode_jpeg_samples
+
+    rng = random.Random(23)
+    for pred in range(1, 8):
+        planes = [
+            np.array(
+                [[rng.randrange(256) for _ in range(7)] for _ in range(9)]
+            )
+        ]
+        hp = jpeg.encode_jpeg_lossless(planes, predictor=pred)
+        ap = jpeg.encode_jpeg_arith_lossless(planes, predictor=pred)
+        wh_h, hh_h, s_h = decode_jpeg_samples(hp)
+        wh_a, hh_a, s_a = decode_jpeg_samples(ap)
+        assert (wh_h, hh_h) == (wh_a, hh_a)
+        assert np.array_equal(s_h, s_a), pred
+        assert jpeg.decode_jpeg(hp) == jpeg.decode_jpeg(ap), pred
+
+
+def test_lossless_arith_point_transform_and_wraparound():
+    import numpy as np
+
+    from hive_server_spark.functions.jpeg import decode_jpeg_samples
+
+    # Pt > 0: codes v >> Pt, decoder shifts back — Pt-truncated exactly
+    samples = np.arange(64).reshape(8, 8) * 4 + 3
+    _, _, s = decode_jpeg_samples(
+        jpeg.encode_jpeg_arith_lossless([samples], precision=8, pt=2)
+    )
+    assert np.array_equal(s[0], ((samples >> 2) << 2).astype(float))
+    # mod-65536 wraparound diff (-32768) at 16-bit precision: the
+    # arithmetic model has no category-16 special — the magnitude ladder
+    # must carry Sz = 32767 (msb 0x4000) without overflow
+    wrap = np.array([[0, 32768, 0, 32768]])
+    _, _, s = decode_jpeg_samples(
+        jpeg.encode_jpeg_arith_lossless([wrap], predictor=1, precision=16)
+    )
+    assert np.array_equal(s[0], wrap.astype(float))
+
+
+def test_lossless_arith_truncation_is_deterministic():
+    """Truncation mid-scan zero-feeds (T.81 F.2.2.3) like the other
+    arithmetic modes — deterministic output, never a garbage read."""
+    import numpy as np
+
+    img = np.arange(64).reshape(8, 8) * 3 % 256
+    full = jpeg.encode_jpeg_arith_lossless([img])
+    cut = full[:-6] + b"\xff\xd9"
+    r1 = jpeg.decode_jpeg(cut)
+    r2 = jpeg.decode_jpeg(cut)
+    assert r1 == r2 and r1[0] == 8 and r1[1] == 8
 
 
 def test_truncated_arith_stream_is_deterministic():
