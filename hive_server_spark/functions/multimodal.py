@@ -437,6 +437,45 @@ def dhash_bands(media: DataFrame) -> DataFrame:
     )
 
 
+def band_candidates(bands: DataFrame, max_bucket: int | None = None) -> DataFrame:
+    """LSH candidate pairs from a wide band table (media_id, band0..3):
+    items sharing at least one 16-bit band value — modality-generic (the
+    image dHash and the audio fingerprint emit the same 4x16-bit shape). Shuffle is on the
+    (band_idx, band_val) bucket key; output is O(near-dups), never O(n²).
+
+    `max_bucket` is the adversarial-input guard, verbatim from
+    functions/text.py minhash_candidates: a bucket of b byte-identical
+    images contributes C(b,2) join rows, so pathological repetition
+    re-creates the all-pairs blowup banding exists to avoid. Buckets
+    larger than the cap are dropped — their members are (near-)identical
+    by construction and belong to an exact hash-dedup pass, which handles
+    them in O(b). None = uncapped (the parity-gate configuration)."""
+    long = bands.selectExpr(
+        "media_id",
+        "stack(4, 0L, band0, 1L, band1, 2L, band2, 3L, band3)"
+        " AS (band_idx, band_val)",
+    )
+    if max_bucket is not None:
+        small = (
+            long.groupBy("band_idx", "band_val")
+            .agg(F.count("*").alias("_b"))
+            .where(F.col("_b") <= max_bucket)
+            .select("band_idx", "band_val")
+        )
+        long = long.join(small, ["band_idx", "band_val"], "left_semi")
+    a, b = long.alias("a"), long.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(F.col("a.media_id").alias("id1"), F.col("b.media_id").alias("id2"))
+        .distinct()
+    )
+
+
 def _decode_ppm(payload: bytes) -> tuple[int, int, float] | None:
     """Pure-Python PPM decode: P6 (binary) and P3 (ascii) headers, real
     pixel math. Returns (width, height, mean_luma) or None if not PPM."""
@@ -1259,3 +1298,140 @@ def audio_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint near-dup (round 10 library, gate registration planned
+# for round 11): the audio member of the perceptual-dedup triad (text
+# MinHash, image dHash, audio frame-energy hash). The fingerprint is the
+# chromaprint-shaped "energy delta" bit vector WITHOUT the FFT leg: frame
+# the decoded PCM into fixed-length frames, per-frame energy = sum of
+# squared centered amplitudes, bit i = energy[i] < energy[i+1] — 65 frames
+# -> 64 bits, carried as the same four 16-bit bands the image dHash emits,
+# so band_candidates / Hamming verification apply verbatim. The fixture
+# synthesizer uses CONSTANT amplitude per frame (energy = N*a^2, monotone
+# in a for a >= 0), which keeps the whole decode -> energy -> bit chain in
+# closed form for a DuckDB oracle while the Spark side runs the real RIFF
+# walk + numpy energies.
+# ---------------------------------------------------------------------------
+AUDIO_FP_FRAMES = 65   # frames per fingerprint -> 64 comparison bits
+AUDIO_FP_FRAME_LEN = 32  # samples per frame
+AUDIO_FP_PREFIX_LEN = 16
+
+
+def audio_fp_amplitude(prefix: str, k: int, doc_id: int) -> int:
+    """Frame k's constant amplitude (0..127) for the fingerprint fixtures —
+    the audio twin of dhash_cell_value, same planting scheme: frame 0
+    encodes doc parity against fixed frame 1 = 50, so two docs sharing a
+    text header but differing in parity are EXACTLY Hamming distance 1;
+    frames 2.. are md5-derived (uniform bits)."""
+    import hashlib
+
+    if k == 0:
+        return 40 + 20 * (doc_id % 2)
+    if k == 1:
+        return 50
+    return int(hashlib.md5(f"{prefix}:{k}".encode()).hexdigest()[:2], 16) % 128
+
+
+def synthesize_fpwav_media(docs: DataFrame) -> DataFrame:
+    """REAL RIFF/WAVE PCM fingerprint fixtures: 8-bit unsigned mono,
+    AUDIO_FP_FRAMES x AUDIO_FP_FRAME_LEN samples, frame k constant at
+    128 + audio_fp_amplitude(header, k, doc_id) — sample bytes sit in the
+    positive half so centered energy is monotone in the amplitude and the
+    oracle stays closed-form. Keyed on the first AUDIO_FP_PREFIX_LEN
+    characters of the text (the doc-header scheme the image dHash fixtures
+    use)."""
+    import struct as _struct
+
+    n_samples = AUDIO_FP_FRAMES * AUDIO_FP_FRAME_LEN
+    header = (
+        b"RIFF" + _struct.pack("<I", 36 + n_samples) + b"WAVE"
+        + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, 16000, 16000, 1, 8)
+        + b"data" + _struct.pack("<I", n_samples)
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                prefix = (text or "")[:AUDIO_FP_PREFIX_LEN]
+                data = bytearray()
+                for k in range(AUDIO_FP_FRAMES):
+                    a = audio_fp_amplitude(prefix, k, doc_id)
+                    data += bytes([128 + a]) * AUDIO_FP_FRAME_LEN
+                ids.append(doc_id)
+                payloads.append(header + bytes(data))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "audio",
+                    "payload": payloads,
+                    "meta": [
+                        {"declared_format": "audio/wav", "n_bytes": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def audio_fingerprint_bands(
+    media: DataFrame, frame_len: int = AUDIO_FP_FRAME_LEN
+) -> DataFrame:
+    """Per-clip 64-bit frame-energy fingerprint over DECODED PCM, as four
+    16-bit bands: real RIFF/WAVE parse (_wav_parse — 8/16-bit, channels
+    averaged to mono), frames of `frame_len` samples, per-frame energy =
+    sum of squared centered amplitudes in float64, bit i =
+    energy[i] < energy[i+1] for the first AUDIO_FP_FRAMES frames, band
+    j = bits 16j..16j+15 (local shift bit%16 — identical packing to
+    dhash_bands, so band_candidates applies). Clips shorter than
+    AUDIO_FP_FRAMES full frames raise the codec ValueError contract.
+    Partition-preserving mapInPandas; 5 small integers per clip leave
+    Python."""
+    import numpy as np
+
+    nbits = AUDIO_FP_FRAMES - 1
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bands = [], [[], [], [], []]
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                parsed = _wav_parse(bytes(payload))
+                if parsed is None:
+                    raise ValueError(f"media {media_id}: not a RIFF/WAVE payload")
+                rate, n_channels, bits, block_align, data = parsed
+                if bits == 8:
+                    s = np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+                else:
+                    s = np.frombuffer(
+                        data[: len(data) // 2 * 2], dtype="<i2"
+                    ).astype(np.float64)
+                if n_channels > 1:  # average interleaved channels to mono
+                    s = s[: len(s) // n_channels * n_channels]
+                    s = s.reshape(-1, n_channels).mean(axis=1)
+                need = AUDIO_FP_FRAMES * frame_len
+                if len(s) < need:
+                    raise ValueError(
+                        f"media {media_id}: {len(s)} samples < {need} needed "
+                        f"for a {AUDIO_FP_FRAMES}-frame fingerprint"
+                    )
+                e = (s[:need].reshape(AUDIO_FP_FRAMES, frame_len) ** 2).sum(axis=1)
+                vals = [0, 0, 0, 0]
+                for g in np.nonzero(e[:-1] < e[1:])[0][:nbits]:
+                    vals[g // 16] |= 1 << int(g % 16)
+                ids.append(media_id)
+                for j in range(4):
+                    bands[j].append(vals[j])
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "band0": bands[0],
+                    "band1": bands[1],
+                    "band2": bands[2],
+                    "band3": bands[3],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=DHASH_SCHEMA)

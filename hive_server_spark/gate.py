@@ -1061,6 +1061,9 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 # queries, (2) the remaining 43 r07-green names in registration order
 # (orders_scd2_versions, amount_out_buy, ...), (3) the 47 r08 names,
 # (4) r09. Budget registrations ≤ 7 or the r07 tail spills a round.
+# One registration is already staged: multimodal_audio_fp_neardup
+# (plans/multimodal_pack.py — oracle written, Spark-vs-DuckDB parity
+# pinned by tests on crafted + sf corpora; flip the commented @register).
 # ---------------------------------------------------------------------------
 from hive_server_spark.registry import set_driver_priority  # noqa: E402
 

@@ -721,9 +721,10 @@ def multimodal_jpeg_progressive_profile(spark: SparkSession, sf_dir: str) -> Dat
 # DuckDB oracle, and cell 0's parity encoding plants Hamming-distance-1
 # near-duplicates between same-header docs of opposite parity.
 # Adversarial-bucket guard at scale: a bucket of b identical images costs
-# C(b,2) candidate rows — the minhash max_bucket cap applies verbatim
-# (route byte-identical payloads through exact hash-dedup first); the gate
-# configuration runs uncapped, like the text LSH parity queries.
+# C(b,2) candidate rows — band_candidates carries the minhash max_bucket
+# cap (functions/multimodal.py; route byte-identical payloads through
+# exact hash-dedup first); the gate configuration runs uncapped, like the
+# text LSH parity queries.
 # ---------------------------------------------------------------------------
 from hive_server_spark.session_cache import (  # noqa: E402
     SessionCache,
@@ -820,24 +821,10 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-gated against the closed-form oracle (exact decode ⇒ exact
     expected hashes)."""
     bands_wide = _dhash_band_table(spark, sf_dir)
-    long = bands_wide.selectExpr(
-        "media_id",
-        "stack(4, 0L, band0, 1L, band1, 2L, band2, 3L, band3)"
-        " AS (band_idx, band_val)",
-    )
-    a, b = long.alias("a"), long.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .select(
-            F.col("a.media_id").alias("id1"), F.col("b.media_id").alias("id2")
-        )
-        .distinct()
-    )
+    # max_bucket=None is the parity-gate configuration (same stance as
+    # dedup_minhash_candidates); production sets the cap and routes
+    # byte-identical payloads through exact hash-dedup first
+    cand = M.band_candidates(bands_wide, max_bucket=None)
     w1 = bands_wide.select(
         F.col("media_id").alias("id1"),
         *[F.col(f"band{i}").alias(f"a{i}") for i in range(4)],
@@ -862,3 +849,125 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("hd"), F.lit(0)).cast("bigint").alias("sum_hamming"),
     )
     return imgs.crossJoin(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint near-dup (round 10 library; REGISTRATION DEFERRED TO
+# ROUND 11 — the round-10 driver window is exactly full per the rotation
+# note in gate.py, and a query registered outside the window would sit
+# unchecked, which tests/test_rotation.py forbids). The audio member of
+# the perceptual-dedup triad: real WAV decode -> frame energies -> 64-bit
+# fingerprint as four 16-bit bands -> band_candidates -> Hamming verify on
+# candidates only. Same summary-row shape and closed-form-oracle scheme as
+# multimodal_phash_neardup; full Spark-vs-DuckDB parity is ALREADY pinned
+# by tests/test_multimodal.py on crafted and sf corpora, so round 11 flips
+# one @register line.
+# ---------------------------------------------------------------------------
+_AUDIO_FP_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, COALESCE(substr(text, 1, {M.AUDIO_FP_PREFIX_LEN}), '') AS p
+  FROM documents
+),
+framek AS (
+  SELECT doc_id, p, unnest(range(0, {M.AUDIO_FP_FRAMES})) AS k FROM d
+),
+amp AS (
+  SELECT doc_id, k,
+         CASE WHEN k = 0 THEN 40 + 20 * (doc_id % 2)
+              WHEN k = 1 THEN 50
+              ELSE ('0x' || substr(md5(p || ':' || CAST(k AS VARCHAR)), 1, 2))::BIGINT % 128
+         END AS a
+  FROM framek
+),
+bit AS (
+  SELECT x.doc_id, x.k AS g
+  FROM amp x JOIN amp y ON x.doc_id = y.doc_id AND y.k = x.k + 1
+  WHERE x.a < y.a
+),
+bgrid AS (SELECT doc_id, unnest(range(0, 4)) AS band_idx FROM d),
+bsum AS (
+  SELECT doc_id, g // 16 AS band_idx,
+         CAST(SUM(1 << CAST(g % 16 AS INTEGER)) AS BIGINT) AS band_val
+  FROM bit GROUP BY doc_id, g // 16
+),
+bands AS (
+  SELECT bg.doc_id, bg.band_idx, COALESCE(bs.band_val, 0) AS band_val
+  FROM bgrid bg LEFT JOIN bsum bs USING (doc_id, band_idx)
+),
+wide AS (
+  SELECT doc_id,
+         MAX(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+         MAX(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+         MAX(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+         MAX(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+  FROM bands GROUP BY doc_id
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT c.id1, c.id2,
+         bit_count(xor(w1.b0, w2.b0)) + bit_count(xor(w1.b1, w2.b1))
+       + bit_count(xor(w1.b2, w2.b2)) + bit_count(xor(w1.b3, w2.b3)) AS hd
+  FROM cand c
+  JOIN wide w1 ON c.id1 = w1.doc_id
+  JOIN wide w2 ON c.id2 = w2.doc_id
+)
+SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_clips,
+       CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+       CAST(COALESCE(SUM(CASE WHEN hd = 0 THEN 1 END), 0) AS BIGINT)
+         AS n_exact_pairs,
+       CAST(COALESCE(SUM(CASE WHEN hd BETWEEN 1 AND 2 THEN 1 END), 0) AS BIGINT)
+         AS n_neardup_pairs,
+       CAST(COALESCE(SUM(hd), 0) AS BIGINT) AS sum_hamming
+FROM ham
+"""
+
+
+def _audio_fp_band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip fingerprint band table, decoded ONCE per (session, sf_dir)
+    — the audio twin of _dhash_band_table, same cache."""
+    return _DHASH_CACHE.get_or_create(
+        spark,
+        ("audiofp", sf_dir),
+        lambda: M.audio_fingerprint_bands(
+            M.synthesize_fpwav_media(_docs_wide(spark, sf_dir))
+        ).persist(),
+    )
+
+
+# round 11: @register("multimodal_audio_fp_neardup", _AUDIO_FP_ORACLE)
+def multimodal_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup report: real WAV decode -> frame-energy fingerprint
+    bands -> banded LSH candidates -> Hamming verify on candidates only.
+    Single summary row, value-parity vs the closed-form oracle pinned by
+    tests (constant frames decode exactly; energy monotone in amplitude)."""
+    bands_wide = _audio_fp_band_table(spark, sf_dir)
+    cand = M.band_candidates(bands_wide, max_bucket=None)
+    w1 = bands_wide.select(
+        F.col("media_id").alias("id1"),
+        *[F.col(f"band{i}").alias(f"a{i}") for i in range(4)],
+    )
+    w2 = bands_wide.select(
+        F.col("media_id").alias("id2"),
+        *[F.col(f"band{i}").alias(f"b{i}") for i in range(4)],
+    )
+    hd = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}"))) for i in range(4)
+    )
+    ham = cand.join(w1, "id1").join(w2, "id2").withColumn("hd", hd)
+    clips = bands_wide.agg(F.count("*").cast("bigint").alias("n_clips"))
+    pairs = ham.agg(
+        F.count("*").cast("bigint").alias("n_candidate_pairs"),
+        F.coalesce(F.sum(F.when(F.col("hd") == 0, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n_exact_pairs"),
+        F.coalesce(F.sum(F.when(F.col("hd").between(1, 2), 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n_neardup_pairs"),
+        F.coalesce(F.sum("hd"), F.lit(0)).cast("bigint").alias("sum_hamming"),
+    )
+    return clips.crossJoin(pairs)

@@ -644,3 +644,176 @@ def test_phash_neardup_planted_duplicates(spark, tmp_path):
     assert r.n_exact_pairs == 1
     assert r.n_neardup_pairs == 2
     assert r.sum_hamming == 2
+
+
+def test_dhash_bands_match_closed_form_on_random_blocks(spark):
+    """Property: for ANY 72-value block grid (not just the fixture
+    derivation), encode -> real JPEG decode -> grid means -> dHash must
+    equal the closed form computed directly on the block values (constant
+    blocks decode exactly). Pins the row-major bit layout and the 16-bit
+    band packing against regressions in either the decoder or the
+    hasher."""
+    import random
+
+    import pandas as pd
+
+    from hive_server_spark.functions.jpeg import encode_jpeg_gray_blocks
+    from hive_server_spark.functions.multimodal import (
+        DHASH_SCHEMA,
+        dhash_bands,
+    )
+
+    rng = random.Random(1042)
+    rows = []
+    for media_id in range(12):
+        vals = [rng.randrange(0, 256) for _ in range(72)]
+        rows.append((media_id, vals, encode_jpeg_gray_blocks(vals, 9, 8)))
+
+    def closed_form(vals):
+        bands = [0, 0, 0, 0]
+        for r in range(8):
+            for c in range(8):
+                if vals[r * 9 + c] < vals[r * 9 + c + 1]:
+                    g = r * 8 + c
+                    bands[g // 16] |= 1 << (g % 16)
+        return tuple(bands)
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [r[0] for r in rows],
+                "payload": [r[2] for r in rows],
+            }
+        )
+    )
+    got = {
+        r.media_id: (r.band0, r.band1, r.band2, r.band3)
+        for r in dhash_bands(media).collect()
+    }
+    assert got == {m: closed_form(v) for m, v, _ in rows}
+    assert list(DHASH_SCHEMA.fieldNames()) == [
+        "media_id", "band0", "band1", "band2", "band3",
+    ]
+
+
+def test_band_candidates_max_bucket_guard(spark):
+    """The adversarial-input cap: a band bucket holding more than
+    max_bucket images is dropped from candidate generation (its members
+    belong to exact hash-dedup), while small buckets keep pairing —
+    verbatim the minhash_candidates contract."""
+    import pandas as pd
+
+    from hive_server_spark.functions.multimodal import band_candidates
+
+    # 6 identical hash rows (ids 0..5) + one small pair (10, 11)
+    rows = [(i, 1, 2, 3, 4) for i in range(6)]
+    rows += [(10, 9, 9, 9, 9), (11, 9, 8, 8, 8)]  # share band0 only
+    bands = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "band0", "band1", "band2", "band3"])
+    )
+    uncapped = {tuple(r) for r in band_candidates(bands).collect()}
+    assert (10, 11) in uncapped and (0, 1) in uncapped
+    assert len(uncapped) == 15 + 1  # C(6,2) + the small pair
+    capped = {tuple(r) for r in band_candidates(bands, max_bucket=4).collect()}
+    assert capped == {(10, 11)}  # the size-6 buckets are dropped
+
+
+def test_audio_fp_bands_match_closed_form(spark):
+    """Property: the real WAV decode -> frame-energy -> bit -> band chain
+    must equal the closed form on the frame amplitudes (constant frames
+    decode exactly; energy is monotone in amplitude on the positive
+    half). Uses the fixture synthesizer over a crafted corpus."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_server_spark.functions.multimodal import (
+        AUDIO_FP_FRAMES,
+        AUDIO_FP_PREFIX_LEN,
+        audio_fingerprint_bands,
+        audio_fp_amplitude,
+        synthesize_fpwav_media,
+    )
+
+    texts = [
+        (10, "shared audio header text for a trio"),
+        (12, "shared audio header text for a trio"),   # same parity: d=0
+        (13, "shared audio header text for a trio"),   # odd parity:  d=1
+        (20, "a different audio header entirely"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts], "doc_id long, text string"
+    )
+    got = {
+        r.media_id: (r.band0, r.band1, r.band2, r.band3)
+        for r in audio_fingerprint_bands(synthesize_fpwav_media(df)).collect()
+    }
+
+    def closed(doc_id, text):
+        p = text[:AUDIO_FP_PREFIX_LEN]
+        a = [audio_fp_amplitude(p, k, doc_id) for k in range(AUDIO_FP_FRAMES)]
+        vals = [0, 0, 0, 0]
+        for g in range(AUDIO_FP_FRAMES - 1):
+            if a[g] < a[g + 1]:
+                vals[g // 16] |= 1 << (g % 16)
+        return tuple(vals)
+
+    assert got == {i: closed(i, t) for i, t in texts}
+    assert got[10] == got[12]
+    hd = sum(bin(x ^ y).count("1") for x, y in zip(got[10], got[13]))
+    assert hd == 1  # the planted parity bit
+
+
+def test_audio_fp_neardup_oracle_parity(spark, tmp_path):
+    """Full Spark-vs-DuckDB parity of the (round-11-deferred) audio
+    fingerprint near-dup query over a crafted corpus AND the sf0.001
+    corpus — so the round-11 registration is a one-line flip with the
+    parity already proven."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_server_spark.plans.multimodal_pack import (
+        _AUDIO_FP_ORACLE,
+        multimodal_audio_fp_neardup,
+    )
+    from tests.conftest import SF_SMALL
+    from tests.test_gate_parity import _rowset
+
+    rows = [
+        (0, "alpha header for the audio dedup test"),
+        (2, "alpha header for the audio dedup test"),
+        (3, "alpha header for the audio dedup test"),
+        (7, "beta header, unrelated to the others"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["t"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    for sf_dir in (str(tmp_path), SF_SMALL):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        oracle = con.execute(_AUDIO_FP_ORACLE)
+        o_cols = [d[0] for d in oracle.description]
+        o_rows = oracle.fetchall()
+        sdf = multimodal_audio_fp_neardup(spark, sf_dir)
+        s_rows = [tuple(r) for r in sdf.collect()]
+        assert len(s_rows) == len(o_rows) == 1, sf_dir
+        assert _rowset(sdf.columns, s_rows) == _rowset(o_cols, o_rows), sf_dir
+    # crafted corpus: pairs (0,2) d=0, (0,3)/(2,3) d=1; 7 is a singleton
+    crafted = multimodal_audio_fp_neardup(spark, str(tmp_path)).collect()[0]
+    assert crafted.n_clips == 4
+    assert crafted.n_candidate_pairs == 3
+    assert crafted.n_exact_pairs == 1
+    assert crafted.n_neardup_pairs == 2

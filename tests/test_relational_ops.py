@@ -215,3 +215,30 @@ def test_approx_sketches_empty_slice_yields_no_audit_claim(spark, tmp_path):
     assert len(out) == 3
     for r in out:
         assert r.pctl_within_bound is True
+
+
+def test_capped_heldout_is_partition_layout_independent(spark):
+    """The policy's determinism claim at 1000 executors: the capped
+    held-out slice must be IDENTICAL under any partitioning of the input
+    (the hash-mod predicate is per-row, and grouped_topk's local heads
+    are supersets of the true top-cap under the (draw_key, key) total
+    order). Run the same slice at 1, 7, and 32 partitions and demand
+    row-set equality, with a cap small enough to bind."""
+    from hive_server_spark.operators.heldout import capped_heldout
+
+    df = spark.range(0, 5000).selectExpr(
+        "id AS doc_id",
+        "CAST(id % 7 AS STRING) AS grp",
+        "CAST((id * 37) % 1000 AS DOUBLE) / 8.0 AS val",
+    )
+    outs = []
+    for n in (1, 7, 32):
+        sliced = capped_heldout(
+            df.repartition(n), "grp", "val", "layout42", 3, 50, key="doc_id"
+        )
+        outs.append(sorted(tuple(r) for r in sliced.collect()))
+    assert outs[0] == outs[1] == outs[2]
+    # the cap really bound (each group has ~238 held rows > 50)
+    from collections import Counter
+    per_group = Counter(r[0] for r in outs[0])
+    assert all(c == 50 for c in per_group.values())
