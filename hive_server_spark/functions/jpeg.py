@@ -237,7 +237,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
     progressive = False
     arith = False
     lossless = False
+    differential = False
     coef = None  # progressive coefficient store, created at first SOS
+    hier = None  # hierarchical (DHP) frame header; decode spans frames
+    refs: dict[int, np.ndarray] = {}  # hierarchical reference components
+    pending_exp = (0, 0)  # EXP expansion flags for the next frame
     pos = 2
     while pos < len(b):
         if b[pos] != 0xFF:
@@ -251,6 +255,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
             raise ValueError("truncated JPEG marker")
         pos += 2
         if marker == 0xD9:  # EOI
+            if hier is not None:
+                if not refs:
+                    raise ValueError("JPEG EOI before scan data")
+                return _finish_hier(refs, hier)
             if progressive and coef is not None:
                 # progressive image complete: reconstruct from the
                 # accumulated coefficients
@@ -298,11 +306,16 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
                     raise ValueError("truncated JPEG DHT")
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(counts, symbols)
                 off += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
+        elif marker in (
+            0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB,  # non-differential
+            0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF,  # differential (round 10)
+            0xDE,  # DHP: hierarchical progression header, same syntax
+        ):
             # SOF0 baseline / SOF1 extended sequential / SOF2 progressive /
             # SOF3 lossless (Huffman) / SOF9 extended sequential / SOF10
             # progressive (arithmetic, round 9) / SOF11 lossless
-            # (arithmetic, round 10)
+            # (arithmetic, round 10) / SOF5-7 + SOF13-15 differential
+            # frames inside a DHP hierarchical sequence (round 10)
             if len(seg) < 6:
                 raise ValueError("truncated JPEG SOF header")
             prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
@@ -310,7 +323,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
                 raise ValueError("truncated JPEG SOF component list")
             if marker == 0xC0 and prec != 8:
                 raise ValueError(f"JPEG precision {prec} invalid for baseline")
-            if marker in (0xC3, 0xCB):
+            if marker in (0xC3, 0xCB, 0xC7, 0xCF, 0xDE):
                 if not 2 <= prec <= 16:  # lossless allows 2..16 (B.2.2)
                     raise ValueError(
                         f"JPEG precision {prec} invalid for lossless"
@@ -323,17 +336,23 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
             for i in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            frame = (height, width, comps, prec)
-            progressive = marker in (0xC2, 0xCA)
-            arith = marker in (0xC9, 0xCA, 0xCB)
-            lossless = marker in (0xC3, 0xCB)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
-            raise ValueError(
-                f"JPEG SOF{marker - 0xC0} unsupported (hierarchical / "
-                "differential); sequential (SOF0/SOF1/SOF9), progressive "
-                "(SOF2/SOF10) and lossless (SOF3/SOF11) decode are "
-                "implemented"
-            )
+            if marker == 0xDE:
+                if hier is not None:
+                    raise ValueError("JPEG has multiple DHP headers")
+                if frame is not None:
+                    raise ValueError("JPEG DHP after a frame header")
+                hier = (height, width, comps, prec)
+            else:
+                frame = (height, width, comps, prec)
+                progressive = marker in (0xC2, 0xCA, 0xC6, 0xCE)
+                arith = marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+                lossless = marker in (0xC3, 0xCB, 0xC7, 0xCF)
+                differential = marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF)
+                if differential and hier is None:
+                    raise ValueError(
+                        f"JPEG SOF{marker - 0xC0} differential frame outside "
+                        "a hierarchical (DHP) sequence"
+                    )
         elif marker == 0xCC:  # DAC: arithmetic conditioning (T.81 B.2.4.3)
             if len(seg) % 2:  # 2-byte (Tc/Tb, Cs) pairs only
                 raise ValueError("truncated JPEG DAC")
@@ -352,6 +371,15 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
             if len(seg) < 2:
                 raise ValueError("truncated JPEG DRI")
             restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDF:  # EXP: expand reference components (B.3.3)
+            if hier is None:
+                raise ValueError("JPEG EXP marker outside a hierarchical sequence")
+            if len(seg) < 1:
+                raise ValueError("truncated JPEG EXP")
+            eh, ev = seg[0] >> 4, seg[0] & 0x0F
+            if eh not in (0, 1) or ev not in (0, 1):
+                raise ValueError(f"JPEG EXP flags {eh}/{ev} invalid (must be 0 or 1)")
+            pending_exp = (eh, ev)
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
@@ -359,6 +387,33 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
             # seg must be a ValueError, never an IndexError in a parser
             if len(seg) < 1 or len(seg) < 4 + 2 * seg[0]:
                 raise ValueError("truncated JPEG SOS header")
+            if hier is not None:
+                # hierarchical sequence (round 10): decode this frame's
+                # scan to planes, fold into the reference store, and keep
+                # walking — the image completes at EOI
+                if progressive or lossless or arith:
+                    raise ValueError(
+                        "JPEG hierarchical frames decode for sequential-DCT "
+                        "Huffman coding (SOF0/1 + SOF5); differential "
+                        "progressive/lossless/arithmetic frames are "
+                        "unsupported"
+                    )
+                if pending_exp != (0, 0) and not differential:
+                    raise ValueError(
+                        "JPEG EXP must precede a differential frame"
+                    )
+                planes, end = _decode_scan_planes(
+                    b, pos + seglen, seg, frame, qt, huff_dc, huff_ac,
+                    restart_interval, differential,
+                )
+                _hier_merge(
+                    refs, frame, planes, differential, pending_exp,
+                    level_shift=1 << (frame[3] - 1),
+                )
+                pending_exp = (0, 0)
+                frame = None
+                pos = end
+                continue  # pos points at the next marker's 0xFF
             if lossless:
                 if arith:
                     return _decode_scan_lossless_arith(
@@ -748,13 +803,22 @@ def _finish_planes(planes, frame):
     height, width, comps, prec = frame
     hmax = max(hs for _, hs, _, _ in comps)
     vmax = max(vs for _, _, vs, _ in comps)
-    half, vmaxval = float(1 << (prec - 1)), float((1 << prec) - 1)
+    half = float(1 << (prec - 1))
     out = []
     for (cid, hs, vs, tq), p in zip(comps, planes):
         cw = -(-width * hs // hmax)
         ch = -(-height * vs // vmax)
         p = p[:ch, :cw] + half
         out.append(_upsample_to_frame(p, hs, vs, hmax, vmax, width, height))
+    return _color_and_contract(out, frame)
+
+
+def _color_and_contract(out, frame):
+    """Shared output tail over frame-resolution ABSOLUTE-sample planes:
+    BT.601 color conversion for 3-component scans (chroma centered at
+    half = 2^(P-1)), clip, and the (width, height, mean/maxval) contract."""
+    height, width, comps, prec = frame
+    half, vmaxval = float(1 << (prec - 1)), float((1 << prec) - 1)
     if len(out) == 3:
         y, cb, cr = out
         r = y + 1.402 * (cr - half)
@@ -766,6 +830,93 @@ def _finish_planes(planes, frame):
     samples = np.clip(np.rint(samples), 0, vmaxval)
     _maybe_capture(samples)
     return width, height, float(samples.mean()) / vmaxval
+
+
+def _exp_expand(ref, eh: int, ev: int):
+    """T.81 J.1.1.2 reference-component expansion by 2, horizontally when
+    ``eh`` and/or vertically when ``ev``: even outputs copy the input
+    sample, odd outputs are the rounded mean floor((a+b+1)/2) of the two
+    neighbors; the trailing odd output replicates the edge sample (its
+    right/bottom neighbor does not exist, and floor((2a+1)/2) = a)."""
+    out = ref
+    if eh:
+        nxt = np.concatenate([out[:, 1:], out[:, -1:]], axis=1)
+        odd = (out + nxt + 1) // 2
+        wide = np.empty((out.shape[0], out.shape[1] * 2), dtype=out.dtype)
+        wide[:, 0::2] = out
+        wide[:, 1::2] = odd
+        out = wide
+    if ev:
+        nxt = np.concatenate([out[1:, :], out[-1:, :]], axis=0)
+        odd = (out + nxt + 1) // 2
+        tall = np.empty((out.shape[0] * 2, out.shape[1]), dtype=out.dtype)
+        tall[0::2, :] = out
+        tall[1::2, :] = odd
+        out = tall
+    return out
+
+
+def _hier_merge(refs, frame, planes, differential, pending_exp, level_shift):
+    """Fold one decoded hierarchical frame into the per-component reference
+    store (T.81 J.1): non-differential frames REPLACE the reference with
+    the rounded samples (+ level shift for DCT frames); differential
+    frames ADD the rounded differences to the (EXP-expanded) reference,
+    modulo 2^16."""
+    height, width, comps, prec = frame
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    for (cid, hs, vs, tq), p in zip(comps, planes):
+        cw = -(-width * hs // hmax)
+        ch = -(-height * vs // vmax)
+        vals = np.rint(np.asarray(p, dtype=np.float64)[:ch, :cw]).astype(np.int64)
+        if not differential:
+            refs[cid] = (vals + level_shift) % 65536
+            continue
+        if cid not in refs:
+            raise ValueError(
+                f"JPEG differential frame for undecoded component {cid}"
+            )
+        ref = refs[cid]
+        eh, ev = pending_exp
+        if eh or ev:
+            ref = _exp_expand(ref, eh, ev)
+        if ref.shape[0] < ch or ref.shape[1] < cw:
+            raise ValueError(
+                "JPEG differential frame larger than its (expanded) reference"
+            )
+        refs[cid] = (ref[:ch, :cw] + vals) % 65536  # J.1: modulo 2^16
+
+
+def _finish_hier(refs, hier):
+    """Assemble the hierarchical output at the DHP resolution: clip each
+    final reference component to [0, 2^P-1] and run the shared
+    upsample/color/contract tail."""
+    height, width, comps, prec = hier
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    maxval = (1 << prec) - 1
+    out = []
+    for cid, hs, vs, tq in comps:
+        if cid not in refs:
+            raise ValueError(
+                f"JPEG hierarchical sequence ended before component {cid} was coded"
+            )
+        cw = -(-width * hs // hmax)
+        ch = -(-height * vs // vmax)
+        p = refs[cid]
+        if p.shape != (ch, cw):
+            raise ValueError(
+                "JPEG hierarchical final component resolution "
+                f"{p.shape[1]}x{p.shape[0]} does not match the DHP frame "
+                f"({cw}x{ch})"
+            )
+        out.append(
+            _upsample_to_frame(
+                np.clip(p, 0, maxval).astype(np.float64),
+                hs, vs, hmax, vmax, width, height,
+            )
+        )
+    return _color_and_contract(out, hier)
 
 
 def _reconstruct_progressive(frame, qt, coef):
@@ -787,7 +938,38 @@ def _reconstruct_progressive(frame, qt, coef):
     return _finish_planes(planes, frame)
 
 
+def _find_next_marker(b: bytes, pos: int) -> int:
+    """Position of the next real marker at/after ``pos``: 0xFF followed by
+    a code that is neither 0x00 (stuffed data byte) nor another fill 0xFF;
+    RSTn markers are skipped (they belong to the entropy stream)."""
+    while pos + 1 < len(b):
+        if b[pos] == 0xFF and b[pos + 1] not in (0x00, 0xFF):
+            if 0xD0 <= b[pos + 1] <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    raise ValueError("JPEG entropy stream ended without a terminating marker")
+
+
 def _decode_scan(b, pos, seg, frame, qt, huff_dc, huff_ac, restart_interval):
+    planes, _end = _decode_scan_planes(
+        b, pos, seg, frame, qt, huff_dc, huff_ac, restart_interval
+    )
+    return _finish_planes(planes, frame)
+
+
+def _decode_scan_planes(
+    b, pos, seg, frame, qt, huff_dc, huff_ac, restart_interval,
+    differential=False,
+):
+    """Sequential-DCT scan body shared by the one-shot decode path and the
+    hierarchical controller: returns (planes, end_pos) where planes are the
+    MCU-padded per-component sample arrays BEFORE level shift (differential
+    frames never get one — T.81 J.1) and end_pos is the byte offset of the
+    marker that terminated the scan. ``differential=True`` decodes each DC
+    value directly (F.1.1.5.1: the DC prediction is always zero in
+    differential frames)."""
     height, width, comps, prec = frame
     ncomp_scan = seg[0]
     if ncomp_scan != len(comps):
@@ -841,8 +1023,11 @@ def _decode_scan(b, pos, seg, frame, qt, huff_dc, huff_ac, restart_interval):
                         coeffs = np.zeros((8, 8), dtype=np.float64)
                         s = huff_dc[td].decode(br)
                         diff = _extend(br.receive(s), s)
-                        preds[ci] += diff
-                        coeffs[0, 0] = preds[ci]
+                        if differential:
+                            coeffs[0, 0] = diff  # PRED = 0 (F.1.1.5.1)
+                        else:
+                            preds[ci] += diff
+                            coeffs[0, 0] = preds[ci]
                         k = 1
                         while k < 64:
                             rs = huff_ac[ta].decode(br)
@@ -861,7 +1046,11 @@ def _decode_scan(b, pos, seg, frame, qt, huff_dc, huff_ac, restart_interval):
                         by, bx = my * vs + v, mx * hs + h2
                         planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
             mcu += 1
-    return _finish_planes(planes, frame)
+    if br.seen_marker is not None:
+        end = br.pos - 2
+    else:
+        end = _find_next_marker(b, br.pos)
+    return planes, end
 
 
 def _parse_scan_header(seg, comps):
@@ -1379,6 +1568,80 @@ def encode_jpeg_12bit_gray_blocks(
             bw_.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
         bw_.write(0b00, 2)  # EOB
     out += bw_.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _hier_seq_frame_bytes(
+    sof_marker: int, vals, blocks_w: int, blocks_h: int,
+    restart_interval: int, differential: bool,
+) -> bytes:
+    """One single-component sequential-DCT frame (SOF header + SOS +
+    DC-only entropy data) for the hierarchical fixture encoder. In a
+    differential frame each value IS the quantized DC coefficient (signed;
+    PRED is zero per F.1.1.5.1); in a non-differential frame values are
+    pixel levels 0..255 with the usual DC prediction chain."""
+    if len(vals) != blocks_w * blocks_h:
+        raise ValueError("block value count != block grid")
+    out = bytearray()
+    out += bytes([0xFF, sof_marker])
+    out += struct.pack(">HBHHB", 11, 8, 8 * blocks_h, 8 * blocks_w, 1)
+    out += bytes([1, 0x11, 0])
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    w = _BitWriter()
+    pred = 0
+    for mcu, v in enumerate(vals):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            out += w.flush()
+            out += bytes([0xFF, 0xD0 + ((mcu // restart_interval) - 1) % 8])
+            w = _BitWriter()
+            pred = 0
+        if differential:
+            _write_dc_diff(w, int(v))
+            w.write(0b00, 2)  # EOB
+        else:
+            pred = _encode_dc_block(w, v, pred)
+    out += w.flush()
+    return bytes(out)
+
+
+def encode_jpeg_hierarchical_gray(
+    base_values, blocks_w: int, blocks_h: int, stages, restart_interval: int = 0
+) -> bytes:
+    """Spec-valid HIERARCHICAL grayscale JPEG (T.81 Annex J): DHP header at
+    the final resolution, a non-differential SOF0 base frame of constant
+    ``blocks_w``x``blocks_h`` blocks, then per stage an optional EXP
+    doubling followed by an SOF5 differential frame whose constant blocks
+    ADD the stage's diff values. ``stages`` is a list of
+    (eh, ev, diff_values): eh/ev in {0, 1} double the width/height, and
+    diff_values is row-major over the stage's NEW block grid with each
+    entry the exact signed per-pixel difference (DC-only blocks with the
+    DC quantizer of 8 make every frame decode-exact, so the whole
+    hierarchical reconstruction is closed-form)."""
+    fw, fh = blocks_w, blocks_h
+    for eh, ev, _ in stages:
+        fw *= 2 if eh else 1
+        fh *= 2 if ev else 1
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + _ENC_QUANT_ZIGZAG
+    # DHP: frame-header syntax at the FINAL resolution (B.3.2)
+    out += b"\xff\xde" + struct.pack(">HBHHB", 11, 8, 8 * fh, 8 * fw, 1)
+    out += bytes([1, 0x11, 0])
+    dht = bytes([0x00]) + bytes(_ENC_DC_COUNTS) + _ENC_DC_SYMBOLS
+    dht += bytes([0x10]) + bytes(_ENC_AC_COUNTS) + _ENC_AC_SYMBOLS
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += _hier_seq_frame_bytes(
+        0xC0, base_values, blocks_w, blocks_h, restart_interval, False
+    )
+    gw, gh = blocks_w, blocks_h
+    for eh, ev, diffs in stages:
+        if eh or ev:
+            out += b"\xff\xdf" + struct.pack(">HB", 3, (eh << 4) | ev)
+            gw *= 2 if eh else 1
+            gh *= 2 if ev else 1
+        out += _hier_seq_frame_bytes(0xC5, diffs, gw, gh, restart_interval, True)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 

@@ -34,9 +34,16 @@ computed hex string through unhex(); the sample bytes are the same
 rpad-cycled hex-of-text trick the image fixtures use) and `decode_audio`
 walks RIFF chunks properly — fmt/data discovery with word-alignment
 padding, unknown chunks skipped — supporting 8-bit unsigned and 16-bit
-signed PCM, mono or multi-channel. Only video decode remains faked (and
-only with strict=False): a container/GOP parser would be a
-re-implementation of an external codec library, out of scope here.
+signed PCM, mono or multi-channel.
+
+Video is real for the one format decodable without an external codec
+(round 10): RIFF/AVI Motion-JPEG — a pure-Python container walk
+(functions/video.py) whose frames run through the full T.81 JPEG decoder,
+with real keyframe extraction in `sample_frames` and a decode-exact AVI
+fixture (`synthesize_avi_media`, constant-block frames). Inter-frame
+codecs (H.26x/VP9/AV1) remain a documented strict-mode ValueError /
+strict=False fake: a GOP/bitstream decoder would be a re-implementation
+of an external codec library, out of scope here.
 
 Scale posture: mapInPandas preserves partitioning (no shuffle); payload
 bytes stay columnar end-to-end via Arrow; feature vectors come back as
@@ -109,6 +116,19 @@ FRAME_SCHEMA = StructType(
         StructField("media_id", LongType(), False),
         StructField("frame_idx", IntegerType(), False),
         StructField("frame_payload", BinaryType(), False),
+    ]
+)
+
+VIDEO_DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("fps_rate", IntegerType(), True),
+        StructField("fps_scale", IntegerType(), True),
+        StructField("mean_luma", FloatType(), True),
+        StructField("decoder", StringType(), False),
     ]
 )
 
@@ -921,16 +941,35 @@ def decode_and_featurize(
 
 
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Uniform frame sampling for 'video' payloads: slice the byte stream
-    into n_frames equal chunks (stand-in for keyframe extraction), exploded
-    one row per frame. mapInPandas so a 100 MB payload never transits the
-    driver."""
+    """Uniform frame sampling for 'video' payloads, exploded one row per
+    sampled frame. RIFF/AVI payloads (round 10) get REAL keyframe
+    extraction: the container walk pulls the MJPEG frame payloads and the
+    sample keeps every frame when the video has <= n_frames, else the
+    strictly-increasing stride indices i*F//n_frames — frame_idx is the
+    ORIGINAL frame number and frame_payload a decodable JPEG. Non-AVI
+    payloads keep the byte-slice stand-in (equal chunks, frame_idx = chunk
+    number) so mixed corpora and the fake-video fixtures keep flowing.
+    mapInPandas so a 100 MB payload never transits the driver."""
+    from hive_server_spark.functions.video import parse_avi
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, payloads = [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(p)
+                avi = parse_avi(b) if b[:4] == b"RIFF" else None
+                if avi is not None:
+                    vid_frames = avi[4]
+                    total = len(vid_frames)
+                    if total <= n_frames:
+                        picks = range(total)
+                    else:
+                        picks = sorted({i * total // n_frames for i in range(n_frames)})
+                    for i in picks:
+                        ids.append(mid)
+                        idxs.append(i)
+                        payloads.append(vid_frames[i])
+                    continue
                 step = max(len(b) // n_frames, 1)
                 for i in range(n_frames):
                     ids.append(mid)
@@ -941,6 +980,100 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
             )
 
     return media.where(F.col("kind") == "video").mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+def decode_video(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Decode video payloads via mapInPandas — REAL for RIFF/AVI MJPEG
+    (round 10; functions/video.py): container walk, every frame decoded
+    through the full T.81 JPEG decoder, mean_luma the pixel-weighted mean
+    over all frames. strict=True raises on anything that is not a valid
+    MJPEG AVI (inter-frame codecs need external libraries — the documented
+    boundary); strict=False falls back to the deterministic fake so mixed
+    corpora keep flowing. Partition-preserving, Arrow-batched, payloads
+    never transit the driver — the shared multimodal scale posture."""
+    from hive_server_spark.functions.video import decode_avi_stats
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                try:
+                    got = decode_avi_stats(b)
+                except ValueError:
+                    if strict:
+                        raise
+                    got = None
+                if got is not None:
+                    w, h, nf, rate, scale, mean = got
+                    rows.append((mid, w, h, nf, rate, scale, mean, "avi-mjpeg"))
+                    continue
+                if strict:
+                    raise ValueError(
+                        "unsupported video format (magic %r); strict video "
+                        "decode handles RIFF/AVI with MJPG frames only" % b[:4]
+                    )
+                w, h, mean = _fake_decode(b)
+                rows.append((mid, w, h, 1, 25, 1, mean, "fake-deterministic"))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_frames",
+                    "fps_rate", "fps_scale", "mean_luma", "decoder",
+                ],
+            )
+
+    return media.mapInPandas(decode, schema=VIDEO_DECODED_SCHEMA)
+
+
+def synthesize_avi_media(docs: DataFrame) -> DataFrame:
+    """REAL RIFF/AVI MJPEG payloads from documents: n_frames = 2 + doc_id%3
+    constant-block grayscale JPEG frames (the decode-exact fixture family,
+    restart interval 2) on the bw=1+n%3 x bh=1+(n//3)%3 grid the JPEG
+    fixtures use, where frame f's block k carries the ascii of the
+    hex-of-text string cycled at position f*bw*bh + k — ONE closed-form
+    byte derivation across every frame of every video, so the full
+    container decode keeps a byte-level DuckDB oracle. Frame rate cycles
+    10/15/20/25 fps by doc_id, exercising the strh rate/scale parse."""
+    from hive_server_spark.functions.jpeg import encode_jpeg_gray_blocks
+    from hive_server_spark.functions.video import encode_avi_mjpeg
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, fmts = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = (text or "").encode("utf-8")
+                n = len(data)
+                bw, bh = 1 + n % 3, 1 + (n // 3) % 3
+                hx = data.hex().upper() or "0"
+                nblk = bw * bh
+                n_frames = 2 + doc_id % 3
+                frames = [
+                    encode_jpeg_gray_blocks(
+                        [ord(hx[(f * nblk + k) % len(hx)]) for k in range(nblk)],
+                        bw, bh, restart_interval=2,
+                    )
+                    for f in range(n_frames)
+                ]
+                payload = encode_avi_mjpeg(
+                    frames, 8 * bw, 8 * bh, rate=10 + 5 * (doc_id % 4), scale=1
+                )
+                ids.append(doc_id)
+                payloads.append(payload)
+                fmts.append("video/avi;mjpeg")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "video",
+                    "payload": payloads,
+                    "meta": [
+                        {"declared_format": f, "n_bytes": len(p)}
+                        for f, p in zip(fmts, payloads)
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(build, schema=MEDIA_SCHEMA)
 
 
 def _nn_resize(arr, out_w: int, out_h: int):

@@ -1058,12 +1058,10 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 # After this window: r10:50, r9:50, r8:47, r7:43 — nothing older than r07,
 # the VERDICT r9 item 2 done condition.
 # ROUND-11 ROTATION NOTE: (1) any round-11 registrations / modified
-# queries, (2) the remaining 43 r07-green names in registration order
-# (orders_scd2_versions, amount_out_buy, ...), (3) the 47 r08 names,
-# (4) r09. Budget registrations ≤ 7 or the r07 tail spills a round.
-# One registration is already staged: multimodal_audio_fp_neardup
-# (plans/multimodal_pack.py — oracle written, Spark-vs-DuckDB parity
-# pinned by tests on crafted + sf corpora; flip the commented @register).
+# queries, (2) the remaining 45 r07-green names in registration order
+# (order_book_levels, order_book_vwap, orders_scd2_versions,
+# amount_out_buy, ...), (3) the 47 r08 names, (4) r09. Budget
+# registrations ≤ 5 or the r07 tail spills a round.
 # ---------------------------------------------------------------------------
 from hive_server_spark.registry import set_driver_priority  # noqa: E402
 
@@ -1071,6 +1069,8 @@ DRIVER_PRIORITY_R10 = [
     # -- (a) round-10 registrations -----------------------------------------
     "multimodal_phash_neardup",
     "docs_neardup_incremental",
+    "multimodal_audio_fp_neardup",
+    "multimodal_video_profile",
     # -- (b) round-10-modified queries (percentile-policy closure) ----------
     "evt_mad_outliers",
     "evt_winsor_stats",
@@ -1119,9 +1119,6 @@ DRIVER_PRIORITY_R10 = [
     "evt_dedup_rollup_streaming",
     "evt_stream_static_enrich",
     "docs_ingest_streaming",
-    # -- (d) the 2 oldest r07 names (early r07 drain) ------------------------
-    "order_book_levels",
-    "order_book_vwap",
 ]
 assert len(DRIVER_PRIORITY_R10) == 50, len(DRIVER_PRIORITY_R10)
 # A typo'd or renamed name would silently shrink the checked window

@@ -852,16 +852,15 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Audio fingerprint near-dup (round 10 library; REGISTRATION DEFERRED TO
-# ROUND 11 — the round-10 driver window is exactly full per the rotation
-# note in gate.py, and a query registered outside the window would sit
-# unchecked, which tests/test_rotation.py forbids). The audio member of
+# Audio fingerprint near-dup (round 10; registered in the round-10 driver
+# window — one r07 filler name moved back to the r11 rotation to make the
+# slot, keeping tests/test_rotation.py's no-unchecked-registration
+# invariant). The audio member of
 # the perceptual-dedup triad: real WAV decode -> frame energies -> 64-bit
 # fingerprint as four 16-bit bands -> band_candidates -> Hamming verify on
 # candidates only. Same summary-row shape and closed-form-oracle scheme as
-# multimodal_phash_neardup; full Spark-vs-DuckDB parity is ALREADY pinned
-# by tests/test_multimodal.py on crafted and sf corpora, so round 11 flips
-# one @register line.
+# multimodal_phash_neardup; full Spark-vs-DuckDB parity is pinned by
+# tests/test_multimodal.py on crafted and sf corpora.
 # ---------------------------------------------------------------------------
 _AUDIO_FP_ORACLE = f"""
 WITH d AS (
@@ -939,7 +938,7 @@ def _audio_fp_band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# round 11: @register("multimodal_audio_fp_neardup", _AUDIO_FP_ORACLE)
+@register("multimodal_audio_fp_neardup", _AUDIO_FP_ORACLE)
 def multimodal_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup report: real WAV decode -> frame-energy fingerprint
     bands -> banded LSH candidates -> Hamming verify on candidates only.
@@ -971,3 +970,126 @@ def multimodal_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("hd"), F.lit(0)).cast("bigint").alias("sum_hamming"),
     )
     return clips.crossJoin(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Real video decode (round 10, VERDICT r9 "what's missing" item 3): the
+# fixtures are REAL RIFF/AVI Motion-JPEG containers (functions/video.py)
+# whose frames are the decode-exact constant-block JPEGs — so the FULL
+# chain (RIFF walk -> per-frame T.81 decode -> pixel-weighted mean, plus
+# real keyframe extraction re-decoded through the image path) faces one
+# closed-form byte-level DuckDB oracle. Frame f's block k carries
+# ascii(hx cycled at f*bw*bh + k); keyframe sampling picks every frame
+# when n_frames <= 2 else the stride indices i*n_frames//2 (exactly 2
+# keyframes per video for the fixture range 2..4). Inter-frame codecs
+# (H.26x/VP9/AV1) remain the documented strict-mode ValueError boundary.
+# ---------------------------------------------------------------------------
+_VIDEO_ORACLE = """
+WITH m AS (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+         CASE WHEN octet_length(encode(text)) > 0
+              THEN hex(encode(text)) ELSE '0' END AS hx
+  FROM documents
+), g AS (
+  SELECT doc_id, hx,
+         1 + n % 3        AS bw,
+         1 + (n // 3) % 3 AS bh,
+         2 + doc_id % 3   AS nf,
+         10 + 5 * (doc_id % 4) AS rate
+  FROM m
+), blk AS (
+  SELECT doc_id, hx, unnest(range(nf * bw * bh)) AS j FROM g
+), vals AS (
+  SELECT doc_id,
+         ascii(substr(hx, CAST(j % length(hx) AS INTEGER) + 1, 1)) AS v
+  FROM blk
+), vsum AS (
+  SELECT doc_id, 64 * SUM(v) AS pix FROM vals GROUP BY doc_id
+), kfi AS (
+  SELECT doc_id, hx, bw, bh, nf, unnest(range(2)) AS i FROM g
+), kff AS (
+  SELECT doc_id, hx, bw, bh,
+         CASE WHEN nf <= 2 THEN i ELSE (i * nf) // 2 END AS f
+  FROM kfi
+), kfblk AS (
+  SELECT doc_id, hx, f, bw, bh, unnest(range(bw * bh)) AS k FROM kff
+), kfv AS (
+  SELECT doc_id,
+         ascii(substr(hx,
+               CAST((f * bw * bh + k) % length(hx) AS INTEGER) + 1, 1)) AS v
+  FROM kfblk
+)
+SELECT CAST(COUNT(*) AS BIGINT)       AS n_videos,
+       CAST(SUM(nf) AS BIGINT)        AS sum_frames,
+       CAST(MIN(8 * bw) AS BIGINT)    AS min_width,
+       CAST(MAX(8 * bh) AS BIGINT)    AS max_height,
+       CAST(SUM(8 * bw) AS BIGINT)    AS sum_width,
+       CAST(SUM(8 * bh) AS BIGINT)    AS sum_height,
+       CAST(SUM(rate) AS BIGINT)      AS sum_fps_rate,
+       (SELECT CAST(SUM(pix) AS BIGINT) FROM vsum)      AS sum_pixel_bytes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM kff)       AS n_keyframes,
+       (SELECT CAST(64 * SUM(v) AS BIGINT) FROM kfv)    AS kf_pixel_bytes
+FROM g
+"""
+
+
+def _avi_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized AVI corpus, built ONCE per (session, sf_dir): both
+    the full-decode leg and the keyframe leg read it, and the per-frame
+    JPEG encode is the expensive part of synthesis."""
+    return _DHASH_CACHE.get_or_create(
+        spark,
+        ("avi", sf_dir),
+        lambda: M.synthesize_avi_media(_docs_wide(spark, sf_dir)).persist(),
+    )
+
+
+@register("multimodal_video_profile", _VIDEO_ORACLE)
+def multimodal_video_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict video decode profile over REAL MJPEG AVIs: container walk +
+    every frame through the full JPEG decoder (decode_video), PLUS real
+    keyframe extraction (sample_frames) with each sampled frame re-decoded
+    strict through the image path — the float32 means fold back to exact
+    integer pixel sums (max ~161k, float32 error « 0.5), so the whole
+    video surface is hash-comparable with the byte-level oracle."""
+    media = _avi_media(spark, sf_dir)
+    dec = M.decode_video(media, strict=True)
+    px = (
+        F.round(
+            F.col("mean_luma").cast("double")
+            * F.lit(255.0)
+            * F.col("width")
+            * F.col("height")
+            * F.col("n_frames")
+        ).cast("bigint")
+    )
+    vid = dec.agg(
+        F.count("*").cast("bigint").alias("n_videos"),
+        F.sum("n_frames").cast("bigint").alias("sum_frames"),
+        F.min("width").cast("bigint").alias("min_width"),
+        F.max("height").cast("bigint").alias("max_height"),
+        F.sum("width").cast("bigint").alias("sum_width"),
+        F.sum("height").cast("bigint").alias("sum_height"),
+        F.sum("fps_rate").cast("bigint").alias("sum_fps_rate"),
+        F.sum(px).alias("sum_pixel_bytes"),
+    )
+    frames = M.sample_frames(media, n_frames=2)
+    imgs = frames.select(
+        F.col("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("frame_payload").alias("payload"),
+    )
+    fdec = M.decode_media(imgs, strict=True)
+    fpx = (
+        F.round(
+            F.col("mean_luma").cast("double")
+            * F.lit(255.0)
+            * F.col("width")
+            * F.col("height")
+        ).cast("bigint")
+    )
+    kf = fdec.agg(
+        F.count("*").cast("bigint").alias("n_keyframes"),
+        F.sum(fpx).alias("kf_pixel_bytes"),
+    )
+    return vid.crossJoin(kf)

@@ -311,15 +311,18 @@ except ImportError:  # pragma: no cover - hypothesis is baked in normally
     pass
 
 
-def test_hierarchical_sofs_still_refused():
-    # hierarchical/differential SOFs keep the strict-refusal stance
-    # (SOF11 lossless-arithmetic decodes for real since round 10)
+def test_differential_sofs_refused_outside_dhp():
+    # differential SOFs decode only inside a hierarchical (DHP) sequence
+    # (round 10); outside one they keep the strict-refusal stance
     payload = bytearray(jpeg.encode_jpeg_arith_gray_blocks([100], 1, 1))
     idx = payload.find(b"\xff\xc9")
     for sof in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
         p = bytearray(payload)
         p[idx + 1] = sof
-        with pytest.raises(ValueError, match=f"SOF{sof - 0xC0} unsupported"):
+        with pytest.raises(
+            ValueError,
+            match=f"SOF{sof - 0xC0} differential frame outside",
+        ):
             jpeg.decode_jpeg(bytes(p))
 
 

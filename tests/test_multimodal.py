@@ -766,10 +766,9 @@ def test_audio_fp_bands_match_closed_form(spark):
 
 
 def test_audio_fp_neardup_oracle_parity(spark, tmp_path):
-    """Full Spark-vs-DuckDB parity of the (round-11-deferred) audio
-    fingerprint near-dup query over a crafted corpus AND the sf0.001
-    corpus — so the round-11 registration is a one-line flip with the
-    parity already proven."""
+    """Full Spark-vs-DuckDB parity of the audio fingerprint near-dup
+    query (registered in the round-10 driver window) over a crafted
+    corpus AND the sf0.001 corpus."""
     import duckdb
     import pyarrow as pa
     import pyarrow.parquet as pq

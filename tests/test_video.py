@@ -1,0 +1,265 @@
+"""RIFF/AVI MJPEG codec + video operator tests (round 10).
+
+Covers the container codec's exactness and error contract without Spark,
+then the Spark surface: synthesis → strict decode_video parity with the
+closed-form expectation, real keyframe extraction in sample_frames, and
+full Spark-vs-DuckDB parity of the registered gate query on a crafted
+corpus AND the sf0.001 corpus."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from hive_server_spark.functions.jpeg import encode_jpeg_gray_blocks
+from hive_server_spark.functions.video import (
+    decode_avi_stats,
+    encode_avi_mjpeg,
+    parse_avi,
+)
+
+
+def _frames(values_per_frame, bw, bh):
+    return [
+        encode_jpeg_gray_blocks(vals, bw, bh, restart_interval=2)
+        for vals in values_per_frame
+    ]
+
+
+# ---------------------------------------------------------------------------
+# codec unit tests (no Spark)
+# ---------------------------------------------------------------------------
+
+
+def test_avi_roundtrip_exact():
+    vals = [[10, 20, 30, 40], [50, 60, 70, 80], [90, 100, 110, 120]]
+    frames = _frames(vals, 2, 2)
+    avi = encode_avi_mjpeg(frames, 16, 16, rate=15, scale=1)
+    w, h, rate, scale, got = parse_avi(avi)
+    assert (w, h, rate, scale) == (16, 16, 15, 1)
+    assert got == frames
+    w, h, nf, rate, scale, mean = decode_avi_stats(avi)
+    expected = sum(sum(v) for v in vals) * 64 / (3 * 256) / 255.0
+    assert (w, h, nf, rate, scale) == (16, 16, 3, 15, 1)
+    assert mean == pytest.approx(expected, abs=1e-12)
+
+
+def test_avi_single_frame_and_odd_frame_sizes_word_align():
+    # JPEG payloads routinely have odd byte lengths; the chunk walk must
+    # honor the word-alignment pad between frames
+    frames = _frames([[v] for v in (1, 2, 3, 4, 5)], 1, 1)
+    sizes = {len(f) % 2 for f in frames}
+    avi = encode_avi_mjpeg(frames, 8, 8, rate=30, scale=1)
+    got = parse_avi(avi)[4]
+    assert got == frames
+    # regardless of parity mix, every frame survived byte-exact
+    assert sizes <= {0, 1}
+
+
+def test_avi_not_riff_returns_none():
+    assert parse_avi(b"\x89PNG\r\n\x1a\n") is None
+    assert parse_avi(b"RIFF\x04\x00\x00\x00WAVE") is None
+    assert parse_avi(b"") is None
+
+
+def test_avi_error_contract():
+    frames = _frames([[10], [20]], 1, 1)
+    avi = encode_avi_mjpeg(frames, 8, 8, rate=10, scale=1)
+
+    with pytest.raises(ValueError, match="truncated RIFF"):
+        parse_avi(avi[:40])
+    with pytest.raises(ValueError, match="unsupported AVI video codec"):
+        parse_avi(avi.replace(b"MJPG", b"H264"))
+    # tamper the avih frame count (offset: RIFF(12) + LIST hdr(12) +
+    # avih hdr(8) + 4 dwords -> dwTotalFrames)
+    tampered = bytearray(avi)
+    idx = avi.index(b"avih") + 8 + 16
+    struct.pack_into("<I", tampered, idx, 99)
+    with pytest.raises(ValueError, match="frame count mismatch"):
+        parse_avi(bytes(tampered))
+    # a non-JPEG frame body must raise at decode, not silently mis-decode
+    fake = encode_avi_mjpeg([b"not a jpeg at all"], 8, 8, rate=10)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_avi_stats(fake)
+
+
+def test_avi_missing_parts_raise():
+    frames = _frames([[10]], 1, 1)
+    avi = encode_avi_mjpeg(frames, 8, 8, rate=10)
+    # drop the movi LIST: rebuild RIFF with only hdrl + idx1
+    # (simplest surgical cut: truncate just before 'movi' LIST, fix size)
+    movi_at = avi.index(b"movi") - 8
+    body = avi[12:movi_at]
+    cut = b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
+    with pytest.raises(ValueError, match="movi"):
+        parse_avi(cut)
+
+
+def test_avi_fuzz_never_misdecodes():
+    """Random mutations of a valid AVI either parse to self-consistent
+    frames, raise ValueError, or dispatch None — never crash with another
+    exception type (the shared codec error contract)."""
+    import random
+
+    rng = random.Random(100)
+    frames = _frames([[10, 20], [30, 40]], 2, 1)
+    avi = bytearray(encode_avi_mjpeg(frames, 16, 8, rate=20))
+    for _ in range(300):
+        b = bytearray(avi)
+        for _ in range(rng.randint(1, 4)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            parse_avi(bytes(b))
+        except ValueError:
+            pass
+
+
+def test_encode_avi_validates_inputs():
+    with pytest.raises(ValueError, match="at least one frame"):
+        encode_avi_mjpeg([], 8, 8)
+    with pytest.raises(ValueError, match="positive"):
+        encode_avi_mjpeg([b"x"], 8, 8, rate=0)
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+# ---------------------------------------------------------------------------
+
+
+def _write_docs(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["t"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
+
+def _expected_video(doc_id: int, text: str):
+    """Closed-form expectation mirroring synthesize_avi_media."""
+    data = text.encode("utf-8")
+    n = len(data)
+    bw, bh = 1 + n % 3, 1 + (n // 3) % 3
+    hx = data.hex().upper() or "0"
+    nf = 2 + doc_id % 3
+    rate = 10 + 5 * (doc_id % 4)
+    vals = [ord(hx[j % len(hx)]) for j in range(nf * bw * bh)]
+    pix = 64 * sum(vals)
+    return bw * 8, bh * 8, nf, rate, pix
+
+
+def test_decode_video_strict_matches_closed_form(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hive_server_spark.functions import multimodal as M
+
+    rows = [(0, "alpha doc"), (1, "a longer beta document body"), (5, "")]
+    _write_docs(tmp_path, rows)
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    dec = M.decode_video(M.synthesize_avi_media(docs), strict=True)
+    got = {
+        r["media_id"]: r
+        for r in dec.withColumn(
+            "pix",
+            F.round(
+                F.col("mean_luma").cast("double")
+                * 255.0
+                * F.col("width")
+                * F.col("height")
+                * F.col("n_frames")
+            ).cast("bigint"),
+        ).collect()
+    }
+    for doc_id, text in rows:
+        w, h, nf, rate, pix = _expected_video(doc_id, text)
+        r = got[doc_id]
+        assert (r.width, r.height, r.n_frames, r.fps_rate, r.fps_scale) == (
+            w, h, nf, rate, 1,
+        ), (doc_id, text)
+        assert r.pix == pix, (doc_id, text)
+        assert r.decoder == "avi-mjpeg"
+
+
+def test_decode_video_strict_rejects_non_avi(spark):
+    import pandas as pd
+
+    from hive_server_spark.functions import multimodal as M
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1],
+                "kind": ["video"],
+                "payload": [b"\x00\x01\x02 not a container"],
+            }
+        )
+    )
+    with pytest.raises(Exception, match="unsupported video format"):
+        M.decode_video(media, strict=True).collect()
+    # non-strict falls back to the deterministic fake
+    row = M.decode_video(media, strict=False).collect()[0]
+    assert row.decoder == "fake-deterministic"
+    assert row.n_frames == 1
+
+
+def test_sample_frames_real_keyframes(spark, tmp_path):
+    """AVI payloads yield REAL decodable JPEG keyframes with ORIGINAL
+    frame indices; non-AVI payloads keep the byte-slice fallback."""
+    from hive_server_spark.functions import multimodal as M
+    from hive_server_spark.functions.jpeg import decode_jpeg
+
+    rows = [(0, "two frames"), (2, "four frames doc"), (1, "three fr")]
+    _write_docs(tmp_path, rows)
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    media = M.synthesize_avi_media(docs)
+    got = M.sample_frames(media, n_frames=2).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.media_id, []).append(r)
+    # nf = 2 + doc_id % 3: doc 0 -> 2 frames (idx 0,1), doc 1 -> 3
+    # (idx 0,1), doc 2 -> 4 (idx 0,2)
+    assert sorted(r.frame_idx for r in by_doc[0]) == [0, 1]
+    assert sorted(r.frame_idx for r in by_doc[1]) == [0, 1]
+    assert sorted(r.frame_idx for r in by_doc[2]) == [0, 2]
+    for rs in by_doc.values():
+        for r in rs:
+            dec = decode_jpeg(bytes(r.frame_payload))
+            assert dec is not None  # every sampled frame is a real JPEG
+
+
+def test_video_profile_oracle_parity(spark, tmp_path):
+    """Full Spark-vs-DuckDB parity of the registered gate query over a
+    crafted corpus AND the sf0.001 corpus."""
+    import duckdb
+
+    from hive_server_spark.plans.multimodal_pack import (
+        _VIDEO_ORACLE,
+        multimodal_video_profile,
+    )
+    from tests.conftest import SF_SMALL
+    from tests.test_gate_parity import _rowset
+
+    rows = [(0, "alpha"), (1, "beta doc"), (2, ""), (3, "a much longer gamma text")]
+    _write_docs(tmp_path, rows)
+    for sf_dir in (str(tmp_path), SF_SMALL):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        oracle = con.execute(_VIDEO_ORACLE)
+        o_cols = [d[0] for d in oracle.description]
+        o_rows = oracle.fetchall()
+        sdf = multimodal_video_profile(spark, sf_dir)
+        s_rows = [tuple(r) for r in sdf.collect()]
+        assert len(s_rows) == len(o_rows) == 1, sf_dir
+        assert _rowset(sdf.columns, s_rows) == _rowset(o_cols, o_rows), sf_dir
