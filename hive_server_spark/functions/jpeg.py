@@ -2,7 +2,8 @@
 libraries. Built up rounds 6-10 (VERDICT r05 "What's missing" item 2 and
 its successors); everything below is public T.81 knowledge.
 
-``decode_jpeg`` format matrix (mode × entropy coding):
+``decode_jpeg`` format matrix (mode × entropy coding) — COMPLETE as of
+round 10: every SOF code T.81 defines decodes:
 
   | T.81 mode                | Huffman              | arithmetic (QM)     |
   |--------------------------|----------------------|---------------------|
@@ -11,8 +12,18 @@ its successors); everything below is public T.81 knowledge.
   | progressive DCT          | SOF2 — decodes (r7;  | SOF10 — decodes (r9)|
   |                          | subsampled since r9) |                     |
   | lossless (Annex H)       | SOF3 — decodes (r9)  | SOF11 — decodes(r10)|
-  | hierarchical             | SOF5-7/13-15 — clear ValueError, never a   |
-  |                          | silent mis-decode (the PPM maxval>255 stance)|
+  | hierarchical (Annex J):  | SOF5/6/7 — decode    | SOF13/14/15 — decode|
+  | DHP + EXP + differential | (r10)                | (r10)               |
+
+Hierarchical sequences (round 10, second pass): DHP declares the final
+resolution, non-differential frames of ANY process above set per-
+component references, EXP doubles them with the J.1.1.2 rounded-mean
+filter (edge replication), and differential frames — DC prediction
+pinned to zero (F.1.1.5.1), predictor selection 0 for lossless (B.2.3),
+no level shift — ADD to the references modulo 2^16 (J.1), clipped to
+[0, 2^P-1] at output. Differential SOFs outside a DHP sequence raise the
+clear ValueError they always did (never a silent mis-decode — the PPM
+maxval>255 stance).
 
 Shared decode machinery: marker walk (SOI/APPn/COM/DQT/DHT/DAC/DRI/SOS/
 RSTn/EOI with 0xFF fill-byte tolerance), canonical Huffman MINCODE walk,
@@ -242,6 +253,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
     hier = None  # hierarchical (DHP) frame header; decode spans frames
     refs: dict[int, np.ndarray] = {}  # hierarchical reference components
     pending_exp = (0, 0)  # EXP expansion flags for the next frame
+    hier_coef = None  # coefficient store of an in-progress progressive
+    # frame INSIDE a hierarchical sequence (merged at the frame boundary)
     pos = 2
     while pos < len(b):
         if b[pos] != 0xFF:
@@ -254,6 +267,24 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
         if marker is None:
             raise ValueError("truncated JPEG marker")
         pos += 2
+        if (
+            hier_coef is not None
+            and marker in (
+                0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF, 0xDE, 0xDF, 0xD9,
+            )
+        ):
+            # a frame-ending marker closes the in-progress progressive
+            # frame of a hierarchical sequence: reconstruct and merge
+            _hier_merge(
+                refs, frame,
+                _reconstruct_progressive_planes(frame, qt, hier_coef),
+                differential, pending_exp,
+                level_shift=1 << (frame[3] - 1),
+            )
+            pending_exp = (0, 0)
+            frame = None
+            hier_coef = None
         if marker == 0xD9:  # EOI
             if hier is not None:
                 if not refs:
@@ -389,27 +420,60 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
                 raise ValueError("truncated JPEG SOS header")
             if hier is not None:
                 # hierarchical sequence (round 10): decode this frame's
-                # scan to planes, fold into the reference store, and keep
-                # walking — the image completes at EOI
-                if progressive or lossless or arith:
-                    raise ValueError(
-                        "JPEG hierarchical frames decode for sequential-DCT "
-                        "Huffman coding (SOF0/1 + SOF5); differential "
-                        "progressive/lossless/arithmetic frames are "
-                        "unsupported"
-                    )
+                # scan(s), fold into the reference store, and keep
+                # walking — the image completes at EOI. All six frame
+                # processes run under either entropy coder; progressive
+                # frames accumulate scans and merge at the frame boundary.
                 if pending_exp != (0, 0) and not differential:
                     raise ValueError(
                         "JPEG EXP must precede a differential frame"
                     )
-                planes, end = _decode_scan_planes(
-                    b, pos + seglen, seg, frame, qt, huff_dc, huff_ac,
-                    restart_interval, differential,
-                )
-                _hier_merge(
-                    refs, frame, planes, differential, pending_exp,
-                    level_shift=1 << (frame[3] - 1),
-                )
+                if progressive:
+                    if hier_coef is None:
+                        hier_coef = _init_coef(frame)
+                    if arith:
+                        pos = _decode_progressive_scan_arith(
+                            b, pos + seglen, seg, frame, dac_dc, dac_ac,
+                            restart_interval, hier_coef, differential,
+                        )
+                    else:
+                        pos = _decode_progressive_scan(
+                            b, pos + seglen, seg, frame, huff_dc, huff_ac,
+                            restart_interval, hier_coef, differential,
+                        )
+                    continue  # merge happens at the frame boundary
+                if lossless:
+                    if arith:
+                        planes, pt, end = _decode_scan_lossless_arith_planes(
+                            b, pos + seglen, seg, frame, dac_dc,
+                            restart_interval, differential,
+                        )
+                    else:
+                        planes, pt, end = _decode_scan_lossless_planes(
+                            b, pos + seglen, seg, frame, huff_dc,
+                            restart_interval, differential,
+                        )
+                    # undo the point transform BEFORE the reference merge:
+                    # references hold full-precision samples (J.1)
+                    _hier_merge(
+                        refs, frame, [p << pt for p in planes],
+                        differential, pending_exp, level_shift=0,
+                    )
+                else:
+                    if arith:
+                        planes, end = _decode_scan_arith_planes(
+                            b, pos + seglen, seg, frame, qt, dac_dc,
+                            dac_ac, restart_interval, differential,
+                        )
+                    else:
+                        planes, end = _decode_scan_planes(
+                            b, pos + seglen, seg, frame, qt, huff_dc,
+                            huff_ac, restart_interval, differential,
+                        )
+                    _hier_merge(
+                        refs, frame, planes, differential, pending_exp,
+                        level_shift=1 << (frame[3] - 1),
+                    )
                 pending_exp = (0, 0)
                 frame = None
                 pos = end
@@ -506,13 +570,15 @@ def _init_coef(frame):
 
 
 def _decode_progressive_scan(
-    b, pos, seg, frame, huff_dc, huff_ac, restart_interval, coef
+    b, pos, seg, frame, huff_dc, huff_ac, restart_interval, coef,
+    differential=False,
 ):
-    """One progressive (SOF2) scan per T.81 G.2: DC first/refinement
+    """One progressive (SOF2/SOF6) scan per T.81 G.2: DC first/refinement
     (interleaved or single-component) and AC first/refinement
     (single-component, spectral band [Ss, Se], successive approximation
     Ah→Al) accumulate into `coef`. Returns the byte offset of the next
-    marker's 0xFF."""
+    marker's 0xFF. ``differential=True`` (hierarchical SOF6, round 10)
+    codes each first-scan DC value directly — PRED is zero per block."""
     height, width, comps, _prec = frame
     ncomp_scan, ss, se, ah, al, scan_comps = _parse_scan_header(seg, comps)
     br = _BitReader(b, pos)
@@ -529,8 +595,11 @@ def _decode_progressive_scan(
                     raise ValueError("JPEG scan references missing Huffman table")
                 s = huff_dc[td].decode(br)
                 diff = _extend(br.receive(s), s)
-                preds[ci] += diff
-                coef[ci][by, bx, 0, 0] = preds[ci] << al
+                if differential:
+                    coef[ci][by, bx, 0, 0] = diff << al  # PRED = 0
+                else:
+                    preds[ci] += diff
+                    coef[ci][by, bx, 0, 0] = preds[ci] << al
             else:  # DC refinement: one raw bit per block
                 if br.read_bit():
                     coef[ci][by, bx, 0, 0] |= 1 << al
@@ -671,9 +740,10 @@ def _decode_progressive_scan(
 
 
 def _decode_progressive_scan_arith(
-    b, pos, seg, frame, dac_dc, dac_ac, restart_interval, coef
+    b, pos, seg, frame, dac_dc, dac_ac, restart_interval, coef,
+    differential=False,
 ):
-    """One progressive ARITHMETIC (SOF10) scan per T.81 G.2: the same
+    """One progressive ARITHMETIC (SOF10/SOF14) scan per T.81 G.2: the same
     scan taxonomy as the Huffman path (_decode_progressive_scan) with the
     QM coder drawing every decision — DC first scans run the F.1.4.4.1.1
     DC model on the Al-shifted differences, DC refinement codes one
@@ -715,8 +785,11 @@ def _decode_progressive_scan_arith(
                 diff, contexts[ci] = ja.decode_dc_diff(
                     dec, dc_stats[td], contexts[ci]
                 )
-                preds[ci] += diff
-                coef[ci][by, bx, 0, 0] = preds[ci] << al
+                if differential:
+                    coef[ci][by, bx, 0, 0] = diff << al  # PRED = 0
+                else:
+                    preds[ci] += diff
+                    coef[ci][by, bx, 0, 0] = preds[ci] << al
             else:  # DC refinement: one fixed-bin decision per block (G.2)
                 if dec.decode(fixed, 0):
                     coef[ci][by, bx, 0, 0] |= 1 << al
@@ -919,12 +992,11 @@ def _finish_hier(refs, hier):
     return _color_and_contract(out, hier)
 
 
-def _reconstruct_progressive(frame, qt, coef):
-    """Dequantize + IDCT the accumulated progressive coefficients (EOI
-    reached) — same math and subsampling tail as the baseline path."""
-    height, width, comps, prec = frame
+def _reconstruct_progressive_planes(frame, qt, coef):
+    """Dequantize + IDCT the accumulated progressive coefficients into
+    MCU-padded component planes (pre level shift)."""
     planes = []
-    for (cid, hs, vs, tq), c in zip(comps, coef):
+    for (cid, hs, vs, tq), c in zip(frame[2], coef):
         if tq not in qt:
             raise ValueError(f"JPEG references missing quant table {tq}")
         bh, bw = c.shape[0], c.shape[1]
@@ -935,7 +1007,13 @@ def _reconstruct_progressive(frame, qt, coef):
                 block = _DCT_M.T @ (c[by, bx].astype(np.float64) * q) @ _DCT_M
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
         planes.append(plane)
-    return _finish_planes(planes, frame)
+    return planes
+
+
+def _reconstruct_progressive(frame, qt, coef):
+    """Dequantize + IDCT the accumulated progressive coefficients (EOI
+    reached) — same math and subsampling tail as the baseline path."""
+    return _finish_planes(_reconstruct_progressive_planes(frame, qt, coef), frame)
 
 
 def _find_next_marker(b: bytes, pos: int) -> int:
@@ -1081,7 +1159,21 @@ def _parse_scan_header(seg, comps):
 
 
 def _decode_scan_lossless(b, pos, seg, frame, huff_dc, restart_interval):
-    """LOSSLESS (SOF3) scan decode per T.81 Annex H: no DCT, no quant —
+    planes, pt, _end = _decode_scan_lossless_planes(
+        b, pos, seg, frame, huff_dc, restart_interval
+    )
+    height, width, comps, prec = frame
+    vmaxval = float((1 << prec) - 1)
+    samples = np.stack([(p << pt).astype(np.float64) for p in planes])
+    samples = np.clip(samples, 0, vmaxval)
+    _maybe_capture(samples)
+    return width, height, float(samples.mean()) / vmaxval
+
+
+def _decode_scan_lossless_planes(
+    b, pos, seg, frame, huff_dc, restart_interval, differential=False,
+):
+    """LOSSLESS (SOF3/SOF7) scan decode per T.81 Annex H: no DCT, no quant —
     each sample is a Huffman-coded difference (DC-table categories 0..16)
     from one of the seven spatial predictors selected by Ss, reconstructed
     modulo 65536, with the point transform Al=Pt shifting the coded domain
@@ -1094,10 +1186,11 @@ def _decode_scan_lossless(b, pos, seg, frame, huff_dc, restart_interval):
     supported (the overwhelmingly common lossless shape — T.81 allows
     subsampled lossless MCUs, refused rather than mis-decoded).
 
-    Output contract: (width, height, mean_sample / (2^P - 1)) with the
-    mean over RAW component samples — T.81 defines no color transform for
-    lossless mode (YCbCr is a JFIF convention for the DCT modes), so a
-    3-component lossless image is treated as colorspace-agnostic planes."""
+    Returns (planes, pt, end_pos) with planes in the CODED domain (before
+    the point-transform shift back up). ``differential=True`` (SOF7 inside
+    a hierarchical sequence, round 10) requires predictor selection 0 —
+    the coded values are reference differences with NO spatial
+    prediction (T.81 B.2.3 reserves Ss=0 for exactly this)."""
     height, width, comps, prec = frame
     ncomp_scan = seg[0]
     if ncomp_scan != len(comps):
@@ -1113,7 +1206,13 @@ def _decode_scan_lossless(b, pos, seg, frame, huff_dc, restart_interval):
         selectors[cs] = tdta >> 4  # DC table only; Ta must be 0 in lossless
     predictor = seg[1 + 2 * ncomp_scan]  # Ss = predictor selector
     pt = seg[3 + 2 * ncomp_scan] & 0x0F  # Al = point transform
-    if not 1 <= predictor <= 7:
+    if differential:
+        if predictor != 0:
+            raise ValueError(
+                "JPEG differential lossless scan must use predictor "
+                f"selection 0, got {predictor}"
+            )
+    elif not 1 <= predictor <= 7:
         raise ValueError(f"JPEG lossless predictor {predictor} invalid")
     if width <= 0 or height <= 0:
         raise ValueError("JPEG frame has empty dimensions")
@@ -1141,7 +1240,11 @@ def _decode_scan_lossless(b, pos, seg, frame, huff_dc, restart_interval):
                 first_line = y
             for ci, table in enumerate(tables):
                 p = planes[ci]
-                if fresh:
+                if differential:
+                    # hierarchical differential frame: values are coded
+                    # reference differences, no spatial prediction
+                    px = 0
+                elif fresh:
                     # H.1.2.1: prediction initialized to 2^(P-1-Pt) at scan
                     # start and at the beginning of each restart interval
                     px = default_pred
@@ -1180,6 +1283,18 @@ def _decode_scan_lossless(b, pos, seg, frame, huff_dc, restart_interval):
                 p[y, x] = (px + diff) & 0xFFFF  # modulo 65536 (H.1.2.1)
             fresh = False
             mcu += 1
+    if br.seen_marker is not None:
+        end = br.pos - 2
+    else:
+        end = _find_next_marker(b, br.pos)
+    return planes, pt, end
+
+
+def _decode_scan_lossless_arith(b, pos, seg, frame, dac_dc, restart_interval):
+    planes, pt, _end = _decode_scan_lossless_arith_planes(
+        b, pos, seg, frame, dac_dc, restart_interval
+    )
+    height, width, comps, prec = frame
     vmaxval = float((1 << prec) - 1)
     samples = np.stack([(p << pt).astype(np.float64) for p in planes])
     samples = np.clip(samples, 0, vmaxval)
@@ -1187,8 +1302,10 @@ def _decode_scan_lossless(b, pos, seg, frame, huff_dc, restart_interval):
     return width, height, float(samples.mean()) / vmaxval
 
 
-def _decode_scan_lossless_arith(b, pos, seg, frame, dac_dc, restart_interval):
-    """LOSSLESS ARITHMETIC (SOF11) scan decode — the Annex H sample walk
+def _decode_scan_lossless_arith_planes(
+    b, pos, seg, frame, dac_dc, restart_interval, differential=False,
+):
+    """LOSSLESS ARITHMETIC (SOF11/SOF15) scan decode — the Annex H sample walk
     of _decode_scan_lossless (same seven predictors, edge rules, point
     transform, modulo-65536 reconstruction, restart-interval prediction
     reset) with the entropy layer swapped for the QM coder + the H.1.2.3
@@ -1216,7 +1333,13 @@ def _decode_scan_lossless_arith(b, pos, seg, frame, dac_dc, restart_interval):
         selectors[cs] = tdta >> 4  # Td = DC conditioning table id
     predictor = seg[1 + 2 * ncomp_scan]  # Ss = predictor selector
     pt = seg[3 + 2 * ncomp_scan] & 0x0F  # Al = point transform
-    if not 1 <= predictor <= 7:
+    if differential:
+        if predictor != 0:
+            raise ValueError(
+                "JPEG differential lossless scan must use predictor "
+                f"selection 0, got {predictor}"
+            )
+    elif not 1 <= predictor <= 7:
         raise ValueError(f"JPEG lossless predictor {predictor} invalid")
     if width <= 0 or height <= 0:
         raise ValueError("JPEG frame has empty dimensions")
@@ -1245,7 +1368,13 @@ def _decode_scan_lossless_arith(b, pos, seg, frame, dac_dc, restart_interval):
                 start_mcu = mcu
             for ci, td in enumerate(tids):
                 p, d, st = planes[ci], diffs[ci], stats[td]
-                if fresh:
+                if differential:
+                    # hierarchical differential frame: no spatial
+                    # prediction; the H.1.2.3 conditioning on neighboring
+                    # DIFF classes below is unchanged (the coded values
+                    # ARE the differences it classifies)
+                    px = 0
+                elif fresh:
                     px = default_pred
                 elif y == first_line:
                     px = int(p[y, x - 1])
@@ -1284,20 +1413,30 @@ def _decode_scan_lossless_arith(b, pos, seg, frame, dac_dc, restart_interval):
                 p[y, x] = (px + diff) & 0xFFFF  # modulo 65536 (H.1.2.1)
             fresh = False
             mcu += 1
-    vmaxval = float((1 << prec) - 1)
-    samples = np.stack([(p << pt).astype(np.float64) for p in planes])
-    samples = np.clip(samples, 0, vmaxval)
-    _maybe_capture(samples)
-    return width, height, float(samples.mean()) / vmaxval
+    return planes, pt, _find_next_marker(b, pos)
 
 
 def _decode_scan_arith(b, pos, seg, frame, qt, dac_dc, dac_ac, restart_interval):
-    """Sequential arithmetic (SOF9) scan decode — the same interleaved
-    MCU walk as the Huffman path, with entropy decisions drawn from the
-    T.81 QM coder + the F.1.4.4.1 DC/AC statistical models
+    planes, _end = _decode_scan_arith_planes(
+        b, pos, seg, frame, qt, dac_dc, dac_ac, restart_interval
+    )
+    return _finish_planes(planes, frame)
+
+
+def _decode_scan_arith_planes(
+    b, pos, seg, frame, qt, dac_dc, dac_ac, restart_interval,
+    differential=False,
+):
+    """Sequential arithmetic (SOF9/SOF13) scan decode — the same
+    interleaved MCU walk as the Huffman path, with entropy decisions drawn
+    from the T.81 QM coder + the F.1.4.4.1 DC/AC statistical models
     (functions/jpeg_arith.py). DAC conditioning defaults per F.1.4.4.1.4:
     DC (L, U) = (0, 1), AC Kx = 5. RSTn resets the coder, every
-    statistics area, the DC predictions AND the DC contexts (E.2.4)."""
+    statistics area, the DC predictions AND the DC contexts (E.2.4).
+    ``differential=True`` (hierarchical SOF13, round 10) decodes each DC
+    value directly — PRED is zero, while the conditioning context still
+    tracks the previously decoded value exactly as F.1.4.4.1 conditions
+    on the previous DIFF."""
     from hive_server_spark.functions import jpeg_arith as ja
 
     height, width, comps, prec = frame
@@ -1358,14 +1497,17 @@ def _decode_scan_arith(b, pos, seg, frame, qt, dac_dc, dac_ac, restart_interval)
                         diff, contexts[ci] = ja.decode_dc_diff(
                             dec, dc_stats[td], contexts[ci]
                         )
-                        preds[ci] += diff
-                        coeffs[0, 0] = preds[ci]
+                        if differential:
+                            coeffs[0, 0] = diff  # PRED = 0 (F.1.1.5.1)
+                        else:
+                            preds[ci] += diff
+                            coeffs[0, 0] = preds[ci]
                         ja.decode_ac_block(dec, ac_stats[ta], coeffs, _ZIGZAG)
                         block = _DCT_M.T @ (coeffs * qt[tq]) @ _DCT_M
                         by, bx = my * vs + v, mx * hs + h2
                         planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
             mcu += 1
-    return _finish_planes(planes, frame)
+    return planes, _find_next_marker(b, pos)
 
 
 # ---------------------------------------------------------------------------
@@ -1643,6 +1785,370 @@ def encode_jpeg_hierarchical_gray(
             gh *= 2 if ev else 1
         out += _hier_seq_frame_bytes(0xC5, diffs, gw, gh, restart_interval, True)
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _ll_hier_frame_bytes(
+    marker: int, plane, precision: int, predictor: int,
+    restart_interval: int, differential: bool,
+) -> bytes:
+    """One single-component LOSSLESS frame (SOF3 non-differential with the
+    given predictor, or SOF7 differential with predictor selection 0) for
+    the hierarchical fixture encoder. Point transform fixed at 0: the
+    hierarchical reference merge is exercised at full precision."""
+    plane = np.asarray(plane, dtype=np.int64)
+    h, w = plane.shape
+    out = bytearray()
+    out += bytes([0xFF, marker]) + struct.pack(">HBHHB", 11, precision, h, w, 1)
+    out += bytes([1, 0x11, 0])
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+    out += bytes([1, 0x00, 0 if differential else predictor, 0, 0])
+    default_pred = 1 << (precision - 1)
+    bw_ = _BitWriter()
+    mcu = 0
+    fresh = True
+    first_line = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                out += bw_.flush()
+                out += bytes([0xFF, 0xD0 + ((mcu // restart_interval) - 1) % 8])
+                bw_ = _BitWriter()
+                fresh = True
+                first_line = y
+            if differential:
+                px = 0
+            elif fresh:
+                px = default_pred
+            elif y == first_line:
+                px = int(plane[y, x - 1])
+            elif x == 0:
+                px = int(plane[y - 1, 0])
+            else:
+                a = int(plane[y, x - 1])
+                bb = int(plane[y - 1, x])
+                c = int(plane[y - 1, x - 1])
+                if predictor == 1:
+                    px = a
+                elif predictor == 2:
+                    px = bb
+                elif predictor == 3:
+                    px = c
+                elif predictor == 4:
+                    px = a + bb - c
+                elif predictor == 5:
+                    px = a + ((bb - c) >> 1)
+                elif predictor == 6:
+                    px = bb + ((a - c) >> 1)
+                else:
+                    px = (a + bb) >> 1
+            diff = ((int(plane[y, x]) - px + 0x8000) & 0xFFFF) - 0x8000
+            if diff == -0x8000:  # category 16: coded with no extra bits
+                bw_.write(16, 5)
+            else:
+                s = abs(diff).bit_length()
+                bw_.write(s, 5)
+                if s:
+                    bw_.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            fresh = False
+            mcu += 1
+    out += bw_.flush()
+    return bytes(out)
+
+
+def encode_jpeg_hierarchical_lossless(
+    base_plane, stages, predictor: int = 4, precision: int = 8,
+    restart_interval: int = 0,
+) -> bytes:
+    """Spec-valid HIERARCHICAL LOSSLESS grayscale JPEG (T.81 Annex J over
+    Annex H): DHP at the final resolution, an SOF3 base frame (any
+    predictor 1..7), then per stage an optional EXP doubling followed by
+    an SOF7 differential frame with predictor selection 0 whose PER-SAMPLE
+    signed diffs add to the expanded reference modulo 2^16 — lossless
+    frames need no DCT, so arbitrary (non-block-constant) differentials
+    stay exact. ``stages`` is a list of (eh, ev, diff_plane)."""
+    base_plane = np.asarray(base_plane, dtype=np.int64)
+    fh, fw = base_plane.shape
+    for eh, ev, _ in stages:
+        fw *= 2 if eh else 1
+        fh *= 2 if ev else 1
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xde" + struct.pack(">HBHHB", 11, precision, fh, fw, 1)
+    out += bytes([1, 0x11, 0])
+    dht = bytes([0x00]) + bytes(_ENC_LL_COUNTS) + _ENC_LL_SYMBOLS
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += _ll_hier_frame_bytes(
+        0xC3, base_plane, precision, predictor, restart_interval, False
+    )
+    for eh, ev, diffs in stages:
+        if eh or ev:
+            out += b"\xff\xdf" + struct.pack(">HB", 3, (eh << 4) | ev)
+        out += _ll_hier_frame_bytes(
+            0xC7, np.asarray(diffs, dtype=np.int64), precision, predictor,
+            restart_interval, True,
+        )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _hier_prog_frame_bytes(differential: bool, vals, bw: int, bh: int) -> bytes:
+    """One single-component PROGRESSIVE frame (SOF2 / differential SOF6)
+    for the hierarchical fixture encoder: DC-first scan at Al=1, DC
+    refinement scan, one all-EOB AC scan — the encode_jpeg_progressive_blocks
+    scan plan, with PRED pinned to zero in the differential variant."""
+    marker = 0xC6 if differential else 0xC2
+    out = bytearray()
+    out += bytes([0xFF, marker]) + struct.pack(">HBHHB", 11, 8, 8 * bh, 8 * bw, 1)
+    out += bytes([1, 0x11, 0])
+    out += _sos_segment([1], 0, 0, 0, 1)
+    bw_ = _BitWriter()
+    pred = 0
+    for v in vals:
+        d = int(v) if differential else int(v) - 128
+        sh = d >> 1  # arithmetic shift
+        if differential:
+            _write_dc_diff(bw_, sh)
+        else:
+            _write_dc_diff(bw_, sh - pred)
+            pred = sh
+    out += bw_.flush()
+    out += _sos_segment([1], 0, 0, 1, 0)
+    bw_ = _BitWriter()
+    for v in vals:
+        d = int(v) if differential else int(v) - 128
+        bw_.write(d & 1, 1)
+    out += bw_.flush()
+    out += _sos_segment([1], 1, 63, 0, 0)
+    bw_ = _BitWriter()
+    for _ in vals:
+        bw_.write(0b00, 2)  # EOB0
+    out += bw_.flush()
+    return bytes(out)
+
+
+def _hier_arith_frame_bytes(
+    differential: bool, vals, bw: int, bh: int, restart_interval: int
+) -> bytes:
+    """One single-component sequential ARITHMETIC frame (SOF9 /
+    differential SOF13) for the hierarchical fixture encoder."""
+    from hive_server_spark.functions import jpeg_arith as ja
+
+    marker = 0xCD if differential else 0xC9
+    out = bytearray()
+    out += bytes([0xFF, marker]) + struct.pack(">HBHHB", 11, 8, 8 * bh, 8 * bw, 1)
+    out += bytes([1, 0x11, 0])
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    enc = ja.ArithEncoder()
+    dc_st, ac_st = ja.DCStats(), ja.ACStats()
+    pred = context = 0
+    zero_ac = [0] * 64
+    for mcu, v in enumerate(vals):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            out += enc.flush()
+            out += bytes([0xFF, 0xD0 + ((mcu // restart_interval) - 1) % 8])
+            enc = ja.ArithEncoder()
+            dc_st.reset()
+            ac_st.reset()
+            pred = context = 0
+        d = int(v) if differential else int(v) - 128
+        if differential:
+            context = ja.encode_dc_diff(enc, dc_st, context, d)  # PRED = 0
+        else:
+            context = ja.encode_dc_diff(enc, dc_st, context, d - pred)
+            pred = d
+        ja.encode_ac_block(enc, ac_st, zero_ac)
+    out += enc.flush()
+    return bytes(out)
+
+
+def _hier_arith_prog_frame_bytes(
+    differential: bool, vals, bw: int, bh: int
+) -> bytes:
+    """One single-component progressive ARITHMETIC frame (SOF10 /
+    differential SOF14): the 3-scan plan of _hier_prog_frame_bytes with
+    the QM coder drawing every decision."""
+    from hive_server_spark.functions import jpeg_arith as ja
+
+    marker = 0xCE if differential else 0xCA
+    out = bytearray()
+    out += bytes([0xFF, marker]) + struct.pack(">HBHHB", 11, 8, 8 * bh, 8 * bw, 1)
+    out += bytes([1, 0x11, 0])
+    out += _sos_segment([1], 0, 0, 0, 1)
+    enc = ja.ArithEncoder()
+    dc_st = ja.DCStats()
+    pred = context = 0
+    for v in vals:
+        d = int(v) if differential else int(v) - 128
+        sh = d >> 1
+        if differential:
+            context = ja.encode_dc_diff(enc, dc_st, context, sh)
+        else:
+            context = ja.encode_dc_diff(enc, dc_st, context, sh - pred)
+            pred = sh
+    out += enc.flush()
+    out += _sos_segment([1], 0, 0, 1, 0)
+    enc = ja.ArithEncoder()
+    fixed = bytearray([ja.FIXED_BIN_STATE])
+    for v in vals:
+        d = int(v) if differential else int(v) - 128
+        enc.encode(d & 1, fixed, 0)
+    out += enc.flush()
+    out += _sos_segment([1], 1, 63, 0, 0)
+    enc = ja.ArithEncoder()
+    ac_st = ja.ACStats()
+    zero_ac = [0] * 64
+    for _ in vals:
+        ja.encode_ac_block(enc, ac_st, zero_ac)
+    out += enc.flush()
+    return bytes(out)
+
+
+def encode_jpeg_hierarchical_gray_process(
+    base_values, blocks_w: int, blocks_h: int, stages, process: str = "seq",
+    restart_interval: int = 0,
+) -> bytes:
+    """Hierarchical grayscale pyramid where EVERY frame uses the chosen
+    DCT process — 'seq' (SOF0 + differential SOF5, Huffman), 'prog'
+    (SOF2 + SOF6, Huffman progressive), 'arith' (SOF9 + SOF13), or
+    'arith-prog' (SOF10 + SOF14). Same (eh, ev, diff_values) stage
+    contract as encode_jpeg_hierarchical_gray; restart_interval applies
+    to the sequential processes only."""
+    fw, fh = blocks_w, blocks_h
+    for eh, ev, _ in stages:
+        fw *= 2 if eh else 1
+        fh *= 2 if ev else 1
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + _ENC_QUANT_ZIGZAG
+    out += b"\xff\xde" + struct.pack(">HBHHB", 11, 8, 8 * fh, 8 * fw, 1)
+    out += bytes([1, 0x11, 0])
+    if process in ("seq", "prog"):
+        dht = bytes([0x00]) + bytes(_ENC_DC_COUNTS) + _ENC_DC_SYMBOLS
+        dht += bytes([0x10]) + bytes(_ENC_AC_COUNTS) + _ENC_AC_SYMBOLS
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    else:  # arithmetic: default DAC conditioning, exercising the parse
+        out += b"\xff\xcc" + struct.pack(">H", 6) + bytes([0x00, 0x10, 0x10, 5])
+    if restart_interval and process in ("seq", "arith"):
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    def frame(differential, vals, gw, gh):
+        if process == "seq":
+            marker = 0xC5 if differential else 0xC0
+            return _hier_seq_frame_bytes(
+                marker, vals, gw, gh, restart_interval, differential
+            )
+        if process == "prog":
+            return _hier_prog_frame_bytes(differential, vals, gw, gh)
+        if process == "arith":
+            return _hier_arith_frame_bytes(
+                differential, vals, gw, gh, restart_interval
+            )
+        if process == "arith-prog":
+            return _hier_arith_prog_frame_bytes(differential, vals, gw, gh)
+        raise ValueError(f"unknown hierarchical process {process!r}")
+
+    out += frame(False, base_values, blocks_w, blocks_h)
+    gw, gh = blocks_w, blocks_h
+    for eh, ev, diffs in stages:
+        if eh or ev:
+            out += b"\xff\xdf" + struct.pack(">HB", 3, (eh << 4) | ev)
+            gw *= 2 if eh else 1
+            gh *= 2 if ev else 1
+        out += frame(True, diffs, gw, gh)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _ll_arith_hier_frame_bytes(
+    marker: int, plane, precision: int, predictor: int,
+    differential: bool, dc_cond: tuple[int, int],
+) -> bytes:
+    """One single-component LOSSLESS ARITHMETIC frame (SOF11
+    non-differential / SOF15 differential with predictor selection 0)
+    for the hierarchical fixture encoder — the H.1.2.3 model with
+    conditioning on neighboring diff classes, PRED zero when
+    differential."""
+    from hive_server_spark.functions import jpeg_arith as ja
+
+    plane = np.asarray(plane, dtype=np.int64)
+    h, w = plane.shape
+    out = bytearray()
+    out += bytes([0xFF, marker]) + struct.pack(">HBHHB", 11, precision, h, w, 1)
+    out += bytes([1, 0x11, 0])
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+    out += bytes([1, 0x00, 0 if differential else predictor, 0, 0])
+    st0 = ja.LosslessStats(*dc_cond)
+    default_pred = 1 << (precision - 1)
+    diffs = np.zeros((h, w), dtype=np.int64)
+    enc = ja.ArithEncoder()
+    for y in range(h):
+        for x in range(w):
+            if differential:
+                px = 0
+            elif y == 0 and x == 0:
+                px = default_pred
+            elif y == 0:
+                px = int(plane[y, x - 1])
+            elif x == 0:
+                px = int(plane[y - 1, 0])
+            else:
+                a = int(plane[y, x - 1])
+                bb = int(plane[y - 1, x])
+                c = int(plane[y - 1, x - 1])
+                if predictor == 1:
+                    px = a
+                elif predictor == 2:
+                    px = bb
+                elif predictor == 3:
+                    px = c
+                elif predictor == 4:
+                    px = a + bb - c
+                elif predictor == 5:
+                    px = a + ((bb - c) >> 1)
+                elif predictor == 6:
+                    px = bb + ((a - c) >> 1)
+                else:
+                    px = (a + bb) >> 1
+            diff = ((int(plane[y, x]) - px + 0x8000) & 0xFFFF) - 0x8000
+            cls_a = st0.classify5(int(diffs[y, x - 1])) if x > 0 else 0
+            cls_b = st0.classify5(int(diffs[y - 1, x])) if y > 0 else 0
+            ja.encode_lossless_diff(enc, st0, cls_a, cls_b, diff)
+            diffs[y, x] = diff
+    out += enc.flush()
+    return bytes(out)
+
+
+def encode_jpeg_hierarchical_lossless_arith(
+    base_plane, stages, predictor: int = 4, precision: int = 8,
+    dc_cond: tuple[int, int] = (0, 1),
+) -> bytes:
+    """Spec-valid HIERARCHICAL LOSSLESS ARITHMETIC grayscale JPEG: DHP at
+    the final resolution, an SOF11 base frame, then per stage an optional
+    EXP doubling followed by an SOF15 differential frame (predictor
+    selection 0) — the arithmetic twin of
+    encode_jpeg_hierarchical_lossless."""
+    base_plane = np.asarray(base_plane, dtype=np.int64)
+    fh, fw = base_plane.shape
+    for eh, ev, _ in stages:
+        fw *= 2 if eh else 1
+        fh *= 2 if ev else 1
+    lo, hi = dc_cond
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xde" + struct.pack(">HBHHB", 11, precision, fh, fw, 1)
+    out += bytes([1, 0x11, 0])
+    out += b"\xff\xcc" + struct.pack(">H", 4) + bytes([0x00, (hi << 4) | lo])
+    out += _ll_arith_hier_frame_bytes(
+        0xCB, base_plane, precision, predictor, False, dc_cond
+    )
+    for eh, ev, diffs in stages:
+        if eh or ev:
+            out += b"\xff\xdf" + struct.pack(">HB", 3, (eh << 4) | ev)
+        out += _ll_arith_hier_frame_bytes(
+            0xCF, np.asarray(diffs, dtype=np.int64), precision, predictor,
+            True, dc_cond,
+        )
+    out += b"\xff\xd9"
     return bytes(out)
 
 

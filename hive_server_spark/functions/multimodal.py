@@ -11,16 +11,15 @@ its own pure-Python decoders — PNG (non-interlaced 8-bit RGB/grayscale via
 stdlib zlib, with full None/Sub/Up/Average/Paeth filter reconstruction),
 PPM (P6 binary and P3 ascii), BMP (24-bit uncompressed BI_RGB), and JPEG
 (ITU-T T.81: sequential/progressive/lossless modes, Huffman AND QM
-arithmetic entropy coding, any 1..4 sampling, 8/12-bit —
-functions/jpeg.py, format matrix in its docstring) — doing real header
+arithmetic entropy coding, any 1..4 sampling, 8/12-bit, and — since the
+round-10 second pass — hierarchical DHP/EXP/differential sequences, so
+the ENTIRE T.81 SOF matrix decodes; functions/jpeg.py, format matrix in
+its docstring) — doing real header
 parsing and numpy pixel math in the Arrow worker. strict=True requires every
 payload to be one of those formats (ValueError otherwise); strict=False
 falls back to a clearly-marked deterministic fake for payloads in formats
-that would need external codecs (video; hierarchical JPEG — Huffman
-progressive decodes for real since round 7, subsampled progressive /
-12-bit SOF1 / arithmetic SOF9+SOF10 / lossless SOF3 since round 9,
-lossless-arithmetic SOF11 since round 10), keeping the full pipeline
-testable.
+that would need external codec libraries (inter-frame video — MJPEG AVI
+decodes for real), keeping the full pipeline testable.
 `synthesize_ppm_media` builds REAL P6
 payloads with pure column expressions, `synthesize_png_media` builds REAL
 zlib-compressed PNGs of the same pixels, and `synthesize_jpeg_media`
@@ -411,6 +410,25 @@ def synthesize_dhash_jpeg_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(build, schema=MEDIA_SCHEMA)
 
 
+def _dhash_band_values(samples, w: int, h: int) -> list[int]:
+    """64-bit dHash of one decoded sample array as four 16-bit band
+    values: 8x8-pixel tile means on the 9x8 cell grid, bit (r, c) =
+    cell[r][c] < cell[r][c+1], band i = bits 16i..16i+15 (local shift
+    bit%16). Shared by the image dHash and the per-keyframe video
+    fingerprint."""
+    import numpy as np
+
+    gw, gh = DHASH_GRID_W, DHASH_GRID_H
+    if samples.ndim == 3:  # color: average channels to luma-ish
+        samples = samples.mean(axis=-1)
+    cells = samples.reshape(gh, h // gh, gw, w // gw).mean(axis=(1, 3))
+    bits = (cells[:, :-1] < cells[:, 1:]).reshape(-1)  # 64 row-major
+    vals = [0, 0, 0, 0]
+    for g in np.nonzero(bits)[0]:
+        vals[g // 16] |= 1 << int(g % 16)
+    return vals
+
+
 def dhash_bands(media: DataFrame) -> DataFrame:
     """Per-image 64-bit difference hash over DECODED pixels, as four
     16-bit bands: real JPEG decode (functions/jpeg.py decode_jpeg_samples)
@@ -432,13 +450,7 @@ def dhash_bands(media: DataFrame) -> DataFrame:
                 if r is None:
                     raise ValueError(f"media {media_id}: not a JPEG payload")
                 w, h, samples = r
-                if samples.ndim == 3:  # color: average channels to luma-ish
-                    samples = samples.mean(axis=-1)
-                cells = samples.reshape(gh, h // gh, gw, w // gw).mean(axis=(1, 3))
-                bits = (cells[:, :-1] < cells[:, 1:]).reshape(-1)  # 64 row-major
-                vals = [0, 0, 0, 0]
-                for g in np.nonzero(bits)[0]:
-                    vals[g // 16] |= 1 << int(g % 16)
+                vals = _dhash_band_values(samples, w, h)
                 ids.append(media_id)
                 for i in range(4):
                     bands[i].append(vals[i])
@@ -457,10 +469,14 @@ def dhash_bands(media: DataFrame) -> DataFrame:
     )
 
 
-def band_candidates(bands: DataFrame, max_bucket: int | None = None) -> DataFrame:
-    """LSH candidate pairs from a wide band table (media_id, band0..3):
-    items sharing at least one 16-bit band value — modality-generic (the
-    image dHash and the audio fingerprint emit the same 4x16-bit shape). Shuffle is on the
+def band_candidates(
+    bands: DataFrame, max_bucket: int | None = None, n_bands: int = 4
+) -> DataFrame:
+    """LSH candidate pairs from a wide band table (media_id,
+    band0..band{n_bands-1}): items sharing at least one 16-bit band value
+    — modality-generic (the image dHash and the audio fingerprint emit
+    the 4x16-bit shape; the video fingerprint emits 8 bands, four per
+    sampled keyframe). Shuffle is on the
     (band_idx, band_val) bucket key; output is O(near-dups), never O(n²).
 
     `max_bucket` is the adversarial-input guard, verbatim from
@@ -470,10 +486,10 @@ def band_candidates(bands: DataFrame, max_bucket: int | None = None) -> DataFram
     larger than the cap are dropped — their members are (near-)identical
     by construction and belong to an exact hash-dedup pass, which handles
     them in O(b). None = uncapped (the parity-gate configuration)."""
+    parts = ", ".join(f"{i}L, band{i}" for i in range(n_bands))
     long = bands.selectExpr(
         "media_id",
-        "stack(4, 0L, band0, 1L, band1, 2L, band2, 3L, band3)"
-        " AS (band_idx, band_val)",
+        f"stack({n_bands}, {parts}) AS (band_idx, band_val)",
     )
     if max_bucket is not None:
         small = (
@@ -493,6 +509,132 @@ def band_candidates(bands: DataFrame, max_bucket: int | None = None) -> DataFram
         )
         .select(F.col("a.media_id").alias("id1"), F.col("b.media_id").alias("id2"))
         .distinct()
+    )
+
+
+VIDEO_FP_FRAMES = 2
+
+VIDEO_FP_SCHEMA = StructType(
+    [StructField("media_id", LongType(), False)]
+    + [
+        StructField(f"band{i}", LongType(), False)
+        for i in range(4 * VIDEO_FP_FRAMES)
+    ]
+)
+
+
+def video_fp_cell_value(prefix: str, f: int, k: int, doc_id: int) -> int:
+    """Cell k's constant block value for keyframe f of the video
+    fingerprint fixtures — the video member of the dhash_cell_value
+    family, shared by the Spark synthesizer and the tests; the DuckDB
+    oracle spells the identical derivation. Frame 0's cell 0 encodes doc
+    parity against fixed cell 1 = 50 (planted Hamming-distance-1
+    near-dups between same-prefix docs of opposite parity); every other
+    cell is an md5-derived byte keyed on (prefix, frame, cell), so
+    distinct headers hash to independent fingerprints and BOTH frames
+    contribute signal."""
+    import hashlib
+
+    if k == 0:
+        return (40 + 20 * (doc_id % 2)) if f == 0 else 45
+    if k == 1:
+        return 50
+    return int(hashlib.md5(f"{prefix}:{f}:{k}".encode()).hexdigest()[:2], 16)
+
+
+def synthesize_fpavi_media(docs: DataFrame) -> DataFrame:
+    """REAL MJPEG-AVI 'clip' fixtures for video near-dup: each document
+    yields a VIDEO_FP_FRAMES-frame AVI whose frames are 72x64 dHash-style
+    thumbnails keyed on the doc-header prefix (videos sharing a header
+    render the same clip, modulo the planted parity bit). Constant blocks
+    decode exactly, so the whole container -> keyframe -> dHash chain has
+    a closed-form DuckDB oracle."""
+    from hive_server_spark.functions.jpeg import encode_jpeg_gray_blocks
+    from hive_server_spark.functions.video import encode_avi_mjpeg
+
+    nblk = DHASH_GRID_W * DHASH_GRID_H
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                prefix = (text or "")[:DHASH_PREFIX_LEN]
+                frames = [
+                    encode_jpeg_gray_blocks(
+                        [
+                            video_fp_cell_value(prefix, f, k, doc_id)
+                            for k in range(nblk)
+                        ],
+                        DHASH_GRID_W,
+                        DHASH_GRID_H,
+                    )
+                    for f in range(VIDEO_FP_FRAMES)
+                ]
+                ids.append(doc_id)
+                payloads.append(
+                    encode_avi_mjpeg(
+                        frames, 8 * DHASH_GRID_W, 8 * DHASH_GRID_H, rate=25
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "video",
+                    "payload": payloads,
+                    "meta": [
+                        {"declared_format": "video/avi;mjpeg", "n_bytes": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def video_fp_bands(media: DataFrame) -> DataFrame:
+    """Per-video 128-bit fingerprint over REAL decoded keyframes, as
+    eight 16-bit bands: AVI container walk, each of the VIDEO_FP_FRAMES
+    keyframes through the full JPEG decoder and the shared dHash
+    (_dhash_band_values), band 4f+i = frame f's band i. A near-dup
+    candidate must collide on a band of the SAME frame position — the LSH
+    banding treats (frame, band) as the bucket key, which is what makes
+    re-encoded copies of the same clip collide while distinct clips
+    don't. Partition-preserving mapInPandas; payload bytes never
+    shuffle; the fingerprint table is 9 small integers per video."""
+    from hive_server_spark.functions.jpeg import decode_jpeg_samples
+    from hive_server_spark.functions.video import parse_avi
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                got = parse_avi(bytes(payload))
+                if got is None:
+                    raise ValueError(f"media {media_id}: not an AVI payload")
+                w, h, _rate, _scale, frames = got
+                if len(frames) != VIDEO_FP_FRAMES:
+                    raise ValueError(
+                        f"media {media_id}: video fingerprint expects "
+                        f"{VIDEO_FP_FRAMES} frames, got {len(frames)}"
+                    )
+                vals = []
+                for f in frames:
+                    r = decode_jpeg_samples(f)
+                    if r is None:
+                        raise ValueError(
+                            f"media {media_id}: AVI frame is not a JPEG"
+                        )
+                    fw, fh, samples = r
+                    vals.extend(_dhash_band_values(samples, fw, fh))
+                rows.append((media_id, *vals))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id"]
+                + [f"band{i}" for i in range(4 * VIDEO_FP_FRAMES)],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        hash_batch, schema=VIDEO_FP_SCHEMA
     )
 
 
@@ -750,10 +892,10 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, float] | None:
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, float]:
-    """Deterministic stand-in for formats needing external codecs (video;
-    hierarchical JPEG — progressive, 12-bit, fractional-ratio sampling,
-    arithmetic SOF9/SOF10 AND lossless SOF3 all decode for real now):
-    dimensions and mean luminance derived from the bytes themselves.
+    """Deterministic stand-in for formats needing external codec
+    libraries (inter-frame video codecs; every T.81 JPEG mode including
+    hierarchical, and MJPEG AVI video, decode for real now): dimensions
+    and mean luminance derived from the bytes themselves.
     Only reachable with strict=False."""
     n = len(payload)
     width = 16 + (payload[0] if n else 0) % 240
@@ -797,8 +939,8 @@ def _decode_one(payload: bytes, strict: bool) -> tuple[int, int, float, str]:
         raise ValueError(
             f"unsupported media format (magic {b[:2]!r}); strict decode "
             "handles PNG (8-bit RGB/gray), PPM (P6/P3), uncompressed "
-            "24-bit BMP and JPEG (sequential/progressive/lossless, "
-            "Huffman or arithmetic)"
+            "24-bit BMP and JPEG (sequential/progressive/lossless/"
+            "hierarchical, Huffman or arithmetic)"
         )
     return (*_fake_decode(b), "fake-deterministic")
 
@@ -938,6 +1080,59 @@ def decode_and_featurize(
             )
 
     return media.mapInPandas(run, schema=DECODED_FEATURES_SCHEMA)
+
+
+def synthesize_hier_jpeg_media(docs: DataFrame) -> DataFrame:
+    """REAL hierarchical (DHP/EXP/differential) JPEG payloads from
+    documents, rotating through all four DCT hierarchical processes by
+    doc_id % 4 (SOF0+SOF5, SOF2+SOF6, SOF9+SOF13, SOF10+SOF14). The base
+    frame is ONE constant 8x8 block (value = ascii of hex-of-text char 0),
+    so the J.1.1.2 expansion stays constant-exact; the stage's EXP axes
+    rotate by doc_id % 3 ((1,1) / (1,0) / (0,1)) and block k of the
+    differential frame adds ascii(hx[(k+1) mod L]) - 57 (range -9..13 —
+    sums stay inside [0, 255], so no clipping enters the oracle). Restart
+    interval 2 on the sequential processes exercises RSTn resync inside
+    hierarchical frames."""
+    from hive_server_spark.functions.jpeg import (
+        encode_jpeg_hierarchical_gray_process,
+    )
+
+    _PROCS = ("seq", "prog", "arith", "arith-prog")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, fmts = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = (text or "").encode("utf-8")
+                hx = data.hex().upper() or "0"
+                v0 = ord(hx[0])
+                axes = ((1, 1), (1, 0), (0, 1))[doc_id % 3]
+                gw, gh = 1 + axes[0], 1 + axes[1]
+                diffs = [
+                    ord(hx[(k + 1) % len(hx)]) - 57 for k in range(gw * gh)
+                ]
+                proc = _PROCS[doc_id % 4]
+                ri = 2 if proc in ("seq", "arith") else 0
+                payload = encode_jpeg_hierarchical_gray_process(
+                    [v0], 1, 1, [(axes[0], axes[1], diffs)],
+                    process=proc, restart_interval=ri,
+                )
+                ids.append(doc_id)
+                payloads.append(payload)
+                fmts.append(f"image/jpeg;hier-{proc}")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "payload": payloads,
+                    "meta": [
+                        {"declared_format": f, "n_bytes": len(p)}
+                        for f, p in zip(fmts, payloads)
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(build, schema=MEDIA_SCHEMA)
 
 
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:

@@ -1061,7 +1061,14 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 # queries, (2) the remaining 45 r07-green names in registration order
 # (order_book_levels, order_book_vwap, orders_scd2_versions,
 # amount_out_buy, ...), (3) the 47 r08 names, (4) r09. Budget
-# registrations ≤ 5 or the r07 tail spills a round.
+# registrations ≤ 5 or the r07 tail spills a round. Two registrations are
+# already staged in plans/multimodal_pack.py — oracles written,
+# Spark-vs-DuckDB parity pinned by tests on crafted + sf corpora; flip
+# the commented @register lines:
+#   multimodal_jpeg_hierarchical_profile (all four DCT hierarchical
+#   processes against one closed-form oracle)
+#   multimodal_video_fp_neardup (keyframe-dHash video near-dup — the
+#   video member of the perceptual-dedup triad)
 # ---------------------------------------------------------------------------
 from hive_server_spark.registry import set_driver_priority  # noqa: E402
 

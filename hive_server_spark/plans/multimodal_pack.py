@@ -1093,3 +1093,230 @@ def multimodal_video_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(fpx).alias("kf_pixel_bytes"),
     )
     return vid.crossJoin(kf)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical JPEG decode profile (round-10 second-pass library;
+# REGISTRATION DEFERRED TO ROUND 11 — the round-10 driver window is
+# exactly full per the rotation note in gate.py, and a query registered
+# outside the window would sit unchecked, which tests/test_rotation.py
+# forbids; flip the commented @register). Value-gates the DHP/EXP/
+# differential machinery across ALL FOUR DCT hierarchical processes in
+# one query: doc_id % 4 rotates SOF0+SOF5 / SOF2+SOF6 / SOF9+SOF13 /
+# SOF10+SOF14, doc_id % 3 rotates the EXP axes. The constant base block
+# makes the J.1.1.2 expansion exact and the per-block differential sums
+# stay inside [0, 255], so the pixel sum is closed-form:
+# 64 * (nblk*v0 + sum(d_k)). Spark-vs-DuckDB parity is pinned by
+# tests/test_multimodal.py on crafted + sf corpora.
+# ---------------------------------------------------------------------------
+_HIER_JPEG_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN octet_length(encode(text)) > 0
+              THEN hex(encode(text)) ELSE '0' END AS hx
+  FROM documents
+), g AS (
+  SELECT doc_id, hx,
+         CASE WHEN doc_id % 3 IN (0, 1) THEN 2 ELSE 1 END AS gw,
+         CASE WHEN doc_id % 3 IN (0, 2) THEN 2 ELSE 1 END AS gh,
+         CASE CAST(doc_id % 4 AS INTEGER)
+              WHEN 0 THEN 'seq' WHEN 1 THEN 'prog'
+              WHEN 2 THEN 'arith' ELSE 'arith-prog' END AS process,
+         ascii(substr(hx, 1, 1)) AS v0
+  FROM m
+), blk AS (
+  SELECT doc_id, hx, v0, unnest(range(gw * gh)) AS k FROM g
+), d AS (
+  SELECT doc_id,
+         ascii(substr(hx, CAST((k + 1) % length(hx) AS INTEGER) + 1, 1)) - 57 AS dv
+  FROM blk
+), vsum AS (
+  SELECT doc_id, SUM(dv) AS dsum, COUNT(*) AS nblk FROM d GROUP BY doc_id
+)
+SELECT g.process,
+       CAST(COUNT(*) AS BIGINT)            AS n_media,
+       CAST(MIN(8 * g.gw) AS BIGINT)       AS min_width,
+       CAST(MAX(8 * g.gh) AS BIGINT)       AS max_height,
+       CAST(SUM(8 * g.gw) AS BIGINT)       AS sum_width,
+       CAST(SUM(8 * g.gh) AS BIGINT)       AS sum_height,
+       CAST(SUM(64 * (v.nblk * g.v0 + v.dsum)) AS BIGINT) AS sum_pixel_bytes
+FROM g JOIN vsum v USING (doc_id)
+GROUP BY g.process
+"""
+
+
+# round 11: @register("multimodal_jpeg_hierarchical_profile", _HIER_JPEG_ORACLE)
+def multimodal_jpeg_hierarchical_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Strict decode profile over REAL hierarchical JPEGs: DHP + EXP +
+    differential frames, one row per hierarchical process (Huffman and
+    arithmetic, sequential and progressive), each row's pixel sum folded
+    back from the float32 mean and hash-compared with the closed-form
+    byte-level oracle."""
+    media = M.synthesize_hier_jpeg_media(_docs_wide(spark, sf_dir))
+    # process is a pure function of media_id (the synthesis rotation), so
+    # derive it as a CASE instead of re-joining the synthesized payloads —
+    # one mapInPandas pass, no self-join recompute
+    variant = (F.col("media_id") % 4).cast("int")
+    dec = M.decode_media(media, strict=True).withColumn(
+        "process",
+        F.when(variant == 0, "seq")
+        .when(variant == 1, "prog")
+        .when(variant == 2, "arith")
+        .otherwise("arith-prog"),
+    )
+    px = (
+        F.round(
+            F.col("mean_luma").cast("double")
+            * F.lit(255.0)
+            * F.col("width")
+            * F.col("height")
+        ).cast("bigint")
+    )
+    return dec.groupBy("process").agg(
+        F.count("*").cast("bigint").alias("n_media"),
+        F.min("width").cast("bigint").alias("min_width"),
+        F.max("height").cast("bigint").alias("max_height"),
+        F.sum("width").cast("bigint").alias("sum_width"),
+        F.sum("height").cast("bigint").alias("sum_height"),
+        F.sum(px).alias("sum_pixel_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video fingerprint near-dup (round-10 second-pass library; REGISTRATION
+# DEFERRED TO ROUND 11 — window full, same stance as the hierarchical
+# profile above; flip the commented @register). Completes the perceptual-
+# dedup triad (image dHash / audio energy fingerprint / video keyframe
+# fingerprint): REAL AVI container walk -> both keyframes through the
+# full JPEG decoder -> per-frame dHash -> 128-bit fingerprint as eight
+# 16-bit bands keyed (frame, band) -> band_candidates(n_bands=8) ->
+# Hamming verify on co-bucketed candidates only, never all-pairs. Same
+# closed-form-oracle scheme as multimodal_phash_neardup with a frame
+# dimension; parity pinned by tests/test_multimodal.py on crafted + sf
+# corpora.
+# ---------------------------------------------------------------------------
+_VIDEO_FP_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, COALESCE(substr(text, 1, {M.DHASH_PREFIX_LEN}), '') AS p
+  FROM documents
+),
+cellk AS (
+  SELECT doc_id, p, f.f, k.k
+  FROM d,
+       (SELECT unnest(range(0, {M.VIDEO_FP_FRAMES})) AS f) f,
+       (SELECT unnest(range(0, {M.DHASH_GRID_W * M.DHASH_GRID_H})) AS k) k
+),
+cell AS (
+  SELECT doc_id, f, k,
+         CASE WHEN k = 0 AND f = 0 THEN 40 + 20 * (doc_id % 2)
+              WHEN k = 0 THEN 45
+              WHEN k = 1 THEN 50
+              ELSE ('0x' || substr(md5(p || ':' || CAST(f AS VARCHAR)
+                    || ':' || CAST(k AS VARCHAR)), 1, 2))::BIGINT
+         END AS v
+  FROM cellk
+),
+bit AS (
+  SELECT a.doc_id,
+         a.f * 64 + (a.k // {M.DHASH_GRID_W}) * 8 + (a.k % {M.DHASH_GRID_W}) AS g
+  FROM cell a JOIN cell b ON a.doc_id = b.doc_id AND a.f = b.f AND b.k = a.k + 1
+  WHERE a.k % {M.DHASH_GRID_W} < 8 AND a.v < b.v
+),
+bgrid AS (
+  SELECT doc_id, unnest(range(0, {4 * M.VIDEO_FP_FRAMES})) AS band_idx FROM d
+),
+bsum AS (
+  SELECT doc_id, g // 16 AS band_idx,
+         CAST(SUM(1 << CAST(g % 16 AS INTEGER)) AS BIGINT) AS band_val
+  FROM bit GROUP BY doc_id, g // 16
+),
+bands AS (
+  SELECT bg.doc_id, bg.band_idx, COALESCE(bs.band_val, 0) AS band_val
+  FROM bgrid bg LEFT JOIN bsum bs USING (doc_id, band_idx)
+),
+wide AS (
+  SELECT doc_id,
+         MAX(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+         MAX(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+         MAX(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+         MAX(CASE WHEN band_idx = 3 THEN band_val END) AS b3,
+         MAX(CASE WHEN band_idx = 4 THEN band_val END) AS b4,
+         MAX(CASE WHEN band_idx = 5 THEN band_val END) AS b5,
+         MAX(CASE WHEN band_idx = 6 THEN band_val END) AS b6,
+         MAX(CASE WHEN band_idx = 7 THEN band_val END) AS b7
+  FROM bands GROUP BY doc_id
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT c.id1, c.id2,
+         bit_count(xor(w1.b0, w2.b0)) + bit_count(xor(w1.b1, w2.b1))
+       + bit_count(xor(w1.b2, w2.b2)) + bit_count(xor(w1.b3, w2.b3))
+       + bit_count(xor(w1.b4, w2.b4)) + bit_count(xor(w1.b5, w2.b5))
+       + bit_count(xor(w1.b6, w2.b6)) + bit_count(xor(w1.b7, w2.b7)) AS hd
+  FROM cand c
+  JOIN wide w1 ON c.id1 = w1.doc_id
+  JOIN wide w2 ON c.id2 = w2.doc_id
+)
+SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_videos,
+       CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+       CAST(COALESCE(SUM(CASE WHEN hd = 0 THEN 1 END), 0) AS BIGINT)
+         AS n_exact_pairs,
+       CAST(COALESCE(SUM(CASE WHEN hd BETWEEN 1 AND 2 THEN 1 END), 0) AS BIGINT)
+         AS n_neardup_pairs,
+       CAST(COALESCE(SUM(hd), 0) AS BIGINT) AS sum_hamming
+FROM ham
+"""
+
+
+def _video_fp_band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-video fingerprint band table, decoded ONCE per (session,
+    sf_dir) — the video twin of _dhash_band_table, same cache."""
+    return _DHASH_CACHE.get_or_create(
+        spark,
+        ("videofp", sf_dir),
+        lambda: M.video_fp_bands(
+            M.synthesize_fpavi_media(_docs_wide(spark, sf_dir))
+        ).persist(),
+    )
+
+
+# round 11: @register("multimodal_video_fp_neardup", _VIDEO_FP_ORACLE)
+def multimodal_video_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup report: real AVI decode -> per-keyframe dHash ->
+    (frame, band)-keyed LSH candidates -> 128-bit Hamming verify on
+    candidates only. Single summary row, value-parity vs the closed-form
+    oracle pinned by tests (constant frames decode exactly)."""
+    bands_wide = _video_fp_band_table(spark, sf_dir)
+    n = 4 * M.VIDEO_FP_FRAMES
+    cand = M.band_candidates(bands_wide, max_bucket=None, n_bands=n)
+    w1 = bands_wide.select(
+        F.col("media_id").alias("id1"),
+        *[F.col(f"band{i}").alias(f"a{i}") for i in range(n)],
+    )
+    w2 = bands_wide.select(
+        F.col("media_id").alias("id2"),
+        *[F.col(f"band{i}").alias(f"b{i}") for i in range(n)],
+    )
+    hd = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}"))) for i in range(n)
+    )
+    ham = cand.join(w1, "id1").join(w2, "id2").withColumn("hd", hd)
+    clips = bands_wide.agg(F.count("*").cast("bigint").alias("n_videos"))
+    pairs = ham.agg(
+        F.count("*").cast("bigint").alias("n_candidate_pairs"),
+        F.coalesce(F.sum(F.when(F.col("hd") == 0, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n_exact_pairs"),
+        F.coalesce(F.sum(F.when(F.col("hd").between(1, 2), 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n_neardup_pairs"),
+        F.coalesce(F.sum("hd"), F.lit(0)).cast("bigint").alias("sum_hamming"),
+    )
+    return clips.crossJoin(pairs)

@@ -194,3 +194,134 @@ def test_hierarchical_fuzz_never_misdecodes():
             decode_jpeg(bytes(b))
         except ValueError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# full process matrix (round 10 second pass): every T.81 frame process
+# decodes inside a hierarchical sequence, under both entropy coders
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("process", ["seq", "prog", "arith", "arith-prog"])
+def test_hierarchical_all_dct_processes_exact(process):
+    from hive_server_spark.functions.jpeg import (
+        encode_jpeg_hierarchical_gray_process,
+    )
+
+    base = [40, 200]
+    stages = [
+        (1, 1, [3, -3, 7, -7, 11, -11, 1, -1]),
+        (0, 0, [1, 0, -1, 2, 0, -2, 3, -3]),  # same-size refinement
+    ]
+    ri = 2 if process in ("seq", "arith") else 0
+    payload = encode_jpeg_hierarchical_gray_process(
+        base, 2, 1, stages, process=process, restart_interval=ri
+    )
+    w, h, samples = decode_jpeg_samples(payload)
+    assert (w, h) == (32, 16)
+    assert np.array_equal(
+        samples.astype(np.int64), _mirror(base, 2, 1, stages)
+    )
+
+
+@pytest.mark.parametrize("precision", [8, 12, 16])
+def test_hierarchical_lossless_exact(precision):
+    from hive_server_spark.functions.jpeg import (
+        encode_jpeg_hierarchical_lossless,
+    )
+
+    rng = np.random.default_rng(precision)
+    maxval = (1 << precision) - 1
+    base = rng.integers(0, maxval + 1, size=(5, 7))
+    d1 = rng.integers(-30, 31, size=(5, 14))
+    d2 = rng.integers(-30, 31, size=(10, 14))
+    payload = encode_jpeg_hierarchical_lossless(
+        base, [(1, 0, d1), (0, 1, d2)], predictor=5, precision=precision,
+        restart_interval=3,
+    )
+    w, h, samples = decode_jpeg_samples(payload)
+    assert (w, h) == (14, 10)
+    ref = (_exp_expand(base.astype(np.int64), 1, 0) + d1) % 65536
+    ref = (_exp_expand(ref, 0, 1) + d2) % 65536
+    expected = np.clip(ref, 0, maxval)
+    assert np.array_equal(samples.reshape(expected.shape).astype(np.int64), expected)
+
+
+def test_hierarchical_lossless_arith_exact():
+    from hive_server_spark.functions.jpeg import (
+        encode_jpeg_hierarchical_lossless_arith,
+    )
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 256, size=(5, 6))
+    d1 = rng.integers(-30, 31, size=(10, 12))
+    payload = encode_jpeg_hierarchical_lossless_arith(
+        base, [(1, 1, d1)], predictor=6, dc_cond=(0, 2)
+    )
+    _w, _h, samples = decode_jpeg_samples(payload)
+    expected = np.clip(
+        (_exp_expand(base.astype(np.int64), 1, 1) + d1) % 65536, 0, 255
+    )
+    assert np.array_equal(samples.reshape(expected.shape).astype(np.int64), expected)
+
+
+def test_hierarchical_mixed_dct_base_lossless_refinement():
+    """The classic hierarchical use: a lossy DCT base frame plus a final
+    LOSSLESS differential refinement (SOF0 then SOF7), with the DHT
+    redefined between frames — crafted by concatenating the frame-bytes
+    helpers around a second DHT segment."""
+    import struct
+
+    from hive_server_spark.functions.jpeg import (
+        _ENC_AC_COUNTS,
+        _ENC_AC_SYMBOLS,
+        _ENC_DC_COUNTS,
+        _ENC_DC_SYMBOLS,
+        _ENC_LL_COUNTS,
+        _ENC_LL_SYMBOLS,
+        _ENC_QUANT_ZIGZAG,
+        _hier_seq_frame_bytes,
+        _ll_hier_frame_bytes,
+    )
+
+    base = [100, 50]  # 16x8 base
+    rng = np.random.default_rng(4)
+    residual = rng.integers(-5, 6, size=(8, 16))  # per-sample lossless diff
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + _ENC_QUANT_ZIGZAG
+    out += b"\xff\xde" + struct.pack(">HBHHB", 11, 8, 8, 16, 1) + bytes([1, 0x11, 0])
+    dht = bytes([0x00]) + bytes(_ENC_DC_COUNTS) + _ENC_DC_SYMBOLS
+    dht += bytes([0x10]) + bytes(_ENC_AC_COUNTS) + _ENC_AC_SYMBOLS
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    out += _hier_seq_frame_bytes(0xC0, base, 2, 1, 0, False)
+    # redefine DC table 0 as the 5-bit lossless category table
+    dht2 = bytes([0x00]) + bytes(_ENC_LL_COUNTS) + _ENC_LL_SYMBOLS
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht2)) + dht2
+    out += _ll_hier_frame_bytes(0xC7, residual, 8, 4, 0, True)
+    out += b"\xff\xd9"
+
+    _w, _h, samples = decode_jpeg_samples(bytes(out))
+    expected = np.clip(
+        (_blocks_to_image(base, 2, 1) + residual) % 65536, 0, 255
+    )
+    assert np.array_equal(samples.reshape(expected.shape).astype(np.int64), expected)
+
+
+def test_hierarchical_differential_lossless_requires_predictor_zero():
+    from hive_server_spark.functions.jpeg import (
+        encode_jpeg_hierarchical_lossless,
+    )
+
+    payload = bytearray(
+        encode_jpeg_hierarchical_lossless(
+            np.full((2, 2), 50), [(0, 0, np.full((2, 2), 3))]
+        )
+    )
+    # tamper the differential frame's SOS predictor byte (Ss) from 0 to 1:
+    # second SOS in the stream, Ss at offset marker+7
+    first = payload.index(b"\xff\xda")
+    second = payload.index(b"\xff\xda", first + 2)
+    assert payload[second + 7] == 0
+    payload[second + 7] = 1
+    with pytest.raises(ValueError, match="predictor selection 0"):
+        decode_jpeg(bytes(payload))

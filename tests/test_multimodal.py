@@ -816,3 +816,157 @@ def test_audio_fp_neardup_oracle_parity(spark, tmp_path):
     assert crafted.n_candidate_pairs == 3
     assert crafted.n_exact_pairs == 1
     assert crafted.n_neardup_pairs == 2
+
+
+def test_jpeg_hierarchical_profile_oracle_parity(spark, tmp_path):
+    """Full Spark-vs-DuckDB parity of the (round-11-deferred) hierarchical
+    JPEG decode profile over a crafted corpus AND the sf0.001 corpus — so
+    the round-11 registration is a one-line flip with parity proven."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_server_spark.plans.multimodal_pack import (
+        _HIER_JPEG_ORACLE,
+        multimodal_jpeg_hierarchical_profile,
+    )
+    from tests.conftest import SF_SMALL
+    from tests.test_gate_parity import _rowset
+
+    rows = [
+        (0, "seq doc with EXP(1,1)"),
+        (1, "progressive doc body"),
+        (2, "arithmetic doc"),
+        (3, "arith-prog doc, axes (0,1)"),
+        (4, ""),
+        (7, "another seq-ish doc id 7"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["t"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    for sf_dir in (str(tmp_path), SF_SMALL):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        oracle = con.execute(_HIER_JPEG_ORACLE)
+        o_cols = [d[0] for d in oracle.description]
+        o_rows = oracle.fetchall()
+        sdf = multimodal_jpeg_hierarchical_profile(spark, sf_dir)
+        s_rows = [tuple(r) for r in sdf.collect()]
+        assert len(s_rows) == len(o_rows), sf_dir
+        assert _rowset(sdf.columns, s_rows) == _rowset(o_cols, o_rows), sf_dir
+
+
+def test_video_fp_bands_match_closed_form(spark):
+    """video_fp_bands over real AVI decode must equal the closed-form
+    per-cell derivation — and the planted parity bit makes same-prefix
+    docs of opposite parity exactly Hamming-1 apart."""
+    import numpy as np
+    import pandas as pd
+
+    from hive_server_spark.functions.multimodal import (
+        DHASH_GRID_H,
+        DHASH_GRID_W,
+        DHASH_PREFIX_LEN,
+        VIDEO_FP_FRAMES,
+        video_fp_cell_value,
+    )
+
+    texts = [
+        (10, "shared header prefix AAAA then tail one"),
+        (12, "shared header prefix AAAA then tail two"),   # same parity as 10
+        (13, "shared header prefix AAAA then tail three"), # opposite parity
+        (7, "a different header entirely"),
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [t[0] for t in texts], "text": [t[1] for t in texts]})
+    )
+    media = M.synthesize_fpavi_media(docs)
+    got = {
+        r.media_id: tuple(r[f"band{i}"] for i in range(4 * VIDEO_FP_FRAMES))
+        for r in M.video_fp_bands(media).collect()
+    }
+
+    def closed(doc_id, text):
+        prefix = text[:DHASH_PREFIX_LEN]
+        vals = [0] * (4 * VIDEO_FP_FRAMES)
+        for f in range(VIDEO_FP_FRAMES):
+            cells = np.array(
+                [
+                    video_fp_cell_value(prefix, f, k, doc_id)
+                    for k in range(DHASH_GRID_W * DHASH_GRID_H)
+                ]
+            ).reshape(DHASH_GRID_H, DHASH_GRID_W)
+            bits = (cells[:, :-1] < cells[:, 1:]).reshape(-1)
+            for g in np.nonzero(bits)[0]:
+                vals[4 * f + g // 16] |= 1 << int(g % 16)
+        return tuple(vals)
+
+    assert got == {i: closed(i, t) for i, t in texts}
+    assert got[10] == got[12]
+    hd = sum(bin(x ^ y).count("1") for x, y in zip(got[10], got[13]))
+    assert hd == 1  # the planted parity bit (frame 0 only)
+
+
+def test_video_fp_neardup_oracle_parity(spark, tmp_path):
+    """Full Spark-vs-DuckDB parity of the (round-11-deferred) video
+    fingerprint near-dup query over a crafted corpus AND the sf0.001
+    corpus — so the round-11 registration is a one-line flip with the
+    parity already proven."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_server_spark.plans.multimodal_pack import (
+        _VIDEO_FP_ORACLE,
+        multimodal_video_fp_neardup,
+    )
+    from tests.conftest import SF_SMALL
+    from tests.test_gate_parity import _rowset
+
+    rows = [
+        (0, "alpha header for the video dedup test"),
+        (2, "alpha header for the video dedup test"),
+        (3, "alpha header for the video dedup test"),
+        (7, "beta header, unrelated to the others"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["t"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    for sf_dir in (str(tmp_path), SF_SMALL):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        oracle = con.execute(_VIDEO_FP_ORACLE)
+        o_cols = [d[0] for d in oracle.description]
+        o_rows = oracle.fetchall()
+        sdf = multimodal_video_fp_neardup(spark, sf_dir)
+        s_rows = [tuple(r) for r in sdf.collect()]
+        assert len(s_rows) == len(o_rows) == 1, sf_dir
+        assert _rowset(sdf.columns, s_rows) == _rowset(o_cols, o_rows), sf_dir
+    # crafted corpus: pairs (0,2) d=0, (0,3)/(2,3) d=1; 7 is a singleton
+    crafted = multimodal_video_fp_neardup(spark, str(tmp_path)).collect()[0]
+    assert crafted.n_videos == 4
+    assert crafted.n_candidate_pairs == 3
+    assert crafted.n_exact_pairs == 1
+    assert crafted.n_neardup_pairs == 2
