@@ -638,6 +638,61 @@ def video_fp_bands(media: DataFrame) -> DataFrame:
     )
 
 
+FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("mean_luma", FloatType(), False),
+    ]
+)
+
+
+def video_frame_stats(media: DataFrame, strict: bool = True) -> DataFrame:
+    """Per-frame scalar stats for MJPEG AVI payloads: container walk, every
+    frame through the full JPEG decoder, ONE ROW PER FRAME with
+    (width, height, mean_luma) — the decode-then-aggregate shape: frames
+    leave the Python worker as scalars, and everything downstream (scene
+    segmentation, shot stats, frame diffs) is JVM-side window/groupBy work
+    over (media_id, frame_idx). strict=False skips non-AVI payloads
+    instead of raising."""
+    from hive_server_spark.functions.jpeg import decode_jpeg
+    from hive_server_spark.functions.video import parse_avi
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                try:
+                    got = parse_avi(b)
+                except ValueError:
+                    if strict:
+                        raise
+                    got = None
+                if got is None:
+                    if strict:
+                        raise ValueError(
+                            f"media {mid}: video_frame_stats expects MJPEG AVI"
+                        )
+                    continue
+                for i, f in enumerate(got[4]):
+                    dec = decode_jpeg(f)
+                    if dec is None:
+                        raise ValueError(f"media {mid}: AVI frame {i} is not a JPEG")
+                    w, h, mean = dec
+                    rows.append((mid, i, w, h, mean))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "width", "height", "mean_luma"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        stats, schema=FRAME_STATS_SCHEMA
+    )
+
+
 def _decode_ppm(payload: bytes) -> tuple[int, int, float] | None:
     """Pure-Python PPM decode: P6 (binary) and P3 (ascii) headers, real
     pixel math. Returns (width, height, mean_luma) or None if not PPM."""

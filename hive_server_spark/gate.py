@@ -1061,14 +1061,18 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 # queries, (2) the remaining 45 r07-green names in registration order
 # (order_book_levels, order_book_vwap, orders_scd2_versions,
 # amount_out_buy, ...), (3) the 47 r08 names, (4) r09. Budget
-# registrations ≤ 5 or the r07 tail spills a round. Two registrations are
-# already staged in plans/multimodal_pack.py — oracles written,
-# Spark-vs-DuckDB parity pinned by tests on crafted + sf corpora; flip
-# the commented @register lines:
+# registrations ≤ 5 or the r07 tail spills a round. Four registrations
+# are already staged — oracles written, Spark-vs-DuckDB parity pinned by
+# tests on crafted + sf corpora; flip the commented @register lines:
 #   multimodal_jpeg_hierarchical_profile (all four DCT hierarchical
-#   processes against one closed-form oracle)
+#   processes against one closed-form oracle; plans/multimodal_pack.py)
 #   multimodal_video_fp_neardup (keyframe-dHash video near-dup — the
-#   video member of the perceptual-dedup triad)
+#   video member of the perceptual-dedup triad; multimodal_pack.py)
+#   multimodal_video_scenes (shot-boundary segmentation: per-frame
+#   scalars out of the worker, JVM-side lag/cut/shot windows)
+#   emb_ivf_incremental (persisted-IVF-index refresh: batch-only
+#   assignment + k-row census monoid merge == full rebuild;
+#   plans/embedding_pack.py, oracle = _ivf_build_oracle())
 # ---------------------------------------------------------------------------
 from hive_server_spark.registry import set_driver_priority  # noqa: E402
 

@@ -487,3 +487,110 @@ def emb_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the semantic twin of text_decontaminate — see functions/embeddings.py
     for the broadcast-bench / coarse-bucket stance)."""
     return E.semantic_decontaminate(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF index maintenance (round-10 second pass; REGISTRATION
+# DEFERRED TO ROUND 11 — the round-10 driver window is exactly full per
+# the rotation note in gate.py; flip the commented @register). The
+# embeddings twin of docs_neardup_incremental: the IVF index is a
+# first-class PERSISTED artifact between corpus snapshots — centroids
+# plus a per-cell census (population, posting checksum, distortion sum),
+# every column a SUM/COUNT monoid. A refresh assigns ONLY the new batch
+# against the persisted centroids and merges k rows:
+#
+#   1. the prior snapshot (vec_id-ordered first half) writes centroids +
+#      its per-cell census partials to parquet;
+#   2. the NEW batch (second half) assigns against the centroids READ
+#      BACK from the index — the prior corpus is never rescanned;
+#   3. census partials merge by cell (additive monoid), then share /
+#      mean distortion derive from the merged sums.
+#
+# The merged census must equal emb_ivf_build's full-corpus rebuild
+# EXACTLY (same fixed seed centroids, bit-deterministic assignment, and
+# the micro-flooring happens per row BEFORE the sums — floor-then-sum is
+# what makes the partial sums mergeable without re-rounding drift), so
+# the oracle IS the full-rebuild oracle. Scale: per refresh the cost is
+# O(batch) map-side assignment + a k-row merge; at 100 TB the index
+# census is k rows regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_partial_census(vec: DataFrame, cent: DataFrame) -> DataFrame:
+    """Per-cell additive census partials (n_vecs, posting_checksum,
+    sum_d2_micro) for `vec` against broadcast centroids — the mergeable
+    building block shared by the prior-snapshot build and the batch
+    refresh."""
+    from pyspark.sql import functions as F
+
+    assigned = (
+        vec.crossJoin(F.broadcast(cent))
+        .withColumn("d2", F.expr(E.sqdist_expr("v", "cv", "s")))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2"))
+    )
+    return assigned.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum("vec_id").cast("bigint").alias("posting_checksum"),
+        F.sum(F.expr("CAST(floor(d2 * 1000000.0) AS BIGINT)"))
+        .cast("bigint")
+        .alias("sum_d2_micro"),
+    )
+
+
+# round 11: @register("emb_ivf_incremental", _ivf_build_oracle())
+def emb_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persist the prior snapshot's IVF index (centroids + per-cell census
+    partials), then fold a new embedding batch in by assigning ONLY the
+    batch against the read-back centroids and merging the additive census
+    — must equal the full-corpus rebuild (emb_ivf_build's oracle)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    vec = E._vecs(_emb(spark, sf_dir)).select("vec_id", "v")
+    mn, mx = vec.agg(F.min("vec_id"), F.max("vec_id")).first()
+    thr = (mn + mx) // 2
+    work = tempfile.mkdtemp(prefix="hss_ivf_incr_")
+    cent_path = os.path.join(work, "centroids")
+    census_path = os.path.join(work, "census")
+
+    # --- prior snapshot run: write the index ---------------------------
+    cent = vec.where(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    cent.write.mode("overwrite").parquet(cent_path)
+    _ivf_partial_census(vec.where(F.col("vec_id") < thr), cent).write.mode(
+        "overwrite"
+    ).parquet(census_path)
+
+    # --- refresh run: batch-only assignment + k-row monoid merge -------
+    cent_back = spark.read.parquet(cent_path)
+    batch_census = _ivf_partial_census(
+        vec.where(F.col("vec_id") >= thr), cent_back
+    )
+    merged = (
+        spark.read.parquet(census_path)
+        .unionByName(batch_census)
+        .groupBy("cid")
+        .agg(
+            F.sum("n_vecs").cast("bigint").alias("n_vecs"),
+            F.sum("posting_checksum").cast("bigint").alias("posting_checksum"),
+            F.sum("sum_d2_micro").cast("bigint").alias("sum_d2_micro"),
+        )
+    )
+    tot = merged.agg(F.sum("n_vecs").cast("bigint").alias("nv"))
+    return merged.crossJoin(F.broadcast(tot)).select(
+        F.col("cid").cast("bigint").alias("cluster_id"),
+        "n_vecs",
+        (F.col("n_vecs").cast("double") / F.col("nv").cast("double")).alias(
+            "share"
+        ),
+        "posting_checksum",
+        "sum_d2_micro",
+        (
+            F.col("sum_d2_micro").cast("double") / F.col("n_vecs").cast("double")
+        ).alias("mean_d2_micro"),
+    )

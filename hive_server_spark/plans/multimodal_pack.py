@@ -1320,3 +1320,115 @@ def multimodal_video_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("hd"), F.lit(0)).cast("bigint").alias("sum_hamming"),
     )
     return clips.crossJoin(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Video scene segmentation (round-10 second-pass library; REGISTRATION
+# DEFERRED TO ROUND 11 — window full, same stance as the two entries
+# above; flip the commented @register). The shot-boundary primitive a
+# video training pipeline samples frames per-shot with: per-frame means
+# leave the Arrow worker as SCALARS (video_frame_stats — one row per
+# frame, payloads never shuffle), then the segmentation itself is pure
+# JVM window work — lag() frame diff, cut flag at mean-pixel delta >= 10,
+# running-sum shot ids, per-shot/per-video rollups. The AVI fixture's
+# constant-block frames make every per-frame pixel sum closed-form, so
+# cuts and shots are exactly mirrored in the DuckDB oracle.
+# ---------------------------------------------------------------------------
+_VIDEO_SCENES_ORACLE = """
+WITH m AS (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+         CASE WHEN octet_length(encode(text)) > 0
+              THEN hex(encode(text)) ELSE '0' END AS hx
+  FROM documents
+), g AS (
+  SELECT doc_id, hx,
+         1 + n % 3        AS bw,
+         1 + (n // 3) % 3 AS bh,
+         2 + doc_id % 3   AS nf
+  FROM m
+), blk AS (
+  SELECT doc_id, hx, bw, bh,
+         unnest(range(nf * bw * bh)) // (bw * bh) AS f,
+         unnest(range(nf * bw * bh)) AS j
+  FROM g
+), fsum AS (
+  SELECT doc_id, bw, bh, f,
+         64 * SUM(ascii(substr(hx, CAST(j % length(hx) AS INTEGER) + 1, 1)))
+           AS pix
+  FROM blk GROUP BY doc_id, bw, bh, f
+), flagged AS (
+  SELECT doc_id, f, bw, bh, pix,
+         CASE WHEN lag(pix) OVER w IS NOT NULL
+               AND abs(pix - lag(pix) OVER w) >= 640 * bw * bh
+              THEN 1 ELSE 0 END AS cut
+  FROM fsum
+  WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+), shots AS (
+  SELECT doc_id, f, cut,
+         SUM(cut) OVER (PARTITION BY doc_id ORDER BY f
+                        ROWS UNBOUNDED PRECEDING) AS shot_id
+  FROM flagged
+), shot_len AS (
+  SELECT doc_id, shot_id, COUNT(*) AS len FROM shots GROUP BY doc_id, shot_id
+)
+SELECT s.doc_id AS media_id,
+       CAST(COUNT(*) AS BIGINT)       AS n_frames,
+       CAST(SUM(s.cut) AS BIGINT)     AS n_cuts,
+       CAST(MAX(s.shot_id) + 1 AS BIGINT) AS n_shots,
+       CAST((SELECT MAX(len) FROM shot_len l WHERE l.doc_id = s.doc_id)
+            AS BIGINT)                AS max_shot_len
+FROM shots s
+GROUP BY s.doc_id
+"""
+
+
+# round 11: @register("multimodal_video_scenes", _VIDEO_SCENES_ORACLE)
+def multimodal_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary segmentation over REAL MJPEG AVI decode: one scalar
+    row per frame out of the Arrow worker, then lag-diff cut detection
+    (mean pixel delta >= 10), running-sum shot ids, and per-video shot
+    stats — all JVM-side windows. One row per video, value-gated against
+    the closed-form oracle."""
+    from pyspark.sql import Window
+
+    fs = M.video_frame_stats(_avi_media(spark, sf_dir))
+    pix = (
+        F.round(
+            F.col("mean_luma").cast("double")
+            * F.lit(255.0)
+            * F.col("width")
+            * F.col("height")
+        ).cast("bigint")
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    flagged = (
+        fs.withColumn("pix", pix)
+        .withColumn("prev", F.lag("pix").over(w))
+        .withColumn(
+            "cut",
+            F.when(
+                F.col("prev").isNotNull()
+                & (
+                    F.abs(F.col("pix") - F.col("prev"))
+                    >= F.lit(10) * F.col("width") * F.col("height")
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "shot_id",
+            F.sum("cut").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    shot_len = flagged.groupBy("media_id", "shot_id").agg(
+        F.count("*").alias("len")
+    )
+    per_video = flagged.groupBy("media_id").agg(
+        F.count("*").cast("bigint").alias("n_frames"),
+        F.sum("cut").cast("bigint").alias("n_cuts"),
+        (F.max("shot_id") + 1).cast("bigint").alias("n_shots"),
+    )
+    longest = shot_len.groupBy("media_id").agg(
+        F.max("len").cast("bigint").alias("max_shot_len")
+    )
+    return per_video.join(longest, "media_id")

@@ -751,3 +751,30 @@ def test_ivfpq_batch_topk_vs_numpy(spark):
             total,
             exact,
         ), key
+
+
+def test_ivf_incremental_equals_full_rebuild(spark):
+    """The persisted-index refresh (prior census + batch-only assignment +
+    k-row monoid merge) must equal emb_ivf_build's full-corpus rebuild
+    row-for-row, AND the DuckDB full-rebuild oracle."""
+    import duckdb
+
+    from hive_server_spark.plans.embedding_pack import (
+        _ivf_build_oracle,
+        emb_ivf_build,
+        emb_ivf_incremental,
+    )
+
+    incr = {r.cluster_id: tuple(r) for r in emb_ivf_incremental(spark, SF_SMALL).collect()}
+    full = {r.cluster_id: tuple(r) for r in emb_ivf_build(spark, SF_SMALL).collect()}
+    assert incr == full
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_SMALL}/embeddings.parquet'"
+    )
+    orc = {r[0]: tuple(r) for r in con.execute(_ivf_build_oracle()).fetchall()}
+    assert set(orc) == set(incr)
+    for cid, row in incr.items():
+        for a, b in zip(row, orc[cid]):
+            assert a == b or abs(a - b) < 1e-12, (cid, row, orc[cid])

@@ -263,3 +263,70 @@ def test_video_profile_oracle_parity(spark, tmp_path):
         s_rows = [tuple(r) for r in sdf.collect()]
         assert len(s_rows) == len(o_rows) == 1, sf_dir
         assert _rowset(sdf.columns, s_rows) == _rowset(o_cols, o_rows), sf_dir
+
+
+def test_video_frame_stats_rows(spark, tmp_path):
+    """One scalar row per frame, exact pixel means, non-AVI handling."""
+    import pandas as pd
+
+    from hive_server_spark.functions import multimodal as M
+
+    rows = [(0, "two frames"), (1, "three fr")]
+    _write_docs(tmp_path, rows)
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    media = M.synthesize_avi_media(docs)
+    got = M.video_frame_stats(media).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.media_id, []).append(r)
+    for doc_id, text in rows:
+        w, h, nf, _rate, _pix = _expected_video(doc_id, text)
+        rs = sorted(by_doc[doc_id], key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in rs] == list(range(nf))
+        assert all((r.width, r.height) == (w, h) for r in rs)
+    # strict rejects non-AVI; non-strict skips it
+    junk = spark.createDataFrame(
+        pd.DataFrame({"media_id": [9], "kind": ["video"], "payload": [b"nope"]})
+    )
+    with pytest.raises(Exception, match="expects MJPEG AVI"):
+        M.video_frame_stats(junk, strict=True).collect()
+    assert M.video_frame_stats(junk, strict=False).count() == 0
+
+
+def test_video_scenes_oracle_parity(spark, tmp_path):
+    """Full Spark-vs-DuckDB parity of the (round-11-deferred) scene
+    segmentation query over a crafted corpus AND the sf0.001 corpus."""
+    import duckdb
+
+    from hive_server_spark.plans.multimodal_pack import (
+        _VIDEO_SCENES_ORACLE,
+        multimodal_video_scenes,
+    )
+    from tests.conftest import SF_SMALL
+    from tests.test_gate_parity import _rowset
+
+    rows = [
+        (0, "ab"),          # 2 frames, 3 blocks
+        (1, "a longer document body here"),   # 3 frames
+        (2, ""),            # 4 frames, degenerate hx='0' (all-equal: 0 cuts)
+        (5, "cuts galore!"),  # 4 frames
+    ]
+    _write_docs(tmp_path, rows)
+    for sf_dir in (str(tmp_path), SF_SMALL):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        oracle = con.execute(_VIDEO_SCENES_ORACLE)
+        o_cols = [d[0] for d in oracle.description]
+        o_rows = oracle.fetchall()
+        sdf = multimodal_video_scenes(spark, sf_dir)
+        s_rows = [tuple(r) for r in sdf.collect()]
+        assert len(s_rows) == len(o_rows), sf_dir
+        assert _rowset(sdf.columns, s_rows) == _rowset(o_cols, o_rows), sf_dir
+    # the all-equal-frames doc (doc 2) must be a single shot, zero cuts
+    one = {
+        r.media_id: r for r in multimodal_video_scenes(spark, str(tmp_path)).collect()
+    }
+    assert one[2].n_cuts == 0 and one[2].n_shots == 1
+    assert one[2].max_shot_len == one[2].n_frames
