@@ -693,6 +693,195 @@ def video_frame_stats(media: DataFrame, strict: bool = True) -> DataFrame:
     )
 
 
+def _resample_linear(samples, src_rate: int, dst_rate: int):
+    """Integer-exact linear resampling of a 1-D integer sample array:
+    output j reads input position j*src/dst (exact rational arithmetic —
+    i = floor, frac = remainder), value = round-half-up of the linear
+    blend (s_i*(d-frac) + s_{i+1}*frac + d//2) // d with the final sample
+    edge-replicated. Integer end-to-end, so the numpy mirror in the tests
+    is bit-exact and the op is deterministic at any parallelism."""
+    import numpy as np
+
+    n = int(samples.shape[0])
+    if n == 0 or src_rate == dst_rate:
+        return samples.copy()
+    m = max(1, (n * dst_rate) // src_rate)
+    j = np.arange(m, dtype=np.int64)
+    num = j * src_rate
+    i = num // dst_rate
+    frac = num - i * dst_rate
+    i = np.minimum(i, n - 1)
+    nxt = np.minimum(i + 1, n - 1)
+    s = samples.astype(np.int64)
+    blended = (s[i] * (dst_rate - frac) + s[nxt] * frac + dst_rate // 2) // dst_rate
+    return blended
+
+
+def resample_audio(media: DataFrame, target_rate: int = 16000) -> DataFrame:
+    """Rate-normalize WAV payloads to ``target_rate`` (the 16 kHz
+    normalization pass an ASR/audio-training pipeline runs first):
+    RIFF walk, per-channel integer-exact linear resampling
+    (_resample_linear), re-encoded as a REAL canonical-header WAV payload
+    at the same bit depth and channel count. Same-rate payloads pass
+    through with only the header rewritten (sample bytes untouched).
+    Partition-preserving mapInPandas; payloads never transit the
+    driver."""
+    import struct as _struct
+
+    import numpy as np
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                got = _wav_parse(bytes(p))
+                if got is None:
+                    raise ValueError(
+                        f"media {mid}: resample_audio expects RIFF/WAVE PCM"
+                    )
+                rate, n_channels, bits, block_align, data = got
+                n_frames = len(data) // block_align
+                if bits == 8:
+                    arr = np.frombuffer(
+                        data[: n_frames * block_align], dtype=np.uint8
+                    )
+                else:
+                    arr = np.frombuffer(
+                        data[: n_frames * block_align], dtype="<i2"
+                    )
+                frames = arr.reshape(n_frames, n_channels)
+                out_ch = [
+                    _resample_linear(frames[:, c], rate, target_rate)
+                    for c in range(n_channels)
+                ]
+                out = np.stack(out_ch, axis=1)
+                out_bytes = (
+                    out.astype(np.uint8).tobytes()
+                    if bits == 8
+                    else out.astype("<i2").tobytes()
+                )
+                ba = n_channels * (bits // 8)
+                header = (
+                    b"RIFF"
+                    + _struct.pack("<I", 36 + len(out_bytes))
+                    + b"WAVEfmt "
+                    + _struct.pack(
+                        "<IHHIIHH",
+                        16, 1, n_channels, target_rate,
+                        target_rate * ba, ba, bits,
+                    )
+                    + b"data"
+                    + _struct.pack("<I", len(out_bytes))
+                )
+                ids.append(mid)
+                payloads.append(header + out_bytes)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "audio",
+                    "payload": payloads,
+                    "meta": [
+                        {
+                            "declared_format": "audio/wav;resampled",
+                            "n_bytes": len(p),
+                        }
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        resample, schema=MEDIA_SCHEMA
+    )
+
+
+def shot_keyframes(media: DataFrame, min_delta: int = 10) -> DataFrame:
+    """Scene-aware keyframe extraction: one REAL decodable JPEG per
+    detected shot — the sampling primitive scene detection exists for (a
+    video curation pipeline dedups/filters per shot, not per fixed
+    stride). Composition, not new machinery: video_frame_stats emits the
+    per-frame scalars, the cut/shot segmentation is JVM window work
+    (lag diff >= min_delta mean-pixel units), the FIRST frame of each
+    shot is selected JVM-side, and only then does sample-extraction touch
+    payloads again — one mapInPandas pulling exactly the selected frame
+    indices per video (the payload is walked once, never shuffled).
+    Returns (media_id, shot_id, frame_idx, frame_payload)."""
+    from pyspark.sql import Window
+
+    from hive_server_spark.functions.video import parse_avi
+
+    fs = video_frame_stats(media)
+    pix = (
+        F.round(
+            F.col("mean_luma").cast("double")
+            * F.lit(255.0)
+            * F.col("width")
+            * F.col("height")
+        ).cast("bigint")
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    picks = (
+        fs.withColumn("pix", pix)
+        .withColumn("prev", F.lag("pix").over(w))
+        .withColumn(
+            "cut",
+            F.when(
+                F.col("prev").isNotNull()
+                & (
+                    F.abs(F.col("pix") - F.col("prev"))
+                    >= F.lit(min_delta) * F.col("width") * F.col("height")
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "shot_id",
+            F.sum("cut").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("media_id", "shot_id")
+        .agg(F.min("frame_idx").alias("frame_idx"))
+    )
+    wanted = picks.groupBy("media_id").agg(
+        F.sort_array(F.collect_list(F.struct("frame_idx", "shot_id"))).alias("w")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, shots, idxs, payloads = [], [], [], []
+            for mid, want, p in zip(pdf["media_id"], pdf["w"], pdf["payload"]):
+                got = parse_avi(bytes(p))
+                if got is None:
+                    raise ValueError(f"media {mid}: shot_keyframes expects MJPEG AVI")
+                frames = got[4]
+                for entry in want:
+                    fi = int(entry["frame_idx"])
+                    ids.append(mid)
+                    shots.append(int(entry["shot_id"]))
+                    idxs.append(fi)
+                    payloads.append(frames[fi])
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "shot_id": shots,
+                    "frame_idx": idxs,
+                    "frame_payload": payloads,
+                }
+            )
+
+    joined = media.select("media_id", "payload").join(wanted, "media_id")
+    return joined.mapInPandas(
+        extract,
+        schema=StructType(
+            [
+                StructField("media_id", LongType(), False),
+                StructField("shot_id", LongType(), False),
+                StructField("frame_idx", IntegerType(), False),
+                StructField("frame_payload", BinaryType(), False),
+            ]
+        ),
+    )
+
+
 def _decode_ppm(payload: bytes) -> tuple[int, int, float] | None:
     """Pure-Python PPM decode: P6 (binary) and P3 (ascii) headers, real
     pixel math. Returns (width, height, mean_luma) or None if not PPM."""

@@ -105,7 +105,35 @@ def main() -> int:
     queries = mod.queries()
     oracles = mod.oracle_sql()
     failures = []
+
+    # Per-query watchdog: a corrupted py4j gateway (the interleaved-
+    # callback-bytes flake observed rounds 9-10) deadlocks EVERY py4j
+    # call, including awaitTermination(5) inside the stall-window code —
+    # no in-process recovery is possible, the run just hangs. A daemon
+    # thread hard-exits with the stuck query's name instead, so a rerun
+    # costs minutes, not a silent half-hour. Knob:
+    # SPARK_GRAFT_QUERY_TIMEOUT_S (default 600).
+    import threading
+
+    watchdog_limit = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT_S", "600"))
+    current = {"name": "<smoke>", "t0": time.monotonic()}
+
+    def _watch():
+        while True:
+            time.sleep(10)
+            if time.monotonic() - current["t0"] > watchdog_limit:
+                print(
+                    f"WATCHDOG: query {current['name']!r} exceeded "
+                    f"{watchdog_limit:.0f}s — py4j gateway presumed wedged; "
+                    "aborting (rerun verify_gate)",
+                    flush=True,
+                )
+                os._exit(3)
+
+    threading.Thread(target=_watch, daemon=True).start()
+
     for name in sorted(queries):
+        current["name"], current["t0"] = name, time.monotonic()
         t0 = time.perf_counter()
         df = queries[name](spark, PARITY_DIR)
         scols = df.columns

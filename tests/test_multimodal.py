@@ -970,3 +970,61 @@ def test_video_fp_neardup_oracle_parity(spark, tmp_path):
     assert crafted.n_candidate_pairs == 3
     assert crafted.n_exact_pairs == 1
     assert crafted.n_neardup_pairs == 2
+
+
+def test_resample_linear_integer_exactness():
+    """The resampler's rational arithmetic against hand-computed blends."""
+    import numpy as np
+
+    from hive_server_spark.functions.multimodal import _resample_linear
+
+    s = np.array([0, 100], dtype=np.int64)
+    # 2 samples @8k -> 4 @16k: positions 0, 0.5, 1, 1.5(edge)
+    assert _resample_linear(s, 8000, 16000).tolist() == [0, 50, 100, 100]
+    # downsample 4 @16k -> 2 @8k: positions 0, 2
+    s4 = np.array([10, 20, 30, 40], dtype=np.int64)
+    assert _resample_linear(s4, 16000, 8000).tolist() == [10, 30]
+    # non-integer ratio 3 -> 2 of rate 12k->8k: positions 0, 1.5
+    s3 = np.array([0, 10, 20], dtype=np.int64)
+    assert _resample_linear(s3, 12000, 8000).tolist() == [0, 15]
+    # identity returns an exact copy
+    assert _resample_linear(s4, 8000, 8000).tolist() == s4.tolist()
+    # round-half-up: blend of 0 and 1 at frac 1/2 -> 1 (not bankers 0)
+    s2 = np.array([0, 1], dtype=np.int64)
+    assert _resample_linear(s2, 8000, 16000).tolist() == [0, 1, 1, 1]
+
+
+def test_resample_audio_via_spark(spark):
+    """End-to-end: synthesized WAVs resampled to 16 kHz decode to the
+    numpy-mirrored sample streams at the right rate and length; same-rate
+    inputs keep their sample bytes untouched."""
+    import numpy as np
+
+    from hive_server_spark.functions.multimodal import (
+        _resample_linear,
+        _wav_parse,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(24)
+    media = M.synthesize_wav_media(docs)
+    src = {r.media_id: bytes(r.payload) for r in media.collect()}
+    out = {
+        r.media_id: bytes(r.payload)
+        for r in M.resample_audio(media, target_rate=16000).collect()
+    }
+    assert set(out) == set(src)
+    for mid, payload in out.items():
+        rate0, ch0, bits0, ba0, data0 = _wav_parse(src[mid])
+        rate1, ch1, bits1, _ba1, data1 = _wav_parse(payload)
+        assert (rate1, ch1, bits1) == (16000, ch0, bits0)
+        s0 = np.frombuffer(data0, dtype=np.uint8).astype(np.int64)
+        expected = _resample_linear(s0, rate0, 16000)
+        got = np.frombuffer(data1, dtype=np.uint8).astype(np.int64)
+        assert got.tolist() == expected.tolist(), mid
+        if rate0 == 16000:
+            assert data1 == data0  # pass-through: bytes untouched
+    # decode_audio accepts the re-encoded container
+    dec = M.decode_audio(
+        M.resample_audio(media, target_rate=16000), strict=True
+    ).collect()
+    assert all(r.sample_rate == 16000 for r in dec)

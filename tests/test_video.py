@@ -330,3 +330,33 @@ def test_video_scenes_oracle_parity(spark, tmp_path):
     }
     assert one[2].n_cuts == 0 and one[2].n_shots == 1
     assert one[2].max_shot_len == one[2].n_frames
+
+
+def test_shot_keyframes_one_decodable_frame_per_shot(spark, tmp_path):
+    """shot_keyframes returns exactly one frame per detected shot, the
+    FIRST frame of the shot, as a decodable JPEG — consistent with the
+    scene segmentation's cut/shot structure."""
+    from hive_server_spark.functions import multimodal as M
+    from hive_server_spark.functions.jpeg import decode_jpeg
+    from hive_server_spark.plans.multimodal_pack import multimodal_video_scenes
+
+    rows = [(0, "ab"), (1, "a longer document body here"), (5, "cuts galore!")]
+    _write_docs(tmp_path, rows)
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    media = M.synthesize_avi_media(docs)
+    got = M.shot_keyframes(media).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.media_id, []).append(r)
+    scenes = {
+        r.media_id: r for r in multimodal_video_scenes(spark, str(tmp_path)).collect()
+    }
+    for doc_id, _text in rows:
+        ks = sorted(by_doc[doc_id], key=lambda r: r.shot_id)
+        # one keyframe per shot, shot ids dense from 0
+        assert [k.shot_id for k in ks] == list(range(scenes[doc_id].n_shots))
+        # the first shot starts at frame 0; frame indices strictly increase
+        assert ks[0].frame_idx == 0
+        assert all(a.frame_idx < b.frame_idx for a, b in zip(ks, ks[1:]))
+        for k in ks:
+            assert decode_jpeg(bytes(k.frame_payload)) is not None
