@@ -84,6 +84,41 @@ def _time_shared_materializations(spark, sf_dir: str) -> dict[str, float]:
     return {"bpe_train_build": round(time.perf_counter() - t0, 4)}
 
 
+# Per-query watchdog state (see _start_watchdog): a corrupted py4j
+# gateway (the interleaved-callback-bytes flake, rounds 9-10) deadlocks
+# every py4j call with no in-process recovery — a bare run would hang the
+# driver's bench step indefinitely. The watchdog hard-exits with the
+# stuck query's name instead: a bounded, diagnosable failure beats a
+# silent hang, and no partial numbers ever reach stdout (a truncated
+# bench line would read as a flatteringly fast round).
+_WATCH = {"name": "<startup>", "t0": 0.0}
+
+
+def _start_watchdog() -> None:
+    import threading
+
+    limit = float(os.environ.get("SPARK_GRAFT_BENCH_QUERY_TIMEOUT_S", "900"))
+    _WATCH["t0"] = time.monotonic()
+
+    def watch():
+        while True:
+            time.sleep(10)
+            if time.monotonic() - _WATCH["t0"] > limit:
+                sys.stderr.write(
+                    f"WATCHDOG: bench step {_WATCH['name']!r} exceeded "
+                    f"{limit:.0f}s — py4j gateway presumed wedged; aborting "
+                    "without emitting a result line\n"
+                )
+                sys.stderr.flush()
+                os._exit(4)
+
+    threading.Thread(target=watch, daemon=True).start()
+
+
+def _mark(name: str) -> None:
+    _WATCH["name"], _WATCH["t0"] = name, time.monotonic()
+
+
 def run_rep(sf_dir: str) -> dict:
     """One full repetition on a fresh session; returns the rep record."""
     from hive_server_spark import gate
@@ -95,11 +130,14 @@ def run_rep(sf_dir: str) -> dict:
     try:
         load0 = os.getloadavg()
         t_rep = time.perf_counter()
+        _mark("<warm-up>")
         _warm_up(spark, sf_dir)
+        _mark("<streaming-waves>")
         waves = _time_streaming_waves(spark, sf_dir)
         waves.update(_time_shared_materializations(spark, sf_dir))
         timings: dict[str, float] = {}
         for name, fn in sorted(gate.spark_queries().items()):
+            _mark(name)
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             timings[name] = round(time.perf_counter() - t0, 4)
@@ -133,6 +171,7 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
+    _start_watchdog()
     reps = [run_rep(sf_dir) for _ in range(max(1, args.reps))]
 
     if args.out:
