@@ -230,10 +230,11 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, float] | None:
-    """Decode a baseline JPEG. Returns (width, height, mean_sample/255)
+    """Decode a JPEG — any T.81 process (see the module docstring's
+    format matrix). Returns (width, height, mean_sample/maxval)
     over all output samples (gray, or RGB after color conversion) — the
     same contract as the PPM/PNG/BMP decoders — or None if the payload
-    does not start with SOI. Malformed or unsupported-variant payloads
+    does not start with SOI. Malformed payloads
     raise ValueError (never a silently wrong decode)."""
     b = bytes(payload)
     if b[:2] != b"\xff\xd8":
