@@ -944,7 +944,17 @@ def _hier_merge(refs, frame, planes, differential, pending_exp, level_shift):
         ch = -(-height * vs // vmax)
         vals = np.rint(np.asarray(p, dtype=np.float64)[:ch, :cw]).astype(np.int64)
         if not differential:
-            refs[cid] = (vals + level_shift) % 65536
+            if level_shift:
+                # Non-differential DCT frame: the reference IS the frame's
+                # decoded output, and T.81 output samples clamp to
+                # [0, 2^P-1] (the single-frame path's _color_and_contract
+                # clip) — IDCT ringing on a lossy base frame (e.g. a -2
+                # pre-shift sample) must clamp to 0, not wrap to 65534 and
+                # later clip to 255. Modulo-2^16 arithmetic (J.1) applies
+                # only to lossless references and differential adds below.
+                refs[cid] = np.clip(vals + level_shift, 0, (1 << prec) - 1)
+            else:
+                refs[cid] = vals % 65536
             continue
         if cid not in refs:
             raise ValueError(
@@ -1020,7 +1030,18 @@ def _reconstruct_progressive(frame, qt, coef):
 def _find_next_marker(b: bytes, pos: int) -> int:
     """Position of the next real marker at/after ``pos``: 0xFF followed by
     a code that is neither 0x00 (stuffed data byte) nor another fill 0xFF;
-    RSTn markers are skipped (they belong to the entropy stream)."""
+    RSTn markers are skipped (they belong to the entropy stream).
+
+    LIMITATION (byte-stuffing-only): this scan assumes the entropy coder
+    byte-stuffed every data 0xFF as 0xFF 0x00, which T.81 B.1.1.5
+    guarantees for Huffman streams and which this module's own
+    ArithEncoder also emits. A spec-valid EXTERNALLY-encoded arithmetic
+    stream may instead carry 0xFF followed by 0x01..0x7F as entropy data
+    (T.81 arithmetic bit-stuffing only forbids 0xFF 0x80..0xFF), and this
+    scan would misread that as a scan-terminating marker — cutting a
+    hierarchical arithmetic scan short. The arith *_planes callers rely on
+    this function for scan-boundary detection and inherit the limitation;
+    it is consistent with the decoder-wide ArithDecoder convention."""
     while pos + 1 < len(b):
         if b[pos] == 0xFF and b[pos + 1] not in (0x00, 0xFF):
             if 0xD0 <= b[pos + 1] <= 0xD7:

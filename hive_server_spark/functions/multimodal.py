@@ -1720,6 +1720,14 @@ def _wav_parse(payload: bytes) -> tuple[int, int, int, int, bytes] | None:
                 )
             if bits not in (8, 16):
                 raise ValueError("unsupported PCM bit depth %d" % bits)
+            # the shared codec error contract: malformed fields raise
+            # ValueError, never leak a ZeroDivisionError downstream
+            # (resample_audio divides by the header rate, channel math
+            # divides by the channel count)
+            if rate <= 0:
+                raise ValueError("non-positive WAVE sample rate")
+            if n_channels <= 0:
+                raise ValueError("non-positive WAVE channel count")
             fmt = (rate, n_channels, bits, block_align)
         elif cid == b"data":
             data = body

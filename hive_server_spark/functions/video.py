@@ -157,12 +157,15 @@ def parse_avi(
     payload: bytes,
 ) -> tuple[int, int, int, int, list[bytes]] | None:
     """Walk a RIFF/AVI container. Returns (width, height, rate, scale,
-    frames) where frames are the raw MJPEG chunk payloads of video stream
-    0 — or None if the payload is not RIFF/'AVI ' (format dispatch).
-    Structural malformation raises ValueError (the shared codec error
-    contract): truncated chunks, missing hdrl/movi/avih/strh/strf, a
-    'vids' stream whose handler is not MJPG, or a frame count that
-    contradicts the main header."""
+    frames) where frames are the raw MJPEG chunk payloads of the FIRST
+    'vids' stream — matched by its strl position ('NNdc'/'NNdb' movi
+    chunks), so an audio-first layout (vids declared second → frames in
+    '01dc') parses correctly — or None if the payload is not RIFF/'AVI '
+    (format dispatch). Structural malformation raises ValueError (the
+    shared codec error contract): truncated chunks, missing
+    hdrl/movi/avih/strh/strf, a 'vids' stream whose handler is not MJPG
+    (checked regardless of strh/strf ordering inside strl), or a frame
+    count that contradicts the main header."""
     b = bytes(payload)
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         return None
@@ -173,7 +176,8 @@ def parse_avi(
 
     avih = None
     streams: list[tuple[bytes, bytes]] = []  # (fccType, fccHandler)
-    frames: list[bytes] = []
+    vid_idx = None  # strl position of the first 'vids' stream
+    frames_by_stream: dict[int, list[bytes]] = {}
     saw_movi = False
 
     for fourcc, start, size in _walk_chunks(b, 12, end):
@@ -190,7 +194,11 @@ def parse_avi(
                         raise ValueError("avih header too short")
                     avih = struct.unpack_from("<10I", b, cs)
                 elif cid == b"LIST" and b[cs : cs + 4] == b"strl":
+                    # buffer strh/strf first — a spec-valid strl may order
+                    # them either way, and the MJPG checks below must not
+                    # silently skip when strf precedes strh
                     fcc_type = fcc_handler = None
+                    strf_body = None
                     for sid, ss, sl in _walk_chunks(b, cs + 4, cs + cl):
                         if sid == b"strh":
                             if sl < 48:
@@ -200,44 +208,56 @@ def parse_avi(
                             scale_, rate_, _start, length_ = struct.unpack_from(
                                 "<IIII", b, ss + 20
                             )
-                        elif sid == b"strf" and fcc_type == b"vids":
-                            if sl < 40:
-                                raise ValueError("strf BITMAPINFOHEADER too short")
-                            compression = b[ss + 16 : ss + 20]
-                            if compression not in (b"MJPG", b"mjpg"):
-                                raise ValueError(
-                                    "unsupported AVI video codec %r (MJPG only; "
-                                    "inter-frame codecs need an external library)"
-                                    % compression
-                                )
+                        elif sid == b"strf":
+                            strf_body = (ss, sl)
                     if fcc_type is None:
                         raise ValueError("strl list missing strh")
-                    if fcc_type == b"vids" and fcc_handler not in (
-                        b"MJPG",
-                        b"mjpg",
-                        b"\x00\x00\x00\x00",
-                    ):
-                        raise ValueError(
-                            "unsupported AVI video codec %r (MJPG only; "
-                            "inter-frame codecs need an external library)"
-                            % fcc_handler
-                        )
-                    streams.append((fcc_type, fcc_handler))
                     if fcc_type == b"vids":
-                        vid_scale, vid_rate, vid_length = scale_, rate_, length_
+                        if strf_body is None:
+                            raise ValueError("vids strl list missing strf")
+                        ss, sl = strf_body
+                        if sl < 40:
+                            raise ValueError("strf BITMAPINFOHEADER too short")
+                        compression = b[ss + 16 : ss + 20]
+                        if compression not in (b"MJPG", b"mjpg"):
+                            raise ValueError(
+                                "unsupported AVI video codec %r (MJPG only; "
+                                "inter-frame codecs need an external library)"
+                                % compression
+                            )
+                        if fcc_handler not in (
+                            b"MJPG",
+                            b"mjpg",
+                            b"\x00\x00\x00\x00",
+                        ):
+                            raise ValueError(
+                                "unsupported AVI video codec %r (MJPG only; "
+                                "inter-frame codecs need an external library)"
+                                % fcc_handler
+                            )
+                        if vid_idx is None:
+                            vid_idx = len(streams)
+                            vid_scale, vid_rate, vid_length = (
+                                scale_, rate_, length_,
+                            )
+                    streams.append((fcc_type, fcc_handler))
         elif ltype == b"movi":
             saw_movi = True
             for cid, cs, cl in inner:
-                # stream-0 video data: '00dc' (compressed) / '00db' (DIB)
-                if cid in (b"00dc", b"00db"):
-                    frames.append(b[cs : cs + cl])
+                # video data chunks: 'NNdc' (compressed) / 'NNdb' (DIB),
+                # NN = the stream's strl position as two ASCII digits
+                if cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+                    frames_by_stream.setdefault(int(cid[:2]), []).append(
+                        b[cs : cs + cl]
+                    )
 
     if avih is None:
         raise ValueError("AVI missing avih main header")
-    if not any(t == b"vids" for t, _ in streams):
+    if vid_idx is None:
         raise ValueError("AVI has no video stream")
     if not saw_movi:
         raise ValueError("AVI missing movi list")
+    frames = frames_by_stream.get(vid_idx, [])
     total_frames, width, height = avih[4], avih[8], avih[9]
     if total_frames != len(frames):
         raise ValueError(

@@ -1040,102 +1040,87 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Driver-visible ordering. The correctness driver hash-checks the FIRST 50
 # queries per round; set_driver_priority pins that window. Per-round
-# history lives in git (the r9 window cleared the r05 tail; this one
-# clears r06 — see VERDICT r08/r09 item 2 for the respective plans).
+# history lives in git (the r9 window cleared the r05 tail, r10 cleared
+# r06; this one clears r07 — see VERDICT r09/r10 for the plans).
 # ---------------------------------------------------------------------------
-# Driver-visible ordering (round-10 rotation) — executes the plan written
-# here in round 9 and echoed by VERDICT r9 item 2: (a) the 2 round-10
-# registrations (perceptual-hash image near-dup; cross-snapshot incremental
-# dedup), (b) the 4 queries whose PLAN changed this round (the percentile-
-# policy closure: evt_mad_outliers / evt_winsor_stats / rel_mad_by_priority
-# thresholds moved to the shared capped held-out estimator, and
-# rel_approx_sketches' audit band moved from whole-population exact p45/p55
-# to the capped-slice p25/p75 — operators/heldout.py), and (c) ALL
-# remaining 42 r06-green names in registration order. All four (b) names
-# are themselves r06 cohort, so 2 + 4 + 42 clears the ENTIRE r06 tail in
-# one window with 2 slots left over — filled by the 2 OLDEST r07 names
-# (order_book_levels, order_book_vwap), starting the r07 drain early.
-# After this window: r10:50, r9:50, r8:47, r7:43 — nothing older than r07,
-# the VERDICT r9 item 2 done condition.
-# ROUND-11 ROTATION NOTE: (1) any round-11 registrations / modified
-# queries, (2) the remaining 45 r07-green names in registration order
-# (order_book_levels, order_book_vwap, orders_scd2_versions,
-# amount_out_buy, ...), (3) the 47 r08 names, (4) r09. Budget
-# registrations ≤ 5 or the r07 tail spills a round. Four registrations
-# are already staged — oracles written, Spark-vs-DuckDB parity pinned by
-# tests on crafted + sf corpora; flip the commented @register lines:
-#   multimodal_jpeg_hierarchical_profile (all four DCT hierarchical
-#   processes against one closed-form oracle; plans/multimodal_pack.py)
-#   multimodal_video_fp_neardup (keyframe-dHash video near-dup — the
-#   video member of the perceptual-dedup triad; multimodal_pack.py)
-#   multimodal_video_scenes (shot-boundary segmentation: per-frame
-#   scalars out of the worker, JVM-side lag/cut/shot windows)
-#   emb_ivf_incremental (persisted-IVF-index refresh: batch-only
-#   assignment + k-row census monoid merge == full rebuild;
-#   plans/embedding_pack.py, oracle = _ivf_build_oracle())
+# Driver-visible ordering (round-11 rotation) — executes the plan written
+# here in round 10 and echoed by VERDICT r10 item 1: (a) the 5 round-11
+# registrations — the four staged in round 10 (hierarchical-JPEG profile,
+# video fingerprint near-dup, video scene segmentation, incremental IVF
+# refresh) plus this round's multimodal_phash_incremental (the media twin
+# of docs_neardup_incremental, VERDICT r10 item 2) — and (b) ALL 45
+# remaining r07-green names in registration order, which drains the r07
+# tail completely: after this window the staleness profile is r11:50,
+# r10:50, r9:50, r8:47 — nothing older than r08, the VERDICT r10 item 1
+# done condition.
+# ROUND-12 ROTATION NOTE: (1) any round-12 registrations / modified
+# queries, (2) the 47 r08-green names in registration order, (3) then the
+# oldest r09 names. Budget registrations <= 3 or the r08 tail spills a
+# round. Staged-for-r12 registrations (oracles + parity tests land in
+# round 11; flip the commented @register lines): see the staging comments
+# in plans/multimodal_pack.py and plans/embedding_pack.py.
 # ---------------------------------------------------------------------------
 from hive_server_spark.registry import set_driver_priority  # noqa: E402
 
-DRIVER_PRIORITY_R10 = [
-    # -- (a) round-10 registrations -----------------------------------------
-    "multimodal_phash_neardup",
-    "docs_neardup_incremental",
-    "multimodal_audio_fp_neardup",
-    "multimodal_video_profile",
-    # -- (b) round-10-modified queries (percentile-policy closure) ----------
-    "evt_mad_outliers",
-    "evt_winsor_stats",
-    "rel_mad_by_priority",
-    "rel_approx_sketches",
-    # -- (c) ALL remaining 42 r06-green names, registration order -----------
-    "orders_state",
-    "latest_price",
-    "market_orders_t2",
-    "dq_lineitem_report",
-    "evt_hourly_rollup",
-    "evt_props_stats",
-    "evt_funnel_cohorts",
-    "evt_top_users",
-    "evt_type_pivot",
-    "evt_retention_matrix",
-    "emb_kmeans_update",
-    "emb_semantic_dedup",
-    "emb_pca_moments",
-    "emb_ivf_build",
-    "emb_norm_audit",
-    "text_kept_token_shards",
-    "text_bpe_token_stats",
-    "text_doc_novelty",
-    "text_pii_scrub",
-    "text_bm25_topk",
-    "text_c4_filters",
-    "text_source_mixing",
-    "text_length_buckets",
-    "dedup_minhash_accuracy",
-    "dedup_canonical_quality",
-    "text_rag_chunks",
-    "text_lang_confusion",
-    "layout_zorder_manifest",
-    "src_partitioned_roundtrip",
-    "udf_alpha_quality",
-    "udf_user_centered_values",
-    "multimodal_decode_profile",
-    "multimodal_resize_profile",
-    "multimodal_audio_profile",
-    "multimodal_corrupt_audit",
-    "multimodal_audio_features",
-    "evt_hourly_rollup_streaming",
-    "evt_sessions_streaming",
-    "evt_stream_stream_join",
-    "evt_dedup_rollup_streaming",
-    "evt_stream_static_enrich",
-    "docs_ingest_streaming",
+DRIVER_PRIORITY_R11 = [
+    # -- (a) round-11 registrations (4 staged in r10 + 1 new) ---------------
+    "multimodal_jpeg_hierarchical_profile",
+    "multimodal_video_fp_neardup",
+    "multimodal_video_scenes",
+    "emb_ivf_incremental",
+    "multimodal_phash_incremental",
+    # -- (b) ALL 45 remaining r07-green names, registration order -----------
+    "order_book_levels",
+    "order_book_vwap",
+    "orders_scd2_versions",
+    "amount_out_buy",
+    "amount_out_sell",
+    "user_orders_t1",
+    "trader_order_counts",
+    "pools_summary",
+    "order_book_fifo_queues",
+    "order_book_snapshot",
+    "pool_info_enriched",
+    "trade_tick_flow",
+    "trade_price_ewma",
+    "evt_cms_heavy_hitters",
+    "evt_hll_cardinality",
+    "evt_bloom_prune_join",
+    "evt_markov_transitions",
+    "emb_truncated_recall",
+    "emb_pq_codes",
+    "emb_pq_adc_topk",
+    "emb_ivfpq_topk",
+    "emb_hard_negatives",
+    "emb_ivf_recall_curve",
+    "emb_bitext_mining",
+    "emb_mmr_diverse_topk",
+    "emb_semantic_decontaminate",
+    "text_line_dedup",
+    "text_bigram_nll",
+    "text_dup_spans",
+    "text_vocab_census",
+    "text_winnow_fingerprints",
+    "text_heaps_law",
+    "text_source_kl",
+    "text_bpe_merge_step",
+    "text_gopher_rules",
+    "text_tfidf_terms",
+    "text_dsir_weights",
+    "rag_hybrid_rrf",
+    "text_quota_sample",
+    "layout_compaction_plan",
+    "layout_zonemap_skipping",
+    "udtf_char_ngram_census",
+    "multimodal_jpeg_profile",
+    "multimodal_image_entropy",
+    "multimodal_jpeg_progressive_profile",
 ]
-assert len(DRIVER_PRIORITY_R10) == 50, len(DRIVER_PRIORITY_R10)
+assert len(DRIVER_PRIORITY_R11) == 50, len(DRIVER_PRIORITY_R11)
 # A typo'd or renamed name would silently shrink the checked window
 # (registry._ordered drops unknown names); fail loudly instead.
 from hive_server_spark.registry import _SPARK_QUERIES as _REG  # noqa: E402
 
-_missing = [n for n in DRIVER_PRIORITY_R10 if n not in _REG]
-assert not _missing, f"DRIVER_PRIORITY_R10 names not registered: {_missing}"
-set_driver_priority(DRIVER_PRIORITY_R10)
+_missing = [n for n in DRIVER_PRIORITY_R11 if n not in _REG]
+assert not _missing, f"DRIVER_PRIORITY_R11 names not registered: {_missing}"
+set_driver_priority(DRIVER_PRIORITY_R11)

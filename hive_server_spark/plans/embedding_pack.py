@@ -491,8 +491,8 @@ def emb_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Incremental IVF index maintenance (round-10 second pass; REGISTRATION
-# DEFERRED TO ROUND 11 — the round-10 driver window is exactly full per
-# the rotation note in gate.py; flip the commented @register). The
+# registered in the round-11 window per the rotation note in gate.py,
+# after a staged round-10 second pass). The
 # embeddings twin of docs_neardup_incremental: the IVF index is a
 # first-class PERSISTED artifact between corpus snapshots — centroids
 # plus a per-cell census (population, posting checksum, distortion sum),
@@ -539,7 +539,7 @@ def _ivf_partial_census(vec: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-# round 11: @register("emb_ivf_incremental", _ivf_build_oracle())
+@register("emb_ivf_incremental", _ivf_build_oracle())
 def emb_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persist the prior snapshot's IVF index (centroids + per-cell census
     partials), then fold a new embedding batch in by assigning ONLY the

@@ -734,8 +734,12 @@ from hive_server_spark.session_cache import (  # noqa: E402
 _DHASH_CACHE: SessionCache[DataFrame] = SessionCache(on_evict=unpersist_df)
 
 
-_PHASH_ORACLE = f"""
-WITH d AS (
+# The closed-form dHash derivation (decode → grid means → bits → four
+# 16-bit bands) as a reusable CTE chain ending at
+# bands(doc_id, band_idx, band_val) — shared by the batch near-dup oracle
+# and the incremental-index oracle below, so the two gates can never
+# drift apart on the hash definition.
+_PHASH_BANDS_CTES = f"""d AS (
   SELECT doc_id, COALESCE(substr(text, 1, {M.DHASH_PREFIX_LEN}), '') AS p
   FROM documents
 ),
@@ -766,7 +770,10 @@ bsum AS (
 bands AS (
   SELECT bg.doc_id, bg.band_idx, COALESCE(bs.band_val, 0) AS band_val
   FROM bgrid bg LEFT JOIN bsum bs USING (doc_id, band_idx)
-),
+)"""
+
+_PHASH_ORACLE = f"""
+WITH {_PHASH_BANDS_CTES},
 wide AS (
   SELECT doc_id,
          MAX(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
@@ -849,6 +856,122 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("hd"), F.lit(0)).cast("bigint").alias("sum_hamming"),
     )
     return imgs.crossJoin(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Cross-snapshot incremental image near-dup (round 11, VERDICT r10 item 2):
+# the MEDIA twin of docs_neardup_incremental (plans/streaming_pack.py) —
+# the dHash band index is a first-class PERSISTED parquet artifact
+# ((band_idx, band_val) → MIN media_id), and a new image batch dedups
+# against the prior corpus WITHOUT rescanning it:
+#
+#   1. the prior snapshot (media_id-ordered first half) writes its band
+#      index to parquet (in production: the index the previous run left);
+#   2. the NEW batch's band partials merge in — MIN is a semilattice, so
+#      replays/micro-batch boundaries can never change the index;
+#   3. the batch's bands join the post-merge index: an image is flagged
+#      iff some band's min is a smaller media_id — catching dups against
+#      the prior corpus AND within the batch with ONE rule.
+#
+# Because the snapshot split is media_id-ordered, the post-merge index
+# equals the full-corpus band index, so the flags are EXACTLY the
+# full-corpus occupied-band rule restricted to the batch — the oracle is
+# the shared _PHASH_BANDS_CTES chain + that rule. Scale: per refresh the
+# prior corpus is never rescanned or re-DECODED (the expensive leg for
+# media); cost is O(batch bands) + a band-keyed merge, and both merge and
+# flag joins reuse the same (band_idx, band_val) partitioning. Nothing
+# all-pairs; flags are O(near-dups).
+# ---------------------------------------------------------------------------
+_PHASH_INCR_ORACLE = f"""
+WITH {_PHASH_BANDS_CTES},
+bmin AS (
+  SELECT band_idx, band_val, MIN(doc_id) AS min_id
+  FROM bands GROUP BY band_idx, band_val
+),
+j AS (
+  SELECT b.doc_id, m.min_id
+  FROM bands b
+  JOIN bmin m ON b.band_idx = m.band_idx AND b.band_val = m.band_val
+  WHERE m.min_id < b.doc_id
+),
+thr AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS t FROM documents)
+SELECT CAST(j.doc_id AS BIGINT)   AS media_id,
+       CAST(COUNT(*) AS BIGINT)   AS n_occupied_bands,
+       CAST(MIN(j.min_id) AS BIGINT) AS partner_media_id
+FROM j CROSS JOIN thr WHERE j.doc_id >= thr.t
+GROUP BY j.doc_id
+"""
+
+
+def _dhash_band_long(bands_wide: DataFrame) -> DataFrame:
+    """The wide band table unpivoted to (media_id, band_idx, band_val) —
+    the index key shape. Same stack() as band_candidates; no shuffle."""
+    return bands_wide.selectExpr(
+        "media_id",
+        "stack(4, 0L, band0, 1L, band1, 2L, band2, 3L, band3)"
+        " AS (band_idx, band_val)",
+    )
+
+
+def incremental_phash_neardup(
+    spark: SparkSession, index_path: str, batch_bands_long: DataFrame
+) -> DataFrame:
+    """Dedup a new image batch (long band rows) against the persisted
+    dHash band index at `index_path` ((band_idx, band_val, min_media_id)
+    parquet), merging the batch's own band partials in first. Returns the
+    flags table (media_id, n_occupied_bands, partner_media_id)."""
+    prior_index = spark.read.parquet(index_path)
+    batch_part = batch_bands_long.groupBy("band_idx", "band_val").agg(
+        F.min("media_id").alias("min_media_id")
+    )
+    merged = (
+        prior_index.unionByName(batch_part)
+        .groupBy("band_idx", "band_val")
+        .agg(F.min("min_media_id").alias("min_media_id"))
+    )
+    return (
+        batch_bands_long.join(merged, ["band_idx", "band_val"])
+        .where(F.col("min_media_id") < F.col("media_id"))
+        .groupBy("media_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occupied_bands"),
+            F.min("min_media_id").cast("bigint").alias("partner_media_id"),
+        )
+        .select(
+            F.col("media_id").cast("bigint").alias("media_id"),
+            "n_occupied_bands",
+            "partner_media_id",
+        )
+    )
+
+
+@register("multimodal_phash_incremental", _PHASH_INCR_ORACLE)
+def multimodal_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the prior snapshot's dHash band index to parquet (id-ordered
+    first half of the media corpus), then dedup the second half as a new
+    batch against the persisted index — must equal the full-corpus
+    occupied-band rule restricted to the batch (see block comment). The
+    decode runs once via the shared _DHASH_CACHE band table; the batch
+    path itself never touches prior-corpus payloads."""
+    import os
+    import tempfile
+
+    bands_wide = _dhash_band_table(spark, sf_dir)
+    mn, mx = bands_wide.agg(F.min("media_id"), F.max("media_id")).first()
+    thr = (mn + mx) // 2  # == the oracle's integer-division threshold
+    long = _dhash_band_long(bands_wide)
+    work = tempfile.mkdtemp(prefix="hss_phash_incr_")
+    index_path = os.path.join(work, "band_index")
+    (
+        long.where(F.col("media_id") < thr)
+        .groupBy("band_idx", "band_val")
+        .agg(F.min("media_id").alias("min_media_id"))
+        .write.mode("overwrite")
+        .parquet(index_path)
+    )
+    return incremental_phash_neardup(
+        spark, index_path, long.where(F.col("media_id") >= thr)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1097,10 +1220,9 @@ def multimodal_video_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Hierarchical JPEG decode profile (round-10 second-pass library;
-# REGISTRATION DEFERRED TO ROUND 11 — the round-10 driver window is
-# exactly full per the rotation note in gate.py, and a query registered
-# outside the window would sit unchecked, which tests/test_rotation.py
-# forbids; flip the commented @register). Value-gates the DHP/EXP/
+# registered in the round-11 driver window after a staged round-10
+# second pass — oracle and parity tests predate the registration, per
+# the rotation note in gate.py). Value-gates the DHP/EXP/
 # differential machinery across ALL FOUR DCT hierarchical processes in
 # one query: doc_id % 4 rotates SOF0+SOF5 / SOF2+SOF6 / SOF9+SOF13 /
 # SOF10+SOF14, doc_id % 3 rotates the EXP axes. The constant base block
@@ -1145,7 +1267,7 @@ GROUP BY g.process
 """
 
 
-# round 11: @register("multimodal_jpeg_hierarchical_profile", _HIER_JPEG_ORACLE)
+@register("multimodal_jpeg_hierarchical_profile", _HIER_JPEG_ORACLE)
 def multimodal_jpeg_hierarchical_profile(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1186,8 +1308,8 @@ def multimodal_jpeg_hierarchical_profile(
 
 # ---------------------------------------------------------------------------
 # Video fingerprint near-dup (round-10 second-pass library; REGISTRATION
-# DEFERRED TO ROUND 11 — window full, same stance as the hierarchical
-# profile above; flip the commented @register). Completes the perceptual-
+# registered in the round-11 window, same staging as the hierarchical
+# profile above). Completes the perceptual-
 # dedup triad (image dHash / audio energy fingerprint / video keyframe
 # fingerprint): REAL AVI container walk -> both keyframes through the
 # full JPEG decoder -> per-frame dHash -> 128-bit fingerprint as eight
@@ -1287,7 +1409,7 @@ def _video_fp_band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# round 11: @register("multimodal_video_fp_neardup", _VIDEO_FP_ORACLE)
+@register("multimodal_video_fp_neardup", _VIDEO_FP_ORACLE)
 def multimodal_video_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup report: real AVI decode -> per-keyframe dHash ->
     (frame, band)-keyed LSH candidates -> 128-bit Hamming verify on
@@ -1324,8 +1446,8 @@ def multimodal_video_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Video scene segmentation (round-10 second-pass library; REGISTRATION
-# DEFERRED TO ROUND 11 — window full, same stance as the two entries
-# above; flip the commented @register). The shot-boundary primitive a
+# registered in the round-11 window, same staging as the two entries
+# above). The shot-boundary primitive a
 # video training pipeline samples frames per-shot with: per-frame means
 # leave the Arrow worker as SCALARS (video_frame_stats — one row per
 # frame, payloads never shuffle), then the segmentation itself is pure
@@ -1382,7 +1504,7 @@ GROUP BY s.doc_id
 """
 
 
-# round 11: @register("multimodal_video_scenes", _VIDEO_SCENES_ORACLE)
+@register("multimodal_video_scenes", _VIDEO_SCENES_ORACLE)
 def multimodal_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shot-boundary segmentation over REAL MJPEG AVI decode: one scalar
     row per frame out of the Arrow worker, then lag-diff cut detection

@@ -325,3 +325,42 @@ def test_hierarchical_differential_lossless_requires_predictor_zero():
     payload[second + 7] = 1
     with pytest.raises(ValueError, match="predictor selection 0"):
         decode_jpeg(bytes(payload))
+
+
+def test_hier_merge_clamps_nondifferential_dct_reference():
+    """A non-differential DCT frame's reference is the frame's decoded
+    OUTPUT, which T.81 clamps to [0, 2^P-1] (the single-frame path's
+    _color_and_contract clip) — IDCT ringing below 0 (pre-shift sample
+    -130 → -2 after +128) must store 0, not wrap modulo 2^16 to 65534
+    (which _finish_hier would then clip to 255: a silent mis-decode on a
+    valid hierarchical stream). Lossless references and differential adds
+    keep the J.1 modulo-2^16 domain."""
+    import numpy as np
+
+    from hive_server_spark.functions.jpeg import _hier_merge
+
+    frame = (1, 2, [(1, 1, 1, 0)], 8)  # 2x1, one component, P=8
+
+    # DCT non-differential: ringing clamps at both rails
+    refs = {}
+    _hier_merge(
+        refs, frame, [np.array([[-130.0, 130.0]])], False, (0, 0),
+        level_shift=128,
+    )
+    assert refs[1].tolist() == [[0, 255]]
+
+    # lossless non-differential (level_shift=0): modulo domain preserved
+    refs2 = {}
+    _hier_merge(
+        refs2, frame, [np.array([[-2.0, 70000.0]])], False, (0, 0),
+        level_shift=0,
+    )
+    assert refs2[1].tolist() == [[65534, 70000 % 65536]]
+
+    # differential add still wraps modulo 2^16 (T.81 J.1)
+    refs3 = {1: np.array([[65530, 10]], dtype=np.int64)}
+    _hier_merge(
+        refs3, frame, [np.array([[10.0, -20.0]])], True, (0, 0),
+        level_shift=0,
+    )
+    assert refs3[1].tolist() == [[4, 65526]]

@@ -1028,3 +1028,268 @@ def test_resample_audio_via_spark(spark):
         M.resample_audio(media, target_rate=16000), strict=True
     ).collect()
     assert all(r.sample_rate == 16000 for r in dec)
+
+
+def test_wav_parse_rejects_nonpositive_rate_and_channels():
+    """The shared codec error contract (ADVICE r10): a crafted PCM WAV
+    whose fmt chunk declares sample rate 0 (or zero channels) must raise
+    ValueError at parse — never leak a ZeroDivisionError out of
+    resample_audio's (n*dst)//src or the channel math downstream."""
+    import struct
+
+    import pytest
+
+    from hive_server_spark.functions.multimodal import (
+        _resample_linear,
+        _wav_parse,
+    )
+
+    def wav(rate, channels):
+        fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels,
+                          channels, 8)
+        data = b"\x80" * 16
+        body = (b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    got = _wav_parse(wav(8000, 1))
+    assert got is not None and got[0] == 8000
+    with pytest.raises(ValueError, match="non-positive WAVE sample rate"):
+        _wav_parse(wav(0, 1))
+    with pytest.raises(ValueError, match="non-positive WAVE channel count"):
+        _wav_parse(wav(8000, 0))
+    # the division that motivated the guard stays unreachable with rate 0
+    import numpy as np
+    out = _resample_linear(np.array([1.0, 2.0]), 8000, 16000)
+    assert len(out) == 4
+
+
+def _write_docs_parquet(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["t"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
+
+def test_phash_incremental_planted_cross_snapshot(spark, tmp_path):
+    """Planted-duplicate contract of multimodal_phash_incremental on a
+    crafted corpus whose id-ordered split puts known groups on both sides
+    of the snapshot boundary: a batch image byte-identical to a PRIOR
+    image is flagged with all 4 bands against the prior partner; a batch
+    image at planted Hamming distance 1 flags 3 bands; an intra-batch
+    duplicate pair flags only its larger member against the smaller; a
+    fresh header stays unflagged. Then the full-corpus-equivalence
+    recompute: the flags must equal the full-corpus occupied-band rule
+    restricted to the batch, computed directly from the collected band
+    table."""
+    from hive_server_spark import gate
+    from hive_server_spark.functions.multimodal import (
+        dhash_bands,
+        synthesize_dhash_jpeg_media,
+    )
+
+    hdr_a = "alpha header shared across snapshots!"
+    hdr_c = "gamma header only inside the batch.."
+    rows = [
+        (10, hdr_a),                                   # prior, even
+        (11, "beta header, a prior-only singleton"),   # prior, odd
+        (30, hdr_a),   # batch, even: byte-identical to 10
+        (31, hdr_a),   # batch, odd: planted Hamming-1 vs 10/30
+        (32, hdr_c),   # batch, even: intra-batch dup group, smaller id
+        (34, hdr_c),   # batch, even: byte-identical to 32
+    ]
+    _write_docs_parquet(tmp_path, rows)
+    # threshold (10+34)//2 = 22: prior = {10, 11}, batch = {30, 31, 32, 34}
+
+    out = {
+        r.media_id: (r.n_occupied_bands, r.partner_media_id)
+        for r in gate.spark_queries()["multimodal_phash_incremental"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[30] == (4, 10)      # exact cross-snapshot dup
+    assert out[31][1] == 10        # near-dup: parity bit lives in band0
+    assert out[31][0] == 3
+    assert out[34] == (4, 32)      # intra-batch dup flags the larger id
+    assert 32 not in out           # smaller member of a fresh group
+    assert 10 not in out and 11 not in out  # prior snapshot never re-flagged
+    assert set(out) == {30, 31, 34}
+
+    # full-corpus equivalence: recompute the occupied-band rule directly
+    bands = {
+        r.media_id: (r.band0, r.band1, r.band2, r.band3)
+        for r in dhash_bands(
+            synthesize_dhash_jpeg_media(
+                spark.read.parquet(str(tmp_path / "documents.parquet"))
+            )
+        ).collect()
+    }
+    thr = (min(bands) + max(bands)) // 2
+    expect = {}
+    for mid, bv in bands.items():
+        if mid < thr:
+            continue
+        partners = []
+        for i, v in enumerate(bv):
+            mn = min(m for m, ov in bands.items() if ov[i] == v)
+            if mn < mid:
+                partners.append(mn)
+        if partners:
+            expect[mid] = (len(partners), min(partners))
+    assert out == expect
+
+
+def test_phash_incremental_oracle_parity_sf(spark):
+    """Spark-vs-DuckDB parity of multimodal_phash_incremental on the
+    sf0.001 corpus (the crafted-corpus contract is pinned above; the gate
+    run at sf0.01 is the driver's job) — and the result must be non-empty
+    so the parity is never vacuous."""
+    import duckdb
+
+    from hive_server_spark.plans.multimodal_pack import (
+        _PHASH_INCR_ORACLE,
+        multimodal_phash_incremental,
+    )
+    from tests.conftest import SF_SMALL
+    from tests.test_gate_parity import _rowset
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMALL}/documents.parquet'"
+    )
+    oracle = con.execute(_PHASH_INCR_ORACLE)
+    o_cols = [d[0] for d in oracle.description]
+    o_rows = oracle.fetchall()
+    sdf = multimodal_phash_incremental(spark, SF_SMALL)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    assert len(s_rows) == len(o_rows) > 0
+    assert _rowset(sdf.columns, s_rows) == _rowset(o_cols, o_rows)
+
+
+def test_band_candidates_capped_parity_vs_oracle(spark, tmp_path):
+    """Value-gate for the CAPPED band_candidates path (VERDICT r10 watch
+    item): a crafted corpus plants a hot band — EIGHT byte-identical
+    images (same header, same parity), b >> cap — plus one small near-dup
+    pair and a singleton. The full decode → dHash → capped-LSH → Hamming
+    summary under max_bucket=4 must equal a DuckDB oracle spelling the
+    identical bucket-size rule over the shared _PHASH_BANDS_CTES hash
+    derivation: hot buckets drop (their members belong to exact
+    hash-dedup), small buckets keep pairing."""
+    import duckdb
+
+    from hive_server_spark.functions import multimodal as M
+    from hive_server_spark.plans.multimodal_pack import _PHASH_BANDS_CTES
+    from pyspark.sql import functions as F
+    from tests.test_gate_parity import _rowset
+
+    hot = "hot header: eight byte-identical images"
+    pair = "small pair header, near-dup at d=1 ..."
+    rows = [(i, hot) for i in range(100, 116, 2)]        # 8 even ids
+    rows += [(50, pair), (51, pair), (77, "a fresh singleton header :)")]
+    _write_docs_parquet(tmp_path, rows)
+
+    cap = 4
+    bands_wide = M.dhash_bands(
+        M.synthesize_dhash_jpeg_media(
+            spark.read.parquet(str(tmp_path / "documents.parquet"))
+        )
+    )
+    cand = M.band_candidates(bands_wide, max_bucket=cap)
+    w1 = bands_wide.select(
+        F.col("media_id").alias("id1"),
+        *[F.col(f"band{i}").alias(f"a{i}") for i in range(4)],
+    )
+    w2 = bands_wide.select(
+        F.col("media_id").alias("id2"),
+        *[F.col(f"band{i}").alias(f"b{i}") for i in range(4)],
+    )
+    hd = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}"))) for i in range(4)
+    )
+    ham = cand.join(w1, "id1").join(w2, "id2").withColumn("hd", hd)
+    sdf = bands_wide.agg(
+        F.count("*").cast("bigint").alias("n_images")
+    ).crossJoin(
+        ham.agg(
+            F.count("*").cast("bigint").alias("n_candidate_pairs"),
+            F.coalesce(F.sum(F.when(F.col("hd") == 0, 1)), F.lit(0))
+            .cast("bigint").alias("n_exact_pairs"),
+            F.coalesce(F.sum(F.when(F.col("hd").between(1, 2), 1)), F.lit(0))
+            .cast("bigint").alias("n_neardup_pairs"),
+            F.coalesce(F.sum("hd"), F.lit(0)).cast("bigint").alias("sum_hamming"),
+        )
+    )
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    capped_oracle = f"""
+WITH {_PHASH_BANDS_CTES},
+wide AS (
+  SELECT doc_id,
+         MAX(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+         MAX(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+         MAX(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+         MAX(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+  FROM bands GROUP BY doc_id
+),
+small AS (
+  SELECT band_idx, band_val FROM bands
+  GROUP BY band_idx, band_val HAVING COUNT(*) <= {cap}
+),
+fb AS (
+  SELECT b.doc_id, b.band_idx, b.band_val
+  FROM bands b JOIN small s
+    ON b.band_idx = s.band_idx AND b.band_val = s.band_val
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM fb a
+  JOIN fb b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT c.id1, c.id2,
+         bit_count(xor(w1.b0, w2.b0)) + bit_count(xor(w1.b1, w2.b1))
+       + bit_count(xor(w1.b2, w2.b2)) + bit_count(xor(w1.b3, w2.b3)) AS hd
+  FROM cand c
+  JOIN wide w1 ON c.id1 = w1.doc_id
+  JOIN wide w2 ON c.id2 = w2.doc_id
+)
+SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_images,
+       CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+       CAST(COALESCE(SUM(CASE WHEN hd = 0 THEN 1 END), 0) AS BIGINT)
+         AS n_exact_pairs,
+       CAST(COALESCE(SUM(CASE WHEN hd BETWEEN 1 AND 2 THEN 1 END), 0) AS BIGINT)
+         AS n_neardup_pairs,
+       CAST(COALESCE(SUM(hd), 0) AS BIGINT) AS sum_hamming
+FROM ham
+"""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    oracle = con.execute(capped_oracle)
+    o_cols = [d[0] for d in oracle.description]
+    o_rows = oracle.fetchall()
+    assert len(s_rows) == len(o_rows) == 1
+    assert _rowset(sdf.columns, s_rows) == _rowset(o_cols, o_rows)
+    # and the cap actually bit: the hot group's C(8,2)=28 identical pairs
+    # are gone, the small near-dup pair survives
+    r = s_rows[0]
+    cols = sdf.columns
+    got = dict(zip(cols, r))
+    assert got["n_images"] == 11
+    assert got["n_candidate_pairs"] == 1
+    assert got["n_exact_pairs"] == 0
+    assert got["n_neardup_pairs"] == 1

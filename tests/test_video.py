@@ -360,3 +360,101 @@ def test_shot_keyframes_one_decodable_frame_per_shot(spark, tmp_path):
         assert all(a.frame_idx < b.frame_idx for a, b in zip(ks, ks[1:]))
         for k in ks:
             assert decode_jpeg(bytes(k.frame_payload)) is not None
+
+
+def _avi_chunk(fourcc: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""
+    return fourcc + struct.pack("<I", len(body)) + body + pad
+
+
+def _avi_list(list_type: bytes, body: bytes) -> bytes:
+    return _avi_chunk(b"LIST", list_type + body)
+
+
+def _two_stream_avi(frame_jpegs, width, height, rate=10, scale=1,
+                    strf_first=False, vids_compression=b"MJPG"):
+    """Hand-rolled two-stream AVI: an 'auds' stream declared FIRST, the
+    MJPG 'vids' stream second — so video movi chunks are '01dc', the
+    layout parse_avi previously missed entirely."""
+    frames = [bytes(f) for f in frame_jpegs]
+    max_frame = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        (1_000_000 * scale) // rate, max_frame * rate // scale, 0, 0,
+        len(frames), 0, 2, max_frame, width, height, 0, 0, 0, 0,
+    )
+
+    def strh(fcc_type, fcc_handler, length):
+        return struct.pack(
+            "<4s4sIHHIIIIIIIi4h",
+            fcc_type, fcc_handler, 0, 0, 0, 0, scale, rate, 0, length,
+            max_frame, 0, 0, 0, 0, width, height,
+        )
+
+    # auds strf: minimal WAVEFORMATEX (PCM mono 8 kHz 8-bit)
+    auds_strf = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    strl_auds = _avi_list(
+        b"strl",
+        _avi_chunk(b"strh", strh(b"auds", b"\x01\x00\x00\x00", 0))
+        + _avi_chunk(b"strf", auds_strf),
+    )
+    vids_strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, vids_compression,
+        width * height * 3, 0, 0, 0, 0,
+    )
+    strh_c = _avi_chunk(b"strh", strh(b"vids", b"MJPG", len(frames)))
+    strf_c = _avi_chunk(b"strf", vids_strf)
+    strl_vids = _avi_list(
+        b"strl", (strf_c + strh_c) if strf_first else (strh_c + strf_c)
+    )
+    hdrl = _avi_list(b"hdrl", _avi_chunk(b"avih", avih) + strl_auds + strl_vids)
+    movi_body = _avi_chunk(b"00wb", b"\x80" * 64)  # audio data: stream 0
+    for f in frames:
+        movi_body += _avi_chunk(b"01dc", f)  # video: stream INDEX 1
+    movi = _avi_list(b"movi", movi_body)
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def test_avi_audio_first_stream_layout():
+    """An AVI whose audio stream is declared before the video stream keeps
+    its video frames in '01dc' chunks — the parse must track the vids
+    strl position instead of hard-coding stream 0 (ADVICE r10)."""
+    frames = _frames([[10, 20], [30, 40]], 2, 1)
+    avi = _two_stream_avi(frames, 16, 8, rate=20)
+    got = parse_avi(avi)
+    assert got is not None
+    width, height, rate, scale, parsed = got
+    assert (width, height, rate, scale) == (16, 8, 20, 1)
+    assert parsed == frames
+    # and the full decode runs over the right stream's payloads
+    w, h, n, r, s, mean = decode_avi_stats(avi)
+    assert (w, h, n) == (16, 8, 2)
+
+
+def test_avi_strf_before_strh_still_checked():
+    """A spec-valid strl may order strf before strh; the MJPG compression
+    check must still run (it was silently skipped before), and a vids
+    strl without any strf must raise."""
+    frames = _frames([[10]], 1, 1)
+    # strf-first with MJPG: parses fine
+    good = _two_stream_avi(frames, 8, 8, strf_first=True)
+    assert parse_avi(good)[4] == frames
+    # strf-first with a foreign codec: must still be rejected
+    bad = _two_stream_avi(frames, 8, 8, strf_first=True,
+                          vids_compression=b"H264")
+    with pytest.raises(ValueError, match="unsupported AVI video codec"):
+        parse_avi(bad)
+    # vids strl missing strf entirely
+    nostrf = _two_stream_avi(frames, 8, 8)
+    strf_at = nostrf.index(struct.pack(
+        "<IiiHH4s", 40, 8, 8, 1, 24, b"MJPG")) - 8
+    cut = nostrf[:strf_at] + nostrf[strf_at + 8 + 40:]
+    # fix the three enclosing sizes (RIFF, hdrl LIST, vids strl LIST)
+    cut = bytearray(cut)
+    for pat, back in ((b"AVI ", 4), (b"hdrl", 4), (b"strl", 4)):
+        at = cut.rindex(pat) if pat == b"strl" else cut.index(pat)
+        (old,) = struct.unpack_from("<I", cut, at - back)
+        struct.pack_into("<I", cut, at - back, old - 48)
+    with pytest.raises(ValueError, match="missing strf"):
+        parse_avi(bytes(cut))
