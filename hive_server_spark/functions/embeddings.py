@@ -650,10 +650,21 @@ def pq_codes(emb: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB,
     bounded explode (m rows per vector); assignment is a map-side-
     combined min_by hash aggregate per (vector, subspace) and a final
     per-vector rollup — no window over the corpus, no self-join."""
-    vec = _vecs(emb).select("vec_id", "v")
-    cent = vec.where(F.col("vec_id") < ksub).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
+    return pq_codes_from_vecs(_vecs(emb).select("vec_id", "v"), m, ksub, micro)
+
+
+def pq_codes_from_vecs(vec: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB,
+                       micro: int = 1_000_000,
+                       cent: DataFrame | None = None) -> DataFrame:
+    """pq_codes over a prepared (vec_id, v) table. ``cent`` supplies an
+    external codebook (cid, cv) — the incremental-maintenance path encodes
+    a NEW batch against the codebook read back from the persisted index;
+    None derives the seed codebook from the input (vec_id < ksub), which
+    on a full corpus is identical because the seed rows are id-ordered."""
+    if cent is None:
+        cent = vec.where(F.col("vec_id") < ksub).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        )
     dsub = 64 // m
     sub = (
         vec.select("vec_id", "v", F.explode(F.expr(f"sequence(0, {m - 1})")).alias("m"))

@@ -2015,3 +2015,98 @@ def audio_fingerprint_bands(
             )
 
     return media.select("media_id", "payload").mapInPandas(run, schema=DHASH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# FLAC surface (round 11 — functions/flac.py): fixture synthesis and the
+# exact integer stats profile. FLAC is bit-exact by construction, so the
+# stats carry NO float leg at all: the decoder returns integer samples and
+# the per-clip amplitude total is an integer sum — the strongest oracle
+# discipline any codec here has.
+# ---------------------------------------------------------------------------
+
+FLAC_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("amp_total", LongType(), False),
+    ]
+)
+
+
+def synthesize_flac_media(docs: DataFrame) -> DataFrame:
+    """REAL FLAC payloads from documents: mono 8-bit, samples are the
+    signed (ascii - 128) values of the uppercase-hex-of-text characters —
+    the same byte derivation the WAV/PPM fixtures use, so every stat has
+    a closed-form DuckDB oracle. Sample rate cycles 8/9/10 kHz by doc_id;
+    the subframe kind rotates verbatim (odd ids) / fixed-predictor+Rice
+    (even ids) to keep BOTH decoder hot paths value-gated."""
+    from hive_server_spark.functions.flac import encode_flac
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hx = (text or "").encode("utf-8").hex().upper() or "0"
+                samples = [ord(c) - 128 for c in hx]
+                kind = "verbatim" if doc_id % 2 else "fixed1"
+                if len(samples) < 2:
+                    kind = "verbatim"  # fixed1 needs a warmup + residual
+                ids.append(doc_id)
+                payloads.append(
+                    encode_flac(
+                        [samples],
+                        sample_rate=8000 + 1000 * (doc_id % 3),
+                        bits=8,
+                        subframe=kind,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "audio",
+                    "payload": payloads,
+                    "meta": [
+                        {"declared_format": "audio/flac", "n_bytes": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def flac_stats(media: DataFrame) -> DataFrame:
+    """Exact per-clip FLAC stats through the REAL decoder (CRC-8/CRC-16/
+    MD5 verified): (sample_rate, n_samples, amp_total) with amp_total =
+    Σ (sample + 2^(bits-1)) as a pure integer — no float anywhere.
+    Partition-preserving mapInPandas; payloads never shuffle."""
+    from hive_server_spark.functions.flac import decode_flac
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, ns, amps = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                got = decode_flac(bytes(p))
+                if got is None:
+                    raise ValueError(f"media {mid}: not a FLAC payload")
+                rate, nch, bits, chans = got
+                half = 1 << (bits - 1)
+                n = len(chans[0]) if chans else 0
+                ids.append(mid)
+                rates.append(rate)
+                ns.append(n * nch)
+                amps.append(sum(v + half for ch in chans for v in ch))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "sample_rate": rates,
+                    "n_samples": ns,
+                    "amp_total": amps,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=FLAC_STATS_SCHEMA
+    )

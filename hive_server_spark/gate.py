@@ -1056,9 +1056,18 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 # ROUND-12 ROTATION NOTE: (1) any round-12 registrations / modified
 # queries, (2) the 47 r08-green names in registration order, (3) then the
 # oldest r09 names. Budget registrations <= 3 or the r08 tail spills a
-# round. Staged-for-r12 registrations (oracles + parity tests land in
-# round 11; flip the commented @register lines): see the staging comments
-# in plans/multimodal_pack.py and plans/embedding_pack.py.
+# round. Staged-for-r12 registrations (oracles + parity tests landed in
+# round 11; flip the commented @register lines):
+#   multimodal_video_curation (end-to-end video curation: shots →
+#   keyframes → dHash near-dup verdict → keep/drop; the video twin of
+#   text_pretrain_keep; plans/multimodal_pack.py)
+#   emb_pq_incremental (persisted PQ index: batch-only encode against
+#   the read-back codebook + append, refresh ≡ rebuild pinned;
+#   plans/embedding_pack.py)
+#   multimodal_flac_profile (real FLAC decode — Rice/fixed-predictor
+#   residuals, CRC-8/16 + stream MD5 — with a purely integer oracle;
+#   plans/multimodal_pack.py, functions/flac.py)
+# 3 staged + 47 r08 names = exactly 50.
 # ---------------------------------------------------------------------------
 from hive_server_spark.registry import set_driver_priority  # noqa: E402
 

@@ -594,3 +594,63 @@ def emb_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_d2_micro").cast("double") / F.col("n_vecs").cast("double")
         ).alias("mean_d2_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental PQ code maintenance (round-11 second pass; REGISTRATION
+# STAGED FOR ROUND 12 — the round-11 driver window is exactly full per the
+# rotation note in gate.py; flip the commented @register). Extends the
+# emb_ivf_incremental persisted-state pattern to the PQ codes table
+# (VERDICT r10 item 5): the PQ index between corpus snapshots is TWO
+# parquet artifacts — the codebook (cid, cv) and the per-vector codes
+# table — and a refresh
+#
+#   1. encodes ONLY the new batch (vec_id-ordered second half) against
+#      the codebook READ BACK from the index (pq_codes_from_vecs'
+#      `cent` parameter) — prior vectors are never rescanned;
+#   2. APPENDS the batch codes to the read-back prior codes — per-vector
+#      rows are disjoint by construction, so the union IS the merge
+#      (append-only, no rewrite of prior codes).
+#
+# Refresh ≡ rebuild holds exactly: assignment is per-(vector, subspace)
+# against the same broadcast codebook with the deterministic (d2, cid)
+# struct-min tie-break, and the micro-flooring happens per subspace
+# BEFORE the per-vector sum — so batch-encoded rows are bit-identical to
+# full-rebuild rows and the oracle IS pq_codes_oracle(). Scale: per
+# refresh the cost is O(batch × m) map-side work + an append; at 100 TB
+# the prior codes table is storage, not compute.
+# ---------------------------------------------------------------------------
+# round 12: @register("emb_pq_incremental", E.pq_codes_oracle())
+def emb_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persist the prior snapshot's PQ index (codebook + per-vector codes),
+    then fold a new embedding batch in by encoding ONLY the batch against
+    the read-back codebook and appending — must equal the full-corpus
+    rebuild (emb_pq_codes' oracle) row for row."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    vec = E._vecs(_emb(spark, sf_dir)).select("vec_id", "v")
+    mn, mx = vec.agg(F.min("vec_id"), F.max("vec_id")).first()
+    thr = (mn + mx) // 2
+    work = tempfile.mkdtemp(prefix="hss_pq_incr_")
+    cb_path = os.path.join(work, "codebook")
+    codes_path = os.path.join(work, "codes")
+
+    # --- prior snapshot run: write the index ---------------------------
+    # the seed codebook rows (vec_id < ksub) are id-ordered into the
+    # prior half, so deriving it here equals the full-corpus derivation
+    vec.where(F.col("vec_id") < E.PQ_KSUB).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    ).write.mode("overwrite").parquet(cb_path)
+    E.pq_codes_from_vecs(vec.where(F.col("vec_id") < thr)).write.mode(
+        "overwrite"
+    ).parquet(codes_path)
+
+    # --- refresh run: batch-only encode + append -----------------------
+    cent_back = spark.read.parquet(cb_path)
+    batch_codes = E.pq_codes_from_vecs(
+        vec.where(F.col("vec_id") >= thr), cent=cent_back
+    )
+    return spark.read.parquet(codes_path).unionByName(batch_codes)

@@ -1554,3 +1554,235 @@ def multimodal_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("bigint").alias("max_shot_len")
     )
     return per_video.join(longest, "media_id")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end video curation pipeline (round-11 second pass; REGISTRATION
+# STAGED FOR ROUND 12 — the round-11 driver window is exactly full per the
+# rotation note in gate.py; flip the commented @register). The video twin
+# of text_pretrain_keep (VERDICT r10 item 4): every stage LIVE in one
+# query, raw AVI corpus → shot segmentation → one keyframe per shot →
+# keyframe dHash → banded-LSH near-dup verdict → per-clip keep/drop:
+#
+#   1. shot_keyframes: per-frame scalars out of the Arrow worker, JVM
+#      window segmentation (cut at mean-pixel delta >= 10), then ONE
+#      mapInPandas pulls exactly the first frame of each shot out of each
+#      payload (the payload is walked once, never shuffled);
+#   2. the extracted keyframe JPEGs run through the REAL decoder into the
+#      shared dHash (dhash_bands), keyed kid = media_id*16 + shot_id;
+#   3. band_candidates + Hamming verify on co-bucketed keyframes ONLY
+#      (never all-pairs), pairs mapped back to clip pairs;
+#   4. verdict: a clip is a near-dup iff one of its keyframes sits within
+#      Hamming 2 of a SMALLER clip's keyframe (canonical-min rule);
+#      keep = not near-dup AND n_shots >= 2 (static single-shot clips
+#      dropped — the motion-quality rule).
+#
+# The fp fixtures make the whole chain closed-form: constant blocks decode
+# exactly, so per-frame pixel sums, the cut decision, keyframe selection,
+# and every dHash band are spelled in SQL below. Scale: the decode legs
+# are partition-preserving mapInPandas (pixels never shuffle), candidates
+# are banded, verification touches candidates only, and the per-clip
+# rollup is one groupBy over O(shots) rows.
+# ---------------------------------------------------------------------------
+_VIDEO_CURATION_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, COALESCE(substr(text, 1, {M.DHASH_PREFIX_LEN}), '') AS p
+  FROM documents
+),
+cellk AS (
+  SELECT doc_id, p, f.f, k.k
+  FROM d,
+       (SELECT unnest(range(0, {M.VIDEO_FP_FRAMES})) AS f) f,
+       (SELECT unnest(range(0, {M.DHASH_GRID_W * M.DHASH_GRID_H})) AS k) k
+),
+cell AS (
+  SELECT doc_id, f, k,
+         CASE WHEN k = 0 AND f = 0 THEN 40 + 20 * (doc_id % 2)
+              WHEN k = 0 THEN 45
+              WHEN k = 1 THEN 50
+              ELSE ('0x' || substr(md5(p || ':' || CAST(f AS VARCHAR)
+                    || ':' || CAST(k AS VARCHAR)), 1, 2))::BIGINT
+         END AS v
+  FROM cellk
+),
+pix AS (
+  SELECT doc_id, f, 64 * SUM(v) AS pix FROM cell GROUP BY doc_id, f
+),
+cutq AS (
+  SELECT p0.doc_id,
+         CASE WHEN abs(p1.pix - p0.pix)
+                   >= 10 * {8 * M.DHASH_GRID_W} * {8 * M.DHASH_GRID_H}
+              THEN 1 ELSE 0 END AS cut
+  FROM pix p0 JOIN pix p1 ON p0.doc_id = p1.doc_id AND p0.f = 0 AND p1.f = 1
+),
+kf AS (
+  SELECT doc_id, 0 AS shot_id, 0 AS f FROM cutq
+  UNION ALL
+  SELECT doc_id, 1 AS shot_id, 1 AS f FROM cutq WHERE cut = 1
+),
+bit AS (
+  SELECT a.doc_id, a.f,
+         (a.k // {M.DHASH_GRID_W}) * 8 + (a.k % {M.DHASH_GRID_W}) AS g
+  FROM cell a JOIN cell b ON a.doc_id = b.doc_id AND a.f = b.f
+                         AND b.k = a.k + 1
+  WHERE a.k % {M.DHASH_GRID_W} < 8 AND a.v < b.v
+),
+bgrid AS (SELECT doc_id, shot_id, f, unnest(range(0, 4)) AS band_idx FROM kf),
+bsum AS (
+  SELECT doc_id, f, g // 16 AS band_idx,
+         CAST(SUM(1 << CAST(g % 16 AS INTEGER)) AS BIGINT) AS band_val
+  FROM bit GROUP BY doc_id, f, g // 16
+),
+bands AS (
+  SELECT bg.doc_id * 16 + bg.shot_id AS kid, bg.band_idx,
+         COALESCE(bs.band_val, 0) AS band_val
+  FROM bgrid bg LEFT JOIN bsum bs
+    ON bs.doc_id = bg.doc_id AND bs.f = bg.f AND bs.band_idx = bg.band_idx
+),
+wide AS (
+  SELECT kid,
+         MAX(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+         MAX(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+         MAX(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+         MAX(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+  FROM bands GROUP BY kid
+),
+cand AS (
+  SELECT DISTINCT a.kid AS kid1, b.kid AS kid2
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+              AND a.kid < b.kid
+),
+ham AS (
+  SELECT c.kid1, c.kid2,
+         bit_count(xor(w1.b0, w2.b0)) + bit_count(xor(w1.b1, w2.b1))
+       + bit_count(xor(w1.b2, w2.b2)) + bit_count(xor(w1.b3, w2.b3)) AS hd
+  FROM cand c
+  JOIN wide w1 ON c.kid1 = w1.kid
+  JOIN wide w2 ON c.kid2 = w2.kid
+),
+cpair AS (
+  SELECT kid1 // 16 AS c1, kid2 // 16 AS c2
+  FROM ham WHERE hd <= 2 AND kid1 // 16 <> kid2 // 16
+),
+partner AS (
+  SELECT c2 AS doc_id, MIN(c1) AS dup_partner FROM cpair GROUP BY c2
+),
+nshots AS (SELECT doc_id, COUNT(*) AS n_shots FROM kf GROUP BY doc_id)
+SELECT CAST(n.doc_id AS BIGINT)       AS media_id,
+       CAST(n.n_shots AS BIGINT)      AS n_shots,
+       CAST(pa.dup_partner AS BIGINT) AS dup_partner,
+       (pa.dup_partner IS NULL AND n.n_shots >= 2) AS keep
+FROM nshots n LEFT JOIN partner pa USING (doc_id)
+"""
+
+
+def _fpavi_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized fp-AVI clip corpus, cached per (session, sf_dir) —
+    the curation pipeline walks payloads twice (frame stats, then keyframe
+    extraction), and synthesis is the expensive leg."""
+    return _DHASH_CACHE.get_or_create(
+        spark,
+        ("fpavi_media", sf_dir),
+        lambda: M.synthesize_fpavi_media(_docs_wide(spark, sf_dir)).persist(),
+    )
+
+
+# round 12: @register("multimodal_video_curation", _VIDEO_CURATION_ORACLE)
+def multimodal_video_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw AVI corpus → shots → one keyframe per shot → keyframe-dHash
+    near-dup verdict → per-clip keep/drop (see block comment). One row per
+    clip: (media_id, n_shots, dup_partner, keep)."""
+    media = _fpavi_media(spark, sf_dir)
+    kf = M.shot_keyframes(media)  # (media_id, shot_id, frame_idx, payload)
+    kfb = M.dhash_bands(
+        kf.select(
+            (F.col("media_id") * 16 + F.col("shot_id")).alias("media_id"),
+            F.col("frame_payload").alias("payload"),
+        )
+    )
+    cand = M.band_candidates(kfb, max_bucket=None)
+    w1 = kfb.select(
+        F.col("media_id").alias("id1"),
+        *[F.col(f"band{i}").alias(f"a{i}") for i in range(4)],
+    )
+    w2 = kfb.select(
+        F.col("media_id").alias("id2"),
+        *[F.col(f"band{i}").alias(f"b{i}") for i in range(4)],
+    )
+    hd = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}"))) for i in range(4)
+    )
+    ham = cand.join(w1, "id1").join(w2, "id2").withColumn("hd", hd)
+    cpair = ham.where(F.col("hd") <= 2).select(
+        F.expr("id1 DIV 16").alias("c1"), F.expr("id2 DIV 16").alias("c2")
+    ).where(F.col("c1") != F.col("c2"))
+    partner = cpair.groupBy(F.col("c2").alias("media_id")).agg(
+        F.min("c1").cast("bigint").alias("dup_partner")
+    )
+    nshots = kf.groupBy("media_id").agg(
+        F.count("*").cast("bigint").alias("n_shots")
+    )
+    return nshots.join(partner, "media_id", "left").select(
+        F.col("media_id").cast("bigint").alias("media_id"),
+        "n_shots",
+        "dup_partner",
+        (F.col("dup_partner").isNull() & (F.col("n_shots") >= 2)).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FLAC decode profile (round-11 second pass; REGISTRATION STAGED FOR
+# ROUND 12 — window full per the rotation note in gate.py; flip the
+# commented @register). Closes the audio-format boundary (VERDICT r10
+# item 7): real FLAC decode — Rice-coded fixed-predictor residuals AND
+# verbatim subframes, frame CRC-8/CRC-16, whole-stream MD5 — value-gated
+# with a purely INTEGER oracle: the decoder emits integer samples, so
+# the amplitude total is an exact BIGINT sum, no float leg at all.
+# ---------------------------------------------------------------------------
+_FLAC_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN octet_length(encode(text)) > 0
+              THEN hex(encode(text)) ELSE '0' END AS hx
+  FROM documents
+),
+ch AS (SELECT doc_id, hx, unnest(range(length(hx))) AS k FROM m),
+amp AS (
+  SELECT doc_id,
+         SUM(ascii(substr(hx, CAST(k AS INTEGER) + 1, 1))) AS amp,
+         COUNT(*) AS n
+  FROM ch GROUP BY doc_id
+)
+SELECT CASE WHEN m.doc_id % 2 = 0 THEN 'fixed1' ELSE 'verbatim' END AS variant,
+       CAST(COUNT(*) AS BIGINT)                        AS n_clips,
+       CAST(SUM(a.n) AS BIGINT)                        AS n_samples,
+       CAST(MIN(8000 + 1000 * (m.doc_id % 3)) AS BIGINT) AS min_rate,
+       CAST(MAX(8000 + 1000 * (m.doc_id % 3)) AS BIGINT) AS max_rate,
+       CAST(SUM(a.amp) AS BIGINT)                      AS amp_total
+FROM m JOIN amp a USING (doc_id)
+GROUP BY 1
+"""
+
+
+# round 12: @register("multimodal_flac_profile", _FLAC_ORACLE)
+def multimodal_flac_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict decode profile over REAL FLAC clips: one row per subframe
+    kind (verbatim / fixed-predictor+Rice), every stat an exact integer
+    from the CRC- and MD5-verified decode (see block comment). The
+    variant label is the PARITY rotation (what synthesis requested) on
+    both sides; the one-hex-char degenerate doc encodes verbatim
+    regardless but keeps its parity label — the stats are kind-agnostic
+    so the oracle is unaffected."""
+    media = M.synthesize_flac_media(_docs_wide(spark, sf_dir))
+    st = M.flac_stats(media).withColumn(
+        "variant",
+        F.when(F.col("media_id") % 2 == 0, "fixed1").otherwise("verbatim"),
+    )
+    return st.groupBy("variant").agg(
+        F.count("*").cast("bigint").alias("n_clips"),
+        F.sum("n_samples").cast("bigint").alias("n_samples"),
+        F.min("sample_rate").cast("bigint").alias("min_rate"),
+        F.max("sample_rate").cast("bigint").alias("max_rate"),
+        F.sum("amp_total").cast("bigint").alias("amp_total"),
+    )

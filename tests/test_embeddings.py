@@ -778,3 +778,29 @@ def test_ivf_incremental_equals_full_rebuild(spark):
     for cid, row in incr.items():
         for a, b in zip(row, orc[cid]):
             assert a == b or abs(a - b) < 1e-12, (cid, row, orc[cid])
+
+
+def test_pq_incremental_equals_full_rebuild(spark):
+    """The persisted-PQ-index refresh (codebook read back, batch-only
+    encode, append to prior codes) must equal emb_pq_codes' full-corpus
+    rebuild row-for-row, AND the DuckDB full-rebuild oracle — the
+    refresh-≡-rebuild pin the IVF census has, extended to the codes
+    table (round-12 staged registration)."""
+    import duckdb
+
+    from hive_server_spark.functions.embeddings import pq_codes_oracle
+    from hive_server_spark.plans.embedding_pack import (
+        emb_pq_codes,
+        emb_pq_incremental,
+    )
+
+    incr = {r.vec_id: tuple(r) for r in emb_pq_incremental(spark, SF_SMALL).collect()}
+    full = {r.vec_id: tuple(r) for r in emb_pq_codes(spark, SF_SMALL).collect()}
+    assert incr == full
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_SMALL}/embeddings.parquet'"
+    )
+    orc = {r[0]: tuple(r) for r in con.execute(pq_codes_oracle()).fetchall()}
+    assert orc == incr

@@ -1,0 +1,400 @@
+"""FLAC codec tests (round 11) — no Spark.
+
+Covers: encode/decode roundtrip exactness across subframe kinds, bit
+depths, channel counts and frame boundaries; the hand-built decoder paths
+the fixture encoder does not emit (LPC, stereo decorrelation, wasted
+bits, escape partitions); the error contract (CRC-8/CRC-16/MD5 tamper,
+truncation, reserved fields); fuzz never-misdecodes; and the composition
+contract — flac_to_wav output feeds every existing WAV consumer."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import pytest
+
+from hive_server_spark.functions.flac import (
+    _BitWriter,
+    _crc8,
+    _crc16,
+    _write_utf8_number,
+    decode_flac,
+    decode_flac_stats,
+    encode_flac,
+    flac_to_wav,
+    parse_flac,
+)
+
+
+def test_roundtrip_exact_all_subframe_kinds():
+    rng = random.Random(11)
+    ch0 = [rng.randrange(-30000, 30000) for _ in range(777)]
+    ch1 = [rng.randrange(-30000, 30000) for _ in range(777)]
+    for kind in ("verbatim", "fixed1"):
+        p = encode_flac([ch0, ch1], 44100, 16, block_size=192, subframe=kind)
+        rate, nch, bits, chans = decode_flac(p)
+        assert (rate, nch, bits) == (44100, 2, 16)
+        assert chans == [ch0, ch1]
+    p = encode_flac([[-7] * 500, [3] * 500], 8000, 8, subframe="constant")
+    assert decode_flac(p)[3] == [[-7] * 500, [3] * 500]
+
+
+def test_roundtrip_auto_mixes_constant_and_fixed():
+    # first block constant, second block varying -> 'auto' picks per block
+    samples = [100] * 256 + list(range(-128, 128))
+    p = encode_flac([samples], 16000, 16, block_size=256, subframe="auto")
+    assert decode_flac(p)[3] == [samples]
+
+
+def test_roundtrip_24_bit_and_8_channels():
+    rng = random.Random(24)
+    chans = [
+        [rng.randrange(-(1 << 23), 1 << 23) for _ in range(65)]
+        for _ in range(8)
+    ]
+    p = encode_flac(chans, 48000, 24, subframe="verbatim")
+    rate, nch, bits, out = decode_flac(p)
+    assert (rate, nch, bits) == (48000, 8, 24)
+    assert out == chans
+
+
+def test_parse_flac_dispatch_and_streaminfo():
+    assert parse_flac(b"RIFF\x00\x00\x00\x00WAVE") is None
+    assert parse_flac(b"") is None
+    p = encode_flac([[1, 2, 3, 4]], 8000, 16)
+    info = parse_flac(p)
+    assert info["sample_rate"] == 8000
+    assert info["channels"] == 1
+    assert info["bits"] == 16
+    assert info["total_samples"] == 4
+
+
+def _lpc_frame_stream(samples, coefs, shift, prec_bits, bits=16, rate=8000):
+    """Hand-build a single-frame FLAC stream with one LPC subframe — the
+    decoder path the fixture encoder never emits. Residuals are computed
+    from the exact integer predictor, so roundtrip must be exact."""
+    import hashlib
+
+    order = len(coefs)
+    n = len(samples)
+    res = []
+    for i in range(order, n):
+        acc = sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+        res.append(samples[i] - (acc >> shift))
+
+    w = _BitWriter()
+    w.write(0x3FFE, 14)
+    w.write(0, 2)
+    w.write(7, 4)       # 16-bit block size follows
+    w.write(0, 4)       # rate from STREAMINFO
+    w.write(0, 4)       # 1 channel
+    w.write(4, 3)       # 16-bit samples
+    w.write(0, 1)
+    _write_utf8_number(w, 0)
+    w.write(n - 1, 16)
+    w.align()
+    hdr = w.bytes()
+
+    w = _BitWriter()
+    w.write(0, 1)
+    w.write(0x20 | (order - 1), 6)   # LPC subframe
+    w.write(0, 1)                    # no wasted bits
+    for s in samples[:order]:
+        w.write(s, bits)
+    w.write(prec_bits - 1, 4)
+    w.write(shift, 5)
+    for c in coefs:
+        w.write(c, prec_bits)
+    # verbatim-escape residual partition: order 0, escape code, 17 bits
+    w.write(0, 2)
+    w.write(0, 4)
+    w.write(15, 4)
+    w.write(17, 5)
+    for e in res:
+        w.write(e, 17)
+    w.align()
+    frame = hdr + bytes([_crc8(hdr)]) + w.bytes()
+    frame += struct.pack(">H", _crc16(frame))
+
+    si = _BitWriter()
+    si.write(n, 16); si.write(n, 16)
+    si.write(len(frame), 24); si.write(len(frame), 24)
+    si.write(rate, 20); si.write(0, 3); si.write(bits - 1, 5)
+    si.write(n, 36)
+    md5 = hashlib.md5()
+    for s in samples:
+        md5.update(int(s).to_bytes(2, "little", signed=True))
+    streaminfo = si.bytes() + md5.digest()
+    return b"fLaC" + bytes([0x80]) + b"\x00\x00\x22" + streaminfo + frame
+
+
+def test_lpc_subframe_and_escape_partition_decode_exactly():
+    rng = random.Random(5)
+    samples = [rng.randrange(-20000, 20000) for _ in range(50)]
+    p = _lpc_frame_stream(samples, coefs=[3, -2], shift=1, prec_bits=4)
+    rate, nch, bits, chans = decode_flac(p)
+    assert chans == [samples]
+
+
+def _stereo_frame_stream(left, right, ch_code, bits=16, rate=8000):
+    """Hand-build a one-frame stereo stream using a decorrelated channel
+    assignment (8=left/side, 9=right/side, 10=mid/side), verbatim
+    subframes — pins the reconstruction identities."""
+    import hashlib
+
+    n = len(left)
+    if ch_code == 8:
+        c0, c1 = left, [l - r for l, r in zip(left, right)]
+        extra = (0, 1)
+    elif ch_code == 9:
+        c0, c1 = [l - r for l, r in zip(left, right)], right
+        extra = (1, 0)
+    else:
+        c0 = [(l + r) >> 1 for l, r in zip(left, right)]
+        c1 = [l - r for l, r in zip(left, right)]
+        extra = (0, 1)
+
+    w = _BitWriter()
+    w.write(0x3FFE, 14)
+    w.write(0, 2)
+    w.write(7, 4)
+    w.write(0, 4)
+    w.write(ch_code, 4)
+    w.write(4, 3)
+    w.write(0, 1)
+    _write_utf8_number(w, 0)
+    w.write(n - 1, 16)
+    w.align()
+    hdr = w.bytes()
+
+    w = _BitWriter()
+    for ch, ex in zip((c0, c1), extra):
+        w.write(0, 1)
+        w.write(1, 6)  # verbatim
+        w.write(0, 1)
+        for v in ch:
+            w.write(v, bits + ex)
+    w.align()
+    frame = hdr + bytes([_crc8(hdr)]) + w.bytes()
+    frame += struct.pack(">H", _crc16(frame))
+
+    si = _BitWriter()
+    si.write(n, 16); si.write(n, 16)
+    si.write(len(frame), 24); si.write(len(frame), 24)
+    si.write(rate, 20); si.write(1, 3); si.write(bits - 1, 5)
+    si.write(n, 36)
+    md5 = hashlib.md5()
+    for i in range(n):
+        md5.update(int(left[i]).to_bytes(2, "little", signed=True))
+        md5.update(int(right[i]).to_bytes(2, "little", signed=True))
+    streaminfo = si.bytes() + md5.digest()
+    return b"fLaC" + bytes([0x80]) + b"\x00\x00\x22" + streaminfo + frame
+
+
+@pytest.mark.parametrize("ch_code", [8, 9, 10])
+def test_stereo_decorrelation_modes_reconstruct_exactly(ch_code):
+    rng = random.Random(ch_code)
+    left = [rng.randrange(-30000, 30000) for _ in range(64)]
+    right = [rng.randrange(-30000, 30000) for _ in range(64)]
+    p = _stereo_frame_stream(left, right, ch_code)
+    rate, nch, bits, chans = decode_flac(p)
+    assert nch == 2
+    assert chans == [left, right]
+
+
+def test_wasted_bits_shift_back():
+    """A subframe with k wasted bits stores samples >> k and the decoder
+    must shift them back (all our samples share a low zero bit)."""
+    samples = [v * 4 for v in range(-30, 34)]  # 2 wasted bits
+    import hashlib
+
+    n = len(samples)
+    w = _BitWriter()
+    w.write(0x3FFE, 14); w.write(0, 2)
+    w.write(7, 4); w.write(0, 4); w.write(0, 4); w.write(4, 3); w.write(0, 1)
+    _write_utf8_number(w, 0)
+    w.write(n - 1, 16)
+    w.align()
+    hdr = w.bytes()
+    w = _BitWriter()
+    w.write(0, 1); w.write(1, 6)
+    w.write(1, 1)        # wasted-bits flag
+    w.write(1, 2)        # unary 2 -> "01" (k = count+1 = 2)
+    for v in samples:
+        w.write(v >> 2, 14)
+    w.align()
+    frame = hdr + bytes([_crc8(hdr)]) + w.bytes()
+    frame += struct.pack(">H", _crc16(frame))
+    si = _BitWriter()
+    si.write(n, 16); si.write(n, 16)
+    si.write(len(frame), 24); si.write(len(frame), 24)
+    si.write(8000, 20); si.write(0, 3); si.write(15, 5); si.write(n, 36)
+    md5 = hashlib.md5()
+    for s in samples:
+        md5.update(int(s).to_bytes(2, "little", signed=True))
+    p = b"fLaC" + bytes([0x80]) + b"\x00\x00\x22" + si.bytes() + md5.digest() + frame
+    assert decode_flac(p)[3] == [samples]
+
+
+def test_error_contract_tamper_and_truncation():
+    p = bytearray(encode_flac([[10, 20, 30, 25]], 8000, 16, subframe="verbatim"))
+    info = parse_flac(bytes(p))
+    fo = info["frame_offset"]
+
+    with pytest.raises(ValueError, match="CRC-8"):
+        bad = bytearray(p)
+        # header = 4 fixed bytes + 1 utf8 byte + 2 block-size bytes; the
+        # CRC-8 byte sits right after — flip it, header bytes unchanged
+        bad[fo + 7] ^= 0x01
+        decode_flac(bytes(bad))
+    with pytest.raises(ValueError, match="CRC-16"):
+        bad = bytearray(p)
+        bad[-1] ^= 0x01  # frame CRC itself
+        decode_flac(bytes(bad))
+    with pytest.raises(ValueError, match="MD5"):
+        # a changed sample with CORRECT frame CRCs: only the stream MD5
+        # can catch it — splice re-encoded frames under the old STREAMINFO
+        good = encode_flac([[10, 20, 30, 25]], 8000, 16, subframe="verbatim")
+        tampered = encode_flac([[10, 20, 31, 25]], 8000, 16, subframe="verbatim")
+        gi = parse_flac(good)["frame_offset"]
+        decode_flac(good[:gi] + tampered[gi:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_flac(bytes(p[:-3]))
+    with pytest.raises(ValueError, match="STREAMINFO"):
+        decode_flac(b"fLaC" + bytes([0x81]) + b"\x00\x00\x02" + b"ab")
+    with pytest.raises(ValueError, match="sample count mismatch"):
+        two = encode_flac([[1, 2, 3, 4]], 8000, 16, block_size=2)
+        i2 = parse_flac(two)["frame_offset"]
+        one = encode_flac([[1, 2]], 8000, 16, block_size=2)
+        i1 = parse_flac(one)["frame_offset"]
+        # STREAMINFO says 4 samples, only one 2-sample frame present
+        decode_flac(two[:i2] + one[i1:])
+
+
+def test_fuzz_never_misdecodes():
+    """Random mutations either decode to the identical samples (mutation
+    hit a don't-care byte — impossible here since every byte is covered
+    by a CRC or the MD5), raise ValueError, or dispatch None. Any other
+    exception breaks the codec error contract."""
+    rng = random.Random(99)
+    base = encode_flac(
+        [[rng.randrange(-100, 100) for _ in range(50)]], 8000, 16,
+        subframe="fixed1",
+    )
+    for _ in range(400):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 3)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            decode_flac(bytes(b))
+        except ValueError:
+            pass
+
+
+def test_flac_to_wav_composes_with_wav_consumers():
+    """The transcode output must parse under _wav_parse and produce the
+    same stats/fingerprint inputs the original samples imply — the
+    composition contract that lets resample_audio and the audio
+    fingerprint run on FLAC sources unchanged."""
+    from hive_server_spark.functions.multimodal import (
+        _decode_wav,
+        _resample_linear,
+        _wav_parse,
+    )
+
+    samples = [((i * 37) % 256) - 128 for i in range(200)]
+    p = encode_flac([samples], 8000, 8, subframe="verbatim")
+    w = flac_to_wav(p)
+    rate, nch, bits, ba, data = _wav_parse(w)
+    assert (rate, nch, bits) == (8000, 1, 8)
+    assert list(data) == [(s + 128) & 0xFF for s in samples]
+    # stats agree between the FLAC profile and the WAV decode
+    fr, fch, fbits, fn, fmean = decode_flac_stats(p)
+    wr, wch, wbits, wn, wmean = _decode_wav(w)
+    assert (fr, fch, fbits, fn) == (wr, wch, wbits, wn)
+    # _decode_wav's 8-bit mean is the raw unsigned value (0..255);
+    # decode_flac_stats normalizes to [0, 1] over the same shifted samples
+    assert abs(fmean - wmean / 255.0) < 1e-12
+    # and the resampler runs on the transcoded samples
+    import numpy as np
+
+    out = _resample_linear(np.array(list(data), dtype=np.int64), 8000, 16000)
+    assert len(out) == 400
+
+    # 16-bit stereo path
+    rng = random.Random(3)
+    l = [rng.randrange(-30000, 30000) for _ in range(64)]
+    r = [rng.randrange(-30000, 30000) for _ in range(64)]
+    w2 = flac_to_wav(encode_flac([l, r], 16000, 16))
+    rate2, nch2, bits2, ba2, data2 = _wav_parse(w2)
+    assert (rate2, nch2, bits2) == (16000, 2, 16)
+    got = struct.unpack(f"<{len(data2) // 2}h", data2)
+    assert list(got[0::2]) == l and list(got[1::2]) == r
+
+    # dispatch + depth contract
+    assert flac_to_wav(b"not flac") is None
+    with pytest.raises(ValueError, match="24-bit"):
+        flac_to_wav(encode_flac([[0, 1]], 8000, 24))
+
+
+def test_flac_profile_oracle_parity(spark, tmp_path):
+    """Full Spark-vs-DuckDB parity of the (round-12 staged) FLAC decode
+    profile on a crafted corpus (incl. an empty doc — the '0' fallback and
+    the verbatim degenerate) AND the sf0.001 corpus, plus a closed-form
+    spot check of the integer amplitude total."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_server_spark.plans.multimodal_pack import (
+        _FLAC_ORACLE,
+        multimodal_flac_profile,
+    )
+    from tests.conftest import SF_SMALL
+    from tests.test_gate_parity import _rowset
+
+    rows = [
+        (0, "even doc -> fixed-predictor subframes"),
+        (1, "odd doc -> verbatim subframes here!!"),
+        (2, ""),          # empty text -> hx '0', verbatim fallback
+        (3, "another odd document, short"),
+        (4, "x"),         # 2 hex chars -> shortest fixed1 block
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["t"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    for sf_dir in (str(tmp_path), SF_SMALL):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        oracle = con.execute(_FLAC_ORACLE)
+        o_cols = [d[0] for d in oracle.description]
+        o_rows = oracle.fetchall()
+        sdf = multimodal_flac_profile(spark, sf_dir)
+        s_rows = [tuple(r) for r in sdf.collect()]
+        assert len(s_rows) == len(o_rows) > 0, sf_dir
+        assert _rowset(sdf.columns, s_rows) == _rowset(o_cols, o_rows), sf_dir
+
+    # closed-form spot check: doc 1's clip amplitude is the ascii sum of
+    # its uppercase hex expansion
+    got = {
+        r.variant: r
+        for r in multimodal_flac_profile(spark, str(tmp_path)).collect()
+    }
+    hx1 = rows[1][1].encode().hex().upper()
+    hx3 = rows[3][1].encode().hex().upper()
+    assert got["verbatim"].n_samples == len(hx1) + len(hx3)
+    assert got["verbatim"].amp_total == sum(map(ord, hx1)) + sum(map(ord, hx3))
+    assert got["fixed1"].n_clips == 3

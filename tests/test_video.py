@@ -458,3 +458,69 @@ def test_avi_strf_before_strh_still_checked():
         struct.pack_into("<I", cut, at - back, old - 48)
     with pytest.raises(ValueError, match="missing strf"):
         parse_avi(bytes(cut))
+
+
+def test_video_curation_planted_dups_and_oracle_parity(spark, tmp_path):
+    """End-to-end pipeline contract of the (round-12 staged)
+    multimodal_video_curation query on a crafted corpus: a clip
+    byte-identical to a smaller clip is dropped with that partner; a clip
+    at planted keyframe-Hamming-1 is dropped against the same canonical
+    partner; fresh-header clips keep iff they have >= 2 shots. Then full
+    Spark-vs-DuckDB parity on the crafted corpus AND sf0.001."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_server_spark.plans.multimodal_pack import (
+        _VIDEO_CURATION_ORACLE,
+        multimodal_video_curation,
+    )
+    from tests.test_gate_parity import _rowset
+
+    rows = [
+        (10, "alpha clip header shared by a trio!!"),  # canonical, even
+        (12, "alpha clip header shared by a trio!!"),  # byte-identical dup
+        (13, "alpha clip header shared by a trio!!"),  # parity-bit near-dup
+        (20, "beta header for a fresh single clip"),   # fresh
+        (31, "gamma header for another fresh clip"),   # fresh
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["t"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    out = {
+        r.media_id: r
+        for r in multimodal_video_curation(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {10, 12, 13, 20, 31}
+    assert out[10].dup_partner is None          # canonical member kept
+    assert out[12].dup_partner == 10 and not out[12].keep
+    assert out[13].dup_partner == 10 and not out[13].keep
+    for mid in (10, 20, 31):
+        assert out[mid].keep == (
+            out[mid].dup_partner is None and out[mid].n_shots >= 2
+        )
+
+    from tests.conftest import SF_SMALL
+
+    for sf_dir in (str(tmp_path), SF_SMALL):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        oracle = con.execute(_VIDEO_CURATION_ORACLE)
+        o_cols = [d[0] for d in oracle.description]
+        o_rows = oracle.fetchall()
+        sdf = multimodal_video_curation(spark, sf_dir)
+        s_rows = [tuple(r) for r in sdf.collect()]
+        assert len(s_rows) == len(o_rows) > 0, sf_dir
+        assert _rowset(sdf.columns, s_rows) == _rowset(o_cols, o_rows), sf_dir
