@@ -54,7 +54,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -509,6 +509,69 @@ def band_candidates(
         )
         .select(F.col("a.media_id").alias("id1"), F.col("b.media_id").alias("id2"))
         .distinct()
+    )
+
+
+def band_long(bands: DataFrame, n_bands: int = 4) -> DataFrame:
+    """A wide band table (media_id, band0..band{n-1}) unpivoted to
+    (media_id, band_idx, band_val) — the persisted-index key shape shared
+    by every fingerprint modality (image dHash, audio energy fingerprint,
+    video keyframe fingerprint). Same stack() as band_candidates; no
+    shuffle."""
+    parts = ", ".join(f"{i}L, band{i}" for i in range(n_bands))
+    return bands.selectExpr(
+        "media_id",
+        f"stack({n_bands}, {parts}) AS (band_idx, band_val)",
+    )
+
+
+def incremental_band_neardup(
+    spark: SparkSession, index_path: str, batch_bands_long: DataFrame
+) -> DataFrame:
+    """Cross-snapshot incremental near-dup over ANY banded fingerprint:
+    dedup a new media batch (long band rows from `band_long`) against the
+    persisted band index at `index_path` ((band_idx, band_val,
+    min_media_id) parquet), merging the batch's own band partials in
+    first — the docs_neardup_incremental pattern (plans/streaming_pack.py)
+    generalized over modality. MIN is a semilattice, so replays and
+    batch boundaries can never change the index; the prior corpus is
+    never rescanned or re-DECODED (the expensive leg for media); merge
+    and flag joins reuse the same (band_idx, band_val) partitioning.
+    Returns (media_id, n_occupied_bands, partner_media_id)."""
+    prior_index = spark.read.parquet(index_path)
+    batch_part = batch_bands_long.groupBy("band_idx", "band_val").agg(
+        F.min("media_id").alias("min_media_id")
+    )
+    merged = (
+        prior_index.unionByName(batch_part)
+        .groupBy("band_idx", "band_val")
+        .agg(F.min("min_media_id").alias("min_media_id"))
+    )
+    return (
+        batch_bands_long.join(merged, ["band_idx", "band_val"])
+        .where(F.col("min_media_id") < F.col("media_id"))
+        .groupBy("media_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occupied_bands"),
+            F.min("min_media_id").cast("bigint").alias("partner_media_id"),
+        )
+        .select(
+            F.col("media_id").cast("bigint").alias("media_id"),
+            "n_occupied_bands",
+            "partner_media_id",
+        )
+    )
+
+
+def write_band_index(bands_long: DataFrame, index_path: str) -> None:
+    """Materialize a snapshot's band index ((band_idx, band_val) →
+    MIN media_id) — the persisted artifact incremental_band_neardup
+    refreshes against."""
+    (
+        bands_long.groupBy("band_idx", "band_val")
+        .agg(F.min("media_id").alias("min_media_id"))
+        .write.mode("overwrite")
+        .parquet(index_path)
     )
 
 

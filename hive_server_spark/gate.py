@@ -1067,7 +1067,27 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 #   multimodal_flac_profile (real FLAC decode — Rice/fixed-predictor
 #   residuals, CRC-8/16 + stream MD5 — with a purely integer oracle;
 #   plans/multimodal_pack.py, functions/flac.py)
-# 3 staged + 47 r08 names = exactly 50.
+# 3 staged + 47 r08 names = exactly 50. The 47, in registration order
+# (computed r11 from CORRECTNESS_r08 minus every later-green name):
+#   amount_out_prices, amount_out_capped, asof_trade_price,
+#   asof_nearest_price, range_price_activity, price_hourly_gapfill,
+#   rel_pricing_summary, rel_top_revenue_orders, rel_revenue_by_nation,
+#   rel_order_priority_exists, rel_parts_never_ordered,
+#   rel_nations_intersect, rel_nations_except, rel_rollup_revenue,
+#   rel_cube_status_priority, rel_window_top_customers,
+#   rel_window_running_total, rel_window_order_gaps,
+#   rel_full_outer_nation_activity, rel_distinct_suppliers_per_nation,
+#   rel_scalar_functions, rel_window_analytics, rel_datetime_functions,
+#   rel_array_functions, rel_grouping_sets, rel_union_all_parties,
+#   rel_exact_percentiles, rel_cheapest_line_per_part,
+#   rel_orders_above_cust_avg, rel_rich_idle_customers,
+#   scale_salted_cohort_rollup, rel_promo_revenue_ratio,
+#   rel_nation_trade_flows, rel_disjunctive_bands,
+#   rel_conditional_distinct, evt_sessions, evt_trailing_hour_value,
+#   evt_cusum_drift, evt_hll_set_algebra, text_hash_features_score,
+#   layout_deletion_vectors, src_schema_evolution_roundtrip,
+#   layout_manifest_diff, orders_state_streaming, evt_cms_streaming,
+#   evt_hll_streaming, evt_cusum_streaming
 # ---------------------------------------------------------------------------
 from hive_server_spark.registry import set_driver_priority  # noqa: E402
 

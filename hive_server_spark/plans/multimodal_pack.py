@@ -903,48 +903,6 @@ GROUP BY j.doc_id
 """
 
 
-def _dhash_band_long(bands_wide: DataFrame) -> DataFrame:
-    """The wide band table unpivoted to (media_id, band_idx, band_val) —
-    the index key shape. Same stack() as band_candidates; no shuffle."""
-    return bands_wide.selectExpr(
-        "media_id",
-        "stack(4, 0L, band0, 1L, band1, 2L, band2, 3L, band3)"
-        " AS (band_idx, band_val)",
-    )
-
-
-def incremental_phash_neardup(
-    spark: SparkSession, index_path: str, batch_bands_long: DataFrame
-) -> DataFrame:
-    """Dedup a new image batch (long band rows) against the persisted
-    dHash band index at `index_path` ((band_idx, band_val, min_media_id)
-    parquet), merging the batch's own band partials in first. Returns the
-    flags table (media_id, n_occupied_bands, partner_media_id)."""
-    prior_index = spark.read.parquet(index_path)
-    batch_part = batch_bands_long.groupBy("band_idx", "band_val").agg(
-        F.min("media_id").alias("min_media_id")
-    )
-    merged = (
-        prior_index.unionByName(batch_part)
-        .groupBy("band_idx", "band_val")
-        .agg(F.min("min_media_id").alias("min_media_id"))
-    )
-    return (
-        batch_bands_long.join(merged, ["band_idx", "band_val"])
-        .where(F.col("min_media_id") < F.col("media_id"))
-        .groupBy("media_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_occupied_bands"),
-            F.min("min_media_id").cast("bigint").alias("partner_media_id"),
-        )
-        .select(
-            F.col("media_id").cast("bigint").alias("media_id"),
-            "n_occupied_bands",
-            "partner_media_id",
-        )
-    )
-
-
 @register("multimodal_phash_incremental", _PHASH_INCR_ORACLE)
 def multimodal_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write the prior snapshot's dHash band index to parquet (id-ordered
@@ -952,24 +910,22 @@ def multimodal_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch against the persisted index — must equal the full-corpus
     occupied-band rule restricted to the batch (see block comment). The
     decode runs once via the shared _DHASH_CACHE band table; the batch
-    path itself never touches prior-corpus payloads."""
+    path itself never touches prior-corpus payloads. The index machinery
+    is the modality-generic band_long / write_band_index /
+    incremental_band_neardup (functions/multimodal.py) — the SAME
+    functions refresh the audio and video fingerprint indexes
+    (tests/test_multimodal.py pins both against full-corpus recomputes)."""
     import os
     import tempfile
 
     bands_wide = _dhash_band_table(spark, sf_dir)
     mn, mx = bands_wide.agg(F.min("media_id"), F.max("media_id")).first()
     thr = (mn + mx) // 2  # == the oracle's integer-division threshold
-    long = _dhash_band_long(bands_wide)
+    long = M.band_long(bands_wide)
     work = tempfile.mkdtemp(prefix="hss_phash_incr_")
     index_path = os.path.join(work, "band_index")
-    (
-        long.where(F.col("media_id") < thr)
-        .groupBy("band_idx", "band_val")
-        .agg(F.min("media_id").alias("min_media_id"))
-        .write.mode("overwrite")
-        .parquet(index_path)
-    )
-    return incremental_phash_neardup(
+    M.write_band_index(long.where(F.col("media_id") < thr), index_path)
+    return M.incremental_band_neardup(
         spark, index_path, long.where(F.col("media_id") >= thr)
     )
 

@@ -398,3 +398,32 @@ def test_flac_profile_oracle_parity(spark, tmp_path):
     assert got["verbatim"].n_samples == len(hx1) + len(hx3)
     assert got["verbatim"].amp_total == sum(map(ord, hx1)) + sum(map(ord, hx3))
     assert got["fixed1"].n_clips == 3
+
+
+def test_flac_roundtrip_property():
+    """Property (hypothesis): ANY sample array within range roundtrips
+    exactly through encode_flac -> decode_flac for every subframe-kind /
+    bit-depth / blocking combination the fixture encoder emits."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        samples=st.lists(
+            st.integers(min_value=-128, max_value=127), min_size=1, max_size=400
+        ),
+        bits=st.sampled_from([8, 16]),
+        kind=st.sampled_from(["verbatim", "fixed1", "auto"]),
+        block=st.sampled_from([16, 192, 4096]),
+    )
+    def check(samples, bits, kind, block):
+        if kind == "fixed1" and any(
+            len(samples[s : s + block]) < 2 for s in range(0, len(samples), block)
+        ):
+            kind = "auto"  # a 1-sample tail block cannot carry fixed1
+        p = encode_flac([samples], 8000, bits, block_size=block, subframe=kind)
+        rate, nch, got_bits, chans = decode_flac(p)
+        assert (rate, nch, got_bits) == (8000, 1, bits)
+        assert chans == [samples]
+
+    check()
