@@ -702,6 +702,104 @@ def pq_codes_from_vecs(vec: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB,
     )
 
 
+def pq_train_update(emb: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB,
+                    micro: int = 1_000_000) -> DataFrame:
+    """One exact-checkable Lloyd iteration PER SUBSPACE — the codebook
+    TRAINING step of the PQ lifecycle (emb_kmeans_update trains the coarse
+    quantizer; THIS trains the sub-quantizers; pq_codes encodes;
+    pq_adc_topk serves; emb_pq_incremental maintains): assign every
+    vector's m-th slice to the nearest seed sub-centroid (the slices of
+    vec_id 0..ksub-1 — the same deterministic seeding pq_codes uses), then
+    recompute each sub-centroid coordinate as a fixed-point mean.
+
+    Exactness discipline is kmeans_update's verbatim: bit-deterministic
+    in-order L2² folds over the slices, argmin tie-break on centroid id,
+    floor(x*micro) BIGINT sums so the only float is one exact-int division
+    per (subspace, sub-centroid, dim). Scale shape: ksub seed rows
+    broadcast, the subspace fan-out is a bounded explode (m rows/vector),
+    and the update shuffles (subspace, cid, dim)-keyed partial sums —
+    m independent Lloyd iterations in one map-reduce pass."""
+    vec = _vecs(emb).select("vec_id", "v")
+    cent = vec.where(F.col("vec_id") < ksub).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    dsub = 64 // m
+    sub = (
+        vec.select(
+            "vec_id", "v", F.explode(F.expr(f"sequence(0, {m - 1})")).alias("m")
+        )
+        .withColumn("sv", F.expr(f"slice(v, m * {dsub} + 1, {dsub})"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn(
+            "d2",
+            F.expr(sqdist_expr("sv", f"slice(cv, m * {dsub} + 1, {dsub})", "s")),
+        )
+    )
+    assigned = (
+        sub.groupBy("vec_id", "m")
+        .agg(F.min_by(F.struct("cid", "sv"), F.struct("d2", "cid")).alias("b"))
+        .select("m", F.col("b.cid").alias("cid"), F.col("b.sv").alias("sv"))
+    )
+    pos = assigned.select("m", "cid", F.posexplode("sv").alias("dim", "x"))
+    return (
+        pos.groupBy("m", "cid", "dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr(f"CAST(floor(x * {micro}) AS BIGINT)")).alias("sum_micro"),
+        )
+        .select(
+            F.col("m").cast("bigint").alias("subspace"),
+            F.col("cid").cast("bigint").alias("sub_cid"),
+            F.col("dim").cast("bigint").alias("dim"),
+            F.col("n").cast("bigint").alias("n_vecs"),
+            F.col("sum_micro").cast("bigint").alias("sum_micro"),
+            (F.col("sum_micro").cast("double") / F.col("n").cast("double")).alias(
+                "centroid_micro_mean"
+            ),
+        )
+    )
+
+
+def pq_train_oracle(m: int = PQ_M, ksub: int = PQ_KSUB,
+                    micro: int = 1_000_000) -> str:
+    dsub = 64 // m
+    d2 = sqdist_expr(
+        f"list_slice(vec.v, s.m * {dsub} + 1, s.m * {dsub} + {dsub})",
+        f"list_slice(c.cv, s.m * {dsub} + 1, s.m * {dsub} + {dsub})",
+        "d",
+    )
+    return f"""
+WITH vec AS (SELECT vec_id, {{ve}} AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM vec WHERE vec_id < {ksub}),
+s AS (SELECT unnest(range(0, {m})) AS m),
+d AS (
+  SELECT vec.vec_id, s.m, c.cid,
+         list_slice(vec.v, s.m * {dsub} + 1, s.m * {dsub} + {dsub}) AS sv,
+         {d2} AS d2
+  FROM vec CROSS JOIN s CROSS JOIN c
+), a AS (
+  SELECT m, cid, sv FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+    FROM d
+  ) WHERE rn = 1
+), p AS (
+  SELECT m, cid, unnest(range(1, len(sv)+1)) AS i, sv FROM a
+), q AS (
+  SELECT m, cid, i - 1 AS dim,
+         CAST(floor(sv[CAST(i AS INTEGER)] * {micro}) AS BIGINT) AS mx
+  FROM p
+)
+SELECT CAST(m AS BIGINT)          AS subspace,
+       CAST(cid AS BIGINT)        AS sub_cid,
+       CAST(dim AS BIGINT)        AS dim,
+       CAST(COUNT(*) AS BIGINT)   AS n_vecs,
+       CAST(SUM(mx) AS BIGINT)    AS sum_micro,
+       CAST(SUM(mx) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                                  AS centroid_micro_mean
+FROM q GROUP BY m, cid, dim
+""".replace("{ve}", vec_expr("embedding", "d"))
+
+
 def pq_codes_oracle(m: int = PQ_M, ksub: int = PQ_KSUB,
                     micro: int = 1_000_000) -> str:
     dsub = 64 // m

@@ -1088,6 +1088,8 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 #   layout_deletion_vectors, src_schema_evolution_roundtrip,
 #   layout_manifest_diff, orders_state_streaming, evt_cms_streaming,
 #   evt_hll_streaming, evt_cusum_streaming
+# Staged-for-r13 (budget permitting): emb_pq_train (per-subspace Lloyd
+# codebook training; plans/embedding_pack.py, oracle pq_train_oracle()).
 # ---------------------------------------------------------------------------
 from hive_server_spark.registry import set_driver_priority  # noqa: E402
 

@@ -654,3 +654,21 @@ def emb_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec.where(F.col("vec_id") >= thr), cent=cent_back
     )
     return spark.read.parquet(codes_path).unionByName(batch_codes)
+
+
+# ---------------------------------------------------------------------------
+# PQ codebook training (round-11 second-pass library; REGISTRATION STAGED
+# FOR ROUND 13 — the round-12 window is exactly full with its 3 staged
+# registrations + the 47-name r08 tail; flip the commented @register in
+# the first round with budget). One Lloyd iteration per subspace — the
+# training step that completes the PQ lifecycle: emb_kmeans_update trains
+# the coarse quantizer, THIS trains the sub-quantizers, emb_pq_codes
+# encodes, emb_pq_adc_topk serves, emb_pq_incremental maintains. Parity
+# is already pinned by tests/test_embeddings.py on the sf corpus.
+# ---------------------------------------------------------------------------
+# round 13: @register("emb_pq_train", E.pq_train_oracle())
+def emb_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace Lloyd iteration over the embedding corpus: one row per
+    (subspace, sub-centroid, dim) with exact fixed-point means (see
+    functions/embeddings.py::pq_train_update)."""
+    return E.pq_train_update(_emb(spark, sf_dir))

@@ -804,3 +804,42 @@ def test_pq_incremental_equals_full_rebuild(spark):
     )
     orc = {r[0]: tuple(r) for r in con.execute(pq_codes_oracle()).fetchall()}
     assert orc == incr
+
+
+def test_pq_train_update_matches_oracle(spark):
+    """The per-subspace Lloyd iteration (PQ codebook TRAINING — the step
+    between the coarse quantizer's emb_kmeans_update and pq_codes'
+    encoding) must match its DuckDB oracle exactly: same seeds, same
+    argmin tie-break, same floor-micro fixed-point means."""
+    import duckdb
+
+    from hive_server_spark.functions.embeddings import (
+        PQ_KSUB,
+        PQ_M,
+        pq_train_oracle,
+        pq_train_update,
+    )
+    from hive_server_spark.plans.embedding_pack import _emb
+
+    got = {
+        (r.subspace, r.sub_cid, r.dim): (r.n_vecs, r.sum_micro)
+        for r in pq_train_update(_emb(spark, SF_SMALL)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_SMALL}/embeddings.parquet'"
+    )
+    orc = {
+        (r[0], r[1], r[2]): (r[3], r[4])
+        for r in con.execute(pq_train_oracle()).fetchall()
+    }
+    assert got == orc
+    # every subspace trains all its dims; populations sum to the corpus
+    # size per (subspace, dim)
+    n_vec = con.execute("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+    dsub = 64 // PQ_M
+    for m in range(PQ_M):
+        for d in range(dsub):
+            pop = sum(v[0] for (sm, sc, sd), v in got.items() if sm == m and sd == d)
+            assert pop == n_vec
+    assert {sc for (_, sc, _) in got} <= set(range(PQ_KSUB))
