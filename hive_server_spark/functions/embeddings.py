@@ -641,6 +641,38 @@ PQ_M = 8       # subspaces (64 dims -> 8 dims each)
 PQ_KSUB = 4    # sub-centroids per subspace -> 2 bits per subspace
 
 
+def _pq_subassign(vec: DataFrame, cent: DataFrame, m: int,
+                  dsub: int) -> DataFrame:
+    """Per-(vector, subspace) nearest-sub-centroid assignment — the ONE
+    copy of the parity-critical core shared by PQ encoding
+    (pq_codes_from_vecs) and PQ codebook training (pq_train_update):
+    bounded m-row explode per vector, broadcast codebook, a
+    bit-deterministic in-order L2² fold over the slice, and the (d2, cid)
+    struct-min tie-break. Returns (vec_id, m, cid, sv, d2)."""
+    sub = (
+        vec.select(
+            "vec_id", "v", F.explode(F.expr(f"sequence(0, {m - 1})")).alias("m")
+        )
+        .withColumn("sv", F.expr(f"slice(v, m * {dsub} + 1, {dsub})"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn(
+            "d2",
+            F.expr(sqdist_expr("sv", f"slice(cv, m * {dsub} + 1, {dsub})", "s")),
+        )
+    )
+    return (
+        sub.groupBy("vec_id", "m")
+        .agg(F.min_by(F.struct("cid", "sv", "d2"), F.struct("d2", "cid")).alias("b"))
+        .select(
+            "vec_id",
+            "m",
+            F.col("b.cid").alias("cid"),
+            F.col("b.sv").alias("sv"),
+            F.col("b.d2").alias("d2"),
+        )
+    )
+
+
 def pq_codes(emb: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB,
              micro: int = 1_000_000) -> DataFrame:
     """Per-vector PQ code (sub-assignments packed little-endian, 2 bits
@@ -666,29 +698,11 @@ def pq_codes_from_vecs(vec: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB,
             F.col("vec_id").alias("cid"), F.col("v").alias("cv")
         )
     dsub = 64 // m
-    sub = (
-        vec.select("vec_id", "v", F.explode(F.expr(f"sequence(0, {m - 1})")).alias("m"))
-        .crossJoin(F.broadcast(cent))
-        .withColumn(
-            "d2",
-            F.expr(
-                sqdist_expr(
-                    f"slice(v, m * {dsub} + 1, {dsub})",
-                    f"slice(cv, m * {dsub} + 1, {dsub})",
-                    "s",
-                )
-            ),
-        )
-    )
-    best = (
-        sub.groupBy("vec_id", "m")
-        .agg(F.min(F.struct("d2", "cid")).alias("b"))
-        .select(
-            "vec_id",
-            "m",
-            F.col("b.cid").alias("cid"),
-            F.expr(f"CAST(floor(b.d2 * {micro}) AS BIGINT)").alias("dist_micro"),
-        )
+    best = _pq_subassign(vec, cent, m, dsub).select(
+        "vec_id",
+        "m",
+        "cid",
+        F.expr(f"CAST(floor(d2 * {micro}) AS BIGINT)").alias("dist_micro"),
     )
     bits = (ksub - 1).bit_length()
     return best.groupBy("vec_id").agg(
@@ -723,23 +737,7 @@ def pq_train_update(emb: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB,
     cent = vec.where(F.col("vec_id") < ksub).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    dsub = 64 // m
-    sub = (
-        vec.select(
-            "vec_id", "v", F.explode(F.expr(f"sequence(0, {m - 1})")).alias("m")
-        )
-        .withColumn("sv", F.expr(f"slice(v, m * {dsub} + 1, {dsub})"))
-        .crossJoin(F.broadcast(cent))
-        .withColumn(
-            "d2",
-            F.expr(sqdist_expr("sv", f"slice(cv, m * {dsub} + 1, {dsub})", "s")),
-        )
-    )
-    assigned = (
-        sub.groupBy("vec_id", "m")
-        .agg(F.min_by(F.struct("cid", "sv"), F.struct("d2", "cid")).alias("b"))
-        .select("m", F.col("b.cid").alias("cid"), F.col("b.sv").alias("sv"))
-    )
+    assigned = _pq_subassign(vec, cent, m, 64 // m).select("m", "cid", "sv")
     pos = assigned.select("m", "cid", F.posexplode("sv").alias("dim", "x"))
     return (
         pos.groupBy("m", "cid", "dim")

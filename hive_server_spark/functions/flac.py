@@ -539,6 +539,10 @@ def encode_flac(
         raise ValueError("encode_flac needs at least one sample")
     if any(len(c) != len(channels[0]) for c in channels):
         raise ValueError("channel length mismatch")
+    if block_size < 16:
+        # RFC 9639 §8.2: STREAMINFO block sizes 0-15 are forbidden; only
+        # the final (tail) block of a stream may be shorter than 16
+        raise ValueError("FLAC block size must be >= 16")
     n = len(channels[0])
     nch = len(channels)
     lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
@@ -609,10 +613,17 @@ def encode_flac(
         frame_sizes.append(len(frame))
         fno += 1
 
+    # STREAMINFO block-size fields (RFC 9639 §8.2): values 0-15 are
+    # forbidden, and the LAST block is allowed to be shorter than the
+    # declared minimum — so the partial tail frame is excluded from the
+    # min/max, and a stream shorter than one nominal block declares the
+    # (clamped) nominal size while its only block legally undershoots it.
     bs_list = [min(block_size, n - s) for s in range(0, n, block_size)]
+    full = bs_list[:-1] if len(bs_list) > 1 else []
+    nominal = max(16, min(block_size, 65535))
     si = _BitWriter()
-    si.write(min(bs_list), 16)
-    si.write(max(bs_list), 16)
+    si.write(max(16, min(full)) if full else nominal, 16)
+    si.write(max(16, max(full)) if full else nominal, 16)
     si.write(min(frame_sizes), 24)
     si.write(max(frame_sizes), 24)
     si.write(sample_rate, 20)

@@ -486,11 +486,7 @@ def band_candidates(
     larger than the cap are dropped — their members are (near-)identical
     by construction and belong to an exact hash-dedup pass, which handles
     them in O(b). None = uncapped (the parity-gate configuration)."""
-    parts = ", ".join(f"{i}L, band{i}" for i in range(n_bands))
-    long = bands.selectExpr(
-        "media_id",
-        f"stack({n_bands}, {parts}) AS (band_idx, band_val)",
-    )
+    long = band_long(bands, n_bands)
     if max_bucket is not None:
         small = (
             long.groupBy("band_idx", "band_val")
@@ -514,10 +510,12 @@ def band_candidates(
 
 def band_long(bands: DataFrame, n_bands: int = 4) -> DataFrame:
     """A wide band table (media_id, band0..band{n-1}) unpivoted to
-    (media_id, band_idx, band_val) — the persisted-index key shape shared
-    by every fingerprint modality (image dHash, audio energy fingerprint,
-    video keyframe fingerprint). Same stack() as band_candidates; no
-    shuffle."""
+    (media_id, band_idx, band_val) — the ONE definition of the band key
+    shape, shared by every fingerprint modality (image dHash, audio
+    energy fingerprint, video keyframe fingerprint): band_candidates
+    builds its LSH bucket rows through this same unpivot, so the
+    candidate generator and the persisted index can never disagree on
+    the key. Pure stack(); no shuffle."""
     parts = ", ".join(f"{i}L, band{i}" for i in range(n_bands))
     return bands.selectExpr(
         "media_id",

@@ -639,14 +639,17 @@ def emb_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes_path = os.path.join(work, "codes")
 
     # --- prior snapshot run: write the index ---------------------------
-    # the seed codebook rows (vec_id < ksub) are id-ordered into the
-    # prior half, so deriving it here equals the full-corpus derivation
-    vec.where(F.col("vec_id") < E.PQ_KSUB).select(
+    cent = vec.where(F.col("vec_id") < E.PQ_KSUB).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    ).write.mode("overwrite").parquet(cb_path)
-    E.pq_codes_from_vecs(vec.where(F.col("vec_id") < thr)).write.mode(
-        "overwrite"
-    ).parquet(codes_path)
+    )
+    cent.write.mode("overwrite").parquet(cb_path)
+    # encode the prior half against the EXPLICIT full codebook — never
+    # let it re-derive seeds from its own slice: if the id midpoint ever
+    # fell below ksub, self-seeding would silently truncate the codebook
+    # and break refresh ≡ rebuild
+    E.pq_codes_from_vecs(
+        vec.where(F.col("vec_id") < thr), cent=cent
+    ).write.mode("overwrite").parquet(codes_path)
 
     # --- refresh run: batch-only encode + append -----------------------
     cent_back = spark.read.parquet(cb_path)

@@ -264,11 +264,12 @@ def test_error_contract_tamper_and_truncation():
     with pytest.raises(ValueError, match="STREAMINFO"):
         decode_flac(b"fLaC" + bytes([0x81]) + b"\x00\x00\x02" + b"ab")
     with pytest.raises(ValueError, match="sample count mismatch"):
-        two = encode_flac([[1, 2, 3, 4]], 8000, 16, block_size=2)
+        vals = list(range(20))
+        two = encode_flac([vals], 8000, 16, block_size=16)       # 16+4 frames
         i2 = parse_flac(two)["frame_offset"]
-        one = encode_flac([[1, 2]], 8000, 16, block_size=2)
+        one = encode_flac([vals[:16]], 8000, 16, block_size=16)  # 1 frame
         i1 = parse_flac(one)["frame_offset"]
-        # STREAMINFO says 4 samples, only one 2-sample frame present
+        # STREAMINFO says 20 samples, only one 16-sample frame present
         decode_flac(two[:i2] + one[i1:])
 
 
@@ -427,3 +428,83 @@ def test_flac_roundtrip_property():
         assert chans == [samples]
 
     check()
+
+
+def test_multi_partition_method1_rice_decode():
+    """Decoder paths no fixture exercises (review follow-up): residual
+    method 1 (5-bit Rice parameters) with partition order 2 — partition 0
+    carries (blocksize>>2) - order samples, the others a full quarter —
+    including one escape partition. Hand-built fixed-order-1 frame;
+    roundtrip must be exact."""
+    import hashlib
+
+    rng = random.Random(42)
+    n = 64
+    samples = [rng.randrange(-2000, 2000) for _ in range(n)]
+    order = 1
+    res = [samples[i] - samples[i - 1] for i in range(order, n)]
+
+    w = _BitWriter()
+    w.write(0x3FFE, 14); w.write(0, 2)
+    w.write(7, 4); w.write(0, 4); w.write(0, 4); w.write(4, 3); w.write(0, 1)
+    _write_utf8_number(w, 0)
+    w.write(n - 1, 16)
+    w.align()
+    hdr = w.bytes()
+
+    w = _BitWriter()
+    w.write(0, 1)
+    w.write(8 + order, 6)   # fixed predictor, order 1
+    w.write(0, 1)
+    w.write(samples[0], 16)
+    w.write(1, 2)           # residual method 1: 5-bit parameters
+    w.write(2, 4)           # partition order 2 -> 4 partitions
+    idx = 0
+    for p in range(4):
+        cnt = (n >> 2) - (order if p == 0 else 0)
+        part = res[idx : idx + cnt]
+        idx += cnt
+        if p == 1:
+            w.write(31, 5)  # method-1 escape code
+            w.write(13, 5)  # 13-bit verbatim residuals
+            for e in part:
+                w.write(e, 13)
+        else:
+            param = 4 + p
+            w.write(param, 5)
+            for e in part:
+                u = (abs(e) << 1) - (1 if e < 0 else 0)
+                q, low = u >> param, u & ((1 << param) - 1)
+                for _ in range(q):
+                    w.write(0, 1)
+                w.write(1, 1)
+                w.write(low, param)
+    w.align()
+    frame = hdr + bytes([_crc8(hdr)]) + w.bytes()
+    frame += struct.pack(">H", _crc16(frame))
+
+    si = _BitWriter()
+    si.write(n, 16); si.write(n, 16)
+    si.write(len(frame), 24); si.write(len(frame), 24)
+    si.write(8000, 20); si.write(0, 3); si.write(15, 5); si.write(n, 36)
+    md5 = hashlib.md5()
+    for s in samples:
+        md5.update(int(s).to_bytes(2, "little", signed=True))
+    p = b"fLaC" + bytes([0x80]) + b"\x00\x00\x22" + si.bytes() + md5.digest() + frame
+    assert decode_flac(p)[3] == [samples]
+
+
+def test_encode_flac_streaminfo_block_size_conformance():
+    """RFC 9639 §8.2: STREAMINFO block sizes 0-15 are forbidden and the
+    partial tail block is excluded from the min/max — the fixture encoder
+    must emit conforming fields even for tiny streams, and reject nominal
+    block sizes under 16."""
+    # single 2-sample stream: the only (tail) block may undershoot, but
+    # STREAMINFO must declare the clamped nominal size
+    info = parse_flac(encode_flac([[1, 2]], 8000, 16))
+    assert info["min_block"] >= 16 and info["max_block"] >= 16
+    # multi-frame with a partial tail: min/max describe the FULL blocks
+    info = parse_flac(encode_flac([list(range(100))], 8000, 16, block_size=48))
+    assert info["min_block"] == 48 and info["max_block"] == 48
+    with pytest.raises(ValueError, match="block size must be >= 16"):
+        encode_flac([[0] * 40], 8000, 16, block_size=8)
