@@ -561,6 +561,35 @@ def incremental_band_neardup(
     )
 
 
+def band_hamming_pairs(
+    bands: DataFrame, n_bands: int = 4, max_bucket: int | None = None
+) -> DataFrame:
+    """(id1, id2, hd) for every banded-LSH candidate pair: the
+    band_candidates bucket join followed by the Hamming verify on
+    co-bucketed candidates ONLY — the one Spark spelling of the
+    candidate-then-verify tail every fingerprint near-dup query (image,
+    audio, video, the fused bundle) aggregates over. Never all-pairs."""
+    cand = band_candidates(bands, max_bucket=max_bucket, n_bands=n_bands)
+    w1 = bands.select(
+        F.col("media_id").alias("id1"),
+        *[F.col(f"band{i}").alias(f"a{i}") for i in range(n_bands)],
+    )
+    w2 = bands.select(
+        F.col("media_id").alias("id2"),
+        *[F.col(f"band{i}").alias(f"b{i}") for i in range(n_bands)],
+    )
+    hd = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}")))
+        for i in range(n_bands)
+    )
+    return (
+        cand.join(w1, "id1")
+        .join(w2, "id2")
+        .withColumn("hd", hd)
+        .select("id1", "id2", "hd")
+    )
+
+
 def write_band_index(bands_long: DataFrame, index_path: str) -> None:
     """Materialize a snapshot's band index ((band_idx, band_val) →
     MIN media_id) — the persisted artifact incremental_band_neardup

@@ -1089,7 +1089,9 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 #   layout_manifest_diff, orders_state_streaming, evt_cms_streaming,
 #   evt_hll_streaming, evt_cusum_streaming
 # Staged-for-r13 (budget permitting): emb_pq_train (per-subspace Lloyd
-# codebook training; plans/embedding_pack.py, oracle pq_train_oracle()).
+# codebook training; plans/embedding_pack.py, oracle pq_train_oracle())
+# and multimodal_bundle_neardup (fused text/image/audio bundle dedup;
+# plans/multimodal_pack.py, oracle _BUNDLE_ORACLE).
 # ---------------------------------------------------------------------------
 from hive_server_spark.registry import set_driver_priority  # noqa: E402
 

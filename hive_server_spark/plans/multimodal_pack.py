@@ -772,9 +772,9 @@ bands AS (
   FROM bgrid bg LEFT JOIN bsum bs USING (doc_id, band_idx)
 )"""
 
-_PHASH_ORACLE = f"""
-WITH {_PHASH_BANDS_CTES},
-wide AS (
+# ham(id1, id2, hd) over a 4-band bands CTE — the shared verify tail the
+# image and audio chains both use (and the fused bundle oracle re-uses).
+_BANDS4_HAM_CTES = """wide AS (
   SELECT doc_id,
          MAX(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
          MAX(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
@@ -795,7 +795,11 @@ ham AS (
   FROM cand c
   JOIN wide w1 ON c.id1 = w1.doc_id
   JOIN wide w2 ON c.id2 = w2.doc_id
-)
+)"""
+
+_PHASH_ORACLE = f"""
+WITH {_PHASH_BANDS_CTES},
+{_BANDS4_HAM_CTES}
 SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_images,
        CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
        CAST(COALESCE(SUM(CASE WHEN hd = 0 THEN 1 END), 0) AS BIGINT)
@@ -831,19 +835,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_bucket=None is the parity-gate configuration (same stance as
     # dedup_minhash_candidates); production sets the cap and routes
     # byte-identical payloads through exact hash-dedup first
-    cand = M.band_candidates(bands_wide, max_bucket=None)
-    w1 = bands_wide.select(
-        F.col("media_id").alias("id1"),
-        *[F.col(f"band{i}").alias(f"a{i}") for i in range(4)],
-    )
-    w2 = bands_wide.select(
-        F.col("media_id").alias("id2"),
-        *[F.col(f"band{i}").alias(f"b{i}") for i in range(4)],
-    )
-    hd = sum(
-        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}"))) for i in range(4)
-    )
-    ham = cand.join(w1, "id1").join(w2, "id2").withColumn("hd", hd)
+    ham = M.band_hamming_pairs(bands_wide, max_bucket=None)
     imgs = bands_wide.agg(F.count("*").cast("bigint").alias("n_images"))
     pairs = ham.agg(
         F.count("*").cast("bigint").alias("n_candidate_pairs"),
@@ -941,8 +933,11 @@ def multimodal_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multimodal_phash_neardup; full Spark-vs-DuckDB parity is pinned by
 # tests/test_multimodal.py on crafted and sf corpora.
 # ---------------------------------------------------------------------------
-_AUDIO_FP_ORACLE = f"""
-WITH d AS (
+# The closed-form audio-fingerprint derivation (decode → frame energies →
+# bits → four 16-bit bands) as a reusable CTE chain ending at
+# bands(doc_id, band_idx, band_val) — shared by the batch near-dup oracle
+# and the fused multimodal-bundle oracle below.
+_AUDIO_FP_BANDS_CTES = f"""d AS (
   SELECT doc_id, COALESCE(substr(text, 1, {M.AUDIO_FP_PREFIX_LEN}), '') AS p
   FROM documents
 ),
@@ -971,29 +966,11 @@ bsum AS (
 bands AS (
   SELECT bg.doc_id, bg.band_idx, COALESCE(bs.band_val, 0) AS band_val
   FROM bgrid bg LEFT JOIN bsum bs USING (doc_id, band_idx)
-),
-wide AS (
-  SELECT doc_id,
-         MAX(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
-         MAX(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
-         MAX(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
-         MAX(CASE WHEN band_idx = 3 THEN band_val END) AS b3
-  FROM bands GROUP BY doc_id
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-  FROM bands a
-  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-              AND a.doc_id < b.doc_id
-),
-ham AS (
-  SELECT c.id1, c.id2,
-         bit_count(xor(w1.b0, w2.b0)) + bit_count(xor(w1.b1, w2.b1))
-       + bit_count(xor(w1.b2, w2.b2)) + bit_count(xor(w1.b3, w2.b3)) AS hd
-  FROM cand c
-  JOIN wide w1 ON c.id1 = w1.doc_id
-  JOIN wide w2 ON c.id2 = w2.doc_id
-)
+)"""
+
+_AUDIO_FP_ORACLE = f"""
+WITH {_AUDIO_FP_BANDS_CTES},
+{_BANDS4_HAM_CTES}
 SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_clips,
        CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
        CAST(COALESCE(SUM(CASE WHEN hd = 0 THEN 1 END), 0) AS BIGINT)
@@ -1024,19 +1001,7 @@ def multimodal_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Single summary row, value-parity vs the closed-form oracle pinned by
     tests (constant frames decode exactly; energy monotone in amplitude)."""
     bands_wide = _audio_fp_band_table(spark, sf_dir)
-    cand = M.band_candidates(bands_wide, max_bucket=None)
-    w1 = bands_wide.select(
-        F.col("media_id").alias("id1"),
-        *[F.col(f"band{i}").alias(f"a{i}") for i in range(4)],
-    )
-    w2 = bands_wide.select(
-        F.col("media_id").alias("id2"),
-        *[F.col(f"band{i}").alias(f"b{i}") for i in range(4)],
-    )
-    hd = sum(
-        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}"))) for i in range(4)
-    )
-    ham = cand.join(w1, "id1").join(w2, "id2").withColumn("hd", hd)
+    ham = M.band_hamming_pairs(bands_wide, max_bucket=None)
     clips = bands_wide.agg(F.count("*").cast("bigint").alias("n_clips"))
     pairs = ham.agg(
         F.count("*").cast("bigint").alias("n_candidate_pairs"),
@@ -1372,20 +1337,9 @@ def multimodal_video_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates only. Single summary row, value-parity vs the closed-form
     oracle pinned by tests (constant frames decode exactly)."""
     bands_wide = _video_fp_band_table(spark, sf_dir)
-    n = 4 * M.VIDEO_FP_FRAMES
-    cand = M.band_candidates(bands_wide, max_bucket=None, n_bands=n)
-    w1 = bands_wide.select(
-        F.col("media_id").alias("id1"),
-        *[F.col(f"band{i}").alias(f"a{i}") for i in range(n)],
+    ham = M.band_hamming_pairs(
+        bands_wide, n_bands=4 * M.VIDEO_FP_FRAMES, max_bucket=None
     )
-    w2 = bands_wide.select(
-        F.col("media_id").alias("id2"),
-        *[F.col(f"band{i}").alias(f"b{i}") for i in range(n)],
-    )
-    hd = sum(
-        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}"))) for i in range(n)
-    )
-    ham = cand.join(w1, "id1").join(w2, "id2").withColumn("hd", hd)
     clips = bands_wide.agg(F.count("*").cast("bigint").alias("n_videos"))
     pairs = ham.agg(
         F.count("*").cast("bigint").alias("n_candidate_pairs"),
@@ -1657,19 +1611,7 @@ def multimodal_video_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("frame_payload").alias("payload"),
         )
     )
-    cand = M.band_candidates(kfb, max_bucket=None)
-    w1 = kfb.select(
-        F.col("media_id").alias("id1"),
-        *[F.col(f"band{i}").alias(f"a{i}") for i in range(4)],
-    )
-    w2 = kfb.select(
-        F.col("media_id").alias("id2"),
-        *[F.col(f"band{i}").alias(f"b{i}") for i in range(4)],
-    )
-    hd = sum(
-        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}"))) for i in range(4)
-    )
-    ham = cand.join(w1, "id1").join(w2, "id2").withColumn("hd", hd)
+    ham = M.band_hamming_pairs(kfb, max_bucket=None)
     cpair = ham.where(F.col("hd") <= 2).select(
         F.expr("id1 DIV 16").alias("c1"), F.expr("id2 DIV 16").alias("c2")
     ).where(F.col("c1") != F.col("c2"))
@@ -1741,4 +1683,137 @@ def multimodal_flac_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sample_rate").cast("bigint").alias("min_rate"),
         F.max("sample_rate").cast("bigint").alias("max_rate"),
         F.sum("amp_total").cast("bigint").alias("amp_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fused multimodal bundle dedup (round-11 second pass; REGISTRATION STAGED
+# FOR ROUND 13 with emb_pq_train — the round-12 window is exactly full;
+# flip the commented @register). A multimodal training corpus dedups per
+# BUNDLE: a document whose text, image, OR audio member near-duplicates a
+# smaller document's is dropped, with ONE canonical partner across
+# modalities. Every leg is the modality's existing first-class rule,
+# assembled from the SAME shared pieces the per-modality gates use:
+#
+#   text  — the minhash occupied-band rule (functions/text.py band_keys;
+#           the docs_neardup rule);
+#   image — dHash bands → band_hamming_pairs, Hamming ≤ 2
+#           (_dhash_band_table, the phash gate's table);
+#   audio — energy-fingerprint bands → band_hamming_pairs, Hamming ≤ 2
+#           (_audio_fp_band_table);
+#   fused — dup iff ANY modality flags; partner = least non-null
+#           modality partner (both engines' LEAST skips NULLs);
+#           keep = no modality flagged.
+#
+# The oracle is the three closed-form chains (text_pack's minhash CTEs,
+# _PHASH_BANDS_CTES, _AUDIO_FP_BANDS_CTES, each closed by the shared
+# _BANDS4_HAM_CTES verify tail) as nested-WITH derived tables — so the
+# fused gate can never drift from the per-modality gates. Scale: three
+# banded candidate joins (never all-pairs) + three doc-keyed left joins;
+# decodes ride the per-modality session caches, payloads never shuffle.
+# ---------------------------------------------------------------------------
+from hive_server_spark.plans.text_pack import (  # noqa: E402
+    _SHINGLES_CTE_D,
+    _TOKS_CTE_D,
+    _band_cols_d,
+    _band_union_d,
+    _mh_cols_d,
+)
+
+_BUNDLE_ORACLE = f"""
+WITH txt AS (
+  SELECT doc_id, MIN(min_id) AS partner FROM (
+    WITH {_TOKS_CTE_D},
+    {_SHINGLES_CTE_D},
+    sigs AS (SELECT doc_id, {_mh_cols_d} FROM shingled),
+    sigs_b AS (SELECT doc_id, {_band_cols_d} FROM sigs),
+    bands AS ({_band_union_d}),
+    bmin AS (SELECT band_key, MIN(doc_id) AS min_id FROM bands GROUP BY band_key)
+    SELECT b.doc_id, m.min_id
+    FROM bands b JOIN bmin m ON b.band_key = m.band_key
+    WHERE m.min_id < b.doc_id
+  ) tflag GROUP BY doc_id
+),
+img AS (
+  SELECT id2 AS doc_id, MIN(id1) AS partner FROM (
+    WITH {_PHASH_BANDS_CTES},
+    {_BANDS4_HAM_CTES}
+    SELECT id1, id2 FROM ham WHERE hd <= 2
+  ) iflag GROUP BY id2
+),
+aud AS (
+  SELECT id2 AS doc_id, MIN(id1) AS partner FROM (
+    WITH {_AUDIO_FP_BANDS_CTES},
+    {_BANDS4_HAM_CTES}
+    SELECT id1, id2 FROM ham WHERE hd <= 2
+  ) aflag GROUP BY id2
+)
+SELECT CAST(dd.doc_id AS BIGINT) AS doc_id,
+       CAST(t.partner AS BIGINT) AS text_partner,
+       CAST(i.partner AS BIGINT) AS image_partner,
+       CAST(u.partner AS BIGINT) AS audio_partner,
+       CAST(LEAST(t.partner, i.partner, u.partner) AS BIGINT) AS partner,
+       (t.partner IS NULL AND i.partner IS NULL AND u.partner IS NULL) AS keep
+FROM documents dd
+LEFT JOIN txt t USING (doc_id)
+LEFT JOIN img i USING (doc_id)
+LEFT JOIN aud u USING (doc_id)
+"""
+
+
+def _min_partner(ham: DataFrame, alias: str) -> DataFrame:
+    """Canonical-min verdict over verified pairs: a doc's partner is the
+    smallest doc one of its members sits within Hamming 2 of."""
+    return (
+        ham.where(F.col("hd") <= 2)
+        .groupBy(F.col("id2").alias("doc_id"))
+        .agg(F.min("id1").cast("bigint").alias(alias))
+    )
+
+
+# round 13: @register("multimodal_bundle_neardup", _BUNDLE_ORACLE)
+def multimodal_bundle_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fused dedup verdict across text/image/audio members
+    (see block comment). One row per document: the three per-modality
+    canonical partners, the fused partner, and the keep flag."""
+    from hive_server_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    tb = T.band_keys(T.minhash_signatures(docs))
+    bmin = tb.groupBy("band_key").agg(F.min("doc_id").alias("min_id"))
+    txt = (
+        tb.join(bmin, "band_key")
+        .where(F.col("min_id") < F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.min("min_id").cast("bigint").alias("text_partner"))
+    )
+    img = _min_partner(
+        M.band_hamming_pairs(_dhash_band_table(spark, sf_dir), max_bucket=None),
+        "image_partner",
+    )
+    aud = _min_partner(
+        M.band_hamming_pairs(
+            _audio_fp_band_table(spark, sf_dir), max_bucket=None
+        ),
+        "audio_partner",
+    )
+    return (
+        docs.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+        .join(txt, "doc_id", "left")
+        .join(img, "doc_id", "left")
+        .join(aud, "doc_id", "left")
+        .select(
+            "doc_id",
+            "text_partner",
+            "image_partner",
+            "audio_partner",
+            F.least("text_partner", "image_partner", "audio_partner")
+            .cast("bigint")
+            .alias("partner"),
+            (
+                F.col("text_partner").isNull()
+                & F.col("image_partner").isNull()
+                & F.col("audio_partner").isNull()
+            ).alias("keep"),
+        )
     )

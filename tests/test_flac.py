@@ -508,3 +508,97 @@ def test_encode_flac_streaminfo_block_size_conformance():
     assert info["min_block"] == 48 and info["max_block"] == 48
     with pytest.raises(ValueError, match="block size must be >= 16"):
         encode_flac([[0] * 40], 8000, 16, block_size=8)
+
+
+def test_flac_corpus_fingerprints_like_wav(spark, tmp_path):
+    """End-to-end composition: a FLAC-encoded audio corpus, transcoded
+    through flac_to_wav inside the Arrow worker, must produce EXACTLY the
+    fingerprint band table the same samples produce as native WAV — so
+    every banded-dedup operator (band_candidates, the persisted
+    incremental index) runs on FLAC sources unchanged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from hive_server_spark.functions.multimodal import (
+        AUDIO_FP_FRAME_LEN,
+        AUDIO_FP_FRAMES,
+        AUDIO_FP_PREFIX_LEN,
+        audio_fingerprint_bands,
+        audio_fp_amplitude,
+        synthesize_fpwav_media,
+    )
+
+    rows = [
+        (10, "alpha audio header shared by a pair"),
+        (12, "alpha audio header shared by a pair"),
+        (21, "an unrelated second header, bytes.."),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["t"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    wav_bands = {
+        r.media_id: (r.band0, r.band1, r.band2, r.band3)
+        for r in audio_fingerprint_bands(synthesize_fpwav_media(docs)).collect()
+    }
+
+    # the same samples, FLAC-encoded (signed 8-bit) then transcoded back
+    def flac_media(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                prefix = (text or "")[:AUDIO_FP_PREFIX_LEN]
+                samples = []
+                for k in range(AUDIO_FP_FRAMES):
+                    a = audio_fp_amplitude(prefix, k, doc_id)
+                    samples += [a] * AUDIO_FP_FRAME_LEN  # signed: 128+a - 128
+                ids.append(doc_id)
+                payloads.append(
+                    encode_flac([samples], 16000, 8, subframe="auto")
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "audio",
+                    "payload": payloads,
+                    "meta": [{"declared_format": "audio/flac"}] * len(ids),
+                }
+            )
+
+    def transcode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "audio",
+                    "payload": [flac_to_wav(bytes(p)) for p in pdf["payload"]],
+                    "meta": pdf["meta"],
+                }
+            )
+
+    from hive_server_spark.functions.multimodal import MEDIA_SCHEMA
+
+    flac_corpus = docs.select("doc_id", "text").mapInPandas(
+        flac_media, schema=MEDIA_SCHEMA
+    )
+    as_wav = flac_corpus.mapInPandas(transcode, schema=MEDIA_SCHEMA)
+    flac_bands = {
+        r.media_id: (r.band0, r.band1, r.band2, r.band3)
+        for r in audio_fingerprint_bands(as_wav).collect()
+    }
+    assert flac_bands == wav_bands
+    assert flac_bands[10] == flac_bands[12]  # the planted pair survives

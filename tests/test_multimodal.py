@@ -1426,3 +1426,56 @@ def test_incremental_band_index_video_fingerprint(spark, tmp_path):
     assert got[30] == (8, 10)   # all 8 (frame, band) keys match the prior
     assert got[31] == (7, 10)   # parity bit lives in frame 0's band 0
     assert 32 not in got
+
+
+def test_bundle_neardup_planted_and_oracle_parity(spark, tmp_path):
+    """Fused multimodal bundle dedup (round-13 staged): a byte-identical
+    bundle twin flags on ALL THREE modalities with one canonical partner;
+    a doc sharing only the 16-char media header flags on image+audio but
+    keeps its own text verdict; a unique doc keeps. Then full
+    Spark-vs-DuckDB parity on the crafted corpus AND sf0.001."""
+    import duckdb
+
+    from hive_server_spark.plans.multimodal_pack import (
+        _BUNDLE_ORACLE,
+        multimodal_bundle_neardup,
+    )
+    from tests.conftest import SF_SMALL
+    from tests.test_gate_parity import _rowset
+
+    shared = "alpha header!!!! the full text is shared verbatim between docs"
+    rows = [
+        (10, shared),
+        (12, shared),                                   # full bundle twin
+        (13, "alpha header!!!! but a completely different tail text here"),
+        (20, "a fully unrelated document, unique in every modality"),
+    ]
+    _write_docs_parquet(tmp_path, rows)
+
+    out = {
+        r.doc_id: r
+        for r in multimodal_bundle_neardup(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {10, 12, 13, 20}
+    r12 = out[12]
+    assert (r12.text_partner, r12.image_partner, r12.audio_partner) == (10, 10, 10)
+    assert r12.partner == 10 and not r12.keep
+    r13 = out[13]  # same 16-char header -> image + audio flag (parity 1 vs 0
+    # is a Hamming-1 near-dup; 13 is odd, 10/12 even -> distance exactly 1)
+    assert r13.image_partner == 10 and r13.audio_partner == 10
+    assert r13.partner is not None and not r13.keep
+    assert out[20].keep and out[20].partner is None
+    assert out[10].keep and out[10].partner is None  # canonical member kept
+
+    for sf_dir in (str(tmp_path), SF_SMALL):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        oracle = con.execute(_BUNDLE_ORACLE)
+        o_cols = [d[0] for d in oracle.description]
+        o_rows = oracle.fetchall()
+        sdf = multimodal_bundle_neardup(spark, sf_dir)
+        s_rows = [tuple(r) for r in sdf.collect()]
+        assert len(s_rows) == len(o_rows) > 0, sf_dir
+        assert _rowset(sdf.columns, s_rows) == _rowset(o_cols, o_rows), sf_dir
