@@ -24,8 +24,10 @@ Surface:
                          encode_jpeg_gray_blocks / encode_avi_mjpeg: a
                          spec-valid stream (real CRCs, real MD5, UTF-8
                          frame numbers) using verbatim / constant /
-                         fixed-predictor+Rice subframes, so constant or
-                         known sample blocks keep closed-form oracles
+                         fixed-predictor+Rice / order-2-LPC subframes, so
+                         constant or known sample blocks keep closed-form
+                         oracles while every decoder predictor family
+                         (including LPC) is exercised end-to-end
 
 Error contract (shared with the image/WAV/AVI codecs): not-fLaC returns
 None from the dispatch entry points; any structural malformation —
@@ -486,11 +488,18 @@ class _BitWriter:
             self.write(0, 8 - self.nbits)
 
     def bytes(self) -> bytes:
-        assert self.nbits == 0
+        # explicit raise, not assert: a no-op under `python -O` would let
+        # a misaligned frame body be silently truncated (ADVICE r11)
+        if self.nbits:
+            raise ValueError("unaligned FLAC bit buffer — call align() first")
         return bytes(self.buf)
 
 
 def _write_utf8_number(w: _BitWriter, v: int) -> None:
+    if not 0 <= v < (1 << 36):
+        # the 7-byte coded form tops out at 36 payload bits; without this
+        # guard the chunking loop below can never terminate (ADVICE r11)
+        raise ValueError(f"FLAC coded number {v} out of 36-bit range")
     if v < 0x80:
         w.write(v, 8)
         return
@@ -534,7 +543,9 @@ def encode_flac(
     frame numbers, fixed blocking). ``subframe``: 'verbatim', 'constant'
     (requires constant blocks), 'fixed1' (order-1 fixed predictor with
     single-partition Rice residuals — exercises the decoder's hot path),
-    or 'auto' (constant when a block is constant, else fixed1)."""
+    'lpc2' (order-2 LPC, 4-bit precision, coefficients [3, -1], shift 1 —
+    exercises the decoder's LPC path end-to-end), or 'auto' (constant when
+    a block is constant, else fixed1)."""
     if not channels or not channels[0]:
         raise ValueError("encode_flac needs at least one sample")
     if any(len(c) != len(channels[0]) for c in channels):
@@ -543,6 +554,15 @@ def encode_flac(
         # RFC 9639 §8.2: STREAMINFO block sizes 0-15 are forbidden; only
         # the final (tail) block of a stream may be shorter than 16
         raise ValueError("FLAC block size must be >= 16")
+    if block_size > 65535:
+        # STREAMINFO's min/max block-size fields are 16-bit; _BitWriter
+        # masks, so an unchecked value would emit a corrupt-but-CRC-valid
+        # stream instead of honouring the error contract (ADVICE r11)
+        raise ValueError("FLAC block size must fit the 16-bit STREAMINFO field")
+    if not 0 < sample_rate < (1 << 20):
+        # same masking hazard for the 20-bit STREAMINFO rate field — and
+        # stream MD5 would NOT catch a wrong rate (samples are unchanged)
+        raise ValueError("FLAC sample rate must fit the 20-bit STREAMINFO field")
     n = len(channels[0])
     nch = len(channels)
     lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
@@ -600,6 +620,28 @@ def encode_flac(
                 w.write(0, 1)
                 w.write(block[0], bits)
                 res = [block[i] - block[i - 1] for i in range(1, bs)]
+                mean = sum((abs(e) << 1) for e in res) // max(len(res), 1)
+                param = max(0, min(14, mean.bit_length() - 1))
+                _encode_residual(w, res, param)
+            elif kind == "lpc2":
+                # order-2 LPC: warmup, then 4-bit-precision coefficients
+                # [3, -1] with shift 1 — pred = (3·s[i-1] − s[i-2]) >> 1,
+                # a linear-extrapolation-with-damping predictor whose
+                # residuals stay Rice-friendly on smooth signals
+                if bs < 3:
+                    raise ValueError("lpc2 needs a block of >= 3 samples")
+                w.write(32 + 1, 6)  # LPC, order 2
+                w.write(0, 1)
+                w.write(block[0], bits)
+                w.write(block[1], bits)
+                w.write(4 - 1, 4)   # coefficient precision 4
+                w.write(1, 5)       # shift 1 (signed field, positive)
+                w.write(3, 4)       # qlp coef for s[i-1]
+                w.write(-1, 4)      # qlp coef for s[i-2]
+                res = [
+                    block[i] - ((3 * block[i - 1] - block[i - 2]) >> 1)
+                    for i in range(2, bs)
+                ]
                 mean = sum((abs(e) << 1) for e in res) // max(len(res), 1)
                 param = max(0, min(14, mean.bit_length() - 1))
                 _encode_residual(w, res, param)

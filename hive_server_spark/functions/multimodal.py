@@ -2129,10 +2129,17 @@ def synthesize_flac_media(docs: DataFrame) -> DataFrame:
     """REAL FLAC payloads from documents: mono 8-bit, samples are the
     signed (ascii - 128) values of the uppercase-hex-of-text characters —
     the same byte derivation the WAV/PPM fixtures use, so every stat has
-    a closed-form DuckDB oracle. Sample rate cycles 8/9/10 kHz by doc_id;
-    the subframe kind rotates verbatim (odd ids) / fixed-predictor+Rice
-    (even ids) to keep BOTH decoder hot paths value-gated."""
+    a closed-form DuckDB oracle. Sample rate cycles 8-11 kHz by doc_id %
+    4; the subframe kind rotates fixed-predictor+Rice / verbatim /
+    order-2-LPC by doc_id % 3 (coprime cycles — every kind sees every
+    rate), so ALL THREE decoder predictor families are value-gated
+    through the gate corpus, LPC included (VERDICT r11 item 6). Docs too
+    short for a predictor's warmup fall back to verbatim coding but keep
+    their rotation label — the stats are kind-agnostic, so the closed
+    forms are unaffected."""
     from hive_server_spark.functions.flac import encode_flac
+
+    _KINDS = ("fixed1", "verbatim", "lpc2")
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2140,14 +2147,14 @@ def synthesize_flac_media(docs: DataFrame) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 hx = (text or "").encode("utf-8").hex().upper() or "0"
                 samples = [ord(c) - 128 for c in hx]
-                kind = "verbatim" if doc_id % 2 else "fixed1"
-                if len(samples) < 2:
-                    kind = "verbatim"  # fixed1 needs a warmup + residual
+                kind = _KINDS[doc_id % 3]
+                if len(samples) < 2 or (kind == "lpc2" and len(samples) < 3):
+                    kind = "verbatim"  # predictors need warmup + residual
                 ids.append(doc_id)
                 payloads.append(
                     encode_flac(
                         [samples],
-                        sample_rate=8000 + 1000 * (doc_id % 3),
+                        sample_rate=8000 + 1000 * (doc_id % 4),
                         bits=8,
                         subframe=kind,
                     )

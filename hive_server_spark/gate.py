@@ -1040,120 +1040,98 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Driver-visible ordering. The correctness driver hash-checks the FIRST 50
 # queries per round; set_driver_priority pins that window. Per-round
-# history lives in git (the r9 window cleared the r05 tail, r10 cleared
-# r06; this one clears r07 — see VERDICT r09/r10 for the plans).
+# history lives in git (r9 cleared the r05 tail, r10 cleared r06, r11
+# cleared r07; this one clears r08 — see VERDICT r09-r11 for the plans).
 # ---------------------------------------------------------------------------
-# Driver-visible ordering (round-11 rotation) — executes the plan written
-# here in round 10 and echoed by VERDICT r10 item 1: (a) the 5 round-11
-# registrations — the four staged in round 10 (hierarchical-JPEG profile,
-# video fingerprint near-dup, video scene segmentation, incremental IVF
-# refresh) plus this round's multimodal_phash_incremental (the media twin
-# of docs_neardup_incremental, VERDICT r10 item 2) — and (b) ALL 45
-# remaining r07-green names in registration order, which drains the r07
-# tail completely: after this window the staleness profile is r11:50,
-# r10:50, r9:50, r8:47 — nothing older than r08, the VERDICT r10 item 1
-# done condition.
-# ROUND-12 ROTATION NOTE: (1) any round-12 registrations / modified
-# queries, (2) the 47 r08-green names in registration order, (3) then the
-# oldest r09 names. Budget registrations <= 3 or the r08 tail spills a
-# round. Staged-for-r12 registrations (oracles + parity tests landed in
-# round 11; flip the commented @register lines):
-#   multimodal_video_curation (end-to-end video curation: shots →
-#   keyframes → dHash near-dup verdict → keep/drop; the video twin of
-#   text_pretrain_keep; plans/multimodal_pack.py)
-#   emb_pq_incremental (persisted PQ index: batch-only encode against
-#   the read-back codebook + append, refresh ≡ rebuild pinned;
-#   plans/embedding_pack.py)
-#   multimodal_flac_profile (real FLAC decode — Rice/fixed-predictor
-#   residuals, CRC-8/16 + stream MD5 — with a purely integer oracle;
-#   plans/multimodal_pack.py, functions/flac.py)
-# 3 staged + 47 r08 names = exactly 50. The 47, in registration order
-# (computed r11 from CORRECTNESS_r08 minus every later-green name):
-#   amount_out_prices, amount_out_capped, asof_trade_price,
-#   asof_nearest_price, range_price_activity, price_hourly_gapfill,
-#   rel_pricing_summary, rel_top_revenue_orders, rel_revenue_by_nation,
-#   rel_order_priority_exists, rel_parts_never_ordered,
-#   rel_nations_intersect, rel_nations_except, rel_rollup_revenue,
-#   rel_cube_status_priority, rel_window_top_customers,
-#   rel_window_running_total, rel_window_order_gaps,
-#   rel_full_outer_nation_activity, rel_distinct_suppliers_per_nation,
-#   rel_scalar_functions, rel_window_analytics, rel_datetime_functions,
-#   rel_array_functions, rel_grouping_sets, rel_union_all_parties,
-#   rel_exact_percentiles, rel_cheapest_line_per_part,
-#   rel_orders_above_cust_avg, rel_rich_idle_customers,
-#   scale_salted_cohort_rollup, rel_promo_revenue_ratio,
-#   rel_nation_trade_flows, rel_disjunctive_bands,
-#   rel_conditional_distinct, evt_sessions, evt_trailing_hour_value,
-#   evt_cusum_drift, evt_hll_set_algebra, text_hash_features_score,
-#   layout_deletion_vectors, src_schema_evolution_roundtrip,
-#   layout_manifest_diff, orders_state_streaming, evt_cms_streaming,
-#   evt_hll_streaming, evt_cusum_streaming
-# Staged-for-r13 (budget permitting): emb_pq_train (per-subspace Lloyd
-# codebook training; plans/embedding_pack.py, oracle pq_train_oracle())
-# and multimodal_bundle_neardup (fused text/image/audio bundle dedup;
-# plans/multimodal_pack.py, oracle _BUNDLE_ORACLE).
+# Driver-visible ordering (round-12 rotation) — executes the plan written
+# here in round 11 and echoed by VERDICT r11 item 1: (a) the 3 round-12
+# registrations staged in round 11 (end-to-end video curation, the
+# incremental PQ index refresh, the FLAC decode profile — now covering
+# all THREE predictor families: fixed/verbatim/LPC, VERDICT r11 item 6)
+# and (b) ALL 47 remaining r08-green names in registration order, which
+# drains the r08 tail completely: after this window the staleness profile
+# is r12:50, r11:50, r10:50, r9:50 — nothing older than r09, the VERDICT
+# r11 item 1 done condition.
+# ROUND-13 ROTATION NOTE: (1) any round-13 registrations / modified
+# queries, (2) then the OLDEST r09-green names in registration order
+# (the r09 window was 50; budget registrations <= 3 so at least 47 of
+# them rotate and the r09 tail clears in <= 2 rounds). Staged-for-r13
+# registrations (oracles + parity tests landed in rounds 11-12; flip the
+# commented @register lines):
+#   emb_pq_train (per-subspace Lloyd codebook training — completes the
+#   PQ lifecycle train -> encode -> serve -> maintain;
+#   plans/embedding_pack.py, oracle pq_train_oracle())
+#   multimodal_bundle_neardup (fused text/image/audio bundle dedup with
+#   one canonical partner across modalities; plans/multimodal_pack.py,
+#   oracle _BUNDLE_ORACLE)
+#   multimodal_media_fp_incremental (audio + video fingerprint refresh
+#   against the persisted band index — the remaining members of the
+#   incremental family whose image member is already driver-gated;
+#   plans/multimodal_pack.py, staged round 12 per VERDICT r11 item 2)
+# The 47 r08 names below are the list round 11 computed (CORRECTNESS_r08
+# minus every later-green name), unchanged.
 # ---------------------------------------------------------------------------
 from hive_server_spark.registry import set_driver_priority  # noqa: E402
 
-DRIVER_PRIORITY_R11 = [
-    # -- (a) round-11 registrations (4 staged in r10 + 1 new) ---------------
-    "multimodal_jpeg_hierarchical_profile",
-    "multimodal_video_fp_neardup",
-    "multimodal_video_scenes",
-    "emb_ivf_incremental",
-    "multimodal_phash_incremental",
-    # -- (b) ALL 45 remaining r07-green names, registration order -----------
-    "order_book_levels",
-    "order_book_vwap",
-    "orders_scd2_versions",
-    "amount_out_buy",
-    "amount_out_sell",
-    "user_orders_t1",
-    "trader_order_counts",
-    "pools_summary",
-    "order_book_fifo_queues",
-    "order_book_snapshot",
-    "pool_info_enriched",
-    "trade_tick_flow",
-    "trade_price_ewma",
-    "evt_cms_heavy_hitters",
-    "evt_hll_cardinality",
-    "evt_bloom_prune_join",
-    "evt_markov_transitions",
-    "emb_truncated_recall",
-    "emb_pq_codes",
-    "emb_pq_adc_topk",
-    "emb_ivfpq_topk",
-    "emb_hard_negatives",
-    "emb_ivf_recall_curve",
-    "emb_bitext_mining",
-    "emb_mmr_diverse_topk",
-    "emb_semantic_decontaminate",
-    "text_line_dedup",
-    "text_bigram_nll",
-    "text_dup_spans",
-    "text_vocab_census",
-    "text_winnow_fingerprints",
-    "text_heaps_law",
-    "text_source_kl",
-    "text_bpe_merge_step",
-    "text_gopher_rules",
-    "text_tfidf_terms",
-    "text_dsir_weights",
-    "rag_hybrid_rrf",
-    "text_quota_sample",
-    "layout_compaction_plan",
-    "layout_zonemap_skipping",
-    "udtf_char_ngram_census",
-    "multimodal_jpeg_profile",
-    "multimodal_image_entropy",
-    "multimodal_jpeg_progressive_profile",
+DRIVER_PRIORITY_R12 = [
+    # -- (a) round-12 registrations (the 3 staged in r11) -------------------
+    "multimodal_video_curation",
+    "emb_pq_incremental",
+    "multimodal_flac_profile",
+    # -- (b) ALL 47 remaining r08-green names, registration order -----------
+    "amount_out_prices",
+    "amount_out_capped",
+    "asof_trade_price",
+    "asof_nearest_price",
+    "range_price_activity",
+    "price_hourly_gapfill",
+    "rel_pricing_summary",
+    "rel_top_revenue_orders",
+    "rel_revenue_by_nation",
+    "rel_order_priority_exists",
+    "rel_parts_never_ordered",
+    "rel_nations_intersect",
+    "rel_nations_except",
+    "rel_rollup_revenue",
+    "rel_cube_status_priority",
+    "rel_window_top_customers",
+    "rel_window_running_total",
+    "rel_window_order_gaps",
+    "rel_full_outer_nation_activity",
+    "rel_distinct_suppliers_per_nation",
+    "rel_scalar_functions",
+    "rel_window_analytics",
+    "rel_datetime_functions",
+    "rel_array_functions",
+    "rel_grouping_sets",
+    "rel_union_all_parties",
+    "rel_exact_percentiles",
+    "rel_cheapest_line_per_part",
+    "rel_orders_above_cust_avg",
+    "rel_rich_idle_customers",
+    "scale_salted_cohort_rollup",
+    "rel_promo_revenue_ratio",
+    "rel_nation_trade_flows",
+    "rel_disjunctive_bands",
+    "rel_conditional_distinct",
+    "evt_sessions",
+    "evt_trailing_hour_value",
+    "evt_cusum_drift",
+    "evt_hll_set_algebra",
+    "text_hash_features_score",
+    "layout_deletion_vectors",
+    "src_schema_evolution_roundtrip",
+    "layout_manifest_diff",
+    "orders_state_streaming",
+    "evt_cms_streaming",
+    "evt_hll_streaming",
+    "evt_cusum_streaming",
 ]
-assert len(DRIVER_PRIORITY_R11) == 50, len(DRIVER_PRIORITY_R11)
+assert len(DRIVER_PRIORITY_R12) == 50, len(DRIVER_PRIORITY_R12)
 # A typo'd or renamed name would silently shrink the checked window
 # (registry._ordered drops unknown names); fail loudly instead.
 from hive_server_spark.registry import _SPARK_QUERIES as _REG  # noqa: E402
 
-_missing = [n for n in DRIVER_PRIORITY_R11 if n not in _REG]
-assert not _missing, f"DRIVER_PRIORITY_R11 names not registered: {_missing}"
-set_driver_priority(DRIVER_PRIORITY_R11)
+_missing = [n for n in DRIVER_PRIORITY_R12 if n not in _REG]
+assert not _missing, f"DRIVER_PRIORITY_R12 names not registered: {_missing}"
+set_driver_priority(DRIVER_PRIORITY_R12)

@@ -546,14 +546,17 @@ def emb_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch against the read-back centroids and merging the additive census
     — must equal the full-corpus rebuild (emb_ivf_build's oracle)."""
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
+
+    from hive_server_spark.session import session_scratch
 
     vec = E._vecs(_emb(spark, sf_dir)).select("vec_id", "v")
     mn, mx = vec.agg(F.min("vec_id"), F.max("vec_id")).first()
     thr = (mn + mx) // 2
-    work = tempfile.mkdtemp(prefix="hss_ivf_incr_")
+    # stable per-process path + overwrite semantics (ADVICE r11): reruns
+    # replace the persisted index instead of accumulating /tmp dirs
+    work = session_scratch("ivf_incr")
     cent_path = os.path.join(work, "centroids")
     census_path = os.path.join(work, "census")
 
@@ -620,21 +623,23 @@ def emb_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # refresh the cost is O(batch × m) map-side work + an append; at 100 TB
 # the prior codes table is storage, not compute.
 # ---------------------------------------------------------------------------
-# round 12: @register("emb_pq_incremental", E.pq_codes_oracle())
+@register("emb_pq_incremental", E.pq_codes_oracle())  # flipped r12
 def emb_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persist the prior snapshot's PQ index (codebook + per-vector codes),
     then fold a new embedding batch in by encoding ONLY the batch against
     the read-back codebook and appending — must equal the full-corpus
     rebuild (emb_pq_codes' oracle) row for row."""
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
+
+    from hive_server_spark.session import session_scratch
 
     vec = E._vecs(_emb(spark, sf_dir)).select("vec_id", "v")
     mn, mx = vec.agg(F.min("vec_id"), F.max("vec_id")).first()
     thr = (mn + mx) // 2
-    work = tempfile.mkdtemp(prefix="hss_pq_incr_")
+    # stable per-process path + overwrite semantics (ADVICE r11)
+    work = session_scratch("pq_incr")
     cb_path = os.path.join(work, "codebook")
     codes_path = os.path.join(work, "codes")
 

@@ -908,14 +908,16 @@ def multimodal_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions refresh the audio and video fingerprint indexes
     (tests/test_multimodal.py pins both against full-corpus recomputes)."""
     import os
-    import tempfile
+
+    from hive_server_spark.session import session_scratch
 
     bands_wide = _dhash_band_table(spark, sf_dir)
     mn, mx = bands_wide.agg(F.min("media_id"), F.max("media_id")).first()
     thr = (mn + mx) // 2  # == the oracle's integer-division threshold
     long = M.band_long(bands_wide)
-    work = tempfile.mkdtemp(prefix="hss_phash_incr_")
-    index_path = os.path.join(work, "band_index")
+    # stable per-process path + overwrite semantics: reruns replace the
+    # index instead of accumulating mkdtemp dirs in /tmp (ADVICE r11)
+    index_path = os.path.join(session_scratch("phash_incr"), "band_index")
     M.write_band_index(long.where(F.col("media_id") < thr), index_path)
     return M.incremental_band_neardup(
         spark, index_path, long.where(F.col("media_id") >= thr)
@@ -1598,7 +1600,7 @@ def _fpavi_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# round 12: @register("multimodal_video_curation", _VIDEO_CURATION_ORACLE)
+@register("multimodal_video_curation", _VIDEO_CURATION_ORACLE)  # flipped r12
 def multimodal_video_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw AVI corpus → shots → one keyframe per shot → keyframe-dHash
     near-dup verdict → per-clip keep/drop (see block comment). One row per
@@ -1652,30 +1654,34 @@ amp AS (
          COUNT(*) AS n
   FROM ch GROUP BY doc_id
 )
-SELECT CASE WHEN m.doc_id % 2 = 0 THEN 'fixed1' ELSE 'verbatim' END AS variant,
+SELECT CASE m.doc_id % 3 WHEN 0 THEN 'fixed1' WHEN 1 THEN 'verbatim'
+            ELSE 'lpc2' END                            AS variant,
        CAST(COUNT(*) AS BIGINT)                        AS n_clips,
        CAST(SUM(a.n) AS BIGINT)                        AS n_samples,
-       CAST(MIN(8000 + 1000 * (m.doc_id % 3)) AS BIGINT) AS min_rate,
-       CAST(MAX(8000 + 1000 * (m.doc_id % 3)) AS BIGINT) AS max_rate,
+       CAST(MIN(8000 + 1000 * (m.doc_id % 4)) AS BIGINT) AS min_rate,
+       CAST(MAX(8000 + 1000 * (m.doc_id % 4)) AS BIGINT) AS max_rate,
        CAST(SUM(a.amp) AS BIGINT)                      AS amp_total
 FROM m JOIN amp a USING (doc_id)
 GROUP BY 1
 """
 
 
-# round 12: @register("multimodal_flac_profile", _FLAC_ORACLE)
+@register("multimodal_flac_profile", _FLAC_ORACLE)  # flipped r12
 def multimodal_flac_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict decode profile over REAL FLAC clips: one row per subframe
-    kind (verbatim / fixed-predictor+Rice), every stat an exact integer
-    from the CRC- and MD5-verified decode (see block comment). The
-    variant label is the PARITY rotation (what synthesis requested) on
-    both sides; the one-hex-char degenerate doc encodes verbatim
-    regardless but keeps its parity label — the stats are kind-agnostic
-    so the oracle is unaffected."""
+    kind (fixed-predictor+Rice / verbatim / order-2 LPC — all three
+    decoder predictor families, VERDICT r11 item 6), every stat an exact
+    integer from the CRC- and MD5-verified decode (see block comment).
+    The variant label is the doc_id % 3 rotation (what synthesis
+    requested) on both sides; docs too short for a predictor's warmup
+    encode verbatim but keep their rotation label — the stats are
+    kind-agnostic so the oracle is unaffected."""
     media = M.synthesize_flac_media(_docs_wide(spark, sf_dir))
     st = M.flac_stats(media).withColumn(
         "variant",
-        F.when(F.col("media_id") % 2 == 0, "fixed1").otherwise("verbatim"),
+        F.when(F.col("media_id") % 3 == 0, "fixed1")
+        .when(F.col("media_id") % 3 == 1, "verbatim")
+        .otherwise("lpc2"),
     )
     return st.groupBy("variant").agg(
         F.count("*").cast("bigint").alias("n_clips"),
@@ -1817,3 +1823,141 @@ def multimodal_bundle_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio + video fingerprint incremental refresh (round-12 second pass;
+# REGISTRATION STAGED FOR ROUND 13 — the round-12 window is exactly full
+# per the rotation note in gate.py; flip the commented @register). Closes
+# VERDICT r11 item 2: the modality-generic persisted band index
+# (band_long / write_band_index / incremental_band_neardup,
+# functions/multimodal.py) refreshes audio and video fingerprints with
+# the SAME machinery that gates the image member
+# (multimodal_phash_incremental, green r11) — this query driver-gates the
+# remaining two members in one fused pass, exactly the refresh a real
+# multimodal corpus runs. Same split protocol as the image member: the
+# id-ordered prior half writes its index; the new batch merges its band
+# partials (MIN semilattice) and flags against the post-merge index,
+# which equals the full-corpus index — so the oracle is each modality's
+# closed-form band chain + the occupied-band rule restricted to the
+# batch. Scale: the prior corpus is never rescanned or re-DECODED (the
+# expensive leg — WAV energy frames / AVI keyframe JPEG decode); per
+# refresh the cost is O(batch bands) + band-keyed merges, and both the
+# merge and the flag join reuse the same (band_idx, band_val)
+# partitioning. Nothing all-pairs.
+# ---------------------------------------------------------------------------
+_MEDIA_FP_INCR_ORACLE = f"""
+WITH {_AUDIO_FP_BANDS_CTES},
+vdd AS (
+  SELECT doc_id, COALESCE(substr(text, 1, {M.DHASH_PREFIX_LEN}), '') AS p
+  FROM documents
+),
+vcellk AS (
+  SELECT doc_id, p, f.f, k.k
+  FROM vdd,
+       (SELECT unnest(range(0, {M.VIDEO_FP_FRAMES})) AS f) f,
+       (SELECT unnest(range(0, {M.DHASH_GRID_W * M.DHASH_GRID_H})) AS k) k
+),
+vcell AS (
+  SELECT doc_id, f, k,
+         CASE WHEN k = 0 AND f = 0 THEN 40 + 20 * (doc_id % 2)
+              WHEN k = 0 THEN 45
+              WHEN k = 1 THEN 50
+              ELSE ('0x' || substr(md5(p || ':' || CAST(f AS VARCHAR)
+                    || ':' || CAST(k AS VARCHAR)), 1, 2))::BIGINT
+         END AS v
+  FROM vcellk
+),
+vbit AS (
+  SELECT a.doc_id,
+         a.f * 64 + (a.k // {M.DHASH_GRID_W}) * 8 + (a.k % {M.DHASH_GRID_W}) AS g
+  FROM vcell a JOIN vcell b ON a.doc_id = b.doc_id AND a.f = b.f AND b.k = a.k + 1
+  WHERE a.k % {M.DHASH_GRID_W} < 8 AND a.v < b.v
+),
+vbgrid AS (
+  SELECT doc_id, unnest(range(0, {4 * M.VIDEO_FP_FRAMES})) AS band_idx FROM vdd
+),
+vbsum AS (
+  SELECT doc_id, g // 16 AS band_idx,
+         CAST(SUM(1 << CAST(g % 16 AS INTEGER)) AS BIGINT) AS band_val
+  FROM vbit GROUP BY doc_id, g // 16
+),
+vbands AS (
+  SELECT bg.doc_id, bg.band_idx, COALESCE(bs.band_val, 0) AS band_val
+  FROM vbgrid bg LEFT JOIN vbsum bs USING (doc_id, band_idx)
+),
+thr AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS t FROM documents),
+amin AS (
+  SELECT band_idx, band_val, MIN(doc_id) AS min_id
+  FROM bands GROUP BY band_idx, band_val
+),
+aj AS (
+  SELECT b.doc_id, m.min_id
+  FROM bands b
+  JOIN amin m ON b.band_idx = m.band_idx AND b.band_val = m.band_val
+  WHERE m.min_id < b.doc_id
+),
+vmin AS (
+  SELECT band_idx, band_val, MIN(doc_id) AS min_id
+  FROM vbands GROUP BY band_idx, band_val
+),
+vj AS (
+  SELECT b.doc_id, m.min_id
+  FROM vbands b
+  JOIN vmin m ON b.band_idx = m.band_idx AND b.band_val = m.band_val
+  WHERE m.min_id < b.doc_id
+)
+SELECT 'audio' AS modality,
+       CAST(j.doc_id AS BIGINT)      AS media_id,
+       CAST(COUNT(*) AS BIGINT)      AS n_occupied_bands,
+       CAST(MIN(j.min_id) AS BIGINT) AS partner_media_id
+FROM aj j CROSS JOIN thr WHERE j.doc_id >= thr.t
+GROUP BY j.doc_id
+UNION ALL
+SELECT 'video' AS modality,
+       CAST(j.doc_id AS BIGINT)      AS media_id,
+       CAST(COUNT(*) AS BIGINT)      AS n_occupied_bands,
+       CAST(MIN(j.min_id) AS BIGINT) AS partner_media_id
+FROM vj j CROSS JOIN thr WHERE j.doc_id >= thr.t
+GROUP BY j.doc_id
+"""
+
+
+# round 13: @register("multimodal_media_fp_incremental", _MEDIA_FP_INCR_ORACLE)
+def multimodal_media_fp_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fused audio + video fingerprint incremental refresh: write each
+    modality's prior-snapshot band index to parquet (id-ordered first
+    half), then dedup the second half as a new batch against the
+    persisted index — per modality, must equal the full-corpus
+    occupied-band rule restricted to the batch (see block comment). One
+    row per flagged batch member: (modality, media_id, n_occupied_bands,
+    partner_media_id). The decodes run once via the shared fingerprint
+    caches; the batch path never touches prior-corpus payloads."""
+    import os
+
+    from hive_server_spark.session import session_scratch
+
+    out = None
+    for modality, bands_wide, n_bands in (
+        ("audio", _audio_fp_band_table(spark, sf_dir), 4),
+        ("video", _video_fp_band_table(spark, sf_dir), 4 * M.VIDEO_FP_FRAMES),
+    ):
+        mn, mx = bands_wide.agg(F.min("media_id"), F.max("media_id")).first()
+        thr = (mn + mx) // 2  # == the oracle's integer-division threshold
+        long = M.band_long(bands_wide, n_bands=n_bands)
+        index_path = os.path.join(
+            session_scratch(f"{modality}_fp_incr"), "band_index"
+        )
+        M.write_band_index(long.where(F.col("media_id") < thr), index_path)
+        flagged = M.incremental_band_neardup(
+            spark, index_path, long.where(F.col("media_id") >= thr)
+        ).select(
+            F.lit(modality).alias("modality"),
+            "media_id",
+            "n_occupied_bands",
+            "partner_media_id",
+        )
+        out = flagged if out is None else out.unionByName(flagged)
+    return out

@@ -88,3 +88,39 @@ def get_spark(app_name: str = "hive-server-spark", *, shuffle_partitions: int | 
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
+
+
+# ---------------------------------------------------------------------------
+# Per-process scratch for queries that persist an index mid-plan (the
+# incremental band / IVF / PQ refreshes write a "prior snapshot" parquet
+# index, then dedup or encode a batch against the read-back files). A raw
+# tempfile.mkdtemp per invocation accumulates in /tmp across gate + bench
+# runs (ADVICE r11); this anchor is STABLE within the process — every
+# rerun of a query lands on the same path with mode("overwrite") — and is
+# removed at interpreter exit, so a full driver round leaves nothing
+# behind. On a real deployment the index would live at a durable table
+# location (S3/HDFS) and this helper would not be in the path at all.
+# ---------------------------------------------------------------------------
+
+_SCRATCH_ROOT: str | None = None
+
+
+def session_scratch(name: str) -> str:
+    """Return ``<tmp>/hss_scratch_<pid>/<name>``, creating the root once
+    per process and registering its removal at interpreter exit. Callers
+    must write with mode("overwrite") so repeated runs replace, never
+    append to, a previous run's files."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _SCRATCH_ROOT = os.path.join(
+            tempfile.gettempdir(), f"hss_scratch_{os.getpid()}"
+        )
+        os.makedirs(_SCRATCH_ROOT, exist_ok=True)
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    path = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(path, exist_ok=True)
+    return path

@@ -31,7 +31,7 @@ def test_roundtrip_exact_all_subframe_kinds():
     rng = random.Random(11)
     ch0 = [rng.randrange(-30000, 30000) for _ in range(777)]
     ch1 = [rng.randrange(-30000, 30000) for _ in range(777)]
-    for kind in ("verbatim", "fixed1"):
+    for kind in ("verbatim", "fixed1", "lpc2"):
         p = encode_flac([ch0, ch1], 44100, 16, block_size=192, subframe=kind)
         rate, nch, bits, chans = decode_flac(p)
         assert (rate, nch, bits) == (44100, 2, 16)
@@ -356,11 +356,12 @@ def test_flac_profile_oracle_parity(spark, tmp_path):
     from tests.test_gate_parity import _rowset
 
     rows = [
-        (0, "even doc -> fixed-predictor subframes"),
-        (1, "odd doc -> verbatim subframes here!!"),
-        (2, ""),          # empty text -> hx '0', verbatim fallback
-        (3, "another odd document, short"),
-        (4, "x"),         # 2 hex chars -> shortest fixed1 block
+        (0, "doc 0 -> fixed-predictor subframes"),
+        (1, "doc 1 -> verbatim subframes here!!"),
+        (2, ""),          # lpc2 slot, but hx '0' -> verbatim fallback
+        (3, "doc 3 -> fixed-predictor again, short"),
+        (4, "x"),         # verbatim slot, 2 hex chars
+        (5, "doc 5 -> a genuine order-2 LPC clip with real residuals"),
     ]
     pq.write_table(
         pa.table(
@@ -388,17 +389,23 @@ def test_flac_profile_oracle_parity(spark, tmp_path):
         assert len(s_rows) == len(o_rows) > 0, sf_dir
         assert _rowset(sdf.columns, s_rows) == _rowset(o_cols, o_rows), sf_dir
 
-    # closed-form spot check: doc 1's clip amplitude is the ascii sum of
-    # its uppercase hex expansion
+    # closed-form spot checks: each variant group's amplitude is the
+    # ascii sum of its members' uppercase hex expansions (doc_id % 3
+    # rotation: 0/3 fixed1, 1/4 verbatim, 2/5 lpc2 — doc 2 is the
+    # degenerate '0' fallback, doc 5 a genuine LPC decode)
     got = {
         r.variant: r
         for r in multimodal_flac_profile(spark, str(tmp_path)).collect()
     }
     hx1 = rows[1][1].encode().hex().upper()
-    hx3 = rows[3][1].encode().hex().upper()
-    assert got["verbatim"].n_samples == len(hx1) + len(hx3)
-    assert got["verbatim"].amp_total == sum(map(ord, hx1)) + sum(map(ord, hx3))
-    assert got["fixed1"].n_clips == 3
+    hx4 = rows[4][1].encode().hex().upper()
+    hx5 = rows[5][1].encode().hex().upper()
+    assert got["verbatim"].n_samples == len(hx1) + len(hx4)
+    assert got["verbatim"].amp_total == sum(map(ord, hx1)) + sum(map(ord, hx4))
+    assert got["fixed1"].n_clips == 2
+    assert got["lpc2"].n_clips == 2
+    assert got["lpc2"].n_samples == 1 + len(hx5)
+    assert got["lpc2"].amp_total == ord("0") + sum(map(ord, hx5))
 
 
 def test_flac_roundtrip_property():
@@ -414,14 +421,16 @@ def test_flac_roundtrip_property():
             st.integers(min_value=-128, max_value=127), min_size=1, max_size=400
         ),
         bits=st.sampled_from([8, 16]),
-        kind=st.sampled_from(["verbatim", "fixed1", "auto"]),
+        kind=st.sampled_from(["verbatim", "fixed1", "lpc2", "auto"]),
         block=st.sampled_from([16, 192, 4096]),
     )
     def check(samples, bits, kind, block):
-        if kind == "fixed1" and any(
-            len(samples[s : s + block]) < 2 for s in range(0, len(samples), block)
+        warmup = {"fixed1": 2, "lpc2": 3}
+        if kind in warmup and any(
+            len(samples[s : s + block]) < warmup[kind]
+            for s in range(0, len(samples), block)
         ):
-            kind = "auto"  # a 1-sample tail block cannot carry fixed1
+            kind = "auto"  # a short tail block cannot carry the predictor
         p = encode_flac([samples], 8000, bits, block_size=block, subframe=kind)
         rate, nch, got_bits, chans = decode_flac(p)
         assert (rate, nch, got_bits) == (8000, 1, bits)

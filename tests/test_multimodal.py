@@ -1479,3 +1479,68 @@ def test_bundle_neardup_planted_and_oracle_parity(spark, tmp_path):
         s_rows = [tuple(r) for r in sdf.collect()]
         assert len(s_rows) == len(o_rows) > 0, sf_dir
         assert _rowset(sdf.columns, s_rows) == _rowset(o_cols, o_rows), sf_dir
+
+
+def test_media_fp_incremental_planted_and_oracle_parity(spark, tmp_path):
+    """The (round-13 staged) fused audio+video fingerprint incremental
+    refresh: planted cross-snapshot dups must flag in BOTH modalities
+    with the prior-corpus partner and the fresh batch member must stay
+    unflagged; then full Spark-vs-DuckDB parity of the staged query on
+    the crafted corpus AND the sf0.001 corpus (non-vacuous)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_server_spark.plans.multimodal_pack import (
+        _MEDIA_FP_INCR_ORACLE,
+        multimodal_media_fp_incremental,
+    )
+    from tests.conftest import SF_SMALL
+    from tests.test_gate_parity import _rowset
+
+    hdr = "shared media header across snapshots"
+    rows = [
+        (10, hdr),                               # prior, even
+        (11, "a different prior-only header.."),  # prior, odd
+        (30, hdr),                               # batch: exact dup of 10
+        (31, hdr),                               # batch: parity near-dup
+        (32, "fresh batch-only header, kept !"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["t"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    got = {
+        (r.modality, r.media_id): (r.n_occupied_bands, r.partner_media_id)
+        for r in multimodal_media_fp_incremental(spark, str(tmp_path)).collect()
+    }
+    # exact dup flags on every band key in both modalities, partner = 10
+    assert got[("audio", 30)] == (4, 10)
+    assert got[("video", 30)] == (8, 10)
+    # parity near-dups: the parity bit lives in band 0 (audio) / frame 0's
+    # band 0 (video), so one band key misses but the partner still resolves
+    assert got[("audio", 31)][1] == 10
+    assert got[("video", 31)] == (7, 10)
+    assert ("audio", 32) not in got and ("video", 32) not in got
+
+    for sf_dir in (str(tmp_path), SF_SMALL):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        oracle = con.execute(_MEDIA_FP_INCR_ORACLE)
+        o_cols = [d[0] for d in oracle.description]
+        o_rows = oracle.fetchall()
+        sdf = multimodal_media_fp_incremental(spark, sf_dir)
+        s_rows = [tuple(r) for r in sdf.collect()]
+        assert len(s_rows) == len(o_rows) > 0, sf_dir
+        assert _rowset(sdf.columns, s_rows) == _rowset(o_cols, o_rows), sf_dir
