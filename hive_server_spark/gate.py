@@ -1068,6 +1068,12 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 #   against the persisted band index — the remaining members of the
 #   incremental family whose image member is already driver-gated;
 #   plans/multimodal_pack.py, staged round 12 per VERDICT r11 item 2)
+#   media_neardup_streaming (streaming media near-dup ingest — the MEDIA
+#   twin of docs_neardup_streaming: per-micro-batch decode + MIN-merge
+#   into the versioned parquet band index; plans/streaming_pack.py,
+#   staged round 12, oracle _MEDIA_NEARDUP_STREAM_ORACLE). Four staged
+#   names: register up to 3 in r13 (keep the r09 drain pace) and the
+#   rest in r14.
 # The 47 r08 names below are the list round 11 computed (CORRECTNESS_r08
 # minus every later-green name), unchanged.
 # ---------------------------------------------------------------------------

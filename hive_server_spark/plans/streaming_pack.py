@@ -1533,3 +1533,155 @@ def evt_cusum_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     comment; SUM-monoid state, bounded read-side fold, exactly-once under
     replay). Runs in the evt_* family wave."""
     return _evt_streaming_results(spark, sf_dir)["evt_cusum_streaming"]
+# --- to append to hive_server_spark/plans/streaming_pack.py -----------------
+
+
+# ---------------------------------------------------------------------------
+# Streaming media near-dup ingest (round-12 second pass; REGISTRATION
+# STAGED FOR ROUND 13 — the round-12 window is exactly full per the
+# rotation note in gate.py; flip the commented @register). The MEDIA twin
+# of docs_neardup_streaming, completing the ingest matrix: text has
+# batch-incremental (docs_neardup_incremental) + streaming
+# (docs_neardup_streaming) near-dup; media had only the batch-incremental
+# members (multimodal_phash_incremental, green r11; the fused audio/video
+# refresh staged this round). This is the arrival-time shape: media lands
+# in micro-batches, each batch is decoded ONCE (the expensive leg — the
+# T.81 decode runs only on arriving payloads, never on the corpus), its
+# dHash band partials MIN-merge into the versioned parquet band index,
+# and the batch is flagged against the POST-merge index — catching dups
+# against everything already ingested AND within the batch with one rule.
+#
+# Exactness argument (same as the docs twin): chunks are media_id-ordered,
+# so when a batch flags, every smaller media_id's bands are already in
+# the index — the as-of-batch flags equal the full-corpus occupied-band
+# rule, which is the oracle below (_PHASH_BANDS_CTES + the bmin/j chain,
+# unrestricted). Chunk count must not change the answer (pinned by
+# tests/test_streaming.py). Crash/replay: the band merge is an idempotent
+# semilattice; the flags append is guarded by already_applied — a crash
+# between the two commits replays into a bands-skip + flags-commit that
+# reads identical post-merge state.
+#
+# Scale: state is (band_idx, band_val, min_media_id) — bytes per image,
+# not pixels; payloads never shuffle (partition-preserving mapInPandas
+# decode inside the batch); the merge and flag joins are band-keyed like
+# the batch incremental path. At 100 TB the stream ingests at decode
+# speed and the index grows with DISTINCT band values only.
+# ---------------------------------------------------------------------------
+from hive_server_spark.functions import multimodal as _M  # noqa: E402
+from hive_server_spark.plans.multimodal_pack import _PHASH_BANDS_CTES  # noqa: E402
+
+_MEDIA_NEARDUP_STREAM_ORACLE = f"""
+WITH {_PHASH_BANDS_CTES},
+bmin AS (
+  SELECT band_idx, band_val, MIN(doc_id) AS min_id
+  FROM bands GROUP BY band_idx, band_val
+),
+j AS (
+  SELECT b.doc_id, m.min_id
+  FROM bands b
+  JOIN bmin m ON b.band_idx = m.band_idx AND b.band_val = m.band_val
+  WHERE m.min_id < b.doc_id
+)
+SELECT CAST(j.doc_id AS BIGINT)      AS media_id,
+       CAST(COUNT(*) AS BIGINT)      AS n_occupied_bands,
+       CAST(MIN(j.min_id) AS BIGINT) AS partner_media_id
+FROM j GROUP BY j.doc_id
+"""
+
+
+def streamed_media_neardup(
+    spark: SparkSession, sf_dir: str, chunks: int = 2
+) -> DataFrame:
+    """Run the incremental dHash band near-dup index over the media corpus
+    landed in `chunks` media_id-ordered micro-batches; each batch decodes
+    ONLY its own payloads. Returns the final flags table (media_id,
+    n_occupied_bands, partner_media_id); chunk count must not change the
+    answer (tests/test_streaming.py)."""
+    from hive_server_spark.session import session_scratch
+    from hive_server_spark.streaming.incremental import (
+        ParquetStateStore,
+        await_stream_with_retry,
+    )
+
+    # checkpoint + state dirs must be FRESH per run (reusing a checkpoint
+    # would replay the finished stream into a no-op), so mkdtemp — but
+    # anchored under the per-process scratch root so interpreter exit
+    # reaps them (the ADVICE r11 /tmp-accumulation fix)
+    work = tempfile.mkdtemp(dir=session_scratch("media_neardup_stream"))
+    d = _land_documents(spark, sf_dir, chunks)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    ckpt = os.path.join(work, "ckpt")
+    bands_store = ParquetStateStore(os.path.join(work, "bands"), run_id=ckpt)
+    flags_store = ParquetStateStore(os.path.join(work, "flags"), run_id=ckpt)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        # decode THIS batch only: synthesize -> T.81 decode -> dHash, at
+        # full parallelism (the landed chunk is one file = one partition)
+        wide = _M.dhash_bands(
+            _M.synthesize_dhash_jpeg_media(
+                batch_df.repartition(ss.sparkContext.defaultParallelism)
+            )
+        )
+        bands = _M.band_long(wide)
+        # 1. MIN-merge the batch's band partials into the index
+        #    (idempotent semilattice; the guard just skips replay work)
+        if not bands_store.already_applied(batch_id):
+            part = bands.groupBy("band_idx", "band_val").agg(
+                F.min("media_id").alias("min_media_id")
+            )
+            cur = bands_store.latest(ss)
+            merged = (
+                part
+                if cur is None
+                else cur.unionByName(part)
+                .groupBy("band_idx", "band_val")
+                .agg(F.min("min_media_id").alias("min_media_id"))
+            )
+            bands_store.commit(merged, batch_id)
+        # 2. flag this batch against the POST-merge index. Appends are
+        #    NOT idempotent — this guard is load-bearing (see docs twin).
+        if not flags_store.already_applied(batch_id):
+            state = bands_store.latest(ss)
+            flagged = (
+                bands.join(state, ["band_idx", "band_val"])
+                .where(F.col("min_media_id") < F.col("media_id"))
+                .groupBy("media_id")
+                .agg(
+                    F.count("*").alias("n_occupied_bands"),
+                    F.min("min_media_id").alias("partner_media_id"),
+                )
+            )
+            prev = flags_store.latest(ss)
+            flags_store.commit(
+                flagged if prev is None else prev.unionByName(flagged),
+                batch_id,
+            )
+
+    with _scoped_shuffle_partitions(spark):
+        writer = (
+            stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+        )
+        await_stream_with_retry(writer.start)
+    out = flags_store.latest(spark)
+    return out.select(
+        F.col("media_id").cast("bigint").alias("media_id"),
+        F.col("n_occupied_bands").cast("bigint").alias("n_occupied_bands"),
+        F.col("partner_media_id").cast("bigint").alias("partner_media_id"),
+    )
+
+
+# round 13: @register("media_neardup_streaming", _MEDIA_NEARDUP_STREAM_ORACLE)
+def media_neardup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the media corpus in media_id-ordered chunks, decode each
+    micro-batch once, and maintain the dHash band near-dup index
+    incrementally; return the flagged-media table, which must equal the
+    batch LSH occupied-band rule (see block comment)."""
+    return streamed_media_neardup(spark, sf_dir, chunks=2)

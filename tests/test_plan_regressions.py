@@ -115,6 +115,14 @@ def test_no_sort_merge_join_anywhere_in_gate(spark):
         # shuffle join that reuses the aggregate partitioning is the
         # correct 100 TB strategy; in a deployed index the codes are
         # stored partitioned by cell and the join disappears
+        "multimodal_video_curation",  # the final keep-verdict join:
+        # per-clip shot counts LEFT OUTER ⋈ per-clip dup partners, both
+        # sides clip-count-sized corpus aggregates exiting mapInPandas
+        # (no broadcastable dimension; at 100 TB the partner side is
+        # O(near-dup clips), unbounded) — a media_id co-partitioned
+        # shuffle join that reuses the aggregates' partitioning is the
+        # correct plan; the banded candidate tail upstream stays
+        # BHJ/bounded exactly like the registered fp gates
         "emb_ivfpq_batch_topk",  # the batch read path inherits exactly
         # the emb_ivfpq_topk shape: codes ⋈ candidate restriction and
         # candidates ⋈ decoded sub-codes, all vec_id-keyed and corpus-

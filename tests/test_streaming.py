@@ -624,3 +624,100 @@ def test_incremental_neardup_cross_snapshot_and_intra_batch(spark, tmp_path):
             expect[d].n_occupied_bands,
             expect[d].partner_doc_id,
         )
+
+
+def test_media_neardup_streaming_chunk_invariance_and_oracle(spark, tmp_path):
+    """The (round-13 staged) streaming MEDIA near-dup ingest: micro-batch
+    boundary invariance (1 vs 3 media_id-ordered chunks), equality with
+    the batch occupied-band rule recomputed from the full-corpus band
+    table, planted cross-chunk dups, and DuckDB oracle parity on the
+    crafted corpus AND sf0.001 (non-vacuous)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from hive_server_spark.functions import multimodal as M
+    from hive_server_spark.plans.streaming_pack import (
+        _MEDIA_NEARDUP_STREAM_ORACLE,
+        media_neardup_streaming,
+        streamed_media_neardup,
+    )
+    from hive_server_spark.plans.multimodal_pack import _docs_wide
+    from tests.conftest import SF_SMALL
+    from tests.test_gate_parity import _rowset
+
+    hdr = "shared image header streamed across chunks"
+    rows = [
+        (10, hdr),                                # chunk 1
+        (11, "a chunk-1-only header, distinct.."),
+        (30, hdr),                                # later chunk: exact dup of 10
+        (31, hdr),                                # later chunk: parity near-dup
+        (32, "fresh tail header, stays unflagged"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["t"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        r.media_id: (r.n_occupied_bands, r.partner_media_id)
+        for r in media_neardup_streaming(spark, str(tmp_path)).collect()
+    }
+    assert got[30] == (4, 10)      # byte-identical image vs an earlier chunk
+    assert got[31] == (3, 10)      # parity flips one band; partner holds
+    assert 11 not in got and 32 not in got
+
+    one = sorted(
+        tuple(r) for r in streamed_media_neardup(spark, SF_SMALL, chunks=1).collect()
+    )
+    three = sorted(
+        tuple(r) for r in streamed_media_neardup(spark, SF_SMALL, chunks=3).collect()
+    )
+    assert one == three and len(one) > 0
+
+    # batch recompute of the occupied-band rule from the same band table
+    bands = M.band_long(
+        M.dhash_bands(M.synthesize_dhash_jpeg_media(_docs_wide(spark, SF_SMALL)))
+    )
+    bmin = bands.groupBy("band_idx", "band_val").agg(
+        F.min("media_id").alias("min_id")
+    )
+    want = sorted(
+        tuple(r)
+        for r in bands.join(bmin, ["band_idx", "band_val"])
+        .where(F.col("min_id") < F.col("media_id"))
+        .groupBy("media_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occupied_bands"),
+            F.min("min_id").cast("bigint").alias("partner_media_id"),
+        )
+        .select(
+            F.col("media_id").cast("bigint").alias("media_id"),
+            "n_occupied_bands",
+            "partner_media_id",
+        )
+        .collect()
+    )
+    assert one == want
+
+    # full DuckDB oracle parity (crafted + sf corpora)
+    for sf_dir in (str(tmp_path), SF_SMALL):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        oracle = con.execute(_MEDIA_NEARDUP_STREAM_ORACLE)
+        o_cols = [d[0] for d in oracle.description]
+        o_rows = oracle.fetchall()
+        sdf = media_neardup_streaming(spark, sf_dir)
+        s_rows = [tuple(r) for r in sdf.collect()]
+        assert len(s_rows) == len(o_rows) > 0, sf_dir
+        assert _rowset(sdf.columns, s_rows) == _rowset(o_cols, o_rows), sf_dir
