@@ -1268,6 +1268,94 @@ def ivfpq_batch_topk(
     )
 
 
+def ivfpq_rerank_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 5,
+    shortlist: int = 20,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Two-stage IVF-PQ serving — the standard production ANN recipe: ADC
+    ranks a SHORTLIST of `shortlist` candidates from the probed cells
+    (cheap, quantized), then the shortlist alone is re-ranked by EXACT
+    distance and the top `k` returned with both ranks, so the re-ranking
+    gain is visible per row (rank vs adc_rank).
+
+    Pure composition: stage 1 IS ivfpq_topk (same routing, same stored
+    codes, same LUT) asked for `shortlist` rows — it already carries
+    exact_micro for its survivors, which is precisely the re-rank key.
+    Scale shape: everything corpus-sized happens inside stage 1 with its
+    nprobe/nlist pruning; stage 2 touches exactly `shortlist` rows (a
+    bounded single-partition sort), which is why re-ranking is ~free in
+    deployed IVF-PQ serving while recovering exact-metric order. Output:
+    (rank, vec_id, cell, adc_rank, adc_micro, exact_micro)."""
+    from hive_server_spark.operators.topk import global_topk
+
+    base = ivfpq_topk(
+        emb,
+        query_vec_id=query_vec_id,
+        k=shortlist,
+        nlist=nlist,
+        nprobe=nprobe,
+        m=m,
+        ksub=ksub,
+        micro=micro,
+    ).select(
+        F.col("rank").alias("adc_rank"),
+        "vec_id",
+        "cell",
+        "adc_micro",
+        "exact_micro",
+    )
+    return global_topk(base, [F.asc("exact_micro"), F.asc("vec_id")], k).select(
+        F.col("rk").alias("rank"),
+        "vec_id",
+        "cell",
+        "adc_rank",
+        "adc_micro",
+        "exact_micro",
+    )
+
+
+def ivfpq_rerank_oracle(
+    query_vec_id: int = 0,
+    k: int = 5,
+    shortlist: int = 20,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    micro: int = 1_000_000,
+) -> str:
+    """The ivfpq_topk oracle asked for the shortlist, wrapped in the
+    exact-distance re-rank — the same composition the Spark side runs."""
+    base = ivfpq_topk_oracle(
+        query_vec_id=query_vec_id,
+        k=shortlist,
+        nlist=nlist,
+        nprobe=nprobe,
+        m=m,
+        ksub=ksub,
+        micro=micro,
+    )
+    return f"""
+SELECT CAST(row_number() OVER (ORDER BY b.exact_micro ASC, b.vec_id ASC)
+            AS BIGINT)   AS rank,
+       b.vec_id,
+       b.cell,
+       b.rank            AS adc_rank,
+       b.adc_micro,
+       b.exact_micro
+FROM ({base}) b
+ORDER BY b.exact_micro ASC, b.vec_id ASC
+LIMIT {k}
+"""
+
+
 def ivfpq_batch_topk_oracle(
     n_queries: int = 8,
     k: int = 3,

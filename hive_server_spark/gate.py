@@ -1071,9 +1071,15 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 #   media_neardup_streaming (streaming media near-dup ingest — the MEDIA
 #   twin of docs_neardup_streaming: per-micro-batch decode + MIN-merge
 #   into the versioned parquet band index; plans/streaming_pack.py,
-#   staged round 12, oracle _MEDIA_NEARDUP_STREAM_ORACLE). Four staged
-#   names: register up to 3 in r13 (keep the r09 drain pace) and the
-#   rest in r14.
+#   staged round 12, oracle _MEDIA_NEARDUP_STREAM_ORACLE)
+#   emb_ivfpq_rerank_topk (two-stage serve: ADC shortlist -> exact
+#   re-rank, both ranks emitted; plans/embedding_pack.py, staged
+#   round 12, oracle E.ivfpq_rerank_oracle())
+#   layout_snapshot_expiry (snapshot-chain expiry / orphan-file report
+#   over the v1->v2->v3 manifests; plans/sources_pack.py, staged
+#   round 12, oracle _SNAPSHOT_EXPIRY_ORACLE)
+#   Six staged names: register up to 3 in r13 (keep the r09 drain pace)
+#   and the rest in r14.
 # The 47 r08 names below are the list round 11 computed (CORRECTNESS_r08
 # minus every later-green name), unchanged.
 # ---------------------------------------------------------------------------

@@ -680,3 +680,23 @@ def emb_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     (subspace, sub-centroid, dim) with exact fixed-point means (see
     functions/embeddings.py::pq_train_update)."""
     return E.pq_train_update(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Two-stage IVF-PQ serving with exact re-rank (round-12 second pass;
+# REGISTRATION STAGED FOR ROUND 13/14 per the rotation note in gate.py;
+# flip the commented @register). The standard production ANN recipe the
+# single-stage read path stops short of: ADC ranks a bounded SHORTLIST
+# from the probed cells, then ONLY the shortlist is re-ranked by exact
+# distance — recovering exact-metric order for the price of `shortlist`
+# full-vector distance computations. Pure composition of the existing
+# lifecycle pieces (stage 1 IS emb_ivfpq_topk's machinery), so the
+# two-stage gate cannot drift from the single-stage gate; the oracle is
+# the ivfpq oracle wrapped in the same re-rank. Output carries BOTH
+# ranks, so the query itself measures what re-ranking bought.
+# ---------------------------------------------------------------------------
+# round 13: @register("emb_ivfpq_rerank_topk", E.ivfpq_rerank_oracle())
+def emb_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC shortlist (20) -> exact re-rank -> top-5, with adc_rank and
+    exact rank side by side (see block comment)."""
+    return E.ivfpq_rerank_topk(_emb(spark, sf_dir))

@@ -647,3 +647,103 @@ def layout_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("v1.n_rows"), F.lit(0)).cast("bigint").alias("rows_v1"),
         F.coalesce(F.col("v2.n_rows"), F.lit(0)).cast("bigint").alias("rows_v2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot expiry / orphan-file report (round-12 second pass; REGISTRATION
+# STAGED FOR ROUND 13/14 per the rotation note in gate.py; flip the
+# commented @register). The table-maintenance step AFTER the manifest
+# diff: a versioned table keeps a CHAIN of snapshots, each referencing a
+# set of physical files; expiring old snapshots makes every file
+# referenced ONLY by expired snapshots reclaimable (Iceberg's
+# expire_snapshots + orphan cleanup, Delta's VACUUM). Chain here:
+#   v1 = the original 512-row-file layout;
+#   v2 = layout_manifest_diff's second version (range-scoped DELETE
+#        rewrites, whole-file drops, quarantine files for deleted rows);
+#   v3 = v2 with the quarantine files COMPACTED into one file (id -1) —
+#        the small-file maintenance pass a retention DELETE leaves behind.
+# A physical file is (file_id, content_md5) — a rewrite under the same id
+# is a DIFFERENT file (copy-on-write). Retention keeps {v2, v3}; expiring
+# v1 reclaims exactly the files whose last reference is v1 (originals
+# that v2 rewrote or dropped). Scale: snapshot expiry is METADATA work —
+# three file-count-sized manifests unioned and grouped on (file_id,
+# content_md5); no data file is read in a deployed table (manifests are
+# stored); here they derive from rows so DuckDB can verify every byte.
+# ---------------------------------------------------------------------------
+_MD_V3_ROWS = f"""
+SELECT CASE WHEN file_id < 0 THEN -1 ELSE file_id END AS file_id, event_id
+FROM ({_MD_V2_ROWS}) v2rows
+"""
+
+_SNAPSHOT_EXPIRY_ORACLE = f"""
+WITH v1 AS ({_manifest_cte(_MD_V1_ROWS)}),
+v2 AS ({_manifest_cte(_MD_V2_ROWS)}),
+v3 AS ({_manifest_cte(_MD_V3_ROWS)}),
+refs AS (
+  SELECT 1 AS snap, file_id, n_rows, content_md5 FROM v1
+  UNION ALL SELECT 2, file_id, n_rows, content_md5 FROM v2
+  UNION ALL SELECT 3, file_id, n_rows, content_md5 FROM v3
+)
+SELECT CAST(file_id AS BIGINT)      AS file_id,
+       content_md5,
+       CAST(MAX(n_rows) AS BIGINT)  AS n_rows,
+       CAST(COUNT(*) AS BIGINT)     AS n_refs,
+       CAST(MIN(snap) AS BIGINT)    AS first_snap,
+       CAST(MAX(snap) AS BIGINT)    AS last_snap,
+       MAX(snap) <= 1               AS reclaimable
+FROM refs GROUP BY file_id, content_md5
+"""
+
+
+# round 13: @register("layout_snapshot_expiry", _SNAPSHOT_EXPIRY_ORACLE)
+def layout_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-physical-file snapshot-reference report over the v1→v2→v3
+    chain, with the reclaimable verdict for a retention policy expiring
+    v1 (see block comment). One row per (file_id, content_md5)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(f"event_id DIV {_ZM_FILE_ROWS}").alias("orig_file"),
+        "event_id",
+        F.expr(
+            f"({_DV_PRED}) AND (event_id DIV {_ZM_FILE_ROWS}) % 5 IN (0, 1, 3)"
+        ).alias("deleted"),
+    )
+    v1 = _manifest_df(ev.select(F.col("orig_file").alias("file_id"), "event_id"))
+    v2_rows = ev.where(F.expr("orig_file % 17 != 3")).select(
+        F.when(F.col("deleted"), -(F.lit(1) + F.col("orig_file")))
+        .otherwise(F.col("orig_file"))
+        .alias("file_id"),
+        "event_id",
+    )
+    v2 = _manifest_df(v2_rows)
+    v3 = _manifest_df(
+        v2_rows.select(
+            F.when(F.col("file_id") < 0, F.lit(-1))
+            .otherwise(F.col("file_id"))
+            .alias("file_id"),
+            "event_id",
+        )
+    )
+    refs = (
+        v1.select(F.lit(1).alias("snap"), "file_id", "n_rows", "content_md5")
+        .unionByName(
+            v2.select(F.lit(2).alias("snap"), "file_id", "n_rows", "content_md5")
+        )
+        .unionByName(
+            v3.select(F.lit(3).alias("snap"), "file_id", "n_rows", "content_md5")
+        )
+    )
+    return refs.groupBy("file_id", "content_md5").agg(
+        F.max("n_rows").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_refs"),
+        F.min("snap").cast("bigint").alias("first_snap"),
+        F.max("snap").cast("bigint").alias("last_snap"),
+        (F.max("snap") <= 1).alias("reclaimable"),
+    ).select(
+        F.col("file_id").cast("bigint").alias("file_id"),
+        "content_md5",
+        "n_rows",
+        "n_refs",
+        "first_snap",
+        "last_snap",
+        "reclaimable",
+    )

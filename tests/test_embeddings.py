@@ -843,3 +843,45 @@ def test_pq_train_update_matches_oracle(spark):
             pop = sum(v[0] for (sm, sc, sd), v in got.items() if sm == m and sd == d)
             assert pop == n_vec
     assert {sc for (_, sc, _) in got} <= set(range(PQ_KSUB))
+
+
+def test_ivfpq_rerank_topk_contract_and_oracle(spark):
+    """The (round-13/14 staged) two-stage IVF-PQ serve: the re-ranked
+    top-k must be exactly the exact-distance re-sort of the ADC
+    shortlist's head, every returned row must come FROM the shortlist,
+    exact_micro must be ascending, and the whole table must match the
+    wrapped DuckDB oracle."""
+    import duckdb
+
+    from hive_server_spark.functions.embeddings import (
+        ivfpq_rerank_oracle,
+        ivfpq_topk,
+    )
+    from hive_server_spark.plans.embedding_pack import (
+        _emb,
+        emb_ivfpq_rerank_topk,
+    )
+
+    got = [tuple(r) for r in emb_ivfpq_rerank_topk(spark, SF_SMALL).collect()]
+    got.sort()
+    assert len(got) == 5
+    # ascending exact distance, ranks 1..k
+    assert [r[0] for r in got] == [1, 2, 3, 4, 5]
+    ex = [r[5] for r in got]
+    assert ex == sorted(ex)
+    # every re-ranked row comes from the ADC shortlist machinery: its
+    # (vec_id, cell, adc_micro, exact_micro) must appear in the
+    # single-stage top-20 run (same routing, same codes, same LUT)
+    shortlist = {
+        (r.vec_id, r.cell, r.adc_micro, r.exact_micro)
+        for r in ivfpq_topk(_emb(spark, SF_SMALL), k=20).collect()
+    }
+    for r in got:
+        assert (r[1], r[2], r[4], r[5]) in shortlist
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_SMALL}/embeddings.parquet'"
+    )
+    orc = sorted(tuple(r) for r in con.execute(ivfpq_rerank_oracle()).fetchall())
+    assert orc == got

@@ -331,3 +331,102 @@ def test_schema_evolution_python_recompute(spark):
     expect = {k: (n, len(c), cents) for k, (n, c, cents) in agg.items()}
     assert got == expect
     assert ("<pre-evolution>", "<pre-evolution>") in got  # v1 rows present
+
+
+def test_snapshot_expiry_python_recompute_and_oracle(spark):
+    """The (round-13/14 staged) snapshot-expiry report vs a pure-python
+    recompute of the v1→v2→v3 reference sets AND the DuckDB oracle:
+    physical files are (file_id, content), reclaimable iff the last
+    referencing snapshot is the expired v1, the compacted quarantine
+    file appears only from v3, and every v2 non-negative file survives
+    into v3 untouched."""
+    import duckdb
+
+    from hive_server_spark.plans.sources_pack import (
+        _DV_PRED,
+        _SNAPSHOT_EXPIRY_ORACLE,
+        _ZM_FILE_ROWS,
+        layout_snapshot_expiry,
+    )
+
+    rows = duckdb.execute(
+        f"SELECT event_id, ({_DV_PRED}) FROM "
+        f"read_parquet('{SF_SMALL}/events.parquet')"
+    ).fetchall()
+    v1, v2, v3 = {}, {}, {}
+    for eid, pred in rows:
+        f = eid // _ZM_FILE_ROWS
+        deleted = pred and f % 5 in (0, 1, 3)
+        v1.setdefault(f, []).append(eid)
+        if f % 17 == 3:
+            continue
+        f2 = -(1 + f) if deleted else f
+        v2.setdefault(f2, []).append(eid)
+        v3.setdefault(-1 if f2 < 0 else f2, []).append(eid)
+
+    def key(ids):
+        return ",".join(str(i) for i in sorted(ids))
+
+    expect = {}
+    for snap, man in ((1, v1), (2, v2), (3, v3)):
+        for f, ids in man.items():
+            k = (f, key(ids))
+            n, first, last = expect.get(k, (0, snap, snap))
+            expect[k] = (n + 1, min(first, snap), max(last, snap))
+    want = {
+        k: (len_ids, n, first, last, last <= 1)
+        for k, (n, first, last) in expect.items()
+        for len_ids in [k[1].count(",") + 1]
+    }
+
+    got_rows = layout_snapshot_expiry(spark, SF_SMALL).collect()
+    # Spark reports md5(content key); recompute it for comparison
+    import hashlib
+
+    got = {
+        (r.file_id, r.content_md5): (
+            r.n_rows,
+            r.n_refs,
+            r.first_snap,
+            r.last_snap,
+            r.reclaimable,
+        )
+        for r in got_rows
+    }
+    want_md5 = {
+        (f, hashlib.md5(ids_key.encode()).hexdigest()): v
+        for (f, ids_key), v in want.items()
+    }
+    assert got == want_md5
+    # structural guarantees on the tiny corpus: something is reclaimable
+    # (v2 rewrote or dropped at least one file), the compacted quarantine
+    # file -1 exists with first_snap == 3, and unchanged files carry all
+    # three references
+    assert any(v[4] for v in got.values())
+    # id -1 is BOTH v2's quarantine of original file 0 (-(1+0)) and v3's
+    # compaction target — two different physical files under one id,
+    # disambiguated by content (exactly how content-addressed manifests
+    # behave): exactly one -1 entry is born in v3 (the compaction), and
+    # any other -1 entry dies with v2 (superseded by the compaction, but
+    # NOT reclaimable — v2 is retained)
+    minus1 = [k for k in got if k[0] == -1]
+    assert sum(1 for k in minus1 if got[k][2] == 3) == 1
+    assert all(
+        got[k][3] == 2 and not got[k][4] for k in minus1 if got[k][2] != 3
+    )
+    # every non-negative v2 file survives into v3 untouched, so its
+    # physical file carries (at least) both retained references. (A file
+    # unchanged across ALL THREE snapshots — n_refs == 3 — is not
+    # guaranteed at the tiny sf0.001 layout, same caveat as the manifest
+    # diff test above; the sf0.01 gate parity covers that class.)
+    assert any(k[0] >= 0 and v[1] >= 2 for k, v in got.items())
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMALL}/events.parquet'"
+    )
+    orc = {
+        (r[0], r[1]): (r[2], r[3], r[4], r[5], r[6])
+        for r in con.execute(_SNAPSHOT_EXPIRY_ORACLE).fetchall()
+    }
+    assert orc == got
