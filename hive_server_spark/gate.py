@@ -1078,8 +1078,12 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 #   layout_snapshot_expiry (snapshot-chain expiry / orphan-file report
 #   over the v1->v2->v3 manifests; plans/sources_pack.py, staged
 #   round 12, oracle _SNAPSHOT_EXPIRY_ORACLE)
-#   Six staged names: register up to 3 in r13 (keep the r09 drain pace)
-#   and the rest in r14.
+#   emb_ivf_streaming (streaming IVF census ingest — batch 0 freezes the
+#   coarse quantizer, every batch folds additive census partials into
+#   the versioned state store, final census ≡ full rebuild;
+#   plans/streaming_pack.py, staged round 12, oracle _ivf_build_oracle())
+#   Seven staged names: register up to 3 in r13 (keep the r09 drain
+#   pace) and the rest in r14.
 # The 47 r08 names below are the list round 11 computed (CORRECTNESS_r08
 # minus every later-green name), unchanged.
 # ---------------------------------------------------------------------------

@@ -721,3 +721,43 @@ def test_media_neardup_streaming_chunk_invariance_and_oracle(spark, tmp_path):
         s_rows = [tuple(r) for r in sdf.collect()]
         assert len(s_rows) == len(o_rows) > 0, sf_dir
         assert _rowset(sdf.columns, s_rows) == _rowset(o_cols, o_rows), sf_dir
+
+
+def test_emb_ivf_streaming_chunk_invariance_and_rebuild_equality(spark):
+    """The (round-13/14 staged) streaming IVF census ingest: the final
+    census must be micro-batch-boundary invariant (1 vs 3 vec_id-ordered
+    chunks), equal emb_ivf_build's full-corpus rebuild row-for-row, and
+    match the DuckDB full-rebuild oracle."""
+    import duckdb
+
+    from hive_server_spark.plans.embedding_pack import (
+        _ivf_build_oracle,
+        emb_ivf_build,
+    )
+    from hive_server_spark.plans.streaming_pack import streamed_ivf_census
+    from tests.conftest import SF_SMALL
+
+    one = {
+        r.cluster_id: tuple(r)
+        for r in streamed_ivf_census(spark, SF_SMALL, chunks=1).collect()
+    }
+    three = {
+        r.cluster_id: tuple(r)
+        for r in streamed_ivf_census(spark, SF_SMALL, chunks=3).collect()
+    }
+    assert one == three and len(one) > 0
+
+    full = {
+        r.cluster_id: tuple(r) for r in emb_ivf_build(spark, SF_SMALL).collect()
+    }
+    assert one == full
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_SMALL}/embeddings.parquet'"
+    )
+    orc = {r[0]: tuple(r) for r in con.execute(_ivf_build_oracle()).fetchall()}
+    assert set(orc) == set(one)
+    for cid, row in one.items():
+        for a, b in zip(row, orc[cid]):
+            assert a == b or abs(a - b) < 1e-12, (cid, row, orc[cid])
