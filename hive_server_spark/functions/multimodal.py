@@ -2148,8 +2148,15 @@ def synthesize_flac_media(docs: DataFrame) -> DataFrame:
                 hx = (text or "").encode("utf-8").hex().upper() or "0"
                 samples = [ord(c) - 128 for c in hx]
                 kind = _KINDS[doc_id % 3]
-                if len(samples) < 2 or (kind == "lpc2" and len(samples) < 3):
-                    kind = "verbatim"  # predictors need warmup + residual
+                # predictors need warmup + residual in EVERY block, and
+                # encode_flac blocks at 4096: a doc whose sample count
+                # leaves a tail block shorter than the warmup (e.g.
+                # 4098 samples -> blocks [4096, 2] under lpc2) must fall
+                # back, not crash the gate query (round-12 review)
+                need = {"fixed1": 2, "lpc2": 3}.get(kind, 1)
+                tail = len(samples) % 4096
+                if len(samples) < need or (tail and tail < need):
+                    kind = "verbatim"
                 ids.append(doc_id)
                 payloads.append(
                     encode_flac(

@@ -539,6 +539,40 @@ def _ivf_partial_census(vec: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+def _merge_census(parts: DataFrame) -> DataFrame:
+    """Fold additive census partials (the _ivf_partial_census monoid) —
+    the ONE spelling of the merge, shared by the batch-incremental
+    refresh and the streaming ingest so they cannot drift."""
+    from pyspark.sql import functions as F
+
+    return parts.groupBy("cid").agg(
+        F.sum("n_vecs").cast("bigint").alias("n_vecs"),
+        F.sum("posting_checksum").cast("bigint").alias("posting_checksum"),
+        F.sum("sum_d2_micro").cast("bigint").alias("sum_d2_micro"),
+    )
+
+
+def _census_report(census: DataFrame) -> DataFrame:
+    """The final build-census projection (share + mean distortion) over a
+    merged census — emb_ivf_build's output shape, shared by every census
+    producer."""
+    from pyspark.sql import functions as F
+
+    tot = census.agg(F.sum("n_vecs").cast("bigint").alias("nv"))
+    return census.crossJoin(F.broadcast(tot)).select(
+        F.col("cid").cast("bigint").alias("cluster_id"),
+        "n_vecs",
+        (F.col("n_vecs").cast("double") / F.col("nv").cast("double")).alias(
+            "share"
+        ),
+        "posting_checksum",
+        "sum_d2_micro",
+        (
+            F.col("sum_d2_micro").cast("double") / F.col("n_vecs").cast("double")
+        ).alias("mean_d2_micro"),
+    )
+
+
 @register("emb_ivf_incremental", _ivf_build_oracle())
 def emb_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persist the prior snapshot's IVF index (centroids + per-cell census
@@ -574,29 +608,10 @@ def emb_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_census = _ivf_partial_census(
         vec.where(F.col("vec_id") >= thr), cent_back
     )
-    merged = (
-        spark.read.parquet(census_path)
-        .unionByName(batch_census)
-        .groupBy("cid")
-        .agg(
-            F.sum("n_vecs").cast("bigint").alias("n_vecs"),
-            F.sum("posting_checksum").cast("bigint").alias("posting_checksum"),
-            F.sum("sum_d2_micro").cast("bigint").alias("sum_d2_micro"),
-        )
+    merged = _merge_census(
+        spark.read.parquet(census_path).unionByName(batch_census)
     )
-    tot = merged.agg(F.sum("n_vecs").cast("bigint").alias("nv"))
-    return merged.crossJoin(F.broadcast(tot)).select(
-        F.col("cid").cast("bigint").alias("cluster_id"),
-        "n_vecs",
-        (F.col("n_vecs").cast("double") / F.col("nv").cast("double")).alias(
-            "share"
-        ),
-        "posting_checksum",
-        "sum_d2_micro",
-        (
-            F.col("sum_d2_micro").cast("double") / F.col("n_vecs").cast("double")
-        ).alias("mean_d2_micro"),
-    )
+    return _census_report(merged)
 
 
 # ---------------------------------------------------------------------------

@@ -1533,9 +1533,6 @@ def evt_cusum_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     comment; SUM-monoid state, bounded read-side fold, exactly-once under
     replay). Runs in the evt_* family wave."""
     return _evt_streaming_results(spark, sf_dir)["evt_cusum_streaming"]
-# --- to append to hive_server_spark/plans/streaming_pack.py -----------------
-
-
 # ---------------------------------------------------------------------------
 # Streaming media near-dup ingest (round-12 second pass; REGISTRATION
 # STAGED FOR ROUND 13 — the round-12 window is exactly full per the
@@ -1622,46 +1619,52 @@ def streamed_media_neardup(
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         ss = batch_df.sparkSession
         # decode THIS batch only: synthesize -> T.81 decode -> dHash, at
-        # full parallelism (the landed chunk is one file = one partition)
+        # full parallelism (the landed chunk is one file = one partition).
+        # persist(): the merge commit and the flags commit are two Spark
+        # actions — without the cache each would re-run the mapInPandas
+        # decode, doubling the expensive leg (round-12 review)
         wide = _M.dhash_bands(
             _M.synthesize_dhash_jpeg_media(
                 batch_df.repartition(ss.sparkContext.defaultParallelism)
             )
         )
-        bands = _M.band_long(wide)
-        # 1. MIN-merge the batch's band partials into the index
-        #    (idempotent semilattice; the guard just skips replay work)
-        if not bands_store.already_applied(batch_id):
-            part = bands.groupBy("band_idx", "band_val").agg(
-                F.min("media_id").alias("min_media_id")
-            )
-            cur = bands_store.latest(ss)
-            merged = (
-                part
-                if cur is None
-                else cur.unionByName(part)
-                .groupBy("band_idx", "band_val")
-                .agg(F.min("min_media_id").alias("min_media_id"))
-            )
-            bands_store.commit(merged, batch_id)
-        # 2. flag this batch against the POST-merge index. Appends are
-        #    NOT idempotent — this guard is load-bearing (see docs twin).
-        if not flags_store.already_applied(batch_id):
-            state = bands_store.latest(ss)
-            flagged = (
-                bands.join(state, ["band_idx", "band_val"])
-                .where(F.col("min_media_id") < F.col("media_id"))
-                .groupBy("media_id")
-                .agg(
-                    F.count("*").alias("n_occupied_bands"),
-                    F.min("min_media_id").alias("partner_media_id"),
+        bands = _M.band_long(wide).persist()
+        try:
+            # 1. MIN-merge the batch's band partials into the index
+            #    (idempotent semilattice; the guard just skips replay work)
+            if not bands_store.already_applied(batch_id):
+                part = bands.groupBy("band_idx", "band_val").agg(
+                    F.min("media_id").alias("min_media_id")
                 )
-            )
-            prev = flags_store.latest(ss)
-            flags_store.commit(
-                flagged if prev is None else prev.unionByName(flagged),
-                batch_id,
-            )
+                cur = bands_store.latest(ss)
+                merged = (
+                    part
+                    if cur is None
+                    else cur.unionByName(part)
+                    .groupBy("band_idx", "band_val")
+                    .agg(F.min("min_media_id").alias("min_media_id"))
+                )
+                bands_store.commit(merged, batch_id)
+            # 2. flag this batch against the POST-merge index. Appends are
+            #    NOT idempotent — this guard is load-bearing (see docs twin).
+            if not flags_store.already_applied(batch_id):
+                state = bands_store.latest(ss)
+                flagged = (
+                    bands.join(state, ["band_idx", "band_val"])
+                    .where(F.col("min_media_id") < F.col("media_id"))
+                    .groupBy("media_id")
+                    .agg(
+                        F.count("*").alias("n_occupied_bands"),
+                        F.min("min_media_id").alias("partner_media_id"),
+                    )
+                )
+                prev = flags_store.latest(ss)
+                flags_store.commit(
+                    flagged if prev is None else prev.unionByName(flagged),
+                    batch_id,
+                )
+        finally:
+            bands.unpersist()
 
     with _scoped_shuffle_partitions(spark):
         writer = (
@@ -1738,7 +1741,12 @@ def streamed_ivf_census(
     (cluster_id, n_vecs, share, posting_checksum, sum_d2_micro,
     mean_d2_micro), which must equal the full-corpus rebuild."""
     from hive_server_spark.functions import embeddings as _E
-    from hive_server_spark.plans.embedding_pack import _IVF_K, _ivf_partial_census
+    from hive_server_spark.plans.embedding_pack import (
+        _IVF_K,
+        _census_report,
+        _ivf_partial_census,
+        _merge_census,
+    )
     from hive_server_spark.session import session_scratch
     from hive_server_spark.streaming.incremental import (
         ParquetStateStore,
@@ -1778,17 +1786,7 @@ def streamed_ivf_census(
             part = _ivf_partial_census(vec, cent)
             prev = census_store.latest(ss)
             merged = (
-                part
-                if prev is None
-                else prev.unionByName(part)
-                .groupBy("cid")
-                .agg(
-                    F.sum("n_vecs").cast("bigint").alias("n_vecs"),
-                    F.sum("posting_checksum")
-                    .cast("bigint")
-                    .alias("posting_checksum"),
-                    F.sum("sum_d2_micro").cast("bigint").alias("sum_d2_micro"),
-                )
+                part if prev is None else _merge_census(prev.unionByName(part))
             )
             census_store.commit(merged, batch_id)
 
@@ -1799,20 +1797,7 @@ def streamed_ivf_census(
             .trigger(availableNow=True)
         )
         await_stream_with_retry(writer.start)
-    census = census_store.latest(spark)
-    tot = census.agg(F.sum("n_vecs").cast("bigint").alias("nv"))
-    return census.crossJoin(F.broadcast(tot)).select(
-        F.col("cid").cast("bigint").alias("cluster_id"),
-        "n_vecs",
-        (F.col("n_vecs").cast("double") / F.col("nv").cast("double")).alias(
-            "share"
-        ),
-        "posting_checksum",
-        "sum_d2_micro",
-        (
-            F.col("sum_d2_micro").cast("double") / F.col("n_vecs").cast("double")
-        ).alias("mean_d2_micro"),
-    )
+    return _census_report(census_store.latest(spark))
 
 
 # round 13 (flip both lines):

@@ -611,3 +611,41 @@ def test_flac_corpus_fingerprints_like_wav(spark, tmp_path):
     }
     assert flac_bands == wav_bands
     assert flac_bands[10] == flac_bands[12]  # the planted pair survives
+
+
+def test_flac_synthesis_lpc2_short_tail_block_falls_back(spark, tmp_path):
+    """Round-12 review regression: a document long enough to leave a
+    2-sample tail block (2049 UTF-8 bytes -> 4098 hex samples -> blocks
+    [4096, 2] at the default 4096 blocking) in an lpc2 rotation slot
+    (doc_id % 3 == 2) must fall back to verbatim coding instead of
+    crashing the gate query — and still decode to the exact ascii sum."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_server_spark.functions.multimodal import (
+        flac_stats,
+        synthesize_flac_media,
+    )
+
+    text = ("a" * 2049, "b" * 2048)  # 4098 samples (tail 2) / 4096 (exact)
+    rows = [(2, text[0]), (5, text[1])]  # both lpc2 slots
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["t"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.media_id: (r.n_samples, r.amp_total)
+        for r in flac_stats(synthesize_flac_media(docs)).collect()
+    }
+    for doc_id, txt in rows:
+        hx = txt.encode().hex().upper()
+        assert got[doc_id] == (len(hx), sum(map(ord, hx))), doc_id
