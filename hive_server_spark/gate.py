@@ -1053,9 +1053,39 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 # is r12:50, r11:50, r10:50, r9:50 — nothing older than r09, the VERDICT
 # r11 item 1 done condition.
 # ROUND-13 ROTATION NOTE: (1) any round-13 registrations / modified
-# queries, (2) then the OLDEST r09-green names in registration order
-# (the r09 window was 50; budget registrations <= 3 so at least 47 of
-# them rotate and the r09 tail clears in <= 2 rounds). Staged-for-r13
+# queries, (2) then the OLDEST r09-green names in registration order.
+# The r09 tail is the FULL 50-name r09 window (computed r12:
+# CORRECTNESS_r09 keys minus every r10/r11 name and minus
+# DRIVER_PRIORITY_R12 — assuming r12 comes back green — leaves all 50).
+# Recommended r13 window = 3 registrations + the FIRST 47 of the list
+# below; the last 3 r09 names spill to r14 alongside the remaining 4
+# staged registrations (4 + 3 + 43 oldest r10 names = 50), clearing r09
+# by r14. The 50 r09 names, in registration order:
+#   rel_string_functions, rel_null_handling, rel_unpivot_measures,
+#   rel_bitwise_functions, rel_lateral_top_orders, emb_cosine_topk,
+#   emb_ivf_topk, emb_lsh_buckets, emb_lsh_neardup_topk,
+#   emb_int8_quantization, emb_ivfpq_batch_topk, text_profile,
+#   text_exact_dedup, dedup_ngram_jaccard, dedup_minhash_sigs,
+#   dedup_minhash_candidates, dedup_simhash, text_corpus_stats,
+#   text_top_ngrams, dedup_clusters, text_quality_histogram,
+#   text_deterministic_sample, text_sample_rates, text_quality_filter,
+#   text_token_shards, dedup_reachability_recursive, text_mixture_sample,
+#   text_bigram_lm, text_pack_windows, text_decontaminate,
+#   text_leakage_safe_splits, text_repetition_profile,
+#   text_source_overlap, text_pretrain_keep, text_bpe_train,
+#   text_bpe_encode, text_ccnet_buckets, src_jsonl_roundtrip,
+#   src_csv_roundtrip, src_orc_roundtrip, multimodal_inventory,
+#   multimodal_frame_inventory, orders_state_stateful,
+#   orders_state_time_travel, evt_sliding_rollup_streaming,
+#   docs_neardup_streaming, serving_pool_info_json,
+#   [r14 spill:] serving_user_orders_json, cdc_book_snapshots,
+#   orders_state_changelog
+# Recommended r13 registrations (longest-staged first):
+# multimodal_media_fp_incremental (VERDICT r11 item 2), emb_pq_train and
+# multimodal_bundle_neardup (staged since r11); the four round-12-staged
+# names (media_neardup_streaming, emb_ivf_streaming,
+# emb_ivfpq_rerank_topk, layout_snapshot_expiry) flip in r14. All seven
+# already carry 10x AND 100x probe rows (SCALE.md). Staged-for-r13
 # registrations (oracles + parity tests landed in rounds 11-12; flip the
 # commented @register lines):
 #   emb_pq_train (per-subspace Lloyd codebook training — completes the
