@@ -464,3 +464,34 @@ def test_hll_set_algebra_hand_computed(spark):
     assert r.intersection_est_micro == round((ea + eb - eu) * 1_000_000)
     # sanity: estimates land near truth at m=64
     assert abs(r.union_est_micro / 1e6 - 120) / 120 < 0.5
+
+
+def test_media_pipeline_script_end_to_end(spark, tmp_path, monkeypatch, capsys):
+    """The composed media-curation run (scripts/run_media_pipeline.py)
+    must execute the full chain (inventory, three modality near-dups,
+    video curation, incremental refresh, fused bundle verdict), write the
+    keep manifest, and keep its canonical-partner contracts."""
+    import os
+    import runpy
+    import sys
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_media_pipeline.py", "--sf-dir", SF_SMALL, "--out", str(tmp_path)],
+    )
+    runpy.run_path(
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "scripts", "run_media_pipeline.py"),
+        run_name="__main__",
+    )
+    out = capsys.readouterr().out
+    assert "kept for training:" in out
+    assert "multimodal_bundle_neardup" in out
+    assert (tmp_path / "media_keep_manifest" / "_SUCCESS").exists()
+
+    manifest = spark.read.parquet(str(tmp_path / "media_keep_manifest"))
+    n_docs = manifest.count()
+    n_kept = manifest.where("keep").count()
+    assert 0 < n_kept < n_docs
+    # kept docs must have no bundle partner and a curation-passing video
+    assert manifest.where("keep AND bundle_partner IS NOT NULL").count() == 0
