@@ -113,12 +113,24 @@ def session_scratch(name: str) -> str:
     global _SCRATCH_ROOT
     if _SCRATCH_ROOT is None:
         import atexit
+        import glob
         import shutil
         import tempfile
 
-        _SCRATCH_ROOT = os.path.join(
-            tempfile.gettempdir(), f"hss_scratch_{os.getpid()}"
-        )
+        tmp = tempfile.gettempdir()
+        # reap roots left by DEAD processes: atexit does not run under
+        # SIGTERM/os._exit (the per-query watchdogs hard-exit), so a
+        # killed harness can orphan its root — each new process sweeps
+        # them, keeping /tmp bounded across crashes too
+        for stale in glob.glob(os.path.join(tmp, "hss_scratch_*")):
+            try:
+                pid = int(stale.rsplit("_", 1)[-1])
+                os.kill(pid, 0)  # raises if no such process
+            except (ValueError, ProcessLookupError):
+                shutil.rmtree(stale, ignore_errors=True)
+            except PermissionError:
+                pass  # live process owned elsewhere — leave it
+        _SCRATCH_ROOT = os.path.join(tmp, f"hss_scratch_{os.getpid()}")
         os.makedirs(_SCRATCH_ROOT, exist_ok=True)
         atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
     path = os.path.join(_SCRATCH_ROOT, name)
