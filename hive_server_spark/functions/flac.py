@@ -531,6 +531,16 @@ def _encode_residual(w: _BitWriter, res: list[int], param: int) -> None:
             w.write(low, param)
 
 
+# Fixture LPC kinds: kind -> (order, coef precision bits, shift,
+# quantized coefficients newest-first). Integer math only, so any entry
+# round-trips exactly; residual size (hence stream size) is all that
+# varies with predictor quality.
+_LPC_KINDS = {
+    "lpc2": (2, 4, 1, [3, -1]),
+    "lpc8": (8, 5, 3, [12, -6, 4, -3, 3, -2, 2, -2]),
+}
+
+
 def encode_flac(
     channels: list[list[int]],
     sample_rate: int = 8000,
@@ -544,7 +554,9 @@ def encode_flac(
     (requires constant blocks), 'fixed1' (order-1 fixed predictor with
     single-partition Rice residuals — exercises the decoder's hot path),
     'lpc2' (order-2 LPC, 4-bit precision, coefficients [3, -1], shift 1 —
-    exercises the decoder's LPC path end-to-end), or 'auto' (constant when
+    exercises the decoder's LPC path end-to-end), 'lpc8' (order-8 LPC,
+    5-bit precision, shift 3 — the general high-order LPC dot-product the
+    order-2 special case cannot stand in for), or 'auto' (constant when
     a block is constant, else fixed1)."""
     if not channels or not channels[0]:
         raise ValueError("encode_flac needs at least one sample")
@@ -623,24 +635,39 @@ def encode_flac(
                 mean = sum((abs(e) << 1) for e in res) // max(len(res), 1)
                 param = max(0, min(14, mean.bit_length() - 1))
                 _encode_residual(w, res, param)
-            elif kind == "lpc2":
-                # order-2 LPC: warmup, then 4-bit-precision coefficients
-                # [3, -1] with shift 1 — pred = (3·s[i-1] − s[i-2]) >> 1,
-                # a linear-extrapolation-with-damping predictor whose
-                # residuals stay Rice-friendly on smooth signals
-                if bs < 3:
-                    raise ValueError("lpc2 needs a block of >= 3 samples")
-                w.write(32 + 1, 6)  # LPC, order 2
+            elif kind in _LPC_KINDS:
+                # general LPC: warmup, then prec-bit quantized coefficients
+                # (newest sample first) with a right-shift —
+                # pred = (Σ coef[j]·s[i-1-j]) >> shift. 'lpc2' is the
+                # damped linear extrapolation (3·s[i-1] − s[i-2]) >> 1;
+                # 'lpc8' is an order-8 unity-DC-gain low-pass (Σcoefs = 8,
+                # shift 3) that drives the decoder's general LPC
+                # dot-product — order, precision, and shift all differ
+                # from lpc2, so the order-2 special case cannot mask a
+                # general-path bug (VERDICT r12 item 5)
+                order, prec, shift, coefs = _LPC_KINDS[kind]
+                if bs < order + 1:
+                    raise ValueError(
+                        f"{kind} needs a block of >= {order + 1} samples"
+                    )
+                w.write(32 + order - 1, 6)  # LPC, given order
                 w.write(0, 1)
-                w.write(block[0], bits)
-                w.write(block[1], bits)
-                w.write(4 - 1, 4)   # coefficient precision 4
-                w.write(1, 5)       # shift 1 (signed field, positive)
-                w.write(3, 4)       # qlp coef for s[i-1]
-                w.write(-1, 4)      # qlp coef for s[i-2]
+                for j in range(order):
+                    w.write(block[j], bits)
+                w.write(prec - 1, 4)  # coefficient precision
+                w.write(shift, 5)     # shift (signed field, positive)
+                for c0 in coefs:
+                    w.write(c0, prec)
                 res = [
-                    block[i] - ((3 * block[i - 1] - block[i - 2]) >> 1)
-                    for i in range(2, bs)
+                    block[i]
+                    - (
+                        sum(
+                            coefs[j] * block[i - 1 - j]
+                            for j in range(order)
+                        )
+                        >> shift
+                    )
+                    for i in range(order, bs)
                 ]
                 mean = sum((abs(e) << 1) for e in res) // max(len(res), 1)
                 param = max(0, min(14, mean.bit_length() - 1))

@@ -2131,12 +2131,14 @@ def synthesize_flac_media(docs: DataFrame) -> DataFrame:
     the same byte derivation the WAV/PPM fixtures use, so every stat has
     a closed-form DuckDB oracle. Sample rate cycles 8-11 kHz by doc_id %
     4; the subframe kind rotates fixed-predictor+Rice / verbatim /
-    order-2-LPC by doc_id % 3 (coprime cycles — every kind sees every
+    LPC by doc_id % 3 (coprime cycles — every kind sees every
     rate), so ALL THREE decoder predictor families are value-gated
-    through the gate corpus, LPC included (VERDICT r11 item 6). Docs too
-    short for a predictor's warmup fall back to verbatim coding but keep
-    their rotation label — the stats are kind-agnostic, so the closed
-    forms are unaffected."""
+    through the gate corpus, LPC included (VERDICT r11 item 6). The LPC
+    slot itself alternates order-2 / order-8 encodings (different order,
+    precision, AND shift), so the general LPC dot-product is gated too
+    (VERDICT r12 item 5). Docs too short for a predictor's warmup fall
+    back to verbatim coding but keep their rotation label — the stats
+    are kind-agnostic, so the closed forms are unaffected."""
     from hive_server_spark.functions.flac import encode_flac
 
     _KINDS = ("fixed1", "verbatim", "lpc2")
@@ -2148,12 +2150,21 @@ def synthesize_flac_media(docs: DataFrame) -> DataFrame:
                 hx = (text or "").encode("utf-8").hex().upper() or "0"
                 samples = [ord(c) - 128 for c in hx]
                 kind = _KINDS[doc_id % 3]
+                # within the LPC rotation slot, alternate order-2 /
+                # order-8 encodings so the decoder's GENERAL LPC
+                # dot-product (arbitrary order/precision/shift) is
+                # exercised by the gate corpus, not just the order-2
+                # special case (VERDICT r12 item 5). The stats are
+                # kind-agnostic — lossless decode — so the doc_id % 3
+                # variant label and every closed form are unaffected.
+                if kind == "lpc2" and (doc_id // 3) % 2 == 1:
+                    kind = "lpc8"
                 # predictors need warmup + residual in EVERY block, and
                 # encode_flac blocks at 4096: a doc whose sample count
                 # leaves a tail block shorter than the warmup (e.g.
                 # 4098 samples -> blocks [4096, 2] under lpc2) must fall
                 # back, not crash the gate query (round-12 review)
-                need = {"fixed1": 2, "lpc2": 3}.get(kind, 1)
+                need = {"fixed1": 2, "lpc2": 3, "lpc8": 9}.get(kind, 1)
                 tail = len(samples) % 4096
                 if len(samples) < need or (tail and tail < need):
                     kind = "verbatim"

@@ -1041,143 +1041,102 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 # Driver-visible ordering. The correctness driver hash-checks the FIRST 50
 # queries per round; set_driver_priority pins that window. Per-round
 # history lives in git (r9 cleared the r05 tail, r10 cleared r06, r11
-# cleared r07; this one clears r08 — see VERDICT r09-r11 for the plans).
+# cleared r07, r12 cleared r08; this one drains 47 of the 50 r09 names —
+# see VERDICT r09-r12 for the plans).
 # ---------------------------------------------------------------------------
-# Driver-visible ordering (round-12 rotation) — executes the plan written
-# here in round 11 and echoed by VERDICT r11 item 1: (a) the 3 round-12
-# registrations staged in round 11 (end-to-end video curation, the
-# incremental PQ index refresh, the FLAC decode profile — now covering
-# all THREE predictor families: fixed/verbatim/LPC, VERDICT r11 item 6)
-# and (b) ALL 47 remaining r08-green names in registration order, which
-# drains the r08 tail completely: after this window the staleness profile
-# is r12:50, r11:50, r10:50, r9:50 — nothing older than r09, the VERDICT
-# r11 item 1 done condition.
-# ROUND-13 ROTATION NOTE: (1) any round-13 registrations / modified
-# queries, (2) then the OLDEST r09-green names in registration order.
-# The r09 tail is the FULL 50-name r09 window (computed r12:
-# CORRECTNESS_r09 keys minus every r10/r11 name and minus
-# DRIVER_PRIORITY_R12 — assuming r12 comes back green — leaves all 50).
-# Recommended r13 window = 3 registrations + the FIRST 47 of the list
-# below; the last 3 r09 names spill to r14 alongside the remaining 4
-# staged registrations (4 + 3 + 43 oldest r10 names = 50), clearing r09
-# by r14. The 50 r09 names, in registration order:
-#   rel_string_functions, rel_null_handling, rel_unpivot_measures,
-#   rel_bitwise_functions, rel_lateral_top_orders, emb_cosine_topk,
-#   emb_ivf_topk, emb_lsh_buckets, emb_lsh_neardup_topk,
-#   emb_int8_quantization, emb_ivfpq_batch_topk, text_profile,
-#   text_exact_dedup, dedup_ngram_jaccard, dedup_minhash_sigs,
-#   dedup_minhash_candidates, dedup_simhash, text_corpus_stats,
-#   text_top_ngrams, dedup_clusters, text_quality_histogram,
-#   text_deterministic_sample, text_sample_rates, text_quality_filter,
-#   text_token_shards, dedup_reachability_recursive, text_mixture_sample,
-#   text_bigram_lm, text_pack_windows, text_decontaminate,
-#   text_leakage_safe_splits, text_repetition_profile,
-#   text_source_overlap, text_pretrain_keep, text_bpe_train,
-#   text_bpe_encode, text_ccnet_buckets, src_jsonl_roundtrip,
-#   src_csv_roundtrip, src_orc_roundtrip, multimodal_inventory,
-#   multimodal_frame_inventory, orders_state_stateful,
-#   orders_state_time_travel, evt_sliding_rollup_streaming,
-#   docs_neardup_streaming, serving_pool_info_json,
-#   [r14 spill:] serving_user_orders_json, cdc_book_snapshots,
-#   orders_state_changelog
-# Recommended r13 registrations (longest-staged first):
-# multimodal_media_fp_incremental (VERDICT r11 item 2), emb_pq_train and
-# multimodal_bundle_neardup (staged since r11); the four round-12-staged
-# names (media_neardup_streaming, emb_ivf_streaming,
-# emb_ivfpq_rerank_topk, layout_snapshot_expiry) flip in r14. All seven
-# already carry 10x AND 100x probe rows (SCALE.md). Staged-for-r13
-# registrations (oracles + parity tests landed in rounds 11-12; flip the
-# commented @register lines):
-#   emb_pq_train (per-subspace Lloyd codebook training — completes the
-#   PQ lifecycle train -> encode -> serve -> maintain;
-#   plans/embedding_pack.py, oracle pq_train_oracle())
-#   multimodal_bundle_neardup (fused text/image/audio bundle dedup with
-#   one canonical partner across modalities; plans/multimodal_pack.py,
-#   oracle _BUNDLE_ORACLE)
-#   multimodal_media_fp_incremental (audio + video fingerprint refresh
-#   against the persisted band index — the remaining members of the
-#   incremental family whose image member is already driver-gated;
-#   plans/multimodal_pack.py, staged round 12 per VERDICT r11 item 2)
-#   media_neardup_streaming (streaming media near-dup ingest — the MEDIA
-#   twin of docs_neardup_streaming: per-micro-batch decode + MIN-merge
-#   into the versioned parquet band index; plans/streaming_pack.py,
-#   staged round 12, oracle _MEDIA_NEARDUP_STREAM_ORACLE)
-#   emb_ivfpq_rerank_topk (two-stage serve: ADC shortlist -> exact
-#   re-rank, both ranks emitted; plans/embedding_pack.py, staged
-#   round 12, oracle E.ivfpq_rerank_oracle())
-#   layout_snapshot_expiry (snapshot-chain expiry / orphan-file report
-#   over the v1->v2->v3 manifests; plans/sources_pack.py, staged
-#   round 12, oracle _SNAPSHOT_EXPIRY_ORACLE)
-#   emb_ivf_streaming (streaming IVF census ingest — batch 0 freezes the
-#   coarse quantizer, every batch folds additive census partials into
-#   the versioned state store, final census ≡ full rebuild;
-#   plans/streaming_pack.py, staged round 12, oracle _ivf_build_oracle())
-#   Seven staged names: register up to 3 in r13 (keep the r09 drain
-#   pace) and the rest in r14.
-# The 47 r08 names below are the list round 11 computed (CORRECTNESS_r08
-# minus every later-green name), unchanged.
+# Driver-visible ordering (round-13 rotation) — executes the plan written
+# here in round 12 and echoed by VERDICT r12 item 1: (a) the 3 round-13
+# registrations staged in rounds 11-12 (the fused audio+video incremental
+# band-index refresh, the PQ codebook trainer that completes the
+# train -> encode -> serve -> maintain lifecycle, and the fused
+# text/image/audio bundle dedup) and (b) the FIRST 47 of the 50 r09-green
+# names in registration order. After this window the staleness profile is
+# r13:50, r12:50, r11:50, r10:50 + a 3-name r09 spill
+# (serving_user_orders_json, cdc_book_snapshots, orders_state_changelog)
+# — the VERDICT r12 item 1 done condition.
+# ROUND-14 ROTATION NOTE (single source of truth for which round flips
+# each staged registration — the per-site comments all say "round 14"):
+# (1) the FOUR remaining staged registrations, all oracle-backed +
+# parity-tested + 10x/100x-probed since round 12 (flip the commented
+# @register lines):
+#   media_neardup_streaming (plans/streaming_pack.py, oracle
+#   _MEDIA_NEARDUP_STREAM_ORACLE)
+#   emb_ivf_streaming (plans/streaming_pack.py — flip BOTH commented
+#   lines: the oracle import and the @register)
+#   emb_ivfpq_rerank_topk (plans/embedding_pack.py, oracle
+#   E.ivfpq_rerank_oracle())
+#   layout_snapshot_expiry (plans/sources_pack.py, oracle
+#   _SNAPSHOT_EXPIRY_ORACLE)
+# (2) then the 3-name r09 spill above, (3) then the 43 OLDEST r10-green
+# names in registration order (compute r14: CORRECTNESS_r10 keys minus
+# every r11/r12/r13 name and minus DRIVER_PRIORITY_R13, assuming r13
+# comes back green). 4 + 3 + 43 = 50 — clears r09 entirely and starts
+# draining r10; the remaining r10 names drain in r15.
+# The 47 r09 names below are the first 47 of the list round 12 computed
+# (CORRECTNESS_r09 keys minus every later-green name), re-verified this
+# round against the r01-r12 correctness history.
 # ---------------------------------------------------------------------------
 from hive_server_spark.registry import set_driver_priority  # noqa: E402
 
-DRIVER_PRIORITY_R12 = [
-    # -- (a) round-12 registrations (the 3 staged in r11) -------------------
-    "multimodal_video_curation",
-    "emb_pq_incremental",
-    "multimodal_flac_profile",
-    # -- (b) ALL 47 remaining r08-green names, registration order -----------
-    "amount_out_prices",
-    "amount_out_capped",
-    "asof_trade_price",
-    "asof_nearest_price",
-    "range_price_activity",
-    "price_hourly_gapfill",
-    "rel_pricing_summary",
-    "rel_top_revenue_orders",
-    "rel_revenue_by_nation",
-    "rel_order_priority_exists",
-    "rel_parts_never_ordered",
-    "rel_nations_intersect",
-    "rel_nations_except",
-    "rel_rollup_revenue",
-    "rel_cube_status_priority",
-    "rel_window_top_customers",
-    "rel_window_running_total",
-    "rel_window_order_gaps",
-    "rel_full_outer_nation_activity",
-    "rel_distinct_suppliers_per_nation",
-    "rel_scalar_functions",
-    "rel_window_analytics",
-    "rel_datetime_functions",
-    "rel_array_functions",
-    "rel_grouping_sets",
-    "rel_union_all_parties",
-    "rel_exact_percentiles",
-    "rel_cheapest_line_per_part",
-    "rel_orders_above_cust_avg",
-    "rel_rich_idle_customers",
-    "scale_salted_cohort_rollup",
-    "rel_promo_revenue_ratio",
-    "rel_nation_trade_flows",
-    "rel_disjunctive_bands",
-    "rel_conditional_distinct",
-    "evt_sessions",
-    "evt_trailing_hour_value",
-    "evt_cusum_drift",
-    "evt_hll_set_algebra",
-    "text_hash_features_score",
-    "layout_deletion_vectors",
-    "src_schema_evolution_roundtrip",
-    "layout_manifest_diff",
-    "orders_state_streaming",
-    "evt_cms_streaming",
-    "evt_hll_streaming",
-    "evt_cusum_streaming",
+DRIVER_PRIORITY_R13 = [
+    # -- (a) round-13 registrations (staged r11-r12, longest-staged first) --
+    "multimodal_media_fp_incremental",
+    "emb_pq_train",
+    "multimodal_bundle_neardup",
+    # -- (b) the first 47 r09-green names, registration order ---------------
+    "rel_string_functions",
+    "rel_null_handling",
+    "rel_unpivot_measures",
+    "rel_bitwise_functions",
+    "rel_lateral_top_orders",
+    "emb_cosine_topk",
+    "emb_ivf_topk",
+    "emb_lsh_buckets",
+    "emb_lsh_neardup_topk",
+    "emb_int8_quantization",
+    "emb_ivfpq_batch_topk",
+    "text_profile",
+    "text_exact_dedup",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_sigs",
+    "dedup_minhash_candidates",
+    "dedup_simhash",
+    "text_corpus_stats",
+    "text_top_ngrams",
+    "dedup_clusters",
+    "text_quality_histogram",
+    "text_deterministic_sample",
+    "text_sample_rates",
+    "text_quality_filter",
+    "text_token_shards",
+    "dedup_reachability_recursive",
+    "text_mixture_sample",
+    "text_bigram_lm",
+    "text_pack_windows",
+    "text_decontaminate",
+    "text_leakage_safe_splits",
+    "text_repetition_profile",
+    "text_source_overlap",
+    "text_pretrain_keep",
+    "text_bpe_train",
+    "text_bpe_encode",
+    "text_ccnet_buckets",
+    "src_jsonl_roundtrip",
+    "src_csv_roundtrip",
+    "src_orc_roundtrip",
+    "multimodal_inventory",
+    "multimodal_frame_inventory",
+    "orders_state_stateful",
+    "orders_state_time_travel",
+    "evt_sliding_rollup_streaming",
+    "docs_neardup_streaming",
+    "serving_pool_info_json",
 ]
-assert len(DRIVER_PRIORITY_R12) == 50, len(DRIVER_PRIORITY_R12)
+assert len(DRIVER_PRIORITY_R13) == 50, len(DRIVER_PRIORITY_R13)
 # A typo'd or renamed name would silently shrink the checked window
 # (registry._ordered drops unknown names); fail loudly instead.
 from hive_server_spark.registry import _SPARK_QUERIES as _REG  # noqa: E402
 
-_missing = [n for n in DRIVER_PRIORITY_R12 if n not in _REG]
-assert not _missing, f"DRIVER_PRIORITY_R12 names not registered: {_missing}"
-set_driver_priority(DRIVER_PRIORITY_R12)
+_missing = [n for n in DRIVER_PRIORITY_R13 if n not in _REG]
+assert not _missing, f"DRIVER_PRIORITY_R13 names not registered: {_missing}"
+set_driver_priority(DRIVER_PRIORITY_R13)

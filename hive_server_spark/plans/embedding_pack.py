@@ -680,16 +680,14 @@ def emb_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# PQ codebook training (round-11 second-pass library; REGISTRATION STAGED
-# FOR ROUND 13 — the round-12 window is exactly full with its 3 staged
-# registrations + the 47-name r08 tail; flip the commented @register in
-# the first round with budget). One Lloyd iteration per subspace — the
+# PQ codebook training (round-11 second-pass library; REGISTERED ROUND 13
+# per the rotation note in gate.py). One Lloyd iteration per subspace — the
 # training step that completes the PQ lifecycle: emb_kmeans_update trains
 # the coarse quantizer, THIS trains the sub-quantizers, emb_pq_codes
 # encodes, emb_pq_adc_topk serves, emb_pq_incremental maintains. Parity
 # is already pinned by tests/test_embeddings.py on the sf corpus.
 # ---------------------------------------------------------------------------
-# round 13: @register("emb_pq_train", E.pq_train_oracle())
+@register("emb_pq_train", E.pq_train_oracle())
 def emb_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-subspace Lloyd iteration over the embedding corpus: one row per
     (subspace, sub-centroid, dim) with exact fixed-point means (see
@@ -699,7 +697,7 @@ def emb_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Two-stage IVF-PQ serving with exact re-rank (round-12 second pass;
-# REGISTRATION STAGED FOR ROUND 13/14 per the rotation note in gate.py;
+# REGISTRATION STAGED FOR ROUND 14 per the rotation note in gate.py;
 # flip the commented @register). The standard production ANN recipe the
 # single-stage read path stops short of: ADC ranks a bounded SHORTLIST
 # from the probed cells, then ONLY the shortlist is re-ranked by exact
@@ -710,7 +708,7 @@ def emb_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the ivfpq oracle wrapped in the same re-rank. Output carries BOTH
 # ranks, so the query itself measures what re-ranking bought.
 # ---------------------------------------------------------------------------
-# round 13: @register("emb_ivfpq_rerank_topk", E.ivfpq_rerank_oracle())
+# round 14: @register("emb_ivfpq_rerank_topk", E.ivfpq_rerank_oracle())
 def emb_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC shortlist (20) -> exact re-rank -> top-5, with adc_rank and
     exact rank side by side (see block comment)."""

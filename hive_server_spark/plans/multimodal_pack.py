@@ -1693,9 +1693,9 @@ def multimodal_flac_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Fused multimodal bundle dedup (round-11 second pass; REGISTRATION STAGED
-# FOR ROUND 13 with emb_pq_train — the round-12 window is exactly full;
-# flip the commented @register). A multimodal training corpus dedups per
+# Fused multimodal bundle dedup (round-11 second pass; REGISTERED ROUND 13
+# with emb_pq_train per the rotation note in gate.py). A multimodal
+# training corpus dedups per
 # BUNDLE: a document whose text, image, OR audio member near-duplicates a
 # smaller document's is dropped, with ONE canonical partner across
 # modalities. Every leg is the modality's existing first-class rule,
@@ -1777,7 +1777,7 @@ def _min_partner(ham: DataFrame, alias: str) -> DataFrame:
     )
 
 
-# round 13: @register("multimodal_bundle_neardup", _BUNDLE_ORACLE)
+@register("multimodal_bundle_neardup", _BUNDLE_ORACLE)
 def multimodal_bundle_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document fused dedup verdict across text/image/audio members
     (see block comment). One row per document: the three per-modality
@@ -1827,8 +1827,7 @@ def multimodal_bundle_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Audio + video fingerprint incremental refresh (round-12 second pass;
-# REGISTRATION STAGED FOR ROUND 13 — the round-12 window is exactly full
-# per the rotation note in gate.py; flip the commented @register). Closes
+# REGISTERED ROUND 13 per the rotation note in gate.py). Closes
 # VERDICT r11 item 2: the modality-generic persisted band index
 # (band_long / write_band_index / incremental_band_neardup,
 # functions/multimodal.py) refreshes audio and video fingerprints with
@@ -1923,7 +1922,7 @@ GROUP BY j.doc_id
 """
 
 
-# round 13: @register("multimodal_media_fp_incremental", _MEDIA_FP_INCR_ORACLE)
+@register("multimodal_media_fp_incremental", _MEDIA_FP_INCR_ORACLE)
 def multimodal_media_fp_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from hive_server_spark.catalog import load_table
 from hive_server_spark.registry import register
+from hive_server_spark.session import session_scratch
 from hive_server_spark.session_cache import SessionCache
 
 # microsecond-precision wire format: Spark's default JSON/CSV timestamp
@@ -45,7 +46,7 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    work = tempfile.mkdtemp(prefix=f"hss_{fmt}_")
+    work = tempfile.mkdtemp(dir=session_scratch(f"src_{fmt}"))
     path = os.path.join(work, f"events_{fmt}")
     writer = ev.write
     reader = spark.read.schema(ev.schema)
@@ -167,7 +168,7 @@ def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "ts", "user_id", "value", "event_type"
         )
-        work = tempfile.mkdtemp(prefix="hss_part_")
+        work = tempfile.mkdtemp(dir=session_scratch("part"))
         path = os.path.join(work, "events_by_type")
         ev.write.partitionBy("event_type").parquet(path)
         return path
@@ -511,7 +512,7 @@ def src_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     # instead of rewriting the orders table on every gate/bench/test call
     def land() -> str:
         o = load_table(spark, sf_dir, "orders")
-        work = tempfile.mkdtemp(prefix="hss_evo_")
+        work = tempfile.mkdtemp(dir=session_scratch("evo"))
         o.where(F.expr("o_orderkey % 2 = 0")).select(
             "o_orderkey", "o_custkey", "o_totalprice"
         ).write.parquet(os.path.join(work, "v1"))
@@ -651,7 +652,7 @@ def layout_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Snapshot expiry / orphan-file report (round-12 second pass; REGISTRATION
-# STAGED FOR ROUND 13/14 per the rotation note in gate.py; flip the
+# STAGED FOR ROUND 14 per the rotation note in gate.py; flip the
 # commented @register). The table-maintenance step AFTER the manifest
 # diff: a versioned table keeps a CHAIN of snapshots, each referencing a
 # set of physical files; expiring old snapshots makes every file
@@ -695,7 +696,7 @@ FROM refs GROUP BY file_id, content_md5
 """
 
 
-# round 13: @register("layout_snapshot_expiry", _SNAPSHOT_EXPIRY_ORACLE)
+# round 14: @register("layout_snapshot_expiry", _SNAPSHOT_EXPIRY_ORACLE)
 def layout_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-physical-file snapshot-reference report over the v1→v2→v3
     chain, with the reclaimable verdict for a retention policy expiring

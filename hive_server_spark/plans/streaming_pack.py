@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from hive_server_spark.catalog import load_table
 from hive_server_spark.operators.fold import ORDER_UPDATES_CTE, ORDERS_STATE_CTE
 from hive_server_spark.registry import register
+from hive_server_spark.session import session_scratch
 from hive_server_spark.sources.synthetic import (
     ORDER_EVENTS_CTE,
     ORDER_EVENTS_SQL,
@@ -54,7 +55,7 @@ def _land_order_events(spark: SparkSession, sf_dir: str, chunks: int) -> str:
     checkpoints/state are per-run."""
 
     def land() -> str:
-        ev_dir = os.path.join(tempfile.mkdtemp(prefix="hss_oe_land_"), "events")
+        ev_dir = os.path.join(tempfile.mkdtemp(dir=session_scratch("oe_land")), "events")
         order_events(spark, sf_dir).repartition(chunks).write.parquet(ev_dir)
         return ev_dir
 
@@ -71,7 +72,7 @@ def streamed_orders_state(
     `chunks` parquet files, stream them through the incremental fold
     (maxFilesPerTrigger=1 → one micro-batch per file), return the
     materialized orders state."""
-    work = tempfile.mkdtemp(prefix="hss_stream_")
+    work = tempfile.mkdtemp(dir=session_scratch("stream"))
     ev_dir = _land_order_events(spark, sf_dir, chunks)
     schema = spark.read.parquet(ev_dir).schema
     stream = (
@@ -137,7 +138,7 @@ def _stamp_ascending_mtimes(paths: list[str]) -> None:
 
 def _land_events_ts_ordered(spark: SparkSession, sf_dir: str, chunks: int) -> str:
     def land() -> str:
-        ev_dir = os.path.join(tempfile.mkdtemp(prefix="hss_land_"), "events")
+        ev_dir = os.path.join(tempfile.mkdtemp(dir=session_scratch("land")), "events")
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "ts", "user_id", "event_type", "value"
         )
@@ -165,7 +166,7 @@ def _events_stream_in_ts_order(
     landing). A drop-policy oracle is therefore unspecifiable; only in-order
     landings give the streaming gates a deterministic answer."""
     ev_dir = _land_events_ts_ordered(spark, sf_dir, chunks)
-    work = tempfile.mkdtemp(prefix="hss_stream_")
+    work = tempfile.mkdtemp(dir=session_scratch("stream"))
     schema = spark.read.parquet(ev_dir).schema
     stream = (
         spark.readStream.schema(schema)
@@ -381,7 +382,7 @@ HAVING epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR)
 
 def _land_duplicated_events(spark: SparkSession, sf_dir: str, chunks: int) -> str:
     def land() -> str:
-        ev_dir = os.path.join(tempfile.mkdtemp(prefix="hss_dedup_land_"), "events")
+        ev_dir = os.path.join(tempfile.mkdtemp(dir=session_scratch("dedup_land")), "events")
         # half the user universe: the dedup semantics are unaffected and the
         # duplicated landing (2-3 copies per event) stays write-bound, not huge
         ev = (
@@ -402,7 +403,7 @@ def _land_duplicated_events(spark: SparkSession, sf_dir: str, chunks: int) -> st
 def _out_dedup_rollup(
     spark: SparkSession, sf_dir: str, chunks: int = 2
 ) -> tuple[DataFrame, str]:
-    work = tempfile.mkdtemp(prefix="hss_dedup_")
+    work = tempfile.mkdtemp(dir=session_scratch("dedup"))
     ev_dir = _land_duplicated_events(spark, sf_dir, chunks)
     schema = spark.read.parquet(ev_dir).schema
     stream = (
@@ -541,7 +542,7 @@ def _land_seq_slices(spark: SparkSession, sf_dir: str) -> str:
             .collect()[0][0]
         )
         c1, c2 = max_seq // 3, 2 * (max_seq // 3)
-        land_root = tempfile.mkdtemp(prefix="hss_tt_land_")
+        land_root = tempfile.mkdtemp(dir=session_scratch("tt_land"))
         tmp = os.path.join(land_root, "sliced")
         (
             order_events(spark, sf_dir)
@@ -597,7 +598,7 @@ def fold_seq_slices(spark: SparkSession, sf_dir: str):
     def build():
         from hive_server_spark.streaming.cdc import run_incremental_fold_with_cdc
 
-        work = tempfile.mkdtemp(prefix="hss_ttfold_")
+        work = tempfile.mkdtemp(dir=session_scratch("ttfold"))
         ev_dir = _land_seq_slices(spark, sf_dir)
         schema = spark.read.parquet(ev_dir).schema
         stream = (
@@ -655,7 +656,7 @@ def stateful_orders_state(
 
     from hive_server_spark.streaming.stateful import stateful_orders_stream
 
-    work = tempfile.mkdtemp(prefix="hss_stateful_")
+    work = tempfile.mkdtemp(dir=session_scratch("stateful"))
     ev_dir = _land_order_events(spark, sf_dir, chunks)
     schema = spark.read.parquet(ev_dir).schema
     stream = (
@@ -805,7 +806,7 @@ def _run_sketch_stream(spark: SparkSession, starter, sf_dir: str, prefix: str):
     attempt wrote through (same pinned dir → same store)."""
     from hive_server_spark.streaming.incremental import await_stream_with_retry
 
-    work = tempfile.mkdtemp(prefix=prefix)
+    work = tempfile.mkdtemp(dir=session_scratch(prefix.strip("_").removeprefix("hss_")))
     stores: list = []
 
     def thunk():
@@ -918,7 +919,7 @@ def _land_documents(spark: SparkSession, sf_dir: str, chunks: int) -> str:
     order arbitrary."""
 
     def land() -> str:
-        d = os.path.join(tempfile.mkdtemp(prefix="hss_docs_land_"), "docs")
+        d = os.path.join(tempfile.mkdtemp(dir=session_scratch("docs_land")), "docs")
         load_table(spark, sf_dir, "documents").repartitionByRange(
             chunks, "doc_id"
         ).write.parquet(d)
@@ -937,7 +938,7 @@ def docs_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_server_spark.streaming.incremental import ParquetStateStore
 
     chunks = 2
-    work = tempfile.mkdtemp(prefix="hss_docs_stream_")
+    work = tempfile.mkdtemp(dir=session_scratch("docs_stream"))
     d = _land_documents(spark, sf_dir, chunks)
     schema = spark.read.parquet(d).schema
     stream = (
@@ -1064,7 +1065,7 @@ def streamed_docs_neardup(
         await_stream_with_retry,
     )
 
-    work = tempfile.mkdtemp(prefix="hss_neardup_stream_")
+    work = tempfile.mkdtemp(dir=session_scratch("neardup_stream"))
     d = _land_documents(spark, sf_dir, chunks)
     schema = spark.read.parquet(d).schema
     stream = (
@@ -1240,7 +1241,7 @@ def docs_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _text_docs(spark, sf_dir)
     mn, mx = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
     thr = (mn + mx) // 2  # == the oracle's integer-division threshold
-    work = tempfile.mkdtemp(prefix="hss_neardup_incr_")
+    work = tempfile.mkdtemp(dir=session_scratch("neardup_incr"))
     index_path = os.path.join(work, "band_index")
     (
         _doc_bands(docs.where(F.col("doc_id") < thr))
@@ -1535,7 +1536,7 @@ def evt_cusum_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _evt_streaming_results(spark, sf_dir)["evt_cusum_streaming"]
 # ---------------------------------------------------------------------------
 # Streaming media near-dup ingest (round-12 second pass; REGISTRATION
-# STAGED FOR ROUND 13 — the round-12 window is exactly full per the
+# STAGED FOR ROUND 14 — the round-13 window is exactly full per the
 # rotation note in gate.py; flip the commented @register). The MEDIA twin
 # of docs_neardup_streaming, completing the ingest matrix: text has
 # batch-incremental (docs_neardup_incremental) + streaming
@@ -1594,7 +1595,6 @@ def streamed_media_neardup(
     ONLY its own payloads. Returns the final flags table (media_id,
     n_occupied_bands, partner_media_id); chunk count must not change the
     answer (tests/test_streaming.py)."""
-    from hive_server_spark.session import session_scratch
     from hive_server_spark.streaming.incremental import (
         ParquetStateStore,
         await_stream_with_retry,
@@ -1681,7 +1681,7 @@ def streamed_media_neardup(
     )
 
 
-# round 13: @register("media_neardup_streaming", _MEDIA_NEARDUP_STREAM_ORACLE)
+# round 14: @register("media_neardup_streaming", _MEDIA_NEARDUP_STREAM_ORACLE)
 def media_neardup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream the media corpus in media_id-ordered chunks, decode each
     micro-batch once, and maintain the dHash band near-dup index
@@ -1692,7 +1692,7 @@ def media_neardup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Streaming IVF census ingest (round-12 second pass; REGISTRATION STAGED
-# FOR ROUND 13/14 per the rotation note in gate.py; flip the commented
+# FOR ROUND 14 per the rotation note in gate.py; flip the commented
 # @register). Completes the incremental/streaming symmetry across the
 # three corpus families: text has docs_neardup_incremental +
 # docs_neardup_streaming, media has multimodal_phash_incremental (+ the
@@ -1723,7 +1723,7 @@ def _land_embeddings(spark: SparkSession, sf_dir: str, chunks: int) -> str:
     corpus (vec_id-ordered delivery; batch 0 carries the seed ids)."""
 
     def land() -> str:
-        d = os.path.join(tempfile.mkdtemp(prefix="hss_emb_land_"), "emb")
+        d = os.path.join(tempfile.mkdtemp(dir=session_scratch("emb_land")), "emb")
         load_table(spark, sf_dir, "embeddings").repartitionByRange(
             chunks, "vec_id"
         ).write.parquet(d)
@@ -1747,7 +1747,6 @@ def streamed_ivf_census(
         _ivf_partial_census,
         _merge_census,
     )
-    from hive_server_spark.session import session_scratch
     from hive_server_spark.streaming.incremental import (
         ParquetStateStore,
         await_stream_with_retry,
@@ -1779,6 +1778,19 @@ def streamed_ivf_census(
                     ),
                     batch_id,
                 )
+                # ADVICE r12: the freeze assumes ALL k seed ids landed in
+                # batch 0 (vec_id-ordered landing). If the corpus slice is
+                # shorter than k the frozen quantizer would be silently
+                # incomplete and the census would diverge from the rebuild
+                # with no error — fail loudly instead.
+                n_seed = cent_store.latest(ss).count()
+                if n_seed != _IVF_K:
+                    raise ValueError(
+                        f"IVF seed batch incomplete: batch 0 carried "
+                        f"{n_seed} of the {_IVF_K} seed vectors "
+                        f"(vec_id < {_IVF_K}); increase the batch size or "
+                        f"reduce chunks"
+                    )
         cent = cent_store.latest(ss)
         # additive census fold: sums are not idempotent — the guard is
         # load-bearing on replay
@@ -1800,7 +1812,7 @@ def streamed_ivf_census(
     return _census_report(census_store.latest(spark))
 
 
-# round 13 (flip both lines):
+# round 14 (flip both lines):
 # from hive_server_spark.plans.embedding_pack import _ivf_build_oracle
 # @register("emb_ivf_streaming", _ivf_build_oracle())
 def emb_ivf_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:

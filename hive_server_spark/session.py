@@ -103,6 +103,10 @@ def get_spark(app_name: str = "hive-server-spark", *, shuffle_partitions: int | 
 # ---------------------------------------------------------------------------
 
 _SCRATCH_ROOT: str | None = None
+# Stale-root age cutoff: anything this old is reclaimed even if a live
+# (recycled-PID) process matches its suffix. Two days comfortably exceeds
+# any single gate/bench/pytest run.
+_SCRATCH_MAX_AGE_S = 2 * 24 * 3600
 
 
 def session_scratch(name: str) -> str:
@@ -121,8 +125,23 @@ def session_scratch(name: str) -> str:
         # reap roots left by DEAD processes: atexit does not run under
         # SIGTERM/os._exit (the per-query watchdogs hard-exit), so a
         # killed harness can orphan its root — each new process sweeps
-        # them, keeping /tmp bounded across crashes too
+        # them, keeping /tmp bounded across crashes too. PID liveness
+        # alone is not enough (ADVICE r12): a recycled PID belonging to
+        # an unrelated live process would shield a stale root forever,
+        # so roots older than _SCRATCH_MAX_AGE_S are reclaimed
+        # regardless — no gate/bench process legitimately lives that
+        # long, which bounds /tmp growth even under PID reuse.
+        import time
+
+        now = time.time()
         for stale in glob.glob(os.path.join(tmp, "hss_scratch_*")):
+            try:
+                too_old = now - os.stat(stale).st_mtime > _SCRATCH_MAX_AGE_S
+            except OSError:
+                too_old = False  # vanished mid-sweep
+            if too_old:
+                shutil.rmtree(stale, ignore_errors=True)
+                continue
             try:
                 pid = int(stale.rsplit("_", 1)[-1])
                 os.kill(pid, 0)  # raises if no such process

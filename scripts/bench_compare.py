@@ -37,7 +37,8 @@ def main() -> None:
     ap.add_argument("new")
     ap.add_argument("--flag", type=float, default=1.5)
     ap.add_argument("--abs-floor", type=float, default=0.3,
-                    help="ignore ratio noise below this many seconds")
+                    help="annotate (not suppress) flags below this many "
+                    "seconds as sub-floor host-noise class")
     args = ap.parse_args()
 
     old_q, old_w = best_of_reps(args.old)
@@ -69,15 +70,20 @@ def main() -> None:
         print(f"new-in-{args.new}: "
               + ", ".join(f"{q} {new_q[q]:.2f}s" for q in only_new))
 
-    flagged = [
-        (q, o, n, r) for q, o, n, r in rows
-        if r > args.flag and n >= args.abs_floor
-    ]
+    # VERDICT r12 item 4: EVERY ratio > flag is listed regardless of
+    # absolute time — the round-12 sweep silently dropped a 1.54x flag
+    # because it sat under the absolute floor. The floor now only
+    # classifies (sub-floor = host-noise class), it never suppresses;
+    # each line still needs a disposition note in SCALE.md.
+    flagged = [(q, o, n, r) for q, o, n, r in rows if r > args.flag]
     if flagged:
-        print(f"\nFLAGGED (> {args.flag}x and >= {args.abs_floor}s — needs a "
-              "plan diff or load note):")
+        print(f"\nFLAGGED (> {args.flag}x — every line needs a disposition "
+              "in SCALE.md; sub-floor lines are host-noise class but still "
+              "get a note):")
         for q, o, n, r in sorted(flagged, key=lambda t: -t[3]):
-            print(f"  {q}: {o:.2f}s -> {n:.2f}s ({r:.2f}x)")
+            note = "" if n >= args.abs_floor else (
+                f"  [sub-floor: < {args.abs_floor}s]")
+            print(f"  {q}: {o:.2f}s -> {n:.2f}s ({r:.2f}x){note}")
     else:
         print(f"\nno query regressed past {args.flag}x "
               f"(at the {args.abs_floor}s floor)")

@@ -31,7 +31,8 @@ def test_roundtrip_exact_all_subframe_kinds():
     rng = random.Random(11)
     ch0 = [rng.randrange(-30000, 30000) for _ in range(777)]
     ch1 = [rng.randrange(-30000, 30000) for _ in range(777)]
-    for kind in ("verbatim", "fixed1", "lpc2"):
+    for kind in ("verbatim", "fixed1", "lpc2", "lpc8"):
+        # 777 = 4*192 + 9: the tail block is EXACTLY lpc8's warmup+1
         p = encode_flac([ch0, ch1], 44100, 16, block_size=192, subframe=kind)
         rate, nch, bits, chans = decode_flac(p)
         assert (rate, nch, bits) == (44100, 2, 16)
@@ -421,11 +422,11 @@ def test_flac_roundtrip_property():
             st.integers(min_value=-128, max_value=127), min_size=1, max_size=400
         ),
         bits=st.sampled_from([8, 16]),
-        kind=st.sampled_from(["verbatim", "fixed1", "lpc2", "auto"]),
+        kind=st.sampled_from(["verbatim", "fixed1", "lpc2", "lpc8", "auto"]),
         block=st.sampled_from([16, 192, 4096]),
     )
     def check(samples, bits, kind, block):
-        warmup = {"fixed1": 2, "lpc2": 3}
+        warmup = {"fixed1": 2, "lpc2": 3, "lpc8": 9}
         if kind in warmup and any(
             len(samples[s : s + block]) < warmup[kind]
             for s in range(0, len(samples), block)
@@ -649,3 +650,62 @@ def test_flac_synthesis_lpc2_short_tail_block_falls_back(spark, tmp_path):
     for doc_id, txt in rows:
         hx = txt.encode().hex().upper()
         assert got[doc_id] == (len(hx), sum(map(ord, hx))), doc_id
+
+
+def test_lpc8_emits_order8_subframe_and_gate_corpus_uses_it(spark, tmp_path):
+    """VERDICT r12 item 5: the gate corpus must exercise the decoder's
+    GENERAL LPC dot-product (order >= 8, different precision and shift
+    from the order-2 special case), not just lpc2. Pins (a) the lpc8
+    stream really carries an order-8 LPC subframe (stype 39 = 0x20 | 7 —
+    first subframe header byte after frame header + CRC-8), and (b) the
+    doc_id // 3 sub-rotation routes the ODD lpc slot byte-for-byte
+    through lpc8."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_server_spark.functions.multimodal import synthesize_flac_media
+
+    samples = [(i * 7) % 200 - 100 for i in range(500)]
+    p2 = encode_flac([samples], 8000, 8, subframe="lpc2")
+    p8 = encode_flac([samples], 8000, 8, subframe="lpc8")
+    assert decode_flac(p2)[3] == [samples]
+    assert decode_flac(p8)[3] == [samples]
+    assert p2 != p8  # different predictors, same exact decode
+
+    # subframe header: frames start after the 4-byte 'fLaC' marker +
+    # metadata; find the sync code, then the subframe type byte sits
+    # right after the 5-byte fixed header + utf8 frame no + 2-byte block
+    # size + CRC-8 (all byte-aligned here: blocking bit 16-bit path)
+    sync = p8.find(b"\xff\xf8")
+    assert sync >= 0
+    stype_byte = p8[sync + 4 + 1 + 2 + 1]  # hdr(4) + fno(1) + bs(2) + crc8
+    assert stype_byte >> 1 == 0x20 | 7  # order-8 LPC subframe
+
+    rows = [(2, "x" * 64), (5, "y" * 64)]  # lpc slots: even -> lpc2, odd -> lpc8
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["t"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    payloads = {
+        r.media_id: bytes(r.payload)
+        for r in synthesize_flac_media(docs).collect()
+    }
+    for doc_id, txt in rows:
+        hx = txt.encode().hex().upper()
+        want_kind = "lpc2" if (doc_id // 3) % 2 == 0 else "lpc8"
+        want = encode_flac(
+            [[ord(c) - 128 for c in hx]],
+            sample_rate=8000 + 1000 * (doc_id % 4),
+            bits=8,
+            subframe=want_kind,
+        )
+        assert payloads[doc_id] == want, (doc_id, want_kind)

@@ -53,19 +53,19 @@ def _green_history() -> set[str]:
 
 
 def test_priority_names_all_registered():
-    from hive_server_spark.gate import DRIVER_PRIORITY_R12
+    from hive_server_spark.gate import DRIVER_PRIORITY_R13
     from hive_server_spark.registry import _SPARK_QUERIES
 
-    missing = [n for n in DRIVER_PRIORITY_R12 if n not in _SPARK_QUERIES]
+    missing = [n for n in DRIVER_PRIORITY_R13 if n not in _SPARK_QUERIES]
     assert not missing, f"priority names not registered: {missing}"
-    assert len(DRIVER_PRIORITY_R12) == len(set(DRIVER_PRIORITY_R12)), "dup names"
+    assert len(DRIVER_PRIORITY_R13) == len(set(DRIVER_PRIORITY_R13)), "dup names"
 
 
 def test_window_is_exactly_the_priority_list():
-    from hive_server_spark.gate import DRIVER_PRIORITY_R12
+    from hive_server_spark.gate import DRIVER_PRIORITY_R13
 
     names = _registered_names()
-    assert names[:WINDOW] == DRIVER_PRIORITY_R12
+    assert names[:WINDOW] == DRIVER_PRIORITY_R13
 
 
 def test_every_query_outside_window_has_prior_green_row():
@@ -79,6 +79,33 @@ def test_every_query_outside_window_has_prior_green_row():
     assert not unchecked, (
         "queries outside the driver window with no prior green CORRECTNESS "
         f"row (front-load them in DRIVER_PRIORITY): {unchecked}"
+    )
+
+
+def test_no_bare_mkdtemp_outside_session_scratch():
+    """Every scratch/landing dir in the query packs must live under the
+    PID-reaped ``session_scratch`` root (VERDICT r12 item 3): a bare
+    ``tempfile.mkdtemp(prefix=...)`` accumulates in /tmp across gate and
+    bench runs with nothing to reclaim it. ``mkdtemp(dir=session_scratch(
+    ...))`` keeps per-invocation uniqueness (streaming checkpoints must
+    not be reused) while bounding /tmp to one root per live process."""
+    import re
+
+    pkg = os.path.join(REPO, "hive_server_spark")
+    offenders = []
+    for dirpath, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            with open(path) as f:
+                for i, line in enumerate(f, 1):
+                    if "mkdtemp(" not in line or line.lstrip().startswith("#"):
+                        continue
+                    if not re.search(r"mkdtemp\(\s*dir=session_scratch", line):
+                        offenders.append(f"{os.path.relpath(path, REPO)}:{i}")
+    assert not offenders, (
+        f"bare mkdtemp outside session_scratch: {offenders}"
     )
 
 
