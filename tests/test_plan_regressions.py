@@ -123,6 +123,17 @@ def test_no_sort_merge_join_anywhere_in_gate(spark):
         # shuffle join that reuses the aggregates' partitioning is the
         # correct plan; the banded candidate tail upstream stays
         # BHJ/bounded exactly like the registered fp gates
+        "multimodal_bundle_neardup",  # the final fused assembly: docs
+        # LEFT OUTER ⋈ per-modality partner tables on doc_id. Each
+        # partner table is a per-document aggregate over verified
+        # near-dup pairs — O(near-dup docs), corpus-derived and
+        # unbounded at 100 TB (the video_curation keep-verdict
+        # argument, one hop further: three modality legs instead of
+        # one) — and exits a doc_id-keyed groupBy already hash-
+        # partitioned on the join key, so the co-partitioned shuffle
+        # join reuses that partitioning with no extra exchange; the
+        # banded candidate tails upstream stay BHJ/bounded exactly
+        # like the registered per-modality gates
         "emb_ivfpq_batch_topk",  # the batch read path inherits exactly
         # the emb_ivfpq_topk shape: codes ⋈ candidate restriction and
         # candidates ⋈ decoded sub-codes, all vec_id-keyed and corpus-
