@@ -85,8 +85,7 @@ def main() -> None:
                 f"  [sub-floor: < {args.abs_floor}s]")
             print(f"  {q}: {o:.2f}s -> {n:.2f}s ({r:.2f}x){note}")
     else:
-        print(f"\nno query regressed past {args.flag}x "
-              f"(at the {args.abs_floor}s floor)")
+        print(f"\nno query regressed past {args.flag}x (no absolute floor)")
 
 
 if __name__ == "__main__":
