@@ -1822,3 +1822,126 @@ def emb_ivf_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     census, which must equal the full-corpus rebuild (see block
     comment)."""
     return streamed_ivf_census(spark, sf_dir, chunks=2)
+
+
+# ---------------------------------------------------------------------------
+# Streaming PQ-codes ingest (round-13 second pass; REGISTRATION STAGED
+# FOR ROUND 15 — the round-14 window is exactly full per the rotation
+# note in gate.py; flip the commented @register). Completes the
+# streaming leg of the PQ lifecycle the same way emb_ivf_streaming
+# completed it for the coarse index: train (emb_pq_train) -> encode
+# (emb_pq_codes) -> serve (emb_pq_adc_topk / ivfpq) -> maintain
+# batch-incrementally (emb_pq_incremental) -> and now maintain under
+# ARRIVAL-TIME ingest. Embeddings land in vec_id-ordered micro-batches;
+# batch 0 freezes the sub-quantizer codebook (the vec_id < ksub seed
+# convention every PQ query here uses, guarded to fail loudly if the
+# seed batch is short — the emb_ivf_streaming ADVICE r12 contract);
+# every batch encodes ONLY its own vectors against the read-back
+# codebook and APPENDS its codes to the versioned parquet state store.
+#
+# Exactness argument: assignment is a pure per-(vector, subspace)
+# function of (v, codebook) with the deterministic (d2, cid) struct-min
+# tie-break and per-subspace micro-flooring BEFORE the per-vector sum —
+# exactly pq_codes_from_vecs — so batch-encoded rows are bit-identical
+# to full-rebuild rows, and the union of disjoint per-vector row sets
+# IS the merge. Final codes table ≡ the full-corpus rebuild, which is
+# emb_pq_codes' DuckDB oracle. Replay: the append is NOT idempotent, so
+# the already_applied guard is load-bearing (same as the docs/media
+# ingest twins' flags append); the codebook freeze is idempotent but
+# guarded anyway to skip replay work.
+#
+# Scale: per micro-batch the work is a broadcast of the ksub×m
+# sub-codebook + one map-side-combined hash aggregate over the BATCH
+# (bounded m-row explode per vector, no corpus rescan, no self-join);
+# state grows by exactly the batch's row count — codes are storage, not
+# compute. At 100 TB the stream encodes at arrival speed and the prior
+# codes table is never rewritten.
+# ---------------------------------------------------------------------------
+# round 15 (flip both lines):
+# from hive_server_spark.functions.embeddings import pq_codes_oracle
+# @register("emb_pq_streaming", pq_codes_oracle())
+def emb_pq_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the embedding corpus in vec_id-ordered chunks, freeze the
+    PQ sub-quantizer codebook at batch 0, encode each batch against the
+    read-back codebook, and append to the versioned codes store; return
+    the final codes table, which must equal the full-corpus rebuild
+    (see block comment)."""
+    return streamed_pq_codes(spark, sf_dir, chunks=2)
+
+
+def streamed_pq_codes(
+    spark: SparkSession, sf_dir: str, chunks: int = 2
+) -> DataFrame:
+    """Run the PQ encode over the embedding corpus landed in `chunks`
+    vec_id-ordered micro-batches; returns the final codes table
+    (vec_id, pq_code, distortion_micro, n_subspaces), which must equal
+    the full-corpus rebuild."""
+    from hive_server_spark.functions import embeddings as _E
+    from hive_server_spark.streaming.incremental import (
+        ParquetStateStore,
+        await_stream_with_retry,
+    )
+
+    work = tempfile.mkdtemp(dir=session_scratch("pq_stream"))
+    d = _land_embeddings(spark, sf_dir, chunks)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    ckpt = os.path.join(work, "ckpt")
+    cb_store = ParquetStateStore(os.path.join(work, "codebook"), run_id=ckpt)
+    codes_store = ParquetStateStore(os.path.join(work, "codes"), run_id=ckpt)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        vec = _E._vecs(batch_df).select("vec_id", "v")
+        # batch 0 freezes the sub-quantizer codebook (vec_id-ordered
+        # landing guarantees the seed ids arrive first); later batches
+        # read it back — never re-derive seeds from their own slice
+        if cb_store.latest(ss) is None:
+            if not cb_store.already_applied(batch_id):
+                cb_store.commit(
+                    vec.where(F.col("vec_id") < _E.PQ_KSUB).select(
+                        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+                    ),
+                    batch_id,
+                )
+                # a short seed batch would freeze an incomplete codebook
+                # and silently diverge from the rebuild — fail loudly
+                # (the emb_ivf_streaming ADVICE r12 contract)
+                n_seed = cb_store.latest(ss).count()
+                if n_seed != _E.PQ_KSUB:
+                    raise ValueError(
+                        f"PQ seed batch incomplete: batch 0 carried "
+                        f"{n_seed} of the {_E.PQ_KSUB} seed vectors "
+                        f"(vec_id < {_E.PQ_KSUB}); increase the batch "
+                        f"size or reduce chunks"
+                    )
+        cb = cb_store.latest(ss)
+        # encode THIS batch only and append: per-vector rows are
+        # disjoint across batches, so the union IS the merge. Appends
+        # are NOT idempotent — the guard is load-bearing on replay.
+        if not codes_store.already_applied(batch_id):
+            batch_codes = _E.pq_codes_from_vecs(vec, cent=cb)
+            prev = codes_store.latest(ss)
+            codes_store.commit(
+                batch_codes if prev is None else prev.unionByName(batch_codes),
+                batch_id,
+            )
+
+    with _scoped_shuffle_partitions(spark):
+        writer = (
+            stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+        )
+        await_stream_with_retry(writer.start)
+    out = codes_store.latest(spark)
+    return out.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("pq_code").cast("bigint").alias("pq_code"),
+        F.col("distortion_micro").cast("bigint").alias("distortion_micro"),
+        F.col("n_subspaces").cast("bigint").alias("n_subspaces"),
+    )

@@ -761,3 +761,38 @@ def test_emb_ivf_streaming_chunk_invariance_and_rebuild_equality(spark):
     for cid, row in one.items():
         for a, b in zip(row, orc[cid]):
             assert a == b or abs(a - b) < 1e-12, (cid, row, orc[cid])
+
+
+def test_emb_pq_streaming_chunk_invariance_and_rebuild_equality(spark):
+    """The (round-15 staged) streaming PQ-codes ingest: the final codes
+    table must be micro-batch-boundary invariant (1 vs 3 vec_id-ordered
+    chunks), equal emb_pq_codes' full-corpus rebuild row-for-row, and
+    match the DuckDB full-rebuild oracle."""
+    import duckdb
+
+    from hive_server_spark.functions.embeddings import pq_codes_oracle
+    from hive_server_spark.plans.embedding_pack import emb_pq_codes
+    from hive_server_spark.plans.streaming_pack import streamed_pq_codes
+    from tests.conftest import SF_SMALL
+
+    one = {
+        r.vec_id: tuple(r)
+        for r in streamed_pq_codes(spark, SF_SMALL, chunks=1).collect()
+    }
+    three = {
+        r.vec_id: tuple(r)
+        for r in streamed_pq_codes(spark, SF_SMALL, chunks=3).collect()
+    }
+    assert one == three and len(one) > 0
+
+    full = {
+        r.vec_id: tuple(r) for r in emb_pq_codes(spark, SF_SMALL).collect()
+    }
+    assert one == full
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_SMALL}/embeddings.parquet'"
+    )
+    orc = {r[0]: tuple(r) for r in con.execute(pq_codes_oracle()).fetchall()}
+    assert orc == one
