@@ -1945,3 +1945,206 @@ def streamed_pq_codes(
         F.col("distortion_micro").cast("bigint").alias("distortion_micro"),
         F.col("n_subspaces").cast("bigint").alias("n_subspaces"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming DELETE ingest into positional deletion vectors (round-13
+# second pass; REGISTRATION STAGED FOR ROUND 15 — flip the commented
+# lines). Completes the lakehouse-layout family's streaming leg the way
+# the ingest twins completed text/media/embeddings: layout_zorder
+# clusters, layout_compaction compacts, layout_zonemap prunes,
+# layout_deletion_vectors mutates ONE-SHOT, layout_snapshot_expiry
+# expires — and THIS maintains the deletion vectors under arrival-time
+# ingest, the shape a CDC-fed lakehouse table actually runs (a stream
+# of row-level DELETEs folding into per-file position bitmaps without
+# rewriting data files).
+#
+# Events land in event_id-ordered micro-batches. A row's deleted
+# POSITION is its rank within its 512-row file across the WHOLE table,
+# so a file whose rows straddle a batch boundary needs cross-batch
+# state: the counts store carries per-file (n_rows, n_deleted,
+# pos_checksum) as a SUM monoid, and each batch offsets its local
+# row_number by the prior n_rows for that file — id-ordered landing
+# guarantees a file's rows arrive in rank order, so offset + local rank
+# IS the global position. Deleted positions append to the delpos store
+# (disjoint across batches by construction); the final report groups
+# them into the ordered-position md5 and joins the counts — and must
+# equal layout_deletion_vectors' one-shot DELETE row for row, which is
+# why it shares that query's DuckDB oracle.
+#
+# Replay discipline: BOTH commits are guarded, and the delpos append
+# commits FIRST — it is computed from the PRE-merge offsets, so a crash
+# between the two commits replays into delpos-skip + counts-recompute
+# against the still-unmerged counts state (same offsets, same result).
+# Committing counts first would poison a replay: the recomputed offsets
+# would include the batch's own rows. Sums and appends are not
+# idempotent; the guards are load-bearing.
+#
+# Scale: per batch the work is one local row_number window (partitioned
+# by file_id WITHIN the batch — bounded by batch size, never the
+# corpus), one broadcast-sized offsets join (touched files only), one
+# map-side-combined counts aggregate, and an append of the batch's own
+# deleted positions; state is per-file counters + per-delete rows
+# (positions, not payloads). Prior batches are never rescanned. At
+# 100 TB this ingests at CDC arrival speed; the one-shot DELETE's scan
+# cost is amortized across triggers.
+# ---------------------------------------------------------------------------
+from hive_server_spark.plans.sources_pack import (  # noqa: E402
+    _DV_PRED,
+    _ZM_FILE_ROWS,
+)
+
+
+def _land_events_by_id(spark: SparkSession, sf_dir: str, chunks: int) -> str:
+    """Events range-partitioned by event_id into `chunks` files with
+    ascending mtimes — the _land_documents protocol for the raw events
+    table (event_id-ordered delivery, so per-file ranks arrive in
+    order)."""
+
+    def land() -> str:
+        d = os.path.join(tempfile.mkdtemp(dir=session_scratch("dv_land")), "ev")
+        load_table(spark, sf_dir, "events").repartitionByRange(
+            chunks, "event_id"
+        ).write.parquet(d)
+        _stamp_ascending_mtimes(sorted(glob.glob(os.path.join(d, "part-*.parquet"))))
+        return d
+
+    return _LANDED.get_or_create(spark, ("events_by_id", sf_dir, chunks), land)
+
+
+def streamed_deletion_vectors(
+    spark: SparkSession, sf_dir: str, chunks: int = 2
+) -> DataFrame:
+    """Run the predicate DELETE over the events table landed in `chunks`
+    event_id-ordered micro-batches, maintaining per-file deletion-vector
+    state incrementally; returns the final per-touched-file report
+    (file_id, n_rows, n_deleted, n_live, pos_checksum, dv_md5), which
+    must equal the one-shot layout_deletion_vectors."""
+    from pyspark.sql import Window
+
+    from hive_server_spark.streaming.incremental import (
+        ParquetStateStore,
+        await_stream_with_retry,
+    )
+
+    work = tempfile.mkdtemp(dir=session_scratch("dv_stream"))
+    d = _land_events_by_id(spark, sf_dir, chunks)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    ckpt = os.path.join(work, "ckpt")
+    counts_store = ParquetStateStore(os.path.join(work, "counts"), run_id=ckpt)
+    delpos_store = ParquetStateStore(os.path.join(work, "delpos"), run_id=ckpt)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        ev = batch_df.select(
+            F.expr(f"event_id DIV {_ZM_FILE_ROWS}").alias("file_id"),
+            "event_id",
+            F.expr(f"({_DV_PRED})").alias("deleted"),
+        )
+        w = Window.partitionBy("file_id").orderBy("event_id")
+        loc = ev.withColumn("rn", F.row_number().over(w))
+        prior = counts_store.latest(ss)
+        if prior is None:
+            pos = loc.withColumn("pos", F.col("rn").cast("bigint"))
+        else:
+            pos = loc.join(
+                prior.select("file_id", F.col("n_rows").alias("off")),
+                "file_id",
+                "left",
+            ).withColumn(
+                "pos",
+                (F.col("rn") + F.coalesce(F.col("off"), F.lit(0))).cast(
+                    "bigint"
+                ),
+            )
+        # persist(): the delpos append and the counts merge are two Spark
+        # actions over the same positioned batch — without the cache each
+        # would re-run the window + offsets join
+        pos = pos.persist()
+        try:
+            # 1. append this batch's deleted positions (PRE-merge offsets;
+            #    see the replay-discipline block comment — this MUST
+            #    commit before the counts merge)
+            if not delpos_store.already_applied(batch_id):
+                dels = pos.where("deleted").select("file_id", "pos")
+                prev = delpos_store.latest(ss)
+                delpos_store.commit(
+                    dels if prev is None else prev.unionByName(dels), batch_id
+                )
+            # 2. fold the batch's per-file counters into the SUM monoid
+            if not counts_store.already_applied(batch_id):
+                part = pos.groupBy("file_id").agg(
+                    F.count("*").cast("bigint").alias("n_rows"),
+                    F.sum(F.when(F.col("deleted"), 1).otherwise(0))
+                    .cast("bigint")
+                    .alias("n_deleted"),
+                    F.coalesce(
+                        F.sum(F.when(F.col("deleted"), F.col("pos"))),
+                        F.lit(0),
+                    )
+                    .cast("bigint")
+                    .alias("pos_checksum"),
+                )
+                cur = counts_store.latest(ss)
+                merged = (
+                    part
+                    if cur is None
+                    else cur.unionByName(part)
+                    .groupBy("file_id")
+                    .agg(
+                        F.sum("n_rows").cast("bigint").alias("n_rows"),
+                        F.sum("n_deleted").cast("bigint").alias("n_deleted"),
+                        F.sum("pos_checksum")
+                        .cast("bigint")
+                        .alias("pos_checksum"),
+                    )
+                )
+                counts_store.commit(merged, batch_id)
+        finally:
+            pos.unpersist()
+
+    with _scoped_shuffle_partitions(spark):
+        writer = (
+            stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+        )
+        await_stream_with_retry(writer.start)
+
+    counts = counts_store.latest(spark)
+    delpos = delpos_store.latest(spark)
+    dv = delpos.groupBy("file_id").agg(
+        F.md5(
+            F.array_join(F.sort_array(F.collect_list("pos")), ",")
+        ).alias("dv_md5")
+    )
+    return (
+        counts.where(F.col("n_deleted") > 0)
+        .join(dv, "file_id")
+        .select(
+            F.col("file_id").cast("bigint").alias("file_id"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_deleted").cast("bigint").alias("n_deleted"),
+            (F.col("n_rows") - F.col("n_deleted"))
+            .cast("bigint")
+            .alias("n_live"),
+            F.col("pos_checksum").cast("bigint").alias("pos_checksum"),
+            "dv_md5",
+        )
+    )
+
+
+# round 15 (flip both lines):
+# from hive_server_spark.plans.sources_pack import _DV_ORACLE
+# @register("layout_dv_streaming", _DV_ORACLE)
+def layout_dv_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the events table in event_id-ordered chunks, folding each
+    micro-batch's predicate DELETEs into per-file deletion-vector state;
+    return the final per-touched-file report, which must equal the
+    one-shot layout_deletion_vectors (see block comment)."""
+    return streamed_deletion_vectors(spark, sf_dir, chunks=2)

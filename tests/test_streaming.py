@@ -796,3 +796,43 @@ def test_emb_pq_streaming_chunk_invariance_and_rebuild_equality(spark):
     )
     orc = {r[0]: tuple(r) for r in con.execute(pq_codes_oracle()).fetchall()}
     assert orc == one
+
+
+def test_layout_dv_streaming_chunk_invariance_and_oneshot_equality(spark):
+    """The (round-15 staged) streaming DELETE ingest: the final
+    deletion-vector report must be micro-batch-boundary invariant (1 vs
+    3 event_id-ordered chunks — 3 forces files to straddle batch
+    boundaries, exercising the cross-batch position offsets), equal the
+    one-shot layout_deletion_vectors row-for-row, and match the DuckDB
+    oracle."""
+    import duckdb
+
+    from hive_server_spark.plans.sources_pack import (
+        _DV_ORACLE,
+        layout_deletion_vectors,
+    )
+    from hive_server_spark.plans.streaming_pack import streamed_deletion_vectors
+    from tests.conftest import SF_SMALL
+
+    one = {
+        r.file_id: tuple(r)
+        for r in streamed_deletion_vectors(spark, SF_SMALL, chunks=1).collect()
+    }
+    three = {
+        r.file_id: tuple(r)
+        for r in streamed_deletion_vectors(spark, SF_SMALL, chunks=3).collect()
+    }
+    assert one == three and len(one) > 0
+
+    oneshot = {
+        r.file_id: tuple(r)
+        for r in layout_deletion_vectors(spark, SF_SMALL).collect()
+    }
+    assert one == oneshot
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMALL}/events.parquet'"
+    )
+    orc = {r[0]: tuple(r) for r in con.execute(_DV_ORACLE).fetchall()}
+    assert orc == one
