@@ -522,3 +522,101 @@ def test_media_pipeline_script_end_to_end(spark, tmp_path, monkeypatch, capsys):
         ).collect()
     )
     assert stream_rows == batch_rows
+
+
+def test_embedding_pipeline_script_end_to_end(spark, tmp_path, monkeypatch, capsys):
+    """The composed ANN-index run (scripts/run_embedding_pipeline.py)
+    must execute the full lifecycle (audit, semantic dedup, coarse + PQ
+    training, index build, encode, serve, recall audit), write the index
+    artifacts, and — under --incremental — produce IDENTICAL artifacts
+    through the streaming ingest paths (the ingest-equals-rebuild
+    contract, composed end-to-end)."""
+    import os
+    import runpy
+    import sys
+
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)),
+        "scripts", "run_embedding_pipeline.py",
+    )
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_embedding_pipeline.py", "--sf-dir", SF_SMALL,
+         "--out", str(tmp_path)],
+    )
+    runpy.run_path(script, run_name="__main__")
+    out = capsys.readouterr().out
+    assert "ivf_census[batch]" in out
+    assert "batch ingest mode" in out
+    assert (tmp_path / "ivf_census" / "_SUCCESS").exists()
+    assert (tmp_path / "pq_codes" / "_SUCCESS").exists()
+
+    census_b = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "ivf_census")).collect()
+    )
+    codes_b = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "pq_codes")).collect()
+    )
+    assert len(census_b) > 0 and len(codes_b) > 0
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_embedding_pipeline.py", "--sf-dir", SF_SMALL,
+         "--out", str(tmp_path), "--incremental"],
+    )
+    runpy.run_path(script, run_name="__main__")
+    out2 = capsys.readouterr().out
+    assert "ivf_census[streaming]" in out2
+    assert "pq_codes[streaming]" in out2
+    assert "streaming ingest mode" in out2
+    census_s = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "ivf_census")).collect()
+    )
+    codes_s = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "pq_codes")).collect()
+    )
+    assert census_s == census_b
+    assert codes_s == codes_b
+
+
+def test_bench_compare_flags_subfloor_regressions(tmp_path, monkeypatch, capsys):
+    """VERDICT r12 item 4: the round-over-round sweep must list EVERY
+    query with a best-of-reps ratio over the flag threshold, regardless
+    of absolute time — the absolute floor only classifies a flag as
+    sub-floor host-noise class, it must never suppress the line (the r12
+    sweep silently dropped a 1.54x sub-floor flag exactly that way)."""
+    import json
+    import os
+    import runpy
+    import sys
+
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    old.write_text(json.dumps({"reps": [
+        {"queries": {"tiny": 0.10, "big": 2.0, "fine": 1.0},
+         "streaming_waves": {}},
+    ]}))
+    new.write_text(json.dumps({"reps": [
+        {"queries": {"tiny": 0.17, "big": 4.0, "fine": 1.0},
+         "streaming_waves": {}},
+    ]}))
+    monkeypatch.setattr(
+        sys, "argv", ["bench_compare.py", str(old), str(new)]
+    )
+    runpy.run_path(
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "scripts", "bench_compare.py"),
+        run_name="__main__",
+    )
+    out = capsys.readouterr().out
+    flagged = out.split("FLAGGED", 1)[1]
+    # the sub-floor 1.7x regression is LISTED and classified, not dropped
+    assert "tiny:" in flagged and "[sub-floor:" in flagged
+    # the above-floor regression is listed without the sub-floor class
+    big_line = [l for l in flagged.splitlines() if l.strip().startswith("big:")]
+    assert big_line and "[sub-floor:" not in big_line[0]
+    assert "fine:" not in flagged
