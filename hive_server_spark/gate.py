@@ -1071,15 +1071,18 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 # names in registration order (compute r14: CORRECTNESS_r10 keys minus
 # every r11/r12/r13 name and minus DRIVER_PRIORITY_R13, assuming r13
 # comes back green). 4 + 3 + 43 = 50 — clears r09 entirely and starts
-# draining r10; the remaining r10 names drain in r15 alongside the TWO
-# round-13-staged registrations (both in plans/streaming_pack.py, both
-# parity-tested and 10x/100x-probed — SCALE.md round-13 staged table;
-# flip both commented lines at each site):
-#   emb_pq_streaming (oracle pq_codes_oracle() — completes the PQ
-#   lifecycle's streaming leg)
-#   layout_dv_streaming (oracle _DV_ORACLE — completes the lakehouse-
-#   layout family's streaming leg: arrival-time DELETE ingest into
-#   positional deletion vectors)
+# draining r10; the remaining r10 names drain in r15 alongside the
+# THREE round-13-staged registrations (all parity-tested; the streaming
+# pair also 10x/100x-probed — SCALE.md round-13 staged table):
+#   emb_pq_streaming (plans/streaming_pack.py, oracle pq_codes_oracle()
+#   — completes the PQ lifecycle's streaming leg; flip both lines)
+#   layout_dv_streaming (plans/streaming_pack.py, oracle _DV_ORACLE —
+#   completes the lakehouse-layout family's streaming leg: arrival-time
+#   DELETE ingest into positional deletion vectors; flip both lines)
+#   layout_bucketed_join (plans/sources_pack.py, oracle
+#   _BUCKETED_ORACLE — pre-shuffled bucketBy storage, zero-exchange
+#   fact⋈dim join; already in the SMJ exemption list by design)
+# r15 window arithmetic: 3 + 7 remaining r10 + 40 oldest r11 = 50.
 # The 47 r09 names below are the first 47 of the list round 12 computed
 # (CORRECTNESS_r09 keys minus every later-green name), re-verified this
 # round against the r01-r12 correctness history.

@@ -123,6 +123,12 @@ def test_no_sort_merge_join_anywhere_in_gate(spark):
         # shuffle join that reuses the aggregates' partitioning is the
         # correct plan; the banded candidate tail upstream stays
         # BHJ/bounded exactly like the registered fp gates
+        "layout_bucketed_join",  # (staged r15) the SMJ is the POINT:
+        # both sides are bucketBy(8, custkey) tables, so the sort-merge
+        # join runs with ZERO exchange under it — the pre-shuffled
+        # co-located join bucketing exists to provide; the dedicated
+        # plan contract (only the final aggregate exchanges, both scans
+        # advertise Bucketed: true) is pinned in test_scale_utils.py
         "multimodal_bundle_neardup",  # the final fused assembly: docs
         # LEFT OUTER ⋈ per-modality partner tables on doc_id. Each
         # partner table is a per-document aggregate over verified

@@ -430,3 +430,39 @@ def test_snapshot_expiry_python_recompute_and_oracle(spark):
         for r in con.execute(_SNAPSHOT_EXPIRY_ORACLE).fetchall()
     }
     assert orc == got
+
+
+def test_bucketed_join_zero_exchange_and_oracle_parity(spark):
+    """The (round-15 staged) bucketed co-located join: both sides are
+    written bucketBy(8, custkey), so the fact⋈dim SortMergeJoin must run
+    with NO Exchange beneath it — the only Exchange in the whole plan is
+    the final per-segment aggregate — and the rollup must match the
+    plain-oracle join over the original parquet."""
+    import duckdb
+    import re
+
+    from hive_server_spark.plans.sources_pack import (
+        _BUCKETED_ORACLE,
+        layout_bucketed_join,
+    )
+
+    df = layout_bucketed_join(spark, SF_SMALL)
+    got = sorted(tuple(r) for r in df.collect())
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'")
+    want = sorted(tuple(r) for r in con.execute(_BUCKETED_ORACLE).fetchall())
+    assert got == want and len(got) > 0
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE prints initial + final plans; assertions below are copy-proof
+    # (counts are per-copy multiples, the exchange check is universal)
+    assert plan.count("SortMergeJoin") >= 1
+    # bucketed scans: both sides advertise the layout in every plan copy
+    assert plan.count("Bucketed: true") >= 2
+    assert plan.count("SelectedBucketsCount: 8 out of 8") >= 2
+    # the ONLY exchange is the c_mktsegment aggregate — none under the join
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert exchanges and all(e.startswith("c_mktsegment") for e in exchanges), (
+        exchanges
+    )
