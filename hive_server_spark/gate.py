@@ -1067,10 +1067,32 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 #   E.ivfpq_rerank_oracle())
 #   layout_snapshot_expiry (plans/sources_pack.py, oracle
 #   _SNAPSHOT_EXPIRY_ORACLE)
-# (2) then the 3-name r09 spill above, (3) then the 43 OLDEST r10-green
-# names in registration order (compute r14: CORRECTNESS_r10 keys minus
-# every r11/r12/r13 name and minus DRIVER_PRIORITY_R13, assuming r13
-# comes back green). 4 + 3 + 43 = 50 — clears r09 entirely and starts
+# (2) then the 3-name r09 spill above, (3) then the FIRST 43 of the 50
+# r10-green names below (computed THIS round from the r01-r12 history —
+# the r13 window contains no r10 names, so the list cannot change when
+# CORRECTNESS_r13 lands; the last 7 spill to r15). The 50 r10 names, in
+# registration order:
+#   orders_state, latest_price, market_orders_t2, rel_approx_sketches,
+#   dq_lineitem_report, evt_winsor_stats, rel_mad_by_priority,
+#   evt_hourly_rollup, evt_props_stats, evt_funnel_cohorts,
+#   evt_top_users, evt_type_pivot, evt_retention_matrix,
+#   evt_mad_outliers, emb_kmeans_update, emb_semantic_dedup,
+#   emb_pca_moments, emb_ivf_build, emb_norm_audit,
+#   text_kept_token_shards, text_bpe_token_stats, text_doc_novelty,
+#   text_pii_scrub, text_bm25_topk, text_c4_filters, text_source_mixing,
+#   text_length_buckets, dedup_minhash_accuracy, dedup_canonical_quality,
+#   text_rag_chunks, text_lang_confusion, layout_zorder_manifest,
+#   src_partitioned_roundtrip, udf_alpha_quality,
+#   udf_user_centered_values, multimodal_decode_profile,
+#   multimodal_resize_profile, multimodal_audio_profile,
+#   multimodal_corrupt_audit, multimodal_audio_features,
+#   multimodal_phash_neardup, multimodal_audio_fp_neardup,
+#   multimodal_video_profile,
+#   [r15 spill:] evt_hourly_rollup_streaming, evt_sessions_streaming,
+#   evt_stream_stream_join, evt_dedup_rollup_streaming,
+#   evt_stream_static_enrich, docs_ingest_streaming,
+#   docs_neardup_incremental
+# 4 + 3 + 43 = 50 — clears r09 entirely and starts
 # draining r10; the remaining r10 names drain in r15 alongside the
 # THREE round-13-staged registrations (all parity-tested; the streaming
 # pair also 10x/100x-probed — SCALE.md round-13 staged table):
@@ -1082,7 +1104,8 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 #   layout_bucketed_join (plans/sources_pack.py, oracle
 #   _BUCKETED_ORACLE — pre-shuffled bucketBy storage, zero-exchange
 #   fact⋈dim join; already in the SMJ exemption list by design)
-# r15 window arithmetic: 3 + 7 remaining r10 + 40 oldest r11 = 50.
+# r15 window arithmetic: 3 + the 7-name r10 spill above + 40 oldest r11
+# names = 50.
 # The 47 r09 names below are the first 47 of the list round 12 computed
 # (CORRECTNESS_r09 keys minus every later-green name), re-verified this
 # round against the r01-r12 correctness history.
