@@ -808,6 +808,14 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple:
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         names = (f"orders_bkt_{tag}", f"customer_bkt_{tag}")
         work = session_scratch(f"bucketed_{tag}")
+        # ADVICE r13: with a persistent metastore the catalog entry can
+        # outlive its scratch-rooted data (the files die at interpreter
+        # exit, the DROP in-session does not run across processes) — a
+        # later session resolving the stale name would read a dangling
+        # location. Drop first so catalog state and backing files re-sync
+        # on every land, whatever metastore the session carries.
+        for n in names:
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
         (
             load_table(spark, sf_dir, "orders")
             .select("o_orderkey", "o_custkey", "o_totalprice")

@@ -949,6 +949,9 @@ def docs_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = ParquetStateStore(os.path.join(work, "state"))
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # no-freeze: exact-dedup ingest state is a pure content-derived
+        # monoid — there is no batch-0 bootstrap artifact to freeze, so
+        # commit_seed_state does not apply (static audit: test_streaming).
         # exactly-once over at-least-once replay: a crash between
         # store.commit and the checkpoint commit re-delivers this batch_id;
         # merging it twice would double-count group_size/total_tokens
@@ -1078,6 +1081,9 @@ def streamed_docs_neardup(
     flags_store = ParquetStateStore(os.path.join(work, "flags"), run_id=ckpt)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # no-freeze: the band index is a MIN semilattice over content
+        # hashes — no id-windowed bootstrap artifact exists, so
+        # commit_seed_state does not apply (static audit: test_streaming).
         ss = batch_df.sparkSession
         bands = _doc_bands(batch_df)
         # 1. merge the batch into the band index (MIN semilattice). The
@@ -1315,6 +1321,8 @@ def start_cms_stream(
     store = ParquetStateStore(os.path.join(work, "state"), run_id=ckpt)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # no-freeze: the CMS sketch is a counter-matrix SUM monoid — no
+        # batch-0 seed artifact, commit_seed_state does not apply.
         if store.already_applied(batch_id):
             return
         part = _cms_partial(batch_df)
@@ -1415,6 +1423,8 @@ def start_hll_stream(
     store = ParquetStateStore(os.path.join(work, "hll_state"), run_id=ckpt)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # no-freeze: the HLL register state is a MAX semilattice — no
+        # batch-0 seed artifact, commit_seed_state does not apply.
         if store.already_applied(batch_id):
             return
         part = _hll_partial(batch_df)
@@ -1497,6 +1507,8 @@ def start_cusum_stream(
     store = ParquetStateStore(os.path.join(work, "cusum_state"), run_id=ckpt)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # no-freeze: the CUSUM partials fold as an ordered-segment monoid
+        # — no batch-0 seed artifact, commit_seed_state does not apply.
         if store.already_applied(batch_id):
             return
         part = _cusum_partial(batch_df)
@@ -1617,6 +1629,9 @@ def streamed_media_neardup(
     flags_store = ParquetStateStore(os.path.join(work, "flags"), run_id=ckpt)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # no-freeze: the dHash band index is a MIN semilattice — no
+        # id-windowed bootstrap artifact, commit_seed_state does not
+        # apply (static audit: test_streaming).
         ss = batch_df.sparkSession
         # decode THIS batch only: synthesize -> T.81 decode -> dHash, at
         # full parallelism (the landed chunk is one file = one partition).
@@ -1750,6 +1765,7 @@ def streamed_ivf_census(
     from hive_server_spark.streaming.incremental import (
         ParquetStateStore,
         await_stream_with_retry,
+        commit_seed_state,
     )
 
     work = tempfile.mkdtemp(dir=session_scratch("ivf_stream"))
@@ -1772,25 +1788,20 @@ def streamed_ivf_census(
         # back — never re-derive seeds from their own slice
         if cent_store.latest(ss) is None:
             if not cent_store.already_applied(batch_id):
-                cent_store.commit(
+                # ADVICE r12: the freeze assumes ALL k seed ids landed in
+                # batch 0 (vec_id-ordered landing); the helper counts the
+                # seed rows BEFORE committing (ADVICE r13), so an
+                # incomplete quantizer is never persisted and every
+                # replay re-hits the completeness check.
+                commit_seed_state(
+                    cent_store,
+                    batch_id,
                     vec.where(F.col("vec_id") < _IVF_K).select(
                         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
                     ),
-                    batch_id,
+                    _IVF_K,
+                    f"IVF (vec_id < {_IVF_K})",
                 )
-                # ADVICE r12: the freeze assumes ALL k seed ids landed in
-                # batch 0 (vec_id-ordered landing). If the corpus slice is
-                # shorter than k the frozen quantizer would be silently
-                # incomplete and the census would diverge from the rebuild
-                # with no error — fail loudly instead.
-                n_seed = cent_store.latest(ss).count()
-                if n_seed != _IVF_K:
-                    raise ValueError(
-                        f"IVF seed batch incomplete: batch 0 carried "
-                        f"{n_seed} of the {_IVF_K} seed vectors "
-                        f"(vec_id < {_IVF_K}); increase the batch size or "
-                        f"reduce chunks"
-                    )
         cent = cent_store.latest(ss)
         # additive census fold: sums are not idempotent — the guard is
         # load-bearing on replay
@@ -1880,6 +1891,7 @@ def streamed_pq_codes(
     from hive_server_spark.streaming.incremental import (
         ParquetStateStore,
         await_stream_with_retry,
+        commit_seed_state,
     )
 
     work = tempfile.mkdtemp(dir=session_scratch("pq_stream"))
@@ -1902,23 +1914,20 @@ def streamed_pq_codes(
         # read it back — never re-derive seeds from their own slice
         if cb_store.latest(ss) is None:
             if not cb_store.already_applied(batch_id):
-                cb_store.commit(
+                # a short seed batch would freeze an incomplete codebook
+                # and silently diverge from the rebuild; the helper
+                # counts the seed rows BEFORE committing (ADVICE r13) so
+                # an incomplete codebook is never persisted and every
+                # replay re-hits the check
+                commit_seed_state(
+                    cb_store,
+                    batch_id,
                     vec.where(F.col("vec_id") < _E.PQ_KSUB).select(
                         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
                     ),
-                    batch_id,
+                    _E.PQ_KSUB,
+                    f"PQ (vec_id < {_E.PQ_KSUB})",
                 )
-                # a short seed batch would freeze an incomplete codebook
-                # and silently diverge from the rebuild — fail loudly
-                # (the emb_ivf_streaming ADVICE r12 contract)
-                n_seed = cb_store.latest(ss).count()
-                if n_seed != _E.PQ_KSUB:
-                    raise ValueError(
-                        f"PQ seed batch incomplete: batch 0 carried "
-                        f"{n_seed} of the {_E.PQ_KSUB} seed vectors "
-                        f"(vec_id < {_E.PQ_KSUB}); increase the batch "
-                        f"size or reduce chunks"
-                    )
         cb = cb_store.latest(ss)
         # encode THIS batch only and append: per-vector rows are
         # disjoint across batches, so the union IS the merge. Appends
@@ -2040,6 +2049,9 @@ def streamed_deletion_vectors(
     delpos_store = ParquetStateStore(os.path.join(work, "delpos"), run_id=ckpt)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # no-freeze: per-file counts are a SUM monoid with the offset
+        # discipline below — no batch-0 seed artifact,
+        # commit_seed_state does not apply.
         ss = batch_df.sparkSession
         ev = batch_df.select(
             F.expr(f"event_id DIV {_ZM_FILE_ROWS}").alias("file_id"),

@@ -129,8 +129,14 @@ def session_scratch(name: str) -> str:
         # alone is not enough (ADVICE r12): a recycled PID belonging to
         # an unrelated live process would shield a stale root forever,
         # so roots older than _SCRATCH_MAX_AGE_S are reclaimed
-        # regardless — no gate/bench process legitimately lives that
-        # long, which bounds /tmp growth even under PID reuse.
+        # regardless — and because every session_scratch() call below
+        # refreshes the owning root's mtime (ADVICE r13: the root's
+        # st_mtime is otherwise set at creation and never advances —
+        # later writes land in subdirectories — so a legitimately live
+        # long-soak process would cross the cutoff and lose its live
+        # streaming checkpoints to a newly started sweeper), "older than
+        # the cutoff" genuinely means "no session_scratch call in 2
+        # days", which no live gate/bench process exhibits.
         import time
 
         now = time.time()
@@ -152,6 +158,12 @@ def session_scratch(name: str) -> str:
         _SCRATCH_ROOT = os.path.join(tmp, f"hss_scratch_{os.getpid()}")
         os.makedirs(_SCRATCH_ROOT, exist_ok=True)
         atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    # keep the age-based sweep honest: touch the root on every call so a
+    # live process's root never looks abandoned (see the sweep comment)
+    try:
+        os.utime(_SCRATCH_ROOT)
+    except OSError:
+        pass  # root raced away (concurrent sweep); recreated below
     path = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(path, exist_ok=True)
     return path

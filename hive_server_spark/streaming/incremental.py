@@ -427,6 +427,37 @@ def await_stream_with_retry(start_query, attempts: int = 3, backoff_s: float = 2
     raise last
 
 
+def commit_seed_state(
+    store: ParquetStateStore,
+    batch_id: int,
+    seed_df: DataFrame,
+    expected_rows: int,
+    what: str,
+) -> None:
+    """Freeze batch 0's seed state (an IVF coarse quantizer, a PQ
+    sub-codebook — any id-windowed bootstrap artifact) into `store`,
+    verifying completeness BEFORE the commit.
+
+    The count must run on the un-committed seed DataFrame: counting the
+    store AFTER commit (the original guard shape, ADVICE r13) leaves a
+    hole — a transient py4j failure between the commit and the count
+    replays batch 0, `latest()` is no longer None, the freeze branch is
+    skipped, and the run proceeds on the committed incomplete codebook
+    with no error. Raising pre-commit means an incomplete seed state is
+    never persisted, so every replay re-derives the seed set and re-hits
+    this check. Every streaming ingest that freezes batch-0 state MUST go
+    through this helper (or carry a written no-freeze note) —
+    tests/test_streaming.py audits the foreachBatch sites statically."""
+    n_seed = seed_df.count()
+    if n_seed != expected_rows:
+        raise ValueError(
+            f"{what} seed batch incomplete: batch 0 carried {n_seed} of "
+            f"the {expected_rows} seed rows; increase the batch size or "
+            f"reduce chunks"
+        )
+    store.commit(seed_df, batch_id)
+
+
 def run_incremental_fold(
     spark: SparkSession,
     events_stream: DataFrame,
