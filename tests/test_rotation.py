@@ -118,3 +118,51 @@ def test_every_query_has_a_coverage_row():
         text = f.read()
     missing = [n for n in _registered_names() if n not in text]
     assert not missing, f"queries with no COVERAGE.md mention: {missing}"
+
+
+def test_rotation_staleness_bounded():
+    """VERDICT r13 item 4: as the registry outgrows the 50-slot driver
+    window, a mis-executed rotation (or simple creep) could leave some
+    registered query unchecked for many rounds with nothing failing.
+    Compute, from the committed CORRECTNESS_r*.json history plus the
+    CURRENT window, the staleness every registered query would reach
+    after this round's window executes, and bound it at 5 rounds. A
+    query in the current window lands at 0; everything else ages by
+    (this_round - last_green). New registrations outside the window are
+    caught by test_every_query_outside_window_has_prior_green_row."""
+    import re
+
+    last_green: dict[str, int] = {}
+    rounds: list[int] = []
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        rounds.append(rnd)
+        with open(path) as f:
+            rows = json.load(f)
+        for name, rec in rows.items():
+            if not isinstance(rec, dict):
+                continue
+            ok = (
+                rec.get("rows_match")
+                and rec.get("schema_match") is not False
+                and rec.get("hash_match") is not False
+            )
+            if ok:
+                last_green[name] = max(rnd, last_green.get(name, 0))
+    assert rounds, "no correctness history found"
+    this_round = max(rounds) + 1
+
+    names = _registered_names()
+    window = set(names[:WINDOW])
+    over = {
+        n: this_round - last_green[n]
+        for n in names
+        if n not in window
+        and n in last_green
+        and this_round - last_green[n] > 5
+    }
+    assert not over, (
+        "registered queries would exceed 5 rounds since their last "
+        f"driver-green check after this round's window: {over} — rotate "
+        "them into DRIVER_PRIORITY or shrink the registration cadence"
+    )
