@@ -736,12 +736,14 @@ _DHASH_CACHE: SessionCache[DataFrame] = SessionCache(on_evict=unpersist_df)
 
 # The closed-form dHash derivation (decode → grid means → bits → four
 # 16-bit bands) as a reusable CTE chain ending at
-# bands(doc_id, band_idx, band_val) — shared by the batch near-dup oracle
-# and the incremental-index oracle below, so the two gates can never
-# drift apart on the hash definition.
-_PHASH_BANDS_CTES = f"""d AS (
+# bands(doc_id, band_idx, band_val) — shared by the batch near-dup
+# oracle, the incremental-index oracle below, and (via the `src`
+# parameter) the streaming ingest's slice-scoped oracle, so the gates
+# can never drift apart on the hash definition.
+def _phash_bands_ctes(src: str = "documents") -> str:
+    return f"""d AS (
   SELECT doc_id, COALESCE(substr(text, 1, {M.DHASH_PREFIX_LEN}), '') AS p
-  FROM documents
+  FROM {src}
 ),
 cellk AS (
   SELECT doc_id, p, unnest(range(0, {M.DHASH_GRID_W * M.DHASH_GRID_H})) AS k
@@ -771,6 +773,9 @@ bands AS (
   SELECT bg.doc_id, bg.band_idx, COALESCE(bs.band_val, 0) AS band_val
   FROM bgrid bg LEFT JOIN bsum bs USING (doc_id, band_idx)
 )"""
+
+
+_PHASH_BANDS_CTES = _phash_bands_ctes()
 
 # ham(id1, id2, hd) over a 4-band bands CTE — the shared verify tail the
 # image and audio chains both use (and the fused bundle oracle re-uses).

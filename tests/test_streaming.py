@@ -648,12 +648,16 @@ def test_media_neardup_streaming_chunk_invariance_and_oracle(spark, tmp_path):
     from tests.test_gate_parity import _rowset
 
     hdr = "shared image header streamed across chunks"
+    # media-bearing docs are the doc_id % 3 == 0 slice (the corpus
+    # contract in streaming_pack); 10 plants a non-media doc sharing the
+    # header — it must be invisible to the ingest
     rows = [
-        (10, hdr),                                # chunk 1
-        (11, "a chunk-1-only header, distinct.."),
-        (30, hdr),                                # later chunk: exact dup of 10
-        (31, hdr),                                # later chunk: parity near-dup
-        (32, "fresh tail header, stays unflagged"),
+        (9, hdr),                                 # chunk 1 (odd parity)
+        (10, hdr),                                # chunk 1: NOT media-bearing
+        (12, "a chunk-1-only header, distinct.."),
+        (30, hdr),                                # later chunk: parity near-dup
+        (33, hdr),                                # later chunk: exact dup of 9
+        (45, "fresh tail header, stays unflagged"),
     ]
     pq.write_table(
         pa.table(
@@ -671,9 +675,10 @@ def test_media_neardup_streaming_chunk_invariance_and_oracle(spark, tmp_path):
         r.media_id: (r.n_occupied_bands, r.partner_media_id)
         for r in media_neardup_streaming(spark, str(tmp_path)).collect()
     }
-    assert got[30] == (4, 10)      # byte-identical image vs an earlier chunk
-    assert got[31] == (3, 10)      # parity flips one band; partner holds
-    assert 11 not in got and 32 not in got
+    assert got[33] == (4, 9)       # byte-identical image vs an earlier chunk
+    assert got[30] == (3, 9)       # parity flips one band; partner holds
+    assert 12 not in got and 45 not in got
+    assert 10 not in got           # non-media doc: filtered before decode
 
     one = sorted(
         tuple(r) for r in streamed_media_neardup(spark, SF_SMALL, chunks=1).collect()
@@ -683,9 +688,18 @@ def test_media_neardup_streaming_chunk_invariance_and_oracle(spark, tmp_path):
     )
     assert one == three and len(one) > 0
 
-    # batch recompute of the occupied-band rule from the same band table
+    # batch recompute of the occupied-band rule from the same band table,
+    # over the same media-bearing slice
+    from hive_server_spark.plans.streaming_pack import _MEDIA_STREAM_MOD
+
     bands = M.band_long(
-        M.dhash_bands(M.synthesize_dhash_jpeg_media(_docs_wide(spark, SF_SMALL)))
+        M.dhash_bands(
+            M.synthesize_dhash_jpeg_media(
+                _docs_wide(spark, SF_SMALL).where(
+                    F.col("doc_id") % _MEDIA_STREAM_MOD == 0
+                )
+            )
+        )
     )
     bmin = bands.groupBy("band_idx", "band_val").agg(
         F.min("media_id").alias("min_id")
