@@ -1041,136 +1041,127 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 # Driver-visible ordering. The correctness driver hash-checks the FIRST 50
 # queries per round; set_driver_priority pins that window. Per-round
 # history lives in git (r9 cleared the r05 tail, r10 cleared r06, r11
-# cleared r07, r12 cleared r08; this one drains 47 of the 50 r09 names —
-# see VERDICT r09-r12 for the plans).
+# cleared r07, r12 cleared r08, r13 drained 47 of the 50 r09 names; THIS
+# round clears the 3-name r09 spill and starts draining r10 — see
+# VERDICT r09-r13 for the plans).
 # ---------------------------------------------------------------------------
-# Driver-visible ordering (round-13 rotation) — executes the plan written
-# here in round 12 and echoed by VERDICT r12 item 1: (a) the 3 round-13
-# registrations staged in rounds 11-12 (the fused audio+video incremental
-# band-index refresh, the PQ codebook trainer that completes the
-# train -> encode -> serve -> maintain lifecycle, and the fused
-# text/image/audio bundle dedup) and (b) the FIRST 47 of the 50 r09-green
-# names in registration order. After this window the staleness profile is
-# r13:50, r12:50, r11:50, r10:50 + a 3-name r09 spill
-# (serving_user_orders_json, cdc_book_snapshots, orders_state_changelog)
-# — the VERDICT r12 item 1 done condition.
-# ROUND-14 ROTATION NOTE (single source of truth for which round flips
-# each staged registration — the per-site comments all say "round 14"):
-# (1) the FOUR remaining staged registrations, all oracle-backed +
-# parity-tested + 10x/100x-probed since round 12 (flip the commented
-# @register lines):
-#   media_neardup_streaming (plans/streaming_pack.py, oracle
-#   _MEDIA_NEARDUP_STREAM_ORACLE)
-#   emb_ivf_streaming (plans/streaming_pack.py — flip BOTH commented
-#   lines: the oracle import and the @register)
-#   emb_ivfpq_rerank_topk (plans/embedding_pack.py, oracle
-#   E.ivfpq_rerank_oracle())
-#   layout_snapshot_expiry (plans/sources_pack.py, oracle
-#   _SNAPSHOT_EXPIRY_ORACLE)
-# (2) then the 3-name r09 spill above, (3) then the FIRST 43 of the 50
-# r10-green names below (computed THIS round from the r01-r12 history —
-# the r13 window contains no r10 names, so the list cannot change when
-# CORRECTNESS_r13 lands; the last 7 spill to r15). The 50 r10 names, in
-# registration order:
-#   orders_state, latest_price, market_orders_t2, rel_approx_sketches,
-#   dq_lineitem_report, evt_winsor_stats, rel_mad_by_priority,
-#   evt_hourly_rollup, evt_props_stats, evt_funnel_cohorts,
-#   evt_top_users, evt_type_pivot, evt_retention_matrix,
-#   evt_mad_outliers, emb_kmeans_update, emb_semantic_dedup,
-#   emb_pca_moments, emb_ivf_build, emb_norm_audit,
-#   text_kept_token_shards, text_bpe_token_stats, text_doc_novelty,
-#   text_pii_scrub, text_bm25_topk, text_c4_filters, text_source_mixing,
-#   text_length_buckets, dedup_minhash_accuracy, dedup_canonical_quality,
-#   text_rag_chunks, text_lang_confusion, layout_zorder_manifest,
-#   src_partitioned_roundtrip, udf_alpha_quality,
-#   udf_user_centered_values, multimodal_decode_profile,
-#   multimodal_resize_profile, multimodal_audio_profile,
-#   multimodal_corrupt_audit, multimodal_audio_features,
-#   multimodal_phash_neardup, multimodal_audio_fp_neardup,
-#   multimodal_video_profile,
-#   [r15 spill:] evt_hourly_rollup_streaming, evt_sessions_streaming,
+# Driver-visible ordering (round-14 rotation) — executes the plan written
+# here in round 13 and echoed by VERDICT r13 item 1: (a) the FOUR
+# round-14 registrations staged in rounds 12-13 (the streaming media
+# near-dup ingest — now over the doc_id % 3 media-bearing slice, VERDICT
+# r13 item 2 —, the streaming IVF census ingest, the IVF-PQ re-rank
+# serve, and the snapshot-expiry report), (b) the 3-name r09 spill, and
+# (c) the FIRST 43 of the 50 r10-green names in registration order.
+# After this window the staleness profile is r14:50, r13:50, r12:50,
+# r11:50 + a 7-name r10 spill — the VERDICT r13 item 1 done condition.
+#
+# ROUND-15 ROTATION NOTE (single source of truth for which round flips
+# each staged registration — the per-site comments all say "round 15"):
+# (1) the THREE remaining staged registrations, all oracle-backed +
+# parity-tested + 10x/100x-probed since round 13 (flip the commented
+# lines at each site):
+#   emb_pq_streaming (plans/streaming_pack.py — flip BOTH commented
+#   lines: the pq_codes_oracle import and the @register)
+#   layout_dv_streaming (plans/streaming_pack.py — flip BOTH commented
+#   lines: the oracle and the @register)
+#   layout_bucketed_join (plans/sources_pack.py, oracle
+#   _BUCKETED_ORACLE — already in the SMJ exemption list by design)
+# (2) then the 7-name r10 spill, in registration order:
+#   evt_hourly_rollup_streaming, evt_sessions_streaming,
 #   evt_stream_stream_join, evt_dedup_rollup_streaming,
 #   evt_stream_static_enrich, docs_ingest_streaming,
 #   docs_neardup_incremental
-# 4 + 3 + 43 = 50 — clears r09 entirely and starts
-# draining r10; the remaining r10 names drain in r15 alongside the
-# THREE round-13-staged registrations (all parity-tested; the streaming
-# pair also 10x/100x-probed — SCALE.md round-13 staged table):
-#   emb_pq_streaming (plans/streaming_pack.py, oracle pq_codes_oracle()
-#   — completes the PQ lifecycle's streaming leg; flip both lines)
-#   layout_dv_streaming (plans/streaming_pack.py, oracle _DV_ORACLE —
-#   completes the lakehouse-layout family's streaming leg: arrival-time
-#   DELETE ingest into positional deletion vectors; flip both lines)
-#   layout_bucketed_join (plans/sources_pack.py, oracle
-#   _BUCKETED_ORACLE — pre-shuffled bucketBy storage, zero-exchange
-#   fact⋈dim join; already in the SMJ exemption list by design)
-# r15 window arithmetic: 3 + the 7-name r10 spill above + 40 oldest r11
-# names = 50.
-# The 47 r09 names below are the first 47 of the list round 12 computed
-# (CORRECTNESS_r09 keys minus every later-green name), re-verified this
-# round against the r01-r12 correctness history.
+# (3) then the FIRST 40 of the 50 r11-green names (computed THIS round
+# from the r01-r13 history — no r11 name was re-checked in r12/r13, so
+# the list cannot change when CORRECTNESS_r14 lands; the last 10 spill
+# to r16). The 50 r11 names, in registration order:
+#   multimodal_jpeg_hierarchical_profile, multimodal_video_fp_neardup,
+#   multimodal_video_scenes, emb_ivf_incremental,
+#   multimodal_phash_incremental, order_book_levels, order_book_vwap,
+#   orders_scd2_versions, amount_out_buy, amount_out_sell,
+#   user_orders_t1, trader_order_counts, pools_summary,
+#   order_book_fifo_queues, order_book_snapshot, pool_info_enriched,
+#   trade_tick_flow, trade_price_ewma, evt_cms_heavy_hitters,
+#   evt_hll_cardinality, evt_bloom_prune_join, evt_markov_transitions,
+#   emb_truncated_recall, emb_pq_codes, emb_pq_adc_topk, emb_ivfpq_topk,
+#   emb_hard_negatives, emb_ivf_recall_curve, emb_bitext_mining,
+#   emb_mmr_diverse_topk, emb_semantic_decontaminate, text_line_dedup,
+#   text_bigram_nll, text_dup_spans, text_vocab_census,
+#   text_winnow_fingerprints, text_heaps_law, text_source_kl,
+#   text_bpe_merge_step, text_gopher_rules,
+#   [r16 spill:] text_tfidf_terms, text_dsir_weights, rag_hybrid_rrf,
+#   text_quota_sample, layout_compaction_plan, layout_zonemap_skipping,
+#   udtf_char_ngram_census, multimodal_jpeg_profile,
+#   multimodal_image_entropy, multimodal_jpeg_progressive_profile
+# 3 + 7 + 40 = 50 — clears r10 entirely and starts draining r11; the
+# remaining 10 r11 names drain in r16 alongside any round-14-staged
+# registrations. r16 window arithmetic: (r16 registrations) + the
+# 10-name r11 spill above + the oldest r12 names to fill 50.
+# The 43 r10 names below are the first 43 of the list round 13 spelled
+# out, re-verified this round against the r01-r13 correctness history.
 # ---------------------------------------------------------------------------
 from hive_server_spark.registry import set_driver_priority  # noqa: E402
 
-DRIVER_PRIORITY_R13 = [
-    # -- (a) round-13 registrations (staged r11-r12, longest-staged first) --
-    "multimodal_media_fp_incremental",
-    "emb_pq_train",
-    "multimodal_bundle_neardup",
-    # -- (b) the first 47 r09-green names, registration order ---------------
-    "rel_string_functions",
-    "rel_null_handling",
-    "rel_unpivot_measures",
-    "rel_bitwise_functions",
-    "rel_lateral_top_orders",
-    "emb_cosine_topk",
-    "emb_ivf_topk",
-    "emb_lsh_buckets",
-    "emb_lsh_neardup_topk",
-    "emb_int8_quantization",
-    "emb_ivfpq_batch_topk",
-    "text_profile",
-    "text_exact_dedup",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_sigs",
-    "dedup_minhash_candidates",
-    "dedup_simhash",
-    "text_corpus_stats",
-    "text_top_ngrams",
-    "dedup_clusters",
-    "text_quality_histogram",
-    "text_deterministic_sample",
-    "text_sample_rates",
-    "text_quality_filter",
-    "text_token_shards",
-    "dedup_reachability_recursive",
-    "text_mixture_sample",
-    "text_bigram_lm",
-    "text_pack_windows",
-    "text_decontaminate",
-    "text_leakage_safe_splits",
-    "text_repetition_profile",
-    "text_source_overlap",
-    "text_pretrain_keep",
-    "text_bpe_train",
-    "text_bpe_encode",
-    "text_ccnet_buckets",
-    "src_jsonl_roundtrip",
-    "src_csv_roundtrip",
-    "src_orc_roundtrip",
-    "multimodal_inventory",
-    "multimodal_frame_inventory",
-    "orders_state_stateful",
-    "orders_state_time_travel",
-    "evt_sliding_rollup_streaming",
-    "docs_neardup_streaming",
-    "serving_pool_info_json",
+DRIVER_PRIORITY_R14 = [
+    # -- (a) round-14 registrations (staged r12-r13, longest-staged first) --
+    "media_neardup_streaming",
+    "emb_ivf_streaming",
+    "emb_ivfpq_rerank_topk",
+    "layout_snapshot_expiry",
+    # -- (b) the 3-name r09 spill --------------------------------------------
+    "serving_user_orders_json",
+    "cdc_book_snapshots",
+    "orders_state_changelog",
+    # -- (c) the first 43 r10-green names, registration order ----------------
+    "orders_state",
+    "latest_price",
+    "market_orders_t2",
+    "rel_approx_sketches",
+    "dq_lineitem_report",
+    "evt_winsor_stats",
+    "rel_mad_by_priority",
+    "evt_hourly_rollup",
+    "evt_props_stats",
+    "evt_funnel_cohorts",
+    "evt_top_users",
+    "evt_type_pivot",
+    "evt_retention_matrix",
+    "evt_mad_outliers",
+    "emb_kmeans_update",
+    "emb_semantic_dedup",
+    "emb_pca_moments",
+    "emb_ivf_build",
+    "emb_norm_audit",
+    "text_kept_token_shards",
+    "text_bpe_token_stats",
+    "text_doc_novelty",
+    "text_pii_scrub",
+    "text_bm25_topk",
+    "text_c4_filters",
+    "text_source_mixing",
+    "text_length_buckets",
+    "dedup_minhash_accuracy",
+    "dedup_canonical_quality",
+    "text_rag_chunks",
+    "text_lang_confusion",
+    "layout_zorder_manifest",
+    "src_partitioned_roundtrip",
+    "udf_alpha_quality",
+    "udf_user_centered_values",
+    "multimodal_decode_profile",
+    "multimodal_resize_profile",
+    "multimodal_audio_profile",
+    "multimodal_corrupt_audit",
+    "multimodal_audio_features",
+    "multimodal_phash_neardup",
+    "multimodal_audio_fp_neardup",
+    "multimodal_video_profile",
 ]
-assert len(DRIVER_PRIORITY_R13) == 50, len(DRIVER_PRIORITY_R13)
+assert len(DRIVER_PRIORITY_R14) == 50, len(DRIVER_PRIORITY_R14)
 # A typo'd or renamed name would silently shrink the checked window
 # (registry._ordered drops unknown names); fail loudly instead.
 from hive_server_spark.registry import _SPARK_QUERIES as _REG  # noqa: E402
 
-_missing = [n for n in DRIVER_PRIORITY_R13 if n not in _REG]
-assert not _missing, f"DRIVER_PRIORITY_R13 names not registered: {_missing}"
-set_driver_priority(DRIVER_PRIORITY_R13)
+_missing = [n for n in DRIVER_PRIORITY_R14 if n not in _REG]
+assert not _missing, f"DRIVER_PRIORITY_R14 names not registered: {_missing}"
+set_driver_priority(DRIVER_PRIORITY_R14)

@@ -708,7 +708,7 @@ def emb_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the ivfpq oracle wrapped in the same re-rank. Output carries BOTH
 # ranks, so the query itself measures what re-ranking bought.
 # ---------------------------------------------------------------------------
-# round 14: @register("emb_ivfpq_rerank_topk", E.ivfpq_rerank_oracle())
+@register("emb_ivfpq_rerank_topk", E.ivfpq_rerank_oracle())
 def emb_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC shortlist (20) -> exact re-rank -> top-5, with adc_rank and
     exact rank side by side (see block comment)."""

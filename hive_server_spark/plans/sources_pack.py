@@ -696,7 +696,7 @@ FROM refs GROUP BY file_id, content_md5
 """
 
 
-# round 14: @register("layout_snapshot_expiry", _SNAPSHOT_EXPIRY_ORACLE)
+@register("layout_snapshot_expiry", _SNAPSHOT_EXPIRY_ORACLE)
 def layout_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-physical-file snapshot-reference report over the v1→v2→v3
     chain, with the reclaimable verdict for a retention policy expiring

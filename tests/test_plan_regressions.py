@@ -115,6 +115,9 @@ def test_no_sort_merge_join_anywhere_in_gate(spark):
         # shuffle join that reuses the aggregate partitioning is the
         # correct 100 TB strategy; in a deployed index the codes are
         # stored partitioned by cell and the join disappears
+        "emb_ivfpq_rerank_topk",  # stage 1 IS emb_ivfpq_topk's machinery
+        # (same codes ⋈ candidates join, same argument above); stage 2
+        # only touches the ≤shortlist-row set, all its joins broadcast
         "multimodal_video_curation",  # the final keep-verdict join:
         # per-clip shot counts LEFT OUTER ⋈ per-clip dup partners, both
         # sides clip-count-sized corpus aggregates exiting mapInPandas

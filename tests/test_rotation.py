@@ -53,19 +53,19 @@ def _green_history() -> set[str]:
 
 
 def test_priority_names_all_registered():
-    from hive_server_spark.gate import DRIVER_PRIORITY_R13
+    from hive_server_spark.gate import DRIVER_PRIORITY_R14
     from hive_server_spark.registry import _SPARK_QUERIES
 
-    missing = [n for n in DRIVER_PRIORITY_R13 if n not in _SPARK_QUERIES]
+    missing = [n for n in DRIVER_PRIORITY_R14 if n not in _SPARK_QUERIES]
     assert not missing, f"priority names not registered: {missing}"
-    assert len(DRIVER_PRIORITY_R13) == len(set(DRIVER_PRIORITY_R13)), "dup names"
+    assert len(DRIVER_PRIORITY_R14) == len(set(DRIVER_PRIORITY_R14)), "dup names"
 
 
 def test_window_is_exactly_the_priority_list():
-    from hive_server_spark.gate import DRIVER_PRIORITY_R13
+    from hive_server_spark.gate import DRIVER_PRIORITY_R14
 
     names = _registered_names()
-    assert names[:WINDOW] == DRIVER_PRIORITY_R13
+    assert names[:WINDOW] == DRIVER_PRIORITY_R14
 
 
 def test_every_query_outside_window_has_prior_green_row():
