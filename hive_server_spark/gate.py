@@ -1094,9 +1094,20 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 #   udtf_char_ngram_census, multimodal_jpeg_profile,
 #   multimodal_image_entropy, multimodal_jpeg_progressive_profile
 # 3 + 7 + 40 = 50 — clears r10 entirely and starts draining r11; the
-# remaining 10 r11 names drain in r16 alongside any round-14-staged
-# registrations. r16 window arithmetic: (r16 registrations) + the
-# 10-name r11 spill above + the oldest r12 names to fill 50.
+# remaining 10 r11 names drain in r16 alongside the THREE
+# round-14-staged registrations (all parity-tested + 10x/100x-probed —
+# SCALE.md round-14 staged table; flip the commented @register lines):
+#   layout_zonemap_streaming (plans/streaming_pack.py, oracle
+#   _ZM_STREAM_ORACLE — the write-side stats-maintenance twin of
+#   layout_zonemap_skipping)
+#   emb_ivf_delete_maintenance (plans/embedding_pack.py, oracle
+#   _ivf_build_oracle(where=NOT tombstoned) — census subtract ==
+#   rebuild-on-survivors)
+#   serving_order_book_json (plans/serving_pack.py, oracle
+#   _ORDER_BOOK_JSON_ORACLE — the third serving route, byte-pinned)
+# r16 window arithmetic: 3 + the 10-name r11 spill above + the FIRST 37
+# of the 50 r12-green names (compute the r12 list in round 15 from the
+# r01-r14 history; the remainder drains r17).
 # The 43 r10 names below are the first 43 of the list round 13 spelled
 # out, re-verified this round against the r01-r13 correctness history.
 # ---------------------------------------------------------------------------

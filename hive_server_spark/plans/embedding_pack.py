@@ -292,9 +292,16 @@ def emb_pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_K = 8
 
 
-def _ivf_build_oracle(k: int = _IVF_K, micro: int = 1_000_000) -> str:
+def _ivf_build_oracle(
+    k: int = _IVF_K, micro: int = 1_000_000, where: str = ""
+) -> str:
+    # `where` scopes the corpus (e.g. the delete-maintenance rebuild over
+    # the surviving vectors); it must never touch the vec_id < k seeds —
+    # the callers' predicates all carry an explicit vec_id >= k guard.
     return f"""
-WITH vec AS (SELECT vec_id, {E.vec_expr('embedding', 'd')} AS v FROM embeddings),
+WITH vec AS (
+  SELECT vec_id, {E.vec_expr('embedding', 'd')} AS v FROM embeddings{where}
+),
 c AS (SELECT vec_id AS cid, v AS cv FROM vec WHERE vec_id < {k}),
 d AS (
   SELECT vec.vec_id, c.cid,
@@ -713,3 +720,67 @@ def emb_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC shortlist (20) -> exact re-rank -> top-5, with adc_rank and
     exact rank side by side (see block comment)."""
     return E.ivfpq_rerank_topk(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# IVF delete maintenance (round-14 second pass; REGISTRATION STAGED FOR
+# ROUND 16 — flip the commented @register). The lifecycle step the ANN
+# family still lacked: train (emb_kmeans_update / emb_pq_train) -> build
+# (emb_ivf_build) -> serve (emb_ivf_topk / ivfpq) -> grow
+# (emb_ivf_incremental / emb_ivf_streaming) -> and now SHRINK. A
+# retention DELETE tombstones a deterministic slice of the corpus
+# (vec_id % 7 = 3, explicitly guarded off the vec_id < k seed window —
+# deployed indexes never tombstone their bootstrap artifact, they
+# retrain); the maintenance pass computes the census partials of ONLY
+# the tombstoned vectors and SUBTRACTS them group-wise from the
+# persisted build census (every field is an exact integer sum, so the
+# additive monoid has exact inverses), dropping cells emptied to zero.
+# The result must equal the full rebuild over the surviving corpus —
+# the same census oracle scoped by the same predicate.
+#
+# This is the ANN mirror of layout_deletion_vectors: deletes as
+# metadata-sized index maintenance instead of a corpus rewrite. Scale:
+# the prior census is k rows read back from storage; the only scan is
+# the TOMBSTONED slice (at 100 TB a retention delete touches its
+# tombstones, never the surviving 99%); the subtract itself is a k-row
+# merge. Rebuild-equality is exactly the guarantee a deployed index
+# needs before it can skip the rebuild.
+# ---------------------------------------------------------------------------
+_IVF_DELETE_PRED = f"vec_id % 7 = 3 AND vec_id >= {_IVF_K}"
+
+
+# round 16: @register("emb_ivf_delete_maintenance",
+#                     _ivf_build_oracle(where=f" WHERE NOT ({_IVF_DELETE_PRED})"))
+def emb_ivf_delete_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtract the tombstoned slice's census partials from the persisted
+    IVF build census; the maintained census must equal the rebuild over
+    the surviving corpus (see block comment)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hive_server_spark.session import session_scratch
+
+    vec = E._vecs(_emb(spark, sf_dir)).select("vec_id", "v")
+    cent = vec.where(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+
+    # --- prior snapshot run: persist the build census (the index
+    # artifact a deployed maintenance pass reads back — emb_pq_incremental's
+    # prior-snapshot discipline; stable path + overwrite, ADVICE r11) ----
+    work = session_scratch("ivf_delete")
+    census_path = os.path.join(work, "census")
+    _ivf_partial_census(vec, cent).write.mode("overwrite").parquet(census_path)
+
+    # --- maintenance run: scan ONLY the tombstoned slice, subtract -----
+    deleted = _ivf_partial_census(vec.where(F.expr(_IVF_DELETE_PRED)), cent)
+    neg = deleted.select(
+        "cid",
+        (-F.col("n_vecs")).cast("bigint").alias("n_vecs"),
+        (-F.col("posting_checksum")).cast("bigint").alias("posting_checksum"),
+        (-F.col("sum_d2_micro")).cast("bigint").alias("sum_d2_micro"),
+    )
+    prior = spark.read.parquet(census_path)
+    merged = _merge_census(prior.unionByName(neg)).where(F.col("n_vecs") > 0)
+    return _census_report(merged)

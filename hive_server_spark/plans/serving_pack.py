@@ -392,3 +392,115 @@ def q_orders_state_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in deltas[1:]:
         out = out.unionByName(d)
     return out
+
+
+# ---------------------------------------------------------------------------
+# S10 — GET /api/pools/:address/orderbook (depth-20 book JSON), all pools
+# (reference src/api/controllers/order-book-controller.ts,
+# src/models/order-book.ts:202-349; round-14 second pass, REGISTRATION
+# STAGED FOR ROUND 16 — flip the commented @register). The third serving
+# route promoted from pytest-only to an oracle-backed gate query (after
+# pool-info and user-orders): one JSON document per pool with bids[]
+# (price desc) and asks[] (price asc), each level carrying the decimal
+# price/volume strings and the FIFO order-id list — so the hash pins
+# field order, decimal rendering, array ordering, price-time priority,
+# AND empty-side rendering ("bids":[]) in one string. Spark renders
+# JVM-side with to_json over the same price_levels/top_levels operators
+# the book queries serve; the oracle builds the byte-identical string by
+# explicit concatenation over the canonical fold CTEs.
+#
+# Scale: the levels aggregate is ONE map-side-combined shuffle of active
+# orders (level cardinality ≪ orders), the per-side top-20 is
+# rank-over-window on the tiny level table, and the JSON assembly is a
+# per-pool projection — the serving edge collects only response rows.
+# ---------------------------------------------------------------------------
+_ORDER_BOOK_JSON_ORACLE = (
+    f"WITH {ORDER_EVENTS_CTE}, {ORDER_UPDATES_CTE}, {ORDERS_STATE_CTE}"
+    + """
+, levels AS (
+  SELECT pool_address, order_type, price,
+         SUM(amount - filled) AS total_volume,
+         '[' || string_agg(CAST(order_id AS VARCHAR), ',' ORDER BY created_seq)
+             || ']' AS orders_json
+  FROM orders_state
+  WHERE active AND price IS NOT NULL
+  GROUP BY pool_address, order_type, price
+), ranked AS (
+  SELECT *,
+    CASE WHEN order_type = 'BUY'
+         THEN row_number() OVER (PARTITION BY pool_address, order_type ORDER BY price DESC)
+         ELSE row_number() OVER (PARTITION BY pool_address, order_type ORDER BY price ASC)
+    END AS level_rank
+  FROM levels
+), lv AS (
+  SELECT pool_address, order_type, level_rank,
+         '{"price":"' || CAST(price AS VARCHAR) ||
+         '","totalVolume":"' || CAST(total_volume AS VARCHAR) ||
+         '","orders":' || orders_json || '}' AS lj
+  FROM ranked WHERE level_rank <= 20
+), sides AS (
+  SELECT pool_address,
+         COALESCE(string_agg(lj, ',' ORDER BY level_rank)
+                  FILTER (WHERE order_type = 'BUY'), '')  AS bids,
+         COALESCE(string_agg(lj, ',' ORDER BY level_rank)
+                  FILTER (WHERE order_type = 'SELL'), '') AS asks
+  FROM lv GROUP BY pool_address
+)
+SELECT pool_address,
+       '{"pool":"' || pool_address || '","bids":[' || bids ||
+       '],"asks":[' || asks || ']}' AS json
+FROM sides
+"""
+)
+
+
+# round 16: @register("serving_order_book_json", _ORDER_BOOK_JSON_ORACLE)
+def q_serving_order_book_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-20 order-book JSON for every pool — the GET
+    /api/pools/:address/orderbook response shape (operators/serving.py:22)
+    rendered JVM-side over the shared price_levels/top_levels operators.
+    sort_array on the rank-headed level structs makes the array order
+    deterministic; collect_list drops the other side's NULLs, so each
+    side assembles in one aggregate without a self-join."""
+    from hive_server_spark.operators.orderbook import price_levels, top_levels
+
+    lv = top_levels(price_levels(_orders_state(spark, sf_dir)), depth=20)
+    tagged = lv.select(
+        "pool_address",
+        "order_type",
+        F.struct(
+            F.col("level_rank").cast("int").alias("rk"),
+            F.col("price").cast("string").alias("price"),
+            F.col("total_volume").cast("string").alias("totalVolume"),
+            F.col("order_ids").alias("orders"),
+        ).alias("lvl"),
+    )
+    assembled = tagged.groupBy("pool_address").agg(
+        F.sort_array(
+            F.collect_list(F.when(F.col("order_type") == "BUY", F.col("lvl")))
+        ).alias("bids_r"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("order_type") == "SELL", F.col("lvl")))
+        ).alias("asks_r"),
+    )
+
+    def strip(c):
+        return F.transform(
+            c,
+            lambda s: F.struct(
+                s["price"].alias("price"),
+                s["totalVolume"].alias("totalVolume"),
+                s["orders"].alias("orders"),
+            ),
+        )
+
+    return assembled.select(
+        "pool_address",
+        F.to_json(
+            F.struct(
+                F.col("pool_address").alias("pool"),
+                strip(F.col("bids_r")).alias("bids"),
+                strip(F.col("asks_r")).alias("asks"),
+            )
+        ).alias("json"),
+    )

@@ -1614,13 +1614,18 @@ FROM j GROUP BY j.doc_id
 
 
 def streamed_media_neardup(
-    spark: SparkSession, sf_dir: str, chunks: int = 2
+    spark: SparkSession, sf_dir: str, chunks: int = 2,
+    media_mod: int = _MEDIA_STREAM_MOD,
 ) -> DataFrame:
     """Run the incremental dHash band near-dup index over the media corpus
     landed in `chunks` media_id-ordered micro-batches; each batch decodes
     ONLY its own payloads. Returns the final flags table (media_id,
     n_occupied_bands, partner_media_id); chunk count must not change the
-    answer (tests/test_streaming.py)."""
+    answer (tests/test_streaming.py). `media_mod` selects the
+    media-bearing corpus slice (doc_id % media_mod == 0): the gate query
+    uses the default (see the corpus contract above), the media pipeline's
+    --incremental proof passes 1 so the streaming ingest covers the same
+    full corpus as the batch rule it must equal."""
     from hive_server_spark.streaming.incremental import (
         ParquetStateStore,
         await_stream_with_retry,
@@ -1656,7 +1661,7 @@ def streamed_media_neardup(
         # decode, doubling the expensive leg (round-12 review)
         wide = _M.dhash_bands(
             _M.synthesize_dhash_jpeg_media(
-                batch_df.where(F.col("doc_id") % _MEDIA_STREAM_MOD == 0)
+                batch_df.where(F.col("doc_id") % media_mod == 0)
                 .repartition(ss.sparkContext.defaultParallelism)
             )
         )
@@ -2178,3 +2183,134 @@ def layout_dv_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return the final per-touched-file report, which must equal the
     one-shot layout_deletion_vectors (see block comment)."""
     return streamed_deletion_vectors(spark, sf_dir, chunks=2)
+
+
+# ---------------------------------------------------------------------------
+# Streaming zone-map maintenance (round-14 second pass; REGISTRATION
+# STAGED FOR ROUND 16 — flip the commented @register). The WRITE-side
+# twin of layout_zonemap_skipping: that query computes the per-file
+# min/max statistics one-shot and then measures what they prune; THIS
+# maintains the same statistics under arrival-time ingest — the shape
+# every lakehouse write path actually runs (Delta/Iceberg collect file
+# stats at commit time; parquet writes row-group stats as pages land).
+# Events land in event_id-ordered micro-batches; each batch folds its
+# per-file partials (COUNT + MIN/MAX of ts, value, event_type) into the
+# versioned state store. A 512-row file whose rows straddle a batch
+# boundary is exactly the interesting case: the partials merge as a
+# MIN/MAX semilattice + COUNT sum keyed on file_id, so the final map is
+# batch-boundary invariant (tests pin 1 vs 3 chunks), and the result
+# must equal the batch derivation — the `files` CTE of
+# layout_zonemap_skipping's oracle, verbatim.
+#
+# Replay: MIN/MAX legs are idempotent, but n_rows is a SUM — the
+# already_applied guard is load-bearing (same as the census twin).
+# Timestamps cross the engine boundary as integer microseconds
+# (unix_micros ≡ DuckDB epoch_us — the events_pack convention).
+#
+# Scale: per micro-batch the work is ONE map-side-combined aggregate of
+# the batch keyed by file_id (no join, no corpus rescan); state is
+# file-count-sized metadata, not data. At 100 TB stats maintenance rides
+# the ingest scan for free — which is precisely why deployed formats do
+# it at write time instead of re-deriving zone maps by scan.
+# ---------------------------------------------------------------------------
+_ZM_STREAM_ORACLE = f"""
+SELECT CAST(event_id // {_ZM_FILE_ROWS} AS BIGINT) AS file_id,
+       CAST(COUNT(*) AS BIGINT)                    AS n_rows,
+       CAST(MIN(epoch_us(ts)) AS BIGINT)           AS min_ts_us,
+       CAST(MAX(epoch_us(ts)) AS BIGINT)           AS max_ts_us,
+       CAST(MIN(value) AS DOUBLE)                  AS min_value,
+       CAST(MAX(value) AS DOUBLE)                  AS max_value,
+       MIN(event_type)                             AS min_type,
+       MAX(event_type)                             AS max_type
+FROM events GROUP BY event_id // {_ZM_FILE_ROWS}
+"""
+
+
+def streamed_zonemaps(
+    spark: SparkSession, sf_dir: str, chunks: int = 2
+) -> DataFrame:
+    """Run the zone-map maintenance over the events table landed in
+    `chunks` event_id-ordered micro-batches; returns the final per-file
+    statistics table (file_id, n_rows, min/max ts-micros, value, type),
+    which must equal the one-shot batch derivation."""
+    from hive_server_spark.streaming.incremental import (
+        ParquetStateStore,
+        await_stream_with_retry,
+    )
+
+    work = tempfile.mkdtemp(dir=session_scratch("zm_stream"))
+    d = _land_events_by_id(spark, sf_dir, chunks)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    ckpt = os.path.join(work, "ckpt")
+    store = ParquetStateStore(os.path.join(work, "zonemaps"), run_id=ckpt)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # no-freeze: zone-map state is a MIN/MAX semilattice plus a COUNT
+        # sum — no batch-0 seed artifact, commit_seed_state does not
+        # apply. The n_rows sum makes replay non-idempotent, so the
+        # already_applied guard is load-bearing.
+        if store.already_applied(batch_id):
+            return
+        ss = batch_df.sparkSession
+        part = batch_df.groupBy(
+            F.expr(f"event_id DIV {_ZM_FILE_ROWS}").cast("bigint").alias(
+                "file_id"
+            )
+        ).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min(F.unix_micros("ts")).cast("bigint").alias("min_ts_us"),
+            F.max(F.unix_micros("ts")).cast("bigint").alias("max_ts_us"),
+            F.min("value").cast("double").alias("min_value"),
+            F.max("value").cast("double").alias("max_value"),
+            F.min("event_type").alias("min_type"),
+            F.max("event_type").alias("max_type"),
+        )
+        prev = store.latest(ss)
+        merged = (
+            part
+            if prev is None
+            else prev.unionByName(part)
+            .groupBy("file_id")
+            .agg(
+                F.sum("n_rows").cast("bigint").alias("n_rows"),
+                F.min("min_ts_us").cast("bigint").alias("min_ts_us"),
+                F.max("max_ts_us").cast("bigint").alias("max_ts_us"),
+                F.min("min_value").cast("double").alias("min_value"),
+                F.max("max_value").cast("double").alias("max_value"),
+                F.min("min_type").alias("min_type"),
+                F.max("max_type").alias("max_type"),
+            )
+        )
+        store.commit(merged, batch_id)
+
+    with _scoped_shuffle_partitions(spark):
+        writer = (
+            stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+        )
+        await_stream_with_retry(writer.start)
+    return store.latest(spark).select(
+        "file_id",
+        "n_rows",
+        "min_ts_us",
+        "max_ts_us",
+        "min_value",
+        "max_value",
+        "min_type",
+        "max_type",
+    )
+
+
+# round 16: @register("layout_zonemap_streaming", _ZM_STREAM_ORACLE)
+def layout_zonemap_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the events table in event_id-ordered chunks, folding each
+    micro-batch's per-file COUNT/MIN/MAX partials into the versioned
+    zone-map state; return the final per-file statistics table, which
+    must equal the one-shot batch derivation (see block comment)."""
+    return streamed_zonemaps(spark, sf_dir, chunks=2)

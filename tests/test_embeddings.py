@@ -885,3 +885,60 @@ def test_ivfpq_rerank_topk_contract_and_oracle(spark):
     )
     orc = sorted(tuple(r) for r in con.execute(ivfpq_rerank_oracle()).fetchall())
     assert orc == got
+
+
+def test_ivf_delete_maintenance_equals_rebuild_and_oracle(spark):
+    """The (round-16 staged) IVF delete maintenance: subtracting the
+    tombstoned slice's census partials from the persisted build census
+    must equal the full rebuild over the surviving corpus — row for row
+    in Spark, and against the predicate-scoped DuckDB build oracle. The
+    tombstone predicate must never touch the vec_id < k seed window."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from hive_server_spark.plans.embedding_pack import (
+        _IVF_DELETE_PRED,
+        _IVF_K,
+        _census_report,
+        _ivf_build_oracle,
+        _ivf_partial_census,
+        emb_ivf_delete_maintenance,
+    )
+
+    assert f"vec_id >= {_IVF_K}" in _IVF_DELETE_PRED  # seeds survive
+
+    got = sorted(
+        tuple(r) for r in emb_ivf_delete_maintenance(spark, SF_SMALL).collect()
+    )
+    assert len(got) > 0
+
+    # direct rebuild over the surviving corpus, same census machinery
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    vec = E._vecs(emb).select("vec_id", "v")
+    cent = vec.where(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    survivors = vec.where(~F.expr(_IVF_DELETE_PRED))
+    want = sorted(
+        tuple(r)
+        for r in _census_report(_ivf_partial_census(survivors, cent)).collect()
+    )
+    assert got == want
+
+    # the delete really removed something (non-vacuous subtraction)
+    n_all, n_surv = vec.count(), survivors.count()
+    assert n_surv < n_all
+    assert sum(r[1] for r in got) == n_surv
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_SMALL}/embeddings.parquet'"
+    )
+    orc = sorted(
+        tuple(r)
+        for r in con.execute(
+            _ivf_build_oracle(where=f" WHERE NOT ({_IVF_DELETE_PRED})")
+        ).fetchall()
+    )
+    assert orc == got

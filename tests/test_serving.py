@@ -128,3 +128,48 @@ def test_serving_pack_json_is_parseable(spark):
     for r in rows:
         doc = json.loads(r.json)
         assert doc["id"] == r.order_id and isinstance(doc["active"], bool)
+
+
+def test_serving_order_book_json_oracle_parity_and_contract(spark):
+    """The (round-16 staged) depth-20 book JSON route: byte-identical to
+    the DuckDB concatenation oracle at sf0.001, parseable, bids strictly
+    price-descending / asks ascending, and FIFO (created_seq) order ids
+    within each level — the price-time-priority contract as a string."""
+    import json as _json
+
+    import duckdb
+
+    from hive_server_spark.plans.serving_pack import (
+        _ORDER_BOOK_JSON_ORACLE,
+        q_serving_order_book_json,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = sorted(
+        tuple(r) for r in q_serving_order_book_json(spark, SF_SMALL).collect()
+    )
+    assert len(rows) > 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMALL}/events.parquet'"
+    )
+    orc = sorted(
+        tuple(r) for r in con.execute(_ORDER_BOOK_JSON_ORACLE).fetchall()
+    )
+    assert rows == orc
+
+    saw_multi_order_level = False
+    for pool, doc in rows:
+        parsed = _json.loads(doc)
+        assert parsed["pool"] == pool
+        bid_prices = [float(b["price"]) for b in parsed["bids"]]
+        ask_prices = [float(a["price"]) for a in parsed["asks"]]
+        assert bid_prices == sorted(bid_prices, reverse=True)
+        assert ask_prices == sorted(ask_prices)
+        for lvl in parsed["bids"] + parsed["asks"]:
+            assert len(lvl["orders"]) >= 1
+            if len(lvl["orders"]) > 1:
+                saw_multi_order_level = True
+    # the FIFO-within-level contract must actually be exercised
+    assert saw_multi_order_level

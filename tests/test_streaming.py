@@ -913,3 +913,48 @@ def test_every_ingest_freezes_via_helper_or_declares_no_freeze():
             assert not re.search(r"latest\(ss\)\.count\(\)", body), (
                 f"{name}: post-commit seed count survived the ADVICE r13 fix"
             )
+
+
+def test_layout_zonemap_streaming_chunk_invariance_and_batch_equality(spark):
+    """The (round-16 staged) streaming zone-map maintenance: the final
+    per-file statistics must be micro-batch-boundary invariant (1 vs 3
+    event_id-ordered chunks — 3 forces 512-row files to straddle batch
+    boundaries, exercising the cross-batch MIN/MAX/COUNT merge), and
+    match the one-shot DuckDB batch derivation."""
+    import duckdb
+
+    from hive_server_spark.plans.streaming_pack import (
+        _ZM_STREAM_ORACLE,
+        layout_zonemap_streaming,
+        streamed_zonemaps,
+    )
+    from tests.conftest import SF_SMALL
+
+    one = {
+        r.file_id: tuple(r)
+        for r in streamed_zonemaps(spark, SF_SMALL, chunks=1).collect()
+    }
+    three = {
+        r.file_id: tuple(r)
+        for r in streamed_zonemaps(spark, SF_SMALL, chunks=3).collect()
+    }
+    assert one == three and len(one) > 1
+
+    # n_rows must sum to the corpus (no file lost or double-counted on
+    # the straddle merge) and every file but the last carries 512 rows
+    total = sum(v[1] for v in one.values())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMALL}/events.parquet'"
+    )
+    assert total == con.execute("SELECT COUNT(*) FROM events").fetchone()[0]
+
+    orc = {r[0]: tuple(r) for r in con.execute(_ZM_STREAM_ORACLE).fetchall()}
+    assert orc == one
+
+    # registered-shape smoke: the gate callable returns the same table
+    got = {
+        r.file_id: tuple(r)
+        for r in layout_zonemap_streaming(spark, SF_SMALL).collect()
+    }
+    assert got == one
