@@ -13,10 +13,12 @@ operators the gate value-checks one by one. Stages:
                        (emb_pq_train, registered round 13)
   5. IVF build       - coarse index census
                        (emb_ivf_build, or --incremental: the streaming
-                       ingest streamed_ivf_census — staged round 14)
+                       ingest streamed_ivf_census — emb_ivf_streaming,
+                       registered round 14)
   6. PQ encode       - per-vector codes table
                        (emb_pq_codes, or --incremental: the streaming
-                       ingest streamed_pq_codes — staged round 15)
+                       ingest streamed_pq_codes — emb_pq_streaming,
+                       staged round 15)
   7. serve           - IVF-PQ top-k read path (emb_ivfpq_topk)
   8. recall audit    - nprobe sweep vs exact top-k
                        (emb_ivf_recall_curve)

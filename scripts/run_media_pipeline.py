@@ -21,7 +21,8 @@ value-checks one by one. Stages:
                        by the BATCH rule by default, or — with
                        --incremental — by driving the versioned band
                        index through the STREAMING ingest path
-                       (streamed_media_neardup, staged round 14)
+                       (streamed_media_neardup — media_neardup_streaming,
+                       registered round 14)
 
 The final manifest joins the fused bundle verdict, the video-curation
 keep flag, and the image band-flag partner into one per-document media
@@ -144,7 +145,10 @@ def main() -> None:
 
         flags = stage(
             "image_band_flags[streaming]",
-            lambda s, d: streamed_media_neardup(s, d, chunks=3),
+            # media_mod=1: the pipeline proof must cover the SAME full
+            # corpus as the batch rule (the gate query's doc_id % 3
+            # media-bearing slice is its own corpus contract)
+            lambda s, d: streamed_media_neardup(s, d, chunks=3, media_mod=1),
         )
     else:
         flags = stage("image_band_flags[batch]", _batch_band_flags)
