@@ -1094,7 +1094,7 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 #   udtf_char_ngram_census, multimodal_jpeg_profile,
 #   multimodal_image_entropy, multimodal_jpeg_progressive_profile
 # 3 + 7 + 40 = 50 — clears r10 entirely and starts draining r11; the
-# remaining 10 r11 names drain in r16 alongside the THREE
+# remaining 10 r11 names drain in r16 alongside the FOUR
 # round-14-staged registrations (all parity-tested + 10x/100x-probed —
 # SCALE.md round-14 staged table; flip the commented @register lines):
 #   layout_zonemap_streaming (plans/streaming_pack.py, oracle
@@ -1105,7 +1105,9 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 #   rebuild-on-survivors)
 #   serving_order_book_json (plans/serving_pack.py, oracle
 #   _ORDER_BOOK_JSON_ORACLE — the third serving route, byte-pinned)
-# r16 window arithmetic: 3 + the 10-name r11 spill above + the FIRST 37
+#   dq_referential_report (plans/relational.py, oracle _DQ_REF_ORACLE —
+#   the cross-table FK/uniqueness suite beside dq_lineitem_report)
+# r16 window arithmetic: 4 + the 10-name r11 spill above + the FIRST 36
 # of the 50 r12-green names (compute the r12 list in round 15 from the
 # r01-r14 history; the remainder drains r17).
 # The 43 r10 names below are the first 43 of the list round 13 spelled

@@ -57,3 +57,53 @@ def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
 def violations(df: DataFrame, rule: Rule, limit: int = 100) -> DataFrame:
     """Evidence sample for one failing rule (null results are failures)."""
     return df.where(~F.coalesce(rule.predicate, F.lit(False))).limit(limit)
+
+
+def _report_row(name: str, counts: DataFrame) -> DataFrame:
+    """Project a (n_rows, n_violations) single-row aggregate into the
+    report shape (rule, n_rows, n_violations, passed) — everything stays
+    in the plan; the driver materializes the unioned report once."""
+    return counts.select(
+        F.lit(name).alias("rule"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_violations").cast("bigint").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+def fk_check(
+    name: str,
+    fact: DataFrame,
+    fk: str,
+    dim: DataFrame,
+    pk: str,
+) -> DataFrame:
+    """One-row referential-integrity report for fact.fk -> dim.pk:
+    (rule, n_rows, n_violations, passed), violations = fact rows whose
+    key resolves to NO dim row. A NULL foreign key never matches (SQL
+    equality semantics on both engines), so it counts as a violation —
+    the same no-silent-pass rule `check` applies to range predicates.
+
+    The anti-join is the scale-correct shape: Catalyst broadcasts a
+    small dim (nation/region/part) and falls back to a key-partitioned
+    shuffle for fact-fact references (lineitem -> orders) — exactly the
+    strategy split a 100 TB constraint suite needs, chosen by stats
+    rather than hand-scheduling."""
+    viol = (
+        fact.join(dim.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+    )
+    tot = fact.agg(F.count(F.lit(1)).alias("n_rows"))
+    return _report_row(name, tot.crossJoin(viol))
+
+
+def unique_check(name: str, df: DataFrame, key: str) -> DataFrame:
+    """One-row key-uniqueness report: violations = n_rows minus the
+    distinct non-null key count, so duplicate AND null keys both count."""
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col(key))).alias(
+            "n_violations"
+        ),
+    )
+    return _report_row(name, agg)

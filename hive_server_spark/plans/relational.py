@@ -1667,3 +1667,76 @@ def rel_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("total"),
         F.col("rk").cast("bigint").alias("rk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table referential-integrity audit (round-14 second pass;
+# REGISTRATION STAGED FOR ROUND 16 — flip the commented @register). The
+# companion dq_lineitem_report lacked: that query validates N
+# single-table constraints in one scan; THIS validates the schema's
+# foreign-key graph — the Deequ/Great-Expectations check a training-data
+# warehouse runs before any join-based pipeline trusts its dimensions.
+# Seven checks: customer PK uniqueness, then the FK chain
+# orders→customer, lineitem→{orders, part, supplier},
+# supplier→nation, nation→region. A NULL or dangling key counts as a
+# violation (anti-join semantics — no silent pass); uniqueness counts
+# duplicate AND null keys.
+#
+# Scale: each FK check is ONE left-anti join — Catalyst broadcasts the
+# bounded dims (nation/region/part/supplier) and key-partitions the
+# fact-fact references (lineitem→orders), the strategy split a 100 TB
+# constraint suite needs, chosen by stats; the uniqueness check is one
+# map-side-combined aggregate. The seven single-row reports union into
+# one DataFrame, so the driver materializes the suite once.
+# ---------------------------------------------------------------------------
+_DQ_REF_CHECKS = [
+    # (rule, fact, fk, dim, pk); None dim => uniqueness check on fk
+    ("customer_custkey_unique", "customer", "c_custkey", None, None),
+    ("orders_custkey_resolves", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem_orderkey_resolves", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_partkey_resolves", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem_suppkey_resolves", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("supplier_nationkey_resolves", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation_regionkey_resolves", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+_DQ_REF_ORACLE = "\nUNION ALL\n".join(
+    (
+        f"SELECT '{rule}' AS rule,"
+        f" CAST((SELECT COUNT(*) FROM {fact}) AS BIGINT) AS n_rows,"
+        f" CAST((SELECT COUNT(*) - COUNT(DISTINCT {fk}) FROM {fact}) AS BIGINT)"
+        f" AS n_violations,"
+        f" (SELECT COUNT(*) - COUNT(DISTINCT {fk}) FROM {fact}) = 0 AS passed"
+        if dim is None
+        else f"SELECT '{rule}' AS rule,"
+        f" CAST((SELECT COUNT(*) FROM {fact}) AS BIGINT) AS n_rows,"
+        f" CAST((SELECT COUNT(*) FROM {fact} f WHERE NOT EXISTS"
+        f" (SELECT 1 FROM {dim} d WHERE d.{pk} = f.{fk})) AS BIGINT)"
+        f" AS n_violations,"
+        f" (SELECT COUNT(*) FROM {fact} f WHERE NOT EXISTS"
+        f" (SELECT 1 FROM {dim} d WHERE d.{pk} = f.{fk})) = 0 AS passed"
+    )
+    for rule, fact, fk, dim, pk in _DQ_REF_CHECKS
+)
+
+
+# round 16: @register("dq_referential_report", _DQ_REF_ORACLE)
+def dq_referential_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity suite over the TPC-H schema: PK uniqueness
+    plus the six-edge foreign-key chain, one report row per check (see
+    block comment)."""
+    from functools import reduce
+
+    from hive_server_spark.operators.quality import fk_check, unique_check
+
+    reports = []
+    for rule, fact, fk, dim, pk in _DQ_REF_CHECKS:
+        if dim is None:
+            reports.append(unique_check(rule, _t(spark, sf_dir, fact), fk))
+        else:
+            reports.append(
+                fk_check(
+                    rule, _t(spark, sf_dir, fact), fk, _t(spark, sf_dir, dim), pk
+                )
+            )
+    return reduce(lambda a, b: a.unionByName(b), reports)

@@ -242,3 +242,48 @@ def test_capped_heldout_is_partition_layout_independent(spark):
     from collections import Counter
     per_group = Counter(r[0] for r in outs[0])
     assert all(c == 50 for c in per_group.values())
+
+
+def test_dq_referential_report_violations_and_oracle(spark, tmp_path):
+    """The (round-16 staged) referential-integrity suite. Crafted corpus:
+    a duplicate customer key, a NULL and a dangling order FK — every
+    violation class must be counted (nulls are violations, not silent
+    passes). Then full DuckDB oracle parity on the sf0.001 tables."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_server_spark.plans.relational import (
+        _DQ_REF_ORACLE,
+        dq_referential_report,
+    )
+    from tests.conftest import SF_SMALL
+
+    from hive_server_spark.operators.quality import fk_check, unique_check
+
+    cust = spark.createDataFrame(
+        [(1,), (2,), (2,), (4,)], "c_custkey bigint"
+    )
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, None), (13, 99)],
+        "o_orderkey bigint, o_custkey bigint",
+    )
+    [u] = unique_check("cust_unique", cust, "c_custkey").collect()
+    assert tuple(u) == ("cust_unique", 4, 1, False)  # the duplicate 2
+    [f] = fk_check("orders_resolve", orders, "o_custkey", cust, "c_custkey").collect()
+    # NULL FK and dangling 99 both count
+    assert tuple(f) == ("orders_resolve", 4, 2, False)
+
+    # sf parity: the full seven-check suite vs the DuckDB oracle
+    got = sorted(
+        tuple(r) for r in dq_referential_report(spark, SF_SMALL).collect()
+    )
+    assert len(got) == 7
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "part", "supplier",
+              "nation", "region"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'"
+        )
+    orc = sorted(tuple(r) for r in con.execute(_DQ_REF_ORACLE).fetchall())
+    assert got == orc
