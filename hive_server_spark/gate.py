@@ -1110,6 +1110,14 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 # r16 window arithmetic: 4 + the 10-name r11 spill above + the FIRST 36
 # of the 50 r12-green names (compute the r12 list in round 15 from the
 # r01-r14 history; the remainder drains r17).
+# Staged further out, for ROUND 17 (both parity-tested +
+# 10x/100x-probed this round — SCALE.md round-14 staged tables):
+#   text_bpe_streaming (plans/streaming_pack.py — flip both lines; the
+#   tokenizer family's tokenize-at-arrival leg, oracle
+#   _BPE_ENCODE_ORACLE)
+#   serving_amount_out_json (plans/serving_pack.py, oracle
+#   _AMOUNT_OUT_JSON_ORACLE — the fourth serving route, serializing the
+#   A6/A7 walk with both error branches)
 # The 43 r10 names below are the first 43 of the list round 13 spelled
 # out, re-verified this round against the r01-r13 correctness history.
 # ---------------------------------------------------------------------------

@@ -2314,3 +2314,137 @@ def layout_zonemap_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     zone-map state; return the final per-file statistics table, which
     must equal the one-shot batch derivation (see block comment)."""
     return streamed_zonemaps(spark, sf_dir, chunks=2)
+
+
+# ---------------------------------------------------------------------------
+# Streaming BPE tokenization census (round-14 second pass; REGISTRATION
+# STAGED FOR ROUND 17 — flip the commented lines). Completes the
+# tokenizer family's streaming leg: text_bpe_merge_step trains one
+# merge, text_bpe_train the K-merge table, text_bpe_encode censuses the
+# corpus one-shot, text_bpe_token_stats profiles — and THIS tokenizes at
+# ARRIVAL: documents land in doc_id-ordered micro-batches, each batch's
+# per-(source, token) counts join the FROZEN tokenizer artifact (the
+# trained vocab's token -> n_syms table, persisted once and read back
+# per batch — exactly how a deployed pipeline ships a tokenizer: trained
+# offline, immutable at ingest), and the per-source additive partials
+# (n_pretokens, n_bpe_tokens — a SUM monoid) fold into the versioned
+# state store. The micro-ratio is derived at READ from the folded sums,
+# so the final census equals text_bpe_encode's full-corpus oracle row
+# for row, and chunk count cannot change the answer.
+#
+# Replay: sums are NOT idempotent — the already_applied guard is
+# load-bearing (the census twin's contract).
+#
+# Scale: per micro-batch the work is one tokenize pass over the BATCH
+# (regexp extract + explode, map-side), one broadcast join against the
+# vocab-sized artifact, and a |sources|-row monoid merge; state is
+# |sources| rows, the corpus is never rescanned, and the tokenizer
+# artifact is read, never retrained. At 100 TB the stream tokenizes at
+# arrival speed — the shape every LLM-ingest pipeline runs.
+# ---------------------------------------------------------------------------
+def streamed_bpe_census(
+    spark: SparkSession, sf_dir: str, chunks: int = 2
+) -> DataFrame:
+    """Run the BPE tokenization census over the documents corpus landed in
+    `chunks` doc_id-ordered micro-batches against the frozen trained
+    vocab; returns the final per-source census (source, n_pretokens,
+    n_bpe_tokens, syms_per_pretoken_micro), which must equal the
+    full-corpus one-shot text_bpe_encode."""
+    from hive_server_spark.functions import text as _T
+    from hive_server_spark.plans.text_pack import _bpe_train
+    from hive_server_spark.streaming.incremental import (
+        ParquetStateStore,
+        await_stream_with_retry,
+    )
+
+    work = tempfile.mkdtemp(dir=session_scratch("bpe_stream"))
+    # the frozen tokenizer artifact: train once (session-cached), persist
+    # the token -> n_syms table, and read it back per batch — the
+    # prior-snapshot discipline (emb_pq_incremental), not a batch-0 freeze
+    _merges, vocab = _bpe_train(spark, sf_dir)
+    enc_path = os.path.join(work, "enc")
+    vocab.select(
+        "token", F.size(F.split("symseq", " ")).cast("bigint").alias("n_syms")
+    ).write.mode("overwrite").parquet(enc_path)
+
+    d = _land_documents(spark, sf_dir, chunks)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    ckpt = os.path.join(work, "ckpt")
+    store = ParquetStateStore(os.path.join(work, "census"), run_id=ckpt)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # no-freeze: the tokenizer artifact is persisted TRAIN metadata
+        # (token -> n_syms), shipped frozen and read back per batch — it
+        # is not derived from any batch's slice, so the batch-0
+        # commit_seed_state contract does not apply. The census sums are
+        # NOT idempotent — the already_applied guard is load-bearing.
+        if store.already_applied(batch_id):
+            return
+        ss = batch_df.sparkSession
+        enc = ss.read.parquet(enc_path)
+        part = (
+            batch_df.select(
+                "source",
+                F.explode(F.expr(_T.bpe_tokens_expr("text", "s"))).alias(
+                    "token"
+                ),
+            )
+            .groupBy("source", "token")
+            .agg(F.count("*").alias("cnt"))
+            .join(F.broadcast(enc), "token")
+            .groupBy("source")
+            .agg(
+                F.sum("cnt").cast("bigint").alias("n_pretokens"),
+                F.sum(F.col("cnt") * F.col("n_syms"))
+                .cast("bigint")
+                .alias("n_bpe_tokens"),
+            )
+        )
+        prev = store.latest(ss)
+        merged = (
+            part
+            if prev is None
+            else prev.unionByName(part)
+            .groupBy("source")
+            .agg(
+                F.sum("n_pretokens").cast("bigint").alias("n_pretokens"),
+                F.sum("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+            )
+        )
+        store.commit(merged, batch_id)
+
+    with _scoped_shuffle_partitions(spark):
+        writer = (
+            stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+        )
+        await_stream_with_retry(writer.start)
+    out = store.latest(spark)
+    return out.select(
+        "source",
+        "n_pretokens",
+        "n_bpe_tokens",
+        F.round(
+            1000000.0 * F.col("n_bpe_tokens") / F.col("n_pretokens")
+        )
+        .cast("bigint")
+        .alias("syms_per_pretoken_micro"),
+    )
+
+
+# round 17 (flip both lines):
+# from hive_server_spark.plans.text_pack import _BPE_ENCODE_ORACLE
+# @register("text_bpe_streaming", _BPE_ENCODE_ORACLE)
+def text_bpe_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the documents corpus in doc_id-ordered chunks, tokenize each
+    micro-batch against the frozen trained vocab, and fold the per-source
+    census partials into the versioned state store; return the final
+    census, which must equal the one-shot text_bpe_encode (see block
+    comment)."""
+    return streamed_bpe_census(spark, sf_dir, chunks=2)

@@ -958,3 +958,45 @@ def test_layout_zonemap_streaming_chunk_invariance_and_batch_equality(spark):
         for r in layout_zonemap_streaming(spark, SF_SMALL).collect()
     }
     assert got == one
+
+
+def test_text_bpe_streaming_chunk_invariance_and_batch_equality(spark):
+    """The (round-17 staged) streaming BPE tokenization census: the final
+    per-source census must be micro-batch-boundary invariant (1 vs 3
+    doc_id-ordered chunks), equal the one-shot text_bpe_encode row for
+    row, and match the full-corpus DuckDB oracle."""
+    import duckdb
+
+    from hive_server_spark.plans.streaming_pack import (
+        streamed_bpe_census,
+        text_bpe_streaming,
+    )
+    from hive_server_spark.plans.text_pack import (
+        _BPE_ENCODE_ORACLE,
+        text_bpe_encode,
+    )
+    from tests.conftest import SF_SMALL
+
+    one = sorted(
+        tuple(r) for r in streamed_bpe_census(spark, SF_SMALL, chunks=1).collect()
+    )
+    three = sorted(
+        tuple(r) for r in streamed_bpe_census(spark, SF_SMALL, chunks=3).collect()
+    )
+    assert one == three and len(one) > 1
+
+    batch = sorted(tuple(r) for r in text_bpe_encode(spark, SF_SMALL).collect())
+    assert one == batch
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMALL}/documents.parquet'"
+    )
+    orc = sorted(tuple(r) for r in con.execute(_BPE_ENCODE_ORACLE).fetchall())
+    assert orc == one
+
+    # registered-shape smoke
+    got = sorted(
+        tuple(r) for r in text_bpe_streaming(spark, SF_SMALL).collect()
+    )
+    assert got == one
