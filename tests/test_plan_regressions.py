@@ -205,3 +205,59 @@ def test_packing_prefix_sum_is_two_level(spark):
         assert all("bucket" in s for s in source_only), (
             f"{name}: offset window must order by bucket subtotals: {source_only}"
         )
+
+
+def test_staged_queries_plan_preflight(spark):
+    """Every query staged behind a commented @register must already meet
+    the registered-surface plan bar BEFORE its flip round: no
+    CartesianProduct (an unbroadcast cross join is never right), and no
+    SortMergeJoin unless its exemption is pre-written
+    (layout_bucketed_join, whose zero-exchange SMJ is the point — argued
+    in its block comment and pinned by test_scale_utils).
+    BroadcastNestedLoopJoin is allowed: the registered surface uses it
+    deliberately for bounded scalar broadcasts (a 1-row total or k-row
+    centroid table cross-joined onto every row — emb_ivf_build carries
+    six), which is a map-side replicate, not a quadratic join. Catching
+    a plan regression here costs a code review; catching it at flip
+    time costs a driver round."""
+    from hive_server_spark.plans.embedding_pack import (
+        emb_ivf_delete_maintenance,
+    )
+    from hive_server_spark.plans.relational import dq_referential_report
+    from hive_server_spark.plans.serving_pack import (
+        q_serving_amount_out_json,
+        q_serving_order_book_json,
+    )
+    from hive_server_spark.plans.sources_pack import layout_bucketed_join
+    from hive_server_spark.plans.streaming_pack import (
+        emb_pq_streaming,
+        layout_dv_streaming,
+        layout_zonemap_streaming,
+        text_bpe_streaming,
+    )
+
+    staged = {
+        "emb_pq_streaming": emb_pq_streaming,
+        "layout_dv_streaming": layout_dv_streaming,
+        "layout_bucketed_join": layout_bucketed_join,
+        "layout_zonemap_streaming": layout_zonemap_streaming,
+        "emb_ivf_delete_maintenance": emb_ivf_delete_maintenance,
+        "serving_order_book_json": q_serving_order_book_json,
+        "dq_referential_report": dq_referential_report,
+        "text_bpe_streaming": text_bpe_streaming,
+        "serving_amount_out_json": q_serving_amount_out_json,
+    }
+    smj_exempt = {"layout_bucketed_join"}
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    offenders = []
+    for name, fn in staged.items():
+        plan = (
+            fn(spark, SF_SMALL)._jdf.queryExecution().explainString(mode)
+        )
+        if "CartesianProduct" in plan:
+            offenders.append(f"{name}: CartesianProduct")
+        if "SortMergeJoin" in plan and name not in smj_exempt:
+            offenders.append(f"{name}: unexempted SortMergeJoin")
+    assert not offenders, f"staged-query plan preflight failed: {offenders}"
