@@ -1118,6 +1118,9 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 #   serving_amount_out_json (plans/serving_pack.py, oracle
 #   _AMOUNT_OUT_JSON_ORACLE — the fourth serving route, serializing the
 #   A6/A7 walk with both error branches)
+#   audio_neardup_streaming (plans/streaming_pack.py, oracle
+#   _AUDIO_NEARDUP_STREAM_ORACLE — the image ingest's audio twin,
+#   closing the last modality gap in the streaming matrix)
 # The 43 r10 names below are the first 43 of the list round 13 spelled
 # out, re-verified this round against the r01-r13 correctness history.
 # ---------------------------------------------------------------------------

@@ -942,11 +942,13 @@ def multimodal_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # The closed-form audio-fingerprint derivation (decode → frame energies →
 # bits → four 16-bit bands) as a reusable CTE chain ending at
-# bands(doc_id, band_idx, band_val) — shared by the batch near-dup oracle
-# and the fused multimodal-bundle oracle below.
-_AUDIO_FP_BANDS_CTES = f"""d AS (
+# bands(doc_id, band_idx, band_val) — shared by the batch near-dup
+# oracle, the fused multimodal-bundle oracle below, and (via `src`) the
+# streaming ingest's slice-scoped oracle.
+def _audio_fp_bands_ctes(src: str = "documents") -> str:
+    return f"""d AS (
   SELECT doc_id, COALESCE(substr(text, 1, {M.AUDIO_FP_PREFIX_LEN}), '') AS p
-  FROM documents
+  FROM {src}
 ),
 framek AS (
   SELECT doc_id, p, unnest(range(0, {M.AUDIO_FP_FRAMES})) AS k FROM d
@@ -974,6 +976,9 @@ bands AS (
   SELECT bg.doc_id, bg.band_idx, COALESCE(bs.band_val, 0) AS band_val
   FROM bgrid bg LEFT JOIN bsum bs USING (doc_id, band_idx)
 )"""
+
+
+_AUDIO_FP_BANDS_CTES = _audio_fp_bands_ctes()
 
 _AUDIO_FP_ORACLE = f"""
 WITH {_AUDIO_FP_BANDS_CTES},

@@ -2448,3 +2448,146 @@ def text_bpe_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     census, which must equal the one-shot text_bpe_encode (see block
     comment)."""
     return streamed_bpe_census(spark, sf_dir, chunks=2)
+
+
+# ---------------------------------------------------------------------------
+# Streaming AUDIO-fingerprint near-dup ingest (round-14 second pass;
+# REGISTRATION STAGED FOR ROUND 17 — flip the commented @register).
+# Closes the last modality gap in the streaming ingest matrix: text,
+# image, embeddings (IVF + PQ), and layout (DV + zone maps) all have
+# arrival-time members; audio had only the batch near-dup and the fused
+# batch-incremental refresh. Same shape as the image twin
+# (streamed_media_neardup): the media-bearing corpus slice
+# (doc_id % _MEDIA_STREAM_MOD — the SAME slice; a doc's bundle carries
+# its thumbnail and its audio track together) lands in media_id-ordered
+# micro-batches, each batch synthesizes + WAV-decodes ONLY its own
+# clips, its frame-energy fingerprint band partials MIN-merge into the
+# versioned band index, and the batch flags against the post-merge
+# index. Replay: the merge is an idempotent semilattice; the flags
+# append is guarded (load-bearing). The final flags table must equal
+# the batch occupied-band rule on the same slice — the slice-scoped
+# _audio_fp_bands_ctes oracle.
+#
+# Scale: state is (band_idx, band_val, min_media_id) — bytes per clip,
+# not samples; payloads never shuffle (partition-preserving decode
+# inside the batch); at 100 TB the stream ingests at WAV-decode speed
+# and the index grows with DISTINCT band values only.
+# ---------------------------------------------------------------------------
+from hive_server_spark.plans.multimodal_pack import _audio_fp_bands_ctes  # noqa: E402
+
+_AUDIO_NEARDUP_STREAM_ORACLE = f"""
+WITH {_audio_fp_bands_ctes(
+    f"(SELECT * FROM documents WHERE doc_id % {_MEDIA_STREAM_MOD} = 0)"
+)},
+bmin AS (
+  SELECT band_idx, band_val, MIN(doc_id) AS min_id
+  FROM bands GROUP BY band_idx, band_val
+),
+j AS (
+  SELECT b.doc_id, m.min_id
+  FROM bands b
+  JOIN bmin m ON b.band_idx = m.band_idx AND b.band_val = m.band_val
+  WHERE m.min_id < b.doc_id
+)
+SELECT CAST(j.doc_id AS BIGINT)      AS media_id,
+       CAST(COUNT(*) AS BIGINT)      AS n_occupied_bands,
+       CAST(MIN(j.min_id) AS BIGINT) AS partner_media_id
+FROM j GROUP BY j.doc_id
+"""
+
+
+def streamed_audio_neardup(
+    spark: SparkSession, sf_dir: str, chunks: int = 2,
+    media_mod: int = _MEDIA_STREAM_MOD,
+) -> DataFrame:
+    """Run the incremental audio-fingerprint band index over the media
+    corpus landed in `chunks` media_id-ordered micro-batches; each batch
+    WAV-decodes ONLY its own clips. Returns the final flags table
+    (media_id, n_occupied_bands, partner_media_id); chunk count must not
+    change the answer. `media_mod` selects the media-bearing slice, as
+    in the image twin."""
+    from hive_server_spark.streaming.incremental import (
+        ParquetStateStore,
+        await_stream_with_retry,
+    )
+
+    work = tempfile.mkdtemp(dir=session_scratch("audio_neardup_stream"))
+    d = _land_documents(spark, sf_dir, chunks)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    ckpt = os.path.join(work, "ckpt")
+    bands_store = ParquetStateStore(os.path.join(work, "bands"), run_id=ckpt)
+    flags_store = ParquetStateStore(os.path.join(work, "flags"), run_id=ckpt)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # no-freeze: the fingerprint band index is a MIN semilattice —
+        # no id-windowed bootstrap artifact, commit_seed_state does not
+        # apply (static audit: test_streaming). The flags append is NOT
+        # idempotent — that guard is load-bearing.
+        ss = batch_df.sparkSession
+        wide = _M.audio_fingerprint_bands(
+            _M.synthesize_fpwav_media(
+                batch_df.where(F.col("doc_id") % media_mod == 0)
+                .repartition(ss.sparkContext.defaultParallelism)
+            )
+        )
+        bands = _M.band_long(wide).persist()
+        try:
+            if not bands_store.already_applied(batch_id):
+                part = bands.groupBy("band_idx", "band_val").agg(
+                    F.min("media_id").alias("min_media_id")
+                )
+                cur = bands_store.latest(ss)
+                merged = (
+                    part
+                    if cur is None
+                    else cur.unionByName(part)
+                    .groupBy("band_idx", "band_val")
+                    .agg(F.min("min_media_id").alias("min_media_id"))
+                )
+                bands_store.commit(merged, batch_id)
+            if not flags_store.already_applied(batch_id):
+                state = bands_store.latest(ss)
+                flagged = (
+                    bands.join(state, ["band_idx", "band_val"])
+                    .where(F.col("min_media_id") < F.col("media_id"))
+                    .groupBy("media_id")
+                    .agg(
+                        F.count("*").alias("n_occupied_bands"),
+                        F.min("min_media_id").alias("partner_media_id"),
+                    )
+                )
+                prev = flags_store.latest(ss)
+                flags_store.commit(
+                    flagged if prev is None else prev.unionByName(flagged),
+                    batch_id,
+                )
+        finally:
+            bands.unpersist()
+
+    with _scoped_shuffle_partitions(spark):
+        writer = (
+            stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+        )
+        await_stream_with_retry(writer.start)
+    out = flags_store.latest(spark)
+    return out.select(
+        F.col("media_id").cast("bigint").alias("media_id"),
+        F.col("n_occupied_bands").cast("bigint").alias("n_occupied_bands"),
+        F.col("partner_media_id").cast("bigint").alias("partner_media_id"),
+    )
+
+
+# round 17: @register("audio_neardup_streaming", _AUDIO_NEARDUP_STREAM_ORACLE)
+def audio_neardup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the media corpus in media_id-ordered chunks, WAV-decode each
+    micro-batch once, and maintain the audio-fingerprint band near-dup
+    index incrementally; return the flagged-media table, which must equal
+    the batch occupied-band rule on the same slice (see block comment)."""
+    return streamed_audio_neardup(spark, sf_dir, chunks=2)

@@ -230,6 +230,7 @@ def test_staged_queries_plan_preflight(spark):
     )
     from hive_server_spark.plans.sources_pack import layout_bucketed_join
     from hive_server_spark.plans.streaming_pack import (
+        audio_neardup_streaming,
         emb_pq_streaming,
         layout_dv_streaming,
         layout_zonemap_streaming,
@@ -237,6 +238,7 @@ def test_staged_queries_plan_preflight(spark):
     )
 
     staged = {
+        "audio_neardup_streaming": audio_neardup_streaming,
         "emb_pq_streaming": emb_pq_streaming,
         "layout_dv_streaming": layout_dv_streaming,
         "layout_bucketed_join": layout_bucketed_join,

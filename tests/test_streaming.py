@@ -1000,3 +1000,108 @@ def test_text_bpe_streaming_chunk_invariance_and_batch_equality(spark):
         tuple(r) for r in text_bpe_streaming(spark, SF_SMALL).collect()
     )
     assert got == one
+
+
+def test_audio_neardup_streaming_chunk_invariance_and_oracle(spark, tmp_path):
+    """The (round-17 staged) streaming AUDIO near-dup ingest: planted
+    cross-chunk exact + parity dups on a crafted corpus, micro-batch
+    boundary invariance (1 vs 3), equality with the batch occupied-band
+    rule recomputed from the slice's band table, and DuckDB oracle
+    parity on crafted AND sf corpora."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from hive_server_spark.functions import multimodal as M
+    from hive_server_spark.plans.multimodal_pack import _docs_wide
+    from hive_server_spark.plans.streaming_pack import (
+        _AUDIO_NEARDUP_STREAM_ORACLE,
+        _MEDIA_STREAM_MOD,
+        audio_neardup_streaming,
+        streamed_audio_neardup,
+    )
+    from tests.conftest import SF_SMALL
+    from tests.test_gate_parity import _rowset
+
+    hdr = "shared audio header streamed across chunks"
+    rows = [
+        (9, hdr),                                 # chunk 1 (odd parity)
+        (10, hdr),                                # chunk 1: NOT media-bearing
+        (12, "a chunk-1-only header, distinct.."),
+        (30, hdr),                                # later chunk: parity near-dup
+        (33, hdr),                                # later chunk: exact dup of 9
+        (45, "fresh tail header, stays unflagged"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["t"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        r.media_id: (r.n_occupied_bands, r.partner_media_id)
+        for r in audio_neardup_streaming(spark, str(tmp_path)).collect()
+    }
+    assert got[33] == (4, 9)       # byte-identical clip vs an earlier chunk
+    assert got[30] == (3, 9)       # parity flips one band; partner holds
+    assert 12 not in got and 45 not in got
+    assert 10 not in got           # non-media doc: filtered before decode
+
+    one = sorted(
+        tuple(r) for r in streamed_audio_neardup(spark, SF_SMALL, chunks=1).collect()
+    )
+    three = sorted(
+        tuple(r) for r in streamed_audio_neardup(spark, SF_SMALL, chunks=3).collect()
+    )
+    assert one == three and len(one) > 0
+
+    # batch recompute of the occupied-band rule on the same slice
+    bands = M.band_long(
+        M.audio_fingerprint_bands(
+            M.synthesize_fpwav_media(
+                _docs_wide(spark, SF_SMALL).where(
+                    F.col("doc_id") % _MEDIA_STREAM_MOD == 0
+                )
+            )
+        )
+    )
+    bmin = bands.groupBy("band_idx", "band_val").agg(
+        F.min("media_id").alias("min_id")
+    )
+    want = sorted(
+        tuple(r)
+        for r in bands.join(bmin, ["band_idx", "band_val"])
+        .where(F.col("min_id") < F.col("media_id"))
+        .groupBy("media_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occupied_bands"),
+            F.min("min_id").cast("bigint").alias("partner_media_id"),
+        )
+        .select(
+            F.col("media_id").cast("bigint").alias("media_id"),
+            "n_occupied_bands",
+            "partner_media_id",
+        )
+        .collect()
+    )
+    assert one == want
+
+    for sf_dir in (str(tmp_path), SF_SMALL):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        oracle = con.execute(_AUDIO_NEARDUP_STREAM_ORACLE)
+        o_cols = [d[0] for d in oracle.description]
+        o_rows = oracle.fetchall()
+        sdf = audio_neardup_streaming(spark, sf_dir)
+        s_rows = [tuple(r) for r in sdf.collect()]
+        assert len(s_rows) == len(o_rows) > 0, sf_dir
+        assert _rowset(sdf.columns, s_rows) == _rowset(o_cols, o_rows), sf_dir
