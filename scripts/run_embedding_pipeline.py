@@ -22,6 +22,9 @@ operators the gate value-checks one by one. Stages:
   7. serve           - IVF-PQ top-k read path (emb_ivfpq_topk)
   8. recall audit    - nprobe sweep vs exact top-k
                        (emb_ivf_recall_curve)
+  9. maintain        - retention-delete census subtract, reconciled
+                       against the tombstone count
+                       (emb_ivf_delete_maintenance, staged round 16)
 
 The index artifacts (IVF census + PQ codes) are written to the out dir.
 Because the streaming ingests' final state equals the one-shot builds
@@ -121,6 +124,18 @@ def main() -> None:
     serve = stage("emb_ivfpq_topk")
     recall = stage("emb_ivf_recall_curve")
 
+    # stage 9 (round 14): index maintenance under a retention DELETE —
+    # the tombstoned slice's census partials subtracted from the
+    # persisted build census, equal to the rebuild over survivors
+    # (emb_ivf_delete_maintenance, staged round 16). The survivor-count
+    # reconciliation is the pipeline-level version of its gate contract.
+    from hive_server_spark.plans.embedding_pack import (
+        _IVF_DELETE_PRED,
+        emb_ivf_delete_maintenance,
+    )
+
+    maint = stage("ivf_delete_maintenance", emb_ivf_delete_maintenance)
+
     # index summary: the numbers an index commit records
     n_cells = census.count()
     n_vecs = census.agg(F.sum("n_vecs")).collect()[0][0]
@@ -130,11 +145,24 @@ def main() -> None:
         f"{n_vecs} — the index halves no longer span the same corpus"
     )
     n_reps = dedup.where("is_representative").count()
+    from hive_server_spark.catalog import load_table
+
+    n_tomb = (
+        load_table(spark, args.sf_dir, "embeddings")
+        .where(F.expr(_IVF_DELETE_PRED))
+        .count()
+    )
+    n_after = maint.agg(F.sum("n_vecs")).collect()[0][0]
+    assert n_after == n_vecs - n_tomb, (
+        f"delete maintenance lost vectors: {n_vecs} - {n_tomb} tombstones "
+        f"!= {n_after} surviving"
+    )
     print(
         f"index: {n_vecs} vectors in {n_cells} cells, {n_coded} codes, "
         f"{n_reps}/{dedup.count()} semantic-dedup representatives, "
         f"serve rows {serve.count()}, recall rows {recall.count()}, "
-        f"audit rows {audit.count()}"
+        f"audit rows {audit.count()}; retention delete: {n_tomb} "
+        f"tombstones -> {n_after} vectors maintained"
     )
 
     census.write.mode("overwrite").parquet(os.path.join(args.out, "ivf_census"))
