@@ -1121,6 +1121,13 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 #   audio_neardup_streaming (plans/streaming_pack.py, oracle
 #   _AUDIO_NEARDUP_STREAM_ORACLE — the image ingest's audio twin,
 #   closing the last modality gap in the streaming matrix)
+# STAGING BUDGET NOTE (round 14): with 207 registered + these 10 staged
+# flips (r15:3, r16:4, r17:3) in a 50-slot window, the oldest-cohort
+# staleness sits at EXACTLY the 5-round bound every round through r20
+# (drain-oldest-first simulation). Do NOT stage additional
+# registrations for r15-r17 — any extra flip breaks
+# test_rotation_staleness_bounded. New capability work in those rounds
+# ships as operators/tests/pipeline stages without gate registration.
 # The 43 r10 names below are the first 43 of the list round 13 spelled
 # out, re-verified this round against the r01-r13 correctness history.
 # ---------------------------------------------------------------------------
