@@ -1041,62 +1041,26 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 # Driver-visible ordering. The correctness driver hash-checks the FIRST 50
 # queries per round; set_driver_priority pins that window. Per-round
 # history lives in git (r9 cleared the r05 tail, r10 cleared r06, r11
-# cleared r07, r12 cleared r08, r13 drained 47 of the 50 r09 names; THIS
-# round clears the 3-name r09 spill and starts draining r10 — see
-# VERDICT r09-r13 for the plans).
+# cleared r07, r12 cleared r08, r13 drained 47 of the 50 r09 names, r14
+# cleared the r09 spill and drained 43 of the 50 r10 names — its
+# media_neardup_streaming flip carried NEW slice-scoped semantics at
+# registration time, ADVICE r14; THIS round clears the 7-name r10 spill
+# and starts draining r11 — see VERDICT r09-r14 for the plans).
 # ---------------------------------------------------------------------------
-# Driver-visible ordering (round-14 rotation) — executes the plan written
-# here in round 13 and echoed by VERDICT r13 item 1: (a) the FOUR
-# round-14 registrations staged in rounds 12-13 (the streaming media
-# near-dup ingest — now over the doc_id % 3 media-bearing slice, VERDICT
-# r13 item 2 —, the streaming IVF census ingest, the IVF-PQ re-rank
-# serve, and the snapshot-expiry report), (b) the 3-name r09 spill, and
-# (c) the FIRST 43 of the 50 r10-green names in registration order.
-# After this window the staleness profile is r14:50, r13:50, r12:50,
-# r11:50 + a 7-name r10 spill — the VERDICT r13 item 1 done condition.
+# Driver-visible ordering (round-15 rotation) — executes the plan written
+# here in round 14 and echoed by VERDICT r14 item 1: (a) the THREE
+# round-15 registrations staged in rounds 13-14 (the streaming PQ-codes
+# ingest, the streaming deletion-vector ingest, and the bucketed
+# zero-exchange join), (b) the 7-name r10 spill, and (c) the FIRST 40 of
+# the 50 r11-green names in registration order. After this window the
+# staleness profile is r15:50, r14:50, r13:50, r12:50 + a 10-name r11
+# spill — the VERDICT r14 item 1 done condition.
 #
-# ROUND-15 ROTATION NOTE (single source of truth for which round flips
-# each staged registration — the per-site comments all say "round 15"):
-# (1) the THREE remaining staged registrations, all oracle-backed +
-# parity-tested + 10x/100x-probed since round 13 (flip the commented
-# lines at each site):
-#   emb_pq_streaming (plans/streaming_pack.py — flip BOTH commented
-#   lines: the pq_codes_oracle import and the @register)
-#   layout_dv_streaming (plans/streaming_pack.py — flip BOTH commented
-#   lines: the oracle and the @register)
-#   layout_bucketed_join (plans/sources_pack.py, oracle
-#   _BUCKETED_ORACLE — already in the SMJ exemption list by design)
-# (2) then the 7-name r10 spill, in registration order:
-#   evt_hourly_rollup_streaming, evt_sessions_streaming,
-#   evt_stream_stream_join, evt_dedup_rollup_streaming,
-#   evt_stream_static_enrich, docs_ingest_streaming,
-#   docs_neardup_incremental
-# (3) then the FIRST 40 of the 50 r11-green names (computed THIS round
-# from the r01-r13 history — no r11 name was re-checked in r12/r13, so
-# the list cannot change when CORRECTNESS_r14 lands; the last 10 spill
-# to r16). The 50 r11 names, in registration order:
-#   multimodal_jpeg_hierarchical_profile, multimodal_video_fp_neardup,
-#   multimodal_video_scenes, emb_ivf_incremental,
-#   multimodal_phash_incremental, order_book_levels, order_book_vwap,
-#   orders_scd2_versions, amount_out_buy, amount_out_sell,
-#   user_orders_t1, trader_order_counts, pools_summary,
-#   order_book_fifo_queues, order_book_snapshot, pool_info_enriched,
-#   trade_tick_flow, trade_price_ewma, evt_cms_heavy_hitters,
-#   evt_hll_cardinality, evt_bloom_prune_join, evt_markov_transitions,
-#   emb_truncated_recall, emb_pq_codes, emb_pq_adc_topk, emb_ivfpq_topk,
-#   emb_hard_negatives, emb_ivf_recall_curve, emb_bitext_mining,
-#   emb_mmr_diverse_topk, emb_semantic_decontaminate, text_line_dedup,
-#   text_bigram_nll, text_dup_spans, text_vocab_census,
-#   text_winnow_fingerprints, text_heaps_law, text_source_kl,
-#   text_bpe_merge_step, text_gopher_rules,
-#   [r16 spill:] text_tfidf_terms, text_dsir_weights, rag_hybrid_rrf,
-#   text_quota_sample, layout_compaction_plan, layout_zonemap_skipping,
-#   udtf_char_ngram_census, multimodal_jpeg_profile,
-#   multimodal_image_entropy, multimodal_jpeg_progressive_profile
-# 3 + 7 + 40 = 50 — clears r10 entirely and starts draining r11; the
-# remaining 10 r11 names drain in r16 alongside the FOUR
-# round-14-staged registrations (all parity-tested + 10x/100x-probed —
-# SCALE.md round-14 staged table; flip the commented @register lines):
+# ROUND-16 ROTATION NOTE (single source of truth for which round flips
+# each staged registration — the per-site comments all say the round):
+# (1) the FOUR round-14-staged registrations, all oracle-backed +
+# parity-tested + 10x/100x-probed since round 14 (flip the commented
+# @register lines):
 #   layout_zonemap_streaming (plans/streaming_pack.py, oracle
 #   _ZM_STREAM_ORACLE — the write-side stats-maintenance twin of
 #   layout_zonemap_skipping)
@@ -1107,11 +1071,41 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 #   _ORDER_BOOK_JSON_ORACLE — the third serving route, byte-pinned)
 #   dq_referential_report (plans/relational.py, oracle _DQ_REF_ORACLE —
 #   the cross-table FK/uniqueness suite beside dq_lineitem_report)
-# r16 window arithmetic: 4 + the 10-name r11 spill above + the FIRST 36
-# of the 50 r12-green names (compute the r12 list in round 15 from the
-# r01-r14 history; the remainder drains r17).
-# Staged further out, for ROUND 17 (both parity-tested +
-# 10x/100x-probed this round — SCALE.md round-14 staged tables):
+# (2) then the 10-name r11 spill, in registration order:
+#   text_tfidf_terms, text_dsir_weights, rag_hybrid_rrf,
+#   text_quota_sample, layout_compaction_plan, layout_zonemap_skipping,
+#   udtf_char_ngram_census, multimodal_jpeg_profile,
+#   multimodal_image_entropy, multimodal_jpeg_progressive_profile
+# (3) then the FIRST 36 of the 50 r12-green names (computed THIS round
+# from the r01-r14 history in REGISTRY registration order — no r12 name
+# was re-checked in r13/r14, so the list cannot change when
+# CORRECTNESS_r15 lands; the last 14 spill to r17). The 50 r12 names, in
+# registration order:
+#   amount_out_prices, amount_out_capped, asof_trade_price,
+#   asof_nearest_price, range_price_activity, price_hourly_gapfill,
+#   rel_pricing_summary, rel_top_revenue_orders, rel_revenue_by_nation,
+#   rel_order_priority_exists, rel_parts_never_ordered,
+#   rel_nations_intersect, rel_nations_except, rel_rollup_revenue,
+#   rel_cube_status_priority, rel_window_top_customers,
+#   rel_window_running_total, rel_window_order_gaps,
+#   rel_full_outer_nation_activity, rel_distinct_suppliers_per_nation,
+#   rel_scalar_functions, rel_window_analytics, rel_datetime_functions,
+#   rel_array_functions, rel_grouping_sets, rel_union_all_parties,
+#   rel_exact_percentiles, rel_cheapest_line_per_part,
+#   rel_orders_above_cust_avg, rel_rich_idle_customers,
+#   scale_salted_cohort_rollup, rel_promo_revenue_ratio,
+#   rel_nation_trade_flows, rel_disjunctive_bands,
+#   rel_conditional_distinct, evt_sessions,
+#   [r17 spill:] evt_trailing_hour_value, evt_cusum_drift,
+#   evt_hll_set_algebra, emb_pq_incremental, text_hash_features_score,
+#   layout_deletion_vectors, src_schema_evolution_roundtrip,
+#   layout_manifest_diff, multimodal_video_curation,
+#   multimodal_flac_profile, orders_state_streaming, evt_cms_streaming,
+#   evt_hll_streaming, evt_cusum_streaming
+# 4 + 10 + 36 = 50 — clears r11 entirely and starts draining r12; the
+# remaining 14 r12 names drain in r17 alongside the THREE
+# round-14-staged registrations (all parity-tested + 10x/100x-probed —
+# SCALE.md round-14 staged tables; flip the commented @register lines):
 #   text_bpe_streaming (plans/streaming_pack.py — flip both lines; the
 #   tokenizer family's tokenize-at-arrival leg, oracle
 #   _BPE_ENCODE_ORACLE)
@@ -1121,78 +1115,82 @@ from hive_server_spark.plans import (  # noqa: E402,F401
 #   audio_neardup_streaming (plans/streaming_pack.py, oracle
 #   _AUDIO_NEARDUP_STREAM_ORACLE — the image ingest's audio twin,
 #   closing the last modality gap in the streaming matrix)
-# STAGING BUDGET NOTE (round 14): with 207 registered + these 10 staged
-# flips (r15:3, r16:4, r17:3) in a 50-slot window, the oldest-cohort
-# staleness sits at EXACTLY the 5-round bound every round through r20
-# (drain-oldest-first simulation). Do NOT stage additional
-# registrations for r15-r17 — any extra flip breaks
+# r17 window arithmetic: 3 + the 14-name r12 spill above + the FIRST 33
+# of the 50 r13-green names (compute the r13 list in round 16 from the
+# r01-r15 history; the remainder drains r18).
+# STAGING BUDGET NOTE (round 14, re-affirmed round 15): with 210
+# registered + the remaining 7 staged flips (r16:4, r17:3) in a 50-slot
+# window, the oldest-cohort staleness sits at EXACTLY the 5-round bound
+# every round through r20 (drain-oldest-first simulation — now encoded
+# as test_rotation_forward_simulation, tests/test_rotation.py). Do NOT
+# stage additional registrations for r16-r17 — any extra flip breaks
 # test_rotation_staleness_bounded. New capability work in those rounds
 # ships as operators/tests/pipeline stages without gate registration.
-# The 43 r10 names below are the first 43 of the list round 13 spelled
-# out, re-verified this round against the r01-r13 correctness history.
+# The 40 r11 names below are the first 40 of the list round 14 spelled
+# out, re-verified this round against the r01-r14 correctness history.
 # ---------------------------------------------------------------------------
 from hive_server_spark.registry import set_driver_priority  # noqa: E402
 
-DRIVER_PRIORITY_R14 = [
-    # -- (a) round-14 registrations (staged r12-r13, longest-staged first) --
-    "media_neardup_streaming",
-    "emb_ivf_streaming",
-    "emb_ivfpq_rerank_topk",
-    "layout_snapshot_expiry",
-    # -- (b) the 3-name r09 spill --------------------------------------------
-    "serving_user_orders_json",
-    "cdc_book_snapshots",
-    "orders_state_changelog",
-    # -- (c) the first 43 r10-green names, registration order ----------------
-    "orders_state",
-    "latest_price",
-    "market_orders_t2",
-    "rel_approx_sketches",
-    "dq_lineitem_report",
-    "evt_winsor_stats",
-    "rel_mad_by_priority",
-    "evt_hourly_rollup",
-    "evt_props_stats",
-    "evt_funnel_cohorts",
-    "evt_top_users",
-    "evt_type_pivot",
-    "evt_retention_matrix",
-    "evt_mad_outliers",
-    "emb_kmeans_update",
-    "emb_semantic_dedup",
-    "emb_pca_moments",
-    "emb_ivf_build",
-    "emb_norm_audit",
-    "text_kept_token_shards",
-    "text_bpe_token_stats",
-    "text_doc_novelty",
-    "text_pii_scrub",
-    "text_bm25_topk",
-    "text_c4_filters",
-    "text_source_mixing",
-    "text_length_buckets",
-    "dedup_minhash_accuracy",
-    "dedup_canonical_quality",
-    "text_rag_chunks",
-    "text_lang_confusion",
-    "layout_zorder_manifest",
-    "src_partitioned_roundtrip",
-    "udf_alpha_quality",
-    "udf_user_centered_values",
-    "multimodal_decode_profile",
-    "multimodal_resize_profile",
-    "multimodal_audio_profile",
-    "multimodal_corrupt_audit",
-    "multimodal_audio_features",
-    "multimodal_phash_neardup",
-    "multimodal_audio_fp_neardup",
-    "multimodal_video_profile",
+DRIVER_PRIORITY_R15 = [
+    # -- (a) round-15 registrations (staged r13-r14, rotation-note order) ----
+    "emb_pq_streaming",
+    "layout_dv_streaming",
+    "layout_bucketed_join",
+    # -- (b) the 7-name r10 spill, registration order -------------------------
+    "evt_hourly_rollup_streaming",
+    "evt_sessions_streaming",
+    "evt_stream_stream_join",
+    "evt_dedup_rollup_streaming",
+    "evt_stream_static_enrich",
+    "docs_ingest_streaming",
+    "docs_neardup_incremental",
+    # -- (c) the first 40 r11-green names, registration order ----------------
+    "multimodal_jpeg_hierarchical_profile",
+    "multimodal_video_fp_neardup",
+    "multimodal_video_scenes",
+    "emb_ivf_incremental",
+    "multimodal_phash_incremental",
+    "order_book_levels",
+    "order_book_vwap",
+    "orders_scd2_versions",
+    "amount_out_buy",
+    "amount_out_sell",
+    "user_orders_t1",
+    "trader_order_counts",
+    "pools_summary",
+    "order_book_fifo_queues",
+    "order_book_snapshot",
+    "pool_info_enriched",
+    "trade_tick_flow",
+    "trade_price_ewma",
+    "evt_cms_heavy_hitters",
+    "evt_hll_cardinality",
+    "evt_bloom_prune_join",
+    "evt_markov_transitions",
+    "emb_truncated_recall",
+    "emb_pq_codes",
+    "emb_pq_adc_topk",
+    "emb_ivfpq_topk",
+    "emb_hard_negatives",
+    "emb_ivf_recall_curve",
+    "emb_bitext_mining",
+    "emb_mmr_diverse_topk",
+    "emb_semantic_decontaminate",
+    "text_line_dedup",
+    "text_bigram_nll",
+    "text_dup_spans",
+    "text_vocab_census",
+    "text_winnow_fingerprints",
+    "text_heaps_law",
+    "text_source_kl",
+    "text_bpe_merge_step",
+    "text_gopher_rules",
 ]
-assert len(DRIVER_PRIORITY_R14) == 50, len(DRIVER_PRIORITY_R14)
+assert len(DRIVER_PRIORITY_R15) == 50, len(DRIVER_PRIORITY_R15)
 # A typo'd or renamed name would silently shrink the checked window
 # (registry._ordered drops unknown names); fail loudly instead.
 from hive_server_spark.registry import _SPARK_QUERIES as _REG  # noqa: E402
 
-_missing = [n for n in DRIVER_PRIORITY_R14 if n not in _REG]
-assert not _missing, f"DRIVER_PRIORITY_R14 names not registered: {_missing}"
-set_driver_priority(DRIVER_PRIORITY_R14)
+_missing = [n for n in DRIVER_PRIORITY_R15 if n not in _REG]
+assert not _missing, f"DRIVER_PRIORITY_R15 names not registered: {_missing}"
+set_driver_priority(DRIVER_PRIORITY_R15)

@@ -409,6 +409,18 @@ def q_orders_state_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the book queries serve; the oracle builds the byte-identical string by
 # explicit concatenation over the canonical fold CTEs.
 #
+# DOCUMENTED DIVERGENCE from the reference response shape (ADVICE r14):
+# the reference PriceLevel is {price, orders: Order[], totalVolume} —
+# FULL order objects, orders before totalVolume — wrapped in an
+# OrderBook carrying baseToken/quoteToken/latestPrice
+# (src/models/types.ts, order-book-controller.ts). This route renders
+# {price, totalVolume, orders: id[]} with no wrapper: order IDS instead
+# of objects (the id list pins the same FIFO price-time priority without
+# re-serializing every order field the user_orders route already
+# serves), and to_json's struct-declaration field order. The shape
+# matches this repo's operators/serving.py route and is normalized for
+# cross-engine byte parity — same stance as the level_cap Q6 note.
+#
 # Scale: the levels aggregate is ONE map-side-combined shuffle of active
 # orders (level cardinality ≪ orders), the per-side top-20 is
 # rank-over-window on the tiny level table, and the JSON assembly is a
@@ -517,6 +529,13 @@ def q_serving_order_book_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # error branches ("No liquidity available" for an empty opposite side,
 # "Insufficient liquidity" for a short book — Spark's to_json omits the
 # null errorMessage key on success, mirrored by the oracle's CASE).
+# DOCUMENTED DIVERGENCE (ADVICE r14): the reference embeds the unfilled
+# remainder in the message — "Insufficient liquidity (unfilled amount:
+# X)" (src/models/order-book.ts:312) — where X is a float rendered by
+# JS number formatting; this route normalizes to the bare string so the
+# message stays byte-identical cross-engine (the remainder is already
+# derivable from outputAmountMicro) — same stance as the level_cap Q6
+# note.
 # The output amount crosses the engine boundary as floor-micro units
 # (the house float rule: the walk's one division is a single-rounded
 # identical-shape double on both sides, so the floor is bit-stable —

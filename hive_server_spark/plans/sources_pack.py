@@ -751,8 +751,8 @@ def layout_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Bucketed-table co-located join (round-13 second pass; REGISTRATION
-# STAGED FOR ROUND 15 — flip the commented @register). The one layout
+# Bucketed-table co-located join (round-13 second pass; staged r13-r14,
+# REGISTERED ROUND 15 per the rotation note in gate.py). The one layout
 # primitive this family still lacked: PRE-SHUFFLED storage. Partitioning
 # (src_partitioned_roundtrip) prunes scans; BUCKETING removes the join
 # shuffle itself — both sides are written `bucketBy(N, key)` into the
@@ -841,7 +841,7 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple:
     return _BUCKETED.get_or_create(spark, ("bucketed", sf_dir), land)
 
 
-# round 15: @register("layout_bucketed_join", _BUCKETED_ORACLE)
+@register("layout_bucketed_join", _BUCKETED_ORACLE)
 def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-market-segment order rollup over the BUCKETED orders⋈customer
     join — both sides pre-shuffled by custkey at write time, so the join

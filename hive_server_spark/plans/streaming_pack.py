@@ -1859,9 +1859,8 @@ def emb_ivf_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Streaming PQ-codes ingest (round-13 second pass; REGISTRATION STAGED
-# FOR ROUND 15 — the round-14 window is exactly full per the rotation
-# note in gate.py; flip the commented @register). Completes the
+# Streaming PQ-codes ingest (round-13 second pass; staged r13-r14,
+# REGISTERED ROUND 15 per the rotation note in gate.py). Completes the
 # streaming leg of the PQ lifecycle the same way emb_ivf_streaming
 # completed it for the coarse index: train (emb_pq_train) -> encode
 # (emb_pq_codes) -> serve (emb_pq_adc_topk / ivfpq) -> maintain
@@ -1891,9 +1890,10 @@ def emb_ivf_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compute. At 100 TB the stream encodes at arrival speed and the prior
 # codes table is never rewritten.
 # ---------------------------------------------------------------------------
-# round 15 (flip both lines):
-# from hive_server_spark.functions.embeddings import pq_codes_oracle
-# @register("emb_pq_streaming", pq_codes_oracle())
+from hive_server_spark.functions.embeddings import pq_codes_oracle
+
+
+@register("emb_pq_streaming", pq_codes_oracle())
 def emb_pq_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream the embedding corpus in vec_id-ordered chunks, freeze the
     PQ sub-quantizer codebook at batch 0, encode each batch against the
@@ -1981,8 +1981,8 @@ def streamed_pq_codes(
 
 # ---------------------------------------------------------------------------
 # Streaming DELETE ingest into positional deletion vectors (round-13
-# second pass; REGISTRATION STAGED FOR ROUND 15 — flip the commented
-# lines). Completes the lakehouse-layout family's streaming leg the way
+# second pass; staged r13-r14, REGISTERED ROUND 15 per the rotation note
+# in gate.py). Completes the lakehouse-layout family's streaming leg the way
 # the ingest twins completed text/media/embeddings: layout_zorder
 # clusters, layout_compaction compacts, layout_zonemap prunes,
 # layout_deletion_vectors mutates ONE-SHOT, layout_snapshot_expiry
@@ -2174,9 +2174,10 @@ def streamed_deletion_vectors(
     )
 
 
-# round 15 (flip both lines):
-# from hive_server_spark.plans.sources_pack import _DV_ORACLE
-# @register("layout_dv_streaming", _DV_ORACLE)
+from hive_server_spark.plans.sources_pack import _DV_ORACLE
+
+
+@register("layout_dv_streaming", _DV_ORACLE)
 def layout_dv_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream the events table in event_id-ordered chunks, folding each
     micro-batch's predicate DELETEs into per-file deletion-vector state;

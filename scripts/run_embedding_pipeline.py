@@ -18,7 +18,7 @@ operators the gate value-checks one by one. Stages:
   6. PQ encode       - per-vector codes table
                        (emb_pq_codes, or --incremental: the streaming
                        ingest streamed_pq_codes — emb_pq_streaming,
-                       staged round 15)
+                       registered round 15)
   7. serve           - IVF-PQ top-k read path (emb_ivfpq_topk)
   8. recall audit    - nprobe sweep vs exact top-k
                        (emb_ivf_recall_curve)

@@ -126,7 +126,7 @@ def test_no_sort_merge_join_anywhere_in_gate(spark):
         # shuffle join that reuses the aggregates' partitioning is the
         # correct plan; the banded candidate tail upstream stays
         # BHJ/bounded exactly like the registered fp gates
-        "layout_bucketed_join",  # (staged r15) the SMJ is the POINT:
+        "layout_bucketed_join",  # (registered r15) the SMJ is the POINT:
         # both sides are bucketBy(8, custkey) tables, so the sort-merge
         # join runs with ZERO exchange under it — the pre-shuffled
         # co-located join bucketing exists to provide; the dedicated
@@ -211,9 +211,10 @@ def test_staged_queries_plan_preflight(spark):
     """Every query staged behind a commented @register must already meet
     the registered-surface plan bar BEFORE its flip round: no
     CartesianProduct (an unbroadcast cross join is never right), and no
-    SortMergeJoin unless its exemption is pre-written
-    (layout_bucketed_join, whose zero-exchange SMJ is the point — argued
-    in its block comment and pinned by test_scale_utils).
+    SortMergeJoin unless its exemption is pre-written in smj_exempt
+    (none among the currently staged seven; layout_bucketed_join's
+    deliberate zero-exchange SMJ registered in r15 and is exempted in
+    the registered-surface audit above).
     BroadcastNestedLoopJoin is allowed: the registered surface uses it
     deliberately for bounded scalar broadcasts (a 1-row total or k-row
     centroid table cross-joined onto every row — emb_ivf_build carries
@@ -228,20 +229,17 @@ def test_staged_queries_plan_preflight(spark):
         q_serving_amount_out_json,
         q_serving_order_book_json,
     )
-    from hive_server_spark.plans.sources_pack import layout_bucketed_join
     from hive_server_spark.plans.streaming_pack import (
         audio_neardup_streaming,
-        emb_pq_streaming,
-        layout_dv_streaming,
         layout_zonemap_streaming,
         text_bpe_streaming,
     )
 
+    # The r15 flips (emb_pq_streaming, layout_dv_streaming,
+    # layout_bucketed_join) registered and moved to the registered-surface
+    # audits (test_no_sort_merge_join_anywhere_in_gate + PLANS.md).
     staged = {
         "audio_neardup_streaming": audio_neardup_streaming,
-        "emb_pq_streaming": emb_pq_streaming,
-        "layout_dv_streaming": layout_dv_streaming,
-        "layout_bucketed_join": layout_bucketed_join,
         "layout_zonemap_streaming": layout_zonemap_streaming,
         "emb_ivf_delete_maintenance": emb_ivf_delete_maintenance,
         "serving_order_book_json": q_serving_order_book_json,
@@ -249,7 +247,7 @@ def test_staged_queries_plan_preflight(spark):
         "text_bpe_streaming": text_bpe_streaming,
         "serving_amount_out_json": q_serving_amount_out_json,
     }
-    smj_exempt = {"layout_bucketed_join"}
+    smj_exempt: set[str] = set()
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )

@@ -53,19 +53,19 @@ def _green_history() -> set[str]:
 
 
 def test_priority_names_all_registered():
-    from hive_server_spark.gate import DRIVER_PRIORITY_R14
+    from hive_server_spark.gate import DRIVER_PRIORITY_R15
     from hive_server_spark.registry import _SPARK_QUERIES
 
-    missing = [n for n in DRIVER_PRIORITY_R14 if n not in _SPARK_QUERIES]
+    missing = [n for n in DRIVER_PRIORITY_R15 if n not in _SPARK_QUERIES]
     assert not missing, f"priority names not registered: {missing}"
-    assert len(DRIVER_PRIORITY_R14) == len(set(DRIVER_PRIORITY_R14)), "dup names"
+    assert len(DRIVER_PRIORITY_R15) == len(set(DRIVER_PRIORITY_R15)), "dup names"
 
 
 def test_window_is_exactly_the_priority_list():
-    from hive_server_spark.gate import DRIVER_PRIORITY_R14
+    from hive_server_spark.gate import DRIVER_PRIORITY_R15
 
     names = _registered_names()
-    assert names[:WINDOW] == DRIVER_PRIORITY_R14
+    assert names[:WINDOW] == DRIVER_PRIORITY_R15
 
 
 def test_every_query_outside_window_has_prior_green_row():
@@ -166,3 +166,100 @@ def test_rotation_staleness_bounded():
         f"driver-green check after this round's window: {over} — rotate "
         "them into DRIVER_PRIORITY or shrink the registration cadence"
     )
+
+
+# The written flip schedule from the gate.py rotation note (round 14,
+# re-affirmed round 15). A staging decision that adds a name here — or
+# registers one early — must re-run the simulation below and keep the
+# bound, IN THE ROUND THAT STAGES IT, not three rounds later.
+PLANNED_FLIPS: dict[int, list[str]] = {
+    16: [
+        "layout_zonemap_streaming",
+        "emb_ivf_delete_maintenance",
+        "serving_order_book_json",
+        "dq_referential_report",
+    ],
+    17: [
+        "text_bpe_streaming",
+        "serving_amount_out_json",
+        "audio_neardup_streaming",
+    ],
+}
+SIM_HORIZON = 20  # staging note's claim: bound holds through r20
+
+
+def test_rotation_forward_simulation():
+    """VERDICT r14 item 7: the staging-budget note claims the
+    drain-oldest-first rotation, given the CURRENT registry plus the
+    written r16/r17 flip schedule, holds every query's staleness at <= 5
+    rounds through r20. Encode that simulation so a future staging
+    decision that silently breaks a LATER round's bound fails in the
+    round that stages it.
+
+    Policy per simulated round R: window = that round's planned flips
+    (staleness 0 at registration) + the oldest-last-green registered
+    names, ties broken by registration order — exactly how the written
+    window plans are constructed (cohorts drain in registration order,
+    oldest cohort first). After each round, every registered name's
+    staleness (R+1 - last_green, i.e. its age when the NEXT window is
+    chosen) must be <= 5."""
+    import re
+
+    last_green: dict[str, int] = {}
+    rounds: list[int] = []
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        rounds.append(rnd)
+        with open(path) as f:
+            rows = json.load(f)
+        for name, rec in rows.items():
+            if not isinstance(rec, dict):
+                continue
+            ok = (
+                rec.get("rows_match")
+                and rec.get("schema_match") is not False
+                and rec.get("hash_match") is not False
+            )
+            if ok:
+                last_green[name] = max(rnd, last_green.get(name, 0))
+    assert rounds, "no correctness history found"
+    this_round = max(rounds) + 1
+
+    # Registration order of the live registry; planned flips append in
+    # schedule order when their round arrives.
+    names = _registered_names()
+    reg_index = {n: i for i, n in enumerate(names)}
+
+    # This round's window is the committed DRIVER_PRIORITY list, not a
+    # simulation — apply it first.
+    for n in names[:WINDOW]:
+        last_green[n] = this_round
+
+    sim_names = list(names)
+    for rnd in range(this_round + 1, SIM_HORIZON + 1):
+        flips = PLANNED_FLIPS.get(rnd, [])
+        for n in flips:
+            assert n not in reg_index, (
+                f"planned r{rnd} flip {n!r} is already registered — "
+                "update PLANNED_FLIPS and the gate.py rotation note"
+            )
+            reg_index[n] = len(sim_names)
+            sim_names.append(n)
+        backlog = sorted(
+            (n for n in sim_names if n not in flips),
+            key=lambda n: (last_green.get(n, 0), reg_index[n]),
+        )
+        window = list(flips) + backlog[: WINDOW - len(flips)]
+        assert len(window) == WINDOW, (rnd, len(window))
+        for n in window:
+            last_green[n] = rnd
+        stale = {
+            n: rnd + 1 - last_green.get(n, 0)
+            for n in sim_names
+            if rnd + 1 - last_green.get(n, 0) > 5
+        }
+        assert not stale, (
+            f"simulated round {rnd}: registered queries would exceed the "
+            f"5-round staleness bound at r{rnd + 1}'s window selection: "
+            f"{stale} — the staging schedule overfills the 50-slot window"
+        )

@@ -913,6 +913,29 @@ def test_every_ingest_freezes_via_helper_or_declares_no_freeze():
             assert not re.search(r"latest\(ss\)\.count\(\)", body), (
                 f"{name}: post-commit seed count survived the ADVICE r13 fix"
             )
+        else:
+            # ADVICE r14: a `no-freeze:` note is a convention, not proof —
+            # back it structurally: a body claiming no frozen bootstrap
+            # artifact must not COMMIT a store inside a
+            # `latest(...) is None` bootstrap branch (that IS a batch-0
+            # freeze, whatever the comment says). Indent-aware: collect
+            # each such branch's block and scan it for .commit( calls.
+            lines = body.splitlines()
+            for i, line in enumerate(lines):
+                if not re.search(r"latest\([^)]*\)\s+is\s+None", line):
+                    continue
+                indent = len(line) - len(line.lstrip())
+                block = []
+                for nxt in lines[i + 1:]:
+                    if nxt.strip() and (len(nxt) - len(nxt.lstrip())) <= indent:
+                        break
+                    block.append(nxt)
+                assert not any(".commit(" in b for b in block), (
+                    f"{name}: declares `no-freeze:` but commits a store "
+                    "inside a `latest(...) is None` bootstrap branch — "
+                    "that is a batch-0 freeze; route it through "
+                    "commit_seed_state"
+                )
 
 
 def test_layout_zonemap_streaming_chunk_invariance_and_batch_equality(spark):
