@@ -784,3 +784,108 @@ def emb_ivf_delete_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior = spark.read.parquet(census_path)
     merged = _merge_census(prior.unionByName(neg)).where(F.col("n_vecs") > 0)
     return _census_report(merged)
+
+
+# ---------------------------------------------------------------------------
+# IVF rebalance plan (round-15 capability; NOT REGISTERED — the staging
+# budget note in gate.py pins zero new registrations through r17, so
+# this ships as an operator + oracle-parity pytest only). The MONITOR
+# step after the lifecycle's grow/shrink legs: arrival-time ingest
+# (emb_ivf_streaming) and retention deletes (emb_ivf_delete_maintenance)
+# both mutate cell populations without re-training, so a deployed index
+# periodically audits cell skew and plans splits — a hot cell dominates
+# probe latency (probing it scans its whole posting list) and carries
+# the worst quantization distortion (Jegou et al. 2011, "Product
+# Quantization for Nearest Neighbor Search", on unbalanced inverted
+# lists). The plan is pure census metadata: per cell, the fill factor
+# n_vecs*k/nv against the uniform ideal, an action decided in EXACT
+# integer arithmetic (split if n_vecs*k > 2*nv, underfull if
+# n_vecs*k*2 < nv, else keep — no float thresholds, so both engines
+# agree without tolerance), the projected sub-cell count
+# ceil(n_vecs*k/nv) as an integer ceiling, and a distortion-ranked
+# split priority (worst mean_d2_micro first; mean_d2_micro is a single
+# division of exact integers, bit-identical cross-engine, tie-broken by
+# cluster_id). EXECUTING a split is one Lloyd step over the flagged
+# cell's posting list — emb_kmeans_update's machinery scoped to the hot
+# cell; the plan is the metadata decision that bounds that re-training
+# to the cells that need it.
+# Scale: the input is the k-row census (at deployment read back from
+# the index artifact; recomputed here so the query is hermetic), and
+# the plan itself is one k-row projection plus one k-row window —
+# nothing corpus-sized moves, the same metadata-only shape as
+# layout_compaction_plan on the layout side.
+# ---------------------------------------------------------------------------
+def _ivf_rebalance_oracle() -> str:
+    return f"""
+WITH census AS ({_ivf_build_oracle()}),
+tot AS (
+  SELECT CAST(SUM(n_vecs) AS BIGINT) AS nv,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM census
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(n_vecs AS BIGINT)     AS n_vecs,
+       CAST(n_vecs * k AS DOUBLE) / CAST(nv AS DOUBLE) AS fill_factor,
+       mean_d2_micro,
+       CASE WHEN n_vecs * k > 2 * nv THEN 'split'
+            WHEN n_vecs * k * 2 < nv THEN 'underfull'
+            ELSE 'keep' END AS action,
+       CAST(CASE WHEN n_vecs * k > 2 * nv
+                 THEN (n_vecs * k + nv - 1) // nv
+                 ELSE 1 END AS BIGINT) AS n_subcells,
+       CASE WHEN n_vecs * k > 2 * nv THEN
+         CAST(row_number() OVER (
+           ORDER BY (n_vecs * k > 2 * nv) DESC, mean_d2_micro DESC,
+                    cluster_id
+         ) AS BIGINT)
+       END AS split_priority
+FROM census CROSS JOIN tot
+"""
+
+
+def emb_ivf_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell skew audit + split plan over the IVF build census:
+    exact-integer fill/action decisions, projected sub-cell counts, and
+    a distortion-ranked split priority (see block comment)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    census = emb_ivf_build(spark, sf_dir)
+    tot = census.agg(
+        F.sum("n_vecs").cast("bigint").alias("nv"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    base = census.crossJoin(F.broadcast(tot)).select(
+        "cluster_id",
+        "n_vecs",
+        "mean_d2_micro",
+        "nv",
+        "k",
+        F.expr("n_vecs * k > 2 * nv").alias("is_split"),
+    )
+    # k-row window: the global sort is over the census, never the corpus
+    w = Window.orderBy(
+        F.col("is_split").desc(), F.col("mean_d2_micro").desc(), F.col("cluster_id")
+    )
+    return base.select(
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        (
+            (F.col("n_vecs") * F.col("k")).cast("double")
+            / F.col("nv").cast("double")
+        ).alias("fill_factor"),
+        "mean_d2_micro",
+        F.when(F.col("is_split"), F.lit("split"))
+        .when(F.expr("n_vecs * k * 2 < nv"), F.lit("underfull"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+        F.when(
+            F.col("is_split"), F.expr("(n_vecs * k + nv - 1) DIV nv")
+        )
+        .otherwise(F.lit(1))
+        .cast("bigint")
+        .alias("n_subcells"),
+        F.when(F.col("is_split"), F.row_number().over(w))
+        .cast("bigint")
+        .alias("split_priority"),
+    )

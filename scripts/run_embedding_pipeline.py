@@ -25,6 +25,9 @@ operators the gate value-checks one by one. Stages:
   9. maintain        - retention-delete census subtract, reconciled
                        against the tombstone count
                        (emb_ivf_delete_maintenance, staged round 16)
+  10. monitor        - cell-skew audit + distortion-ranked split plan
+                       over the build census
+                       (emb_ivf_rebalance_plan, round 15 — unregistered)
 
 The index artifacts (IVF census + PQ codes) are written to the out dir.
 Because the streaming ingests' final state equals the one-shot builds
@@ -136,6 +139,13 @@ def main() -> None:
 
     maint = stage("ivf_delete_maintenance", emb_ivf_delete_maintenance)
 
+    # stage 10 (round 15): the monitor step — per-cell skew audit and
+    # split plan over the build census (k-row metadata; executing a
+    # flagged split is a cell-scoped Lloyd step, not done here)
+    from hive_server_spark.plans.embedding_pack import emb_ivf_rebalance_plan
+
+    plan = stage("ivf_rebalance_plan", emb_ivf_rebalance_plan)
+
     # index summary: the numbers an index commit records
     n_cells = census.count()
     n_vecs = census.agg(F.sum("n_vecs")).collect()[0][0]
@@ -157,12 +167,19 @@ def main() -> None:
         f"delete maintenance lost vectors: {n_vecs} - {n_tomb} tombstones "
         f"!= {n_after} surviving"
     )
+    n_planned = plan.agg(F.sum("n_vecs")).collect()[0][0]
+    assert n_planned == n_vecs, (
+        f"rebalance plan covers {n_planned} vectors but the census counts "
+        f"{n_vecs} — the monitor no longer spans the index"
+    )
+    n_split = plan.where("action = 'split'").count()
     print(
         f"index: {n_vecs} vectors in {n_cells} cells, {n_coded} codes, "
         f"{n_reps}/{dedup.count()} semantic-dedup representatives, "
         f"serve rows {serve.count()}, recall rows {recall.count()}, "
         f"audit rows {audit.count()}; retention delete: {n_tomb} "
-        f"tombstones -> {n_after} vectors maintained"
+        f"tombstones -> {n_after} vectors maintained; rebalance plan: "
+        f"{n_split} cells flagged for split"
     )
 
     census.write.mode("overwrite").parquet(os.path.join(args.out, "ivf_census"))

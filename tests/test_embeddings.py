@@ -942,3 +942,90 @@ def test_ivf_delete_maintenance_equals_rebuild_and_oracle(spark):
         ).fetchall()
     )
     assert orc == got
+
+
+def test_ivf_rebalance_plan_oracle_parity_and_actions(spark, tmp_path):
+    """The (round-15, unregistered) IVF rebalance plan: per-cell
+    fill/action/sub-cell/priority decisions must match the DuckDB oracle
+    on the sf corpus, and the exact-integer action thresholds must fire
+    correctly on a crafted skewed corpus (one hot cell -> split with the
+    projected sub-cell count and priority 1; singleton cells ->
+    underfull; population conserved)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_server_spark.plans.embedding_pack import (
+        _IVF_K,
+        _ivf_rebalance_oracle,
+        emb_ivf_rebalance_plan,
+    )
+
+    # --- sf corpus: full value parity with the oracle --------------------
+    got = sorted(
+        tuple(r) for r in emb_ivf_rebalance_plan(spark, SF_SMALL).collect()
+    )
+    assert len(got) == _IVF_K
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_SMALL}/embeddings.parquet'"
+    )
+    orc = sorted(tuple(r) for r in con.execute(_ivf_rebalance_oracle()).fetchall())
+    assert orc == got
+
+    # --- crafted skew: cell 0 holds 31 of 44 vectors ---------------------
+    # seeds 0..7 sit at 100*e_i; members carry their seed's spike plus a
+    # unit off-axis component, so assignment is unambiguous. Cells 1-3 get
+    # 2 extra members (keep), cells 4-7 stay singletons (underfull), cell
+    # 0 gets 30 extras: 31*8 = 248 > 2*44 -> split into ceil(248/44) = 6.
+    def vec(spike_dim, extra_dim=None):
+        v = [0.0] * 64
+        v[spike_dim] = 100.0
+        if extra_dim is not None:
+            v[extra_dim] = 1.0
+        return v
+
+    rows = [(i, vec(i), 0) for i in range(8)]
+    nxt = 8
+    for c, extras in [(0, 30), (1, 2), (2, 2), (3, 2)]:
+        for j in range(extras):
+            rows.append((nxt, vec(c, 8 + (j % 16)), 0))
+            nxt += 1
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    plan = {
+        r["cluster_id"]: r
+        for r in emb_ivf_rebalance_plan(spark, str(tmp_path)).collect()
+    }
+    assert len(plan) == 8
+    assert sum(r["n_vecs"] for r in plan.values()) == 44
+    assert plan[0]["action"] == "split"
+    assert plan[0]["n_subcells"] == 6  # ceil(31*8 / 44)
+    assert plan[0]["split_priority"] == 1
+    for c in (1, 2, 3):
+        assert plan[c]["action"] == "keep"
+        assert plan[c]["n_subcells"] == 1
+        assert plan[c]["split_priority"] is None
+    for c in (4, 5, 6, 7):
+        assert plan[c]["action"] == "underfull"  # 1*8*2 < 44
+
+    # crafted corpus also hash-matches the oracle (both engines decode
+    # the same float32 parquet)
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'"
+    )
+    got2 = sorted(
+        tuple(r) for r in emb_ivf_rebalance_plan(spark, str(tmp_path)).collect()
+    )
+    orc2 = sorted(
+        tuple(r) for r in con2.execute(_ivf_rebalance_oracle()).fetchall()
+    )
+    assert orc2 == got2
