@@ -889,3 +889,155 @@ def emb_ivf_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("split_priority"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF split execution (round-15 capability; NOT REGISTERED — same
+# staging-budget stance as the rebalance plan above). Executes the
+# plan's 'split' decisions: for each flagged cell, ONE Lloyd assignment
+# step over that cell's posting list against n_subcells deterministic
+# sub-seeds — the parent seed plus the cell's lowest-id other members
+# (the vec_id-ordered seed convention every IVF query here uses). The
+# parent seed is ALWAYS among the sub-seeds, which yields a provable
+# invariant: every member's nearest-sub-seed distance is <= its
+# distance to the parent seed, and floor() is monotone, so each split
+# cell's summed micro-distortion NEVER increases — the acceptance check
+# a deployed rebalance runs before swapping the new cells in. The
+# other invariant is population conservation: the sub-cells partition
+# the parent's posting list exactly (same min-(d2, id) tie-break as the
+# build assignment, so both engines agree without tolerance).
+# Scale: the corpus-wide assignment is the index's existing posting
+# lists (recomputed here for hermeticity — the delete-maintenance
+# stance); the split work proper touches ONLY flagged cells' members
+# (a broadcast semi-join against the <=k-row split plan), and the
+# sub-seed table is bounded by sum(n_subcells) <= ~2k, so it
+# broadcasts. One map-side assignment over the hot slice, one hash
+# aggregate — re-training cost is bounded by the plan, never by the
+# corpus.
+# ---------------------------------------------------------------------------
+def _ivf_split_oracle(k: int = _IVF_K, micro: int = 1_000_000) -> str:
+    return f"""
+WITH vec AS (
+  SELECT vec_id, {E.vec_expr('embedding', 'd')} AS v FROM embeddings
+),
+c AS (SELECT vec_id AS cid, v AS cv FROM vec WHERE vec_id < {k}),
+d AS (
+  SELECT vec.vec_id, c.cid, {E.sqdist_expr('vec.v', 'c.cv', 'd')} AS d2
+  FROM vec CROSS JOIN c
+), a AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+cells AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM a GROUP BY cid),
+tot AS (
+  SELECT CAST(SUM(n_vecs) AS BIGINT) AS nv,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM cells
+),
+split AS (
+  SELECT cid, CAST((n_vecs * k + nv - 1) // nv AS BIGINT) AS n_sub
+  FROM cells CROSS JOIN tot WHERE n_vecs * k > 2 * nv
+),
+members AS (
+  SELECT a.cid, a.vec_id, vec.v, s.n_sub
+  FROM a JOIN split s USING (cid) JOIN vec USING (vec_id)
+),
+subseeds AS (
+  SELECT cid, vec_id AS sid, v AS sv FROM (
+    SELECT m.*, row_number() OVER (
+      PARTITION BY cid ORDER BY (vec_id != cid), vec_id
+    ) AS rn FROM members m
+  ) WHERE rn <= n_sub
+),
+md AS (
+  SELECT m.cid, m.vec_id, s.sid, {E.sqdist_expr('m.v', 's.sv', 'd')} AS d2
+  FROM members m JOIN subseeds s ON s.cid = m.cid
+),
+ma AS (
+  SELECT cid, vec_id, sid, d2 FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY cid, vec_id ORDER BY d2, sid
+    ) AS rn FROM md
+  ) WHERE rn = 1
+)
+SELECT CAST(cid AS BIGINT)  AS parent_id,
+       CAST(sid AS BIGINT)  AS subseed_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(vec_id) AS BIGINT) AS posting_checksum,
+       CAST(SUM(CAST(floor(d2 * {micro}.0) AS BIGINT)) AS BIGINT)
+         AS sum_d2_micro
+FROM ma GROUP BY cid, sid
+"""
+
+
+def emb_ivf_split_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd assignment step over each plan-flagged cell's posting
+    list against parent-seed-anchored sub-seeds; returns the per-sub-cell
+    census (see block comment for the conservation and
+    distortion-never-increases invariants)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    vec = E._vecs(_emb(spark, sf_dir)).select("vec_id", "v")
+    cent = vec.where(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    assigned = (
+        vec.crossJoin(F.broadcast(cent))
+        .withColumn("d2", F.expr(E.sqdist_expr("v", "cv", "s")))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"))
+    )
+    cells = assigned.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("n_vecs")
+    )
+    tot = cells.agg(
+        F.sum("n_vecs").cast("bigint").alias("nv"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    split = (
+        cells.crossJoin(F.broadcast(tot))
+        .where(F.expr("n_vecs * k > 2 * nv"))
+        .select(
+            "cid",
+            F.expr("(n_vecs * k + nv - 1) DIV nv").cast("bigint").alias("n_sub"),
+        )
+    )
+    members = assigned.join(F.broadcast(split), "cid").join(vec, "vec_id")
+    w = Window.partitionBy("cid").orderBy(
+        F.expr("vec_id != cid"), F.col("vec_id")
+    )
+    subseeds = (
+        members.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.col("n_sub"))
+        .select("cid", F.col("vec_id").alias("sid"), F.col("v").alias("sv"))
+    )
+    ma = (
+        members.select("cid", "vec_id", "v")
+        .join(F.broadcast(subseeds), "cid")
+        .withColumn("d2", F.expr(E.sqdist_expr("v", "sv", "s")))
+        .groupBy("cid", "vec_id")
+        .agg(F.min(F.struct("d2", "sid")).alias("m"))
+        .select(
+            "cid",
+            "vec_id",
+            F.col("m.sid").alias("sid"),
+            F.col("m.d2").alias("d2"),
+        )
+    )
+    return ma.groupBy("cid", "sid").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum("vec_id").cast("bigint").alias("posting_checksum"),
+        F.sum(F.expr("CAST(floor(d2 * 1000000.0) AS BIGINT)"))
+        .cast("bigint")
+        .alias("sum_d2_micro"),
+    ).select(
+        F.col("cid").cast("bigint").alias("parent_id"),
+        F.col("sid").cast("bigint").alias("subseed_id"),
+        "n_vecs",
+        "posting_checksum",
+        "sum_d2_micro",
+    )

@@ -28,6 +28,10 @@ operators the gate value-checks one by one. Stages:
   10. monitor        - cell-skew audit + distortion-ranked split plan
                        over the build census
                        (emb_ivf_rebalance_plan, round 15 — unregistered)
+  11. rebalance      - execute the plan's splits: one cell-scoped Lloyd
+                       assignment per flagged cell, conservation +
+                       distortion-never-increases reconciled
+                       (emb_ivf_split_execute, round 15 — unregistered)
 
 The index artifacts (IVF census + PQ codes) are written to the out dir.
 Because the streaming ingests' final state equals the one-shot builds
@@ -173,6 +177,40 @@ def main() -> None:
         f"{n_vecs} — the monitor no longer spans the index"
     )
     n_split = plan.where("action = 'split'").count()
+
+    # stage 11 (round 15): execute the flagged splits and reconcile —
+    # the sub-cells must exactly partition their parents' posting lists
+    # and never increase the summed micro-distortion (the acceptance
+    # check before a deployed index swaps the new cells in)
+    from hive_server_spark.plans.embedding_pack import emb_ivf_split_execute
+
+    sub = stage("ivf_split_execute", emb_ivf_split_execute)
+    parents = [r["parent_id"] for r in sub.select("parent_id").distinct().collect()]
+    assert len(parents) == n_split, (
+        f"split execution touched {len(parents)} cells but the plan "
+        f"flagged {n_split}"
+    )
+    if parents:
+        cen = {
+            r["cluster_id"]: r
+            for r in census.where(F.col("cluster_id").isin(parents)).collect()
+        }
+        agg = {
+            r["parent_id"]: r
+            for r in sub.groupBy("parent_id")
+            .agg(
+                F.sum("n_vecs").alias("nv"),
+                F.sum("sum_d2_micro").alias("d2"),
+            )
+            .collect()
+        }
+        for p in parents:
+            assert agg[p]["nv"] == cen[p]["n_vecs"], (
+                f"split of cell {p} lost vectors"
+            )
+            assert agg[p]["d2"] <= cen[p]["sum_d2_micro"], (
+                f"split of cell {p} increased distortion"
+            )
     print(
         f"index: {n_vecs} vectors in {n_cells} cells, {n_coded} codes, "
         f"{n_reps}/{dedup.count()} semantic-dedup representatives, "

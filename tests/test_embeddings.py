@@ -944,40 +944,16 @@ def test_ivf_delete_maintenance_equals_rebuild_and_oracle(spark):
     assert orc == got
 
 
-def test_ivf_rebalance_plan_oracle_parity_and_actions(spark, tmp_path):
-    """The (round-15, unregistered) IVF rebalance plan: per-cell
-    fill/action/sub-cell/priority decisions must match the DuckDB oracle
-    on the sf corpus, and the exact-integer action thresholds must fire
-    correctly on a crafted skewed corpus (one hot cell -> split with the
-    projected sub-cell count and priority 1; singleton cells ->
-    underfull; population conserved)."""
-    import duckdb
+def _write_skewed_embeddings(tmp_path):
+    """Crafted 44-vector skew corpus shared by the rebalance-plan and
+    split-execute tests: seeds 0..7 at 100*e_i; members carry their
+    seed's spike plus a unit off-axis component (unambiguous
+    assignment). Cell 0 gets 30 extras (31*8 = 248 > 2*44 -> split into
+    ceil(248/44) = 6 sub-cells), cells 1-3 get 2 extras each (keep),
+    cells 4-7 stay singletons (underfull)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from hive_server_spark.plans.embedding_pack import (
-        _IVF_K,
-        _ivf_rebalance_oracle,
-        emb_ivf_rebalance_plan,
-    )
-
-    # --- sf corpus: full value parity with the oracle --------------------
-    got = sorted(
-        tuple(r) for r in emb_ivf_rebalance_plan(spark, SF_SMALL).collect()
-    )
-    assert len(got) == _IVF_K
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_SMALL}/embeddings.parquet'"
-    )
-    orc = sorted(tuple(r) for r in con.execute(_ivf_rebalance_oracle()).fetchall())
-    assert orc == got
-
-    # --- crafted skew: cell 0 holds 31 of 44 vectors ---------------------
-    # seeds 0..7 sit at 100*e_i; members carry their seed's spike plus a
-    # unit off-axis component, so assignment is unambiguous. Cells 1-3 get
-    # 2 extra members (keep), cells 4-7 stay singletons (underfull), cell
-    # 0 gets 30 extras: 31*8 = 248 > 2*44 -> split into ceil(248/44) = 6.
     def vec(spike_dim, extra_dim=None):
         v = [0.0] * 64
         v[spike_dim] = 100.0
@@ -999,6 +975,37 @@ def test_ivf_rebalance_plan_oracle_parity_and_actions(spark, tmp_path):
         }
     )
     pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+
+def test_ivf_rebalance_plan_oracle_parity_and_actions(spark, tmp_path):
+    """The (round-15, unregistered) IVF rebalance plan: per-cell
+    fill/action/sub-cell/priority decisions must match the DuckDB oracle
+    on the sf corpus, and the exact-integer action thresholds must fire
+    correctly on a crafted skewed corpus (one hot cell -> split with the
+    projected sub-cell count and priority 1; singleton cells ->
+    underfull; population conserved)."""
+    import duckdb
+
+    from hive_server_spark.plans.embedding_pack import (
+        _IVF_K,
+        _ivf_rebalance_oracle,
+        emb_ivf_rebalance_plan,
+    )
+
+    # --- sf corpus: full value parity with the oracle --------------------
+    got = sorted(
+        tuple(r) for r in emb_ivf_rebalance_plan(spark, SF_SMALL).collect()
+    )
+    assert len(got) == _IVF_K
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_SMALL}/embeddings.parquet'"
+    )
+    orc = sorted(tuple(r) for r in con.execute(_ivf_rebalance_oracle()).fetchall())
+    assert orc == got
+
+    # --- crafted skew (see _write_skewed_embeddings) ---------------------
+    _write_skewed_embeddings(tmp_path)
 
     plan = {
         r["cluster_id"]: r
@@ -1029,3 +1036,68 @@ def test_ivf_rebalance_plan_oracle_parity_and_actions(spark, tmp_path):
         tuple(r) for r in con2.execute(_ivf_rebalance_oracle()).fetchall()
     )
     assert orc2 == got2
+
+
+def test_ivf_split_execute_invariants_and_oracle_parity(spark, tmp_path):
+    """The (round-15, unregistered) IVF split execution: the sub-cells
+    must partition each flagged parent's posting list exactly (population
+    + checksum conservation), the summed micro-distortion must never
+    increase (the parent seed is always among the sub-seeds and floor()
+    is monotone), the sub-cell count must equal the plan's projection,
+    and the whole report must hash-match the DuckDB oracle — on the
+    crafted skew corpus (real split work) AND the sf corpus (parity even
+    when the split set is empty or small)."""
+    import duckdb
+
+    from hive_server_spark.plans.embedding_pack import (
+        _ivf_split_oracle,
+        emb_ivf_build,
+        emb_ivf_rebalance_plan,
+        emb_ivf_split_execute,
+    )
+
+    _write_skewed_embeddings(tmp_path)
+    sf = str(tmp_path)
+
+    sub = emb_ivf_split_execute(spark, sf).collect()
+    assert len(sub) == 6  # cell 0 split into its projected 6 sub-cells
+    plan = {
+        r["cluster_id"]: r for r in emb_ivf_rebalance_plan(spark, sf).collect()
+    }
+    census = {r["cluster_id"]: r for r in emb_ivf_build(spark, sf).collect()}
+
+    parents = {r["parent_id"] for r in sub}
+    assert parents == {
+        c for c, r in plan.items() if r["action"] == "split"
+    }
+    for p in parents:
+        rows = [r for r in sub if r["parent_id"] == p]
+        # projected sub-cell count, all anchored cells non-empty
+        assert len(rows) == plan[p]["n_subcells"]
+        assert all(r["n_vecs"] > 0 for r in rows)
+        # the parent seed anchors one sub-cell
+        assert any(r["subseed_id"] == p for r in rows)
+        # population + posting-checksum conservation (exact partition)
+        assert sum(r["n_vecs"] for r in rows) == census[p]["n_vecs"]
+        assert (
+            sum(r["posting_checksum"] for r in rows)
+            == census[p]["posting_checksum"]
+        )
+        # distortion never increases under a parent-anchored split
+        assert (
+            sum(r["sum_d2_micro"] for r in rows) <= census[p]["sum_d2_micro"]
+        )
+
+    # value parity with the DuckDB oracle on both corpora
+    for d in (sf, SF_SMALL):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'"
+        )
+        got = sorted(
+            tuple(r) for r in emb_ivf_split_execute(spark, d).collect()
+        )
+        orc = sorted(
+            tuple(r) for r in con.execute(_ivf_split_oracle()).fetchall()
+        )
+        assert orc == got
