@@ -407,21 +407,38 @@ def await_stream_with_retry(start_query, attempts: int = 3, backoff_s: float = 2
     thunks and the work=-pinned sketch starters do; a thunk that mints a
     fresh checkpoint per call would recompute from scratch and must not
     be passed here."""
+    import sys as _sys
     import time as _time
 
     last: BaseException | None = None
-    for _ in range(attempts):
+    for attempt in range(attempts):
         try:
             q = start_query()
             _await_bounded(q)
             return
         except StreamStalled as e:
             last = e
+            # every swallowed recovery prints: a bench wave or verify run
+            # that paid a stall window must say so in its log, or the
+            # next timing disposition is guesswork (SCALE.md r15)
+            print(
+                f"await_stream_with_retry: attempt {attempt + 1}/{attempts} "
+                f"stalled, resuming from checkpoint: {e}",
+                file=_sys.stderr,
+                flush=True,
+            )
             _time.sleep(backoff_s)
         except Exception as e:
             if not (is_transient_py4j(e) or is_retryable_start(e)):
                 raise
             last = e
+            print(
+                f"await_stream_with_retry: attempt {attempt + 1}/{attempts} "
+                f"hit transient py4j failure, restarting: "
+                f"{type(e).__name__}",
+                file=_sys.stderr,
+                flush=True,
+            )
             _time.sleep(backoff_s)
     assert last is not None
     raise last
