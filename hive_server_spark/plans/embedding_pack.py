@@ -843,14 +843,21 @@ FROM census CROSS JOIN tot
 """
 
 
-def emb_ivf_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def emb_ivf_rebalance_plan(
+    spark: SparkSession, sf_dir: str, census: DataFrame | None = None
+) -> DataFrame:
     """Per-cell skew audit + split plan over the IVF build census:
     exact-integer fill/action decisions, projected sub-cell counts, and
-    a distortion-ranked split priority (see block comment)."""
+    a distortion-ranked split priority (see block comment). Pass
+    `census` to audit an already-materialized census — the embedding
+    pipeline hands the monitor its maintained state (the streamed
+    census under --incremental), which is the deployed shape: the
+    monitor reads the index artifact, it never re-derives it."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    census = emb_ivf_build(spark, sf_dir)
+    if census is None:
+        census = emb_ivf_build(spark, sf_dir)
     tot = census.agg(
         F.sum("n_vecs").cast("bigint").alias("nv"),
         F.count("*").cast("bigint").alias("k"),

@@ -148,7 +148,13 @@ def main() -> None:
     # flagged split is a cell-scoped Lloyd step, not done here)
     from hive_server_spark.plans.embedding_pack import emb_ivf_rebalance_plan
 
-    plan = stage("ivf_rebalance_plan", emb_ivf_rebalance_plan)
+    # the monitor audits the MAINTAINED census from stage 5 (the
+    # streamed state under --incremental) — the deployed shape: the
+    # monitor reads the index artifact, it never re-derives it
+    plan = stage(
+        "ivf_rebalance_plan",
+        lambda s, d: emb_ivf_rebalance_plan(s, d, census=census),
+    )
 
     # index summary: the numbers an index commit records
     n_cells = census.count()

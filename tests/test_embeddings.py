@@ -1101,3 +1101,25 @@ def test_ivf_split_execute_invariants_and_oracle_parity(spark, tmp_path):
             tuple(r) for r in con.execute(_ivf_split_oracle()).fetchall()
         )
         assert orc == got
+
+
+def test_rebalance_plan_over_streamed_census_equals_batch(spark):
+    """The monitor must be census-source agnostic: the plan computed
+    over the streaming-maintained census (the index artifact a deployed
+    monitor actually reads) must equal the plan over the one-shot build
+    census — the ingest-equals-rebuild contract carried one derivation
+    further."""
+    from hive_server_spark.plans.embedding_pack import emb_ivf_rebalance_plan
+    from hive_server_spark.plans.streaming_pack import streamed_ivf_census
+
+    streamed = streamed_ivf_census(spark, SF_SMALL, chunks=3)
+    over_stream = sorted(
+        tuple(r)
+        for r in emb_ivf_rebalance_plan(
+            spark, SF_SMALL, census=streamed
+        ).collect()
+    )
+    over_build = sorted(
+        tuple(r) for r in emb_ivf_rebalance_plan(spark, SF_SMALL).collect()
+    )
+    assert over_stream == over_build
