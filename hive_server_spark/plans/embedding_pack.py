@@ -1048,3 +1048,139 @@ def emb_ivf_split_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         "posting_checksum",
         "sum_d2_micro",
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF merge execution (round-15 capability; NOT REGISTERED — same
+# staging-budget stance as the plan/split above). Executes the plan's
+# 'underfull' decisions, the COLD-cell counterpart of the split: the
+# underfull cells' centroids are retired and ONLY their members are
+# reassigned to the nearest surviving centroid, their census partials
+# ADDED to the survivors' rows (the additive monoid again). The key
+# property making this metadata-cheap is that retiring a centroid
+# changes the assignment of NO other vector — a vector assigned to a
+# surviving centroid still has that centroid as its nearest among the
+# survivors — so the merged census EQUALS the full rebuild over the
+# surviving centroid set, which is exactly what the DuckDB oracle
+# computes (the delete-maintenance proof shape, applied to centroids
+# instead of vectors). Degenerate input (every cell underfull) retires
+# everything and yields an empty census in both engines — a real
+# monitor never merges its whole index; the plan's thresholds make the
+# all-underfull case impossible whenever any cell is above 1/(2k) fill.
+# Scale: the only per-vector work is reassigning the UNDERFULL cells'
+# members (by construction the smallest posting lists — each below
+# nv/(2k) rows) against a <=k-row centroid broadcast; the survivors'
+# rows are k-row metadata read from the census. Merge cost is bounded
+# by the cold tail, never the corpus.
+# ---------------------------------------------------------------------------
+def _ivf_merge_oracle(k: int = _IVF_K, micro: int = 1_000_000) -> str:
+    return f"""
+WITH vec AS (
+  SELECT vec_id, {E.vec_expr('embedding', 'd')} AS v FROM embeddings
+),
+c AS (SELECT vec_id AS cid, v AS cv FROM vec WHERE vec_id < {k}),
+d AS (
+  SELECT vec.vec_id, c.cid, {E.sqdist_expr('vec.v', 'c.cv', 'd')} AS d2
+  FROM vec CROSS JOIN c
+), a AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+cells AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM a GROUP BY cid),
+tot AS (
+  SELECT CAST(SUM(n_vecs) AS BIGINT) AS nv,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM cells
+),
+surv AS (
+  SELECT cid FROM cells CROSS JOIN tot WHERE NOT (n_vecs * k * 2 < nv)
+),
+c2 AS (SELECT c.cid, c.cv FROM c JOIN surv USING (cid)),
+d2_ AS (
+  SELECT vec.vec_id, c2.cid, {E.sqdist_expr('vec.v', 'c2.cv', 'd')} AS d2
+  FROM vec CROSS JOIN c2
+), a2 AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d2_
+  ) WHERE rn = 1
+), nv2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM a2)
+SELECT CAST(cid AS BIGINT)      AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(COUNT(*) AS DOUBLE) / CAST(nv AS DOUBLE) AS share,
+       CAST(SUM(vec_id) AS BIGINT) AS posting_checksum,
+       CAST(SUM(CAST(floor(d2 * {micro}.0) AS BIGINT)) AS BIGINT)
+         AS sum_d2_micro,
+       CAST(SUM(CAST(floor(d2 * {micro}.0) AS BIGINT)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS mean_d2_micro
+FROM a2 CROSS JOIN nv2
+GROUP BY cid, nv
+"""
+
+
+def emb_ivf_merge_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retire the plan's underfull cells, reassign ONLY their members to
+    the nearest surviving centroid, and fold the moved partials into the
+    survivors' PERSISTED census rows (k-row metadata, read back from the
+    index artifact — the delete-maintenance prior-snapshot discipline);
+    must equal the rebuild over the surviving centroid set (see block
+    comment)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hive_server_spark.session import session_scratch
+
+    vec = E._vecs(_emb(spark, sf_dir)).select("vec_id", "v")
+    cent = vec.where(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+
+    # --- prior snapshot run: persist the build census (recomputed here
+    # for hermeticity; at deployment this is the stored index artifact) -
+    work = session_scratch("ivf_merge")
+    census_path = os.path.join(work, "census")
+    _ivf_partial_census(vec, cent).write.mode("overwrite").parquet(census_path)
+    prior = spark.read.parquet(census_path)
+
+    # --- maintenance run: the underfull decision is k-row metadata
+    # straight from the prior census ---------------------------------
+    tot = prior.agg(
+        F.sum("n_vecs").cast("bigint").alias("nv"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    flagged = prior.crossJoin(F.broadcast(tot)).select(
+        "cid", F.expr("n_vecs * k * 2 < nv").alias("underfull")
+    )
+    surv_cids = F.broadcast(flagged.where(~F.col("underfull")).select("cid"))
+    surv_cent = cent.join(surv_cids, "cid")
+
+    # only the cold tail does per-vector work: membership of the
+    # underfull cells (their posting lists at deployment; the
+    # assignment recomputed here for hermeticity) reassigned against
+    # the surviving centroid broadcast
+    assigned = (
+        vec.crossJoin(F.broadcast(cent))
+        .withColumn("d2", F.expr(E.sqdist_expr("v", "cv", "s")))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"))
+    )
+    moved = (
+        assigned.join(
+            F.broadcast(flagged.where(F.col("underfull")).select("cid")),
+            "cid",
+        )
+        .select("vec_id")
+        .join(vec, "vec_id")
+    )
+    moved_parts = _ivf_partial_census(moved, surv_cent)
+
+    # survivors' rows are the persisted census rows, untouched: retiring
+    # a centroid changes no surviving vector's assignment
+    survivor_rows = prior.join(surv_cids, "cid")
+    return _census_report(
+        _merge_census(survivor_rows.unionByName(moved_parts))
+    )

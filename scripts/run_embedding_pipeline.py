@@ -32,6 +32,10 @@ operators the gate value-checks one by one. Stages:
                        assignment per flagged cell, conservation +
                        distortion-never-increases reconciled
                        (emb_ivf_split_execute, round 15 — unregistered)
+  12. merge          - execute the plan's underfull retirements: only
+                       the cold tail reassigns, survivors' census rows
+                       untouched; equals the survivor-set rebuild
+                       (emb_ivf_merge_execute, round 15 — unregistered)
 
 The index artifacts (IVF census + PQ codes) are written to the out dir.
 Because the streaming ingests' final state equals the one-shot builds
@@ -217,6 +221,25 @@ def main() -> None:
             assert agg[p]["d2"] <= cen[p]["sum_d2_micro"], (
                 f"split of cell {p} increased distortion"
             )
+    # stage 12 (round 15): retire the underfull cells — population must
+    # be conserved and exactly the plan's non-underfull cells survive
+    from hive_server_spark.plans.embedding_pack import emb_ivf_merge_execute
+
+    merged = stage("ivf_merge_execute", emb_ivf_merge_execute)
+    n_merged = merged.agg(F.sum("n_vecs")).collect()[0][0]
+    assert n_merged == n_vecs, (
+        f"merge execution lost vectors: {n_vecs} -> {n_merged}"
+    )
+    surv_cells = {r["cluster_id"] for r in merged.select("cluster_id").collect()}
+    plan_surv = {
+        r["cluster_id"]
+        for r in plan.where("action != 'underfull'").collect()
+    }
+    assert surv_cells == plan_surv, (
+        f"merge survivors {sorted(surv_cells)} != plan's non-underfull "
+        f"cells {sorted(plan_surv)}"
+    )
+
     print(
         f"index: {n_vecs} vectors in {n_cells} cells, {n_coded} codes, "
         f"{n_reps}/{dedup.count()} semantic-dedup representatives, "

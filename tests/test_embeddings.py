@@ -1123,3 +1123,63 @@ def test_rebalance_plan_over_streamed_census_equals_batch(spark):
         tuple(r) for r in emb_ivf_rebalance_plan(spark, SF_SMALL).collect()
     )
     assert over_stream == over_build
+
+
+def test_ivf_merge_execute_equals_survivor_rebuild_and_oracle(spark, tmp_path):
+    """The (round-15, unregistered) IVF merge execution: retiring the
+    underfull cells and folding only their members' reassignment
+    partials into the persisted census must equal the full rebuild over
+    the surviving centroid set — the centroid-side mirror of the
+    delete-maintenance proof. Checked on the crafted skew corpus (cells
+    4-7 are singletons: all four retire, their seeds land in cell 0 by
+    the equidistant lowest-id tie-break) and for value parity on both
+    corpora."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from hive_server_spark.plans.embedding_pack import (
+        _IVF_K,
+        _census_report,
+        _ivf_merge_oracle,
+        _ivf_partial_census,
+        emb_ivf_merge_execute,
+    )
+
+    _write_skewed_embeddings(tmp_path)
+    sf = str(tmp_path)
+
+    got = {r["cluster_id"]: r for r in emb_ivf_merge_execute(spark, sf).collect()}
+    # survivors only, population conserved, the four retired seeds all
+    # tie-break into cell 0 (equidistant to every surviving seed)
+    assert set(got) == {0, 1, 2, 3}
+    assert sum(r["n_vecs"] for r in got.values()) == 44
+    assert got[0]["n_vecs"] == 31 + 4
+    assert got[0]["posting_checksum"] == sum(range(8, 38)) + 0 + 4 + 5 + 6 + 7
+
+    # merge == rebuild over the surviving centroid set (same machinery)
+    emb = load_table(spark, sf, "embeddings")
+    vec = E._vecs(emb).select("vec_id", "v")
+    surv = vec.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    want = sorted(
+        tuple(r)
+        for r in _census_report(_ivf_partial_census(vec, surv)).collect()
+    )
+    assert sorted(tuple(r) for r in emb_ivf_merge_execute(spark, sf).collect()) == want
+
+    # value parity with the DuckDB oracle on both corpora
+    for d in (sf, SF_SMALL):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'"
+        )
+        g = sorted(
+            tuple(r) for r in emb_ivf_merge_execute(spark, d).collect()
+        )
+        orc = sorted(
+            tuple(r) for r in con.execute(_ivf_merge_oracle()).fetchall()
+        )
+        assert orc == g
+        assert len(g) >= 1 and len(g) <= _IVF_K

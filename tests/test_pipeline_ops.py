@@ -550,9 +550,10 @@ def test_embedding_pipeline_script_end_to_end(spark, tmp_path, monkeypatch, caps
     assert "batch ingest mode" in out
     # the round-14 maintenance stage ran and reconciled its tombstones
     assert "ivf_delete_maintenance" in out and "tombstones ->" in out
-    # the round-15 monitor + rebalance stages ran and reconciled
+    # the round-15 monitor + rebalance + merge stages ran and reconciled
     assert "ivf_rebalance_plan" in out and "flagged for split" in out
     assert "ivf_split_execute" in out
+    assert "ivf_merge_execute" in out
     assert (tmp_path / "ivf_census" / "_SUCCESS").exists()
     assert (tmp_path / "pq_codes" / "_SUCCESS").exists()
 
