@@ -749,8 +749,10 @@ def emb_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_DELETE_PRED = f"vec_id % 7 = 3 AND vec_id >= {_IVF_K}"
 
 
-# round 16: @register("emb_ivf_delete_maintenance",
-#                     _ivf_build_oracle(where=f" WHERE NOT ({_IVF_DELETE_PRED})"))
+@register(  # flipped r16 per plan
+    "emb_ivf_delete_maintenance",
+    _ivf_build_oracle(where=f" WHERE NOT ({_IVF_DELETE_PRED})"),
+)
 def emb_ivf_delete_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subtract the tombstoned slice's census partials from the persisted
     IVF build census; the maintained census must equal the rebuild over
@@ -903,10 +905,12 @@ def emb_ivf_rebalance_plan(
 # staging-budget stance as the rebalance plan above). Executes the
 # plan's 'split' decisions: for each flagged cell, ONE Lloyd assignment
 # step over that cell's posting list against n_subcells deterministic
-# sub-seeds — the parent seed plus the cell's lowest-id other members
-# (the vec_id-ordered seed convention every IVF query here uses). The
-# parent seed is ALWAYS among the sub-seeds, which yields a provable
-# invariant: every member's nearest-sub-seed distance is <= its
+# sub-seeds — the parent CENTROID (taken from the centroid table, so an
+# exact-duplicate vector at a lower cluster_id stealing the parent's
+# self-assignment cannot drop it — ADVICE r15) plus the cell's
+# lowest-id other members (the vec_id-ordered seed convention every IVF
+# query here uses). The parent seed is therefore ALWAYS among the
+# sub-seeds, on any corpus, which yields a provable invariant: every member's nearest-sub-seed distance is <= its
 # distance to the parent seed, and floor() is monotone, so each split
 # cell's summed micro-distortion NEVER increases — the acceptance check
 # a deployed rebalance runs before swapping the new cells in. The
@@ -952,10 +956,21 @@ members AS (
   FROM a JOIN split s USING (cid) JOIN vec USING (vec_id)
 ),
 subseeds AS (
-  SELECT cid, vec_id AS sid, v AS sv FROM (
-    SELECT m.*, row_number() OVER (
-      PARTITION BY cid ORDER BY (vec_id != cid), vec_id
-    ) AS rn FROM members m
+  -- the parent seed comes from the CENTROID table, not the parent's
+  -- self-assignment: an exact duplicate vector at a lower cluster_id
+  -- ties at d2=0 and steals the parent seed row out of `members`,
+  -- which would silently drop the anchor the distortion-never-
+  -- increases proof rests on (ADVICE r15). Parent first, then the
+  -- cell's lowest-id OTHER members up to n_sub.
+  SELECT cid, sid, sv FROM (
+    SELECT s.cid, s.cid AS sid, c.cv AS sv, 1 AS rn, s.n_sub
+    FROM split s JOIN c ON c.cid = s.cid
+    UNION ALL
+    SELECT m.cid, m.vec_id AS sid, m.v AS sv,
+           row_number() OVER (PARTITION BY m.cid ORDER BY m.vec_id) + 1
+             AS rn,
+           m.n_sub
+    FROM members m WHERE m.vec_id != m.cid
   ) WHERE rn <= n_sub
 ),
 md AS (
@@ -1014,14 +1029,21 @@ def emb_ivf_split_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     members = assigned.join(F.broadcast(split), "cid").join(vec, "vec_id")
-    w = Window.partitionBy("cid").orderBy(
-        F.expr("vec_id != cid"), F.col("vec_id")
+    # Parent seed anchored on the CENTROID table (not the parent's
+    # self-assignment, which an exact-duplicate vector at a lower
+    # cluster_id can steal at d2=0 — ADVICE r15); then the cell's
+    # lowest-id OTHER members fill the remaining n_sub - 1 slots.
+    w = Window.partitionBy("cid").orderBy("vec_id")
+    parent_seeds = split.join(F.broadcast(cent), "cid").select(
+        "cid", F.col("cid").alias("sid"), F.col("cv").alias("sv")
     )
-    subseeds = (
-        members.withColumn("rn", F.row_number().over(w))
+    member_seeds = (
+        members.where(F.col("vec_id") != F.col("cid"))
+        .withColumn("rn", F.row_number().over(w) + F.lit(1))
         .where(F.col("rn") <= F.col("n_sub"))
         .select("cid", F.col("vec_id").alias("sid"), F.col("v").alias("sv"))
     )
+    subseeds = parent_seeds.unionByName(member_seeds)
     ma = (
         members.select("cid", "vec_id", "v")
         .join(F.broadcast(subseeds), "cid")

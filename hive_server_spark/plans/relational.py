@@ -1720,7 +1720,7 @@ _DQ_REF_ORACLE = "\nUNION ALL\n".join(
 )
 
 
-# round 16: @register("dq_referential_report", _DQ_REF_ORACLE)
+@register("dq_referential_report", _DQ_REF_ORACLE)  # flipped r16 per plan
 def dq_referential_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity suite over the TPC-H schema: PK uniqueness
     plus the six-edge foreign-key chain, one report row per check (see

@@ -466,7 +466,7 @@ FROM sides
 )
 
 
-# round 16: @register("serving_order_book_json", _ORDER_BOOK_JSON_ORACLE)
+@register("serving_order_book_json", _ORDER_BOOK_JSON_ORACLE)  # flipped r16
 def q_serving_order_book_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Depth-20 order-book JSON for every pool — the GET
     /api/pools/:address/orderbook response shape (operators/serving.py:22)

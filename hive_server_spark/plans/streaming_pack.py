@@ -1887,8 +1887,11 @@ def emb_ivf_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sub-codebook + one map-side-combined hash aggregate over the BATCH
 # (bounded m-row explode per vector, no corpus rescan, no self-join);
 # state grows by exactly the batch's row count — codes are storage, not
-# compute. At 100 TB the stream encodes at arrival speed and the prior
-# codes table is never rewritten.
+# compute. At 100 TB the stream encodes at arrival speed; the prior
+# codes are never RE-ENCODED, though ParquetStateStore.commit does
+# physically rewrite the state file per batch — O(state), with the
+# production fixes (Delta/Iceberg MERGE; bucket-partial overwrite)
+# noted at streaming/incremental.py:114-120.
 # ---------------------------------------------------------------------------
 from hive_server_spark.functions.embeddings import pq_codes_oracle
 
@@ -2308,7 +2311,7 @@ def streamed_zonemaps(
     )
 
 
-# round 16: @register("layout_zonemap_streaming", _ZM_STREAM_ORACLE)
+@register("layout_zonemap_streaming", _ZM_STREAM_ORACLE)  # flipped r16 per plan
 def layout_zonemap_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream the events table in event_id-ordered chunks, folding each
     micro-batch's per-file COUNT/MIN/MAX partials into the versioned

@@ -420,7 +420,18 @@ def await_stream_with_retry(start_query, attempts: int = 3, backoff_s: float = 2
             last = e
             # every swallowed recovery prints: a bench wave or verify run
             # that paid a stall window must say so in its log, or the
-            # next timing disposition is guesswork (SCALE.md r15)
+            # next timing disposition is guesswork (SCALE.md r15). On the
+            # final attempt no retry follows — say so, and skip the
+            # pointless backoff sleep before the re-raise (ADVICE r15).
+            if attempt == attempts - 1:
+                print(
+                    f"await_stream_with_retry: attempt {attempt + 1}/"
+                    f"{attempts} stalled, giving up after {attempts} "
+                    f"attempts: {e}",
+                    file=_sys.stderr,
+                    flush=True,
+                )
+                break
             print(
                 f"await_stream_with_retry: attempt {attempt + 1}/{attempts} "
                 f"stalled, resuming from checkpoint: {e}",
@@ -432,6 +443,15 @@ def await_stream_with_retry(start_query, attempts: int = 3, backoff_s: float = 2
             if not (is_transient_py4j(e) or is_retryable_start(e)):
                 raise
             last = e
+            if attempt == attempts - 1:
+                print(
+                    f"await_stream_with_retry: attempt {attempt + 1}/"
+                    f"{attempts} hit transient py4j failure, giving up "
+                    f"after {attempts} attempts: {type(e).__name__}",
+                    file=_sys.stderr,
+                    flush=True,
+                )
+                break
             print(
                 f"await_stream_with_retry: attempt {attempt + 1}/{attempts} "
                 f"hit transient py4j failure, restarting: "

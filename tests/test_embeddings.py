@@ -1183,3 +1183,79 @@ def test_ivf_merge_execute_equals_survivor_rebuild_and_oracle(spark, tmp_path):
         )
         assert orc == g
         assert len(g) >= 1 and len(g) <= _IVF_K
+
+
+def test_ivf_split_parent_anchor_survives_duplicate_seed(spark, tmp_path):
+    """ADVICE r15: the split's distortion-never-increases proof must not
+    depend on the parent seed being assigned to its own cell. With an
+    exact-duplicate seed pair (vec 1 == vec 0) every tie at d2=0 breaks
+    to the LOWER cluster_id, so cell 1 drains into cell 0 entirely (it
+    vanishes from the census) and the duplicate vector sits inside the
+    hot cell's posting list. The fix anchors the parent sub-seed on the
+    CENTROID table, so the invariant holds on this corpus by
+    construction: parent sub-seed present, exact partition, distortion
+    never increases, and the Spark/DuckDB dialects still agree row for
+    row (the duplicate also creates a d2=0 sub-seed tie inside the
+    split, which both engines must break identically)."""
+    import duckdb
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_server_spark.plans.embedding_pack import (
+        _ivf_split_oracle,
+        emb_ivf_build,
+        emb_ivf_split_execute,
+    )
+
+    def vec(spike_dim, extra_dim=None):
+        v = [0.0] * 64
+        v[spike_dim] = 100.0
+        if extra_dim is not None:
+            v[extra_dim] = 1.0
+        return v
+
+    # seeds 0..7, but seed 1 duplicates seed 0 exactly; 30 extras on
+    # cell 0 (hot), 2 each on cells 2 and 3; cells 4..7 singletons.
+    rows = [(i, vec(0) if i == 1 else vec(i), 0) for i in range(8)]
+    nxt = 8
+    for c, extras in [(0, 30), (2, 2), (3, 2)]:
+        for j in range(extras):
+            rows.append((nxt, vec(c, 8 + (j % 16)), 0))
+            nxt += 1
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    sf = str(tmp_path)
+
+    census = {r["cluster_id"]: r for r in emb_ivf_build(spark, sf).collect()}
+    # cell 1 drained into cell 0 by the lowest-cid tie-break: 7 live
+    # cells, cell 0 holds both duplicate seeds plus its 30 extras
+    assert 1 not in census
+    assert census[0]["n_vecs"] == 32
+
+    sub = emb_ivf_split_execute(spark, sf).collect()
+    parents = {r["parent_id"] for r in sub}
+    assert parents == {0}
+    # the parent CENTROID anchors a sub-cell even with the duplicate in
+    # the posting list (vec 1 ties at d2=0 and joins the parent's
+    # sub-cell rather than stealing the anchor)
+    assert any(r["subseed_id"] == 0 for r in sub)
+    assert sum(r["n_vecs"] for r in sub) == census[0]["n_vecs"]
+    assert (
+        sum(r["posting_checksum"] for r in sub)
+        == census[0]["posting_checksum"]
+    )
+    assert sum(r["sum_d2_micro"] for r in sub) <= census[0]["sum_d2_micro"]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    orc = sorted(tuple(r) for r in con.execute(_ivf_split_oracle()).fetchall())
+    assert orc == sorted(tuple(r) for r in sub)

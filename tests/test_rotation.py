@@ -13,6 +13,17 @@ have bitten before and are pinned here:
 
 Neither check needs Spark; both read static registration order plus the
 committed CORRECTNESS_r*.json history.
+
+ADVICE r15 item 1: the staleness checks must be valid in BOTH tree
+states the repo actually passes through — the builder-committed state
+(history through round N-1, window composed for round N) and the
+mid-rotation snapshot (the driver has deposited CORRECTNESS_rN.json but
+the round-N+1 rotation has not been committed yet). ``gate.py`` exports
+``DRIVER_PRIORITY_ROUND`` so the tests can tell the states apart: when
+``max(history) >= DRIVER_PRIORITY_ROUND`` the committed window has
+already been executed (its greens are in the history) and the pending
+round(s) are simulated from ``PLANNED_FLIPS`` + drain-oldest-first
+instead of re-applying the stale committed list.
 """
 
 from __future__ import annotations
@@ -20,6 +31,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -34,9 +46,13 @@ def _registered_names() -> list[str]:
     return list(entry.queries().keys())
 
 
-def _green_history() -> set[str]:
-    green: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+def _load_history(history_dir: str) -> tuple[dict[str, int], list[int]]:
+    """(last_green_round per query, sorted list of rounds on disk)."""
+    last_green: dict[str, int] = {}
+    rounds: list[int] = []
+    for path in sorted(glob.glob(os.path.join(history_dir, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        rounds.append(rnd)
         with open(path) as f:
             rows = json.load(f)
         for name, rec in rows.items():
@@ -48,24 +64,28 @@ def _green_history() -> set[str]:
                 and rec.get("hash_match") is not False
             )
             if ok:
-                green.add(name)
-    return green
+                last_green[name] = max(rnd, last_green.get(name, 0))
+    return last_green, sorted(rounds)
+
+
+def _green_history() -> set[str]:
+    return set(_load_history(REPO)[0])
 
 
 def test_priority_names_all_registered():
-    from hive_server_spark.gate import DRIVER_PRIORITY_R15
+    from hive_server_spark.gate import DRIVER_PRIORITY_R16
     from hive_server_spark.registry import _SPARK_QUERIES
 
-    missing = [n for n in DRIVER_PRIORITY_R15 if n not in _SPARK_QUERIES]
+    missing = [n for n in DRIVER_PRIORITY_R16 if n not in _SPARK_QUERIES]
     assert not missing, f"priority names not registered: {missing}"
-    assert len(DRIVER_PRIORITY_R15) == len(set(DRIVER_PRIORITY_R15)), "dup names"
+    assert len(DRIVER_PRIORITY_R16) == len(set(DRIVER_PRIORITY_R16)), "dup names"
 
 
 def test_window_is_exactly_the_priority_list():
-    from hive_server_spark.gate import DRIVER_PRIORITY_R15
+    from hive_server_spark.gate import DRIVER_PRIORITY_R16
 
     names = _registered_names()
-    assert names[:WINDOW] == DRIVER_PRIORITY_R15
+    assert names[:WINDOW] == DRIVER_PRIORITY_R16
 
 
 def test_every_query_outside_window_has_prior_green_row():
@@ -89,8 +109,6 @@ def test_no_bare_mkdtemp_outside_session_scratch():
     bench runs with nothing to reclaim it. ``mkdtemp(dir=session_scratch(
     ...))`` keeps per-invocation uniqueness (streaming checkpoints must
     not be reused) while bounding /tmp to one root per live process."""
-    import re
-
     pkg = os.path.join(REPO, "hive_server_spark")
     offenders = []
     for dirpath, _dirs, files in os.walk(pkg):
@@ -120,65 +138,14 @@ def test_every_query_has_a_coverage_row():
     assert not missing, f"queries with no COVERAGE.md mention: {missing}"
 
 
-def test_rotation_staleness_bounded():
-    """VERDICT r13 item 4: as the registry outgrows the 50-slot driver
-    window, a mis-executed rotation (or simple creep) could leave some
-    registered query unchecked for many rounds with nothing failing.
-    Compute, from the committed CORRECTNESS_r*.json history plus the
-    CURRENT window, the staleness every registered query would reach
-    after this round's window executes, and bound it at 5 rounds. A
-    query in the current window lands at 0; everything else ages by
-    (this_round - last_green). New registrations outside the window are
-    caught by test_every_query_outside_window_has_prior_green_row."""
-    import re
-
-    last_green: dict[str, int] = {}
-    rounds: list[int] = []
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
-        rounds.append(rnd)
-        with open(path) as f:
-            rows = json.load(f)
-        for name, rec in rows.items():
-            if not isinstance(rec, dict):
-                continue
-            ok = (
-                rec.get("rows_match")
-                and rec.get("schema_match") is not False
-                and rec.get("hash_match") is not False
-            )
-            if ok:
-                last_green[name] = max(rnd, last_green.get(name, 0))
-    assert rounds, "no correctness history found"
-    this_round = max(rounds) + 1
-
-    names = _registered_names()
-    window = set(names[:WINDOW])
-    over = {
-        n: this_round - last_green[n]
-        for n in names
-        if n not in window
-        and n in last_green
-        and this_round - last_green[n] > 5
-    }
-    assert not over, (
-        "registered queries would exceed 5 rounds since their last "
-        f"driver-green check after this round's window: {over} — rotate "
-        "them into DRIVER_PRIORITY or shrink the registration cadence"
-    )
-
-
 # The written flip schedule from the gate.py rotation note (round 14,
-# re-affirmed round 15). A staging decision that adds a name here — or
-# registers one early — must re-run the simulation below and keep the
-# bound, IN THE ROUND THAT STAGES IT, not three rounds later.
+# re-affirmed rounds 15-16). A staging decision that adds a name here —
+# or registers one early — must re-run the simulation below and keep the
+# bound, IN THE ROUND THAT STAGES IT, not three rounds later. Rounds
+# whose flips have been executed (registered) are REMOVED from this dict
+# in the same commit as the flip; ``DRIVER_PRIORITY_ROUND`` in gate.py
+# advances with them.
 PLANNED_FLIPS: dict[int, list[str]] = {
-    16: [
-        "layout_zonemap_streaming",
-        "emb_ivf_delete_maintenance",
-        "serving_order_book_json",
-        "dq_referential_report",
-    ],
     17: [
         "text_bpe_streaming",
         "serving_amount_out_json",
@@ -188,52 +155,91 @@ PLANNED_FLIPS: dict[int, list[str]] = {
 SIM_HORIZON = 20  # staging note's claim: bound holds through r20
 
 
-def _forward_violations(planned_flips: dict[int, list[str]]) -> list[tuple]:
-    """Drain-oldest-first rotation simulation from the committed
-    correctness history through SIM_HORIZON: per round R, window = that
-    round's planned flips (staleness 0 at registration) + the
-    oldest-last-green registered names, ties broken by registration
-    order — exactly how the written window plans are constructed
-    (cohorts drain in registration order, oldest cohort first). Returns
-    (violations, max_stale_by_round): every (round, name, staleness)
-    where a name's age at the NEXT window's selection would exceed 5
-    rounds, plus the maximum post-window age observed per round."""
-    import re
+def _next_window(
+    flips: list[str],
+    sim_names: list[str],
+    reg_index: dict[str, int],
+    last_green: dict[str, int],
+) -> list[str]:
+    """Drain-oldest-first window composition: this round's flips
+    (staleness 0 at registration) + the oldest-last-green registered
+    names, ties broken by registration order — exactly how the written
+    window plans are constructed (cohorts drain in registration order,
+    oldest cohort first)."""
+    backlog = sorted(
+        (n for n in sim_names if n not in flips),
+        key=lambda n: (last_green.get(n, 0), reg_index[n]),
+    )
+    window = list(flips) + backlog[: WINDOW - len(flips)]
+    assert len(window) == WINDOW, len(window)
+    return window
 
-    last_green: dict[str, int] = {}
-    rounds: list[int] = []
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
-        rounds.append(rnd)
-        with open(path) as f:
-            rows = json.load(f)
-        for name, rec in rows.items():
-            if not isinstance(rec, dict):
-                continue
-            ok = (
-                rec.get("rows_match")
-                and rec.get("schema_match") is not False
-                and rec.get("hash_match") is not False
-            )
-            if ok:
-                last_green[name] = max(rnd, last_green.get(name, 0))
+
+def _forward_violations(
+    planned_flips: dict[int, list[str]],
+    history_dir: str = REPO,
+    names: list[str] | None = None,
+    committed_round: int | None = None,
+    committed_window: list[str] | None = None,
+) -> tuple[list[tuple], dict[int, int]]:
+    """Rotation simulation from the committed correctness history through
+    SIM_HORIZON. Two valid starting states (module docstring):
+
+    * builder-committed (``max(history) == committed_round - 1``): the
+      committed window executes at ``committed_round``; simulation of
+      planned flips + drain-oldest-first starts the round after.
+    * mid-rotation snapshot (``max(history) >= committed_round``): the
+      committed window's results are ALREADY in the history (modulo
+      environmental oracle errors — those names simply keep their older
+      last-green and drain first, which is exactly the recomposition the
+      next builder round must perform); the committed list is stale and
+      must NOT be re-applied. Simulation starts at ``max(history) + 1``
+      using ``planned_flips`` for any rounds not yet registered.
+
+    Returns (violations, max_stale_by_round): every (round, name,
+    staleness) where a name's age after that round's window would exceed
+    5 rounds, plus the maximum post-window age observed per round."""
+    if names is None:
+        names = _registered_names()
+    if committed_round is None or committed_window is None:
+        from hive_server_spark.gate import (
+            DRIVER_PRIORITY_R16,
+            DRIVER_PRIORITY_ROUND,
+        )
+
+        committed_round = (
+            DRIVER_PRIORITY_ROUND if committed_round is None else committed_round
+        )
+        committed_window = (
+            DRIVER_PRIORITY_R16 if committed_window is None else committed_window
+        )
+
+    last_green, rounds = _load_history(history_dir)
     assert rounds, "no correctness history found"
     this_round = max(rounds) + 1
 
-    # Registration order of the live registry; planned flips append in
-    # schedule order when their round arrives.
-    names = _registered_names()
     reg_index = {n: i for i, n in enumerate(names)}
+    sim_names = list(names)
 
-    # This round's window is the committed DRIVER_PRIORITY list, not a
-    # simulation — apply it first.
-    for n in names[:WINDOW]:
-        last_green[n] = this_round
+    if this_round <= committed_round:
+        # Builder-committed tree. The committed window is what the driver
+        # will run at committed_round — not a simulation; apply it there.
+        # (this_round < committed_round would mean history gaps; the
+        # drain-oldest model still holds because the committed window IS
+        # round committed_round's window.)
+        for n in committed_window:
+            last_green[n] = committed_round
+        sim_start = committed_round + 1
+    else:
+        # Mid-rotation snapshot: the driver already deposited round
+        # committed_round's artifact (its greens are in last_green) and
+        # the next rotation is not committed yet. Do NOT re-apply the
+        # stale committed list; simulate the pending round(s).
+        sim_start = this_round
 
     violations: list[tuple] = []
     max_stale_by_round: dict[int, int] = {}
-    sim_names = list(names)
-    for rnd in range(this_round + 1, SIM_HORIZON + 1):
+    for rnd in range(sim_start, SIM_HORIZON + 1):
         flips = planned_flips.get(rnd, [])
         for n in flips:
             assert n not in reg_index, (
@@ -242,12 +248,7 @@ def _forward_violations(planned_flips: dict[int, list[str]]) -> list[tuple]:
             )
             reg_index[n] = len(sim_names)
             sim_names.append(n)
-        backlog = sorted(
-            (n for n in sim_names if n not in flips),
-            key=lambda n: (last_green.get(n, 0), reg_index[n]),
-        )
-        window = list(flips) + backlog[: WINDOW - len(flips)]
-        assert len(window) == WINDOW, (rnd, len(window))
+        window = _next_window(flips, sim_names, reg_index, last_green)
         for n in window:
             last_green[n] = rnd
         ages = [rnd + 1 - last_green.get(n, 0) for n in sim_names]
@@ -260,12 +261,59 @@ def _forward_violations(planned_flips: dict[int, list[str]]) -> list[tuple]:
     return violations, max_stale_by_round
 
 
+def test_rotation_staleness_bounded():
+    """VERDICT r13 item 4: as the registry outgrows the 50-slot driver
+    window, a mis-executed rotation (or simple creep) could leave some
+    registered query unchecked for many rounds with nothing failing.
+    Compute, from the committed CORRECTNESS_r*.json history plus the
+    next window to execute, the staleness every registered query would
+    reach after that window, and bound it at 5 rounds. In the
+    builder-committed state the next window is the committed
+    DRIVER_PRIORITY list; in a mid-rotation snapshot it is the pending
+    round's simulated drain-oldest-first window (module docstring)."""
+    from hive_server_spark.gate import DRIVER_PRIORITY_R16, DRIVER_PRIORITY_ROUND
+
+    last_green, rounds = _load_history(REPO)
+    assert rounds, "no correctness history found"
+    this_round = max(rounds) + 1
+
+    names = _registered_names()
+    if this_round <= DRIVER_PRIORITY_ROUND:
+        check_round = DRIVER_PRIORITY_ROUND
+        window = set(DRIVER_PRIORITY_R16)
+    else:
+        # Mid-rotation: the committed window already ran; bound the
+        # staleness the PENDING round's window would leave, composed the
+        # way every window plan is (flips + drain-oldest-first).
+        check_round = this_round
+        reg_index = {n: i for i, n in enumerate(names)}
+        sim_names = list(names)
+        flips = PLANNED_FLIPS.get(this_round, [])
+        for n in flips:
+            reg_index[n] = len(sim_names)
+            sim_names.append(n)
+        window = set(_next_window(flips, sim_names, reg_index, last_green))
+        names = sim_names
+    over = {
+        n: check_round - last_green[n]
+        for n in names
+        if n not in window
+        and n in last_green
+        and check_round - last_green[n] > 5
+    }
+    assert not over, (
+        "registered queries would exceed 5 rounds since their last "
+        f"driver-green check after round {check_round}'s window: {over} — "
+        "rotate them into DRIVER_PRIORITY or shrink the registration cadence"
+    )
+
+
 def test_rotation_forward_simulation():
-    """VERDICT r14 item 7: encode the staging-budget note's simulation —
-    drain-oldest-first over the CURRENT registry plus the written
-    r16/r17 flip schedule must hold every query's staleness at <= 5
-    rounds through r20 — so a staging decision that silently breaks a
-    LATER round's bound fails in the round that stages it. The note's
+    """VERDICT r14 item 7 + ADVICE r15 item 1: drain-oldest-first over
+    the CURRENT registry plus the written flip schedule must hold every
+    query's staleness at <= 5 rounds through r20 — so a staging decision
+    that silently breaks a LATER round's bound fails in the round that
+    stages it. Valid in both tree states (module docstring). The note's
     sharper claim is also pinned: the oldest cohort sits at EXACTLY the
     bound (age 5) after every simulated window through the horizon —
     the rotation runs with zero margin for a mis-executed round, which
@@ -274,8 +322,11 @@ def test_rotation_forward_simulation():
     policy's full-cohort drains otherwise preserve)."""
     violations, max_stale = _forward_violations(PLANNED_FLIPS)
     assert not violations, (
-        "simulated rotation exceeds the 5-round staleness bound: "
-        f"{violations} — the staging schedule overfills the 50-slot window"
+        "simulated rotation exceeds the 5-round staleness bound — either "
+        "the staging schedule overfills the 50-slot window, or a window "
+        "member lost its driver-green row to an environmental oracle "
+        "error and the next committed window must re-check it (VERDICT "
+        f"r15 item 1's recomposition): {violations}"
     )
     assert set(max_stale.values()) == {5}, (
         "the oldest cohort no longer sits at exactly the 5-round bound "
@@ -286,18 +337,74 @@ def test_rotation_forward_simulation():
 
 def test_rotation_forward_simulation_has_teeth():
     """The guard must be able to fail: a grossly overfilled schedule
-    (40 hypothetical extra r16 registrations — enough that some round's
+    (40 hypothetical extra r17 registrations — enough that some round's
     age-5 backlog plus its flips exceeds the 50-slot window) must
     produce bound violations before r20. This pins that the simulation
     actually measures window pressure, not vacuously passing — and
     documents that the measured slack under drain-oldest-first is
     finite and consumed by registration count alone."""
     flips = {r: list(ns) for r, ns in PLANNED_FLIPS.items()}
-    flips[16] = flips.get(16, []) + [
+    flips[17] = flips.get(17, []) + [
         f"hypothetical_extra_query_{i}" for i in range(40)
     ]
     violations, _ = _forward_violations(flips)
     assert violations, (
-        "40 extra r16 registrations no longer violate the staleness "
+        "40 extra r17 registrations no longer violate the staleness "
         "bound — the simulation lost its teeth"
     )
+
+
+def test_rotation_simulation_valid_in_both_tree_states(tmp_path):
+    """ADVICE r15 item 1's done condition: the simulation must pass on
+    BOTH states the repo actually passes through, proven on synthetic
+    histories constructed in tmp dirs — (a) builder-committed: history
+    through round N-1, committed window composed for round N; (b)
+    driver-deposited mid-rotation snapshot: round N's artifact present
+    (the committed window's rows green), round N+1's rotation pending.
+    Before the fix, state (b) credited the stale committed list to round
+    N+1 and skipped round N+1's planned flips, yielding spurious age-6
+    violations (reproduced on the real tree when CORRECTNESS_r15.json
+    landed)."""
+
+    def write_round(dirpath, rnd, green_names):
+        rows = {
+            n: {"rows_match": True, "schema_match": True, "hash_match": True}
+            for n in green_names
+        }
+        with open(os.path.join(dirpath, f"CORRECTNESS_r{rnd:02d}.json"), "w") as f:
+            json.dump(rows, f)
+
+    # A miniature registry: 120 names, windows of 50, committed round 10.
+    names = [f"q{i:03d}" for i in range(120)]
+    flips = {11: ["flip_a", "flip_b"]}
+    committed_round = 10
+    # History r01-r09: rotate drain-oldest-first so every name has a
+    # last-green row (r07 checks 0-49, r08 50-99, r09 100-119 + 0-29).
+    committed = names[30:80]  # the round-10 window: the oldest cohort
+
+    for state in ("builder-committed", "mid-rotation"):
+        d = tmp_path / state
+        d.mkdir()
+        write_round(str(d), 7, names[0:50])
+        write_round(str(d), 8, names[50:100])
+        write_round(str(d), 9, names[100:120] + names[0:30])
+        if state == "mid-rotation":
+            # Driver deposited round 10's artifact; rotation for r11
+            # (which must apply flips[11]) is not committed yet.
+            write_round(str(d), 10, committed)
+        sim_names = list(names) + (
+            [] if state == "mid-rotation" else []
+        )
+        violations, max_stale = _forward_violations(
+            flips,
+            history_dir=str(d),
+            names=sim_names,
+            committed_round=committed_round,
+            committed_window=committed,
+        )
+        assert not violations, (state, violations)
+        # 120 names in 50-slot windows cycle in 3 rounds; the bound
+        # never tightens to 5 here — just assert it stays comfortably
+        # under and that flips entered the simulation (registered names
+        # grow by 2 == flips applied exactly once).
+        assert max(max_stale.values()) <= 5, (state, max_stale)
