@@ -104,6 +104,16 @@ def main() -> int:
 
     queries = mod.queries()
     oracles = mod.oracle_sql()
+    # optional positional name filter: `verify_gate.py q1 q2 ...` re-checks
+    # only the named queries (fast loop while iterating on one operator);
+    # bare invocation keeps the full-registry sweep the driver emulates
+    only = set(sys.argv[1:])
+    if only:
+        unknown = only - set(queries)
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}")
+            return 2
+        queries = {k: v for k, v in queries.items() if k in only}
     failures = []
 
     # Per-query watchdog: a corrupted py4j gateway (the interleaved-
