@@ -97,6 +97,52 @@ def fk_check(
     return _report_row(name, tot.crossJoin(viol))
 
 
+def fk_suite(
+    fact: DataFrame, checks: list[tuple[str, str, DataFrame, str]]
+) -> DataFrame:
+    """Referential report for SEVERAL foreign keys of the SAME fact table in
+    ONE pass (optimization r16): each dim's distinct key set left-joins in
+    with a hit marker, and a single aggregate counts every check's misses
+    together — N checks cost one fact scan instead of the 2N scans of the
+    per-check (anti-join + total-count) pair, the same all-rules-one-scan
+    rule `check()` applies to row constraints. A NULL foreign key never
+    matches, so it lands in the miss count exactly as in `fk_check`. Join
+    strategies stay stats-chosen per dim (broadcast for small dims, shuffle
+    for fact-fact edges). `checks` rows are (rule, fk, dim, pk)."""
+    j = fact.select(*[fk for _rule, fk, _dim, _pk in checks])
+    for i, (_rule, fk, dim, pk) in enumerate(checks):
+        keys = (
+            dim.select(F.col(pk).alias(fk))
+            .distinct()
+            .withColumn(f"_hit_{i}", F.lit(1))
+        )
+        j = j.join(keys, fk, "left")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(
+                F.when(F.col(f"_hit_{i}").isNull(), 1).otherwise(0)
+            ).alias(f"_v_{i}")
+            for i in range(len(checks))
+        ],
+    )
+    rows = [
+        F.struct(
+            F.lit(rule).alias("rule"),
+            F.col("_n").cast("bigint").alias("n_rows"),
+            F.coalesce(F.col(f"_v_{i}"), F.lit(0))
+            .cast("bigint")
+            .alias("n_violations"),
+        )
+        for i, (rule, _fk, _dim, _pk) in enumerate(checks)
+    ]
+    return (
+        agg.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.rule", "r.n_rows", "r.n_violations")
+        .withColumn("passed", F.col("n_violations") == 0)
+    )
+
+
 def unique_check(name: str, df: DataFrame, key: str) -> DataFrame:
     """One-row key-uniqueness report: violations = n_rows minus the
     distinct non-null key count, so duplicate AND null keys both count."""

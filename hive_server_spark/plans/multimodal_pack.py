@@ -1610,19 +1610,34 @@ def _fpavi_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kf_band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation chain's keyframe band table (kid = media_id*16 +
+    shot_id → band0..band3) — keyframes extracted and decoded ONCE per
+    (session, sf_dir): the band self-join reads it twice, the Hamming
+    verify twice more, and the per-clip shot count is derivable from kid
+    alone, so without the cache ONE curation plan walked every payload
+    four times through two mapInPandas legs (15 Python-eval nodes,
+    plans/r16/multimodal_video_curation_before.txt — optimization r16,
+    guide §4: decode once, reuse the 5-integer rows)."""
+
+    def build() -> DataFrame:
+        kf = M.shot_keyframes(_fpavi_media(spark, sf_dir))
+        return M.dhash_bands(
+            kf.select(
+                (F.col("media_id") * 16 + F.col("shot_id")).alias("media_id"),
+                F.col("frame_payload").alias("payload"),
+            )
+        ).persist()
+
+    return _DHASH_CACHE.get_or_create(spark, ("kf_bands", sf_dir), build)
+
+
 @register("multimodal_video_curation", _VIDEO_CURATION_ORACLE)  # flipped r12
 def multimodal_video_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw AVI corpus → shots → one keyframe per shot → keyframe-dHash
     near-dup verdict → per-clip keep/drop (see block comment). One row per
     clip: (media_id, n_shots, dup_partner, keep)."""
-    media = _fpavi_media(spark, sf_dir)
-    kf = M.shot_keyframes(media)  # (media_id, shot_id, frame_idx, payload)
-    kfb = M.dhash_bands(
-        kf.select(
-            (F.col("media_id") * 16 + F.col("shot_id")).alias("media_id"),
-            F.col("frame_payload").alias("payload"),
-        )
-    )
+    kfb = _kf_band_table(spark, sf_dir)  # one row per (clip, shot) keyframe
     ham = M.band_hamming_pairs(kfb, max_bucket=None)
     cpair = ham.where(F.col("hd") <= 2).select(
         F.expr("id1 DIV 16").alias("c1"), F.expr("id2 DIV 16").alias("c2")
@@ -1630,9 +1645,11 @@ def multimodal_video_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     partner = cpair.groupBy(F.col("c2").alias("media_id")).agg(
         F.min("c1").cast("bigint").alias("dup_partner")
     )
-    nshots = kf.groupBy("media_id").agg(
-        F.count("*").cast("bigint").alias("n_shots")
-    )
+    # one band row per (clip, shot) keyframe, so the shot count is a
+    # rollup of the cached band table — no second payload walk
+    nshots = kfb.groupBy(
+        F.expr("media_id DIV 16").alias("media_id")
+    ).agg(F.count("*").cast("bigint").alias("n_shots"))
     return nshots.join(partner, "media_id", "left").select(
         F.col("media_id").cast("bigint").alias("media_id"),
         "n_shots",

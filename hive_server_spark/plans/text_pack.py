@@ -1721,28 +1721,26 @@ def line_dedup_report(docs: DataFrame, df_cut: int = LINE_DF_CUT) -> DataFrame:
     per = lines.groupBy("doc_id", F.md5("line").alias("h")).agg(
         F.count("*").alias("c"), F.max(F.length("line")).alias("ln")
     )
-    common = (
-        per.groupBy("h")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") >= df_cut)
-        .select("h")
-    )
-    dropped = (
-        per.join(common, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("d_lines"),
-            F.sum(F.col("c") * F.col("ln")).alias("d_chars"),
-        )
-    )
-    totals = per.groupBy("doc_id").agg(
+    # ONE pass over the per-(doc, line) table, the oracle's own shape
+    # (optimization r16): join the full line-df table and split kept vs
+    # dropped with conditional sums in a single doc-keyed aggregate. The
+    # pre-r16 form derived three children from `per` (survivor set,
+    # dropped rollup, totals rollup) — three rebuilds of the exploded
+    # corpus (3 parquet scans in plans/r16/text_line_dedup_before.txt)
+    # plus an extra doc-keyed shuffle for the totals/dropped outer join;
+    # here both `freq` and the probe repartition `per` identically on h,
+    # so the build is shared (ReusedExchange) and the corpus explodes once.
+    freq = per.groupBy("h").agg(F.count("*").alias("df"))
+    is_dup = F.col("df") >= df_cut
+    j = per.join(freq, "h").groupBy("doc_id").agg(
         F.sum("c").alias("t_lines"),
-        F.sum(F.col("c") * F.col("ln")).alias("t_chars"),
-    )
-    j = (
-        totals.join(dropped, "doc_id", "left")
-        .na.fill({"d_lines": 0, "d_chars": 0})
-        .withColumn("k_lines", F.col("t_lines") - F.col("d_lines"))
+        F.sum(F.when(is_dup, F.col("c")).otherwise(F.lit(0))).alias("d_lines"),
+        F.sum(
+            F.when(is_dup, F.col("c") * F.col("ln")).otherwise(F.lit(0))
+        ).alias("d_chars"),
+        F.sum(
+            F.when(~is_dup, F.col("c") * F.col("ln")).otherwise(F.lit(0))
+        ).alias("k_chars"),
     )
     return j.select(
         "doc_id",
@@ -1750,8 +1748,10 @@ def line_dedup_report(docs: DataFrame, df_cut: int = LINE_DF_CUT) -> DataFrame:
         F.col("d_lines").cast("bigint").alias("n_dropped_lines"),
         F.col("d_chars").cast("bigint").alias("chars_dropped"),
         (
-            (F.col("t_chars") - F.col("d_chars"))
-            + F.greatest(F.col("k_lines") - F.lit(1), F.lit(0))
+            F.col("k_chars")
+            + F.greatest(
+                F.col("t_lines") - F.col("d_lines") - F.lit(1), F.lit(0)
+            )
         )
         .cast("bigint")
         .alias("cleaned_n_chars"),
@@ -1936,6 +1936,15 @@ FROM micro GROUP BY doc_id
 """
 
 
+# the per-doc NLL table feeds two gate queries (this one and
+# text_ccnet_buckets' threshold/bucket legs, which otherwise re-run the
+# whole LM chain up to three times) — persist it once per (session,
+# sf_dir) like the other shared text intermediates; at scale this is the
+# materialized per-doc score table CCNet itself writes between its LM
+# pass and its bucketing pass (Wenzek 2019 §4)
+_NLL_CACHE: SessionCache[DataFrame] = SessionCache(on_evict=unpersist_df)
+
+
 @register("text_bigram_nll", _NLL_PER_DOC_ORACLE)
 def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document negative log-likelihood under the corpus MLE bigram
@@ -1948,45 +1957,54 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is a plain equi-join, NOT a forced broadcast (VERDICT r06): c_a
     is a vocabulary-sized table, and whitespace-token vocabulary on web
     text is unbounded (every typo/URL/number is a head), so forcing a
-    broadcast OOMs at scale. Both join keys are the bigram head string,
-    so the instance→c_ab→c_a chain co-partitions on one shuffle key
-    family; a genuinely small vocabulary still elects broadcast via
-    Spark's size stats / AQE without the hint."""
-    inst = (
-        _gram_counts(spark, sf_dir)
-        .where(F.col("gram_size") == 2)
-        .select("doc_id", F.col("gram").alias("bigram"), F.col("c").alias("m"))
-    )
-    c_ab = inst.groupBy("bigram").agg(F.sum("m").alias("n_ab"))
-    c_a = (
-        c_ab.select(
-            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("head"),
-            "n_ab",
+    broadcast OOMs at scale. The nll of a bigram is a function of the
+    bigram alone, so it is resolved on the DISTINCT-bigram count table
+    first (c_ab ⋈ c_a — both vocabulary-sized) and the corpus-sized
+    instance table joins ONCE on the bigram; joining instances through
+    both count tables (the pre-r16 shape) shuffled the instance table a
+    second time on the derived head key for no extra information
+    (optimization r16, guide §2.3/§2.4)."""
+
+    def build() -> DataFrame:
+        inst = (
+            _gram_counts(spark, sf_dir)
+            .where(F.col("gram_size") == 2)
+            .select("doc_id", F.col("gram").alias("bigram"), F.col("c").alias("m"))
         )
-        .groupBy("head")
-        .agg(F.sum("n_ab").alias("n_a"))
-    )
-    micro = (
-        inst.join(c_ab, "bigram")
-        .join(
-            c_a,
-            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == F.col("head"),
-        )
-        .select(
-            "doc_id",
-            "m",
-            F.round(
-                F.log(F.col("n_a").cast("double") / F.col("n_ab").cast("double"))
-                * F.lit(1000000.0)
+        c_ab = inst.groupBy("bigram").agg(F.sum("m").alias("n_ab"))
+        c_a = (
+            c_ab.select(
+                F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("head"),
+                "n_ab",
             )
-            .cast("bigint")
-            .alias("nll_micro"),
+            .groupBy("head")
+            .agg(F.sum("n_ab").alias("n_a"))
         )
-    )
-    return micro.groupBy("doc_id").agg(
-        F.sum("m").cast("bigint").alias("n_bigrams"),
-        F.sum(F.col("m") * F.col("nll_micro")).cast("bigint").alias("nll_micro_total"),
-    )
+        per_bigram = (
+            c_ab.join(
+                c_a,
+                F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+                == F.col("head"),
+            )
+            .select(
+                "bigram",
+                F.round(
+                    F.log(F.col("n_a").cast("double") / F.col("n_ab").cast("double"))
+                    * F.lit(1000000.0)
+                )
+                .cast("bigint")
+                .alias("nll_micro"),
+            )
+        )
+        micro = inst.join(per_bigram, "bigram").select("doc_id", "m", "nll_micro")
+        return micro.groupBy("doc_id").agg(
+            F.sum("m").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("m") * F.col("nll_micro"))
+            .cast("bigint")
+            .alias("nll_micro_total"),
+        ).persist()
+
+    return _NLL_CACHE.get_or_create(spark, (sf_dir,), build)
 
 
 # ---------------------------------------------------------------------------
@@ -2275,10 +2293,16 @@ def dup_span_report(
     survivor-set join scale posture (plain equi-join, never a forced
     broadcast)."""
     pos = positions if positions is not None else _span_positions(docs, k)
+    # "appears in >= 2 distinct docs" needs no distinct aggregate:
+    # min(doc_id) != max(doc_id) is the same predicate, and Spark plans a
+    # single map-side-combined hash aggregate for it where
+    # count_distinct(doc_id) >= 2 costs a two-phase distinct aggregate
+    # keyed (gh, doc_id) — one extra Exchange of the full position table
+    # (optimization r16; the oracle keeps COUNT(DISTINCT) — same rows).
     dup = (
         pos.groupBy("gh")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .where(F.col("df") >= 2)
+        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        .where(F.col("_mn") != F.col("_mx"))
         .select("gh")
     )
     dpos = pos.join(dup, "gh").select("doc_id", "n_toks", "p")
@@ -3096,7 +3120,16 @@ def source_kl_report(docs: DataFrame) -> DataFrame:
     tok = docs.select(
         "source", F.explode(F.expr(T.tokens_expr("text", "s"))).alias("token")
     )
-    sc_ = tok.groupBy("source", "token").agg(F.count("*").alias("c_s"))
+    # the (source, token) count table feeds three consumers (corpus counts,
+    # per-source totals, the KL join probe) on three DIFFERENT keys, so no
+    # exchange is reusable — uncached, the corpus is scanned and exploded
+    # three times (plans/r16/text_source_kl_before.txt: 4 parquet scans).
+    # persist() the vocabulary-sized aggregate instead (optimization r16);
+    # CacheManager dedups re-invocations onto one entry. |sources| × vocab
+    # rows is the same boundedness class as the cached _gram_counts table.
+    sc_ = (
+        tok.groupBy("source", "token").agg(F.count("*").alias("c_s")).persist()
+    )
     cc = sc_.groupBy("token").agg(F.sum("c_s").alias("c_c"))
     ns = sc_.groupBy("source").agg(F.sum("c_s").alias("n_s"))
     nc = cc.agg(F.sum("c_c").cast("bigint").alias("n_c"))
