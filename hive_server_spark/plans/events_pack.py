@@ -517,7 +517,11 @@ def cms_heavy_hitters(events: DataFrame, k: int = 10) -> DataFrame:
     sketch estimates. See the block comment above for the plan shape."""
     from hive_server_spark.operators.topk import global_topk
 
-    u = events.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    # per-user exact counts feed the sketch grid, the top-k and (twice,
+    # through the hash fan-out) the estimate probe — persist() the
+    # aggregate so events is scanned once, not four times
+    # (optimization r16; user-cardinality, MEMORY_AND_DISK spills)
+    u = events.groupBy("user_id").agg(F.count("*").alias("cnt")).persist()
     h = u.select(
         "user_id",
         "cnt",
@@ -778,12 +782,17 @@ FROM tot LEFT JOIN pa ON tot.event_type = pa.event_type
 def bloom_prune_join(events: DataFrame) -> DataFrame:
     """Bloom-filter semi-join reduction audit — see block comment above."""
     key_s = "CAST(user_id AS STRING)"
+    # persisted: the key set feeds the bit table AND the ground-truth leg —
+    # uncached each re-ran the purchase aggregate from a fresh events scan
+    # (optimization r16; CacheManager dedups re-invocations). Bounded by
+    # the selectivity the bloom filter exists to exploit.
     keys = (
         events.where(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("tot"))
         .where(F.col("tot") > _BLOOM_THR)
         .select("user_id")
+        .persist()
     )
     bits = (
         keys.select(
@@ -802,24 +811,33 @@ def bloom_prune_join(events: DataFrame) -> DataFrame:
     for i in range(_BLOOM_K):
         probe = pruned.withColumn("bit", F.expr(_bloom_pos(key_s, i, "s")))
         pruned = probe.join(F.broadcast(bits), "bit", "left_semi")
-    true_rows = events.select("event_type", "user_id", "value").join(
-        keys, "user_id", "left_semi"
-    )
-    tot = events.groupBy("event_type").agg(
-        F.count("*").cast("bigint").alias("rows_total")
-    )
     pa = pruned.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("rows_bloom_pass")
     )
-    ta = true_rows.groupBy("event_type").agg(
-        F.count("*").cast("bigint").alias("rows_true"),
-        F.sum(F.col("value").cast("decimal(18,2)"))
+    # total and ground-truth measures fold into ONE events pass: mark each
+    # row's key membership with a left join (keys is user-unique — no row
+    # multiplication) and split the aggregate conditionally, instead of a
+    # separate full-scan count plus a semi-joined second scan
+    # (optimization r16; the pruned leg keeps its own pass — the bloom
+    # probe chain is the thing being audited)
+    marked = events.select("event_type", "user_id", "value").join(
+        keys.withColumn("_k", F.lit(1)), "user_id", "left"
+    )
+    tot = marked.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("rows_total"),
+        F.sum(F.when(F.col("_k").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("rows_true"),
+        F.sum(
+            F.when(
+                F.col("_k").isNotNull(), F.col("value").cast("decimal(18,2)")
+            )
+        )
         .cast("double")
         .alias("true_value"),
     )
     return (
         tot.join(pa, "event_type", "left")
-        .join(ta, "event_type", "left")
         .select(
             "event_type",
             "rows_total",
@@ -1121,7 +1139,15 @@ def hll_set_algebra(events: DataFrame) -> DataFrame:
     inclusion-exclusion intersection (see block comment)."""
     from hive_server_spark.functions.text import hash_expr
 
-    u = events.select("event_type", "user_id").distinct()
+    # the distinct (type, user) set feeds the register build, the exact
+    # intersection self-join (twice) and the per-type totals — uncached,
+    # each consumer re-scanned events and re-ran the distinct shuffle
+    # (plans/r16/evt_hll_set_algebra_before.txt: 8 parquet scans).
+    # persist() it once (optimization r16); MEMORY_AND_DISK spills
+    # gracefully if the exact-audit side outgrows memory — the audit is
+    # inherently user-cardinality-sized, which is exactly why the sketch
+    # half of the query exists.
+    u = events.select("event_type", "user_id").distinct().persist()
     ranks = u.select(
         "event_type",
         F.expr(hash_expr("CAST(user_id AS STRING)", "hll", "s")).alias("hv"),
@@ -1130,8 +1156,10 @@ def hll_set_algebra(events: DataFrame) -> DataFrame:
         (F.col("hv") % _HLL_M).alias("bucket"),
         F.expr(_hll_rank(f"(hv DIV {_HLL_M})", "s")).alias("rank"),
     )
+    # the type set is identical through u (distinct over the same rows) —
+    # deriving the grid from the cached set spares another events scan
     grid = (
-        events.select("event_type")
+        u.select("event_type")
         .distinct()
         .select(
             "event_type",

@@ -3672,15 +3672,17 @@ def _rrf_oracle() -> str:
 def rag_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+semantic retrieval fused with RRF (see block comment
     for semantics and the bounded-fusion scale shape)."""
-    from hive_server_spark.catalog import load_table
     from hive_server_spark.functions import embeddings as E
     from hive_server_spark.operators.topk import global_topk
+    from hive_server_spark.plans.embedding_pack import _emb
 
     lex = text_bm25_topk(spark, sf_dir).select(
         "doc_id", F.col("rk").alias("lex_rk")
     )
+    # the semantic arm reads the session-cached embeddings working set
+    # (embedding_pack._emb) instead of its own parquet scan (r16)
     sem = E.cosine_topk(
-        load_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=_BM25_K
+        _emb(spark, sf_dir), query_vec_id=0, k=_BM25_K
     ).select(F.col("vec_id").alias("sem_doc_id"), F.col("rk").alias("sem_rk"))
     fused = (
         lex.join(sem, lex.doc_id == sem.sem_doc_id, "full_outer")
