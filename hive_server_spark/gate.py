@@ -55,10 +55,16 @@ _STATE_CACHE: SessionCache[DataFrame] = SessionCache(on_evict=unpersist_df)
 
 
 def _orders_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _STATE_CACHE.get_or_create(
+    from hive_server_spark import cache_ledger
+
+    return cache_ledger.touch(
         spark,
-        (sf_dir,),
-        lambda: fold_order_events(order_events(spark, sf_dir)).persist(),
+        "gate:orders_state",
+        _STATE_CACHE.get_or_create(
+            spark,
+            (sf_dir,),
+            lambda: fold_order_events(order_events(spark, sf_dir)).persist(),
+        ),
     )
 
 

@@ -81,9 +81,13 @@ def capped_heldout(
     kind of intermediate that is always safe to cache. Spark's
     CacheManager dedups persist() of an identical plan, so re-invoking a
     gate query re-uses the entry instead of stacking new ones."""
+    from hive_server_spark import cache_ledger
     from hive_server_spark.operators.topk import grouped_topk
 
-    return grouped_topk(
+    return cache_ledger.touch(
+        df.sparkSession,
+        f"heldout:{seed}",
+        grouped_topk(
         df.where(F.expr(heldout_pred(key, seed, mod, "s"))).select(
             group,
             F.md5(F.expr(key).cast("string")).alias("draw_key"),
@@ -94,7 +98,8 @@ def capped_heldout(
         sort_cols=["draw_key", "_hk"],
         payload_cols=[value],
         k=cap,
-    ).persist()
+        ).persist(),
+    )
 
 
 def held_cte_d(

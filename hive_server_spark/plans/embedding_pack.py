@@ -24,10 +24,16 @@ _EMB_CACHE: SessionCache[DataFrame] = SessionCache(on_evict=unpersist_df)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _EMB_CACHE.get_or_create(
+    from hive_server_spark import cache_ledger
+
+    return cache_ledger.touch(
         spark,
-        (sf_dir,),
-        lambda: spread(load_table(spark, sf_dir, "embeddings")).persist(),
+        "emb:working_set",
+        _EMB_CACHE.get_or_create(
+            spark,
+            (sf_dir,),
+            lambda: spread(load_table(spark, sf_dir, "embeddings")).persist(),
+        ),
     )
 
 

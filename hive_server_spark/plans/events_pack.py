@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_server_spark.catalog import load_table
+from hive_server_spark import cache_ledger as _ledger
 from hive_server_spark.operators.heldout import capped_heldout, held_cte_d
 from hive_server_spark.registry import register
 
@@ -521,7 +522,11 @@ def cms_heavy_hitters(events: DataFrame, k: int = 10) -> DataFrame:
     # through the hash fan-out) the estimate probe — persist() the
     # aggregate so events is scanned once, not four times
     # (optimization r16; user-cardinality, MEMORY_AND_DISK spills)
-    u = events.groupBy("user_id").agg(F.count("*").alias("cnt")).persist()
+    u = _ledger.touch(
+        events.sparkSession,
+        "evt:cms_user_counts",
+        events.groupBy("user_id").agg(F.count("*").alias("cnt")).persist(),
+    )
     h = u.select(
         "user_id",
         "cnt",
@@ -786,13 +791,15 @@ def bloom_prune_join(events: DataFrame) -> DataFrame:
     # uncached each re-ran the purchase aggregate from a fresh events scan
     # (optimization r16; CacheManager dedups re-invocations). Bounded by
     # the selectivity the bloom filter exists to exploit.
-    keys = (
+    keys = _ledger.touch(
+        events.sparkSession,
+        "evt:bloom_keys",
         events.where(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("tot"))
         .where(F.col("tot") > _BLOOM_THR)
         .select("user_id")
-        .persist()
+        .persist(),
     )
     bits = (
         keys.select(
@@ -1147,7 +1154,11 @@ def hll_set_algebra(events: DataFrame) -> DataFrame:
     # gracefully if the exact-audit side outgrows memory — the audit is
     # inherently user-cardinality-sized, which is exactly why the sketch
     # half of the query exists.
-    u = events.select("event_type", "user_id").distinct().persist()
+    u = _ledger.touch(
+        events.sparkSession,
+        "evt:hll_distinct_set",
+        events.select("event_type", "user_id").distinct().persist(),
+    )
     ranks = u.select(
         "event_type",
         F.expr(hash_expr("CAST(user_id AS STRING)", "hll", "s")).alias("hv"),

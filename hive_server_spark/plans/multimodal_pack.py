@@ -726,6 +726,7 @@ def multimodal_jpeg_progressive_profile(spark: SparkSession, sf_dir: str) -> Dat
 # exact hash-dedup first); the gate configuration runs uncapped, like the
 # text LSH parity queries.
 # ---------------------------------------------------------------------------
+from hive_server_spark import cache_ledger as _ledger
 from hive_server_spark.session_cache import (  # noqa: E402
     SessionCache,
     unpersist_df,
@@ -821,12 +822,16 @@ def _dhash_band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded, and hashed ONCE per (session, sf_dir): the candidate self-join
     reads it twice and the Hamming verify twice more, and the decode is the
     expensive leg."""
-    return _DHASH_CACHE.get_or_create(
+    return _ledger.touch(
+        spark,
+        "mm:dhash_bands",
+        _DHASH_CACHE.get_or_create(
         spark,
         (sf_dir,),
         lambda: M.dhash_bands(
             M.synthesize_dhash_jpeg_media(_docs_wide(spark, sf_dir))
         ).persist(),
+    ),
     )
 
 
@@ -997,12 +1002,16 @@ FROM ham
 def _audio_fp_band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-clip fingerprint band table, decoded ONCE per (session, sf_dir)
     — the audio twin of _dhash_band_table, same cache."""
-    return _DHASH_CACHE.get_or_create(
+    return _ledger.touch(
+        spark,
+        "mm:audiofp_bands",
+        _DHASH_CACHE.get_or_create(
         spark,
         ("audiofp", sf_dir),
         lambda: M.audio_fingerprint_bands(
             M.synthesize_fpwav_media(_docs_wide(spark, sf_dir))
         ).persist(),
+    ),
     )
 
 
@@ -1093,10 +1102,14 @@ def _avi_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthesized AVI corpus, built ONCE per (session, sf_dir): both
     the full-decode leg and the keyframe leg read it, and the per-frame
     JPEG encode is the expensive part of synthesis."""
-    return _DHASH_CACHE.get_or_create(
+    return _ledger.touch(
+        spark,
+        "mm:avi_media",
+        _DHASH_CACHE.get_or_create(
         spark,
         ("avi", sf_dir),
         lambda: M.synthesize_avi_media(_docs_wide(spark, sf_dir)).persist(),
+    ),
     )
 
 
@@ -1333,12 +1346,16 @@ FROM ham
 def _video_fp_band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-video fingerprint band table, decoded ONCE per (session,
     sf_dir) — the video twin of _dhash_band_table, same cache."""
-    return _DHASH_CACHE.get_or_create(
+    return _ledger.touch(
+        spark,
+        "mm:videofp_bands",
+        _DHASH_CACHE.get_or_create(
         spark,
         ("videofp", sf_dir),
         lambda: M.video_fp_bands(
             M.synthesize_fpavi_media(_docs_wide(spark, sf_dir))
         ).persist(),
+    ),
     )
 
 
@@ -1603,10 +1620,14 @@ def _fpavi_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthesized fp-AVI clip corpus, cached per (session, sf_dir) —
     the curation pipeline walks payloads twice (frame stats, then keyframe
     extraction), and synthesis is the expensive leg."""
-    return _DHASH_CACHE.get_or_create(
+    return _ledger.touch(
+        spark,
+        "mm:fpavi_media",
+        _DHASH_CACHE.get_or_create(
         spark,
         ("fpavi_media", sf_dir),
         lambda: M.synthesize_fpavi_media(_docs_wide(spark, sf_dir)).persist(),
+    ),
     )
 
 
@@ -1629,7 +1650,11 @@ def _kf_band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).persist()
 
-    return _DHASH_CACHE.get_or_create(spark, ("kf_bands", sf_dir), build)
+    return _ledger.touch(
+        spark,
+        "mm:kf_bands",
+        _DHASH_CACHE.get_or_create(spark, ("kf_bands", sf_dir), build),
+    )
 
 
 @register("multimodal_video_curation", _VIDEO_CURATION_ORACLE)  # flipped r12

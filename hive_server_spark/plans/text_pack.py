@@ -37,16 +37,21 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # snapshot. Persisted per (session, sf_dir) so the pairwise verifier and the
 # connected-components pass (dedup_minhash_candidates / dedup_clusters)
 # derive it once, exactly like orders_state in gate.py.
+from hive_server_spark import cache_ledger as _ledger
 from hive_server_spark.session_cache import SessionCache, unpersist_df
 
 _CAND_CACHE: SessionCache[DataFrame] = SessionCache(on_evict=unpersist_df)
 
 
 def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _CAND_CACHE.get_or_create(
+    return _ledger.touch(
         spark,
-        (sf_dir,),
-        lambda: T.minhash_candidates(_docs(spark, sf_dir)).persist(),
+        "text:minhash_candidates",
+        _CAND_CACHE.get_or_create(
+            spark,
+            (sf_dir,),
+            lambda: T.minhash_candidates(_docs(spark, sf_dir)).persist(),
+        ),
     )
 
 
@@ -60,12 +65,16 @@ _COMP_CACHE: SessionCache[DataFrame] = SessionCache(on_evict=unpersist_df)
 def _dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_server_spark.functions.clusters import dup_clusters
 
-    return _COMP_CACHE.get_or_create(
+    return _ledger.touch(
         spark,
-        (sf_dir,),
-        lambda: dup_clusters(
-            _docs(spark, sf_dir), _minhash_candidates(spark, sf_dir)
-        ).persist(),
+        "text:dup_clusters",
+        _COMP_CACHE.get_or_create(
+            spark,
+            (sf_dir,),
+            lambda: dup_clusters(
+                _docs(spark, sf_dir), _minhash_candidates(spark, sf_dir)
+            ).persist(),
+        ),
     )
 
 
@@ -79,12 +88,16 @@ _SHINGLED_CACHE: SessionCache[DataFrame] = SessionCache(on_evict=unpersist_df)
 
 
 def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _SHINGLED_CACHE.get_or_create(
+    return _ledger.touch(
         spark,
-        (sf_dir,),
-        lambda: T.with_shingles(_docs(spark, sf_dir))
-        .select("doc_id", "source", "shingles")
-        .persist(),
+        "text:shingled",
+        _SHINGLED_CACHE.get_or_create(
+            spark,
+            (sf_dir,),
+            lambda: T.with_shingles(_docs(spark, sf_dir))
+            .select("doc_id", "source", "shingles")
+            .persist(),
+        ),
     )
 
 
@@ -92,10 +105,14 @@ _PROFILE_CACHE: SessionCache[DataFrame] = SessionCache(on_evict=unpersist_df)
 
 
 def _profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _PROFILE_CACHE.get_or_create(
+    return _ledger.touch(
         spark,
-        (sf_dir,),
-        lambda: T.doc_profile(_docs(spark, sf_dir)).persist(),
+        "text:profile",
+        _PROFILE_CACHE.get_or_create(
+            spark,
+            (sf_dir,),
+            lambda: T.doc_profile(_docs(spark, sf_dir)).persist(),
+        ),
     )
 
 
@@ -1121,7 +1138,9 @@ def _gram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist()
         )
 
-    return _GRAMS_CACHE.get_or_create(spark, (sf_dir,), build)
+    return _ledger.touch(
+        spark, "text:gram_counts", _GRAMS_CACHE.get_or_create(spark, (sf_dir,), build)
+    )
 
 
 @register("text_repetition_profile", _REPETITION_ORACLE)
@@ -1211,7 +1230,9 @@ def _source_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return ss.join(keep, "shingle").persist()
 
-    return _SRCSET_CACHE.get_or_create(spark, (sf_dir,), build)
+    return _ledger.touch(
+        spark, "text:source_shingles", _SRCSET_CACHE.get_or_create(spark, (sf_dir,), build)
+    )
 
 
 @register("text_source_overlap", _SRC_OVERLAP_ORACLE)
@@ -2004,7 +2025,9 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("nll_micro_total"),
         ).persist()
 
-    return _NLL_CACHE.get_or_create(spark, (sf_dir,), build)
+    return _ledger.touch(
+        spark, "text:nll_per_doc", _NLL_CACHE.get_or_create(spark, (sf_dir,), build)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2350,7 +2373,9 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         return _span_positions(docs, K_SPAN).persist()
 
-    pos = _SPAN_POS_CACHE.get_or_create(spark, (sf_dir,), build)
+    pos = _ledger.touch(
+        spark, "text:span_positions", _SPAN_POS_CACHE.get_or_create(spark, (sf_dir,), build)
+    )
     return dup_span_report(docs, positions=pos)
 
 
@@ -3127,8 +3152,10 @@ def source_kl_report(docs: DataFrame) -> DataFrame:
     # persist() the vocabulary-sized aggregate instead (optimization r16);
     # CacheManager dedups re-invocations onto one entry. |sources| × vocab
     # rows is the same boundedness class as the cached _gram_counts table.
-    sc_ = (
-        tok.groupBy("source", "token").agg(F.count("*").alias("c_s")).persist()
+    sc_ = _ledger.touch(
+        docs.sparkSession,
+        "text:source_kl_counts",
+        tok.groupBy("source", "token").agg(F.count("*").alias("c_s")).persist(),
     )
     cc = sc_.groupBy("token").agg(F.sum("c_s").alias("c_c"))
     ns = sc_.groupBy("source").agg(F.sum("c_s").alias("n_s"))
